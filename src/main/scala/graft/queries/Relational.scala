@@ -1,0 +1,415 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables => T}
+
+/**
+ * General relational surface (SURVEY.md §2 rows S1-S11 plus the
+ * reference-derived join/agg shapes R18-R31 re-expressed over the
+ * driver-supplied TPC-H-ish tables). Each query carries a DuckDB oracle.
+ *
+ * Determinism rules: float aggregates rounded; every top-k / limit has a
+ * total order (unique-key tie-break); no wall-clock or RNG anywhere.
+ */
+object Relational {
+
+  private def ts(s: String) = lit(java.sql.Timestamp.valueOf(s))
+
+  val all: Seq[Q] = Seq(
+
+    // ---- Aggregation over a filtered scan (TPC-H Q1 shape; SURVEY S7/R27).
+    Q("q01_agg_pricing",
+      (s, d) => T.lineitem(s, d)
+        .filter(col("l_shipdate") <= ts("2000-12-01 00:00:00"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order")),
+      Some("""SELECT l_returnflag, l_linestatus,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_base_price,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+             round(avg(l_quantity), 6) AS avg_qty,
+             round(avg(l_discount), 6) AS avg_disc,
+             count(*) AS count_order
+             FROM lineitem
+             WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+             GROUP BY l_returnflag, l_linestatus""")),
+
+    // ---- Filter + projection pushdown (S3; scan reads 5 of 11 columns).
+    Q("q02_filter_project",
+      (s, d) => T.lineitem(s, d)
+        .filter(col("l_quantity").between(5, 10) && col("l_discount") > 0.05)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+             FROM lineitem WHERE l_quantity BETWEEN 5 AND 10 AND l_discount > 0.05""")),
+
+    // ---- 3-way join + agg + top-k (TPC-H Q3 shape; S4).
+    Q("q03_join_topk",
+      (s, d) => {
+        val c = T.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        val o = T.orders(s, d)
+        val l = T.lineitem(s, d)
+        c.join(o, c("c_custkey") === o("o_custkey"))
+          .join(l, o("o_orderkey") === l("l_orderkey"))
+          .groupBy(col("o_orderkey"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+          .orderBy(col("revenue").desc, col("o_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT o_orderkey,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             FROM customer JOIN orders ON c_custkey = o_custkey
+             JOIN lineitem ON o_orderkey = l_orderkey
+             WHERE c_mktsegment = 'BUILDING'
+             GROUP BY o_orderkey
+             ORDER BY revenue DESC, o_orderkey LIMIT 10""")),
+
+    // ---- Snowflake dims via broadcast joins (R24 gazetteer-lookup shape).
+    Q("q04_region_rollup",
+      (s, d) => T.customer(s, d)
+        .join(broadcast(T.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(T.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_customers"), round(sum(col("c_acctbal")), 2).as("total_bal")),
+      Some("""SELECT r_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_bal
+             FROM customer JOIN nation ON c_nationkey = n_nationkey
+             JOIN region ON n_regionkey = r_regionkey
+             GROUP BY r_name""")),
+
+    // ---- Left outer join preserving order-less customers (R21 nullability).
+    Q("q05_left_join_hist",
+      (s, d) => {
+        val c = T.customer(s, d)
+        val o = T.orders(s, d)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+          .groupBy(c("c_custkey"))
+          .agg(count(o("o_orderkey")).as("n_orders"))
+          .groupBy(col("n_orders"))
+          .agg(count(lit(1)).as("n_customers"))
+      },
+      Some("""SELECT n_orders, count(*) AS n_customers FROM (
+               SELECT c_custkey, count(o_orderkey) AS n_orders
+               FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+               GROUP BY c_custkey) GROUP BY n_orders""")),
+
+    // ---- Semi join / EXISTS (R22).
+    Q("q06_semi_join",
+      (s, d) => T.customer(s, d)
+        .join(T.orders(s, d).filter(col("o_totalprice") > 300000)
+          .select(col("o_custkey")), col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n")),
+      Some("""SELECT c_mktsegment, count(*) AS n FROM customer
+             WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+             GROUP BY c_mktsegment""")),
+
+    // ---- Anti join / NOT EXISTS (R40 remove-list subtraction shape).
+    Q("q07_anti_join",
+      (s, d) => T.customer(s, d)
+        .join(T.orders(s, d).select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment"),
+      Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
+             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""")),
+
+    // ---- Unordered-pair self join (R19: per-doc person co-occurrence shape).
+    Q("q08_selfjoin_pairs",
+      (s, d) => {
+        val a = T.supplier(s, d).select(col("s_nationkey").as("nk"), col("s_suppkey").as("k1"))
+        val b = T.supplier(s, d).select(col("s_nationkey").as("nk"), col("s_suppkey").as("k2"))
+        a.join(b, Seq("nk")).filter(col("k1") < col("k2"))
+          .groupBy(col("nk")).agg(count(lit(1)).as("n_pairs"))
+      },
+      Some("""SELECT a.s_nationkey AS nk, count(*) AS n_pairs
+             FROM supplier a JOIN supplier b
+             ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+             GROUP BY a.s_nationkey""")),
+
+    // ---- Broadcast nested-loop theta join on suffix match (R23).
+    Q("q09_theta_suffix",
+      (s, d) => {
+        val suffixes = s.createDataFrame(Seq(
+          Tuple1("gear"), Tuple1("bolt"), Tuple1("widget"))).toDF("sfx")
+        T.part(s, d).join(broadcast(suffixes),
+            expr("endswith(p_name, sfx)"))
+          .groupBy(col("sfx")).agg(count(lit(1)).as("n_parts"),
+            round(sum(col("p_retailprice")), 2).as("total_price"))
+      },
+      Some("""SELECT sfx, count(*) AS n_parts, round(sum(p_retailprice), 2) AS total_price
+             FROM part JOIN (VALUES ('gear'), ('bolt'), ('widget')) AS t(sfx)
+             ON p_name LIKE '%' || sfx
+             GROUP BY sfx""")),
+
+    // ---- ROLLUP grouping sets (S6).
+    Q("q10_rollup",
+      (s, d) => T.customer(s, d)
+        .join(broadcast(T.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(T.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("bal")),
+      Some("""SELECT r_name, n_name, count(*) AS n, round(sum(c_acctbal), 2) AS bal
+             FROM customer JOIN nation ON c_nationkey = n_nationkey
+             JOIN region ON n_regionkey = r_regionkey
+             GROUP BY ROLLUP (r_name, n_name)""")),
+
+    // ---- CUBE grouping sets (S6).
+    Q("q11_cube",
+      (s, d) => T.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total")),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             round(sum(o_totalprice), 2) AS total
+             FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""")),
+
+    // ---- distinct / count-distinct (S5).
+    Q("q12_distinct",
+      (s, d) => T.customer(s, d)
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          countDistinct(col("c_nationkey")).as("n_nations"),
+          count(lit(1)).as("n_customers")),
+      Some("""SELECT c_mktsegment, count(DISTINCT c_nationkey) AS n_nations,
+             count(*) AS n_customers FROM customer GROUP BY c_mktsegment""")),
+
+    // ---- Ranking window, per-group top-k (S8; R37 top-1 lookup shape).
+    Q("q13_window_topk",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        T.orders(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select("o_custkey", "o_orderkey", "rn")
+      },
+      Some("""SELECT o_custkey, o_orderkey, rn FROM (
+               SELECT o_custkey, o_orderkey,
+                 row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey) AS rn
+               FROM orders) WHERE rn <= 3""")),
+
+    // ---- Running aggregate + lag over an ordered window (S8, R33 substrate).
+    Q("q14_window_running",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        T.orders(s, d).select(
+          col("o_custkey"), col("o_orderkey"),
+          round(sum(col("o_totalprice")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2).as("running_total"),
+          round(col("o_totalprice") - coalesce(lag(col("o_totalprice"), 1).over(w), lit(0.0)), 2)
+            .as("delta_prev"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING), 2) AS running_total,
+             round(o_totalprice - coalesce(lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey), 0.0), 2) AS delta_prev
+             FROM orders""")),
+
+    // ---- rank / dense_rank / percent_rank (S8).
+    Q("q15_window_rank",
+      (s, d) => {
+        val w = Window.partitionBy(col("s_nationkey")).orderBy(col("s_acctbal").desc)
+        T.supplier(s, d).select(
+          col("s_nationkey"), col("s_suppkey"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          round(percent_rank().over(w), 6).as("prnk"))
+      },
+      Some("""SELECT s_nationkey, s_suppkey,
+             rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
+             round(percent_rank() OVER w, 6) AS prnk
+             FROM supplier WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC)""")),
+
+    // ---- Global sort + limit → TakeOrderedAndProject (S9, R36).
+    Q("q16_sort_limit",
+      (s, d) => T.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(20),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""")),
+
+    // ---- UNION / INTERSECT / EXCEPT set algebra (S10, R39).
+    Q("q17_setops",
+      (s, d) => {
+        val rich = T.customer(s, d).filter(col("c_acctbal") > 5000).select(col("c_custkey"))
+        val big = T.orders(s, d).filter(col("o_totalprice") > 400000)
+          .select(col("o_custkey").as("c_custkey"))
+        val lowNation = T.customer(s, d).filter(col("c_nationkey") < 5).select(col("c_custkey"))
+        rich.union(big).distinct().except(lowNation)
+      },
+      Some("""SELECT c_custkey FROM (
+               SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+               UNION
+               SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 400000)
+             EXCEPT
+             SELECT c_custkey FROM customer WHERE c_nationkey < 5""")),
+
+    // ---- INTERSECT (S10).
+    Q("q18_intersect",
+      (s, d) => T.customer(s, d).filter(col("c_acctbal") > 8000).select(col("c_custkey"))
+        .intersect(T.orders(s, d).filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey").as("c_custkey"))),
+      Some("""SELECT c_custkey FROM customer WHERE c_acctbal > 8000
+             INTERSECT
+             SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'""")),
+
+    // ---- String scalar battery (S11, R52 concat shape).
+    Q("q19_string_funcs",
+      (s, d) => T.customer(s, d).select(
+        col("c_custkey"),
+        upper(col("c_name")).as("up"),
+        length(col("c_name")).as("len"),
+        substring(col("c_name"), 1, 8).as("prefix"),
+        concat(col("c_mktsegment"), lit("/"), col("c_name")).as("cat"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"),
+        regexp_replace(col("c_name"), "0+", "0").as("squeezed"),
+        lpad(col("c_custkey").cast("string"), 12, "0").as("padded")),
+      Some("""SELECT c_custkey, upper(c_name) AS up, length(c_name) AS len,
+             substring(c_name, 1, 8) AS prefix,
+             c_mktsegment || '/' || c_name AS cat,
+             regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+             regexp_replace(c_name, '0+', '0', 'g') AS squeezed,
+             lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS padded
+             FROM customer""")),
+
+    // ---- Date/time scalar battery (S11; reference dates are strings, ours native).
+    Q("q20_date_funcs",
+      (s, d) => T.orders(s, d)
+        .groupBy(
+          year(col("o_orderdate")).as("y"),
+          quarter(col("o_orderdate")).as("q"),
+          month(col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .filter(col("y") < 1998),
+      Some("""SELECT year(o_orderdate) AS y, quarter(o_orderdate) AS q,
+             month(o_orderdate) AS m, count(*) AS n, round(sum(o_totalprice), 2) AS total
+             FROM orders GROUP BY 1, 2, 3 HAVING year(o_orderdate) < 1998""")),
+
+    // ---- Math scalar battery (S11).
+    Q("q21_math_funcs",
+      (s, d) => T.lineitem(s, d)
+        .filter(col("l_orderkey") % 100 === 0)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          round(sqrt(col("l_extendedprice")), 4).as("sq"),
+          ceil(col("l_discount") * 100).as("ce"),
+          floor(col("l_tax") * 100).as("fl"),
+          round(log(col("l_extendedprice") + 1), 6).as("ln_p"),
+          round(pow(col("l_quantity"), 2), 4).as("pw"),
+          abs(col("l_quantity") - lit(25)).as("ab"),
+          signum(col("l_discount") - 0.05).as("sg")),
+      Some("""SELECT l_orderkey, l_linenumber,
+             round(sqrt(l_extendedprice), 4) AS sq,
+             CAST(ceil(l_discount * 100) AS BIGINT) AS ce,
+             CAST(floor(l_tax * 100) AS BIGINT) AS fl,
+             round(ln(l_extendedprice + 1), 6) AS ln_p,
+             round(pow(l_quantity, 2), 4) AS pw,
+             abs(l_quantity - 25) AS ab,
+             CAST(sign(l_discount - 0.05) AS DOUBLE) AS sg
+             FROM lineitem WHERE l_orderkey % 100 = 0""")),
+
+    // ---- CASE WHEN bucketing (S3).
+    Q("q22_case_bucket",
+      (s, d) => T.customer(s, d)
+        .withColumn("bucket",
+          when(col("c_acctbal") < 0, "negative")
+            .when(col("c_acctbal") < 3000, "low")
+            .when(col("c_acctbal") < 7000, "mid")
+            .otherwise("high"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), round(avg(col("c_acctbal")), 4).as("avg_bal")),
+      Some("""SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+                          WHEN c_acctbal < 3000 THEN 'low'
+                          WHEN c_acctbal < 7000 THEN 'mid'
+                          ELSE 'high' END AS bucket,
+             count(*) AS n, round(avg(c_acctbal), 4) AS avg_bal
+             FROM customer GROUP BY 1""")),
+
+    // ---- JSON extraction from events.props (S2/S11).
+    Q("q23_json_extract",
+      (s, d) => T.events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"), max(col("k")).as("max_k")),
+      Some("""SELECT event_type, count(*) AS n,
+             sum(CAST(props->>'$.k' AS INT)) AS sum_k,
+             max(CAST(props->>'$.k' AS INT)) AS max_k
+             FROM events GROUP BY event_type""")),
+
+    // ---- Array/higher-order functions over embeddings (S11).
+    Q("q24_array_funcs",
+      (s, d) => T.embeddings(s, d)
+        .filter(col("vec_id") < 100)
+        .select(
+          col("vec_id"),
+          size(col("embedding")).as("dim"),
+          round(element_at(col("embedding"), 1).cast("double"), 4).as("first_val"),
+          round(aggregate(col("embedding"), lit(0.0d),
+            (acc, x) => acc + x.cast("double")), 4).as("sum_val"),
+          round(sqrt(aggregate(col("embedding"), lit(0.0d),
+            (acc, x) => acc + x.cast("double") * x.cast("double"))), 4).as("l2_norm")),
+      Some("""SELECT vec_id, len(embedding) AS dim,
+             round(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
+             round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum'), 4) AS sum_val,
+             round(sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 4) AS l2_norm
+             FROM embeddings WHERE vec_id < 100""")),
+
+    // ---- Tumbling time buckets over events (batch face of §2.10 streaming).
+    // Exact integer-ns bucket arithmetic on both engines (no double epoch).
+    Q("q25_event_buckets",
+      (s, d) => T.events(s, d)
+        .withColumn("bucket", expr("ts_ns div 600000000000"))
+        .groupBy(col("bucket"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value")),
+      Some("""SELECT epoch_ns(ts) // 600000000000 AS bucket,
+             event_type, count(*) AS n, round(sum(value), 2) AS total_value
+             FROM events GROUP BY 1, 2""")),
+
+    // ---- Sessionization: gaps-and-islands via lag + cumulative sum (S8).
+    Q("q26_sessionize",
+      (s, d) => {
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+        T.events(s, d)
+          .withColumn("gap_ns", col("ts_ns") - lag(col("ts_ns"), 1).over(byUser))
+          .withColumn("new_session",
+            when(col("gap_ns").isNull || col("gap_ns") > 1800000000000L, 1).otherwise(0))
+          .withColumn("session_id",
+            sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_sessions"),
+            max(col("n_events")).as("max_session_events"),
+            sum(col("n_events")).as("n_events"))
+      },
+      Some("""WITH e AS (
+               SELECT user_id, event_id, epoch_ns(ts) AS ts_ns FROM events),
+             flagged AS (
+               SELECT user_id, event_id, ts_ns,
+                 CASE WHEN ts_ns - lag(ts_ns, 1) OVER w IS NULL
+                       OR ts_ns - lag(ts_ns, 1) OVER w > 1800000000000
+                      THEN 1 ELSE 0 END AS new_session
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id)),
+             sessions AS (
+               SELECT user_id,
+                 sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+               FROM flagged),
+             per_session AS (
+               SELECT user_id, session_id, count(*) AS n_events
+               FROM sessions GROUP BY user_id, session_id)
+             SELECT user_id, count(*) AS n_sessions,
+               max(n_events) AS max_session_events, sum(n_events) AS n_events
+             FROM per_session GROUP BY user_id"""))
+  )
+}

@@ -1,0 +1,348 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables => T}
+import graft.functions._
+import graft.functions.{GeoParse, SpanishDate}
+
+/**
+ * Reference-derived text/entity operators over the `documents` table plus
+ * the LLM-pipeline surface (dedup, similarity, text analysis) over
+ * `documents`/`embeddings`. The document tokens play the role of the
+ * reference's NER mentions: doc→token is the L_DOCUMENT_TO_MENTION edge,
+ * normalized-token is the entity key (SURVEY.md §1.1, §2.4).
+ */
+object TextQueries {
+
+  /** Exploded (doc_id, tok) mention table — one row per token occurrence. */
+  private def tokens(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+
+  private val TokensSql =
+    "SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents"
+
+  val all: Seq[Q] = Seq(
+
+    // ---- normalizeStr chain (R41) — trivially accent-free corpus, but the
+    // full trim/upper/strip/collapse/junk chain is exercised on both sides.
+    Q("q27_normalize_text",
+      (s, d) => {
+        val c = substring(col("text"), 1, 60)
+        val up = strip_accents(upper(trim(c)))
+        val ws = regexp_replace(up, "\\s+", " ")
+        val noLead = regexp_replace(ws, "^[^A-Za-z0-9-]+", "")
+        val noTrail = regexp_replace(noLead, "[^A-Za-z0-9-]+$", "")
+        T.documents(s, d).select(col("doc_id"),
+          regexp_replace(noTrail, JunkChars, " ").as("norm"))
+      },
+      Some("""SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(upper(strip_accents(trim(substring(text, 1, 60)))),
+                     '\s+', ' ', 'g'),
+                   '^[^A-Za-z0-9-]+', '', 'g'),
+                 '[^A-Za-z0-9-]+$', '', 'g'),
+               '[\^"<>_]', ' ', 'g') AS norm
+             FROM documents""")),
+
+    // ---- Exact dedup: canonical = min doc_id per identical text (hash-groupBy).
+    Q("q28_exact_dedup",
+      (s, d) => {
+        val w = Window.partitionBy(col("text"))
+        T.documents(s, d)
+          .withColumn("canonical", min(col("doc_id")).over(w))
+          .select(col("doc_id"),
+            (col("doc_id") =!= col("canonical")).cast("int").as("is_dup"),
+            col("canonical"))
+      },
+      Some("""SELECT doc_id,
+             CAST(doc_id <> min(doc_id) OVER (PARTITION BY text) AS INT) AS is_dup,
+             min(doc_id) OVER (PARTITION BY text) AS canonical
+             FROM documents""")),
+
+    // ---- Per-(doc, token) mention counts — R27 EdgeMentionsCounter shape.
+    Q("q29_doc_token_counts",
+      (s, d) => tokens(s, d).groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("num_mentions")),
+      Some(s"""SELECT doc_id, tok, count(*) AS num_mentions
+              FROM ($TokensSql) WHERE tok <> '' GROUP BY doc_id, tok""")),
+
+    // ---- Co-occurrence social network — R18 (distinct entities per doc) +
+    // R19 (unordered pairs) + R14 (num_docs >= 2 threshold).
+    Q("q30_cooccurrence",
+      (s, d) => {
+        val ents = tokens(s, d).filter(length(col("tok")) >= 5).distinct()
+        val a = ents.select(col("doc_id"), col("tok").as("t1"))
+        val b = ents.select(col("doc_id"), col("tok").as("t2"))
+        a.join(b, Seq("doc_id")).filter(col("t1") < col("t2"))
+          .groupBy(col("t1"), col("t2"))
+          .agg(count(lit(1)).as("num_docs"))
+          .filter(col("num_docs") >= 2)
+      },
+      Some(s"""WITH ents AS (
+                SELECT DISTINCT doc_id, tok FROM ($TokensSql)
+                WHERE tok <> '' AND length(tok) >= 5)
+              SELECT a.tok AS t1, b.tok AS t2, count(*) AS num_docs
+              FROM ents a JOIN ents b ON a.doc_id = b.doc_id AND a.tok < b.tok
+              GROUP BY a.tok, b.tok HAVING count(*) >= 2""")),
+
+    // ---- Across-doc entity table — R25/R30: cluster by key, MIN_NUM_DOCS=2.
+    Q("q31_across_doc_entities",
+      (s, d) => tokens(s, d).filter(length(col("tok")) >= 2)
+        .groupBy(col("tok"))
+        .agg(countDistinct(col("doc_id")).as("num_docs"),
+          count(lit(1)).as("num_mentions"))
+        .filter(col("num_docs") >= 2)
+        .withColumnRenamed("tok", "entity_text"),
+      Some(s"""SELECT tok AS entity_text, count(DISTINCT doc_id) AS num_docs,
+              count(*) AS num_mentions
+              FROM ($TokensSql) WHERE tok <> '' AND length(tok) >= 2
+              GROUP BY tok HAVING count(DISTINCT doc_id) >= 2""")),
+
+    // ---- Token stats (text analysis: token counting).
+    Q("q32_token_stats",
+      (s, d) => tokens(s, d).groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          countDistinct(col("tok")).as("n_distinct"),
+          round(avg(length(col("tok")).cast("double")), 6).as("avg_tok_len")),
+      Some(s"""SELECT doc_id, count(*) AS n_tokens,
+              count(DISTINCT tok) AS n_distinct,
+              round(avg(CAST(length(tok) AS DOUBLE)), 6) AS avg_tok_len
+              FROM ($TokensSql) WHERE tok <> '' GROUP BY doc_id""")),
+
+    // ---- Quality scoring: stopword ratio + short-token ratio + doc length.
+    Q("q33_quality_score",
+      (s, d) => tokens(s, d).groupBy(col("doc_id"))
+        .agg(
+          round(avg(when(col("tok").isin("the", "a", "or", "and", "of"), 1.0d)
+            .otherwise(0.0d)), 6).as("stopword_ratio"),
+          round(avg(when(length(col("tok")) <= 3, 1.0d).otherwise(0.0d)), 6)
+            .as("short_tok_ratio"),
+          count(lit(1)).as("n_tokens")),
+      Some(s"""SELECT doc_id,
+              round(avg(CASE WHEN tok IN ('the','a','or','and','of') THEN 1.0 ELSE 0.0 END), 6) AS stopword_ratio,
+              round(avg(CASE WHEN length(tok) <= 3 THEN 1.0 ELSE 0.0 END), 6) AS short_tok_ratio,
+              count(*) AS n_tokens
+              FROM ($TokensSql) WHERE tok <> '' GROUP BY doc_id""")),
+
+    // ---- Corpus stats by language/source.
+    Q("q34_lang_stats",
+      (s, d) => T.documents(s, d).groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+          round(avg(col("n_chars")), 4).as("avg_chars")),
+      Some("""SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars,
+             round(avg(n_chars), 4) AS avg_chars
+             FROM documents GROUP BY lang, source""")),
+
+    // ---- n-gram (3-shingle) Jaccard near-dup: top-20 most similar doc pairs.
+    // Jaccard = |∩| / (|A|+|B|-|∩|): single integer division → bit-identical
+    // doubles on both engines, so the ranking needs no rounding fudge.
+    Q("q35_jaccard_pairs",
+      (s, d) => {
+        val toks = T.documents(s, d).select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+          .filter(col("tok") =!= "")
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val sh = toks
+          .withColumn("t2", lead(col("tok"), 1).over(w))
+          .withColumn("t3", lead(col("tok"), 2).over(w))
+          .filter(col("t3").isNotNull)
+          .select(col("doc_id"), concat_ws(" ", col("tok"), col("t2"), col("t3")).as("shingle"))
+          .distinct()
+        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+        val shared = sh.select(col("doc_id").as("d1"), col("shingle"))
+          .join(sh.select(col("doc_id").as("d2"), col("shingle")), Seq("shingle"))
+          .filter(col("d1") < col("d2"))
+          .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("shared"))
+        shared
+          .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), Seq("d1"))
+          .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), Seq("d2"))
+          .withColumn("jaccard", col("shared") / (col("sz1") + col("sz2") - col("shared")))
+          .orderBy(col("jaccard").desc, col("d1"), col("d2"))
+          .select(col("d1"), col("d2"), col("shared"), round(col("jaccard"), 6).as("jaccard"))
+          .limit(20)
+      },
+      Some("""WITH toks AS (
+               SELECT doc_id, i AS pos, toks[i] AS tok
+               FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+                    LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i)
+               WHERE toks[i] <> ''),
+             sh AS (
+               SELECT DISTINCT doc_id,
+                 tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+               FROM toks
+               WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+               QUALIFY lead(tok, 2) OVER w IS NOT NULL),
+             sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+             shared AS (
+               SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+               FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+               GROUP BY a.doc_id, b.doc_id)
+             SELECT d1, d2, shared,
+               round(CAST(shared AS DOUBLE) / (s1.sz + s2.sz - shared), 6) AS jaccard
+             FROM shared
+             JOIN sizes s1 ON s1.doc_id = d1
+             JOIN sizes s2 ON s2.doc_id = d2
+             ORDER BY CAST(shared AS DOUBLE) / (s1.sz + s2.sz - shared) DESC, d1, d2
+             LIMIT 20""")),
+
+    // ---- Brute-force cosine top-k over embeddings (ANN baseline).
+    Q("q36_cosine_topk",
+      (s, d) => {
+        val e = T.embeddings(s, d)
+        def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+          aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+            lit(0.0d), (acc, x) => acc + x)
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val n = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+        val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+        n.crossJoin(broadcast(q))
+          .filter(col("q_id") =!= col("n_id"))
+          .withColumn("sim", dot(col("q_emb"), col("n_emb")) /
+            (sqrt(dot(col("q_emb"), col("q_emb"))) * sqrt(dot(col("n_emb"), col("n_emb")))))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("q_id"), col("n_id"), col("rn"))
+      },
+      Some("""WITH v AS (
+               SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+               FROM embeddings),
+             q AS (SELECT vec_id AS q_id, emb AS q_emb FROM v WHERE vec_id < 10),
+             n AS (SELECT vec_id AS n_id, emb AS n_emb FROM v),
+             sims AS (
+               SELECT q_id, n_id,
+                 list_inner_product(q_emb, n_emb) /
+                   (sqrt(list_inner_product(q_emb, q_emb)) *
+                    sqrt(list_inner_product(n_emb, n_emb))) AS sim
+               FROM q CROSS JOIN n WHERE q_id <> n_id)
+             SELECT q_id, n_id, rn FROM (
+               SELECT q_id, n_id,
+                 row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+               FROM sims) WHERE rn <= 5""")),
+
+    // ---- Lat/long literal parsing (R44) on a pinned fixture.
+    Q("q37_latlong_parse",
+      (s, d) => {
+        val fixture = s.createDataFrame(Seq(
+          (1, "04 38 22 73 04 51"),
+          (2, "N04 38 22,5 W73 04 51,2"),
+          (3, "043822 730451"),
+          (4, "12-30-15.5/71-10-05.25"),
+          (5, "Bogota"),
+          (6, "99 9"))).toDF("id", "place")
+        val parsed = GeoParse.lat_long_parse(col("place"))
+        fixture.select(col("id"),
+          round(parsed.getField("lat"), 6).as("lat"),
+          round(parsed.getField("lon"), 6).as("lon"))
+      },
+      Some {
+        val l1 = GeoParse.LatLong1
+        val l2 = GeoParse.LatLong2
+        def dms(p: String, g1: Int, g2: Int, g3: Int) =
+          s"""(CAST(regexp_extract(place, '$p', $g1) AS DOUBLE)
+              + CAST(regexp_extract(place, '$p', $g2) AS DOUBLE)/60.0
+              + CAST(replace(regexp_extract(place, '$p', $g3), ',', '.') AS DOUBLE)/3600.0)"""
+        s"""SELECT id,
+           CASE WHEN regexp_matches(place, '$l1') THEN round(${dms(l1, 1, 2, 3)}, 6)
+                WHEN regexp_matches(place, '$l2') THEN round(${dms(l2, 1, 2, 3)}, 6)
+           END AS lat,
+           CASE WHEN regexp_matches(place, '$l1') THEN round(-${dms(l1, 4, 5, 6)}, 6)
+                WHEN regexp_matches(place, '$l2') THEN round(-${dms(l2, 4, 5, 6)}, 6)
+           END AS lon
+           FROM (VALUES (1, '04 38 22 73 04 51'),
+                        (2, 'N04 38 22,5 W73 04 51,2'),
+                        (3, '043822 730451'),
+                        (4, '12-30-15.5/71-10-05.25'),
+                        (5, 'Bogota'),
+                        (6, '99 9')) AS t(id, place)"""
+      }),
+
+    // ---- Spanish date normalization (R47) on a pinned fixture.
+    Q("q38_spanish_dates",
+      (s, d) => {
+        val fixture = s.createDataFrame(Seq(
+          (1, "12 de enero de 2005"),
+          (2, "3/feb/99"),
+          (3, "el día 5-mar-2011"),
+          (4, "julio 4 del 1998"),
+          (5, "28 de febrero del año 1987"),
+          (6, "15/agosto/05"),
+          (7, "9-dic-45"),
+          (8, "sin fecha"),
+          (9, "31 de abril de 2013"))).toDF("id", "phrase")
+        fixture.select(col("id"),
+          SpanishDate.spanish_date_normalize(col("phrase")).as("norm_date"))
+      },
+      Some {
+        import SpanishDate._
+        val months = (Seq("enero", "febrero", "marzo", "abril", "mayo", "junio", "julio",
+          "agosto", "septiembre", "octubre", "noviembre", "diciembre").zipWithIndex ++
+          Seq("ene", "feb", "mar", "abr", "may", "jun", "jul", "ago", "sep", "oct",
+            "nov", "dic").zipWithIndex)
+          .map { case (m, i) => s"('$m', '${f"${i + 1}%02d"}')" }.mkString(", ")
+        s"""WITH input(id, phrase) AS (VALUES
+             (1, '12 de enero de 2005'), (2, '3/feb/99'), (3, 'el día 5-mar-2011'),
+             (4, 'julio 4 del 1998'), (5, '28 de febrero del año 1987'),
+             (6, '15/agosto/05'), (7, '9-dic-45'), (8, 'sin fecha'),
+             (9, '31 de abril de 2013')),
+           months(mname, mm) AS (VALUES $months),
+           norm AS (SELECT id, regexp_replace(lower(phrase), '\\s+', ' ', 'g') AS t FROM input),
+           ext AS (SELECT id,
+             CASE WHEN regexp_extract(t, '$Pattern1', 3) <> ''
+                    THEN [regexp_extract(t, '$Pattern1', 1), regexp_extract(t, '$Pattern1', 2), regexp_extract(t, '$Pattern1', 3)]
+                  WHEN regexp_extract(t, '$Pattern2Slash', 3) <> ''
+                    THEN [regexp_extract(t, '$Pattern2Slash', 1), regexp_extract(t, '$Pattern2Slash', 2), regexp_extract(t, '$Pattern2Slash', 3)]
+                  WHEN regexp_extract(t, '$Pattern2Dash', 3) <> ''
+                    THEN [regexp_extract(t, '$Pattern2Dash', 1), regexp_extract(t, '$Pattern2Dash', 2), regexp_extract(t, '$Pattern2Dash', 3)]
+                  WHEN regexp_extract(t, '$Pattern3', 3) <> ''
+                    THEN [regexp_extract(t, '$Pattern3', 2), regexp_extract(t, '$Pattern3', 1), regexp_extract(t, '$Pattern3', 3)]
+             END AS dmy FROM norm),
+           resolved AS (
+             SELECT e.id,
+               lpad(e.dmy[1], 2, '0') AS dd,
+               m.mm AS mm,
+               CASE WHEN length(regexp_replace(e.dmy[3], '[^0-9]', '', 'g')) = 2 THEN
+                      CASE WHEN CAST(regexp_replace(e.dmy[3], '[^0-9]', '', 'g') AS INT) <= 12
+                           THEN CAST(2000 + CAST(regexp_replace(e.dmy[3], '[^0-9]', '', 'g') AS INT) AS VARCHAR)
+                           ELSE CAST(1900 + CAST(regexp_replace(e.dmy[3], '[^0-9]', '', 'g') AS INT) AS VARCHAR) END
+                    WHEN length(regexp_replace(e.dmy[3], '[^0-9]', '', 'g')) = 4
+                         AND CAST(regexp_replace(e.dmy[3], '[^0-9]', '', 'g') AS INT) BETWEEN 1900 AND 2012
+                    THEN regexp_replace(e.dmy[3], '[^0-9]', '', 'g')
+               END AS yy
+             FROM ext e LEFT JOIN months m ON e.dmy[2] = m.mname)
+           SELECT i.id,
+             CASE WHEN r.yy IS NOT NULL AND r.mm IS NOT NULL
+                  THEN r.yy || '/' || r.mm || '/' || r.dd END AS norm_date
+           FROM input i LEFT JOIN resolved r ON i.id = r.id"""
+      }),
+
+    // ---- Sorted-neighborhood fuzzy pair detection (R33+R35+R43 substrate):
+    // same-brand part-name pairs within levenshtein ≤ 2 whose digit runs agree.
+    Q("q39_levenshtein_pairs",
+      (s, d) => {
+        val p = T.part(s, d).select(col("p_partkey"), col("p_brand"), col("p_name"))
+        val a = p.select(col("p_brand"), col("p_partkey").as("k1"), col("p_name").as("n1"))
+        val b = p.select(col("p_brand"), col("p_partkey").as("k2"), col("p_name").as("n2"))
+        a.join(b, Seq("p_brand"))
+          .filter(col("k1") < col("k2") &&
+            levenshtein(col("n1"), col("n2")) <= 2 &&
+            digit_runs(col("n1")) === digit_runs(col("n2")))
+          .select(col("p_brand"), col("k1"), col("k2"), col("n1"), col("n2"),
+            levenshtein(col("n1"), col("n2")).as("dist"))
+      },
+      Some("""SELECT a.p_brand, a.p_partkey AS k1, b.p_partkey AS k2,
+             a.p_name AS n1, b.p_name AS n2,
+             levenshtein(a.p_name, b.p_name) AS dist
+             FROM part a JOIN part b
+             ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+             WHERE levenshtein(a.p_name, b.p_name) <= 2
+               AND regexp_extract_all(a.p_name, '\d+') = regexp_extract_all(b.p_name, '\d+')"""))
+  )
+}

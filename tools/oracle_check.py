@@ -1,0 +1,84 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run graft.Verify at a
+given SF, then execute each oracle SQL in DuckDB over the same parquet
+tables and compare (schema-insensitive: columns sorted by name, rows
+sorted, floats rounded)."""
+import json, math, subprocess, sys, glob, os
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+SKIP_RUN = os.environ.get("SKIP_VERIFY_RUN") == "1"
+
+if not SKIP_RUN:
+    r = subprocess.run(
+        ["sbt", "-batch", f'runMain graft.Verify {SF_DIR} {OUT}'],
+        capture_output=True, text=True, cwd="/root/repo")
+    sys.stdout.write(r.stdout[-3000:])
+    if r.returncode != 0:
+        sys.stdout.write(r.stderr[-3000:])
+        sys.exit(1)
+
+import duckdb
+con = duckdb.connect()
+for p in glob.glob(f"{SF_DIR}/*.parquet"):
+    name = os.path.basename(p)[:-8]
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+
+oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+
+def canon(v):
+    if v is None:
+        return "\x00NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        r = round(v, 6)
+        return "0.0" if r == 0 else repr(r)
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+def table_key(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    names = [cols[i] for i in order]
+    out = sorted("\x01".join(canon(row[i]) for i in order) for row in rows)
+    return names, out
+
+fails, passes = [], []
+for name in sorted(oracle):
+    sql = oracle[name]
+    spark_dir = f"{OUT}/{name}"
+    if not os.path.isdir(spark_dir):
+        fails.append((name, "spark output missing"))
+        continue
+    try:
+        got = con.execute(
+            f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')").fetchall()
+        gcols = [d[0] for d in con.description]
+        want = con.execute(sql).fetchall()
+        wcols = [d[0] for d in con.description]
+    except Exception as e:
+        fails.append((name, f"exec error: {e}"))
+        continue
+    gn, gk = table_key(gcols, got)
+    wn, wk = table_key(wcols, want)
+    if gn != wn:
+        fails.append((name, f"columns differ: spark={gn} duck={wn}"))
+    elif gk != wk:
+        diff = next((i for i, (a, b) in enumerate(zip(gk, wk)) if a != b),
+                    min(len(gk), len(wk)))
+        detail = (f"rows spark={len(gk)} duck={len(wk)}; first diff @{diff}:\n"
+                  f"  spark: {gk[diff] if diff < len(gk) else '<none>'}\n"
+                  f"  duck : {wk[diff] if diff < len(wk) else '<none>'}")
+        fails.append((name, detail))
+    else:
+        passes.append(name)
+
+rows_only = [os.path.basename(p) for p in glob.glob(f"{OUT}/q*")
+             if os.path.basename(p) not in oracle]
+print(f"\nPASS {len(passes)}: {' '.join(passes)}")
+print(f"ROWS-ONLY {len(rows_only)}: {' '.join(sorted(rows_only))}")
+print(f"FAIL {len(fails)}:")
+for n, msg in fails:
+    print(f"  {n}: {msg}")
+sys.exit(1 if fails else 0)
