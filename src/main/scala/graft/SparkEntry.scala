@@ -7,11 +7,13 @@ object SparkEntry {
 
   /** All declared queries (SURVEY.md §2 inventory), in registration order. */
   def allQueries: Seq[Q] =
-    _root_.graft.queries.Relational.all ++ _root_.graft.queries.TextQueries.all
+    _root_.graft.queries.Relational.all ++
+      _root_.graft.queries.TextQueries.all ++
+      _root_.graft.queries.PipelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    allQueries.find(_.name == "q31_across_doc_entities").get
+    allQueries.find(_.name == "q40_coref_pipeline").get
       .fn(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/**
+ * Distributed connected components by iterative min-label propagation.
+ *
+ * Replaces the reference's sequential in-driver cluster-map mutation
+ * (/root/reference/src/CorefBase.groovy:180-211 pairwise adjacent merges,
+ * chains resolved by mutation order) with transitive-closure semantics —
+ * the documented CC-superset deviation of SURVEY.md §7.4(1).
+ *
+ * Labels are the vertex keys themselves (strings): collision-free and
+ * deterministic (component id = lexicographic min key of the component).
+ * Convergence in O(component diameter) rounds; near-duplicate name chains
+ * are short, so 2-4 shuffles in practice. Each round localCheckpoints to
+ * truncate lineage — on a cluster this stays a handful of narrow-ish
+ * shuffle stages regardless of input size.
+ */
+object ConnectedComponents {
+
+  /**
+   * @param edges DataFrame with string columns `src`, `dst` (undirected).
+   * @return DataFrame (`id`, `comp`) covering every vertex present in edges.
+   *         Isolated vertices (no edges) are absent — union them as
+   *         singleton components at the call site if needed.
+   */
+  def run(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      // Each vertex proposes its current component to every neighbour;
+      // a vertex keeps the min of its own and all proposals.
+      val msgs = sym.join(labels, sym("src") === labels("id"))
+        .select(sym("dst").as("id"), col("comp"))
+      val next = labels.union(msgs)
+        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+        .localCheckpoint()
+      changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.comp") =!= col("o.comp"))
+        .count()
+      labels = next
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+  }
+}

@@ -1,0 +1,319 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+
+/**
+ * Entity-resolution (coreference) passes of the reference pipeline,
+ * re-expressed as pure DataFrame → DataFrame transforms:
+ *
+ *  - exact-match clustering       — /root/reference/src/CorefBase.groovy:135-155
+ *  - global-id clustering         — CorefBase.groovy:157-170
+ *  - sorted-neighborhood fuzzy    — CorefBase.groovy:176-212 (Levenshtein ≤ 1)
+ *  - digit-run merge guard        — CorefBase.groovy:214-218
+ *  - firstname/fullname folding   — CorefBase.groovy:95-133
+ *  - survivor pick + stats        — CorefBase.groovy:228-246
+ *  - strong/weak candidate split  — AcrossDoc{Per,Org,Loc}Coref.groovy
+ *
+ * Sequential pairwise merges become merge-edge lists resolved by
+ * [[ConnectedComponents]] (transitive superset — SURVEY.md §7.4(1));
+ * tie-breaks are pinned as max_by(struct(priority, count, key)) — largest
+ * count wins, ties to the lexicographically greater key, matching the
+ * reference's absorb-into-current-key behaviour on equal sizes
+ * (CorefBase.groovy:203-209).
+ *
+ * Entity ids are content-derived (xxhash64 over type/provenance/scope/text,
+ * SURVEY.md §7.4(8)) so results are stable across runs and cluster sizes.
+ */
+object Coref {
+
+  /** Within-document pass parameterization (per entity type). */
+  final case class WithinDocParams(
+      entityType: String,
+      createdBy: String,
+      junkChars: String,
+      matchNumbersExactly: Boolean,
+      firstnameMerge: Boolean)
+
+  object WithinDocParams {
+    /** WithinDocPerCoref.groovy:36-53: numbers not matched, firstname folding on. */
+    val person: WithinDocParams =
+      WithinDocParams("PERSON", "within_doc_person_coref", JunkChars,
+        matchNumbersExactly = false, firstnameMerge = true)
+    /** WithinDocOrgCoref.groovy:46-55: numbers matched, no firstname folding. */
+    val organization: WithinDocParams =
+      WithinDocParams("ORGANIZATION", "within_doc_organization_coref", JunkChars,
+        matchNumbersExactly = true, firstnameMerge = false)
+    /** WithinDocLocCoref.groovy:42-54: loc junk-chars variant, firstname folding on. */
+    val location: WithinDocParams =
+      WithinDocParams("LOCATION", "within_doc_location_coref", JunkCharsForLocs,
+        matchNumbersExactly = true, firstnameMerge = true)
+  }
+
+  /** Across-document pass parameterization (per entity type). */
+  final case class AcrossDocParams(
+      entityType: String,
+      createdBy: String,
+      weakCreatedBy: String,
+      numTokensMin: Int,
+      numTokensMax: Int,
+      numCharsMin: Int,
+      charsetRegex: Option[String],
+      minNumDocs: Int = 2)
+
+  object AcrossDocParams {
+    /** AcrossDocPerCoref.groovy:31-43,49-55: 2..6 tokens, ≥5 chars, letters/dots/space. */
+    val person: AcrossDocParams = AcrossDocParams("PERSON",
+      "across_doc_person_coref", "weak_across_doc_person_coref",
+      2, 6, 5, Some("^[A-Za-z.\\s]+$"))
+    /** AcrossDocOrgCoref.groovy:45-48: 1..20 tokens, ≥2 chars, no charset. */
+    val organization: AcrossDocParams = AcrossDocParams("ORGANIZATION",
+      "across_doc_organization_coref", "weak_across_doc_organization_coref",
+      1, 20, 2, None)
+    /** AcrossDocLocCoref.groovy:47-50: 1..10 tokens, ≥2 chars, no charset. */
+    val location: AcrossDocParams = AcrossDocParams("LOCATION",
+      "across_doc_location_coref", "weak_across_doc_location_coref",
+      1, 10, 2, None)
+  }
+
+  /** Result: `entities` table + `mentionMap`/`entityMap` assignment. */
+  final case class CorefResult(entities: DataFrame, assignment: DataFrame)
+
+  private val Sep = ""
+
+  /** Fuzzy-merge predicate: Levenshtein ≤ 1 (`score > -1.1`,
+    * WithinDocPerCoref.groovy:36-37) + optional digit-run guard. */
+  private def closeMatch(a: Column, b: Column, matchNumbers: Boolean): Column = {
+    val base = levenshtein(a, b) <= 1
+    if (matchNumbers) base && (digit_runs(a) === digit_runs(b)) else base
+  }
+
+  /**
+   * Within-document coreference for one entity type.
+   *
+   * @param mentions columns (doc_id: long, mention_id: long,
+   *                 mention_type: string, text: string)
+   * @return entities (entity_id, doc_id, entity_type, entity_text,
+   *         created_by, num_mentions, num_docs)
+   *         + assignment (mention_id, entity_id)
+   */
+  def withinDoc(mentions: DataFrame, p: WithinDocParams): CorefResult = {
+    // R16: normalize, drop empties.
+    val normed = mentions
+      .filter(col("mention_type") === p.entityType)
+      .withColumn("norm", normalize_str(col("text"), p.junkChars))
+      .filter(col("norm") =!= "")
+
+    // R25: exact clusters per (doc, normalized text).
+    val keys = normed.groupBy(col("doc_id"), col("norm"))
+      .agg(count(lit(1)).as("cnt"))
+
+    // R33: merge edges between sort-adjacent keys within a doc. Documents
+    // are bounded, so a doc-partitioned window is the right plan (the
+    // global variant uses SortedNeighborhood instead).
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("norm"))
+    val lagged = keys.withColumn("prev", lag(col("norm"), 1).over(w))
+    val levEdges = lagged
+      .filter(col("prev").isNotNull &&
+        closeMatch(col("prev"), col("norm"), p.matchNumbersExactly))
+      .select(concat_ws(Sep, col("doc_id"), col("prev")).as("src"),
+        concat_ws(Sep, col("doc_id"), col("norm")).as("dst"))
+
+    // R34: firstname → unique-fullname folding: FN is a ≥2-char prefix of
+    // exactly one following key (sorted order makes prefix-sharers contiguous).
+    val fnEdges = if (!p.firstnameMerge) None else Some {
+      keys
+        .withColumn("next1", lead(col("norm"), 1).over(w))
+        .withColumn("next2", lead(col("norm"), 2).over(w))
+        .filter(col("next1").isNotNull &&
+          length(col("norm")) >= 2 &&
+          col("next1").startsWith(col("norm")) && col("next1") =!= col("norm") &&
+          (col("next2").isNull || !col("next2").startsWith(col("norm"))))
+        .select(concat_ws(Sep, col("doc_id"), col("norm")).as("src"),
+          concat_ws(Sep, col("doc_id"), col("next1")).as("dst"))
+    }
+
+    val edges = fnEdges.fold(levEdges)(levEdges.unionByName(_))
+    val labels = ConnectedComponents.run(edges)
+
+    val keyed = keys.withColumn("vid", concat_ws(Sep, col("doc_id"), col("norm")))
+    val withComp = keyed
+      .join(labels, keyed("vid") === labels("id"), "left_outer")
+      .withColumn("comp", coalesce(col("comp"), col("vid")))
+      .drop("id")
+
+    // Firstname fold targets outrank counts: the reference always folds the
+    // first-name cluster INTO the full-name cluster whatever their sizes
+    // (CorefBase.groovy:126-129). priority = fold-target that is not itself
+    // a fold-source (chain interior nodes lose to the chain end).
+    val prioritized = fnEdges match {
+      case Some(fe) =>
+        val targets = fe.select(col("dst").as("vid")).distinct()
+          .withColumn("is_tgt", lit(1))
+        val sources = fe.select(col("src").as("vid")).distinct()
+          .withColumn("is_src", lit(1))
+        withComp
+          .join(targets, Seq("vid"), "left_outer")
+          .join(sources, Seq("vid"), "left_outer")
+          .withColumn("priority",
+            when(col("is_tgt") === 1 && col("is_src").isNull, 1).otherwise(0))
+          .drop("is_tgt", "is_src")
+      case None => withComp.withColumn("priority", lit(0))
+    }
+
+    val perComp = prioritized
+      .groupBy(col("doc_id"), col("comp"))
+      .agg(
+        max_by(col("norm"), struct(col("priority"), col("cnt"), col("norm")))
+          .as("entity_text"),
+        sum(col("cnt")).as("num_mentions"))
+
+    def entityId(text: Column): Column =
+      xxhash64(lit(p.entityType), lit(p.createdBy), col("doc_id"), text)
+
+    val entities = perComp.select(
+      entityId(col("entity_text")).as("entity_id"),
+      col("doc_id"),
+      lit(p.entityType).as("entity_type"),
+      col("entity_text"),
+      lit(p.createdBy).as("created_by"),
+      col("num_mentions"),
+      lit(1L).as("num_docs"))
+
+    val assignment = normed
+      .withColumn("vid", concat_ws(Sep, col("doc_id"), col("norm")))
+      .select(col("mention_id"), col("vid"))
+      .join(prioritized.select(col("vid"), col("doc_id"), col("comp")), Seq("vid"))
+      .join(perComp, Seq("doc_id", "comp"))
+      .select(col("mention_id"), entityId(col("entity_text")).as("entity_id"))
+
+    CorefResult(entities, assignment)
+  }
+
+  /**
+   * Across-document coreference for one entity type over the within-doc
+   * entity table. Strong candidates get the fuzzy pass + MIN_NUM_DOCS
+   * filter; weak candidates are exact-merged only but ALWAYS re-tagged with
+   * the weak provenance (mergeClusters runs on every weak cluster incl.
+   * singletons — AcrossDocPerCoref.groovy:114). Strong clusters below
+   * MIN_NUM_DOCS stay as their untouched within-doc entities.
+   *
+   * @param entities within-doc entity table (schema of [[withinDoc]] output)
+   * @return entities: post-pass entity table for this type;
+   *         assignment: (entity_id → new_entity_id) for every input entity.
+   */
+  def acrossDoc(entities: DataFrame, p: AcrossDocParams): CorefResult = {
+    val input = entities.filter(col("entity_type") === p.entityType)
+    val pred = candidate_predicate(col("entity_text"),
+      p.numCharsMin, p.numTokensMax, p.numTokensMin, p.charsetRegex)
+    val strong = input.filter(pred)
+    val weak = input.filter(!pred)
+
+    // ----- strong branch: exact + sorted-neighborhood fuzzy + CC.
+    val keys = strong.groupBy(col("entity_text"))
+      .agg(count(lit(1)).as("n_entities"), sum(col("num_mentions")).as("mentions"))
+    val pairs = SortedNeighborhood.adjacentPairs(keys.select(col("entity_text")))
+    val edges = pairs
+      .filter(closeMatch(col("prev"), col("curr"), matchNumbers = true))
+      .select(col("prev").as("src"), col("curr").as("dst"))
+    val labels = ConnectedComponents.run(edges)
+
+    val withComp = keys
+      .join(labels, keys("entity_text") === labels("id"), "left_outer")
+      .withColumn("comp", coalesce(col("comp"), col("entity_text")))
+      .drop("id")
+
+    // Survivor = most common member text; ties go to the lexicographically
+    // SMALLEST text (Groovy Map.max picks the first maximal entry in sorted
+    // insertion order — CorefBase.groovy:232, SURVEY §7.4(2)).
+    val perComp = withComp.groupBy(col("comp")).agg(
+      min_by(col("entity_text"), struct((-col("n_entities")).as("neg"), col("entity_text")))
+        .as("survivor"),
+      sum(col("n_entities")).as("n_entities"),
+      sum(col("mentions")).as("num_mentions"))
+
+    val merged = perComp.filter(col("n_entities") >= p.minNumDocs)
+
+    val mergedEntities = merged.select(
+      xxhash64(lit(p.entityType), lit(p.createdBy), col("survivor")).as("entity_id"),
+      lit(null).cast("long").as("doc_id"),
+      lit(p.entityType).as("entity_type"),
+      col("survivor").as("entity_text"),
+      lit(p.createdBy).as("created_by"),
+      col("num_mentions"),
+      col("n_entities").cast("long").as("num_docs"))
+
+    val strongWithComp = strong.join(withComp.select(col("entity_text"), col("comp")),
+      Seq("entity_text"))
+    val mergedAssign = strongWithComp
+      .join(merged.select(col("comp"), col("survivor")), Seq("comp"))
+      .select(col("entity_id"),
+        xxhash64(lit(p.entityType), lit(p.createdBy), col("survivor")).as("new_entity_id"))
+    val untouched = strongWithComp
+      .join(merged.select(col("comp")), Seq("comp"), "left_anti")
+      .drop("comp")
+
+    // ----- weak branch: exact merge of everything, weak provenance.
+    val weakAgg = weak.groupBy(col("entity_text"))
+      .agg(sum(col("num_mentions")).as("num_mentions"),
+        count(lit(1)).cast("long").as("num_docs"))
+    val weakEntities = weakAgg.select(
+      xxhash64(lit(p.entityType), lit(p.weakCreatedBy), col("entity_text")).as("entity_id"),
+      lit(null).cast("long").as("doc_id"),
+      lit(p.entityType).as("entity_type"),
+      col("entity_text"),
+      lit(p.weakCreatedBy).as("created_by"),
+      col("num_mentions"),
+      col("num_docs"))
+    val weakAssign = weak.select(col("entity_id"),
+      xxhash64(lit(p.entityType), lit(p.weakCreatedBy), col("entity_text"))
+        .as("new_entity_id"))
+
+    val outEntities = mergedEntities
+      .unionByName(weakEntities)
+      .unionByName(untouched.select(mergedEntities.columns.map(col): _*))
+    val assignment = mergedAssign
+      .unionByName(weakAssign)
+      .unionByName(untouched.select(col("entity_id"),
+        col("entity_id").as("new_entity_id")))
+    CorefResult(outEntities, assignment)
+  }
+
+  /**
+   * Simple exact / global-id clustering (WithinDocSimpleCoref /
+   * AcrossDocSimpleCoref — e.g. DATE entities or Twitter feeds with
+   * upstream global ids). Twitter-style normalization, no fuzzy pass.
+   */
+  def withinDocSimple(mentions: DataFrame, entityType: String,
+      byGlobalId: Boolean): CorefResult = {
+    val createdBy = s"within_doc_${entityType.toLowerCase}_coref"
+    val normed = mentions
+      .filter(col("mention_type") === entityType)
+      .withColumn("norm", twitter_normalize_str(col("text")))
+      .filter(col("norm") =!= "")
+    val keyExpr = if (byGlobalId) col("global_id") else col("norm")
+    val clustered = normed
+      .filter(keyExpr.isNotNull)
+      .groupBy(col("doc_id"), keyExpr.as("k"))
+      .agg(count(lit(1)).as("num_mentions"),
+        // Global-id clusters take the first member's text as the name
+        // (CorefBase.groovy:29-33: "All the same"); pin min for determinism.
+        min(col("norm")).as("entity_text"))
+    val entities = clustered.select(
+      xxhash64(lit(entityType), lit(createdBy), col("doc_id"), col("k")).as("entity_id"),
+      col("doc_id"),
+      lit(entityType).as("entity_type"),
+      col("entity_text"),
+      lit(createdBy).as("created_by"),
+      col("num_mentions"),
+      lit(1L).as("num_docs"))
+    val assignment = normed.filter(keyExpr.isNotNull)
+      .select(col("mention_id"),
+        xxhash64(lit(entityType), lit(createdBy), col("doc_id"), keyExpr).as("entity_id"))
+    CorefResult(entities, assignment)
+  }
+
+}

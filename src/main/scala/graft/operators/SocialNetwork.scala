@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Co-occurrence social network + count materialization:
+ *
+ *  - doc → distinct coref'd person-entity sets, all unordered pairs, edge
+ *    weight = number of co-occurrence documents
+ *    (/root/reference/src/SocialNetworkDCO.groovy:53-84 — the O(p²)/doc
+ *    nested loop becomes a doc-keyed equi self-join with a `<` residual;
+ *    the probe-and-increment edge update becomes one groupBy count)
+ *  - node/edge num_docs thresholds for export
+ *    (/root/reference/src/SNGephiGraphML.groovy:14-15,52-89)
+ *  - per-(doc, entity) mention counts
+ *    (/root/reference/src/EdgeMentionsCounter.groovy:33-60).
+ */
+object SocialNetwork {
+
+  /**
+   * Build the undirected co-occurrence edge table.
+   *
+   * @param assignment  (mention_id, entity_id) — final coref assignment
+   * @param mentions    (mention_id, doc_id, ...)
+   * @param entities    entity table; only `createdBy`-tagged entities join
+   *                    the network (SocialNetworkDCO.groovy:57)
+   * @return (src_entity_id, dst_entity_id, num_docs) with src < dst
+   */
+  def cooccurrenceEdges(
+      assignment: DataFrame,
+      mentions: DataFrame,
+      entities: DataFrame,
+      createdBy: String = "across_doc_person_coref"): DataFrame = {
+    val kept = entities.filter(col("created_by") === createdBy)
+      .select(col("entity_id"))
+    // R18: doc → distinct entity, restricted to coref'd persons.
+    val docEntity = mentions.select(col("mention_id"), col("doc_id"))
+      .join(assignment, "mention_id")
+      .join(kept, "entity_id")
+      .select(col("doc_id"), col("entity_id"))
+      .distinct()
+    // R19/R20: unordered pairs per doc; multiplicity by construction = 1.
+    val a = docEntity.select(col("doc_id"), col("entity_id").as("src_entity_id"))
+    val b = docEntity.select(col("doc_id"), col("entity_id").as("dst_entity_id"))
+    a.join(b, Seq("doc_id"))
+      .filter(col("src_entity_id") < col("dst_entity_id"))
+      .groupBy(col("src_entity_id"), col("dst_entity_id"))
+      .agg(count(lit(1)).as("num_docs"))
+  }
+
+  /**
+   * Node/edge threshold filtering for export (R14/R22): keep entities seen
+   * in ≥ nodeMinDocs docs, then edges with weight ≥ edgeMinDocs whose BOTH
+   * endpoints survived (semi-joins — SNGephiGraphML.groovy:53-63,84-89).
+   */
+  def thresholded(
+      entities: DataFrame,
+      edges: DataFrame,
+      nodeMinDocs: Int = 2,
+      edgeMinDocs: Int = 2): (DataFrame, DataFrame) = {
+    val keptNodes = entities.filter(col("num_docs") >= nodeMinDocs)
+    val keptIds = keptNodes.select(col("entity_id"))
+    val keptEdges = edges.filter(col("num_docs") >= edgeMinDocs)
+      .join(keptIds.withColumnRenamed("entity_id", "src_entity_id"),
+        Seq("src_entity_id"), "left_semi")
+      .join(keptIds.withColumnRenamed("entity_id", "dst_entity_id"),
+        Seq("dst_entity_id"), "left_semi")
+    (keptNodes, keptEdges)
+  }
+
+  /**
+   * R27: materialized per-(document, entity) mention counts — the
+   * `document_entity` table (one partial+final hash agg; replaces the
+   * reference's per-doc Gremlin groupCount).
+   */
+  def documentEntityCounts(assignment: DataFrame, mentions: DataFrame): DataFrame =
+    mentions.select(col("mention_id"), col("doc_id"))
+      .join(assignment, "mention_id")
+      .groupBy(col("doc_id"), col("entity_id"))
+      .agg(count(lit(1)).as("num_mentions"))
+}
