@@ -9,7 +9,8 @@ object SparkEntry {
   def allQueries: Seq[Q] =
     _root_.graft.queries.Relational.all ++
       _root_.graft.queries.TextQueries.all ++
-      _root_.graft.queries.PipelineQueries.all
+      _root_.graft.queries.PipelineQueries.all ++
+      _root_.graft.queries.LlmQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

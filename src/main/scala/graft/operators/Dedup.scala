@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Large-scale deduplication operators for training-data pipelines. All are
+ * pure DataFrame transforms built from codegen'd built-ins (xxhash64,
+ * bitwise ops, higher-order array functions) — no UDFs, no driver loops —
+ * so each lowers to scans + hash aggregations + equi-joins that scale
+ * horizontally:
+ *
+ *  - exact:      one hash-groupBy (canonical = min id per identical text)
+ *  - MinHash:    shingle → k permutations (seeded xxhash64) → banded LSH
+ *                bucket join → candidates → exact-Jaccard verification.
+ *                Cost is O(candidates), never O(n²).
+ *  - SimHash:    64-bit signature via per-bit weighted majority; banding on
+ *                16-bit chunks (Hamming ≤ 3 ⇒ some chunk equal by
+ *                pigeonhole) → bucket join → bit_count(xor) verify.
+ *  - n-gram Jaccard: exact sparse similarity via inverted shingle index
+ *                (join on shingle), only pairs sharing ≥1 shingle surface.
+ */
+object Dedup {
+
+  /** Exact dedup: rows keyed by identical `textCol`; canonical = min id. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(col(textCol))
+    df.withColumn("canonical_id", min(col(idCol)).over(w))
+      .withColumn("is_dup", (col(idCol) =!= col("canonical_id")).cast("int"))
+  }
+
+  /** Word n-gram shingles hashed to longs: (id, shingle_hash), distinct. */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), "\\s+")).as(Seq("pos", "tok")))
+      .filter(col("tok") =!= "")
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val withNext = (1 until n).foldLeft(toks) { (acc, i) =>
+      acc.withColumn(s"t$i", lead(col("tok"), i).over(w))
+    }
+    val parts = col("tok") +: (1 until n).map(i => col(s"t$i"))
+    withNext
+      .filter(parts.last.isNotNull)
+      .select(col("id"), xxhash64(concat_ws(" ", parts: _*)).as("shingle"))
+      .distinct()
+  }
+
+  /**
+   * MinHash signatures: k seeded-hash "permutations", min per doc.
+   * One shuffle (the groupBy); the k mins are a single aggregation pass.
+   */
+  def minhashSignatures(sh: DataFrame, k: Int = 32): DataFrame = {
+    val mins = (0 until k).map(i =>
+      min(xxhash64(col("shingle"), lit(i))).as(s"h$i"))
+    sh.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /**
+   * Banded-LSH candidate pairs from minhash signatures: b bands of r rows
+   * (k = b·r); docs sharing any band hash become candidates. Returns
+   * (id_a, id_b, est_jaccard) with id_a < id_b, est = matching-component
+   * fraction of the signatures.
+   */
+  def minhashCandidates(sigs: DataFrame, bands: Int = 8, rows: Int = 4): DataFrame = {
+    val banded = sigs.select(col("id"), col("sig"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64(lit(b) +: (0 until rows).map(r =>
+          element_at(col("sig"), b * rows + r + 1)): _*)): _*)).as(Seq("band", "bh")))
+    val a = banded.select(col("band"), col("bh"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bh"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), _ + _)
+          .cast("double") / size(col("sig_a"))).as("est_jaccard"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /**
+   * Full MinHash-LSH near-dup pass: shingle → sign → band → candidates →
+   * exact-verify ≥ `threshold`. Returns (id_a, id_b, est_jaccard, jaccard).
+   */
+  def minhashDedup(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n)
+    val cands = minhashCandidates(minhashSignatures(sh, k), bands, k / bands)
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val shA = sh.select(col("id").as("id_a"), col("shingle"))
+    val shB = sh.select(col("id").as("id_b"), col("shingle"))
+    val shared = cands.select("id_a", "id_b")
+      .join(shA, Seq("id_a"))
+      .join(shB, Seq("id_b", "shingle"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    cands
+      .join(shared, Seq("id_a", "id_b"), "left_outer")
+      .na.fill(0L, Seq("shared"))
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("shared") / (col("sz_a") + col("sz_b") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("est_jaccard"), 6).as("est_jaccard"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /**
+   * 64-bit SimHash signature per row: hash each token, per bit position sum
+   * +weight if set else -weight, bit = sign of sum. Whole thing is one
+   * aggregation with 64 codegen'd sum expressions.
+   */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(split(col(textCol), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("w"))
+      .withColumn("th", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("th"), i).bitwiseAND(1) === 1, col("w"))
+        .otherwise(-col("w"))).as(s"b$i")
+    }
+    toks.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"),
+        (0 until 64).map(i =>
+          when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce((a: Column, b: Column) => a.bitwiseOR(b)).as("simhash"))
+  }
+
+  /**
+   * SimHash near-dup pairs with Hamming distance ≤ `maxHamming` (< 16):
+   * band the 64-bit signature into four 16-bit chunks — pigeonhole
+   * guarantees pairs within distance 3 share a chunk; then verify with
+   * bit_count(xor). (For maxHamming in 4..15 recall is partial — standard
+   * multi-probe tradeoff, noted at the call site.)
+   */
+  def simhashPairs(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val chunked = sigs.select(col("id"), col("simhash"),
+      posexplode(array((0 until 4).map(c =>
+        shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*))
+        .as(Seq("chunk", "cv")))
+    val a = chunked.select(col("chunk"), col("cv"),
+      col("id").as("id_a"), col("simhash").as("sig_a"))
+    val b = chunked.select(col("chunk"), col("cv"),
+      col("id").as("id_b"), col("simhash").as("sig_b"))
+    a.join(b, Seq("chunk", "cv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+}

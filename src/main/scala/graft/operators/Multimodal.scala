@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Multimodal-column plumbing: image/audio/video as opaque `binary` columns
+ * with typed metadata, processed per-partition with lazily-initialized
+ * decoders. The Spark-side machinery — schema, partition-batched execution,
+ * deterministic outputs — is real and tested; the actual codec call is
+ * STUBBED behind [[MediaCodec]] (this container ships no image/audio libs),
+ * with a deterministic hash-derived fake so pipelines are reproducible.
+ *
+ * At scale: assets live in parquet/object storage as (asset_id, media_type,
+ * content, meta); decode/feature stages are `mapPartitions` over
+ * `Dataset[MediaAsset]` so a decoder loads once per partition (the same
+ * per-executor-singleton pattern the reference needs for its NER model —
+ * /root/reference/src/EntityExtractor.groovy:13,23 — and the Scala analog
+ * of a Python `mapInPandas` batch UDF).
+ */
+object Multimodal {
+
+  case class MediaAsset(asset_id: Long, media_type: String, content: Array[Byte])
+  case class DecodedMeta(asset_id: Long, media_type: String, width: Int,
+      height: Int, duration_ms: Long, n_frames: Int)
+  case class MediaFeature(asset_id: Long, feature: Array[Float])
+  case class FrameSample(asset_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /**
+   * The codec seam. Replace `decode` with a real Tika/ImageIO/ffmpeg call
+   * in production; the fake derives metadata deterministically from content
+   * bytes so tests and oracle runs are stable.
+   */
+  trait MediaCodec extends Serializable {
+    def decode(a: MediaAsset): DecodedMeta
+    def embed(a: MediaAsset, dim: Int): Array[Float]
+    def sampleFrames(a: MediaAsset, every: Int): Iterator[FrameSample]
+  }
+
+  /** Deterministic stand-in codec (STUB — see class doc). */
+  object HashCodec extends MediaCodec {
+    private def h(bytes: Array[Byte], seed: Long): Long = {
+      var acc = seed
+      var i = 0
+      while (i < bytes.length) { acc = acc * 6364136223846793005L + bytes(i); i += 1 }
+      acc
+    }
+    def decode(a: MediaAsset): DecodedMeta = {
+      val x = h(a.content, 42L)
+      DecodedMeta(a.asset_id, a.media_type,
+        width = 64 + (math.abs(x) % 1024).toInt,
+        height = 64 + (math.abs(x >> 16) % 1024).toInt,
+        duration_ms = if (a.media_type == "image") 0L else math.abs(x >> 24) % 600000L,
+        n_frames = if (a.media_type == "video") 1 + (math.abs(x >> 32) % 512).toInt else 1)
+    }
+    def embed(a: MediaAsset, dim: Int): Array[Float] =
+      Array.tabulate(dim)(i => (h(a.content, i.toLong) % 1000) / 1000.0f)
+    def sampleFrames(a: MediaAsset, every: Int): Iterator[FrameSample] = {
+      val meta = decode(a)
+      (0 until meta.n_frames by every).iterator.map(i =>
+        FrameSample(a.asset_id, i, a.content.take(16)))
+    }
+  }
+
+  /**
+   * Decode metadata for every asset. `mapPartitions` so the codec is
+   * constructed once per partition, not per row.
+   */
+  def decodeMeta(assets: Dataset[MediaAsset], codec: MediaCodec = HashCodec)
+      (implicit s: SparkSession): Dataset[DecodedMeta] = {
+    import s.implicits._
+    assets.mapPartitions { it =>
+      val c = codec // per-partition init point (real codecs open contexts here)
+      it.map(c.decode)
+    }
+  }
+
+  /** Feature extraction (embedding) per asset, batched per partition. */
+  def extractFeatures(assets: Dataset[MediaAsset], dim: Int = 16,
+      codec: MediaCodec = HashCodec)(implicit s: SparkSession): Dataset[MediaFeature] = {
+    import s.implicits._
+    assets.mapPartitions { it =>
+      val c = codec
+      it.map(a => MediaFeature(a.asset_id, c.embed(a, dim)))
+    }
+  }
+
+  /** Frame sampling: 1 row per sampled frame (flatMap shape — a generator). */
+  def sampleFrames(assets: Dataset[MediaAsset], every: Int = 10,
+      codec: MediaCodec = HashCodec)(implicit s: SparkSession): Dataset[FrameSample] = {
+    import s.implicits._
+    assets.mapPartitions { it =>
+      val c = codec
+      it.flatMap(a => c.sampleFrames(a, every))
+    }
+  }
+
+  /** Lift any (id, string) table into a fake binary asset table (dev/test). */
+  def assetsFromText(df: DataFrame, idCol: String, textCol: String,
+      mediaType: String = "image")(implicit s: SparkSession): Dataset[MediaAsset] = {
+    import s.implicits._
+    df.select(col(idCol).cast("long").as("asset_id"),
+      lit(mediaType).as("media_type"),
+      encode(col(textCol), "UTF-8").as("content")).as[MediaAsset]
+  }
+}

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Approximate-nearest-neighbor search over an `Array[Float]` embedding
+ * column. Two paths:
+ *
+ *  - brute-force cosine top-k: broadcast the (small) query set against the
+ *    corpus — exact baseline, one pass over the corpus, no shuffle of the
+ *    corpus side. Dot products stay inside codegen via zip_with/aggregate.
+ *  - random-hyperplane LSH: `nBits` sign bits per table × `nTables` tables
+ *    (hyperplanes derived from a fixed seed → runs are reproducible);
+ *    bucket-join query and corpus signatures, exact-cosine only the
+ *    candidates, top-k per query. At 100 TB the corpus signature table is
+ *    computed once and bucketed/partitioned by (table, sig) so probes are
+ *    co-located joins.
+ */
+object Similarity {
+
+  /** Sequential-order dot product of two float-array columns, in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0d), (acc, x) => acc + x)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /**
+   * Exact top-k neighbors for each query vector.
+   * @param corpus  (idCol, vecCol)
+   * @param queries (idCol, vecCol) — expected small; broadcast side
+   */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    c.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"), col("sim"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes (fixed seed, unit-free signs). */
+  private def hyperplanes(nTables: Int, nBits: Int, dim: Int): Array[Array[Array[Double]]] = {
+    val rng = new scala.util.Random(42)
+    Array.fill(nTables, nBits, dim)(rng.nextGaussian())
+  }
+
+  /**
+   * (table, signature) rows for every vector: sig bit i = sign(v·h_i).
+   * Signatures are computed with codegen'd expressions over literal
+   * hyperplane arrays — no UDF.
+   */
+  def lshSignatures(df: DataFrame, idCol: String, vecCol: String,
+      nTables: Int = 4, nBits: Int = 12, dim: Int = 64): DataFrame = {
+    val hps = hyperplanes(nTables, nBits, dim)
+    def sigFor(t: Int): Column =
+      (0 until nBits).map { i =>
+        val hp = array(hps(t)(i).map(lit): _*)
+        when(dot(col("vec"), hp) > 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_.bitwiseOR(_))
+    val sigs = array((0 until nTables).map(sigFor): _*)
+    df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .select(col("id"), col("vec"),
+        posexplode(sigs).as(Seq("table", "sig")))
+  }
+
+  /**
+   * LSH-bucketed ANN top-k: candidates = corpus vectors sharing any
+   * (table, sig) bucket with the query; exact cosine + rank on candidates
+   * only. Recall < 1 by construction; pair with [[bruteForceTopK]] to
+   * measure it (see AnnSpec).
+   */
+  def lshTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nTables: Int = 4, nBits: Int = 12, dim: Int = 64): DataFrame = {
+    val cs = lshSignatures(corpus, idCol, vecCol, nTables, nBits, dim)
+      .withColumnRenamed("id", "n_id").withColumnRenamed("vec", "n_vec")
+    val qs = lshSignatures(queries, idCol, vecCol, nTables, nBits, dim)
+      .withColumnRenamed("id", "q_id").withColumnRenamed("vec", "q_vec")
+    val cands = cs.join(broadcast(qs), Seq("table", "sig"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("q_vec"), col("n_id"), col("n_vec"))
+      .dropDuplicates("q_id", "n_id")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    cands
+      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"), col("sim"))
+  }
+
+  /** Embedding-cosine near-dup pairs: all pairs with cosine ≥ threshold,
+    * via LSH candidate generation (id_a < id_b). */
+  def cosineNearDup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nTables: Int = 6, nBits: Int = 10,
+      dim: Int = 64): DataFrame = {
+    val sigs = lshSignatures(df, idCol, vecCol, nTables, nBits, dim)
+    val a = sigs.select(col("table"), col("sig"),
+      col("id").as("id_a"), col("vec").as("vec_a"))
+    val b = sigs.select(col("table"), col("sig"),
+      col("id").as("id_b"), col("vec").as("vec_b"))
+    a.join(b, Seq("table", "sig"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosine", cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+}

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for corpus curation: language identification
+ * (marker-token heuristic), quality scoring, token counting (whitespace +
+ * BPE-ish regex), and document fingerprinting (min-k of rolling shingle
+ * hashes, winnowing-style). All codegen'd Column expressions.
+ */
+object TextAnalysis {
+
+  /** Marker stopwords per language; deterministic tie-break = lang asc. */
+  val Markers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "en" -> Seq("the", "and", "of", "is", "to", "in"),
+    "es" -> Seq("el", "la", "de", "que", "los", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "est"))
+
+  /**
+   * n-gram/marker language ID: per language, count marker-token hits over
+   * the whitespace tokens; predicted lang = argmax (score desc, lang asc),
+   * NULL-scored docs fall back to "und" (undetermined).
+   */
+  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(split(lower(col(textCol)), "\\s+")).as("tok"))
+    val scores = Markers.map { case (lang, ms) =>
+      sum(when(col("tok").isin(ms: _*), 1).otherwise(0)).as(s"score_$lang")
+    }
+    val scored = toks.groupBy(col("id")).agg(scores.head, scores.tail: _*)
+    val best = Markers.map { case (lang, _) =>
+      struct(col(s"score_$lang").as("score"), lit(lang).as("lang"))
+    }.reduce((a, b) =>
+      when(b.getField("score") > a.getField("score"), b).otherwise(a))
+    scored.select(col("id"),
+      when(best.getField("score") > 0, best.getField("lang"))
+        .otherwise(lit("und")).as("pred_lang"),
+      best.getField("score").as("marker_hits"))
+  }
+
+  /**
+   * Composite quality signals per document: lengths, token stats, stopword
+   * ratio, punctuation/digit density, repetition (distinct/total tokens).
+   */
+  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val stop = Markers.flatMap(_._2).distinct
+    val toks = df.select(col(idCol).as("id"), col(textCol).as("text"),
+      explode(split(col(textCol), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+    toks.groupBy(col("id")).agg(
+      first(length(col("text"))).as("n_chars"),
+      count(lit(1)).as("n_tokens"),
+      countDistinct(col("tok")).as("n_distinct"),
+      round(avg(length(col("tok"))), 6).as("avg_tok_len"),
+      round(avg(when(lower(col("tok")).isin(stop: _*), 1.0d).otherwise(0.0d)), 6)
+        .as("stopword_ratio"))
+      .withColumn("repetition_ratio",
+        round(lit(1.0) - col("n_distinct") / col("n_tokens"), 6))
+      .join(df.select(col(idCol).as("id"),
+        round(length(regexp_replace(col(textCol), "[A-Za-z0-9\\s]+", "")).cast("double") /
+          greatest(length(col(textCol)), lit(1)), 6).as("punct_ratio"),
+        round(length(regexp_replace(col(textCol), "[^0-9]+", "")).cast("double") /
+          greatest(length(col(textCol)), lit(1)), 6).as("digit_ratio")), Seq("id"))
+  }
+
+  /** Whitespace token count + BPE-ish subunit count (letter runs, digit
+    * runs, single symbols — a cheap proxy for tokenizer load). */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      size(split(trim(col(textCol)), "\\s+")).as("ws_tokens"),
+      size(regexp_extract_all(col(textCol),
+        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as("bpe_ish_tokens"))
+
+  /**
+   * Winnowing-style fingerprint: rolling w-gram shingle hashes, keep the
+   * k smallest per document (order-stable). Two docs sharing content share
+   * fingerprint elements → joinable for containment detection.
+   */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 4, k: Int = 8): DataFrame = {
+    val sh = Dedup.shingles(df, idCol, textCol, w)
+    val win = Window.partitionBy(col("id")).orderBy(col("shingle"))
+    sh.withColumn("rn", row_number().over(win))
+      .filter(col("rn") <= k)
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(col("shingle"))).as("fingerprint"))
+  }
+}

@@ -1,0 +1,148 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables => T}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/**
+ * LLM-training-data pipeline surface: dedup family, similarity search,
+ * text analysis, multimodal plumbing. Queries whose logic is expressible
+ * with identical semantics in DuckDB carry an oracle; hash-based ones
+ * (xxhash64 signatures) are Spark-deterministic and get rows-only checks
+ * plus ScalaTest invariants (DedupSpec/AnnSpec).
+ */
+object LlmQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // ---- MinHash-LSH near-dup detection (shingle→sign→band→verify).
+    Q("q43_minhash_neardup",
+      (s, d) => Dedup.minhashDedup(T.documents(s, d), "doc_id", "text",
+        n = 3, k = 32, bands = 8, threshold = 0.05)
+        .orderBy(col("id_a"), col("id_b")),
+      None),
+
+    // ---- SimHash signatures + banded Hamming pairs.
+    Q("q44_simhash_pairs",
+      (s, d) => {
+        val sigs = Dedup.simhash(T.documents(s, d), "doc_id", "text")
+        Dedup.simhashPairs(sigs, maxHamming = 16)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      None),
+
+    // ---- LSH-bucketed ANN (the scale path; recall measured in AnnSpec).
+    Q("q45_ann_lsh",
+      (s, d) => {
+        val e = T.embeddings(s, d)
+        Similarity.lshTopK(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5)
+          .select(col("q_id"), col("n_id"), col("rank"))
+      },
+      None),
+
+    // ---- Exact top-1 neighbor via the brute-force operator (oracle-checked).
+    Q("q46_nn_top1",
+      (s, d) => {
+        val v = T.embeddings(s, d).filter(col("vec_id") < 1000)
+        Similarity.bruteForceTopK(v, v.filter(col("vec_id") < 300),
+          "vec_id", "embedding", k = 1)
+          .select(col("q_id"), col("n_id"))
+      },
+      Some("""WITH v AS (
+               SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+               FROM embeddings WHERE vec_id < 1000),
+             q AS (SELECT vec_id AS q_id, emb AS q_emb FROM v WHERE vec_id < 300),
+             sims AS (
+               SELECT q_id, vec_id AS n_id,
+                 list_inner_product(q_emb, emb) /
+                   (sqrt(list_inner_product(q_emb, q_emb)) *
+                    sqrt(list_inner_product(emb, emb))) AS sim
+               FROM q CROSS JOIN v WHERE q_id <> vec_id)
+             SELECT q_id, n_id FROM (
+               SELECT q_id, n_id,
+                 row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+               FROM sims) WHERE rn = 1""")),
+
+    // ---- Marker-token language ID (oracle-checked: identical scoring).
+    Q("q47_lang_id",
+      (s, d) => TextAnalysis.langId(T.documents(s, d), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id"),
+      Some("""WITH toks AS (
+               SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+               FROM documents),
+             scored AS (
+               SELECT doc_id,
+                 sum(CASE WHEN tok IN ('der','die','das','und','ist','nicht') THEN 1 ELSE 0 END) AS s_de,
+                 sum(CASE WHEN tok IN ('the','and','of','is','to','in') THEN 1 ELSE 0 END) AS s_en,
+                 sum(CASE WHEN tok IN ('el','la','de','que','los','es') THEN 1 ELSE 0 END) AS s_es,
+                 sum(CASE WHEN tok IN ('le','la','les','et','des','est') THEN 1 ELSE 0 END) AS s_fr
+               FROM toks GROUP BY doc_id)
+             SELECT doc_id,
+               CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                    WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                    WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                    WHEN s_es >= s_fr THEN 'es'
+                    ELSE 'fr' END AS pred_lang,
+               greatest(s_de, s_en, s_es, s_fr) AS marker_hits
+             FROM scored""")),
+
+    // ---- Token counting: whitespace + BPE-ish subunits (oracle-checked).
+    Q("q48_token_counts",
+      (s, d) => TextAnalysis.tokenCounts(T.documents(s, d), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id"),
+      Some("""SELECT doc_id,
+             len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_ish_tokens
+             FROM documents""")),
+
+    // ---- Winnowing-style min-k fingerprints (xxhash64 → rows-only).
+    Q("q49_fingerprints",
+      (s, d) => TextAnalysis.fingerprints(T.documents(s, d), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id"),
+      None),
+
+    // ---- Multimodal plumbing: binary assets → decoded meta + features
+    // (deterministic stub codec; Spark-side schema/partitioning is real).
+    Q("q50_multimodal_meta",
+      (s, d) => {
+        implicit val sp = s
+        val assets = Multimodal.assetsFromText(T.documents(s, d), "doc_id", "text")
+        val meta = Multimodal.decodeMeta(assets).toDF()
+        val feats = Multimodal.extractFeatures(assets, dim = 4).toDF()
+          .select(col("asset_id"),
+            round(element_at(col("feature"), 1).cast("double"), 6).as("f0"))
+        meta.join(feats, "asset_id")
+          .select("asset_id", "media_type", "width", "height", "n_frames", "f0")
+      },
+      None),
+
+    // ---- Full quality-signal battery (operator form of q33's family).
+    Q("q51_quality_signals",
+      (s, d) => TextAnalysis.qualityScore(T.documents(s, d), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id"),
+      Some("""WITH toks AS (
+               SELECT doc_id, text, unnest(string_split_regex(text, '\s+')) AS tok
+               FROM documents),
+             agg AS (
+               SELECT doc_id,
+                 any_value(length(text)) AS n_chars,
+                 count(*) AS n_tokens,
+                 count(DISTINCT tok) AS n_distinct,
+                 round(avg(length(tok)), 6) AS avg_tok_len,
+                 round(avg(CASE WHEN lower(tok) IN
+                   ('der','die','das','und','ist','nicht','the','and','of','is','to','in',
+                    'el','la','de','que','los','es','le','les','et','des','est')
+                   THEN 1.0 ELSE 0.0 END), 6) AS stopword_ratio
+               FROM toks WHERE tok <> '' GROUP BY doc_id)
+             SELECT a.doc_id, a.n_chars, a.n_tokens, a.n_distinct, a.avg_tok_len,
+               a.stopword_ratio,
+               round(1.0 - CAST(a.n_distinct AS DOUBLE) / a.n_tokens, 6) AS repetition_ratio,
+               round(CAST(length(regexp_replace(d.text, '[A-Za-z0-9\s]+', '', 'g')) AS DOUBLE)
+                 / greatest(length(d.text), 1), 6) AS punct_ratio,
+               round(CAST(length(regexp_replace(d.text, '[^0-9]+', '', 'g')) AS DOUBLE)
+                 / greatest(length(d.text), 1), 6) AS digit_ratio
+             FROM agg a JOIN documents d ON a.doc_id = d.doc_id"""))
+  )
+}

@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog and runs away fast"),
+    (2L, "the quick brown fox jumps over the lazy dog and runs away quickly"), // near-dup of 1
+    (3L, "completely different content about spark query engines and shuffles"),
+    (4L, "the quick brown fox jumps over the lazy dog and runs away fast"),    // exact dup of 1
+    (5L, "spark query engines shuffle data between executors during joins"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup: canonical is min id per identical text") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+      .select("doc_id", "canonical_id", "is_dup")
+      .as[(Long, Long, Int)].collect().map { case (a, b, c) => a -> ((b, c)) }.toMap
+    assert(out(4L) == ((1L, 1)))
+    assert(out(1L) == ((1L, 0)))
+    assert(out(3L) == ((3L, 0)))
+  }
+
+  test("minhash LSH surfaces the planted near-dup pair and the exact pair") {
+    val pairs = Dedup.minhashDedup(docs, "doc_id", "text",
+      n = 3, k = 32, bands = 16, threshold = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)), "exact dup must be a candidate")
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L)),
+      "near-dup should bucket together with 16 bands of 2")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((1L, 5L)))
+  }
+
+  test("minhash est_jaccard is 1.0 for identical docs") {
+    val est = Dedup.minhashCandidates(
+      Dedup.minhashSignatures(Dedup.shingles(docs, "doc_id", "text"), 32), 8, 4)
+      .filter(col("id_a") === 1 && col("id_b") === 4)
+      .select("est_jaccard").as[Double].head()
+    assert(est == 1.0)
+  }
+
+  test("simhash: identical docs share signatures; near-dups within small hamming") {
+    val sigs = Dedup.simhash(docs, "doc_id", "text")
+    val m = sigs.as[(Long, Long)].collect().toMap
+    assert(m(1L) == m(4L))
+    val ham12 = java.lang.Long.bitCount(m(1L) ^ m(2L))
+    val ham13 = java.lang.Long.bitCount(m(1L) ^ m(3L))
+    assert(ham12 < ham13, s"near-dup hamming $ham12 should beat unrelated $ham13")
+    val pairs = Dedup.simhashPairs(sigs, maxHamming = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)))
+  }
+
+  test("fingerprints: identical docs get identical fingerprints") {
+    val fp = TextAnalysis.fingerprints(docs, "doc_id", "text")
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(fp(1L) == fp(4L))
+    assert(fp(1L) != fp(3L))
+    assert(fp(1L).size <= 8)
+  }
+
+  test("langId picks marker-heavy language deterministically") {
+    val df = Seq(
+      (1L, "the cat and the dog is in the house"),
+      (2L, "el gato y la casa de los perros es que si"),
+      (3L, "xyzzy plugh")).toDF("doc_id", "text")
+    val out = TextAnalysis.langId(df, "doc_id", "text")
+      .select("id", "pred_lang").as[(Long, String)].collect().toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "es")
+    assert(out(3L) == "und")
+  }
+
+  test("multimodal stub: decode/features/frames are deterministic and partition-safe") {
+    implicit val s = spark
+    val assets = Multimodal.assetsFromText(
+      docs.repartition(3), "doc_id", "text", "video")
+    val meta = Multimodal.decodeMeta(assets).collect().map(m => m.asset_id -> m).toMap
+    assert(meta.size == 5)
+    assert(meta(1L) == meta(4L).copy(asset_id = 1L), "same bytes → same meta")
+    assert(meta(1L).n_frames >= 1)
+    val feats = Multimodal.extractFeatures(assets, dim = 8).collect()
+      .map(f => f.asset_id -> f.feature.toSeq).toMap
+    assert(feats(1L) == feats(4L))
+    assert(feats(1L).size == 8)
+    val frames = Multimodal.sampleFrames(assets, every = 100).collect()
+    assert(frames.nonEmpty)
+  }
+}
+
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("brute-force topk: rank 1 is the max-cosine neighbor") {
+    val queries = emb.filter(col("vec_id") < 3)
+    val top = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 3)
+    val ranks = top.groupBy("q_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(ranks.values.forall(_ == 3))
+    // sims non-increasing per query
+    val rows = top.orderBy("q_id", "rank")
+      .select("q_id", "rank", "sim").as[(Long, Int, Double)].collect()
+    rows.groupBy(_._1).values.foreach { g =>
+      val sims = g.sortBy(_._2).map(_._3)
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("LSH ANN: reasonable recall@5 against brute force") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    // Random 64-d gaussians are LSH's worst case (top-5 cosine ≈ 0.4 →
+    // per-bit agreement ≈ 0.63); short signatures + many tables is the
+    // right operating point: E[hit] ≈ 1-(1-0.63^6)^12 ≈ 0.57.
+    val approx = Similarity.lshTopK(emb, queries, "vec_id", "embedding", 5,
+      nTables = 12, nBits = 6)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & approx).size.toDouble / brute.size
+    assert(recall > 0.3, s"recall $recall")
+  }
+
+  test("cosineNearDup finds planted duplicates") {
+    val base = emb.limit(50)
+    val dup = base.withColumn("vec_id", col("vec_id") + 100000)
+    val out = Similarity.cosineNearDup(base.union(dup), "vec_id", "embedding",
+      threshold = 0.999)
+      .as[(Long, Long, Double)].collect()
+    assert(out.length >= 40, s"found ${out.length} of 50 planted dups")
+    assert(out.forall { case (a, b, c) => b == a + 100000 && c >= 0.999 })
+  }
+}
