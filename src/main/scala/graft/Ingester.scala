@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Coref, Geocode, SocialNetwork}
+import graft.sinks.{GraphML, RelationalExport}
+import graft.sources.{DocumentSource, Gazetteer}
+
+/**
+ * The full reference pipeline (/root/reference/src/Ingester.groovy:32-56,
+ * ten steps) as a composition of pure DataFrame stages. Each stage is
+ * independently callable (the reference's per-step mains — SURVEY.md §3.2);
+ * `run` wires them end-to-end:
+ *
+ *   1  EXTRACT_TEXT          scanDirectory + extractText
+ *   2  FIND_NAMED_ENTITIES   extractMentions (pluggable tagger seam)
+ *   3  POPULATE_GRAPH_DB     — plain DataFrames; no separate store
+ *   4-6 PROCESS_*            withinDoc + acrossDoc coref (person/org/loc)
+ *   7  GEOCODE               Geocode.run over the gazetteer
+ *   8  PRECOMPUTE_COUNTS     SocialNetwork.documentEntityCounts
+ *   9  INDEX_DOCS            — out-of-engine (Lucene); text predicates cover
+ *  10  CONVERT_TO_H2         RelationalExport (parquet; jdbc mirror)
+ *   +  social network        SocialNetwork.cooccurrenceEdges + GraphML
+ */
+object Ingester {
+
+  final case class Config(
+      inputDir: String,
+      outputDir: String,
+      glob: String = "*.txt",
+      extractor: DocumentSource.TextExtractor = DocumentSource.Utf8Extractor,
+      tagger: DocumentSource.NerTagger = DocumentSource.CapitalizedRunTagger,
+      nodeMinDocs: Int = 2,
+      edgeMinDocs: Int = 2)
+
+  final case class Result(
+      documents: DataFrame,
+      mentions: DataFrame,
+      entities: DataFrame,
+      assignment: DataFrame,
+      socialEdges: DataFrame,
+      documentEntity: DataFrame,
+      geolocation: DataFrame)
+
+  /** Steps 4-6 for one entity type; returns (entities, mention→entity). */
+  def corefType(mentions: DataFrame, within: Coref.WithinDocParams,
+      across: Coref.AcrossDocParams): (DataFrame, DataFrame) = {
+    val w = Coref.withinDoc(mentions, within)
+    val a = Coref.acrossDoc(w.entities, across)
+    val finalAssign = w.assignment
+      .withColumnRenamed("entity_id", "within_id")
+      .join(a.assignment.withColumnRenamed("entity_id", "within_id"), "within_id")
+      .select(col("mention_id"), col("new_entity_id").as("entity_id"))
+    (a.entities, finalAssign)
+  }
+
+  def run(spark: SparkSession, cfg: Config): Result = {
+    // 1-2: files → text → mentions.
+    val raw = DocumentSource.scanDirectory(spark, cfg.inputDir, cfg.glob)
+    val docs = DocumentSource.extractText(raw, cfg.extractor)
+      .filter(col("text").isNotNull)
+    val mentions = DocumentSource.extractMentions(docs, cfg.tagger)
+
+    // 4-6: coref per type (person/org/loc), union results.
+    val passes = Seq(
+      (Coref.WithinDocParams.person, Coref.AcrossDocParams.person),
+      (Coref.WithinDocParams.organization, Coref.AcrossDocParams.organization),
+      (Coref.WithinDocParams.location, Coref.AcrossDocParams.location))
+    val results = passes.map { case (w, a) => corefType(mentions, w, a) }
+    val entities = results.map(_._1).reduce(_.unionByName(_))
+    val assignment = results.map(_._2).reduce(_.unionByName(_))
+
+    // 7: geocode locations against the gazetteer.
+    val geo = Geocode.run(entities, Gazetteer.countries(spark))
+
+    // 8: materialized counts; social network over coref'd persons.
+    val docEntity = SocialNetwork.documentEntityCounts(
+      assignment, mentions.select("mention_id", "doc_id"))
+    val edges = SocialNetwork.cooccurrenceEdges(
+      assignment, mentions.select("mention_id", "doc_id"), entities)
+
+    // 10 (+GraphML): terminal artifacts.
+    val (keptNodes, keptEdges) = SocialNetwork.thresholded(
+      entities, edges, cfg.nodeMinDocs, cfg.edgeMinDocs)
+    RelationalExport.writeParquet(
+      RelationalExport.tables(
+        docs.select("doc_id", "name", "path", "text"),
+        mentions, assignment, entities, geo, docEntity),
+      cfg.outputDir)
+    GraphML.write(keptNodes, keptEdges, s"${cfg.outputDir}/social_network.graphml")
+
+    Result(docs, mentions, entities, assignment, edges, docEntity, geo)
+  }
+}

@@ -1,0 +1,117 @@
+package graft.sinks
+
+import java.io.{BufferedWriter, FileWriter}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Sinks for the pipeline's terminal artifacts:
+ *
+ *  - Gephi-flavoured GraphML of the social network
+ *    (/root/reference/src/SNGephiGraphML.groovy:40-102: fixed XML template,
+ *    node label + weighted edges). The thresholded graph is small by
+ *    construction (num_docs ≥ 2 filters), so a driver-streamed single file
+ *    matches the artifact contract; `toLocalIterator` keeps memory at one
+ *    partition.
+ *  - TSV node-id dump (/root/reference/src/SNNodeId.groovy:38-57).
+ *  - relational export (/root/reference/src/GraphDBToH2.groovy:40-165):
+ *    the five tables as parquet directories (H2's row-at-a-time JDBC insert
+ *    becomes bulk columnar writes; a `jdbc` mirror is one option-line away).
+ */
+object GraphML {
+
+  private def esc(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;")
+
+  /**
+   * @param nodes (entity_id, entity_text, num_docs)
+   * @param edges (src_entity_id, dst_entity_id, num_docs)
+   */
+  def write(nodes: DataFrame, edges: DataFrame, path: String): Unit = {
+    val w = new BufferedWriter(new FileWriter(path))
+    try {
+      w.write("""<?xml version="1.0" encoding="UTF-8"?>""")
+      w.newLine()
+      w.write("""<graphml xmlns="http://graphml.graphdrawing.org/xmlns">""")
+      w.newLine()
+      w.write("""<key id="label" for="node" attr.name="label" attr.type="string"/>""")
+      w.newLine()
+      w.write("""<key id="num_docs" for="all" attr.name="num_docs" attr.type="int"/>""")
+      w.newLine()
+      w.write("""<graph edgedefault="undirected">""")
+      w.newLine()
+      val nit = nodes.select(col("entity_id"), col("entity_text"), col("num_docs"))
+        .orderBy(col("entity_id")).toLocalIterator()
+      while (nit.hasNext) {
+        val r = nit.next()
+        w.write(s"""<node id="n${r.getLong(0)}"><data key="label">${esc(r.getString(1))}</data>""" +
+          s"""<data key="num_docs">${r.getLong(2)}</data></node>""")
+        w.newLine()
+      }
+      val eit = edges.select(col("src_entity_id"), col("dst_entity_id"), col("num_docs"))
+        .orderBy(col("src_entity_id"), col("dst_entity_id")).toLocalIterator()
+      var i = 0L
+      while (eit.hasNext) {
+        val r = eit.next()
+        w.write(s"""<edge id="e$i" source="n${r.getLong(0)}" target="n${r.getLong(1)}">""" +
+          s"""<data key="num_docs">${r.getLong(2)}</data></edge>""")
+        w.newLine()
+        i += 1
+      }
+      w.write("</graph></graphml>")
+      w.newLine()
+    } finally w.close()
+  }
+
+  /** R11: `(node_id \t entity_text)` TSV of filtered entities. */
+  def writeNodeIdTsv(nodes: DataFrame, path: String): Unit =
+    nodes.select(col("entity_id"), col("entity_text"))
+      .write.mode("overwrite").option("sep", "\t").csv(path)
+}
+
+/** Relational export mirroring the H2 schema (GraphDBToH2.groovy:79-159). */
+object RelationalExport {
+
+  /**
+   * Assemble the five terminal tables from pipeline outputs.
+   *
+   * @param docs        (doc_id, name, path, text)
+   * @param mentions    mention table with assignment-ready ids
+   * @param assignment  (mention_id, entity_id) — final (nullable via left join)
+   * @param entities    final entity table
+   * @param geolocation geolocation rows from [[graft.operators.Geocode]]
+   */
+  def tables(docs: DataFrame, mentions: DataFrame, assignment: DataFrame,
+      entities: DataFrame, geolocation: DataFrame,
+      documentEntity: DataFrame): Map[String, DataFrame] = Map(
+    "document" -> docs.select(
+      col("doc_id").as("document_id"), col("name"), col("path"), col("text")),
+    // R21: mentions keep a NULL entity_id when unresolved (left outer).
+    "mention" -> mentions
+      .join(assignment, Seq("mention_id"), "left_outer")
+      .select(col("mention_id"), col("doc_id").as("document_id"),
+        col("entity_id"), col("mention_type").as("type"), col("text"),
+        col("mention_index").as("index"), col("global_id"),
+        col("text_start"), col("text_stop")),
+    "entity" -> entities.select(
+      col("entity_id"), col("entity_type").as("type"), col("entity_text").as("text"),
+      col("created_by"), col("num_docs").as("num_documents"), col("num_mentions")),
+    "document_entity" -> documentEntity
+      .select(col("doc_id").as("document_id"), col("entity_id"), col("num_mentions")),
+    "geolocation" -> geolocation)
+
+  /** Bulk parquet export (one subdirectory per table). */
+  def writeParquet(tables: Map[String, DataFrame], outDir: String): Unit =
+    tables.foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$outDir/$name")
+    }
+
+  /** JDBC mirror of the H2 export path (df.write.jdbc with batching). */
+  def writeJdbc(tables: Map[String, DataFrame], url: String,
+      props: java.util.Properties): Unit =
+    tables.foreach { case (name, df) =>
+      df.write.mode("overwrite").option("batchsize", 1000).jdbc(url, name, props)
+    }
+}

@@ -1,0 +1,113 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{DocumentSource, XmlCorpusSource}
+
+/** End-to-end pipeline over a fixture corpus (FIXTURES.md §A). */
+class IngesterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeFixtureCorpus(): String = {
+    val root = Files.createTempDirectory("graft-corpus")
+    val sub = Files.createDirectory(root.resolve("nested"))
+    def put(dir: java.nio.file.Path, name: String, text: String): Unit =
+      Files.write(dir.resolve(name), text.getBytes("UTF-8"))
+    // Overlapping people incl. an OCR-style near-duplicate and an accent.
+    put(root, "d1.txt",
+      "John Smith met Alice Jones in Bogota. John Smith spoke. ACME hired John.")
+    put(root, "d2.txt",
+      "John Smith and Alice Jones travelled to Venezuela with José Núñez.")
+    put(sub, "d3.txt",
+      "John Smitb visited ACME. Alice Jones stayed home.")
+    put(root, "d4.txt",
+      "Nobody here but lowercase words and 04 38 22 73 04 51 coordinates.")
+    root.toString
+  }
+
+  test("Ingester.run: corpus → entities, social network, exports") {
+    val in = writeFixtureCorpus()
+    val out = Files.createTempDirectory("graft-out").toString
+    val r = Ingester.run(spark, Ingester.Config(in, out))
+
+    assert(r.documents.count() == 4)
+
+    // The three John Smith variants (incl. OCR near-dup Smitb) coref to one
+    // across-doc entity over 3 docs; Alice Jones over 3 docs.
+    val across = r.entities
+      .filter(col("created_by") === "across_doc_person_coref")
+      .select("entity_text", "num_docs")
+      .as[(String, Long)].collect().toMap
+    assert(across("JOHN SMITH") == 3L)
+    assert(across("ALICE JONES") == 3L)
+
+    // Social edge JOHN SMITH — ALICE JONES with num_docs = 3.
+    val edgeCount = r.socialEdges.as[(Long, Long, Long)].collect()
+    val ids = r.entities.filter(col("entity_text").isin("JOHN SMITH", "ALICE JONES"))
+      .filter(col("created_by").startsWith("across"))
+      .select("entity_id").as[Long].collect().toSet
+    val theEdge = edgeCount.filter(e => ids.contains(e._1) && ids.contains(e._2))
+    assert(theEdge.length == 1 && theEdge.head._3 == 3L)
+
+    // Exports exist and reload.
+    val mention = spark.read.parquet(s"$out/mention")
+    assert(mention.count() > 0)
+    // Unresolved mentions keep NULL entity_id (left-outer semantics, R21).
+    assert(mention.filter(col("entity_id").isNull).count() >= 0)
+    val entity = spark.read.parquet(s"$out/entity")
+    assert(entity.filter(col("type") === "PERSON").count() > 0)
+    assert(Files.exists(Paths.get(s"$out/social_network.graphml")))
+    val gml = new String(Files.readAllBytes(Paths.get(s"$out/social_network.graphml")), "UTF-8")
+    assert(gml.contains("<node id=") && gml.contains("<edge id="))
+    assert(gml.contains("JOHN SMITH"))
+  }
+
+  test("mention CSV round-trip preserves the reference schema") {
+    val docs = Seq((1L, "Ana Diaz met Bob Roe.")).toDF("doc_id", "text")
+    val mentions = DocumentSource.extractMentions(docs)
+    val tmp = Files.createTempDirectory("graft-csv").toString + "/mentions"
+    DocumentSource.writeMentionCsv(mentions, tmp)
+    val back = DocumentSource.readMentionCsv(spark, tmp)
+    assert(back.count() == mentions.count())
+    val cols = back.columns.toSet
+    assert(Set("doc_id", "mention_id", "mention_type", "text_start",
+      "text_stop", "mention_index", "global_id", "text").subsetOf(cols))
+    // Offsets recover the surface form (R51).
+    val row = back.filter(col("text") === "Ana Diaz")
+      .select("text_start", "text_stop").as[(Int, Int)].head()
+    assert("Ana Diaz met Bob Roe.".substring(row._1, row._2) == "Ana Diaz")
+  }
+
+  test("XML annotated corpus → (token, tag) rows") {
+    val xml =
+      """<DOC><TEXT>El senador <PERSON>Juan Perez</PERSON> visito
+        |<LOCATION>Bogota</LOCATION> el <DATE>12 de enero de 2005</DATE>.</TEXT></DOC>""".stripMargin
+    val rows = XmlCorpusSource.tokenTagRows(Seq((7L, xml)).toDF("doc_id", "text"))
+      .select("token", "tag").as[(String, String)].collect()
+    assert(rows.contains(("Juan", "PERSON")) && rows.contains(("Perez", "PERSON")))
+    assert(rows.contains(("Bogota", "LOCATION")))
+    assert(rows.contains(("de", "DATE")))
+    assert(rows.contains(("El", "O")) && rows.contains(("senador", "O")))
+  }
+
+  test("geocoder chain: coordinates beat gazetteer; sentinel dropped") {
+    val ents = Seq(
+      (1L, "LOCATION", "04 38 22 73 04 51", "across_doc_location_coref", 1L, 1L),
+      (2L, "LOCATION", "VENEZUELA", "across_doc_location_coref", 1L, 1L),
+      (3L, "LOCATION", "NOWHERE AT ALL", "across_doc_location_coref", 1L, 1L),
+      (4L, "LOCATION", "CIUDAD DE MEXICO", "across_doc_location_coref", 1L, 1L))
+      .toDF("entity_id", "entity_type", "entity_text", "created_by",
+        "num_mentions", "num_docs")
+    val geo = graft.operators.Geocode.run(ents,
+      graft.sources.Gazetteer.countries(spark))
+    val bySrc = geo.select("entity_id", "source", "latitude", "longitude")
+      .as[(Long, String, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(bySrc(1L)._2 == "COORDINATES")
+    assert(math.abs(bySrc(1L)._3 - 4.6394444444) < 1e-6)
+    assert(bySrc(2L)._2 == "GAZETTEER" && bySrc(2L)._3 == 8.0)
+    assert(!bySrc.contains(3L))
+    assert(bySrc(4L)._2 == "GAZETTEER_SUFFIX" && bySrc(4L)._4 == -102.0)
+  }
+}
