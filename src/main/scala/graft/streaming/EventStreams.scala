@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/**
+ * Structured Streaming surface over the `events` table (SURVEY.md §2.10 —
+ * absent from the reference, declared engine surface). Every operator has a
+ * batch-equivalent form; StreamingSpec asserts stream == batch on the same
+ * files (the correctness contract for incremental execution).
+ *
+ * Scale notes: watermarks bound state; windowed aggregations shuffle by
+ * (window, key) exactly like their batch groupBy twins; session windows and
+ * flatMapGroupsWithState state stores partition by user_id, so 1000
+ * executors hold disjoint user state.
+ */
+object EventStreams {
+
+  /** File schema: ts read as raw nanos long (see graft.Tables.events). */
+  val FileSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Stream of events from a testdata directory, micros `ts` derived. */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(FileSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+  }
+
+  /** Tumbling-window counts/sums per event_type with a watermark. */
+  def tumblingCounts(events: DataFrame, width: String = "10 minutes",
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Sliding-window rolling sums (width/slide). */
+  def slidingSums(events: DataFrame, width: String = "20 minutes",
+      slide: String = "5 minutes", watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width, slide), col("event_type"))
+      .agg(round(sum(col("value")), 2).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("total_value"))
+
+  /** Native session windows (gap-based), the streaming twin of q26. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "60 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"))
+
+  /** Streaming exact dedup on event_id (state bounded by watermark). */
+  def dedup(events: DataFrame, watermark: String = "60 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(Seq("event_id"))
+
+  case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+  /**
+   * Custom keyed state: running per-user totals via flatMapGroupsWithState
+   * (the engine's escape hatch for state machines the built-ins can't
+   * express — SURVEY.md §2.10).
+   */
+  def runningUserTotals(spark: SparkSession, events: DataFrame): Dataset[UserRunning] = {
+    import spark.implicits._
+    events.select(col("user_id"), col("value")).as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UserRunning, UserRunning](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(user, 0L, 0.0))
+          var n = prev.n_events
+          var v = prev.total_value
+          rows.foreach { r => n += 1; v += r._2 }
+          val next = UserRunning(user, n, math.round(v * 100).toDouble / 100)
+          state.update(next)
+          Iterator(next)
+      }
+  }
+}

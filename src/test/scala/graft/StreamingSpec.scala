@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventStreams
+
+/**
+ * Streaming == batch equivalence on the same files (the incremental
+ * correctness contract). Static parquet drives each query synchronously
+ * via the memory sink + processAllAvailable.
+ */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def runToMemory(df: DataFrame, name: String, mode: String): DataFrame = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  private lazy val batchEvents = Tables.events(spark, dir)
+
+  test("tumbling window counts: stream == batch") {
+    val got = runToMemory(
+      EventStreams.tumblingCounts(EventStreams.readEventStream(spark, dir)),
+      "tumbling", "complete")
+      .select("window_start", "event_type", "n", "total_value")
+    val want = batchEvents
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("sliding window sums: stream == batch") {
+    val got = runToMemory(
+      EventStreams.slidingSums(EventStreams.readEventStream(spark, dir)),
+      "sliding", "complete")
+    val want = batchEvents
+      .groupBy(window(col("ts"), "20 minutes", "5 minutes"), col("event_type"))
+      .agg(round(sum(col("value")), 2).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("total_value"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("session windows: stream == batch session_window") {
+    val got = runToMemory(
+      EventStreams.sessionCounts(EventStreams.readEventStream(spark, dir)),
+      "sessions", "complete")
+    val want = batchEvents
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // and the session totals reconcile with raw event counts
+    val totalGot = got.agg(sum("n_events")).as[Long].head()
+    assert(totalGot == batchEvents.count())
+  }
+
+  test("streaming dedup keeps all distinct event_ids") {
+    val got = runToMemory(
+      EventStreams.dedup(EventStreams.readEventStream(spark, dir))
+        .select("event_id"), "dedup", "append")
+    assert(got.count() == batchEvents.select("event_id").distinct().count())
+  }
+
+  test("flatMapGroupsWithState running totals match batch aggregation") {
+    val got = runToMemory(
+      EventStreams.runningUserTotals(spark,
+        EventStreams.readEventStream(spark, dir)).toDF(),
+      "running", "append")
+    // one microbatch → one emission per user, already the final totals
+    val gotMap = got.groupBy("user_id").agg(max("n_events").as("n"))
+      .as[(Long, Long)].collect().toMap
+    val wantMap = batchEvents.groupBy("user_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(gotMap == wantMap)
+  }
+}
