@@ -16,12 +16,14 @@ import org.apache.spark.sql.functions._
  * partially-null "null/MM/DD" string on an out-of-range year we return NULL.
  */
 object SpanishDate {
-  private val LongMonths = Seq(
+  private[functions] val longMonthNames = Seq(
     "enero", "febrero", "marzo", "abril", "mayo", "junio",
     "julio", "agosto", "septiembre", "octubre", "noviembre", "diciembre")
-  private val ShortMonths = Seq(
+  private[functions] val shortMonthNames = Seq(
     "ene", "feb", "mar", "abr", "may", "jun",
     "jul", "ago", "sep", "oct", "nov", "dic")
+  private val LongMonths = longMonthNames
+  private val ShortMonths = shortMonthNames
 
   private val LongMonth = LongMonths.mkString("(?:", "|", ")")
   private val ShortMonth = ShortMonths.mkString("(?:", "|", ")")
@@ -56,9 +58,20 @@ object SpanishDate {
 
   /**
    * Normalize a Spanish date phrase to a `YYYY/MM/DD` string Column, or NULL
-   * when no pattern matches / the year is out of range.
+   * when no pattern matches / the year is out of range. Delegates to the
+   * codegen'd [[SpanishDateNormalize]] expression (one compiled-regex call
+   * per row; the pure-Column variant below builds a ~100-node tree that
+   * costs ~45 s of planning/codegen).
    */
-  def spanish_date_normalize(c: Column): Column = {
+  def spanish_date_normalize(c: Column): Column =
+    graft.functions.exprCol(SpanishDateNormalize(
+      org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)))
+
+  /**
+   * Pure-Column reference implementation (kept for cross-validation in
+   * FunctionsSpec — same accept language and resolution as the expression).
+   */
+  def spanish_date_normalize_cols(c: Column): Column = {
     val norm = regexp_replace(lower(c), "\\s+", " ")
 
     // (day, month, year) group order per pattern; pattern 3 is month-first.

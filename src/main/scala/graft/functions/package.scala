@@ -74,5 +74,9 @@ package object functions {
       "strip_accents",
       exprs => StripAccents(exprs.head),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "spanish_date_norm",
+      exprs => SpanishDateNormalize(exprs.head),
+      "scala_udf")
   }
 }

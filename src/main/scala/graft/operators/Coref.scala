@@ -101,15 +101,19 @@ object Coref {
    *         + assignment (mention_id, entity_id)
    */
   def withinDoc(mentions: DataFrame, p: WithinDocParams): CorefResult = {
-    // R16: normalize, drop empties.
+    // R16: normalize, drop empties. Persisted: reused by the edge windows,
+    // the component join and the assignment join — recomputing the
+    // normalize+explode lineage 4× dominated the pipeline cost otherwise.
     val normed = mentions
       .filter(col("mention_type") === p.entityType)
       .withColumn("norm", normalize_str(col("text"), p.junkChars))
       .filter(col("norm") =!= "")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // R25: exact clusters per (doc, normalized text).
     val keys = normed.groupBy(col("doc_id"), col("norm"))
       .agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // R33: merge edges between sort-adjacent keys within a doc. Documents
     // are bounded, so a doc-partitioned window is the right plan (the
@@ -207,6 +211,7 @@ object Coref {
    */
   def acrossDoc(entities: DataFrame, p: AcrossDocParams): CorefResult = {
     val input = entities.filter(col("entity_type") === p.entityType)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pred = candidate_predicate(col("entity_text"),
       p.numCharsMin, p.numTokensMax, p.numTokensMin, p.charsetRegex)
     val strong = input.filter(pred)
@@ -215,6 +220,7 @@ object Coref {
     // ----- strong branch: exact + sorted-neighborhood fuzzy + CC.
     val keys = strong.groupBy(col("entity_text"))
       .agg(count(lit(1)).as("n_entities"), sum(col("num_mentions")).as("mentions"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = SortedNeighborhood.adjacentPairs(keys.select(col("entity_text")))
     val edges = pairs
       .filter(closeMatch(col("prev"), col("curr"), matchNumbers = true))

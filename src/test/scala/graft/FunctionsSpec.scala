@@ -109,6 +109,11 @@ class FunctionsSpec extends SparkSpec {
     cases.zip(got).foreach { case ((in, want), have) =>
       assert(have == want, s"for '$in'")
     }
+    // The codegen'd expression and the pure-Column chain agree.
+    val viaCols = cases.map(_._1).toDF("s")
+      .select(SpanishDate.spanish_date_normalize_cols(col("s")))
+      .as[Option[String]].collect()
+    assert(got.toSeq == viaCols.toSeq)
   }
 
   test("strip_accents survives SQL registration and codegen") {
