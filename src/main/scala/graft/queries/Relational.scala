@@ -410,6 +410,30 @@ object Relational {
                FROM sessions GROUP BY user_id, session_id)
              SELECT user_id, count(*) AS n_sessions,
                max(n_events) AS max_session_events, sum(n_events) AS n_events
-             FROM per_session GROUP BY user_id"""))
+             FROM per_session GROUP BY user_id""")),
+
+    // ---- Explicit GROUPING SETS through the spark.sql surface (S6): the
+    // whole engine is reachable as SQL over registered temp views.
+    Q("q52_grouping_sets_sql",
+      (s, d) => {
+        graft.SqlSurface.register(s, d)
+        s.sql("""SELECT n_name, c_mktsegment, count(*) AS n,
+                 round(sum(c_acctbal), 2) AS bal
+                 FROM customer JOIN nation ON c_nationkey = n_nationkey
+                 GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())""")
+      },
+      Some("""SELECT n_name, c_mktsegment, count(*) AS n,
+             round(sum(c_acctbal), 2) AS bal
+             FROM customer JOIN nation ON c_nationkey = n_nationkey
+             GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())""")),
+
+    // ---- approx_count_distinct / HLL (S5): approximate by design → no
+    // hash oracle; accuracy pinned in RelationalSpec against exact counts.
+    Q("q53_approx_distinct",
+      (s, d) => T.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(approx_count_distinct(col("o_custkey")).as("approx_customers"),
+          count(lit(1)).as("n")),
+      None)
   )
 }
