@@ -78,5 +78,9 @@ package object functions {
       "spanish_date_norm",
       exprs => SpanishDateNormalize(exprs.head),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vector_dot",
+      exprs => VectorDot(exprs(0), exprs(1)),
+      "scala_udf")
   }
 }

@@ -20,10 +20,14 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
-  /** Sequential-order dot product of two float-array columns, in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0d), (acc, x) => acc + x)
+  /** Sequential-order dot product in double — codegen'd unboxed loop
+    * (graft.functions.VectorDot); same accumulation order as the
+    * zip_with/aggregate formulation, so oracle hashes are unchanged. */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    graft.functions.exprCol(graft.functions.VectorDot(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 

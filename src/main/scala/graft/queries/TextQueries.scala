@@ -197,8 +197,7 @@ object TextQueries {
       (s, d) => {
         val e = T.embeddings(s, d)
         def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-          aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-            lit(0.0d), (acc, x) => acc + x)
+          graft.operators.Similarity.dot(a, b)
         val q = e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
         val n = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
