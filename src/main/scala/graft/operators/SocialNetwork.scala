@@ -27,19 +27,36 @@ object SocialNetwork {
    *                    the network (SocialNetworkDCO.groovy:57)
    * @return (src_entity_id, dst_entity_id, num_docs) with src < dst
    */
+  /**
+   * @param maxEntitiesPerDoc scale guard (SURVEY.md §7.4(7)): pair
+   *        generation is O(p²) per document; a pathological doc with 10⁵
+   *        distinct entities would emit 5·10⁹ pairs. When set, each doc
+   *        keeps its top-N entities by mention count (ties → smaller id,
+   *        deterministic) before pairing. 0 = unbounded (reference
+   *        behaviour).
+   */
   def cooccurrenceEdges(
       assignment: DataFrame,
       mentions: DataFrame,
       entities: DataFrame,
-      createdBy: String = "across_doc_person_coref"): DataFrame = {
+      createdBy: String = "across_doc_person_coref",
+      maxEntitiesPerDoc: Int = 0): DataFrame = {
     val kept = entities.filter(col("created_by") === createdBy)
       .select(col("entity_id"))
     // R18: doc → distinct entity, restricted to coref'd persons.
-    val docEntity = mentions.select(col("mention_id"), col("doc_id"))
+    val distinctDocEntity = mentions.select(col("mention_id"), col("doc_id"))
       .join(assignment, "mention_id")
       .join(kept, "entity_id")
-      .select(col("doc_id"), col("entity_id"))
-      .distinct()
+      .groupBy(col("doc_id"), col("entity_id"))
+      .agg(count(lit(1)).as("m"))
+    val docEntity = if (maxEntitiesPerDoc <= 0) distinctDocEntity else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("m").desc, col("entity_id"))
+      distinctDocEntity
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= maxEntitiesPerDoc)
+    }
     // R19/R20: unordered pairs per doc; multiplicity by construction = 1.
     val a = docEntity.select(col("doc_id"), col("entity_id").as("src_entity_id"))
     val b = docEntity.select(col("doc_id"), col("entity_id").as("dst_entity_id"))
