@@ -322,4 +322,55 @@ object Coref {
     CorefResult(entities, assignment)
   }
 
+  /**
+   * Across-document simple coreference (AcrossDocSimpleCoref.groovy:48-103):
+   * exact-text (or global-id) clustering only — no candidate split, no
+   * fuzzy pass — MIN_NUM_DOCS filter, merged clusters retagged
+   * `across_doc_<type>_coref`. Below-threshold entities stay untouched.
+   */
+  def acrossDocSimple(entities: DataFrame, entityType: String,
+      useGlobalId: Boolean = false, minNumDocs: Int = 2): CorefResult = {
+    val createdBy = s"across_doc_${entityType.toLowerCase}_coref"
+    val input = entities.filter(col("entity_type") === entityType)
+    val hasGid = input.columns.contains("entity_global_id")
+    val keyed =
+      if (useGlobalId && hasGid) input.filter(col("entity_global_id").isNotNull)
+        .withColumn("k", col("entity_global_id"))
+      else input.withColumn("k", col("entity_text"))
+    val rest =
+      if (useGlobalId && hasGid) input.filter(col("entity_global_id").isNull)
+      else input.limit(0)
+
+    val clusters = keyed.groupBy(col("k")).agg(
+      count(lit(1)).as("n_entities"),
+      sum(col("num_mentions")).as("sum_mentions"),
+      // exact clusters share one text; global-id clusters take the first
+      // member's ("all the same" — CorefBase.groovy:33), pinned to min.
+      min(col("entity_text")).as("survivor"))
+    val merged = clusters.filter(col("n_entities") >= minNumDocs)
+
+    val mergedEntities = merged.select(
+      xxhash64(lit(entityType), lit(createdBy), col("k")).as("entity_id"),
+      lit(null).cast("long").as("doc_id"),
+      lit(entityType).as("entity_type"),
+      col("survivor").as("entity_text"),
+      lit(createdBy).as("created_by"),
+      col("sum_mentions").as("num_mentions"),
+      col("n_entities").cast("long").as("num_docs"))
+
+    val mergedAssign = keyed
+      .join(merged.select(col("k")), Seq("k"), "left_semi")
+      .select(col("entity_id"),
+        xxhash64(lit(entityType), lit(createdBy), col("k")).as("new_entity_id"))
+    val untouchedCols = mergedEntities.columns
+    val untouched = keyed
+      .join(merged.select(col("k")), Seq("k"), "left_anti")
+      .drop("k")
+      .unionByName(rest.drop("k"), allowMissingColumns = true)
+
+    CorefResult(
+      mergedEntities.unionByName(untouched.select(untouchedCols.map(col): _*)),
+      mergedAssign.unionByName(
+        untouched.select(col("entity_id"), col("entity_id").as("new_entity_id"))))
+  }
 }

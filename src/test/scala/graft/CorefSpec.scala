@@ -131,6 +131,23 @@ class CorefSpec extends SparkSpec {
     assert(ents == Set(("ANA MARIA", 2L, 3L)))
   }
 
+  test("acrossDocSimple: exact clusters, min-docs filter, retag; no fuzzy") {
+    val within = Seq(
+      (1L, 1L, "DATE", "2005/01/12", "within_doc_date_coref", 2L, 1L),
+      (2L, 2L, "DATE", "2005/01/12", "within_doc_date_coref", 1L, 1L),
+      (3L, 3L, "DATE", "2005/01/13", "within_doc_date_coref", 1L, 1L))
+      .toDF("entity_id", "doc_id", "entity_type", "entity_text",
+        "created_by", "num_mentions", "num_docs")
+    val r = Coref.acrossDocSimple(within, "DATE")
+    val ents = r.entities.select("entity_text", "created_by", "num_docs", "num_mentions")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(ents == Set(
+      ("2005/01/12", "across_doc_date_coref", 2L, 3L),
+      // near-identical date NOT merged (no fuzzy pass in simple coref)
+      ("2005/01/13", "within_doc_date_coref", 1L, 1L)))
+    assert(r.assignment.count() == 3)
+  }
+
   test("social network: distinct pairs per doc, num_docs weights, thresholds") {
     val m = mentions(
       (1L, 1L, "PERSON", "John Smith"), (1L, 2L, "PERSON", "Ana Diaz"),
