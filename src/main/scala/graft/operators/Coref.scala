@@ -113,60 +113,49 @@ object Coref {
     // R25: exact clusters per (doc, normalized text).
     val keys = normed.groupBy(col("doc_id"), col("norm"))
       .agg(count(lit(1)).as("cnt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // R33: merge edges between sort-adjacent keys within a doc. Documents
-    // are bounded, so a doc-partitioned window is the right plan (the
-    // global variant uses SortedNeighborhood instead).
+    // R33+R34: every merge edge — Levenshtein-adjacent (combineAdjacent
+    // Close) and firstname→fullname fold — connects keys that are ADJACENT
+    // in the per-doc sorted order (the reference compares each key only to
+    // its predecessor; the fn fold targets the immediately following key).
+    // Components of adjacency-only edges are contiguous runs, so a single
+    // window pass with a cumulative segment counter replaces iterative
+    // connected components: no driver loop, no repeated shuffles — one
+    // sort per doc partition. (The ACROSS-doc pass keeps CC: its
+    // SortedNeighborhood edges span range-partition boundaries.)
     val w = Window.partitionBy(col("doc_id")).orderBy(col("norm"))
-    val lagged = keys.withColumn("prev", lag(col("norm"), 1).over(w))
-    val levEdges = lagged
-      .filter(col("prev").isNotNull &&
+    val fnFoldWithPrev =
+      if (!p.firstnameMerge) lit(false)
+      else col("prev").isNotNull && length(col("prev")) >= 2 &&
+        col("norm").startsWith(col("prev")) && col("norm") =!= col("prev") &&
+        (col("next1").isNull || !col("next1").startsWith(col("prev")))
+    val fnFoldWithNext =
+      if (!p.firstnameMerge) lit(false)
+      else col("next1").isNotNull && length(col("norm")) >= 2 &&
+        col("next1").startsWith(col("norm")) && col("next1") =!= col("norm") &&
+        (col("next2").isNull || !col("next2").startsWith(col("norm")))
+
+    val flagged = keys
+      .withColumn("prev", lag(col("norm"), 1).over(w))
+      .withColumn("next1", lead(col("norm"), 1).over(w))
+      .withColumn("next2", lead(col("norm"), 2).over(w))
+      .withColumn("lev_with_prev", col("prev").isNotNull &&
         closeMatch(col("prev"), col("norm"), p.matchNumbersExactly))
-      .select(concat_ws(Sep, col("doc_id"), col("prev")).as("src"),
-        concat_ws(Sep, col("doc_id"), col("norm")).as("dst"))
+      .withColumn("fn_with_prev", fnFoldWithPrev)
+      .withColumn("edge_with_prev", col("lev_with_prev") || col("fn_with_prev"))
+      // Firstname fold targets outrank counts: the reference always folds
+      // the first-name cluster INTO the full-name cluster whatever their
+      // sizes (CorefBase.groovy:126-129); chain interiors (also fold
+      // sources) lose to the chain end.
+      .withColumn("priority",
+        when(col("fn_with_prev") && !fnFoldWithNext, 1).otherwise(0))
+      .withColumn("comp",
+        sum(when(col("edge_with_prev"), 0).otherwise(1))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
 
-    // R34: firstname → unique-fullname folding: FN is a ≥2-char prefix of
-    // exactly one following key (sorted order makes prefix-sharers contiguous).
-    val fnEdges = if (!p.firstnameMerge) None else Some {
-      keys
-        .withColumn("next1", lead(col("norm"), 1).over(w))
-        .withColumn("next2", lead(col("norm"), 2).over(w))
-        .filter(col("next1").isNotNull &&
-          length(col("norm")) >= 2 &&
-          col("next1").startsWith(col("norm")) && col("next1") =!= col("norm") &&
-          (col("next2").isNull || !col("next2").startsWith(col("norm"))))
-        .select(concat_ws(Sep, col("doc_id"), col("norm")).as("src"),
-          concat_ws(Sep, col("doc_id"), col("next1")).as("dst"))
-    }
-
-    val edges = fnEdges.fold(levEdges)(levEdges.unionByName(_))
-    val labels = ConnectedComponents.run(edges)
-
-    val keyed = keys.withColumn("vid", concat_ws(Sep, col("doc_id"), col("norm")))
-    val withComp = keyed
-      .join(labels, keyed("vid") === labels("id"), "left_outer")
-      .withColumn("comp", coalesce(col("comp"), col("vid")))
-      .drop("id")
-
-    // Firstname fold targets outrank counts: the reference always folds the
-    // first-name cluster INTO the full-name cluster whatever their sizes
-    // (CorefBase.groovy:126-129). priority = fold-target that is not itself
-    // a fold-source (chain interior nodes lose to the chain end).
-    val prioritized = fnEdges match {
-      case Some(fe) =>
-        val targets = fe.select(col("dst").as("vid")).distinct()
-          .withColumn("is_tgt", lit(1))
-        val sources = fe.select(col("src").as("vid")).distinct()
-          .withColumn("is_src", lit(1))
-        withComp
-          .join(targets, Seq("vid"), "left_outer")
-          .join(sources, Seq("vid"), "left_outer")
-          .withColumn("priority",
-            when(col("is_tgt") === 1 && col("is_src").isNull, 1).otherwise(0))
-          .drop("is_tgt", "is_src")
-      case None => withComp.withColumn("priority", lit(0))
-    }
+    val prioritized = flagged
+      .select(col("doc_id"), col("norm"), col("cnt"), col("priority"), col("comp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val perComp = prioritized
       .groupBy(col("doc_id"), col("comp"))
@@ -188,9 +177,9 @@ object Coref {
       lit(1L).as("num_docs"))
 
     val assignment = normed
-      .withColumn("vid", concat_ws(Sep, col("doc_id"), col("norm")))
-      .select(col("mention_id"), col("vid"))
-      .join(prioritized.select(col("vid"), col("doc_id"), col("comp")), Seq("vid"))
+      .select(col("mention_id"), col("doc_id"), col("norm"))
+      .join(prioritized.select(col("doc_id"), col("norm"), col("comp")),
+        Seq("doc_id", "norm"))
       .join(perComp, Seq("doc_id", "comp"))
       .select(col("mention_id"), entityId(col("entity_text")).as("entity_id"))
 

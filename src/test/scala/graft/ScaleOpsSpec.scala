@@ -8,6 +8,14 @@ class ScaleOpsSpec extends SparkSpec {
   import spark.implicits._
 
   test("bucketed tables join with no shuffle exchange") {
+    // fresh session + stale warehouse dir → LOCATION_ALREADY_EXISTS
+    Seq("bkt_left", "bkt_right").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File(s"/tmp/graft-warehouse/$t")
+      if (dir.exists()) {
+        dir.listFiles().foreach(_.delete()); dir.delete()
+      }
+    }
     val left = (0 until 1000).map(i => (i.toLong % 100, s"l$i")).toDF("k", "lv")
     val right = (0 until 500).map(i => (i.toLong % 100, s"r$i")).toDF("k", "rv")
     ScaleOps.writeBucketed(left, "bkt_left", "k", 8)
