@@ -206,20 +206,19 @@ object Coref {
     val strong = input.filter(pred)
     val weak = input.filter(!pred)
 
-    // ----- strong branch: exact + sorted-neighborhood fuzzy + CC.
+    // ----- strong branch: exact + global sorted-neighborhood fuzzy merge.
+    // Merge edges only connect globally sort-adjacent keys, so components
+    // are contiguous runs: SortedSegments resolves them in one range
+    // shuffle + O(partitions) driver stitching (no iterative CC).
     val keys = strong.groupBy(col("entity_text"))
       .agg(count(lit(1)).as("n_entities"), sum(col("num_mentions")).as("mentions"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = SortedNeighborhood.adjacentPairs(keys.select(col("entity_text")))
-    val edges = pairs
-      .filter(closeMatch(col("prev"), col("curr"), matchNumbers = true))
-      .select(col("prev").as("src"), col("curr").as("dst"))
-    val labels = ConnectedComponents.run(edges)
+    val labels = SortedSegments.assign(keys.select(col("entity_text")),
+      (a, b) => closeMatch(a, b, matchNumbers = true))
 
     val withComp = keys
-      .join(labels, keys("entity_text") === labels("id"), "left_outer")
-      .withColumn("comp", coalesce(col("comp"), col("entity_text")))
-      .drop("id")
+      .join(labels, keys("entity_text") === labels("k"))
+      .drop("k")
 
     // Survivor = most common member text; ties go to the lexicographically
     // SMALLEST text (Groovy Map.max picks the first maximal entry in sorted
