@@ -20,6 +20,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm up codegen/JIT/scan machinery so the first timed query doesn't
+    // absorb session initialization.
+    spark.range(1000).selectExpr("sum(id)").collect()
+    Tables.lineitem(spark, sfDir).limit(10).write.format("noop").mode("overwrite").save()
     val results = SparkEntry.allQueries.map { q =>
       val t0 = System.nanoTime()
       try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -131,6 +131,27 @@ class CorefSpec extends SparkSpec {
     assert(ents == Set(("ANA MARIA", 2L, 3L)))
   }
 
+  test("withinDocSimple: twitter normalization; global-id clustering") {
+    val m = Seq(
+      (1L, 1L, "DATE", "12 Enero", Option("g1")),
+      (1L, 2L, "DATE", "12 enero", Option("g1")),   // same gid → one cluster
+      (1L, 3L, "DATE", "13 enero", Option("g2")),
+      (1L, 4L, "DATE", "sin gid", None))            // dropped in gid mode
+      .toDF("doc_id", "mention_id", "mention_type", "text", "global_id")
+    val byGid = Coref.withinDocSimple(m, "DATE", byGlobalId = true)
+    val ents = byGid.entities.select("entity_text", "num_mentions", "created_by")
+      .as[(String, Long, String)].collect().toSet
+    assert(ents == Set(
+      ("12 enero", 2L, "within_doc_date_coref"),
+      ("13 enero", 1L, "within_doc_date_coref")))
+    assert(byGid.assignment.count() == 3)
+
+    val byText = Coref.withinDocSimple(m, "DATE", byGlobalId = false)
+    // twitter normalization lowercases → "12 Enero"/"12 enero" merge too
+    assert(byText.entities.count() == 3)
+    assert(byText.assignment.count() == 4)
+  }
+
   test("acrossDocSimple: exact clusters, min-docs filter, retag; no fuzzy") {
     val within = Seq(
       (1L, 1L, "DATE", "2005/01/12", "within_doc_date_coref", 2L, 1L),
