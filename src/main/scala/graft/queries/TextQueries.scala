@@ -322,6 +322,38 @@ object TextQueries {
            FROM input i LEFT JOIN resolved r ON i.id = r.id"""
       }),
 
+    // ---- Inverted index: the R8 Lucene capability as posting lists —
+    // term → sorted postings (doc ids), df, tf. At scale this is exactly a
+    // search index build: one explode + one groupBy, partitioned by term.
+    Q("q54_inverted_index",
+      (s, d) => tokens(s, d).filter(length(col("tok")) >= 4)
+        .groupBy(col("tok"))
+        .agg(
+          countDistinct(col("doc_id")).as("df"),
+          count(lit(1)).as("tf"),
+          sort_array(collect_set(col("doc_id"))).as("postings")),
+      Some(s"""SELECT tok, count(DISTINCT doc_id) AS df, count(*) AS tf,
+              list_sort(list(DISTINCT doc_id)) AS postings
+              FROM ($TokensSql) WHERE tok <> '' AND length(tok) >= 4
+              GROUP BY tok""")),
+
+    // ---- Conjunctive keyword search over the inverted index (Lucene-style
+    // AND query): docs containing ALL query terms, ranked by total tf.
+    Q("q55_keyword_search",
+      (s, d) => {
+        val terms = Seq("query", "window", "stream")
+        tokens(s, d).filter(col("tok").isin(terms: _*))
+          .groupBy(col("doc_id"))
+          .agg(countDistinct(col("tok")).as("n_terms"), count(lit(1)).as("score"))
+          .filter(col("n_terms") === terms.length)
+          .select(col("doc_id"), col("score"))
+      },
+      Some(s"""SELECT doc_id, count(*) AS score
+              FROM ($TokensSql)
+              WHERE tok IN ('query', 'window', 'stream')
+              GROUP BY doc_id
+              HAVING count(DISTINCT tok) = 3""")),
+
     // ---- Sorted-neighborhood fuzzy pair detection (R33+R35+R43 substrate):
     // same-brand part-name pairs within levenshtein ≤ 2 whose digit runs agree.
     Q("q39_levenshtein_pairs",

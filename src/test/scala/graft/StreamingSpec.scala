@@ -71,6 +71,20 @@ class StreamingSpec extends SparkSpec {
     assert(got.count() == batchEvents.select("event_id").distinct().count())
   }
 
+  test("stream-static broadcast join enriches events with a dimension") {
+    val dim = spark.range(0, 200).selectExpr("id AS user_id",
+      "concat('tier_', CAST(id % 3 AS STRING)) AS tier")
+    val joined = EventStreams.readEventStream(spark, dir)
+      .join(broadcast(dim), Seq("user_id"), "left_outer")
+      .groupBy("tier").count()
+    val got = runToMemory(joined, "enriched", "complete")
+      .as[(String, Long)].collect().toMap
+    val want = batchEvents.join(broadcast(dim), Seq("user_id"), "left_outer")
+      .groupBy("tier").count().as[(String, Long)].collect().toMap
+    assert(got == want)
+    assert(got.values.sum == batchEvents.count())
+  }
+
   test("flatMapGroupsWithState running totals match batch aggregation") {
     val got = runToMemory(
       EventStreams.runningUserTotals(spark,
