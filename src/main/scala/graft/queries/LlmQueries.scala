@@ -118,6 +118,17 @@ object LlmQueries {
       },
       None),
 
+    // ---- Embedding-cosine near-dup pairs via LSH candidates. Random 64-d
+    // gaussians have cos ~ N(0, 1/64): threshold 0.3 ≈ 2.4σ keeps output
+    // sparse but non-empty at oracle scale; short signatures (8 bits ×
+    // 6 tables) hold candidate recall up for weakly-similar pairs.
+    Q("q56_cosine_neardup",
+      (s, d) => graft.operators.Similarity.cosineNearDup(
+        T.embeddings(s, d), "vec_id", "embedding",
+        threshold = 0.3, nTables = 6, nBits = 8)
+        .orderBy(col("id_a"), col("id_b")),
+      None),
+
     // ---- Full quality-signal battery (operator form of q33's family).
     Q("q51_quality_signals",
       (s, d) => TextAnalysis.qualityScore(T.documents(s, d), "doc_id", "text")
