@@ -427,6 +427,41 @@ object Relational {
              FROM customer JOIN nation ON c_nationkey = n_nationkey
              GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())""")),
 
+    // ---- As-of join (S4 note: composable, no custom strategy needed):
+    // each purchase matched to the user's most recent STRICTLY PRIOR click
+    // — a union-tag + last(ignoreNulls) window over exact ns timestamps.
+    // At scale this is one shuffle by user_id, no range-join explosion.
+    Q("q57_asof_join",
+      (s, d) => {
+        // µs precision: DuckDB truncates parquet ns-timestamps to µs, so
+        // the oracle-comparable resolution is microseconds (exact ints).
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        T.events(s, d)
+          .withColumn("ts_us", expr("ts_ns div 1000"))
+          .withColumn("asof_click_ts",
+            last(when(col("event_type") === "click", col("ts_us")), ignoreNulls = true)
+              .over(w))
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts_us"),
+            col("asof_click_ts"),
+            when(col("asof_click_ts").isNotNull,
+              col("ts_us") - col("asof_click_ts")).as("us_since_click"))
+      },
+      Some("""SELECT event_id, user_id, ts_us, asof_click_ts,
+             CASE WHEN asof_click_ts IS NOT NULL
+                  THEN ts_us - asof_click_ts END AS us_since_click
+             FROM (
+               SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+                 last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END
+                   IGNORE NULLS) OVER (PARTITION BY user_id
+                     ORDER BY epoch_us(ts), event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS asof_click_ts
+               FROM events)
+             WHERE event_type = 'purchase'""")),
+
     // ---- approx_count_distinct / HLL (S5): approximate by design → no
     // hash oracle; accuracy pinned in RelationalSpec against exact counts.
     Q("q53_approx_distinct",
