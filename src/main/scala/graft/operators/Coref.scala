@@ -82,7 +82,6 @@ object Coref {
   /** Result: `entities` table + `mentionMap`/`entityMap` assignment. */
   final case class CorefResult(entities: DataFrame, assignment: DataFrame)
 
-  private val Sep = ""
 
   /** Fuzzy-merge predicate: Levenshtein ≤ 1 (`score > -1.1`,
     * WithinDocPerCoref.groovy:36-37) + optional digit-run guard. */

@@ -427,6 +427,26 @@ object Relational {
              FROM customer JOIN nation ON c_nationkey = n_nationkey
              GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())""")),
 
+    // ---- Banded range join (S4): fact rows against interval dims via a
+    // broadcast nested-loop join on lo <= x < hi.
+    Q("q58_range_band",
+      (s, d) => {
+        val bands = s.createDataFrame(Seq(
+          (0, 15, "small"), (15, 35, "mid"), (35, 100, "large")))
+          .toDF("lo", "hi", "band")
+        T.part(s, d).join(broadcast(bands),
+            col("p_size") >= col("lo") && col("p_size") < col("hi"))
+          .groupBy(col("band"))
+          .agg(count(lit(1)).as("n_parts"),
+            round(sum(col("p_retailprice")), 2).as("total_price"))
+      },
+      Some("""SELECT band, count(*) AS n_parts,
+             round(sum(p_retailprice), 2) AS total_price
+             FROM part JOIN (VALUES (0, 15, 'small'), (15, 35, 'mid'),
+                             (35, 100, 'large')) AS b(lo, hi, band)
+             ON p_size >= lo AND p_size < hi
+             GROUP BY band""")),
+
     // ---- As-of join (S4 note: composable, no custom strategy needed):
     // each purchase matched to the user's most recent STRICTLY PRIOR click
     // — a union-tag + last(ignoreNulls) window over exact ns timestamps.
