@@ -113,73 +113,81 @@ object Coref {
     val keys = normed.groupBy(col("doc_id"), col("norm"))
       .agg(count(lit(1)).as("cnt"))
 
-    // R33+R34: every merge edge — Levenshtein-adjacent (combineAdjacent
-    // Close) and firstname→fullname fold — connects keys that are ADJACENT
-    // in the per-doc sorted order (the reference compares each key only to
-    // its predecessor; the fn fold targets the immediately following key).
-    // Components of adjacency-only edges are contiguous runs, so a single
-    // window pass with a cumulative segment counter replaces iterative
-    // connected components: no driver loop, no repeated shuffles — one
-    // sort per doc partition. (The ACROSS-doc pass keeps CC: its
-    // SortedNeighborhood edges span range-partition boundaries.)
+    // R33 stage 1 — combineAdjacentClose: Levenshtein merge edges connect
+    // only keys ADJACENT in the per-doc sorted order, so components are
+    // contiguous runs — one window pass with a cumulative segment counter,
+    // no iterative connected components. Survivor = larger cluster, ties
+    // to the later (greater) key (CorefBase.groovy:203-209).
     val w = Window.partitionBy(col("doc_id")).orderBy(col("norm"))
-    val fnFoldWithPrev =
-      if (!p.firstnameMerge) lit(false)
-      else col("prev").isNotNull && length(col("prev")) >= 2 &&
-        col("norm").startsWith(col("prev")) && col("norm") =!= col("prev") &&
-        (col("next1").isNull || !col("next1").startsWith(col("prev")))
-    val fnFoldWithNext =
-      if (!p.firstnameMerge) lit(false)
-      else col("next1").isNotNull && length(col("norm")) >= 2 &&
-        col("next1").startsWith(col("norm")) && col("next1") =!= col("norm") &&
-        (col("next2").isNull || !col("next2").startsWith(col("norm")))
-
-    val flagged = keys
+    val stage1 = keys
       .withColumn("prev", lag(col("norm"), 1).over(w))
-      .withColumn("next1", lead(col("norm"), 1).over(w))
-      .withColumn("next2", lead(col("norm"), 2).over(w))
-      .withColumn("lev_with_prev", col("prev").isNotNull &&
+      .withColumn("edge", col("prev").isNotNull &&
         closeMatch(col("prev"), col("norm"), p.matchNumbersExactly))
-      .withColumn("fn_with_prev", fnFoldWithPrev)
-      .withColumn("edge_with_prev", col("lev_with_prev") || col("fn_with_prev"))
-      // Firstname fold targets outrank counts: the reference always folds
-      // the first-name cluster INTO the full-name cluster whatever their
-      // sizes (CorefBase.groovy:126-129); chain interiors (also fold
-      // sources) lose to the chain end.
-      .withColumn("priority",
-        when(col("fn_with_prev") && !fnFoldWithNext, 1).otherwise(0))
       .withColumn("comp",
-        sum(when(col("edge_with_prev"), 0).otherwise(1))
+        sum(when(col("edge"), 0).otherwise(1))
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-
-    val prioritized = flagged
-      .select(col("doc_id"), col("norm"), col("cnt"), col("priority"), col("comp"))
+      .select(col("doc_id"), col("norm"), col("cnt"), col("comp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val perComp = prioritized
+    val clusters1 = stage1
       .groupBy(col("doc_id"), col("comp"))
       .agg(
-        max_by(col("norm"), struct(col("priority"), col("cnt"), col("norm")))
-          .as("entity_text"),
-        sum(col("cnt")).as("num_mentions"))
+        max_by(col("norm"), struct(col("cnt"), col("norm"))).as("key1"),
+        sum(col("cnt")).as("cnt1"))
+
+    // R34 stage 2 — combineFirstnameFullname runs on the POST-MERGE key
+    // set (the reference detects prefixes after adjacentClose removed
+    // absorbed keys — CorefBase.groovy:95-133): a first-name key folds
+    // into the immediately following SURVIVING key when it is its unique
+    // ≥2-char prefix extension; fold chains resolve to the run's last
+    // (greatest) key, which is the reference's final absorb target.
+    val clusters2 = if (!p.firstnameMerge) {
+      clusters1.select(col("doc_id"), col("key1"), col("cnt1"),
+        col("key1").as("entity_text"))
+    } else {
+      val w2 = Window.partitionBy(col("doc_id")).orderBy(col("key1"))
+      val fnWithPrev = col("prevk").isNotNull && length(col("prevk")) >= 2 &&
+        col("key1").startsWith(col("prevk")) && col("key1") =!= col("prevk") &&
+        (col("next1").isNull || !col("next1").startsWith(col("prevk")))
+      val seg2 = clusters1
+        .withColumn("prevk", lag(col("key1"), 1).over(w2))
+        .withColumn("next1", lead(col("key1"), 1).over(w2))
+        .withColumn("fold", fnWithPrev)
+        .withColumn("comp2",
+          sum(when(col("fold"), 0).otherwise(1))
+            .over(w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val survivors2 = seg2.groupBy(col("doc_id"), col("comp2"))
+        .agg(max(col("key1")).as("entity_text"))
+      seg2.join(survivors2, Seq("doc_id", "comp2"))
+        .select(col("doc_id"), col("key1"), col("cnt1"), col("entity_text"))
+    }
 
     def entityId(text: Column): Column =
       xxhash64(lit(p.entityType), lit(p.createdBy), col("doc_id"), text)
 
-    val entities = perComp.select(
-      entityId(col("entity_text")).as("entity_id"),
-      col("doc_id"),
-      lit(p.entityType).as("entity_type"),
-      col("entity_text"),
-      lit(p.createdBy).as("created_by"),
-      col("num_mentions"),
-      lit(1L).as("num_docs"))
+    val keyToEntity = clusters2
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val entities = keyToEntity
+      .groupBy(col("doc_id"), col("entity_text"))
+      .agg(sum(col("cnt1")).as("num_mentions"))
+      .select(
+        entityId(col("entity_text")).as("entity_id"),
+        col("doc_id"),
+        lit(p.entityType).as("entity_type"),
+        col("entity_text"),
+        lit(p.createdBy).as("created_by"),
+        col("num_mentions"),
+        lit(1L).as("num_docs"))
 
     val assignment = normed
       .select(col("mention_id"), col("doc_id"), col("norm"))
-      .join(prioritized.select(col("doc_id"), col("norm"), col("comp")),
+      .join(stage1.select(col("doc_id"), col("norm"), col("comp")),
         Seq("doc_id", "norm"))
-      .join(perComp, Seq("doc_id", "comp"))
+      .join(clusters1.select(col("doc_id"), col("comp"), col("key1")),
+        Seq("doc_id", "comp"))
+      .join(keyToEntity.select(col("doc_id"), col("key1"), col("entity_text")),
+        Seq("doc_id", "key1"))
       .select(col("mention_id"), entityId(col("entity_text")).as("entity_id"))
 
     CorefResult(entities, assignment)
