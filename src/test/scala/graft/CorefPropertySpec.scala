@@ -83,4 +83,62 @@ class CorefPropertySpec extends SparkSpec {
       assert(sumMentions == rows.size)
     }
   }
+
+  test("distributed across-doc coref agrees with the sequential reference oracle") {
+    val entGen = for {
+      name <- nameGen
+      digits <- Gen.option(Gen.choose(1, 99))       // digits → weak (charset)
+      m <- Gen.choose(1L, 3L)
+    } yield ReferenceCoref.Ent(
+      digits.fold(name)(d => s"$name $d"), m)
+
+    (1L to 5L).foreach { seed =>
+      val ents = (0 until 80).flatMap(i =>
+        entGen(Gen.Parameters.default, Seed(seed * 1000 + i)))
+      val input = ents.zipWithIndex.map { case (e, i) =>
+        (i.toLong, i.toLong % 20, "PERSON", e.text, "within_doc_person_coref",
+          e.numMentions, 1L)
+      }.toDF("entity_id", "doc_id", "entity_type", "entity_text",
+        "created_by", "num_mentions", "num_docs")
+
+      val mine = Coref.acrossDoc(input, Coref.AcrossDocParams.person)
+      val ref = ReferenceCoref.acrossDocPerson(ents)
+
+      // Map: input entity_id → new entity row (text, created_by).
+      val newEnts = mine.entities
+        .select("entity_id", "entity_text", "created_by", "num_docs", "num_mentions")
+        .as[(Long, String, String, Long, Long)].collect()
+        .map(r => r._1 -> r).toMap
+      val assign = mine.assignment.as[(Long, Long)].collect().toMap
+      assert(assign.size == ents.size, "every input entity remapped exactly once")
+
+      val textOf = ents.zipWithIndex.map { case (e, i) => i.toLong -> e.text }.toMap
+
+      // 1. Weak routing: reference weak keys ⇔ our weak-tagged entities.
+      val ourWeakTexts = newEnts.values
+        .filter(_._3 == "weak_across_doc_person_coref").map(_._2).toSet
+      assert(ourWeakTexts == ref.weak.map(_._1).toSet, s"seed $seed weak set")
+
+      // 2. Superset: each reference-merged cluster lands in ONE our-entity,
+      //    tagged across_doc; stats match when the partitions coincide.
+      ref.merged.foreach { case (survivor, members) =>
+        val ids = input.as[(Long, Long, String, String, String, Long, Long)]
+          .collect().filter(r => members.exists(_.text == r._4)).map(_._1)
+        val targets = ids.map(assign).toSet
+        assert(targets.size == 1,
+          s"seed $seed: reference cluster '$survivor' split across $targets")
+        val target = newEnts(targets.head)
+        assert(target._3 == "across_doc_person_coref")
+        if (target._4 == members.size) { // identical partition → exact stats
+          assert(target._5 == members.map(_.numMentions).sum,
+            s"seed $seed: num_mentions for '$survivor'")
+        }
+      }
+
+      // 3. Conservation of mentions across the whole pass.
+      val totalIn = ents.map(_.numMentions).sum
+      val totalOut = mine.entities.agg(sum("num_mentions")).as[Long].head()
+      assert(totalOut == totalIn)
+    }
+  }
 }

@@ -96,4 +96,65 @@ object ReferenceCoref {
     }
     clusters.toMap
   }
+
+  /** One across-doc "entity": normalized text + its within-doc mention count. */
+  case class Ent(text: String, numMentions: Long)
+
+  case class AcrossResult(
+      merged: Seq[(String, Seq[Ent])],   // survivor text → members (strong, ≥ minNumDocs)
+      untouchedStrong: Seq[Ent],         // members of dropped strong clusters
+      weak: Seq[(String, Seq[Ent])])     // weak clusters (all merged)
+
+  /**
+   * Sequential across-doc person pass (AcrossDocPerCoref.groovy:31-118):
+   * candidate split → sorted exact clusters → adjacentClose (numbers
+   * matched) on strong → MIN_NUM_DOCS filter → merge, weak merged whole.
+   */
+  def acrossDocPerson(entities: Seq[Ent], minNumDocs: Int = 2): AcrossResult = {
+    def isCandidate(name: String): Boolean = {
+      val nTok = name.split("\\s+").count(_.nonEmpty)
+      name.length >= 5 && nTok >= 2 && nTok <= 6 && name.matches("[A-Za-z.\\s]+")
+    }
+    val (strongL, weakL) = entities.partition(e => isCandidate(e.text))
+
+    def exactClusters(es: Seq[Ent]) = {
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, Vector[Ent]]
+      es.sortBy(_.text).foreach(e => m(e.text) = m.getOrElse(e.text, Vector.empty) :+ e)
+      m
+    }
+    val strong = exactClusters(strongL)
+    val weak = exactClusters(weakL)
+
+    // combineAdjacentClose with match_numbers_exactly = true.
+    val keys = strong.keys.toVector
+    val candidates = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    keys.sliding(2).foreach {
+      case Vector(prev, curr) =>
+        val digitsOk =
+          """\d+""".r.findAllIn(prev).toList == """\d+""".r.findAllIn(curr).toList
+        if (lev(prev, curr) <= 1 && digitsOk) candidates(curr) = prev
+      case _ =>
+    }
+    candidates.foreach { case (nm1, nm2) =>
+      if (strong.contains(nm1) && strong.contains(nm2)) {
+        if (strong(nm2).size > strong(nm1).size) {
+          strong(nm2) = strong(nm2) ++ strong(nm1); strong.remove(nm1)
+        } else {
+          strong(nm1) = strong(nm1) ++ strong(nm2); strong.remove(nm2)
+        }
+      }
+    }
+
+    val (kept, dropped) = strong.toSeq.partition(_._2.size >= minNumDocs)
+    // mergeClusters survivor name: most common member text, first max in
+    // member order (CorefBase.groovy:228-234).
+    val merged = kept.map { case (_, members) =>
+      val counts = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+      members.foreach(m => counts(m.text) = counts.getOrElse(m.text, 0) + 1)
+      val survivor = counts.maxBy(_._2)._1 // LinkedHashMap: first max wins
+      (survivor, members: Seq[Ent])
+    }
+    AcrossResult(merged, dropped.flatMap(_._2),
+      weak.toSeq.map { case (k, ms) => (k, ms: Seq[Ent]) })
+  }
 }
