@@ -73,6 +73,29 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(Seq("event_id"))
 
+  /**
+   * Stream-stream interval join: each purchase matched to same-user clicks
+   * in the preceding `windowMinutes`. Watermarks bound both join states —
+   * on a cluster, state stores partition by user_id and expire as event
+   * time advances.
+   */
+  def purchaseClickJoin(events: DataFrame, windowMinutes: Int = 30,
+      watermark: String = "60 minutes"): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermark)
+    purchases.join(clicks,
+      col("user_id") === col("c_user_id") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowMinutes MINUTES") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"))
+  }
+
   case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 
   /**

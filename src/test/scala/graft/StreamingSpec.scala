@@ -71,6 +71,23 @@ class StreamingSpec extends SparkSpec {
     assert(got.count() == batchEvents.select("event_id").distinct().count())
   }
 
+  test("stream-stream interval join: purchases x preceding clicks == batch") {
+    val got = runToMemory(
+      EventStreams.purchaseClickJoin(EventStreams.readEventStream(spark, dir)),
+      "ssjoin", "append")
+    val p = batchEvents.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+    val c = batchEvents.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+    val want = p.join(c, col("user_id") === col("c_user_id") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("c_ts") <= col("p_ts"))
+      .select("user_id", "purchase_id", "click_id")
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("stream-static broadcast join enriches events with a dimension") {
     val dim = spark.range(0, 200).selectExpr("id AS user_id",
       "concat('tier_', CAST(id % 3 AS STRING)) AS tier")
