@@ -39,6 +39,10 @@ object PipelineQueries {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String),
       (DataFrame, DataFrame, DataFrame)]
 
+  /** Drop memoized pipelines for `s` (bench passes re-run from cold). */
+  def resetCache(s: SparkSession): Unit =
+    cache.keys.filter(_._1 eq s).foreach(cache.remove)
+
   private def corefPipeline(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) =
     cache.getOrElseUpdate((s, d), {
       val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -68,8 +72,12 @@ object PipelineQueries {
     Q("q41_social_network",
       (s, d) => {
         val (mentions, entities, assign) = corefPipeline(s, d)
+        // The pair join is the expensive stage; persist its (much smaller)
+        // aggregate so the two endpoint semi-joins and the final action
+        // don't re-run it.
         val edges = SocialNetwork.cooccurrenceEdges(
           assign, mentions.select("mention_id", "doc_id"), entities)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val (_, kept) = SocialNetwork.thresholded(entities, edges)
         kept
       },

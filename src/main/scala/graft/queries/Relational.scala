@@ -482,6 +482,24 @@ object Relational {
                FROM events)
              WHERE event_type = 'purchase'""")),
 
+    // ---- Pivot / conditional aggregation (S6-adjacent): event-type
+    // counts as columns per user (portable CASE form on the oracle side).
+    Q("q59_pivot",
+      (s, d) => T.events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .withColumnsRenamed(Map("click" -> "n_click", "view" -> "n_view",
+          "purchase" -> "n_purchase", "signup" -> "n_signup", "error" -> "n_error")),
+      Some("""SELECT user_id,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+             sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+             sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+             sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+             FROM events GROUP BY user_id""")),
+
     // ---- approx_count_distinct / HLL (S5): approximate by design → no
     // hash oracle; accuracy pinned in RelationalSpec against exact counts.
     Q("q53_approx_distinct",
