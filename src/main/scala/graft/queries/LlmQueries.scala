@@ -36,8 +36,11 @@ object LlmQueries {
     Q("q45_ann_lsh",
       (s, d) => {
         val e = T.embeddings(s, d)
+        // Short signatures + more tables: the right operating point for
+        // weak-similarity (random-gaussian) data — see AnnSpec's recall
+        // measurement against the brute-force baseline.
         Similarity.lshTopK(e, e.filter(col("vec_id") < 10),
-          "vec_id", "embedding", k = 5)
+          "vec_id", "embedding", k = 5, nTables = 12, nBits = 6)
           .select(col("q_id"), col("n_id"), col("rank"))
       },
       None),
@@ -96,6 +99,62 @@ object LlmQueries {
              len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
              len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_ish_tokens
              FROM documents""")),
+
+    // ---- TF-IDF term weighting over the corpus (extends q54's inverted
+    // index; identical ln() on both engines, rounded).
+    Q("q60_tfidf",
+      (s, d) => {
+        val toks = T.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .filter(col("tok") =!= "" && length(col("tok")) >= 4)
+        val n = T.documents(s, d).count()
+        val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+        val df = toks.select(col("doc_id"), col("tok")).distinct()
+          .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        tf.join(df, "tok")
+          .select(col("doc_id"), col("tok"),
+            round(col("tf") * log(lit(n.toDouble) / col("df")), 6).as("tfidf"))
+      },
+      Some(s"""WITH toks AS (
+                SELECT doc_id, tok FROM (
+                  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+                WHERE tok <> '' AND length(tok) >= 4),
+              n AS (SELECT count(*) AS n_docs FROM documents),
+              tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+              df AS (SELECT tok, count(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok)
+              SELECT tf.doc_id, tf.tok,
+                round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+              FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n""")),
+
+    // ---- PII scrubbing: email/URL/phone redaction (fixture-pinned; the
+    // regex chain is the operator, applied identically on both engines).
+    Q("q61_pii_scrub",
+      (s, d) => {
+        val fixture = s.createDataFrame(Seq(
+          (1, "contact john.smith@example.com or visit https://example.com/a?b=1"),
+          (2, "call +1-555-123-4567 or (555) 987-6543 today"),
+          (3, "plain text with no pii at all"),
+          (4, "mixed: a@b.co http://x.io 555-111-2222"))).toDF("id", "text")
+        val email = regexp_replace(col("text"),
+          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+        val url = regexp_replace(email, "https?://[^\\s]+", "<URL>")
+        val phone = regexp_replace(url,
+          "(\\+?1[-. ])?(\\(\\d{3}\\)[ ]?|\\d{3}[-. ])\\d{3}[-. ]\\d{4}", "<PHONE>")
+        fixture.select(col("id"), phone.as("scrubbed"))
+      },
+      Some("""SELECT id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 'https?://[^\s]+', '<URL>', 'g'),
+               '(\+?1[-. ])?(\(\d{3}\)[ ]?|\d{3}[-. ])\d{3}[-. ]\d{4}', '<PHONE>', 'g')
+               AS scrubbed
+             FROM (VALUES
+               (1, 'contact john.smith@example.com or visit https://example.com/a?b=1'),
+               (2, 'call +1-555-123-4567 or (555) 987-6543 today'),
+               (3, 'plain text with no pii at all'),
+               (4, 'mixed: a@b.co http://x.io 555-111-2222')) AS t(id, text)""")),
 
     // ---- Winnowing-style min-k fingerprints (xxhash64 → rows-only).
     Q("q49_fingerprints",
