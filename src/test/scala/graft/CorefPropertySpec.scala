@@ -84,6 +84,49 @@ class CorefPropertySpec extends SparkSpec {
     }
   }
 
+  test("org pass (digit guard, no fn folding) agrees with the sequential oracle") {
+    val orgGen = for {
+      base <- Gen.oneOf("UNIT", "SQUAD", "SQUAT", "TEAM", "TEAN", "ACME", "ACMF")
+      num <- Gen.option(Gen.choose(10, 13))
+    } yield num.fold(base)(n => s"$base $n")
+
+    (1L to 5L).foreach { seed =>
+      val docs = (0 until 4).map { d =>
+        Gen.listOfN(20, orgGen)(Gen.Parameters.default, Seed(seed * 50 + d))
+          .getOrElse(Nil)
+      }
+      val rows = docs.zipWithIndex.flatMap { case (names, d) =>
+        names.zipWithIndex.map { case (n, i) =>
+          (d.toLong, d.toLong * 1000 + i, "ORGANIZATION", n)
+        }
+      }
+      val result = Coref.withinDoc(
+        rows.toDF("doc_id", "mention_id", "mention_type", "text"),
+        Coref.WithinDocParams.organization)
+      val assign = result.assignment.as[(Long, Long)].collect().toMap
+      assert(assign.size == rows.size)
+
+      rows.groupBy(_._1).foreach { case (doc, ms) =>
+        val ref = ReferenceCoref.withinDocPerson(ms.map(_._4),
+          matchNumbers = true, firstnameMerge = false)
+        val refKeyOf = ref.flatMap { case (k, mem) => mem.distinct.map(_ -> k) }
+        val ourKeyOf = ms.map(m =>
+          ReferenceCoref.normalize(m._4) -> assign(m._2)).toMap
+        // digit guard: reference cluster ⇒ same entity in ours (superset)
+        refKeyOf.groupBy(_._2).values.foreach { texts =>
+          assert(texts.keys.map(ourKeyOf).toSet.size == 1,
+            s"doc $doc seed $seed: ${texts.keys} split")
+        }
+        // and: entities never merge texts whose digit runs differ
+        ourKeyOf.groupBy(_._2).values.foreach { grp =>
+          val runs = grp.keys.map("""\d+""".r.findAllIn(_).toList).toSet
+          assert(runs.size == 1,
+            s"doc $doc seed $seed: digit guard violated in ${grp.keys}")
+        }
+      }
+    }
+  }
+
   test("distributed across-doc coref agrees with the sequential reference oracle") {
     val entGen = for {
       name <- nameGen

@@ -39,10 +39,13 @@ object ReferenceCoref {
    * One document's mention texts → clusters keyed by surviving key, values
    * = member normalized texts (with multiplicity).
    * @param matchNumbers combineAdjacentClose match_numbers_exactly flag
-   *                     (false for the person pass)
+   *                     (false for the person pass, true for org/loc)
+   * @param firstnameMerge run combineFirstnameFullname (person/loc; the
+   *                       org pass skips it — WithinDocOrgCoref.groovy:52)
    */
   def withinDocPerson(texts: Seq[String],
-      matchNumbers: Boolean = false): Map[String, Seq[String]] = {
+      matchNumbers: Boolean = false,
+      firstnameMerge: Boolean = true): Map[String, Seq[String]] = {
     val normed = texts.map(normalize).filter(_.nonEmpty).sorted
     // combineByExactMatch over the sorted list (LinkedHashMap order = sorted)
     val clusters = scala.collection.mutable.LinkedHashMap.empty[String, Vector[String]]
@@ -70,6 +73,7 @@ object ReferenceCoref {
     }
 
     // combineFirstnameFullname (CorefBase:95-133) over the mutated key order.
+    if (!firstnameMerge) return clusters.toMap
     val ks = clusters.keys.toVector
     val firstNames = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     val firstNamesFull = scala.collection.mutable.LinkedHashMap.empty[String, String]
