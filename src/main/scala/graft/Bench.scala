@@ -27,28 +27,40 @@ object Bench {
     // Two passes, min per query: this host is shared and single-run
     // timings swing 2-5x under external load; min-of-2 reports the plan's
     // actual cost rather than the noisiest co-tenant moment.
-    def onePass(): Seq[(String, Double)] = SparkEntry.allQueries.map { q =>
+    // A query that throws reports -1 (and lands in "failed"), never its
+    // wall-clock-to-exception time — a fast failure must not look like a
+    // speedup in the JSON.
+    def onePass(): Seq[(String, Double, Boolean)] = SparkEntry.allQueries.map { q =>
       val t0 = System.nanoTime()
-      try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
-      }
+      val ok =
+        try { q.fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+          false
+        }
       // The q40-q42 family shares memoized persisted intermediates; after
       // the last of them, release the block-manager memory so later
       // queries don't run under cache/GC pressure.
       if (q.name == "q42_document_entity") spark.catalog.clearCache()
-      q.name -> (System.nanoTime() - t0) / 1e9
+      (q.name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val p1 = onePass().toMap
+    val p1 = onePass().map(t => t._1 -> (t._2, t._3)).toMap
     graft.queries.PipelineQueries.resetCache(spark)
     spark.catalog.clearCache()
-    val p2 = onePass().toMap
-    val results = SparkEntry.allQueries.map(q =>
-      q.name -> math.min(p1(q.name), p2(q.name)))
+    val p2 = onePass().map(t => t._1 -> (t._2, t._3)).toMap
+    val results = SparkEntry.allQueries.map { q =>
+      val (s1, ok1) = p1(q.name); val (s2, ok2) = p2(q.name)
+      val sec =
+        if (ok1 && ok2) math.min(s1, s2)
+        else if (ok1) s1 else if (ok2) s2 else -1.0
+      q.name -> sec
+    }
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -12,7 +12,8 @@ import org.apache.spark.sql.functions._
  *
  * Deviations (documented): the reference's pattern-2 uses a `\2`
  * backreference to force a consistent separator; we expand it into slash and
- * dash variants (identical accept language). Where the reference would emit a
+ * dash variants (identical accept language, leftmost-match selection
+ * preserved by comparing match offsets). Where the reference would emit a
  * partially-null "null/MM/DD" string on an out-of-range year we return NULL.
  */
 object SpanishDate {
@@ -82,10 +83,17 @@ object SpanishDate {
           regexp_extract(norm, p, m).as("m"),
           regexp_extract(norm, p, y).as("y")))
 
+    // Pattern 2 is one regex in the reference (separator backreference):
+    // leftmost match wins across the slash/dash expansion, not slash-first.
+    val slashPos = call_function("regexp_instr", norm, lit(Pattern2Slash))
+    val dashPos = call_function("regexp_instr", norm, lit(Pattern2Dash))
+    val p2 = when(slashPos > 0 && (dashPos === 0 || slashPos <= dashPos),
+        extract(Pattern2Slash, 1, 2, 3))
+      .when(dashPos > 0, extract(Pattern2Dash, 1, 2, 3))
+
     val hit = coalesce(
       extract(Pattern1, 1, 2, 3),
-      extract(Pattern2Slash, 1, 2, 3),
-      extract(Pattern2Dash, 1, 2, 3),
+      p2,
       extract(Pattern3, 2, 1, 3),
       lit(null))
 

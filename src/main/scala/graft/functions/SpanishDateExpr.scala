@@ -36,16 +36,23 @@ object SpanishDateUtil {
     val m1 = P1.matcher(norm)
     if (m1.find()) { d = m1.group(1); mo = m1.group(2); y = m1.group(3) }
     else {
+      // Pattern 2 is ONE regex in the reference with a \2 separator
+      // backreference (slash or dash) → leftmost match wins regardless of
+      // separator. RE2-safe expansion: run both variants and keep the one
+      // whose match starts first (slash wins start-offset ties; a tie can't
+      // happen in practice since the separators differ at the same offset).
       val m2 = P2s.matcher(norm)
-      if (m2.find()) { d = m2.group(1); mo = m2.group(2); y = m2.group(3) }
-      else {
-        val m3 = P2d.matcher(norm)
-        if (m3.find()) { d = m3.group(1); mo = m3.group(2); y = m3.group(3) }
-        else {
-          val m4 = P3.matcher(norm)
-          if (m4.find()) { d = m4.group(2); mo = m4.group(1); y = m4.group(3) }
-          else return null
-        }
+      val m3 = P2d.matcher(norm)
+      val f2 = m2.find()
+      val f3 = m3.find()
+      if (f2 && (!f3 || m2.start() <= m3.start())) {
+        d = m2.group(1); mo = m2.group(2); y = m2.group(3)
+      } else if (f3) {
+        d = m3.group(1); mo = m3.group(2); y = m3.group(3)
+      } else {
+        val m4 = P3.matcher(norm)
+        if (m4.find()) { d = m4.group(2); mo = m4.group(1); y = m4.group(3) }
+        else return null
       }
     }
     val month = MonthNum.getOrElse(mo, null)

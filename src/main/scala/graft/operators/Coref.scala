@@ -146,9 +146,15 @@ object Coref {
         col("key1").as("entity_text"))
     } else {
       val w2 = Window.partitionBy(col("doc_id")).orderBy(col("key1"))
+      // Uniqueness guard: a following key that extends prevk disqualifies
+      // the fold (prevk is an ambiguous first name) — UNLESS it extends
+      // key1 itself, which in the reference takes the detection branch
+      // (CorefBase.groovy:108-112) and never increments prevk's extension
+      // count, so chains FIRST / FIRST LAST / FIRST LAST SUFFIX chain-merge.
       val fnWithPrev = col("prevk").isNotNull && length(col("prevk")) >= 2 &&
         col("key1").startsWith(col("prevk")) && col("key1") =!= col("prevk") &&
-        (col("next1").isNull || !col("next1").startsWith(col("prevk")))
+        (col("next1").isNull || !col("next1").startsWith(col("prevk")) ||
+          col("next1").startsWith(col("key1")))
       val seg2 = clusters1
         .withColumn("prevk", lag(col("key1"), 1).over(w2))
         .withColumn("next1", lead(col("key1"), 1).over(w2))

@@ -23,11 +23,14 @@ object LlmQueries {
         .orderBy(col("id_a"), col("id_b")),
       None),
 
-    // ---- SimHash signatures + banded Hamming pairs.
+    // ---- SimHash signatures + banded Hamming pairs. maxHamming=15 stays
+    // inside simhashPairs' documented domain (< 16); recall is partial for
+    // distances 4-15 (4x16-bit pigeonhole is complete only to 3) — the
+    // standard banding tradeoff, measured in DedupSpec's recall test.
     Q("q44_simhash_pairs",
       (s, d) => {
         val sigs = Dedup.simhash(T.documents(s, d), "doc_id", "text")
-        Dedup.simhashPairs(sigs, maxHamming = 16)
+        Dedup.simhashPairs(sigs, maxHamming = 15)
           .orderBy(col("id_a"), col("id_b"))
       },
       None),
@@ -88,7 +91,7 @@ object LlmQueries {
                     WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
                     WHEN s_es >= s_fr THEN 'es'
                     ELSE 'fr' END AS pred_lang,
-               greatest(s_de, s_en, s_es, s_fr) AS marker_hits
+               CAST(greatest(s_de, s_en, s_es, s_fr) AS BIGINT) AS marker_hits
              FROM scored""")),
 
     // ---- Token counting: whitespace + BPE-ish subunits (oracle-checked).
@@ -159,7 +162,10 @@ object LlmQueries {
     // ---- Winnowing-style min-k fingerprints (xxhash64 → rows-only).
     Q("q49_fingerprints",
       (s, d) => TextAnalysis.fingerprints(T.documents(s, d), "doc_id", "text")
-        .withColumnRenamed("id", "doc_id"),
+        .withColumnRenamed("id", "doc_id")
+        // String-joined for the driver harness (pandas can't sort array cells).
+        .withColumn("fingerprint",
+          array_join(transform(col("fingerprint"), x => x.cast("string")), ",")),
       None),
 
     // ---- Multimodal plumbing: binary assets → decoded meta + features

@@ -342,7 +342,7 @@ object Relational {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"), max(col("k")).as("max_k")),
       Some("""SELECT event_type, count(*) AS n,
-             sum(CAST(props->>'$.k' AS INT)) AS sum_k,
+             CAST(sum(CAST(props->>'$.k' AS INT)) AS BIGINT) AS sum_k,
              max(CAST(props->>'$.k' AS INT)) AS max_k
              FROM events GROUP BY event_type""")),
 
@@ -409,7 +409,8 @@ object Relational {
                SELECT user_id, session_id, count(*) AS n_events
                FROM sessions GROUP BY user_id, session_id)
              SELECT user_id, count(*) AS n_sessions,
-               max(n_events) AS max_session_events, sum(n_events) AS n_events
+               max(n_events) AS max_session_events,
+               CAST(sum(n_events) AS BIGINT) AS n_events
              FROM per_session GROUP BY user_id""")),
 
     // ---- Explicit GROUPING SETS through the spark.sql surface (S6): the
@@ -493,11 +494,11 @@ object Relational {
         .withColumnsRenamed(Map("click" -> "n_click", "view" -> "n_view",
           "purchase" -> "n_purchase", "signup" -> "n_signup", "error" -> "n_error")),
       Some("""SELECT user_id,
-             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-             sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-             sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-             sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+             CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
              FROM events GROUP BY user_id""")),
 
     // ---- approx_count_distinct / HLL (S5): approximate by design → no

@@ -136,7 +136,8 @@ object TextQueries {
       (s, d) => T.documents(s, d).groupBy(col("lang"), col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
           round(avg(col("n_chars")), 4).as("avg_chars")),
-      Some("""SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars,
+      Some("""SELECT lang, source, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars,
              round(avg(n_chars), 4) AS avg_chars
              FROM documents GROUP BY lang, source""")),
 
@@ -331,9 +332,12 @@ object TextQueries {
         .agg(
           countDistinct(col("doc_id")).as("df"),
           count(lit(1)).as("tf"),
-          sort_array(collect_set(col("doc_id"))).as("postings")),
+          // Joined to a string: the driver's pandas sorter can't lexsort
+          // raw array cells (round-1 q54 harness error).
+          array_join(transform(sort_array(collect_set(col("doc_id"))),
+            x => x.cast("string")), ",").as("postings")),
       Some(s"""SELECT tok, count(DISTINCT doc_id) AS df, count(*) AS tf,
-              list_sort(list(DISTINCT doc_id)) AS postings
+              array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS postings
               FROM ($TokensSql) WHERE tok <> '' AND length(tok) >= 4
               GROUP BY tok""")),
 

@@ -24,7 +24,13 @@ class CorefPropertySpec extends SparkSpec {
       "JOSE", "JOSEF", "EVA", "IVAN")
     lastOpt <- Gen.option(Gen.oneOf("SMITH", "SMITB", "SMYTH", "DIAZ", "DIAS",
       "NUNEZ", "NUNES", "PEREZ", "PERES"))
-  } yield lastOpt.fold(first)(l => s"$first $l")
+    // Suffixes make 3-level prefix chains (FIRST / FIRST LAST / FIRST LAST
+    // SUFFIX) reachable: the reference chain-merges all three
+    // (CorefBase.groovy:108-119 skips the count bump for extensions of the
+    // detected full name), which the fold guard must reproduce.
+    suffixOpt <- Gen.option(Gen.oneOf("JR", "SR", "III"))
+  } yield lastOpt.fold(first)(l =>
+    suffixOpt.fold(s"$first $l")(sf => s"$first $l $sf"))
 
   private def corpus(seed: Long): Seq[(Long, Long, String, String)] = {
     val docGen = Gen.listOfN(24, nameGen)

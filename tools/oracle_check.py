@@ -26,16 +26,35 @@ for p in glob.glob(f"{SF_DIR}/*.parquet"):
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
 
+import numpy as np
+
+
+class ArrayCell(Exception):
+    pass
+
+
 def canon(v):
+    # Mirror the driver's pandas bridge: values arrive as numpy scalars, so
+    # int64 vs float64 is VISIBLE (DuckDB HUGEINT sums render as float64 —
+    # "149174.0" — while Spark emits int64 "149174"; round-1 q23/q26/q34/
+    # q47/q59 hash-mismatched on exactly this). Array cells crash the
+    # driver's sort_values ("unhashable numpy.ndarray", round-1 q49/q54) —
+    # flag them as failures here too.
+    if isinstance(v, (list, np.ndarray)):
+        raise ArrayCell("array cell would crash the driver's pandas sorter")
+    if isinstance(v, np.generic):
+        v = v.item()
     if v is None:
         return "\x00NULL"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
         r = round(v, 6)
-        return "0.0" if r == 0 else repr(r)
+        return "f:0.0" if r == 0 else "f:" + repr(r)
     if isinstance(v, bool):
-        return str(int(v))
+        return "b:" + str(int(v))
+    if isinstance(v, int):
+        return "i:" + str(v)
     return str(v)
 
 def table_key(cols, rows):
@@ -52,16 +71,24 @@ for name in sorted(oracle):
         fails.append((name, "spark output missing"))
         continue
     try:
-        got = con.execute(
-            f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')").fetchall()
-        gcols = [d[0] for d in con.description]
-        want = con.execute(sql).fetchall()
-        wcols = [d[0] for d in con.description]
+        # .df() (not fetchall) to go through pandas like the driver does:
+        # HUGEINT→float64, int64-with-null→float64, etc.
+        gdf = con.execute(
+            f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')").df()
+        got = list(gdf.itertuples(index=False, name=None))
+        gcols = list(gdf.columns)
+        wdf = con.execute(sql).df()
+        want = list(wdf.itertuples(index=False, name=None))
+        wcols = list(wdf.columns)
     except Exception as e:
         fails.append((name, f"exec error: {e}"))
         continue
-    gn, gk = table_key(gcols, got)
-    wn, wk = table_key(wcols, want)
+    try:
+        gn, gk = table_key(gcols, got)
+        wn, wk = table_key(wcols, want)
+    except ArrayCell as e:
+        fails.append((name, str(e)))
+        continue
     if gn != wn:
         fails.append((name, f"columns differ: spark={gn} duck={wn}"))
     elif gk != wk:
@@ -76,6 +103,22 @@ for name in sorted(oracle):
 
 rows_only = [os.path.basename(p) for p in glob.glob(f"{OUT}/q*")
              if os.path.basename(p) not in oracle]
+# Rows-only outputs still go through the driver's pandas sorter: verify
+# rows>0 and no array cells (round-1 q49 errored as rows-only).
+for name in sorted(rows_only):
+    try:
+        rdf = con.execute(
+            f"SELECT * FROM read_parquet('{OUT}/{name}/*.parquet')").df()
+        rows = list(rdf.itertuples(index=False, name=None))
+        if not rows:
+            fails.append((name, "rows-only output is EMPTY"))
+        else:
+            for v in rows[0]:
+                canon(v)
+    except ArrayCell as e:
+        fails.append((name, str(e)))
+    except Exception as e:
+        fails.append((name, f"rows-only read error: {e}"))
 print(f"\nPASS {len(passes)}: {' '.join(passes)}")
 print(f"ROWS-ONLY {len(rows_only)}: {' '.join(sorted(rows_only))}")
 print(f"FAIL {len(fails)}:")
