@@ -32,7 +32,12 @@ object Ingester {
       extractor: DocumentSource.TextExtractor = DocumentSource.Utf8Extractor,
       tagger: DocumentSource.NerTagger = DocumentSource.CapitalizedRunTagger,
       nodeMinDocs: Int = 2,
-      edgeMinDocs: Int = 2)
+      edgeMinDocs: Int = 2,
+      // O(p²) pair-generation guard: keep each doc's top-N entities by
+      // mention count before pairing (SocialNetwork.cooccurrenceEdges).
+      // Far above any real doc (sf0.1 max is ~10²) but bounds a
+      // pathological doc at 500k pairs instead of 5·10⁹.
+      maxEntitiesPerDoc: Int = SocialNetwork.DefaultMaxEntitiesPerDoc)
 
   final case class Result(
       documents: DataFrame,
@@ -78,7 +83,8 @@ object Ingester {
     val docEntity = SocialNetwork.documentEntityCounts(
       assignment, mentions.select("mention_id", "doc_id"))
     val edges = SocialNetwork.cooccurrenceEdges(
-      assignment, mentions.select("mention_id", "doc_id"), entities)
+      assignment, mentions.select("mention_id", "doc_id"), entities,
+      maxEntitiesPerDoc = cfg.maxEntitiesPerDoc)
 
     // 10 (+GraphML): terminal artifacts.
     val (keptNodes, keptEdges) = SocialNetwork.thresholded(

@@ -23,6 +23,29 @@ import org.apache.spark.sql.functions._
  */
 object Dedup {
 
+  /**
+   * LSH bucket-size guard shared by the banded joins (minhash bands,
+   * simhash chunks, random-hyperplane tables). A bucket of B rows emits
+   * O(B²) candidate pairs; callers pre-collapse exact duplicates, so an
+   * oversized bucket means a non-discriminative hash (the LSH analogue of
+   * a stopword) — dropping it trades a sliver of recall (pairs can still
+   * meet in their other bands) for a hard quadratic bound, the standard
+   * cap in the dedup literature. 0 = unbounded.
+   */
+  val DefaultMaxBucket: Int = 1000
+
+  /** Keep only rows whose bucket (by `keyCols`) has 2..maxBucket members
+    * (singleton buckets pair nothing; oversized ones are dropped). */
+  private[operators] def capBuckets(
+      df: DataFrame, keyCols: Seq[String], maxBucket: Int): DataFrame = {
+    val upper = if (maxBucket > 0) maxBucket.toLong else Long.MaxValue
+    val counts = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") >= 2 && col("bsz") <= upper)
+      .select(keyCols.map(col): _*)
+    df.join(counts, keyCols, "left_semi")
+  }
+
   /** Exact dedup: rows keyed by identical `textCol`; canonical = min id. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = Window.partitionBy(col(textCol))
@@ -63,14 +86,16 @@ object Dedup {
    * (id_a, id_b, est_jaccard) with id_a < id_b, est = matching-component
    * fraction of the signatures.
    */
-  def minhashCandidates(sigs: DataFrame, bands: Int = 8, rows: Int = 4): DataFrame = {
+  def minhashCandidates(sigs: DataFrame, bands: Int = 8, rows: Int = 4,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val banded = sigs.select(col("id"), col("sig"),
       posexplode(array((0 until bands).map(b =>
         xxhash64(lit(b) +: (0 until rows).map(r =>
           element_at(col("sig"), b * rows + r + 1)): _*)): _*)).as(Seq("band", "bh")))
-    val a = banded.select(col("band"), col("bh"),
+    val capped = capBuckets(banded, Seq("band", "bh"), maxBucket)
+    val a = capped.select(col("band"), col("bh"),
       col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("bh"),
+    val b = capped.select(col("band"), col("bh"),
       col("id").as("id_b"), col("sig").as("sig_b"))
     a.join(b, Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
@@ -87,9 +112,19 @@ object Dedup {
    */
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 32, bands: Int = 8,
-      threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n)
-    val cands = minhashCandidates(minhashSignatures(sh, k), bands, k / bands)
+      threshold: Double = 0.5, maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    // Mega-cluster guard: collapse byte-identical texts FIRST, so the whole
+    // shingle/sign/band/verify pipeline runs on one representative per
+    // distinct text. N copies of one doc cost O(N) here, not O(N²) banded
+    // candidates + O(N²) shingle verifications; their pairs are
+    // reconstituted at the end as pure output (jaccard = 1 by definition).
+    val keyed = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    val mem = keyed
+      .withColumn("rep", min(col("id")).over(Window.partitionBy(col("text"))))
+    val reps = mem.filter(col("id") === col("rep")).select(col("id"), col("text"))
+
+    val sh = shingles(reps, "id", "text", n)
+    val cands = minhashCandidates(minhashSignatures(sh, k), bands, k / bands, maxBucket)
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val shA = sh.select(col("id").as("id_a"), col("shingle"))
     val shB = sh.select(col("id").as("id_b"), col("shingle"))
@@ -98,7 +133,7 @@ object Dedup {
       .join(shB, Seq("id_b", "shingle"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("shared"))
-    cands
+    val repPairs = cands
       .join(shared, Seq("id_a", "id_b"), "left_outer")
       .na.fill(0L, Seq("shared"))
       .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
@@ -109,6 +144,22 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         round(col("est_jaccard"), 6).as("est_jaccard"),
         round(col("jaccard"), 6).as("jaccard"))
+
+    // Member expansion: cross-group pairs inherit their representatives'
+    // similarity; within-group pairs (identical texts) are exact dups.
+    val members = mem.select(col("rep"), col("id"))
+    val cross = repPairs
+      .join(members.select(col("rep").as("id_a"), col("id").as("ma")), Seq("id_a"))
+      .join(members.select(col("rep").as("id_b"), col("id").as("mb")), Seq("id_b"))
+      .select(least(col("ma"), col("mb")).as("id_a"),
+        greatest(col("ma"), col("mb")).as("id_b"),
+        col("est_jaccard"), col("jaccard"))
+    val within = members.select(col("rep"), col("id").as("ia"))
+      .join(members.select(col("rep"), col("id").as("ib")), Seq("rep"))
+      .filter(col("ia") < col("ib"))
+      .select(col("ia").as("id_a"), col("ib").as("id_b"),
+        lit(1.0d).as("est_jaccard"), lit(1.0d).as("jaccard"))
+    cross.unionByName(within)
   }
 
   /**
@@ -140,20 +191,42 @@ object Dedup {
    * bit_count(xor). (For maxHamming in 4..15 recall is partial — standard
    * multi-probe tradeoff, noted at the call site.)
    */
-  def simhashPairs(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val chunked = sigs.select(col("id"), col("simhash"),
+  def simhashPairs(sigs: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    // Identical signatures collapse to one representative per value (the
+    // mega-cluster guard: N copies cost O(N), not an O(N²) bucket join);
+    // their member pairs come back at the end with hamming = 0.
+    val mem = sigs
+      .withColumn("rep", min(col("id")).over(Window.partitionBy(col("simhash"))))
+    val reps = mem.filter(col("id") === col("rep")).select(col("id"), col("simhash"))
+
+    val chunked = reps.select(col("id"), col("simhash"),
       posexplode(array((0 until 4).map(c =>
         shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*))
         .as(Seq("chunk", "cv")))
-    val a = chunked.select(col("chunk"), col("cv"),
+    val capped = capBuckets(chunked, Seq("chunk", "cv"), maxBucket)
+    val a = capped.select(col("chunk"), col("cv"),
       col("id").as("id_a"), col("simhash").as("sig_a"))
-    val b = chunked.select(col("chunk"), col("cv"),
+    val b = capped.select(col("chunk"), col("cv"),
       col("id").as("id_b"), col("simhash").as("sig_b"))
-    a.join(b, Seq("chunk", "cv"))
+    val repPairs = a.join(b, Seq("chunk", "cv"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
       .dropDuplicates("id_a", "id_b")
       .filter(col("hamming") <= maxHamming)
+
+    val members = mem.select(col("rep"), col("id"))
+    val cross = repPairs
+      .join(members.select(col("rep").as("id_a"), col("id").as("ma")), Seq("id_a"))
+      .join(members.select(col("rep").as("id_b"), col("id").as("mb")), Seq("id_b"))
+      .select(least(col("ma"), col("mb")).as("id_a"),
+        greatest(col("ma"), col("mb")).as("id_b"), col("hamming"))
+    val within = members.select(col("rep"), col("id").as("ia"))
+      .join(members.select(col("rep"), col("id").as("ib")), Seq("rep"))
+      .filter(col("ia") < col("ib"))
+      .select(col("ia").as("id_a"), col("ib").as("id_b"),
+        lit(0).cast("int").as("hamming"))
+    cross.unionByName(within)
   }
 }

@@ -102,20 +102,42 @@ object Similarity {
   }
 
   /** Embedding-cosine near-dup pairs: all pairs with cosine ≥ threshold,
-    * via LSH candidate generation (id_a < id_b). */
+    * via LSH candidate generation (id_a < id_b). Identical vectors are
+    * collapsed to one representative before banding and their member pairs
+    * emitted directly at cosine 1.0 (mega-cluster guard), and buckets over
+    * `maxBucket` distinct vectors are dropped as non-discriminative
+    * (Dedup.DefaultMaxBucket rationale). */
   def cosineNearDup(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nTables: Int = 6, nBits: Int = 10,
-      dim: Int = 64): DataFrame = {
-    val sigs = lshSignatures(df, idCol, vecCol, nTables, nBits, dim)
-    val a = sigs.select(col("table"), col("sig"),
+      dim: Int = 64, maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    val mem = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("rep", min(col("id")).over(Window.partitionBy(col("vec"))))
+    val reps = mem.filter(col("id") === col("rep")).select(col("id"), col("vec"))
+
+    val sigs = lshSignatures(reps, "id", "vec", nTables, nBits, dim)
+    val capped = Dedup.capBuckets(sigs, Seq("table", "sig"), maxBucket)
+    val a = capped.select(col("table"), col("sig"),
       col("id").as("id_a"), col("vec").as("vec_a"))
-    val b = sigs.select(col("table"), col("sig"),
+    val b = capped.select(col("table"), col("sig"),
       col("id").as("id_b"), col("vec").as("vec_b"))
-    a.join(b, Seq("table", "sig"))
+    val repPairs = a.join(b, Seq("table", "sig"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
       .withColumn("cosine", cosine(col("vec_a"), col("vec_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+
+    val members = mem.select(col("rep"), col("id"))
+    val cross = repPairs
+      .join(members.select(col("rep").as("id_a"), col("id").as("ma")), Seq("id_a"))
+      .join(members.select(col("rep").as("id_b"), col("id").as("mb")), Seq("id_b"))
+      .select(least(col("ma"), col("mb")).as("id_a"),
+        greatest(col("ma"), col("mb")).as("id_b"), col("cosine"))
+    val within = members.select(col("rep"), col("id").as("ia"))
+      .join(members.select(col("rep"), col("id").as("ib")), Seq("rep"))
+      .filter(col("ia") < col("ib"))
+      .select(col("ia").as("id_a"), col("ib").as("id_b"),
+        lit(1.0d).as("cosine"))
+    cross.unionByName(within)
   }
 }

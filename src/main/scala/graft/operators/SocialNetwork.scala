@@ -35,6 +35,11 @@ object SocialNetwork {
    *        deterministic) before pairing. 0 = unbounded (reference
    *        behaviour).
    */
+  /** Default pair-generation cap: no real corpus doc approaches 10³
+    * distinct coref'd entities (sf0.1 max ≈ 10²), while one pathological
+    * doc at 10⁵ entities would otherwise emit 5·10⁹ pairs. */
+  val DefaultMaxEntitiesPerDoc: Int = 1000
+
   def cooccurrenceEdges(
       assignment: DataFrame,
       mentions: DataFrame,

@@ -67,4 +67,58 @@ object SortedNeighborhood {
       spark.sparkContext.parallelize(boundaryPairs, 1), schema)
     within.unionByName(cross)
   }
+
+  /**
+   * Row-carrying variant: every pair of rows adjacent in the global
+   * `sortCols` order, as (`prev` struct, `curr` struct). Same plan shape as
+   * [[adjacentPairs]] — one range shuffle, per-partition adjacency, O(P)
+   * boundary stitch — but keeps the full row on both sides so callers can
+   * compare arbitrary payload columns (e.g. levenshtein on names) without
+   * a re-join. This is the linear-cost replacement for quadratic blocked
+   * self-joins (the reference's own design is sorted-adjacent comparison,
+   * CorefBase.groovy:176-212).
+   */
+  def adjacentRowPairs(df: DataFrame, sortCols: Seq[String],
+      numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val n = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+
+    val rowSchema = df.schema
+    val sorted = df
+      .repartitionByRange(n, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+
+    val pairSchema = StructType(Seq(
+      StructField("prev", rowSchema), StructField("curr", rowSchema)))
+    val enc = org.apache.spark.sql.Encoders.row(pairSchema)
+
+    val within = sorted.mapPartitions { it =>
+      var prev: Row = null
+      it.flatMap { curr =>
+        val out = if (prev != null) Iterator(Row(prev, curr)) else Iterator.empty
+        prev = curr
+        out
+      }
+    }(enc)
+
+    // Per-partition (first, last) rows — at most one tiny row pair per
+    // partition; consecutive non-empty partitions give one boundary pair.
+    val bounds = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      if (it.hasNext) {
+        val first = it.next()
+        var last = first
+        while (it.hasNext) last = it.next()
+        Iterator((pid, first, last))
+      } else Iterator.empty
+    }.collect().sortBy(_._1)
+
+    val boundaryPairs = bounds.sliding(2).collect {
+      case Array((_, _, lastA), (_, firstB, _)) => Row(lastA, firstB)
+    }.toSeq
+
+    val cross = spark.createDataFrame(
+      spark.sparkContext.parallelize(boundaryPairs, 1), pairSchema)
+    within.unionByName(cross)
+  }
 }

@@ -81,7 +81,8 @@ object PipelineQueries {
         // aggregate so the two endpoint semi-joins and the final action
         // don't re-run it.
         val edges = SocialNetwork.cooccurrenceEdges(
-          assign, mentions.select("mention_id", "doc_id"), entities)
+          assign, mentions.select("mention_id", "doc_id"), entities,
+          maxEntitiesPerDoc = SocialNetwork.DefaultMaxEntitiesPerDoc)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val (_, kept) = SocialNetwork.thresholded(entities, edges)
         kept

@@ -49,9 +49,67 @@ class DedupSpec extends SparkSpec {
     val ham12 = java.lang.Long.bitCount(m(1L) ^ m(2L))
     val ham13 = java.lang.Long.bitCount(m(1L) ^ m(3L))
     assert(ham12 < ham13, s"near-dup hamming $ham12 should beat unrelated $ham13")
-    val pairs = Dedup.simhashPairs(sigs, maxHamming = 16)
+    val pairs = Dedup.simhashPairs(sigs, maxHamming = 15)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 4L)))
+  }
+
+  test("simhashPairs recall at maxHamming=15 vs brute force (partial by design)") {
+    // Banding is 4x16-bit chunks: complete recall only to Hamming 3; the
+    // q44 operating point (15) accepts partial recall — measure it so the
+    // tradeoff is pinned, and pin completeness in the guaranteed regime.
+    val rnd = new scala.util.Random(7)
+    val base = Seq.fill(40)(rnd.nextLong())
+    // Half the corpus: random signatures; other half: small perturbations
+    // of base signatures (flip 1-12 random bits) so close pairs exist.
+    val sigRows = base.zipWithIndex.flatMap { case (s, i) =>
+      val flips = 1 + rnd.nextInt(12)
+      val mutated = (0 until flips).foldLeft(s)((acc, _) => acc ^ (1L << rnd.nextInt(64)))
+      Seq((i.toLong * 2, s), (i.toLong * 2 + 1, mutated))
+    }
+    val sigs = sigRows.toDF("id", "simhash")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val all = for {
+      (ia, sa) <- sigRows; (ib, sb) <- sigRows if ia < ib
+    } yield ((ia, ib), ham(sa, sb))
+    val brute15 = all.collect { case (p, h) if h <= 15 => p }.toSet
+    val brute3 = all.collect { case (p, h) if h <= 3 => p }.toSet
+    val banded = Dedup.simhashPairs(sigs, maxHamming = 15)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(banded.subsetOf(brute15), "no false positives past the verify filter")
+    assert(brute3.subsetOf(banded), "pigeonhole: complete recall to Hamming 3")
+    val recall = if (brute15.isEmpty) 1.0 else (banded & brute15).size.toDouble / brute15.size
+    assert(recall >= 0.5, s"recall $recall at maxHamming=15 collapsed")
+  }
+
+  test("mega-cluster of identical docs: pre-collapse keeps banding linear, pairs complete") {
+    // 200 byte-identical docs + one near-dup + one unrelated: the collapsed
+    // pipeline bands ONE representative (no quadratic bucket join, no
+    // quadratic shingle verification) yet must still emit every member pair.
+    val n = 200
+    val mega = (1L to n.toLong).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog and runs away fast"))
+    val rest = Seq(
+      (900L, "the quick brown fox jumps over the lazy dog and runs away quickly"),
+      (901L, "completely different content about spark query engines and shuffles"))
+    val df = (mega ++ rest).toDF("doc_id", "text")
+
+    val mh = Dedup.minhashDedup(df, "doc_id", "text",
+      n = 3, k = 32, bands = 16, threshold = 0.3)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+    val mhPairs = mh.map(t => (t._1, t._2)).toSet
+    val withinExpected = n.toLong * (n - 1) / 2
+    assert(mh.count(t => t._3 == 1.0d) >= withinExpected,
+      "every identical-pair must surface with jaccard 1.0")
+    assert(mhPairs.contains((1L, n.toLong)), "first/last of the mega-cluster pair up")
+    assert(mhPairs.contains((1L, 900L)), "cross near-dup pair inherited from the representative")
+    assert(!mhPairs.exists(p => p._1 == 901L || p._2 == 901L), "unrelated doc stays out")
+
+    val sigs = Dedup.simhash(df, "doc_id", "text")
+    val sh = Dedup.simhashPairs(sigs, maxHamming = 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
+    assert(sh.count(_._3 == 0) >= withinExpected)
+    assert(sh.map(t => (t._1, t._2)).toSet.contains((1L, n.toLong)))
   }
 
   test("fingerprints: identical docs get identical fingerprints") {
