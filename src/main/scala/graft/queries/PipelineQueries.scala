@@ -10,9 +10,18 @@ import graft.operators.{Coref, SocialNetwork}
  * End-to-end reference pipeline (steps 3→4/5→8 of SURVEY.md §0) driven off
  * the `documents` table: adjacent-bigram shingles play the role of NER
  * PERSON mentions (deterministic ids), then within-doc coref → across-doc
- * coref → co-occurrence network → materialized counts. Not SQL-expressible
- * as a single oracle query (iterative connected components) → rows-only
- * driver check; invariants are pinned by ScalaTest instead (CorefSpec).
+ * coref → co-occurrence network → materialized counts.
+ *
+ * The segment formulation (merge edges only connect sort-adjacent keys →
+ * cumulative-sum components, no iterative CC) makes the whole pipeline
+ * window-expressible, so q40/q42 carry REAL DuckDB oracles: the entire
+ * within-doc pass (normalize → exact keys → levenshtein-adjacent segments →
+ * survivor argmax → firstname fold) and across-doc pass (strong/weak split →
+ * global sorted-neighborhood segments → min-docs gate) are mirrored in SQL
+ * below. Entity ids are xxhash64-derived (not reproducible in DuckDB), so
+ * the oracle-checked outputs carry the equivalent natural key
+ * (doc_id, entity_text, created_by) instead; id linkage is pinned by
+ * CorefSpec/CorefPropertySpec.
  */
 object PipelineQueries {
 
@@ -62,18 +71,146 @@ object PipelineQueries {
       (mentions, entities, finalAssign)
     })
 
+  /**
+   * DuckDB mirror of the coref pipeline, CTE by CTE against the Spark
+   * stages (names match the operators):
+   *   toks/bigrams  = syntheticMentions        (posexplode + lead)
+   *   normed        = normalize_str chain      (functions/package.scala)
+   *   keys..seg1    = Coref.withinDoc stage1   (lag + levenshtein ≤ 1 + cumsum)
+   *   clusters1     = survivor argmax          (max cnt, ties → greater key)
+   *   seg2..wd      = firstname fold           (prefix guard + segment max)
+   *   wd_flag       = candidate_predicate      (strong/weak split)
+   *   ad_keys..merged = Coref.acrossDoc strong (global sorted segments,
+   *                     digit-run guard, survivor = max count ties → smallest,
+   *                     MIN_NUM_DOCS ≥ 2)
+   */
+  private val CorefSql = """WITH toks AS (
+      SELECT doc_id, i AS pos, toks[i] AS tok
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i)
+      WHERE toks[i] <> ''),
+    bigrams AS (
+      SELECT doc_id, tok || ' ' || lead(tok, 1) OVER w AS mtext
+      FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      QUALIFY lead(tok, 1) OVER w IS NOT NULL),
+    normed AS (
+      SELECT doc_id, norm FROM (
+        SELECT doc_id,
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  strip_accents(upper(trim(mtext))), '\s+', ' ', 'g'),
+                '^[^A-Za-z0-9-]+', ''),
+              '[^A-Za-z0-9-]+$', ''),
+            '[\^"<>_]', ' ', 'g') AS norm
+        FROM bigrams)
+      WHERE norm <> ''),
+    keys AS (
+      SELECT doc_id, norm, count(*) AS cnt FROM normed GROUP BY doc_id, norm),
+    seg1 AS (
+      SELECT doc_id, norm, cnt,
+        sum(CASE WHEN prev IS NOT NULL AND levenshtein(prev, norm) <= 1
+             THEN 0 ELSE 1 END)
+          OVER (PARTITION BY doc_id ORDER BY norm ROWS UNBOUNDED PRECEDING) AS comp
+      FROM (SELECT *, lag(norm) OVER (PARTITION BY doc_id ORDER BY norm) AS prev
+            FROM keys)),
+    clusters1 AS (
+      SELECT doc_id, comp,
+        first(norm ORDER BY cnt DESC, norm DESC) AS key1,
+        CAST(sum(cnt) AS BIGINT) AS cnt1
+      FROM seg1 GROUP BY doc_id, comp),
+    seg2 AS (
+      SELECT doc_id, key1, cnt1,
+        sum(CASE WHEN prevk IS NOT NULL AND length(prevk) >= 2
+                  AND starts_with(key1, prevk) AND key1 <> prevk
+                  AND (next1 IS NULL OR NOT starts_with(next1, prevk)
+                       OR starts_with(next1, key1))
+             THEN 0 ELSE 1 END)
+          OVER (PARTITION BY doc_id ORDER BY key1 ROWS UNBOUNDED PRECEDING) AS comp2
+      FROM (SELECT doc_id, key1, cnt1,
+              lag(key1) OVER w2 AS prevk, lead(key1) OVER w2 AS next1
+            FROM clusters1 WINDOW w2 AS (PARTITION BY doc_id ORDER BY key1))),
+    wd AS (
+      SELECT doc_id, entity_text, CAST(sum(cnt1) AS BIGINT) AS num_mentions
+      FROM (SELECT doc_id, cnt1,
+              max(key1) OVER (PARTITION BY doc_id, comp2) AS entity_text
+            FROM seg2)
+      GROUP BY doc_id, entity_text),
+    wd_flag AS (
+      SELECT doc_id, entity_text, num_mentions,
+        (length(entity_text) >= 5
+         AND len(string_split_regex(entity_text, '\s+')) BETWEEN 2 AND 6
+         AND regexp_matches(entity_text, '^[A-Za-z.\s]+$')) AS strong
+      FROM wd),
+    ad_keys AS (
+      SELECT entity_text, count(*) AS n_entities, sum(num_mentions) AS mentions
+      FROM wd_flag WHERE strong GROUP BY entity_text),
+    ad_comp AS (
+      SELECT entity_text, n_entities, mentions,
+        sum(CASE WHEN prev IS NOT NULL AND levenshtein(prev, entity_text) <= 1
+                  AND regexp_extract_all(prev, '\d+')
+                      = regexp_extract_all(entity_text, '\d+')
+             THEN 0 ELSE 1 END)
+          OVER (ORDER BY entity_text ROWS UNBOUNDED PRECEDING) AS comp
+      FROM (SELECT *, lag(entity_text) OVER (ORDER BY entity_text) AS prev
+            FROM ad_keys)),
+    per_comp AS (
+      SELECT comp,
+        first(entity_text ORDER BY n_entities DESC, entity_text ASC) AS survivor,
+        CAST(sum(n_entities) AS BIGINT) AS n_entities,
+        CAST(sum(mentions) AS BIGINT) AS num_mentions
+      FROM ad_comp GROUP BY comp),
+    merged AS (SELECT * FROM per_comp WHERE n_entities >= 2),
+    wd_final AS (
+      SELECT w.doc_id,
+        CASE WHEN NOT w.strong THEN w.entity_text
+             WHEN m.comp IS NOT NULL THEN m.survivor
+             ELSE w.entity_text END AS entity_text,
+        CASE WHEN NOT w.strong THEN 'weak_across_doc_person_coref'
+             WHEN m.comp IS NOT NULL THEN 'across_doc_person_coref'
+             ELSE 'within_doc_person_coref' END AS created_by,
+        w.num_mentions
+      FROM wd_flag w
+      LEFT JOIN ad_comp c ON w.strong AND c.entity_text = w.entity_text
+      LEFT JOIN merged m ON m.comp = c.comp)"""
+
   val all: Seq[Q] = Seq(
 
-    // ---- Full ER pipeline → entity table (flagship).
+    // ---- Full ER pipeline → entity table (flagship). Output columns are
+    // the natural key + stats (entity_id is xxhash64 of exactly these
+    // fields — SURVEY.md §7.4(8) — and DuckDB can't compute it).
     Q("q40_coref_pipeline",
       (s, d) => {
         val (_, entities, _) = corefPipeline(s, d)
-        entities.select("entity_id", "entity_type", "entity_text",
+        entities.select("doc_id", "entity_type", "entity_text",
           "created_by", "num_mentions", "num_docs")
       },
-      None),
+      Some(CorefSql + """
+        SELECT CAST(NULL AS BIGINT) AS doc_id, 'PERSON' AS entity_type,
+          survivor AS entity_text, 'across_doc_person_coref' AS created_by,
+          num_mentions, n_entities AS num_docs
+        FROM merged
+        UNION ALL
+        SELECT CAST(NULL AS BIGINT) AS doc_id, 'PERSON' AS entity_type,
+          entity_text, 'weak_across_doc_person_coref' AS created_by,
+          CAST(sum(num_mentions) AS BIGINT) AS num_mentions,
+          count(*) AS num_docs
+        FROM wd_flag WHERE NOT strong GROUP BY entity_text
+        UNION ALL
+        SELECT w.doc_id, 'PERSON' AS entity_type, w.entity_text,
+          'within_doc_person_coref' AS created_by,
+          w.num_mentions, CAST(1 AS BIGINT) AS num_docs
+        FROM wd_flag w
+        JOIN ad_comp c ON w.strong AND c.entity_text = w.entity_text
+        LEFT JOIN merged m ON m.comp = c.comp
+        WHERE m.comp IS NULL""")),
 
     // ---- Social network over the coref'd entities (R18/R19/R14/R22).
+    // Edges are keyed by survivor text (unique per across-doc entity, and
+    // id order is hash order so the unordered pair is re-oriented by text
+    // on both engines). The oracle skips the maxEntitiesPerDoc cap: no
+    // sf0.01 doc comes within two orders of magnitude of 1000 entities.
     Q("q41_social_network",
       (s, d) => {
         val (mentions, entities, assign) = corefPipeline(s, d)
@@ -85,17 +222,43 @@ object PipelineQueries {
           maxEntitiesPerDoc = SocialNetwork.DefaultMaxEntitiesPerDoc)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val (_, kept) = SocialNetwork.thresholded(entities, edges)
+        val names = entities.select(col("entity_id"), col("entity_text"))
         kept
+          .join(names.withColumnRenamed("entity_id", "src_entity_id")
+            .withColumnRenamed("entity_text", "src_name"), Seq("src_entity_id"))
+          .join(names.withColumnRenamed("entity_id", "dst_entity_id")
+            .withColumnRenamed("entity_text", "dst_name"), Seq("dst_entity_id"))
+          .select(least(col("src_name"), col("dst_name")).as("src_text"),
+            greatest(col("src_name"), col("dst_name")).as("dst_text"),
+            col("num_docs"))
       },
-      None),
+      Some(CorefSql + """,
+        net AS (
+          SELECT DISTINCT doc_id, entity_text
+          FROM wd_final WHERE created_by = 'across_doc_person_coref')
+        SELECT a.entity_text AS src_text, b.entity_text AS dst_text,
+          count(*) AS num_docs
+        FROM net a JOIN net b
+          ON a.doc_id = b.doc_id AND a.entity_text < b.entity_text
+        GROUP BY a.entity_text, b.entity_text
+        HAVING count(*) >= 2""")),
 
-    // ---- Materialized doc-entity counts (R27) over the pipeline output.
+    // ---- Materialized doc-entity counts (R27) over the pipeline output,
+    // keyed by (doc_id, entity_text, created_by) — bijective with entity_id
+    // here (ids are hashes of exactly these fields) and DuckDB-reproducible.
     Q("q42_document_entity",
       (s, d) => {
-        val (mentions, _, assign) = corefPipeline(s, d)
+        val (mentions, entities, assign) = corefPipeline(s, d)
         SocialNetwork.documentEntityCounts(
           assign, mentions.select("mention_id", "doc_id"))
+          .join(entities.select("entity_id", "entity_text", "created_by"),
+            Seq("entity_id"))
+          .select(col("doc_id"), col("entity_text"), col("created_by"),
+            col("num_mentions"))
       },
-      None)
+      Some(CorefSql + """
+        SELECT doc_id, entity_text, created_by,
+          CAST(sum(num_mentions) AS BIGINT) AS num_mentions
+        FROM wd_final GROUP BY doc_id, entity_text, created_by"""))
   )
 }
