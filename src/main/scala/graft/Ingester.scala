@@ -60,6 +60,17 @@ object Ingester {
     (a.entities, finalAssign)
   }
 
+  /** Steps 4-6 for all three entity types (person/org/loc), unioned. */
+  def corefAll(mentions: DataFrame): (DataFrame, DataFrame) = {
+    val passes = Seq(
+      (Coref.WithinDocParams.person, Coref.AcrossDocParams.person),
+      (Coref.WithinDocParams.organization, Coref.AcrossDocParams.organization),
+      (Coref.WithinDocParams.location, Coref.AcrossDocParams.location))
+    val results = passes.map { case (w, a) => corefType(mentions, w, a) }
+    (results.map(_._1).reduce(_.unionByName(_)),
+      results.map(_._2).reduce(_.unionByName(_)))
+  }
+
   def run(spark: SparkSession, cfg: Config): Result = {
     // 1-2: files → text → mentions.
     val raw = DocumentSource.scanDirectory(spark, cfg.inputDir, cfg.glob)
@@ -68,13 +79,7 @@ object Ingester {
     val mentions = DocumentSource.extractMentions(docs, cfg.tagger)
 
     // 4-6: coref per type (person/org/loc), union results.
-    val passes = Seq(
-      (Coref.WithinDocParams.person, Coref.AcrossDocParams.person),
-      (Coref.WithinDocParams.organization, Coref.AcrossDocParams.organization),
-      (Coref.WithinDocParams.location, Coref.AcrossDocParams.location))
-    val results = passes.map { case (w, a) => corefType(mentions, w, a) }
-    val entities = results.map(_._1).reduce(_.unionByName(_))
-    val assignment = results.map(_._2).reduce(_.unionByName(_))
+    val (entities, assignment) = corefAll(mentions)
 
     // 7: geocode locations against the gazetteer.
     val geo = Geocode.run(entities, Gazetteer.countries(spark))
@@ -97,5 +102,60 @@ object Ingester {
     GraphML.write(keptNodes, keptEdges, s"${cfg.outputDir}/social_network.graphml")
 
     Result(docs, mentions, entities, assignment, edges, docEntity, geo)
+  }
+
+  // ---- Per-step stages over parquet checkpoints: every stage of the
+  // reference runs standalone (WithinDocPerCoref.groovy:20-30,
+  // Geocoder.groovy:60-92 `--coref-only` — SURVEY.md §3.2); here each
+  // stage reads its predecessor's checkpoint under <stageDir> and writes
+  // its own, so any stage can be re-run or resumed in isolation.
+
+  /** Steps 1-2: corpus files → documents + mention_raw checkpoints. */
+  def extractStage(spark: SparkSession, inputDir: String, stageDir: String,
+      glob: String = "*.txt",
+      extractor: DocumentSource.TextExtractor = DocumentSource.Utf8Extractor,
+      tagger: DocumentSource.NerTagger = DocumentSource.CapitalizedRunTagger): Unit = {
+    val raw = DocumentSource.scanDirectory(spark, inputDir, glob)
+    val docs = DocumentSource.extractText(raw, extractor)
+      .filter(col("text").isNotNull)
+    docs.select("doc_id", "name", "path", "text")
+      .write.mode("overwrite").parquet(s"$stageDir/documents")
+    DocumentSource.extractMentions(docs, tagger)
+      .write.mode("overwrite").parquet(s"$stageDir/mention_raw")
+  }
+
+  /** Steps 4-6: mention_raw checkpoint → entity_raw + assignment. */
+  def corefStage(spark: SparkSession, stageDir: String): Unit = {
+    val mentions = spark.read.parquet(s"$stageDir/mention_raw")
+    val (entities, assignment) = corefAll(mentions)
+    entities.write.mode("overwrite").parquet(s"$stageDir/entity_raw")
+    assignment.write.mode("overwrite").parquet(s"$stageDir/assignment")
+  }
+
+  /** Step 7: entity_raw checkpoint → geolocation_raw. */
+  def geocodeStage(spark: SparkSession, stageDir: String,
+      gaz: SparkSession => DataFrame = Gazetteer.countries): Unit =
+    Geocode.run(spark.read.parquet(s"$stageDir/entity_raw"), gaz(spark))
+      .write.mode("overwrite").parquet(s"$stageDir/geolocation_raw")
+
+  /** Steps 8+10: checkpoints → relational export + GraphML artifacts. */
+  def exportStage(spark: SparkSession, stageDir: String, outDir: String,
+      cfg: Config): Unit = {
+    val docs = spark.read.parquet(s"$stageDir/documents")
+    val mentions = spark.read.parquet(s"$stageDir/mention_raw")
+    val entities = spark.read.parquet(s"$stageDir/entity_raw")
+    val assignment = spark.read.parquet(s"$stageDir/assignment")
+    val geo = spark.read.parquet(s"$stageDir/geolocation_raw")
+    val docEntity = SocialNetwork.documentEntityCounts(
+      assignment, mentions.select("mention_id", "doc_id"))
+    val edges = SocialNetwork.cooccurrenceEdges(
+      assignment, mentions.select("mention_id", "doc_id"), entities,
+      maxEntitiesPerDoc = cfg.maxEntitiesPerDoc)
+    val (keptNodes, keptEdges) = SocialNetwork.thresholded(
+      entities, edges, cfg.nodeMinDocs, cfg.edgeMinDocs)
+    RelationalExport.writeParquet(
+      RelationalExport.tables(docs, mentions, assignment, entities, geo, docEntity),
+      outDir)
+    GraphML.write(keptNodes, keptEdges, s"$outDir/social_network.graphml")
   }
 }

@@ -4,18 +4,27 @@ import org.apache.spark.sql.SparkSession
 
 /**
  * Standalone pipeline CLI (the reference's Ingester.main shape —
- * /root/reference/src/Ingester.groovy:60-97: input docs dir → output
- * artifacts dir):
+ * /root/reference/src/Ingester.groovy:60-97 — plus its per-step mains,
+ * SURVEY.md §3.2):
  *
- *   sbt "runMain graft.RunIngester <inputDir> <outputDir> [glob]"
+ *   sbt "runMain graft.RunIngester <inputDir> <outputDir> [glob]"   full run
+ *   sbt "runMain graft.RunIngester extract <inputDir> <stageDir> [glob]"
+ *   sbt "runMain graft.RunIngester coref   <stageDir>"
+ *   sbt "runMain graft.RunIngester geocode <stageDir>"
+ *   sbt "runMain graft.RunIngester export  <stageDir> <outDir>"
  *
- * Produces the relational parquet export (document/mention/entity/
- * document_entity/geolocation) plus social_network.graphml under
- * <outputDir>.
+ * The full run produces the relational parquet export (document/mention/
+ * entity/document_entity/geolocation) plus social_network.graphml under
+ * <outputDir>; the stage commands checkpoint each step as parquet under
+ * <stageDir> so any step can be re-run alone (the reference's
+ * `--coref-only` workflow).
  */
 object RunIngester {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: RunIngester <inputDir> <outputDir> [glob]")
+    require(args.length >= 2,
+      "usage: RunIngester <inputDir> <outputDir> [glob] | " +
+        "extract <in> <stage> [glob] | coref <stage> | geocode <stage> | " +
+        "export <stage> <out>")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -26,11 +35,28 @@ object RunIngester {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val glob = if (args.length > 2) args(2) else "*.txt"
-    val r = Ingester.run(spark, Ingester.Config(args(0), args(1), glob))
-    println(s"documents=${r.documents.count()} mentions=${r.mentions.count()} " +
-      s"entities=${r.entities.count()} social_edges=${r.socialEdges.count()} " +
-      s"geolocations=${r.geolocation.count()}")
+    args(0) match {
+      case "extract" =>
+        val glob = if (args.length > 3) args(3) else "*.txt"
+        Ingester.extractStage(spark, args(1), args(2), glob)
+        println(s"extract: checkpoints under ${args(2)}")
+      case "coref" =>
+        Ingester.corefStage(spark, args(1))
+        println(s"coref: entity_raw + assignment under ${args(1)}")
+      case "geocode" =>
+        Ingester.geocodeStage(spark, args(1))
+        println(s"geocode: geolocation_raw under ${args(1)}")
+      case "export" =>
+        require(args.length >= 3, "usage: RunIngester export <stageDir> <outDir>")
+        Ingester.exportStage(spark, args(1), args(2), Ingester.Config(args(1), args(2)))
+        println(s"export: artifacts under ${args(2)}")
+      case inputDir =>
+        val glob = if (args.length > 2) args(2) else "*.txt"
+        val r = Ingester.run(spark, Ingester.Config(inputDir, args(1), glob))
+        println(s"documents=${r.documents.count()} mentions=${r.mentions.count()} " +
+          s"entities=${r.entities.count()} social_edges=${r.socialEdges.count()} " +
+          s"geolocations=${r.geolocation.count()}")
+    }
     spark.stop()
   }
 }

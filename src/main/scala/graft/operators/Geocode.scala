@@ -31,6 +31,14 @@ object Geocode {
     val exact = Gazetteer.lookup(parsed, gaz, "cleaned")
     val withSuffix = Gazetteer.suffixLookup(exact, gaz, "cleaned")
 
+    // Enrichment follows the winning strategy: literal coordinates carry
+    // none (the reference only gets bbox/type/country from OSM —
+    // OSMFetcher.groovy:24-30); gazetteer hits carry their full row.
+    def enriched(gazCol: String, sfxCol: String): org.apache.spark.sql.Column =
+      when(col("ll").isNotNull, lit(null))
+        .when(col("gaz_lat").isNotNull, col(gazCol))
+        .otherwise(col(sfxCol))
+
     withSuffix
       .withColumn("latitude", coalesce(
         col("ll.lat"), col("gaz_lat"), col("sfx_lat")))
@@ -45,14 +53,14 @@ object Geocode {
         col("entity_id"),
         lit(1).as("rank"),
         col("latitude"), col("longitude"),
-        lit(null).cast("double").as("latitude_south"),
-        lit(null).cast("double").as("latitude_north"),
-        lit(null).cast("double").as("longitude_west"),
-        lit(null).cast("double").as("longitude_east"),
+        enriched("gaz_lat_s", "sfx_lat_s").cast("double").as("latitude_south"),
+        enriched("gaz_lat_n", "sfx_lat_n").cast("double").as("latitude_north"),
+        enriched("gaz_lon_w", "sfx_lon_w").cast("double").as("longitude_west"),
+        enriched("gaz_lon_e", "sfx_lon_e").cast("double").as("longitude_east"),
         col("entity_text").as("name"),
-        lit(null).cast("string").as("osm_type"),
-        lit(null).cast("string").as("nga_designation"),
-        lit(null).cast("string").as("country"),
+        enriched("gaz_osm_type", "sfx_osm_type").cast("string").as("osm_type"),
+        enriched("gaz_nga", "sfx_nga").cast("string").as("nga_designation"),
+        enriched("gaz_country", "sfx_country").cast("string").as("country"),
         col("source"))
   }
 }

@@ -107,16 +107,19 @@ object LlmQueries {
     // index; identical ln() on both engines, rounded).
     Q("q60_tfidf",
       (s, d) => {
-        val toks = T.documents(s, d)
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-          .filter(col("tok") =!= "" && length(col("tok")) >= 4)
-        val n = T.documents(s, d).count()
+        // Same tokenization as the q54 inverted index (shared helper); the
+        // corpus size is a broadcast 1-row aggregate folded into the plan —
+        // no driver-side count() scan at plan-build time.
+        val toks = TextQueries.tokens(s, d).filter(length(col("tok")) >= 4)
+        val nDocs = T.documents(s, d).agg(count(lit(1)).as("n_docs"))
         val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
         val df = toks.select(col("doc_id"), col("tok")).distinct()
           .groupBy(col("tok")).agg(count(lit(1)).as("df"))
         tf.join(df, "tok")
+          .crossJoin(broadcast(nDocs))
           .select(col("doc_id"), col("tok"),
-            round(col("tf") * log(lit(n.toDouble) / col("df")), 6).as("tfidf"))
+            round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6)
+              .as("tfidf"))
       },
       Some(s"""WITH toks AS (
                 SELECT doc_id, tok FROM (

@@ -18,8 +18,9 @@ import graft.operators.SortedNeighborhood
  */
 object TextQueries {
 
-  /** Exploded (doc_id, tok) mention table — one row per token occurrence. */
-  private def tokens(s: SparkSession, d: String): DataFrame =
+  /** Exploded (doc_id, tok) mention table — one row per token occurrence.
+    * Shared with LlmQueries (q60 TF-IDF reuses the q54 index tokenization). */
+  private[queries] def tokens(s: SparkSession, d: String): DataFrame =
     T.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .filter(col("tok") =!= "")

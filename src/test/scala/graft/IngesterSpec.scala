@@ -64,6 +64,34 @@ class IngesterSpec extends SparkSpec {
     assert(gml.contains("JOHN SMITH"))
   }
 
+  test("per-step stages over parquet checkpoints reproduce the full run") {
+    val in = writeFixtureCorpus()
+    val stage = Files.createTempDirectory("graft-stage").toString
+    val out = Files.createTempDirectory("graft-stage-out").toString
+
+    // The reference's standalone-step workflow: each stage reads its
+    // predecessor's checkpoint, so they can run in separate sessions.
+    Ingester.extractStage(spark, in, stage)
+    Ingester.corefStage(spark, stage)
+    Ingester.geocodeStage(spark, stage)
+    Ingester.exportStage(spark, stage, out, Ingester.Config(in, out))
+
+    // Stage outputs match the in-memory full run on the same corpus.
+    val full = Ingester.run(spark,
+      Ingester.Config(in, Files.createTempDirectory("graft-full-out").toString))
+    val stagedEntities = spark.read.parquet(s"$out/entity")
+    assert(stagedEntities.count() == full.entities.count())
+    val across = stagedEntities
+      .filter(col("created_by") === "across_doc_person_coref")
+      .select("text", "num_documents").as[(String, Long)].collect().toMap
+    assert(across("JOHN SMITH") == 3L && across("ALICE JONES") == 3L)
+    assert(spark.read.parquet(s"$out/document_entity").count() ==
+      full.documentEntity.count())
+    assert(spark.read.parquet(s"$out/geolocation").count() ==
+      full.geolocation.count())
+    assert(Files.exists(Paths.get(s"$out/social_network.graphml")))
+  }
+
   test("mention CSV round-trip preserves the reference schema") {
     val docs = Seq((1L, "Ana Diaz met Bob Roe.")).toDF("doc_id", "text")
     val mentions = DocumentSource.extractMentions(docs)
@@ -109,5 +137,19 @@ class IngesterSpec extends SparkSpec {
     assert(bySrc(2L)._2 == "GAZETTEER" && bySrc(2L)._3 == 8.0)
     assert(!bySrc.contains(3L))
     assert(bySrc(4L)._2 == "GAZETTEER_SUFFIX" && bySrc(4L)._4 == -102.0)
+
+    // Gazetteer hits populate the full geolocation enrichment
+    // (bbox, osm_type, country, nga_designation); literal-coordinate
+    // hits carry none (the reference only enriches via OSM).
+    val enrich = geo.select("entity_id", "latitude_south", "latitude_north",
+      "longitude_west", "longitude_east", "osm_type", "country", "nga_designation")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(enrich(1L).isNullAt(1) && enrich(1L).isNullAt(5) && enrich(1L).isNullAt(6))
+    assert(enrich(2L).getDouble(1) == 6.0 && enrich(2L).getDouble(2) == 10.0)
+    assert(enrich(2L).getDouble(3) == -68.0 && enrich(2L).getDouble(4) == -64.0)
+    assert(enrich(2L).getString(5) == "administrative")
+    assert(enrich(2L).getString(6) == "ve")
+    assert(enrich(2L).getString(7) == "PCLI")
+    assert(enrich(4L).getString(6) == "mx" && enrich(4L).getDouble(1) == 21.0)
   }
 }
