@@ -101,6 +101,59 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("rank"), col("sim"))
   }
 
+  /**
+   * IVF (inverted-file) ANN top-k — the other classic scale path next to
+   * [[lshTopK]]: partition the corpus into `nLists` Voronoi cells around
+   * k-means centroids (fixed seed → reproducible), probe the `nProbe`
+   * nearest cells per query, exact-cosine only the candidates.
+   *
+   * At 100 TB the cell assignment is computed once and the corpus written
+   * bucketed/partitioned by `cell`, so each probe is a partition-pruned
+   * read of nProbe/nLists of the data; the centroid table (nLists rows) is
+   * a broadcast. Recall < 1 by construction (a true neighbor can sit in an
+   * unprobed cell); measured against [[bruteForceTopK]] in AnnSpec.
+   */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nLists: Int = 16, nProbe: Int = 4,
+      seed: Long = 42L, maxIter: Int = 5): DataFrame = {
+    val spark = corpus.sparkSession
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val feat = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+      .withColumn("features", array_to_vector(col("n_vec")))
+    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(maxIter)
+      .setFeaturesCol("features").setPredictionCol("cell")
+      .fit(feat)
+    val cells = model.transform(feat).select(col("n_id"), col("n_vec"), col("cell"))
+
+    val centroids = spark.createDataFrame(
+      model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) })
+      .toDF("cell", "centroid")
+
+    // nProbe nearest cells per query: tiny broadcast cross join (nLists
+    // rows) + rank by squared L2 to the centroid.
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("cell"))
+    val probed = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("d2", aggregate(
+        zip_with(col("q_vec"), col("centroid"),
+          (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+        lit(0.0d), _ + _))
+      .withColumn("cr", row_number().over(wq))
+      .filter(col("cr") <= nProbe)
+      .select(col("q_id"), col("q_vec"), col("cell"))
+
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    cells.join(broadcast(probed), Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"), col("sim"))
+  }
+
   /** Embedding-cosine near-dup pairs: all pairs with cosine ≥ threshold,
     * via LSH candidate generation (id_a < id_b). Identical vectors are
     * collapsed to one representative before banding and their member pairs

@@ -35,6 +35,18 @@ object LlmQueries {
       },
       None),
 
+    // ---- IVF ANN (k-means cells + nProbe probing — the partition-pruned
+    // scale path; approximate + iterative-fit → rows-only, recall measured
+    // in AnnSpec against the brute-force baseline).
+    Q("q62_ann_ivf",
+      (s, d) => {
+        val e = T.embeddings(s, d)
+        Similarity.ivfTopK(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, nLists = 16, nProbe = 4)
+          .select(col("q_id"), col("n_id"), col("rank"))
+      },
+      None),
+
     // ---- LSH-bucketed ANN (the scale path; recall measured in AnnSpec).
     Q("q45_ann_lsh",
       (s, d) => {

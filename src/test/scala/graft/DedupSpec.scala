@@ -184,6 +184,25 @@ class AnnSpec extends SparkSpec {
     assert(recall > 0.3, s"recall $recall")
   }
 
+  test("IVF ANN: probing all cells equals brute force; partial probe keeps recall") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    // nProbe == nLists probes every Voronoi cell → candidate set is the
+    // whole corpus → exactly the brute-force answer.
+    val full = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5,
+      nLists = 8, nProbe = 8)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    assert(full == brute, "full probe must equal brute force")
+    // Partial probe: recall < 1 by construction but must stay useful even
+    // on random gaussians (cells are near-random there).
+    val partial = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5,
+      nLists = 8, nProbe = 4)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & partial).size.toDouble / brute.size
+    assert(recall > 0.3, s"recall $recall")
+  }
+
   test("cosineNearDup finds planted duplicates") {
     val base = emb.limit(50)
     val dup = base.withColumn("vec_id", col("vec_id") + 100000)
