@@ -90,6 +90,47 @@ class CorefPropertySpec extends SparkSpec {
     }
   }
 
+  test("loc pass (digit guard + fn folding together) is a valid superset of the oracle") {
+    // Location names exercise the one combination person/org miss:
+    // matchNumbersExactly AND firstnameMerge both on (WithinDocLocCoref).
+    val locGen = for {
+      base <- Gen.oneOf("ZONA", "ZONE", "BARRIO", "SECTOR", "SECTOS")
+      num <- Gen.option(Gen.choose(10, 13))
+      sfx <- Gen.option(Gen.oneOf("NORTE", "SUR"))
+    } yield base + num.fold("")(n => s" $n") + sfx.fold("")(s => s" $s")
+
+    (1L to 5L).foreach { seed =>
+      val docs = (0 until 4).map { d =>
+        Gen.listOfN(20, locGen)(Gen.Parameters.default, Seed(seed * 70 + d))
+          .getOrElse(Nil)
+      }
+      val rows = docs.zipWithIndex.flatMap { case (names, d) =>
+        names.zipWithIndex.map { case (n, i) =>
+          (d.toLong, d.toLong * 1000 + i, "LOCATION", n)
+        }
+      }
+      val result = Coref.withinDoc(
+        rows.toDF("doc_id", "mention_id", "mention_type", "text"),
+        Coref.WithinDocParams.location)
+      val assign = result.assignment.as[(Long, Long)].collect().toMap
+      assert(assign.size == rows.size)
+
+      rows.groupBy(_._1).foreach { case (doc, ms) =>
+        val ref = ReferenceCoref.withinDocPerson(ms.map(_._4),
+          matchNumbers = true, firstnameMerge = true)
+        val refKeyOf = ref.flatMap { case (k, mem) => mem.distinct.map(_ -> k) }
+        val ourKeyOf: Map[String, Long] = ms.map { m =>
+          ReferenceCoref.normalize(m._4) -> assign(m._2)
+        }.toMap
+        refKeyOf.groupBy(_._2).values.foreach { texts =>
+          val ents = texts.keys.map(ourKeyOf).toSet
+          assert(ents.size == 1,
+            s"doc $doc: reference loc cluster ${texts.keys} split into $ents (seed $seed)")
+        }
+      }
+    }
+  }
+
   test("org pass (digit guard, no fn folding) agrees with the sequential oracle") {
     val orgGen = for {
       base <- Gen.oneOf("UNIT", "SQUAD", "SQUAT", "TEAM", "TEAN", "ACME", "ACMF")
