@@ -155,16 +155,19 @@ object Coref {
         col("key1").startsWith(col("prevk")) && col("key1") =!= col("prevk") &&
         (col("next1").isNull || !col("next1").startsWith(col("prevk")) ||
           col("next1").startsWith(col("key1")))
-      val seg2 = clusters1
+      // Survivor = segment max, taken as a window over (doc, comp2): the
+      // rows are already partitioned/sorted for w2, so this adds no
+      // shuffle — vs the groupBy+join-back alternative (one extra
+      // exchange + join in the pipeline's hottest path).
+      clusters1
         .withColumn("prevk", lag(col("key1"), 1).over(w2))
         .withColumn("next1", lead(col("key1"), 1).over(w2))
         .withColumn("fold", fnWithPrev)
         .withColumn("comp2",
           sum(when(col("fold"), 0).otherwise(1))
             .over(w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      val survivors2 = seg2.groupBy(col("doc_id"), col("comp2"))
-        .agg(max(col("key1")).as("entity_text"))
-      seg2.join(survivors2, Seq("doc_id", "comp2"))
+        .withColumn("entity_text",
+          max(col("key1")).over(Window.partitionBy(col("doc_id"), col("comp2"))))
         .select(col("doc_id"), col("key1"), col("cnt1"), col("entity_text"))
     }
 

@@ -54,7 +54,7 @@ object SocialNetwork {
       .join(kept, "entity_id")
       .groupBy(col("doc_id"), col("entity_id"))
       .agg(count(lit(1)).as("m"))
-    val docEntity = if (maxEntitiesPerDoc <= 0) distinctDocEntity else {
+    val capped = if (maxEntitiesPerDoc <= 0) distinctDocEntity else {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id"))
         .orderBy(col("m").desc, col("entity_id"))
@@ -62,6 +62,12 @@ object SocialNetwork {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= maxEntitiesPerDoc)
     }
+    // Persisted: both sides of the pair self-join read it, and the two
+    // branches' exchanges don't canonicalize equal (different
+    // projections), so without this the whole mention⋈assignment⋈filter
+    // aggregation chain runs twice.
+    val docEntity = capped
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // R19/R20: unordered pairs per doc; multiplicity by construction = 1.
     val a = docEntity.select(col("doc_id"), col("entity_id").as("src_entity_id"))
     val b = docEntity.select(col("doc_id"), col("entity_id").as("dst_entity_id"))
