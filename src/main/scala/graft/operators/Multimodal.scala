@@ -25,6 +25,8 @@ object Multimodal {
       height: Int, duration_ms: Long, n_frames: Int)
   case class MediaFeature(asset_id: Long, feature: Array[Float])
   case class FrameSample(asset_id: Long, frame_idx: Int, frame: Array[Byte])
+  case class ResizedAsset(asset_id: Long, media_type: String, width: Int,
+      height: Int, content: Array[Byte])
 
   /**
    * The codec seam. Replace `decode` with a real Tika/ImageIO/ffmpeg call
@@ -35,6 +37,7 @@ object Multimodal {
     def decode(a: MediaAsset): DecodedMeta
     def embed(a: MediaAsset, dim: Int): Array[Float]
     def sampleFrames(a: MediaAsset, every: Int): Iterator[FrameSample]
+    def resize(a: MediaAsset, width: Int, height: Int): Array[Byte]
   }
 
   /** Deterministic stand-in codec (STUB — see class doc). */
@@ -59,6 +62,14 @@ object Multimodal {
       val meta = decode(a)
       (0 until meta.n_frames by every).iterator.map(i =>
         FrameSample(a.asset_id, i, a.content.take(16)))
+    }
+    // Deterministic stand-in: real codecs re-encode; the fake emits a
+    // width*height/64-byte payload seeded from content + target dims so
+    // output size tracks the target resolution.
+    def resize(a: MediaAsset, width: Int, height: Int): Array[Byte] = {
+      val n = math.max(1, width * height / 64)
+      val seed = h(a.content, width.toLong << 32 | height.toLong)
+      Array.tabulate(n)(i => ((seed >> (i % 8 * 8)) & 0xFF).toByte)
     }
   }
 
@@ -92,6 +103,19 @@ object Multimodal {
     assets.mapPartitions { it =>
       val c = codec
       it.flatMap(a => c.sampleFrames(a, every))
+    }
+  }
+
+  /** Resize every asset to a target resolution (batched per partition —
+    * the real transform is the expensive re-encode; the plumbing here is
+    * the production shape: opaque bytes in, opaque bytes + typed dims out). */
+  def resizeAssets(assets: Dataset[MediaAsset], width: Int, height: Int,
+      codec: MediaCodec = HashCodec)(implicit s: SparkSession): Dataset[ResizedAsset] = {
+    import s.implicits._
+    assets.mapPartitions { it =>
+      val c = codec
+      it.map(a => ResizedAsset(a.asset_id, a.media_type, width, height,
+        c.resize(a, width, height)))
     }
   }
 

@@ -146,6 +146,13 @@ class DedupSpec extends SparkSpec {
     assert(feats(1L).size == 8)
     val frames = Multimodal.sampleFrames(assets, every = 100).collect()
     assert(frames.nonEmpty)
+    val resized = Multimodal.resizeAssets(assets, 128, 128).collect()
+      .map(r => r.asset_id -> r).toMap
+    assert(resized.size == 5)
+    assert(resized(1L).width == 128 && resized(1L).height == 128)
+    assert(resized(1L).content.toSeq == resized(4L).content.toSeq,
+      "same bytes + same target dims → same resized payload")
+    assert(resized(1L).content.length == 128 * 128 / 64)
   }
 }
 
