@@ -76,10 +76,18 @@ object TextQueries {
               FROM ($TokensSql) WHERE tok <> '' GROUP BY doc_id, tok""")),
 
     // ---- Co-occurrence social network — R18 (distinct entities per doc) +
-    // R19 (unordered pairs) + R14 (num_docs >= 2 threshold).
+    // R19 (unordered pairs) + R14 (num_docs >= 2 threshold). Same O(p²)
+    // pair-generation guard as the flagship network (q41): each doc keeps
+    // its first 1000 distinct tokens (deterministic order, expressed
+    // identically in the oracle) so one pathological doc can't emit
+    // quadratically many join rows.
     Q("q30_cooccurrence",
       (s, d) => {
+        val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("tok"))
         val ents = tokens(s, d).filter(length(col("tok")) >= 5).distinct()
+          .withColumn("rn", row_number().over(wDoc))
+          .filter(col("rn") <= 1000)
+          .drop("rn")
         val a = ents.select(col("doc_id"), col("tok").as("t1"))
         val b = ents.select(col("doc_id"), col("tok").as("t2"))
         a.join(b, Seq("doc_id")).filter(col("t1") < col("t2"))
@@ -88,8 +96,10 @@ object TextQueries {
           .filter(col("num_docs") >= 2)
       },
       Some(s"""WITH ents AS (
-                SELECT DISTINCT doc_id, tok FROM ($TokensSql)
-                WHERE tok <> '' AND length(tok) >= 5)
+                SELECT doc_id, tok FROM (
+                  SELECT DISTINCT doc_id, tok FROM ($TokensSql)
+                  WHERE tok <> '' AND length(tok) >= 5)
+                QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY tok) <= 1000)
               SELECT a.tok AS t1, b.tok AS t2, count(*) AS num_docs
               FROM ents a JOIN ents b ON a.doc_id = b.doc_id AND a.tok < b.tok
               GROUP BY a.tok, b.tok HAVING count(*) >= 2""")),
