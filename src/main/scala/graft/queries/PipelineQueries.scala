@@ -25,29 +25,21 @@ import graft.operators.{Coref, SocialNetwork}
  */
 object PipelineQueries {
 
-  /** Synthesize a PERSON mention table from document token bigrams.
-    * Higher-order array ops — one codegen'd map stage, no per-doc window
-    * sort; `pos` stays the ORIGINAL split index of the bigram's first
-    * token, so mention ids are unchanged from the lead-based formulation. */
+  /** Synthesize a PERSON mention table from document token bigrams. */
   def syntheticMentions(s: SparkSession, d: String): DataFrame = {
-    val arr0 = split(col("text"), " ")
-    // 0-based original indices of the non-empty tokens, in order.
-    val idxs = filter(sequence(lit(0), size(arr0) - 1),
-      i => element_at(arr0, i + 1) =!= "")
-    val pairs = when(size(idxs) >= 2, sequence(lit(0), size(idxs) - 2))
-      .otherwise(array().cast("array<int>"))
-    val bigrams = transform(pairs, k => struct(
-      element_at(idxs, k + 1).as("pos"),
-      concat_ws(" ",
-        element_at(arr0, element_at(idxs, k + 1) + 1),
-        element_at(arr0, element_at(idxs, k + 2) + 1)).as("bg")))
-    T.documents(s, d)
-      .select(col("doc_id"), explode(bigrams).as("m"))
+    val toks = T.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .filter(col("tok") =!= "")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    toks
+      .withColumn("next", lead(col("tok"), 1).over(w))
+      .filter(col("next").isNotNull)
       .select(
         col("doc_id"),
-        xxhash64(col("doc_id"), col("m.pos")).as("mention_id"),
+        xxhash64(col("doc_id"), col("pos")).as("mention_id"),
         lit("PERSON").as("mention_type"),
-        col("m.bg").as("text"))
+        concat_ws(" ", col("tok"), col("next")).as("text"))
   }
 
   // q40/q41/q42 share this pipeline; memoized per (session, dir) with
