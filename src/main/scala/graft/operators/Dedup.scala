@@ -53,19 +53,19 @@ object Dedup {
       .withColumn("is_dup", (col(idCol) =!= col("canonical_id")).cast("int"))
   }
 
-  /** Word n-gram shingles hashed to longs: (id, shingle_hash), distinct.
-    * Built with higher-order array functions — one codegen'd map stage, no
-    * per-doc window sort (the earlier lead-over-window formulation paid a
-    * hash exchange + sort on every call). */
+  /** Word n-gram shingles hashed to longs: (id, shingle_hash), distinct. */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
-    val arr = filter(split(col(textCol), "\\s+"), t => t =!= "")
-    // sequence(a, b) counts DOWN when b < a — guard short docs to empty.
-    val starts = when(size(arr) >= n, sequence(lit(0), size(arr) - n))
-      .otherwise(array().cast("array<int>"))
-    val grams = transform(starts, i =>
-      concat_ws(" ", (0 until n).map(j => element_at(arr, i + j + 1)): _*))
-    df.select(col(idCol).as("id"), explode(grams).as("gram"))
-      .select(col("id"), xxhash64(col("gram")).as("shingle"))
+    val toks = df.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), "\\s+")).as(Seq("pos", "tok")))
+      .filter(col("tok") =!= "")
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val withNext = (1 until n).foldLeft(toks) { (acc, i) =>
+      acc.withColumn(s"t$i", lead(col("tok"), i).over(w))
+    }
+    val parts = col("tok") +: (1 until n).map(i => col(s"t$i"))
+    withNext
+      .filter(parts.last.isNotNull)
+      .select(col("id"), xxhash64(concat_ws(" ", parts: _*)).as("shingle"))
       .distinct()
   }
 

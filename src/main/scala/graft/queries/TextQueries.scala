@@ -165,16 +165,15 @@ object TextQueries {
     Q("q35_jaccard_pairs",
       (s, d) => {
         val maxDf = 500
-        // Shingles via higher-order array ops: one codegen'd map stage, no
-        // per-doc window sort (same shingle set as the oracle's lead-based
-        // formulation — consecutive non-empty tokens).
-        val arr = filter(split(col("text"), " "), t => t =!= "")
-        val starts = when(size(arr) >= 3, sequence(lit(0), size(arr) - 3))
-          .otherwise(array().cast("array<int>"))
-        val grams = transform(starts, i => concat_ws(" ",
-          element_at(arr, i + 1), element_at(arr, i + 2), element_at(arr, i + 3)))
-        val shAll = T.documents(s, d)
-          .select(col("doc_id"), explode(grams).as("shingle"))
+        val toks = T.documents(s, d).select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+          .filter(col("tok") =!= "")
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val shAll = toks
+          .withColumn("t2", lead(col("tok"), 1).over(w))
+          .withColumn("t3", lead(col("tok"), 2).over(w))
+          .filter(col("t3").isNotNull)
+          .select(col("doc_id"), concat_ws(" ", col("tok"), col("t2"), col("t3")).as("shingle"))
           .distinct()
         val keepable = shAll.groupBy(col("shingle"))
           .agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
