@@ -84,9 +84,11 @@ object Coref {
 
 
   /** Fuzzy-merge predicate: Levenshtein ≤ 1 (`score > -1.1`,
-    * WithinDocPerCoref.groovy:36-37) + optional digit-run guard. */
+    * WithinDocPerCoref.groovy:36-37) + optional digit-run guard. The
+    * bounded 3-arg levenshtein early-exits past the threshold (O(n·k)
+    * band instead of the full DP; returns -1 when distance > 1). */
   private def closeMatch(a: Column, b: Column, matchNumbers: Boolean): Column = {
-    val base = levenshtein(a, b) <= 1
+    val base = levenshtein(a, b, 1) >= 0
     if (matchNumbers) base && (digit_runs(a) === digit_runs(b)) else base
   }
 

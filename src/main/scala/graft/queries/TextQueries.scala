@@ -396,14 +396,17 @@ object TextQueries {
     Q("q39_levenshtein_pairs",
       (s, d) => {
         val p = T.part(s, d).select(col("p_partkey"), col("p_brand"), col("p_name"))
+        // Bounded levenshtein: early-exits past 2 (-1 when exceeded), and
+        // equals the true distance when it passes — reused as the output.
+        val dist = levenshtein(col("prev.p_name"), col("curr.p_name"), 2)
         SortedNeighborhood.adjacentRowPairs(p, Seq("p_brand", "p_name", "p_partkey"))
           .filter(col("prev.p_brand") === col("curr.p_brand") &&
-            levenshtein(col("prev.p_name"), col("curr.p_name")) <= 2 &&
+            dist >= 0 &&
             digit_runs(col("prev.p_name")) === digit_runs(col("curr.p_name")))
           .select(col("curr.p_brand").as("p_brand"),
             col("prev.p_partkey").as("k1"), col("curr.p_partkey").as("k2"),
             col("prev.p_name").as("n1"), col("curr.p_name").as("n2"),
-            levenshtein(col("prev.p_name"), col("curr.p_name")).as("dist"))
+            dist.as("dist"))
       },
       Some("""WITH s AS (
                SELECT p_brand, p_partkey, p_name,
