@@ -102,6 +102,11 @@ class FunctionsSpec extends SparkSpec {
       "julio 4 del 1998" -> Some("1998/07/04"),
       "28 de febrero del año 1987" -> Some("1987/02/28"),
       "31 de abril de 2013" -> None,           // 2013 outside 1900–2012
+      // Pattern-2 leftmost-match across the slash/dash expansion: the
+      // reference's single \2-backreference regex picks the EARLIER
+      // dash-form date, not the slash variant tried "first".
+      "4-ene-99 y luego 7/mar/01" -> Some("1999/01/04"),
+      "7/mar/01 y luego 4-ene-99" -> Some("2001/03/07"),
       "sin fecha" -> None)
     val got = cases.map(_._1).toDF("s")
       .select(SpanishDate.spanish_date_normalize(col("s")))
