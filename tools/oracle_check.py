@@ -113,8 +113,11 @@ for name in sorted(rows_only):
         if not rows:
             fails.append((name, "rows-only output is EMPTY"))
         else:
-            for v in rows[0]:
-                canon(v)
+            # Scan a prefix, not just row 0 — a nullable array column can
+            # have None in the first row.
+            for row in rows[:100]:
+                for v in row:
+                    canon(v)
     except ArrayCell as e:
         fails.append((name, str(e)))
     except Exception as e:
