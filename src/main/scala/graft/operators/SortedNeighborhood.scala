@@ -31,9 +31,14 @@ object SortedNeighborhood {
     val n = if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
 
+    // Persisted BEFORE the two traversals: the within-pairs pass and the
+    // bounds pass must observe the SAME partition boundaries — re-executing
+    // the range-partition lineage twice can sample different ranges and
+    // emit duplicate or missing boundary pairs (caught at sf0.1).
     val sorted = keys.select(col(keyCol).cast("string").as("k"))
       .repartitionByRange(n, col("k"))
       .sortWithinPartitions("k")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .as[String]
 
     // Adjacent pairs inside each partition (narrow, no extra shuffle).
@@ -85,9 +90,11 @@ object SortedNeighborhood {
       else spark.sessionState.conf.numShufflePartitions
 
     val rowSchema = df.schema
+    // Persisted for the same two-traversal consistency reason as above.
     val sorted = df
       .repartitionByRange(n, sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val pairSchema = StructType(Seq(
       StructField("prev", rowSchema), StructField("curr", rowSchema)))
