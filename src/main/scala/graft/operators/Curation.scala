@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus-curation operators for training-data preparation, extending the
+ * reference's document surface (SURVEY.md §2) with the standard LLM
+ * pipeline steps: context-window chunking, shard-local sequence packing,
+ * and the Gopher-style duplicate-n-gram repetition signal.
+ */
+object Curation {
+
+  /**
+   * Split each document into fixed-size character chunks with 1-based
+   * offsets (context-window segmentation). Empty documents produce no
+   * chunks. Pure per-row explode — narrow, no shuffle, trivially
+   * parallel at any scale.
+   */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+      size: Int = 500): DataFrame = {
+    require(size > 0, "chunk size must be positive")
+    val nChunks = ceil(length(col(textCol)).cast("double") / size).cast("int")
+    df.filter(length(col(textCol)) > 0)
+      .select(col(idCol).as("id"), col(textCol).as("text"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_idx"))
+      .select(col("id"), col("chunk_idx"),
+        (col("chunk_idx") * size + 1).as("chunk_start"),
+        col("text").substr(col("chunk_idx") * size + 1, lit(size)).as("chunk"))
+      .withColumn("n_chunk_chars", length(col("chunk")))
+  }
+
+  /**
+   * Shard-local greedy sequence packing: deterministic shard = id mod
+   * `nShards`; within a shard, docs are packed in id order into fixed
+   * token-budget bins (pack = running-token-total-before div budget, so a
+   * doc straddling a boundary belongs to the pack where it starts). The
+   * cross-shard independence is the scale story: each shard's running sum
+   * is one window partition, and nShards grows with the cluster — no
+   * global sort, no single-partition window.
+   */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      budget: Int = 2048, nShards: Int = 8): DataFrame = {
+    require(budget > 0 && nShards > 0, "budget and nShards must be positive")
+    val base = df.select(col(idCol).as("id"),
+      pmod(col(idCol), lit(nShards)).cast("int").as("shard"),
+      size(split(trim(col(textCol)), "\\s+")).as("n_tokens"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.withColumn("cum_before",
+        sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("id"), col("shard"), col("n_tokens"),
+        expr(s"cum_before div $budget").as("pack_id"),
+        expr(s"cum_before % $budget").as("pack_offset"))
+  }
+
+  /**
+   * Gopher-style repetition signal: per document, the fraction of n-gram
+   * occurrences whose n-gram appears more than once within the doc (n = 2
+   * and 3 over whitespace tokens). High values flag boilerplate/looping
+   * text. One shuffle on id total: the per-doc lead window and both
+   * downstream aggregations all reuse HashPartitioning(id) (grouping by
+   * (id, …) is clustered-satisfied by the window's partitioning).
+   */
+  def ngramRepetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), "\\s+")).as(Seq("i", "tok")))
+      .filter(col("tok") =!= "")
+    val w = Window.partitionBy(col("id")).orderBy(col("i"))
+    val seq = toks
+      .withColumn("t1", lead(col("tok"), 1).over(w))
+      .withColumn("t2", lead(col("tok"), 2).over(w))
+    // Both n-gram sizes in ONE pass: unpivot to (id, n, ngram) rows so a
+    // single aggregation chain serves bigrams and trigrams (no second
+    // traversal of the window lineage).
+    val ngrams = seq.select(col("id"), explode(array(
+        when(col("t1").isNotNull,
+          struct(lit(2).as("n"), concat_ws(" ", col("tok"), col("t1")).as("ng"))),
+        when(col("t2").isNotNull,
+          struct(lit(3).as("n"),
+            concat_ws(" ", col("tok"), col("t1"), col("t2")).as("ng")))))
+        .as("g"))
+      .filter(col("g").isNotNull)
+      .select(col("id"), col("g.n").as("n"), col("g.ng").as("ng"))
+    // Every (id, n) group has >= 1 occurrence, so the denominator is
+    // never zero.
+    val per = ngrams.groupBy(col("id"), col("n"), col("ng"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("id"), col("n"))
+      .agg(round(sum(when(col("c") > 1, col("c")).otherwise(0)).cast("double") /
+        sum(col("c")), 6).as("frac"))
+    val wide = per.groupBy(col("id")).agg(
+      max(when(col("n") === 2, col("frac"))).as("dup_bigram_frac"),
+      max(when(col("n") === 3, col("frac"))).as("dup_trigram_frac"))
+    // Docs too short for an n-gram (or empty) define the signal as 0.
+    df.select(col(idCol).as("id"))
+      .join(wide, Seq("id"), "left")
+      .na.fill(0.0, Seq("dup_bigram_frac", "dup_trigram_frac"))
+  }
+}

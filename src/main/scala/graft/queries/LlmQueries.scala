@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables => T}
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /**
  * LLM-training-data pipeline surface: dedup family, similarity search,
@@ -234,6 +234,81 @@ object LlmQueries {
                  / greatest(length(d.text), 1), 6) AS punct_ratio,
                round(CAST(length(regexp_replace(d.text, '[^0-9]+', '', 'g')) AS DOUBLE)
                  / greatest(length(d.text), 1), 6) AS digit_ratio
-             FROM agg a JOIN documents d ON a.doc_id = d.doc_id"""))
+             FROM agg a JOIN documents d ON a.doc_id = d.doc_id""")),
+
+    // ---- Gopher-style repetition signal: fraction of duplicate bigram /
+    // trigram occurrences per doc (the standard boilerplate filter).
+    Q("q63_ngram_repetition",
+      (s, d) => Curation.ngramRepetition(T.documents(s, d), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id"),
+      Some("""WITH toks AS (
+               SELECT doc_id, i, tok FROM (
+                 SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS i
+                 FROM (SELECT doc_id, string_split_regex(text, '\s+') AS l
+                       FROM documents))
+               WHERE tok <> ''),
+             seq AS (
+               SELECT doc_id, tok,
+                 lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY i) AS t1,
+                 lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY i) AS t2
+               FROM toks),
+             ngrams AS (
+               SELECT doc_id, 2 AS n, tok || ' ' || t1 AS ng
+               FROM seq WHERE t1 IS NOT NULL
+               UNION ALL
+               SELECT doc_id, 3 AS n, tok || ' ' || t1 || ' ' || t2 AS ng
+               FROM seq WHERE t2 IS NOT NULL),
+             counts AS (
+               SELECT doc_id, n, ng, count(*) AS c FROM ngrams GROUP BY 1, 2, 3),
+             per AS (
+               SELECT doc_id, n,
+                 round(CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+                   / sum(c), 6) AS frac
+               FROM counts GROUP BY 1, 2),
+             wide AS (
+               SELECT doc_id,
+                 max(CASE WHEN n = 2 THEN frac END) AS b,
+                 max(CASE WHEN n = 3 THEN frac END) AS t
+               FROM per GROUP BY 1)
+             SELECT d.doc_id, coalesce(w.b, 0.0) AS dup_bigram_frac,
+               coalesce(w.t, 0.0) AS dup_trigram_frac
+             FROM documents d LEFT JOIN wide w ON d.doc_id = w.doc_id""")),
+
+    // ---- Context-window chunking: fixed-size character chunks with
+    // 1-based offsets (narrow explode, no shuffle).
+    Q("q64_doc_chunks",
+      (s, d) => Curation.chunk(T.documents(s, d), "doc_id", "text", size = 500)
+        .withColumnRenamed("id", "doc_id"),
+      Some("""WITH c AS (
+               SELECT doc_id, text,
+                 unnest(range(CAST(ceil(length(text) / (500 * 1.0)) AS INT)))
+                   AS chunk_idx
+               FROM documents WHERE length(text) > 0)
+             SELECT doc_id, chunk_idx,
+               chunk_idx * 500 + 1 AS chunk_start,
+               substr(text, CAST(chunk_idx * 500 + 1 AS INT), 500) AS chunk,
+               length(substr(text, CAST(chunk_idx * 500 + 1 AS INT), 500))
+                 AS n_chunk_chars
+             FROM c""")),
+
+    // ---- Shard-local sequence packing into fixed token budgets (packing
+    // for pretraining batches; per-shard running sums, no global sort).
+    Q("q65_seq_packing",
+      (s, d) => Curation.packSequences(T.documents(s, d), "doc_id", "text",
+        budget = 2048, nShards = 8)
+        .withColumnRenamed("id", "doc_id"),
+      Some("""WITH base AS (
+               SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+                 len(string_split_regex(trim(text), '\s+')) AS n_tokens
+               FROM documents),
+             c AS (
+               SELECT doc_id, shard, n_tokens,
+                 sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_before
+               FROM base)
+             SELECT doc_id, shard, n_tokens,
+               CAST(cum_before // 2048 AS BIGINT) AS pack_id,
+               CAST(cum_before % 2048 AS BIGINT) AS pack_offset
+             FROM c"""))
   )
 }

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Curation
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chunk: chunks reassemble to the original text, offsets and sizes hold") {
+    val docs = Seq(
+      (1L, "a" * 1234),
+      (2L, "short"),
+      (3L, ""), // empty -> no chunks
+      (4L, "x" * 500)) // exact boundary -> one chunk
+      .toDF("doc_id", "text")
+    val out = Curation.chunk(docs, "doc_id", "text", size = 500)
+      .select("id", "chunk_idx", "chunk_start", "chunk", "n_chunk_chars")
+      .as[(Long, Int, Int, String, Int)].collect()
+
+    assert(!out.exists(_._1 == 3L), "empty doc emits no chunks")
+    assert(out.count(_._1 == 4L) == 1, "exact multiple of size -> exactly one chunk")
+    assert(out.forall(c => c._5 == c._4.length && c._5 <= 500))
+    assert(out.forall(c => c._3 == c._2 * 500 + 1), "1-based offsets")
+    val rebuilt = out.filter(_._1 == 1L).sortBy(_._2).map(_._4).mkString
+    assert(rebuilt == "a" * 1234, "concatenated chunks == original text")
+  }
+
+  test("packSequences: per-shard monotone packs, offsets within budget") {
+    val docs = (0L until 100L).map(i => (i, ("tok " * (i.toInt % 37 + 1)).trim))
+      .toDF("doc_id", "text")
+    val out = Curation.packSequences(docs, "doc_id", "text",
+      budget = 64, nShards = 4)
+      .select("id", "shard", "n_tokens", "pack_id", "pack_offset")
+      .as[(Long, Int, Int, Long, Long)].collect()
+
+    assert(out.length == 100)
+    assert(out.forall(r => r._2 == (r._1 % 4).toInt), "shard = id mod nShards")
+    assert(out.forall(r => r._5 >= 0 && r._5 < 64), "offset inside the budget")
+    // Within a shard, packing follows id order: replay the running sum
+    // sequentially and compare bin assignment.
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(_._1).foreach { r =>
+        assert(r._4 == cum / 64, s"doc ${r._1}: pack ${r._4} != ${cum / 64}")
+        assert(r._5 == cum % 64)
+        cum += r._3
+      }
+    }
+  }
+
+  test("ngramRepetition: fixture fractions match hand computation") {
+    val docs = Seq(
+      (1L, "a b a b a b"),     // bigrams: ab x3, ba x2 -> all dup (5/5);
+                               // trigrams: aba x2, bab x2 -> 4/4
+      (2L, "one two three four"), // all n-grams distinct -> 0.0
+      (3L, "w"),                // too short for any n-gram -> 0.0
+      (4L, ""),                 // empty -> 0.0
+      (5L, "x y x y z"))        // bigrams: xy x2, yx, yz -> 2/4; trigrams:
+                                // xyx, yxy, xyz -> 0/3
+      .toDF("doc_id", "text")
+    val out = Curation.ngramRepetition(docs, "doc_id", "text")
+      .select("id", "dup_bigram_frac", "dup_trigram_frac")
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+
+    assert(out.size == 5, "one row per input doc, short/empty included")
+    assert(out(1L) == ((1.0, 1.0)))
+    assert(out(2L) == ((0.0, 0.0)))
+    assert(out(3L) == ((0.0, 0.0)))
+    assert(out(4L) == ((0.0, 0.0)))
+    assert(out(5L) == ((0.5, 0.0)))
+  }
+}
