@@ -53,8 +53,9 @@ object Dedup {
       .withColumn("is_dup", (col(idCol) =!= col("canonical_id")).cast("int"))
   }
 
-  /** Word n-gram shingles hashed to longs: (id, shingle_hash), distinct. */
-  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+  /** Raw word n-gram shingle strings: (id, shingle), distinct. */
+  def shingleStrings(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
       posexplode(split(col(textCol), "\\s+")).as(Seq("pos", "tok")))
       .filter(col("tok") =!= "")
@@ -65,9 +66,14 @@ object Dedup {
     val parts = col("tok") +: (1 until n).map(i => col(s"t$i"))
     withNext
       .filter(parts.last.isNotNull)
-      .select(col("id"), xxhash64(concat_ws(" ", parts: _*)).as("shingle"))
+      .select(col("id"), concat_ws(" ", parts: _*).as("shingle"))
       .distinct()
   }
+
+  /** Word n-gram shingles hashed to longs: (id, shingle_hash), distinct. */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    shingleStrings(df, idCol, textCol, n)
+      .select(col("id"), xxhash64(col("shingle")).as("shingle"))
 
   /**
    * MinHash signatures: k seeded-hash "permutations", min per doc.

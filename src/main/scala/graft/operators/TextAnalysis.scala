@@ -77,11 +77,15 @@ object TextAnalysis {
   /**
    * Winnowing-style fingerprint: rolling w-gram shingle hashes, keep the
    * k smallest per document (order-stable). Two docs sharing content share
-   * fingerprint elements → joinable for containment detection.
+   * fingerprint elements → joinable for containment detection. Hashes are
+   * md5 hex strings (not xxhash64): identical on every engine, so the
+   * operator is oracle-checkable end to end; min-k over the hex strings is
+   * the same uniform sampling as min-k over 64-bit ints.
    */
   def fingerprints(df: DataFrame, idCol: String, textCol: String,
       w: Int = 4, k: Int = 8): DataFrame = {
-    val sh = Dedup.shingles(df, idCol, textCol, w)
+    val sh = Dedup.shingleStrings(df, idCol, textCol, w)
+      .select(col("id"), md5(col("shingle")).as("shingle"))
     val win = Window.partitionBy(col("id")).orderBy(col("shingle"))
     sh.withColumn("rn", row_number().over(win))
       .filter(col("rn") <= k)

@@ -174,14 +174,37 @@ object LlmQueries {
                (3, 'plain text with no pii at all'),
                (4, 'mixed: a@b.co http://x.io 555-111-2222')) AS t(id, text)""")),
 
-    // ---- Winnowing-style min-k fingerprints (xxhash64 → rows-only).
+    // ---- Winnowing-style min-k fingerprints (md5 shingle hashes — the
+    // same function exists in DuckDB, so the full operator is
+    // oracle-checked).
     Q("q49_fingerprints",
       (s, d) => TextAnalysis.fingerprints(T.documents(s, d), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")
         // String-joined for the driver harness (pandas can't sort array cells).
-        .withColumn("fingerprint",
-          array_join(transform(col("fingerprint"), x => x.cast("string")), ",")),
-      None),
+        .withColumn("fingerprint", array_join(col("fingerprint"), ",")),
+      Some("""WITH toks AS (
+               SELECT doc_id, i, tok FROM (
+                 SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS i
+                 FROM (SELECT doc_id, string_split_regex(text, '\s+') AS l
+                       FROM documents))
+               WHERE tok <> ''),
+             seq AS (
+               SELECT doc_id, tok,
+                 lead(tok, 1) OVER w AS t1,
+                 lead(tok, 2) OVER w AS t2,
+                 lead(tok, 3) OVER w AS t3
+               FROM toks
+               WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+             sh AS (
+               SELECT DISTINCT doc_id,
+                 md5(tok || ' ' || t1 || ' ' || t2 || ' ' || t3) AS shingle
+               FROM seq WHERE t3 IS NOT NULL),
+             ranked AS (
+               SELECT doc_id, shingle,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY shingle) AS rn
+               FROM sh)
+             SELECT doc_id, string_agg(shingle, ',' ORDER BY shingle) AS fingerprint
+             FROM ranked WHERE rn <= 8 GROUP BY doc_id""")),
 
     // ---- Multimodal plumbing: binary assets → decoded meta + features
     // (deterministic stub codec; Spark-side schema/partitioning is real).

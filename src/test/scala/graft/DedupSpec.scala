@@ -114,7 +114,7 @@ class DedupSpec extends SparkSpec {
 
   test("fingerprints: identical docs get identical fingerprints") {
     val fp = TextAnalysis.fingerprints(docs, "doc_id", "text")
-      .as[(Long, Seq[Long])].collect().toMap
+      .as[(Long, Seq[String])].collect().toMap
     assert(fp(1L) == fp(4L))
     assert(fp(1L) != fp(3L))
     assert(fp(1L).size <= 8)
