@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Coref, Geocode, SocialNetwork}
-import graft.sinks.{GraphML, RelationalExport}
+import graft.sinks.{GraphML, RelationalExport, SearchIndex}
 import graft.sources.{DocumentSource, Gazetteer}
 
 /**
@@ -100,6 +100,9 @@ object Ingester {
         mentions, assignment, entities, geo, docEntity),
       cfg.outputDir)
     GraphML.write(keptNodes, keptEdges, s"${cfg.outputDir}/social_network.graphml")
+    // 9: the search-index artifact (the reference's Lucene build step).
+    SearchIndex.write(SearchIndex.build(docs, "doc_id", "text"),
+      s"${cfg.outputDir}/search_index")
 
     Result(docs, mentions, entities, assignment, edges, docEntity, geo)
   }
@@ -131,6 +134,13 @@ object Ingester {
     entities.write.mode("overwrite").parquet(s"$stageDir/entity_raw")
     assignment.write.mode("overwrite").parquet(s"$stageDir/assignment")
   }
+
+  /** Step 9 standalone: documents checkpoint → search_index artifact. */
+  def indexStage(spark: SparkSession, stageDir: String): Unit =
+    SearchIndex.write(
+      SearchIndex.build(spark.read.parquet(s"$stageDir/documents"),
+        "doc_id", "text"),
+      s"$stageDir/search_index")
 
   /** Step 7: entity_raw checkpoint → geolocation_raw. */
   def geocodeStage(spark: SparkSession, stageDir: String,

@@ -11,6 +11,7 @@ import org.apache.spark.sql.SparkSession
  *   sbt "runMain graft.RunIngester extract <inputDir> <stageDir> [glob]"
  *   sbt "runMain graft.RunIngester coref   <stageDir>"
  *   sbt "runMain graft.RunIngester geocode <stageDir>"
+ *   sbt "runMain graft.RunIngester index   <stageDir>"
  *   sbt "runMain graft.RunIngester export  <stageDir> <outDir>"
  *
  * The full run produces the relational parquet export (document/mention/
@@ -24,7 +25,7 @@ object RunIngester {
     require(args.length >= 2,
       "usage: RunIngester <inputDir> <outputDir> [glob] | " +
         "extract <in> <stage> [glob] | coref <stage> | geocode <stage> | " +
-        "export <stage> <out>")
+        "index <stage> | export <stage> <out>")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -46,6 +47,9 @@ object RunIngester {
       case "geocode" =>
         Ingester.geocodeStage(spark, args(1))
         println(s"geocode: geolocation_raw under ${args(1)}")
+      case "index" =>
+        Ingester.indexStage(spark, args(1))
+        println(s"index: search_index under ${args(1)}")
       case "export" =>
         require(args.length >= 3, "usage: RunIngester export <stageDir> <outDir>")
         Ingester.exportStage(spark, args(1), args(2), Ingester.Config(args(1), args(2)))

@@ -92,6 +92,37 @@ class IngesterSpec extends SparkSpec {
     assert(Files.exists(Paths.get(s"$out/social_network.graphml")))
   }
 
+  test("search-index artifact: bucket-pruned lookup serves conjunctive search") {
+    import graft.sinks.SearchIndex
+    val docs = Seq(
+      (1L, "spark shuffles data between query stages"),
+      (2L, "query planning in spark uses catalyst rules"),
+      (3L, "duckdb runs the oracle query for every test"),
+      (4L, "spark query spark query spark")) // repeated terms -> tf counts
+      .toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-index").toString + "/search_index"
+    SearchIndex.write(SearchIndex.build(docs, "doc_id", "text"), dir)
+
+    // Conjunctive AND search from the artifact == direct computation.
+    val hits = SearchIndex.searchConjunctive(spark, dir, Seq("spark", "query"))
+      .as[(Long, Long)].collect().toMap
+    assert(hits.keySet == Set(1L, 2L, 4L), "docs containing ALL terms")
+    assert(hits(4L) == 5L, "score = total tf of the query terms (3+2)")
+    assert(hits(1L) == 2L && hits(2L) == 2L)
+
+    // The scan must prune to the queried terms' bucket partitions before
+    // reading rows — that's the artifact's 100 TB story.
+    val plan = SearchIndex.lookup(spark, dir, Seq("spark", "query"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("bucket"),
+      s"expected bucket partition pruning in:\n$plan")
+
+    // df/postings agree with first principles.
+    val sparkRow = SearchIndex.lookup(spark, dir, Seq("spark"))
+      .select(col("df"), col("tf_total")).as[(Long, Long)].collect().head
+    assert(sparkRow == ((3L, 5L)), "spark: df=3 docs, tf_total=5 occurrences")
+  }
+
   test("mention CSV round-trip preserves the reference schema") {
     val docs = Seq((1L, "Ana Diaz met Bob Roe.")).toDF("doc_id", "text")
     val mentions = DocumentSource.extractMentions(docs)
