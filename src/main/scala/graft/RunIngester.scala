@@ -29,6 +29,7 @@ object RunIngester {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .withExtensions(new graft.plans.GraftExtensions)
       .appName("graft-ingester")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
