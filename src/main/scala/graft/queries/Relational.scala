@@ -508,6 +508,59 @@ object Relational {
         .groupBy(col("o_orderstatus"))
         .agg(approx_count_distinct(col("o_custkey")).as("approx_customers"),
           count(lit(1)).as("n")),
-      None)
+      None),
+
+    // ---- Subquery surface (S3/S4 adjunct): the SQL planner paths a
+    // relational user expects — correlated EXISTS (→ left semi),
+    // uncorrelated scalar (→ broadcast 1-row), IN (→ left semi), and
+    // correlated scalar aggregate (→ left outer + default-on-empty, the
+    // classic COUNT-bug shape). Identical SQL runs on both engines.
+    Q("q66_exists_subquery",
+      (s, d) => {
+        graft.SqlSurface.register(s, d)
+        s.sql("""SELECT c_custkey, c_name FROM customer c
+                 WHERE EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_custkey = c.c_custkey
+                                 AND o.o_totalprice > 300000)""")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer c
+             WHERE EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey
+                             AND o.o_totalprice > 300000)""")),
+
+    Q("q67_scalar_subquery",
+      (s, d) => {
+        graft.SqlSurface.register(s, d)
+        s.sql("""SELECT p_partkey, p_name, round(p_retailprice, 2) AS price
+                 FROM part
+                 WHERE p_retailprice > 1.5 * (SELECT avg(p_retailprice) FROM part)""")
+      },
+      Some("""SELECT p_partkey, p_name, round(p_retailprice, 2) AS price
+             FROM part
+             WHERE p_retailprice > 1.5 * (SELECT avg(p_retailprice) FROM part)""")),
+
+    Q("q68_in_subquery",
+      (s, d) => {
+        graft.SqlSurface.register(s, d)
+        s.sql("""SELECT s_suppkey, s_name FROM supplier
+                 WHERE s_nationkey IN (SELECT n_nationkey FROM nation
+                                       WHERE n_name LIKE 'A%')""")
+      },
+      Some("""SELECT s_suppkey, s_name FROM supplier
+             WHERE s_nationkey IN (SELECT n_nationkey FROM nation
+                                   WHERE n_name LIKE 'A%')""")),
+
+    Q("q69_correlated_count",
+      (s, d) => {
+        graft.SqlSurface.register(s, d)
+        s.sql("""SELECT o_orderkey,
+                   (SELECT count(*) FROM lineitem l
+                    WHERE l.l_orderkey = o.o_orderkey) AS n_items
+                 FROM orders o WHERE o_orderkey <= 2000""")
+      },
+      Some("""SELECT o_orderkey,
+               (SELECT count(*) FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey) AS n_items
+             FROM orders o WHERE o_orderkey <= 2000"""))
   )
 }
