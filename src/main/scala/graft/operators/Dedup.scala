@@ -98,7 +98,11 @@ object Dedup {
       posexplode(array((0 until bands).map(b =>
         xxhash64(lit(b) +: (0 until rows).map(r =>
           element_at(col("sig"), b * rows + r + 1)): _*)): _*)).as(Seq("band", "bh")))
+    // Persisted: the a/b self-join traverses this twice, and exchange
+    // reuse does NOT collapse the two branches (their projections differ —
+    // measured 16 parquet scans in q43's executed plan without persists).
     val capped = capBuckets(banded, Seq("band", "bh"), maxBucket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = capped.select(col("band"), col("bh"),
       col("id").as("id_a"), col("sig").as("sig_a"))
     val b = capped.select(col("band"), col("bh"),
@@ -129,7 +133,13 @@ object Dedup {
       .withColumn("rep", min(col("id")).over(Window.partitionBy(col("text"))))
     val reps = mem.filter(col("id") === col("rep")).select(col("id"), col("text"))
 
+    // Shared-frame persists: `sh` feeds signatures + both verify sides +
+    // sizes (4 traversals) and `members` feeds 3 joins — without a persist
+    // each branch recomputes the whole upstream (no exchange reuse across
+    // differing projections; measured on q43). (id, shingle)/(rep, id)
+    // frames are the LSH build's working set — disk-backed at scale.
     val sh = shingles(reps, "id", "text", n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = minhashCandidates(minhashSignatures(sh, k), bands, k / bands, maxBucket)
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val shA = sh.select(col("id").as("id_a"), col("shingle"))
@@ -154,6 +164,7 @@ object Dedup {
     // Member expansion: cross-group pairs inherit their representatives'
     // similarity; within-group pairs (identical texts) are exact dups.
     val members = mem.select(col("rep"), col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cross = repPairs
       .join(members.select(col("rep").as("id_a"), col("id").as("ma")), Seq("id_a"))
       .join(members.select(col("rep").as("id_b"), col("id").as("mb")), Seq("id_b"))
@@ -202,8 +213,13 @@ object Dedup {
     // Identical signatures collapse to one representative per value (the
     // mega-cluster guard: N copies cost O(N), not an O(N²) bucket join);
     // their member pairs come back at the end with hamming = 0.
+    // Persisted: reps and members both traverse mem (and the caller's sigs
+    // lineage — q44's 64 bit-sum aggregation — would otherwise run twice);
+    // capped is traversed by both self-join sides. Same rationale as
+    // minhashDedup's persists. (id, simhash, rep) is 3 fixed-width cols.
     val mem = sigs
       .withColumn("rep", min(col("id")).over(Window.partitionBy(col("simhash"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val reps = mem.filter(col("id") === col("rep")).select(col("id"), col("simhash"))
 
     val chunked = reps.select(col("id"), col("simhash"),
@@ -211,6 +227,7 @@ object Dedup {
         shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*))
         .as(Seq("chunk", "cv")))
     val capped = capBuckets(chunked, Seq("chunk", "cv"), maxBucket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = capped.select(col("chunk"), col("cv"),
       col("id").as("id_a"), col("simhash").as("sig_a"))
     val b = capped.select(col("chunk"), col("cv"),

@@ -163,12 +163,17 @@ object Similarity {
   def cosineNearDup(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nTables: Int = 6, nBits: Int = 10,
       dim: Int = 64, maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    // Persisted shared frames (same rationale as Dedup.minhashDedup: the
+    // branches' projections differ, so exchange reuse never collapses
+    // them and each re-traversal recomputes the signature pipeline).
     val mem = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("rep", min(col("id")).over(Window.partitionBy(col("vec"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val reps = mem.filter(col("id") === col("rep")).select(col("id"), col("vec"))
 
     val sigs = lshSignatures(reps, "id", "vec", nTables, nBits, dim)
     val capped = Dedup.capBuckets(sigs, Seq("table", "sig"), maxBucket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = capped.select(col("table"), col("sig"),
       col("id").as("id_a"), col("vec").as("vec_a"))
     val b = capped.select(col("table"), col("sig"),
