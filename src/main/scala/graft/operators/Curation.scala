@@ -56,6 +56,23 @@ object Curation {
   }
 
   /**
+   * Deterministic content-hash train/validation split: a doc's split is a
+   * pure function of its TEXT (md5 first hex digit), so byte-identical
+   * docs always land in the same split — the leakage-safe alternative to
+   * random sampling — and the assignment is reproducible on any engine
+   * and any cluster size (no RNG, no per-partition state). `trainHexMax`
+   * sets the ratio in 16ths: 'c' → 13/16 ≈ 81% train.
+   */
+  def contentSplit(df: DataFrame, idCol: String, textCol: String,
+      trainHexMax: String = "c"): DataFrame = {
+    require(trainHexMax.length == 1 &&
+      ("0123456789abcdef".contains(trainHexMax)), "trainHexMax: one hex digit")
+    df.select(col(idCol).as("id"),
+      when(substring(md5(col(textCol)), 1, 1) <= trainHexMax, "train")
+        .otherwise("val").as("split"))
+  }
+
+  /**
    * Gopher-style repetition signal: per document, the fraction of n-gram
    * occurrences whose n-gram appears more than once within the doc (n = 2
    * and 3 over whitespace tokens). High values flag boilerplate/looping

@@ -314,6 +314,16 @@ object LlmQueries {
                  AS n_chunk_chars
              FROM c""")),
 
+    // ---- Deterministic content-hash train/val split (leakage-safe:
+    // identical text → identical split, reproducible on any engine).
+    Q("q70_content_split",
+      (s, d) => Curation.contentSplit(T.documents(s, d), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id"),
+      Some("""SELECT doc_id,
+               CASE WHEN substring(md5(text), 1, 1) <= 'c'
+                    THEN 'train' ELSE 'val' END AS split
+             FROM documents""")),
+
     // ---- Shard-local sequence packing into fixed token budgets (packing
     // for pretraining batches; per-shard running sums, no global sort).
     Q("q65_seq_packing",

@@ -49,6 +49,25 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("contentSplit: deterministic, content-keyed, ratio tracks the hex bound") {
+    val docs = (0 until 400).map(i => (i.toLong, s"document number $i body"))
+      .toDF("doc_id", "text")
+      .union(Seq((9990L, "document number 7 body"),
+        (9991L, "document number 7 body")).toDF("doc_id", "text"))
+    val out = Curation.contentSplit(docs, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+
+    // Identical text -> identical split, regardless of id (leakage-safe).
+    assert(out(9990L) == out(9991L) && out(9990L) == out(7L))
+    // Re-running gives the same assignment (pure function of content).
+    val again = Curation.contentSplit(docs, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(again == out)
+    // Ratio is near 13/16 (md5 first hex digit uniform over 400 docs).
+    val trainFrac = out.values.count(_ == "train").toDouble / out.size
+    assert(trainFrac > 0.70 && trainFrac < 0.92, s"trainFrac=$trainFrac")
+  }
+
   test("ngramRepetition: fixture fractions match hand computation") {
     val docs = Seq(
       (1L, "a b a b a b"),     // bigrams: ab x3, ba x2 -> all dup (5/5);
