@@ -73,6 +73,57 @@ object Curation {
   }
 
   /**
+   * Benchmark decontamination: flag training documents that share any word
+   * n-gram with an evaluation/benchmark corpus (the standard n-gram-overlap
+   * decontamination check run before pretraining). Returns one row per
+   * training doc: (id, n_shared, contaminated).
+   *
+   * Scale shape: both sides reduce to DISTINCT (id, shingle) first, and the
+   * benchmark side — tiny by construction (eval sets are thousands of docs
+   * against a 100 TB corpus) — collapses to a distinct shingle set that is
+   * BROADCAST, so the training corpus is never shuffled: scan → hash-probe
+   * → per-doc count.
+   */
+  def decontaminate(train: DataFrame, benchmark: DataFrame, idCol: String,
+      textCol: String, n: Int = 4): DataFrame = {
+    val trSh = Dedup.shingleStrings(train, idCol, textCol, n)
+    val evSh = Dedup.shingleStrings(benchmark, idCol, textCol, n)
+      .select(col("shingle")).distinct()
+    val hits = trSh.join(broadcast(evSh), Seq("shingle"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_shared"))
+    train.select(col(idCol).as("id"))
+      .join(hits, Seq("id"), "left")
+      .na.fill(0L, Seq("n_shared"))
+      .withColumn("contaminated", (col("n_shared") > 0).cast("int"))
+  }
+
+  /**
+   * Deterministic stratified sampling: keep a row iff a uniform hash of its
+   * TEXT falls under its stratum's rate — the content-keyed analogue of
+   * `df.sampleBy`, reproducible across engines, runs, and cluster sizes
+   * (no RNG state), and leakage-consistent (byte-identical docs always make
+   * the same keep/drop decision). Used for domain/language mixture
+   * reweighting in pretraining pipelines. Pure per-row filter: no shuffle.
+   *
+   * The uniform is the first 8 hex digits of md5(text) compared against a
+   * precomputed 8-hex-digit threshold (rate · 2³²); rate ≥ 1.0 uses "g",
+   * which sorts after every hex digit, i.e. keep-all.
+   */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+      textCol: String, rates: Map[String, Double],
+      defaultRate: Double = 1.0): DataFrame = {
+    def thr(r: Double): String = {
+      require(r >= 0.0 && r <= 1.0, s"rate out of [0,1]: $r")
+      if (r >= 1.0) "g" else f"${(r * 4294967296L).toLong}%08x"
+    }
+    val thresh = rates.foldLeft(lit(thr(defaultRate))) { case (acc, (k, r)) =>
+      when(col(strataCol) === k, lit(thr(r))).otherwise(acc)
+    }
+    df.filter(substring(md5(col(textCol)), 1, 8) < thresh)
+      .select(col(idCol).as("id"), col(strataCol).as("stratum"))
+  }
+
+  /**
    * Gopher-style repetition signal: per document, the fraction of n-gram
    * occurrences whose n-gram appears more than once within the doc (n = 2
    * and 3 over whitespace tokens). High values flag boilerplate/looping

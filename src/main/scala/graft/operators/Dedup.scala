@@ -24,6 +24,31 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /**
+   * Hash family used by the MinHash pipeline. `XxHash64Family` (default) is
+   * the fast path: 64-bit codegen'd longs. `PortableMd5Family` produces
+   * bit-identical values in any engine with md5 (DuckDB, Trino, Postgres…)
+   * — same asymptotics, string-typed signatures — which puts the whole
+   * shingle→sign→band→verify pipeline under an exact cross-engine oracle
+   * (q43). Minhash only needs a hash that is uniform and totally ordered;
+   * both families qualify (longs numerically, md5 hex lexicographically).
+   */
+  sealed trait HashFamily extends Serializable {
+    def one(c: Column): Column
+    def seeded(c: Column, seed: Int): Column
+    def combine(cs: Seq[Column]): Column
+  }
+  object XxHash64Family extends HashFamily {
+    def one(c: Column): Column = xxhash64(c)
+    def seeded(c: Column, seed: Int): Column = xxhash64(c, lit(seed))
+    def combine(cs: Seq[Column]): Column = xxhash64(cs: _*)
+  }
+  object PortableMd5Family extends HashFamily {
+    def one(c: Column): Column = md5(c)
+    def seeded(c: Column, seed: Int): Column = md5(concat_ws("|", lit(seed), c))
+    def combine(cs: Seq[Column]): Column = md5(concat_ws("|", cs: _*))
+  }
+
+  /**
    * LSH bucket-size guard shared by the banded joins (minhash bands,
    * simhash chunks, random-hyperplane tables). A bucket of B rows emits
    * O(B²) candidate pairs; callers pre-collapse exact duplicates, so an
@@ -70,18 +95,20 @@ object Dedup {
       .distinct()
   }
 
-  /** Word n-gram shingles hashed to longs: (id, shingle_hash), distinct. */
-  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+  /** Word n-gram shingles hashed: (id, shingle_hash), distinct. */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3,
+      hash: HashFamily = XxHash64Family): DataFrame =
     shingleStrings(df, idCol, textCol, n)
-      .select(col("id"), xxhash64(col("shingle")).as("shingle"))
+      .select(col("id"), hash.one(col("shingle")).as("shingle"))
 
   /**
    * MinHash signatures: k seeded-hash "permutations", min per doc.
    * One shuffle (the groupBy); the k mins are a single aggregation pass.
    */
-  def minhashSignatures(sh: DataFrame, k: Int = 32): DataFrame = {
+  def minhashSignatures(sh: DataFrame, k: Int = 32,
+      hash: HashFamily = XxHash64Family): DataFrame = {
     val mins = (0 until k).map(i =>
-      min(xxhash64(col("shingle"), lit(i))).as(s"h$i"))
+      min(hash.seeded(col("shingle"), i)).as(s"h$i"))
     sh.groupBy(col("id")).agg(mins.head, mins.tail: _*)
       .select(col("id"), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
   }
@@ -93,11 +120,12 @@ object Dedup {
    * fraction of the signatures.
    */
   def minhashCandidates(sigs: DataFrame, bands: Int = 8, rows: Int = 4,
-      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+      maxBucket: Int = DefaultMaxBucket,
+      hash: HashFamily = XxHash64Family): DataFrame = {
     val banded = sigs.select(col("id"), col("sig"),
       posexplode(array((0 until bands).map(b =>
-        xxhash64(lit(b) +: (0 until rows).map(r =>
-          element_at(col("sig"), b * rows + r + 1)): _*)): _*)).as(Seq("band", "bh")))
+        hash.combine(lit(b) +: (0 until rows).map(r =>
+          element_at(col("sig"), b * rows + r + 1)))): _*)).as(Seq("band", "bh")))
     // Persisted: the a/b self-join traverses this twice, and exchange
     // reuse does NOT collapse the two branches (their projections differ —
     // measured 16 parquet scans in q43's executed plan without persists).
@@ -122,7 +150,8 @@ object Dedup {
    */
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 32, bands: Int = 8,
-      threshold: Double = 0.5, maxBucket: Int = DefaultMaxBucket): DataFrame = {
+      threshold: Double = 0.5, maxBucket: Int = DefaultMaxBucket,
+      hash: HashFamily = XxHash64Family): DataFrame = {
     // Mega-cluster guard: collapse byte-identical texts FIRST, so the whole
     // shingle/sign/band/verify pipeline runs on one representative per
     // distinct text. N copies of one doc cost O(N) here, not O(N²) banded
@@ -138,9 +167,10 @@ object Dedup {
     // each branch recomputes the whole upstream (no exchange reuse across
     // differing projections; measured on q43). (id, shingle)/(rep, id)
     // frames are the LSH build's working set — disk-backed at scale.
-    val sh = shingles(reps, "id", "text", n)
+    val sh = shingles(reps, "id", "text", n, hash)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = minhashCandidates(minhashSignatures(sh, k), bands, k / bands, maxBucket)
+    val cands = minhashCandidates(minhashSignatures(sh, k, hash), bands,
+      k / bands, maxBucket, hash)
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val shA = sh.select(col("id").as("id_a"), col("shingle"))
     val shB = sh.select(col("id").as("id_b"), col("shingle"))
@@ -180,36 +210,53 @@ object Dedup {
   }
 
   /**
-   * 64-bit SimHash signature per row: hash each token, per bit position sum
+   * SimHash signature per row: hash each token, per bit position sum
    * +weight if set else -weight, bit = sign of sum. Whole thing is one
-   * aggregation with 64 codegen'd sum expressions.
+   * aggregation with `nBits` codegen'd sum expressions.
+   *
+   * Default: 64 bits from xxhash64. The portable variant (`nBits = 60`,
+   * `tokenHash = portableTokenHash`) derives 60 bits from md5 — a function
+   * every engine shares — which puts q44's full signature+banding+verify
+   * under an exact DuckDB oracle; 60 = 4 chunks × 15 bits keeps the
+   * pigeonhole banding structure intact.
    */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhash(df: DataFrame, idCol: String, textCol: String,
+      nBits: Int = 64,
+      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
+    require(nBits >= 4 && nBits <= 64, "nBits in 4..64")
     val toks = df.select(col(idCol).as("id"),
       explode(split(col(textCol), "\\s+")).as("tok"))
       .filter(col("tok") =!= "")
       .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("w"))
-      .withColumn("th", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { i =>
+      .withColumn("th", tokenHash(col("tok")))
+    val bitSums = (0 until nBits).map { i =>
       sum(when(shiftright(col("th"), i).bitwiseAND(1) === 1, col("w"))
         .otherwise(-col("w"))).as(s"b$i")
     }
     toks.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
       .select(col("id"),
-        (0 until 64).map(i =>
+        (0 until nBits).map(i =>
           when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
           .reduce((a: Column, b: Column) => a.bitwiseOR(b)).as("simhash"))
   }
 
+  /** 60-bit engine-portable token hash: first 15 hex digits of md5,
+    * parsed base-16 (same value computable in DuckDB/Trino/Postgres). */
+  def portableTokenHash(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /**
    * SimHash near-dup pairs with Hamming distance ≤ `maxHamming` (< 16):
-   * band the 64-bit signature into four 16-bit chunks — pigeonhole
+   * band the `nBits`-bit signature into four chunks — pigeonhole
    * guarantees pairs within distance 3 share a chunk; then verify with
    * bit_count(xor). (For maxHamming in 4..15 recall is partial — standard
    * multi-probe tradeoff, noted at the call site.)
    */
   def simhashPairs(sigs: DataFrame, maxHamming: Int = 3,
-      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+      maxBucket: Int = DefaultMaxBucket, nBits: Int = 64): DataFrame = {
+    require(nBits % 4 == 0, "nBits must split into 4 chunks")
+    val chunkBits = nBits / 4
+    val chunkMask = (1L << chunkBits) - 1
     // Identical signatures collapse to one representative per value (the
     // mega-cluster guard: N copies cost O(N), not an O(N²) bucket join);
     // their member pairs come back at the end with hamming = 0.
@@ -224,7 +271,8 @@ object Dedup {
 
     val chunked = reps.select(col("id"), col("simhash"),
       posexplode(array((0 until 4).map(c =>
-        shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*))
+        shiftrightunsigned(col("simhash"), c * chunkBits)
+          .bitwiseAND(chunkMask)): _*))
         .as(Seq("chunk", "cv")))
     val capped = capBuckets(chunked, Seq("chunk", "cv"), maxBucket)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

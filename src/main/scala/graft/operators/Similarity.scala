@@ -52,10 +52,28 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplanes (fixed seed, unit-free signs). */
-  private def hyperplanes(nTables: Int, nBits: Int, dim: Int): Array[Array[Array[Double]]] = {
+  def gaussianHyperplanes(nTables: Int, nBits: Int, dim: Int): Array[Array[Array[Double]]] = {
     val rng = new scala.util.Random(42)
     Array.fill(nTables, nBits, dim)(rng.nextGaussian())
   }
+
+  /**
+   * Engine-portable hyperplanes: component (t, i, d) is a uniform in
+   * [-1, 1) derived from md5("t|i|d") — the same value any md5-equipped
+   * engine computes (`CAST('0x' || substr(md5(...), 1, 8) AS BIGINT) /
+   * 2^31 - 1` in DuckDB), so LSH signatures — and with them the whole
+   * candidate/verify pipeline — can be replicated for an exact oracle.
+   * Uniform (vs gaussian) directions remain locality-sensitive for sign
+   * tests; recall at the chosen operating point is measured in AnnSpec
+   * either way.
+   */
+  def portableHyperplanes(nTables: Int, nBits: Int, dim: Int): Array[Array[Array[Double]]] =
+    Array.tabulate(nTables, nBits, dim) { (t, i, d) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$t|$i|$d".getBytes("UTF-8"))
+        .take(4).map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex, 16) / 2147483648.0 - 1.0
+    }
 
   /**
    * (table, signature) rows for every vector: sig bit i = sign(v·h_i).
@@ -63,8 +81,9 @@ object Similarity {
    * hyperplane arrays — no UDF.
    */
   def lshSignatures(df: DataFrame, idCol: String, vecCol: String,
-      nTables: Int = 4, nBits: Int = 12, dim: Int = 64): DataFrame = {
-    val hps = hyperplanes(nTables, nBits, dim)
+      nTables: Int = 4, nBits: Int = 12, dim: Int = 64,
+      planes: (Int, Int, Int) => Array[Array[Array[Double]]] = gaussianHyperplanes): DataFrame = {
+    val hps = planes(nTables, nBits, dim)
     def sigFor(t: Int): Column =
       (0 until nBits).map { i =>
         val hp = array(hps(t)(i).map(lit): _*)
@@ -84,10 +103,11 @@ object Similarity {
    */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      nTables: Int = 4, nBits: Int = 12, dim: Int = 64): DataFrame = {
-    val cs = lshSignatures(corpus, idCol, vecCol, nTables, nBits, dim)
+      nTables: Int = 4, nBits: Int = 12, dim: Int = 64,
+      planes: (Int, Int, Int) => Array[Array[Array[Double]]] = gaussianHyperplanes): DataFrame = {
+    val cs = lshSignatures(corpus, idCol, vecCol, nTables, nBits, dim, planes)
       .withColumnRenamed("id", "n_id").withColumnRenamed("vec", "n_vec")
-    val qs = lshSignatures(queries, idCol, vecCol, nTables, nBits, dim)
+    val qs = lshSignatures(queries, idCol, vecCol, nTables, nBits, dim, planes)
       .withColumnRenamed("id", "q_id").withColumnRenamed("vec", "q_vec")
     val cands = cs.join(broadcast(qs), Seq("table", "sig"))
       .filter(col("q_id") =!= col("n_id"))
@@ -162,7 +182,8 @@ object Similarity {
     * (Dedup.DefaultMaxBucket rationale). */
   def cosineNearDup(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nTables: Int = 6, nBits: Int = 10,
-      dim: Int = 64, maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
+      dim: Int = 64, maxBucket: Int = Dedup.DefaultMaxBucket,
+      planes: (Int, Int, Int) => Array[Array[Array[Double]]] = gaussianHyperplanes): DataFrame = {
     // Persisted shared frames (same rationale as Dedup.minhashDedup: the
     // branches' projections differ, so exchange reuse never collapses
     // them and each re-traversal recomputes the signature pipeline).
@@ -171,7 +192,7 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val reps = mem.filter(col("id") === col("rep")).select(col("id"), col("vec"))
 
-    val sigs = lshSignatures(reps, "id", "vec", nTables, nBits, dim)
+    val sigs = lshSignatures(reps, "id", "vec", nTables, nBits, dim, planes)
     val capped = Dedup.capBuckets(sigs, Seq("table", "sig"), maxBucket)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = capped.select(col("table"), col("sig"),

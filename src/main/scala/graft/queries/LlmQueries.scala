@@ -17,23 +17,149 @@ object LlmQueries {
   val all: Seq[Q] = Seq(
 
     // ---- MinHash-LSH near-dup detection (shingle→sign→band→verify).
+    // Runs on the portable md5 hash family, so the ENTIRE pipeline —
+    // exact-dup pre-collapse, 32 minhash permutations, 8-band LSH with
+    // bucket caps, exact-Jaccard verification, member expansion — is
+    // replicated verbatim in DuckDB and hash-compared (the fast xxhash64
+    // family stays the default and is covered by DedupSpec).
     Q("q43_minhash_neardup",
       (s, d) => Dedup.minhashDedup(T.documents(s, d), "doc_id", "text",
-        n = 3, k = 32, bands = 8, threshold = 0.05)
+        n = 3, k = 32, bands = 8, threshold = 0.05,
+        hash = Dedup.PortableMd5Family)
         .orderBy(col("id_a"), col("id_b")),
-      None),
+      Some("""WITH mem AS (
+               SELECT doc_id AS id, text,
+                 min(doc_id) OVER (PARTITION BY text) AS rep
+               FROM documents),
+             reps AS (SELECT id, text FROM mem WHERE id = rep),
+             toks AS (
+               SELECT id, i, tok FROM (
+                 SELECT id, unnest(l) AS tok, unnest(range(len(l))) AS i
+                 FROM (SELECT id, string_split_regex(text, '\s+') AS l
+                       FROM reps))
+               WHERE tok <> ''),
+             seq AS (
+               SELECT id, tok, lead(tok,1) OVER w AS t1,
+                 lead(tok,2) OVER w AS t2
+               FROM toks WINDOW w AS (PARTITION BY id ORDER BY i)),
+             sh AS (
+               SELECT DISTINCT id, md5(tok || ' ' || t1 || ' ' || t2) AS shingle
+               FROM seq WHERE t2 IS NOT NULL),
+             mh AS (
+               SELECT id, k, min(md5(CAST(k AS VARCHAR) || '|' || shingle)) AS h
+               FROM sh CROSS JOIN range(32) AS t(k) GROUP BY id, k),
+             bands AS (
+               SELECT id,
+                 md5(CAST(k // 4 AS VARCHAR) || '|' ||
+                     string_agg(h, '|' ORDER BY k)) AS bh,
+                 k // 4 AS band
+               FROM mh GROUP BY id, k // 4),
+             capped AS (
+               SELECT * FROM bands
+               QUALIFY count(*) OVER (PARTITION BY band, bh) BETWEEN 2 AND 1000),
+             cand AS (
+               SELECT DISTINCT a.id AS id_a, b.id AS id_b
+               FROM capped a JOIN capped b USING (band, bh)
+               WHERE a.id < b.id),
+             est AS (
+               SELECT c.id_a, c.id_b,
+                 sum(CASE WHEN x.h = y.h THEN 1 ELSE 0 END) / 32.0
+                   AS est_jaccard
+               FROM cand c
+               JOIN mh x ON x.id = c.id_a
+               JOIN mh y ON y.id = c.id_b AND y.k = x.k
+               GROUP BY 1, 2),
+             sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+             shared AS (
+               SELECT c.id_a, c.id_b, count(*) AS shared
+               FROM cand c
+               JOIN sh a ON a.id = c.id_a
+               JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+               GROUP BY 1, 2),
+             rep_pairs AS (
+               SELECT e.id_a, e.id_b,
+                 round(e.est_jaccard, 6) AS est_jaccard,
+                 round(coalesce(s.shared, 0) /
+                   (sa.sz + sb.sz - coalesce(s.shared, 0)), 6) AS jaccard
+               FROM est e
+               LEFT JOIN shared s ON e.id_a = s.id_a AND e.id_b = s.id_b
+               JOIN sizes sa ON sa.id = e.id_a
+               JOIN sizes sb ON sb.id = e.id_b
+               WHERE coalesce(s.shared, 0) /
+                 (sa.sz + sb.sz - coalesce(s.shared, 0)) >= 0.05),
+             cross_pairs AS (
+               SELECT least(ma.id, mb.id) AS id_a,
+                 greatest(ma.id, mb.id) AS id_b, p.est_jaccard, p.jaccard
+               FROM rep_pairs p
+               JOIN mem ma ON ma.rep = p.id_a
+               JOIN mem mb ON mb.rep = p.id_b),
+             within_pairs AS (
+               SELECT a.id AS id_a, b.id AS id_b,
+                 CAST(1.0 AS DOUBLE) AS est_jaccard,
+                 CAST(1.0 AS DOUBLE) AS jaccard
+               FROM mem a JOIN mem b ON a.rep = b.rep AND a.id < b.id)
+             SELECT * FROM cross_pairs
+             UNION ALL SELECT * FROM within_pairs""")),
 
     // ---- SimHash signatures + banded Hamming pairs. maxHamming=15 stays
     // inside simhashPairs' documented domain (< 16); recall is partial for
-    // distances 4-15 (4x16-bit pigeonhole is complete only to 3) — the
+    // distances 4-15 (4-chunk pigeonhole is complete only to 3) — the
     // standard banding tradeoff, measured in DedupSpec's recall test.
+    // Portable 60-bit signatures (md5-derived token hash) so the whole
+    // signature+banding+verify pipeline is replicated in DuckDB and
+    // hash-compared; the 64-bit xxhash64 default stays covered by DedupSpec.
     Q("q44_simhash_pairs",
       (s, d) => {
-        val sigs = Dedup.simhash(T.documents(s, d), "doc_id", "text")
-        Dedup.simhashPairs(sigs, maxHamming = 15)
+        val sigs = Dedup.simhash(T.documents(s, d), "doc_id", "text",
+          nBits = 60, tokenHash = Dedup.portableTokenHash)
+        Dedup.simhashPairs(sigs, maxHamming = 15, nBits = 60)
           .orderBy(col("id_a"), col("id_b"))
       },
-      None),
+      Some {
+        val bitSums = (0 until 60).map(i =>
+          s"sum(CASE WHEN ((th >> $i) & 1) = 1 THEN w ELSE -w END) AS b$i")
+          .mkString(", ")
+        val sigTerms = (0 until 60).map(i =>
+          s"(CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+        s"""WITH toks AS (
+             SELECT doc_id AS id, tok, count(*) AS w FROM (
+               SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok
+               FROM documents)
+             WHERE tok <> '' GROUP BY 1, 2),
+           hashed AS (
+             SELECT id, w,
+               CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS th
+             FROM toks),
+           sums AS (SELECT id, $bitSums FROM hashed GROUP BY id),
+           sig AS (SELECT id, $sigTerms AS simhash FROM sums),
+           mem AS (SELECT id, simhash,
+             min(id) OVER (PARTITION BY simhash) AS rep FROM sig),
+           reps AS (SELECT id, simhash FROM mem WHERE id = rep),
+           chunked AS (
+             SELECT id, simhash, c AS chunk,
+               (simhash >> CAST(c * 15 AS INT)) & 32767 AS cv
+             FROM reps CROSS JOIN range(4) AS t(c)),
+           capped AS (
+             SELECT * FROM chunked
+             QUALIFY count(*) OVER (PARTITION BY chunk, cv) BETWEEN 2 AND 1000),
+           rep_pairs AS (
+             SELECT * FROM (
+               SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                 CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+               FROM capped a JOIN capped b USING (chunk, cv)
+               WHERE a.id < b.id)
+             WHERE hamming <= 15),
+           cross_pairs AS (
+             SELECT least(ma.id, mb.id) AS id_a,
+               greatest(ma.id, mb.id) AS id_b, p.hamming
+             FROM rep_pairs p
+             JOIN mem ma ON ma.rep = p.id_a
+             JOIN mem mb ON mb.rep = p.id_b),
+           within_pairs AS (
+             SELECT a.id AS id_a, b.id AS id_b, 0 AS hamming
+             FROM mem a JOIN mem b ON a.rep = b.rep AND a.id < b.id)
+           SELECT * FROM cross_pairs UNION ALL SELECT * FROM within_pairs"""
+      }),
 
     // ---- IVF ANN (k-means cells + nProbe probing — the partition-pruned
     // scale path; approximate + iterative-fit → rows-only, recall measured
@@ -48,17 +174,60 @@ object LlmQueries {
       None),
 
     // ---- LSH-bucketed ANN (the scale path; recall measured in AnnSpec).
+    // Short signatures + more tables: the right operating point for
+    // weak-similarity (random-gaussian) data — see AnnSpec's recall
+    // measurement against the brute-force baseline. Hash-derived
+    // (engine-portable) hyperplanes put the signature → bucket-join →
+    // exact-cosine-rank pipeline under a full DuckDB oracle.
     Q("q45_ann_lsh",
       (s, d) => {
         val e = T.embeddings(s, d)
-        // Short signatures + more tables: the right operating point for
-        // weak-similarity (random-gaussian) data — see AnnSpec's recall
-        // measurement against the brute-force baseline.
         Similarity.lshTopK(e, e.filter(col("vec_id") < 10),
-          "vec_id", "embedding", k = 5, nTables = 12, nBits = 6)
+          "vec_id", "embedding", k = 5, nTables = 12, nBits = 6,
+          planes = Similarity.portableHyperplanes)
           .select(col("q_id"), col("n_id"), col("rank"))
       },
-      None),
+      Some("""WITH planes AS (
+               SELECT t.tb, b.bit, d.dim,
+                 CAST('0x' || substr(md5(CAST(t.tb AS VARCHAR) || '|' ||
+                   CAST(b.bit AS VARCHAR) || '|' || CAST(d.dim AS VARCHAR)),
+                   1, 8) AS BIGINT) / 2147483648.0 - 1.0 AS w
+               FROM range(12) t(tb)
+               CROSS JOIN range(6) b(bit)
+               CROSS JOIN range(64) d(dim)),
+             ve AS (
+               SELECT vec_id, unnest(range(len(embedding))) AS i,
+                 unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+               FROM embeddings),
+             dots AS (
+               SELECT v.vec_id, p.tb, p.bit, sum(v.x * p.w) AS dp
+               FROM ve v JOIN planes p ON p.dim = v.i
+               GROUP BY 1, 2, 3),
+             sigs AS (
+               SELECT vec_id, tb,
+                 sum(CASE WHEN dp > 0
+                     THEN (1::BIGINT << CAST(bit AS INT)) ELSE 0 END) AS sig
+               FROM dots GROUP BY 1, 2),
+             cand AS (
+               SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
+               FROM sigs q JOIN sigs c ON q.tb = c.tb AND q.sig = c.sig
+               WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+             v AS (SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                   FROM embeddings),
+             sims AS (
+               SELECT cand.q_id, cand.n_id,
+                 list_inner_product(a.emb, b.emb) /
+                   (sqrt(list_inner_product(a.emb, a.emb)) *
+                    sqrt(list_inner_product(b.emb, b.emb))) AS sim
+               FROM cand
+               JOIN v a ON a.vec_id = cand.q_id
+               JOIN v b ON b.vec_id = cand.n_id)
+             SELECT q_id, n_id, CAST(rank AS INT) AS rank FROM (
+               SELECT q_id, n_id,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY sim DESC, n_id) AS rank
+               FROM sims) WHERE rank <= 5""")),
 
     // ---- Exact top-1 neighbor via the brute-force operator (oracle-checked).
     Q("q46_nn_top1",
@@ -225,12 +394,71 @@ object LlmQueries {
     // gaussians have cos ~ N(0, 1/64): threshold 0.3 ≈ 2.4σ keeps output
     // sparse but non-empty at oracle scale; short signatures (8 bits ×
     // 6 tables) hold candidate recall up for weakly-similar pairs.
+    // Portable hyperplanes → exact-dup collapse, banding, bucket caps,
+    // cosine verify, member expansion all replicated in DuckDB.
     Q("q56_cosine_neardup",
       (s, d) => graft.operators.Similarity.cosineNearDup(
         T.embeddings(s, d), "vec_id", "embedding",
-        threshold = 0.3, nTables = 6, nBits = 8)
+        threshold = 0.3, nTables = 6, nBits = 8,
+        planes = Similarity.portableHyperplanes)
         .orderBy(col("id_a"), col("id_b")),
-      None),
+      Some("""WITH planes AS (
+               SELECT t.tb, b.bit, d.dim,
+                 CAST('0x' || substr(md5(CAST(t.tb AS VARCHAR) || '|' ||
+                   CAST(b.bit AS VARCHAR) || '|' || CAST(d.dim AS VARCHAR)),
+                   1, 8) AS BIGINT) / 2147483648.0 - 1.0 AS w
+               FROM range(6) t(tb)
+               CROSS JOIN range(8) b(bit)
+               CROSS JOIN range(64) d(dim)),
+             mem AS (
+               SELECT vec_id AS id, embedding,
+                 min(vec_id) OVER (PARTITION BY embedding) AS rep
+               FROM embeddings),
+             reps AS (SELECT id, embedding FROM mem WHERE id = rep),
+             ve AS (
+               SELECT id, unnest(range(len(embedding))) AS i,
+                 unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+               FROM reps),
+             dots AS (
+               SELECT v.id, p.tb, p.bit, sum(v.x * p.w) AS dp
+               FROM ve v JOIN planes p ON p.dim = v.i
+               GROUP BY 1, 2, 3),
+             sigs AS (
+               SELECT id, tb,
+                 sum(CASE WHEN dp > 0
+                     THEN (1::BIGINT << CAST(bit AS INT)) ELSE 0 END) AS sig
+               FROM dots GROUP BY 1, 2),
+             capped AS (
+               SELECT * FROM sigs
+               QUALIFY count(*) OVER (PARTITION BY tb, sig) BETWEEN 2 AND 1000),
+             cand AS (
+               SELECT DISTINCT a.id AS id_a, b.id AS id_b
+               FROM capped a JOIN capped b ON a.tb = b.tb AND a.sig = b.sig
+               WHERE a.id < b.id),
+             v AS (SELECT id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                   FROM reps),
+             rep_pairs AS (
+               SELECT s.id_a, s.id_b, round(s.sim, 6) AS cosine FROM (
+                 SELECT cand.id_a, cand.id_b,
+                   list_inner_product(a.emb, b.emb) /
+                     (sqrt(list_inner_product(a.emb, a.emb)) *
+                      sqrt(list_inner_product(b.emb, b.emb))) AS sim
+                 FROM cand
+                 JOIN v a ON a.id = cand.id_a
+                 JOIN v b ON b.id = cand.id_b) s
+               WHERE s.sim >= 0.3),
+             cross_pairs AS (
+               SELECT least(ma.id, mb.id) AS id_a,
+                 greatest(ma.id, mb.id) AS id_b, p.cosine
+               FROM rep_pairs p
+               JOIN mem ma ON ma.rep = p.id_a
+               JOIN mem mb ON mb.rep = p.id_b),
+             within_pairs AS (
+               SELECT a.id AS id_a, b.id AS id_b,
+                 CAST(1.0 AS DOUBLE) AS cosine
+               FROM mem a JOIN mem b ON a.rep = b.rep AND a.id < b.id)
+             SELECT * FROM cross_pairs UNION ALL SELECT * FROM within_pairs""")),
 
     // ---- Full quality-signal battery (operator form of q33's family).
     Q("q51_quality_signals",
@@ -323,6 +551,63 @@ object LlmQueries {
                CASE WHEN substring(md5(text), 1, 1) <= 'c'
                     THEN 'train' ELSE 'val' END AS split
              FROM documents""")),
+
+    // ---- Benchmark decontamination: training docs sharing any word 4-gram
+    // with the benchmark corpus (source 'src19' stands in for the eval set).
+    // Benchmark shingle set is broadcast — the training side never shuffles.
+    Q("q71_decontaminate",
+      (s, d) => {
+        val docs = T.documents(s, d)
+        Curation.decontaminate(
+          docs.filter(col("source") =!= "src19"),
+          docs.filter(col("source") === "src19"),
+          "doc_id", "text", n = 4)
+          .withColumnRenamed("id", "doc_id")
+      },
+      Some("""WITH toks AS (
+               SELECT doc_id, source, i, tok FROM (
+                 SELECT doc_id, source, unnest(l) AS tok,
+                   unnest(range(len(l))) AS i
+                 FROM (SELECT doc_id, source,
+                         string_split_regex(text, '\s+') AS l
+                       FROM documents))
+               WHERE tok <> ''),
+             seq AS (
+               SELECT doc_id, source, tok,
+                 lead(tok, 1) OVER w AS t1,
+                 lead(tok, 2) OVER w AS t2,
+                 lead(tok, 3) OVER w AS t3
+               FROM toks
+               WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+             sh AS (
+               SELECT DISTINCT doc_id, source,
+                 tok || ' ' || t1 || ' ' || t2 || ' ' || t3 AS shingle
+               FROM seq WHERE t3 IS NOT NULL),
+             ev AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src19'),
+             hits AS (
+               SELECT s.doc_id, count(*) AS c
+               FROM sh s JOIN ev USING (shingle)
+               WHERE s.source <> 'src19' GROUP BY 1)
+             SELECT d.doc_id,
+               CAST(coalesce(h.c, 0) AS BIGINT) AS n_shared,
+               CAST(CASE WHEN coalesce(h.c, 0) > 0 THEN 1 ELSE 0 END AS INT)
+                 AS contaminated
+             FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+             WHERE d.source <> 'src19'""")),
+
+    // ---- Deterministic stratified sampling (domain/language mixture
+    // reweighting): content-hash uniform vs per-stratum threshold.
+    // en kept at 50%, zh at 25%, everything else at 100%. Thresholds are
+    // 8-hex-digit literals (rate · 2^32): 0.5 → 80000000, 0.25 → 40000000.
+    Q("q72_stratified_sample",
+      (s, d) => Curation.stratifiedSample(T.documents(s, d), "doc_id",
+        "lang", "text", rates = Map("en" -> 0.5, "zh" -> 0.25))
+        .withColumnRenamed("id", "doc_id"),
+      Some("""SELECT doc_id, lang AS stratum FROM documents
+             WHERE substring(md5(text), 1, 8) <
+               CASE lang WHEN 'en' THEN '80000000'
+                         WHEN 'zh' THEN '40000000'
+                         ELSE 'g' END""")),
 
     // ---- Shard-local sequence packing into fixed token budgets (packing
     // for pretraining batches; per-shard running sums, no global sort).

@@ -68,6 +68,47 @@ class CurationSpec extends SparkSpec {
     assert(trainFrac > 0.70 && trainFrac < 0.92, s"trainFrac=$trainFrac")
   }
 
+  test("decontaminate: planted 4-gram overlap flagged, clean docs pass") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "x y alpha beta gamma delta z"),      // shares "alpha beta gamma delta"
+      (2L, "beta gamma delta epsilon tail"),     // shares "beta gamma delta epsilon"
+      (3L, "completely unrelated words here ok"),// clean
+      (4L, "alpha beta gamma unrelated")         // only a 3-gram overlap -> clean
+    ).toDF("doc_id", "text")
+    val out = Curation.decontaminate(train, bench, "doc_id", "text", n = 4)
+      .as[(Long, Long, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((1L, 1)) && out(2L) == ((1L, 1)))
+    assert(out(3L) == ((0L, 0)) && out(4L) == ((0L, 0)))
+    assert(out.size == 4) // every train doc gets a row, flagged or not
+  }
+
+  test("stratifiedSample: deterministic, per-stratum rates, keep-all stratum") {
+    val docs = (0 until 900).map(i =>
+      (i.toLong, s"stratum ${i % 3}", s"document body number $i")).toDF(
+      "doc_id", "lang", "text")
+    val rates = Map("stratum 0" -> 0.5, "stratum 1" -> 0.0)
+    val out = Curation.stratifiedSample(docs, "doc_id", "lang", "text", rates)
+      .as[(Long, String)].collect()
+    val byStratum = out.groupBy(_._2).view.mapValues(_.length).toMap
+    // rate 0.0 drops everything; default 1.0 keeps everything.
+    assert(!byStratum.contains("stratum 1"))
+    assert(byStratum("stratum 2") == 300)
+    // rate 0.5 keeps about half (md5 uniform over 300 docs).
+    assert(byStratum("stratum 0") > 100 && byStratum("stratum 0") < 200,
+      s"kept=${byStratum("stratum 0")}")
+    // Re-run gives the identical sample (pure function of content).
+    val again = Curation.stratifiedSample(docs, "doc_id", "lang", "text", rates)
+      .as[(Long, String)].collect()
+    assert(again.sorted.sameElements(out.sorted))
+    // Content-keyed: byte-identical texts in the same stratum decide together.
+    val dup = Seq((1L, "s", "same text"), (2L, "s", "same text"))
+      .toDF("doc_id", "lang", "text")
+    val kept = Curation.stratifiedSample(dup, "doc_id", "lang", "text",
+      Map("s" -> 0.5)).as[(Long, String)].collect().map(_._1).toSet
+    assert(kept.isEmpty || kept == Set(1L, 2L))
+  }
+
   test("ngramRepetition: fixture fractions match hand computation") {
     val docs = Seq(
       (1L, "a b a b a b"),     // bigrams: ab x3, ba x2 -> all dup (5/5);
