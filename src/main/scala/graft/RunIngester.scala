@@ -13,6 +13,7 @@ import org.apache.spark.sql.SparkSession
  *   sbt "runMain graft.RunIngester geocode <stageDir>"
  *   sbt "runMain graft.RunIngester index   <stageDir>"
  *   sbt "runMain graft.RunIngester export  <stageDir> <outDir>"
+ *   sbt "runMain graft.RunIngester curate  <docsParquet> <outDir> [benchParquet]"
  *
  * The full run produces the relational parquet export (document/mention/
  * entity/document_entity/geolocation) plus social_network.graphml under
@@ -25,7 +26,7 @@ object RunIngester {
     require(args.length >= 2,
       "usage: RunIngester <inputDir> <outputDir> [glob] | " +
         "extract <in> <stage> [glob] | coref <stage> | geocode <stage> | " +
-        "index <stage> | export <stage> <out>")
+        "index <stage> | export <stage> <out> | curate <docs> <out> [bench]")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -55,6 +56,18 @@ object RunIngester {
         require(args.length >= 3, "usage: RunIngester export <stageDir> <outDir>")
         Ingester.exportStage(spark, args(1), args(2), Ingester.Config(args(1), args(2)))
         println(s"export: artifacts under ${args(2)}")
+      case "curate" =>
+        // curate <documents.parquet> <outDir> [benchmark.parquet]
+        require(args.length >= 3,
+          "usage: RunIngester curate <docsParquet> <outDir> [benchmarkParquet]")
+        val docs = spark.read.parquet(args(1))
+        val bench = args.lift(3).map(spark.read.parquet(_))
+        val cfg = graft.operators.Curation.CurationConfig(benchmark = bench)
+        val out = graft.operators.Curation.curate(
+          docs, "doc_id", "text", "lang", cfg)
+        out.write.mode("overwrite").parquet(s"${args(2)}/curated")
+        val n = spark.read.parquet(s"${args(2)}/curated").count()
+        println(s"curate: $n docs (of ${docs.count()}) under ${args(2)}/curated")
       case inputDir =>
         val glob = if (args.length > 2) args(2) else "*.txt"
         val r = Ingester.run(spark, Ingester.Config(inputDir, args(1), glob))

@@ -124,6 +124,82 @@ object Curation {
   }
 
   /**
+   * Full corpus-curation pipeline — the standard pretraining-data
+   * preparation flow, composed from this file's operators plus the dedup
+   * family: exact dedup → MinHash near-dup removal → quality filter
+   * (length + Gopher repetition) → benchmark decontamination → stratified
+   * mixture sampling → content-hash train/val split → shard-local sequence
+   * packing. Each stage is a pure DataFrame transform with the scale shape
+   * documented on its operator; the two frames traversed twice (post-exact,
+   * post-quality) are persisted (differing projections defeat exchange
+   * reuse — measured on q43).
+   *
+   * Near-dup removal keeps the smaller id of each verified pair (greedy
+   * keep-first, the standard corpus-dedup policy — transitively connected
+   * groups may retain more than one member; full connected components is
+   * ConnectedComponents.run if required).
+   */
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+      strataCol: String, cfg: CurationConfig = CurationConfig()): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val base = docs.select(col(idCol).as("id"), col(textCol).as("text"),
+      col(strataCol).as("stratum"))
+
+    val exactKept = Dedup.exact(base, "id", "text")
+      .filter(col("is_dup") === 0)
+      .select("id", "text", "stratum")
+      .persist(MEMORY_AND_DISK)
+    val nearDrop = Dedup
+      .minhashDedup(exactKept, "id", "text", n = cfg.shingleN,
+        k = cfg.minhashK, bands = cfg.minhashBands,
+        threshold = cfg.minhashThreshold, hash = cfg.minhashHash)
+      .select(col("id_b").as("id")).distinct()
+    val deduped = exactKept.join(nearDrop, Seq("id"), "left_anti")
+
+    val quality = deduped
+      .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
+      .join(ngramRepetition(deduped, "id", "text"), Seq("id"))
+      .filter(col("n_tokens") >= cfg.minTokens &&
+        col("dup_trigram_frac") <= cfg.maxDupTrigramFrac)
+      .select("id", "text", "stratum", "n_tokens")
+      .persist(MEMORY_AND_DISK)
+
+    val clean = cfg.benchmark match {
+      case Some(b) =>
+        val flagged = decontaminate(quality, b.select(col(idCol).as("id"),
+          col(textCol).as("text")), "id", "text", cfg.decontaminateN)
+        quality.join(flagged.filter(col("contaminated") === 0).select("id"),
+          Seq("id"), "left_semi")
+      case None => quality
+    }
+    val sampled =
+      if (cfg.sampleRates.isEmpty) clean
+      else clean.join(
+        stratifiedSample(clean, "id", "stratum", "text", cfg.sampleRates)
+          .select("id"), Seq("id"), "left_semi")
+
+    val withSplit = sampled
+      .join(contentSplit(sampled, "id", "text", cfg.trainHexMax)
+        .select("id", "split"), Seq("id"))
+    withSplit.join(
+      packSequences(withSplit, "id", "text", cfg.packBudget, cfg.nShards)
+        .select("id", "shard", "pack_id", "pack_offset"), Seq("id"))
+  }
+
+  /** Tuning knobs for [[curate]]; defaults follow the operator docs.
+    * `benchmark` (same id/text column names as the corpus) enables the
+    * decontamination stage; `sampleRates` enables mixture sampling. */
+  case class CurationConfig(
+      shingleN: Int = 3, minhashK: Int = 32, minhashBands: Int = 16,
+      minhashThreshold: Double = 0.8,
+      minTokens: Int = 10, maxDupTrigramFrac: Double = 0.5,
+      benchmark: Option[DataFrame] = None, decontaminateN: Int = 4,
+      sampleRates: Map[String, Double] = Map.empty,
+      trainHexMax: String = "c",
+      packBudget: Int = 2048, nShards: Int = 8,
+      minhashHash: Dedup.HashFamily = Dedup.XxHash64Family)
+
+  /**
    * Gopher-style repetition signal: per document, the fraction of n-gram
    * occurrences whose n-gram appears more than once within the doc (n = 2
    * and 3 over whitespace tokens). High values flag boilerplate/looping

@@ -609,6 +609,159 @@ object LlmQueries {
                          WHEN 'zh' THEN '40000000'
                          ELSE 'g' END""")),
 
+    // ---- FULL curation pipeline under one oracle: exact dedup → MinHash
+    // near-dup removal (portable md5) → quality filter (length + Gopher
+    // trigram repetition) → benchmark decontamination (src19 as the eval
+    // set) → stratified mixture sampling (en at 50%) → content-hash
+    // train/val split → shard-local packing. Every stage is replicated
+    // CTE-by-CTE in DuckDB, so the composed flagship — not just its parts —
+    // carries the hard hash-compare signal.
+    Q("q73_curation_pipeline",
+      (s, d) => {
+        val docs = T.documents(s, d)
+        val cfg = Curation.CurationConfig(
+          benchmark = Some(docs.filter(col("source") === "src19")),
+          sampleRates = Map("en" -> 0.5),
+          minhashHash = Dedup.PortableMd5Family)
+        Curation.curate(docs.filter(col("source") =!= "src19"),
+          "doc_id", "text", "lang", cfg)
+          .withColumnRenamed("id", "doc_id")
+      },
+      Some("""WITH tr AS (
+               SELECT doc_id AS id, text, lang AS stratum FROM documents
+               WHERE source <> 'src19'),
+             exact_kept AS (
+               SELECT id, text, stratum FROM (
+                 SELECT id, text, stratum,
+                   min(id) OVER (PARTITION BY text) AS rep FROM tr)
+               WHERE id = rep),
+             toks AS (
+               SELECT id, i, tok FROM (
+                 SELECT id, unnest(l) AS tok, unnest(range(len(l))) AS i
+                 FROM (SELECT id, string_split_regex(text, '\s+') AS l
+                       FROM exact_kept))
+               WHERE tok <> ''),
+             seq AS (
+               SELECT id, tok, lead(tok,1) OVER w AS t1,
+                 lead(tok,2) OVER w AS t2
+               FROM toks WINDOW w AS (PARTITION BY id ORDER BY i)),
+             sh AS (
+               SELECT DISTINCT id, md5(tok || ' ' || t1 || ' ' || t2) AS shingle
+               FROM seq WHERE t2 IS NOT NULL),
+             mh AS (
+               SELECT id, k, min(md5(CAST(k AS VARCHAR) || '|' || shingle)) AS h
+               FROM sh CROSS JOIN range(32) AS t(k) GROUP BY id, k),
+             bands AS (
+               SELECT id, k // 2 AS band,
+                 md5(CAST(k // 2 AS VARCHAR) || '|' ||
+                     string_agg(h, '|' ORDER BY k)) AS bh
+               FROM mh GROUP BY id, k // 2),
+             capped AS (
+               SELECT * FROM bands
+               QUALIFY count(*) OVER (PARTITION BY band, bh) BETWEEN 2 AND 1000),
+             cand AS (
+               SELECT DISTINCT a.id AS id_a, b.id AS id_b
+               FROM capped a JOIN capped b USING (band, bh)
+               WHERE a.id < b.id),
+             sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+             shared AS (
+               SELECT c.id_a, c.id_b, count(*) AS shared
+               FROM cand c
+               JOIN sh a ON a.id = c.id_a
+               JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+               GROUP BY 1, 2),
+             near_drop AS (
+               SELECT DISTINCT s.id_b AS id
+               FROM shared s
+               JOIN sizes sa ON sa.id = s.id_a
+               JOIN sizes sb ON sb.id = s.id_b
+               WHERE s.shared / (sa.sz + sb.sz - s.shared) >= 0.8),
+             deduped AS (
+               SELECT * FROM exact_kept
+               WHERE id NOT IN (SELECT id FROM near_drop)),
+             gtoks AS (
+               SELECT id, i, tok FROM (
+                 SELECT id, unnest(l) AS tok, unnest(range(len(l))) AS i
+                 FROM (SELECT id, string_split_regex(text, '\s+') AS l
+                       FROM deduped))
+               WHERE tok <> ''),
+             gseq AS (
+               SELECT id, tok,
+                 lead(tok,1) OVER (PARTITION BY id ORDER BY i) AS t1,
+                 lead(tok,2) OVER (PARTITION BY id ORDER BY i) AS t2
+               FROM gtoks),
+             gngrams AS (
+               SELECT id, 2 AS n, tok || ' ' || t1 AS ng
+               FROM gseq WHERE t1 IS NOT NULL
+               UNION ALL
+               SELECT id, 3 AS n, tok || ' ' || t1 || ' ' || t2 AS ng
+               FROM gseq WHERE t2 IS NOT NULL),
+             gcounts AS (
+               SELECT id, n, ng, count(*) AS c FROM gngrams GROUP BY 1, 2, 3),
+             gper AS (
+               SELECT id, n,
+                 round(CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+                   / sum(c), 6) AS frac
+               FROM gcounts GROUP BY 1, 2),
+             gwide AS (
+               SELECT id, max(CASE WHEN n = 3 THEN frac END) AS dup_trigram_frac
+               FROM gper GROUP BY 1),
+             quality AS (
+               SELECT d.id, d.text, d.stratum,
+                 len(string_split_regex(trim(d.text), '\s+')) AS n_tokens
+               FROM deduped d LEFT JOIN gwide g ON g.id = d.id
+               WHERE len(string_split_regex(trim(d.text), '\s+')) >= 10
+                 AND coalesce(g.dup_trigram_frac, 0.0) <= 0.5),
+             evsh AS (
+               SELECT DISTINCT tok || ' ' || t1 || ' ' || t2 || ' ' || t3
+                 AS shingle FROM (
+                 SELECT doc_id, tok, lead(tok,1) OVER w AS t1,
+                   lead(tok,2) OVER w AS t2, lead(tok,3) OVER w AS t3
+                 FROM (
+                   SELECT doc_id, i, tok FROM (
+                     SELECT doc_id, unnest(l) AS tok,
+                       unnest(range(len(l))) AS i
+                     FROM (SELECT doc_id, string_split_regex(text, '\s+') AS l
+                           FROM documents WHERE source = 'src19'))
+                   WHERE tok <> '')
+                 WINDOW w AS (PARTITION BY doc_id ORDER BY i))
+               WHERE t3 IS NOT NULL),
+             trsh4 AS (
+               SELECT DISTINCT id,
+                 tok || ' ' || t1 || ' ' || t2 || ' ' || t3 AS shingle FROM (
+                 SELECT id, tok, lead(tok,1) OVER w AS t1,
+                   lead(tok,2) OVER w AS t2, lead(tok,3) OVER w AS t3
+                 FROM (
+                   SELECT id, i, tok FROM (
+                     SELECT id, unnest(l) AS tok, unnest(range(len(l))) AS i
+                     FROM (SELECT id, string_split_regex(text, '\s+') AS l
+                           FROM quality))
+                   WHERE tok <> '')
+                 WINDOW w AS (PARTITION BY id ORDER BY i))
+               WHERE t3 IS NOT NULL),
+             contaminated AS (
+               SELECT DISTINCT t.id FROM trsh4 t JOIN evsh e USING (shingle)),
+             clean AS (
+               SELECT * FROM quality
+               WHERE id NOT IN (SELECT id FROM contaminated)),
+             sampled AS (
+               SELECT * FROM clean
+               WHERE substring(md5(text), 1, 8) <
+                 CASE stratum WHEN 'en' THEN '80000000' ELSE 'g' END),
+             with_split AS (
+               SELECT *, CASE WHEN substring(md5(text), 1, 1) <= 'c'
+                 THEN 'train' ELSE 'val' END AS split
+               FROM sampled),
+             packed AS (
+               SELECT id, CAST(id % 8 AS INT) AS shard,
+                 sum(n_tokens) OVER (PARTITION BY id % 8 ORDER BY id
+                   ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_before
+               FROM with_split)
+             SELECT w.id AS doc_id, w.text, w.stratum, w.n_tokens, w.split,
+               p.shard, CAST(p.cum_before // 2048 AS BIGINT) AS pack_id,
+               CAST(p.cum_before % 2048 AS BIGINT) AS pack_offset
+             FROM with_split w JOIN packed p ON p.id = w.id""")),
+
     // ---- Shard-local sequence packing into fixed token budgets (packing
     // for pretraining batches; per-shard running sums, no global sort).
     Q("q65_seq_packing",

@@ -109,6 +109,39 @@ class CurationSpec extends SparkSpec {
     assert(kept.isEmpty || kept == Set(1L, 2L))
   }
 
+  test("curate: end-to-end pipeline drops dups, junk, contamination; stamps split+pack") {
+    val benchText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val goodA = "one two three four five six seven eight nine ten eleven twelve"
+    val nearA = "one two three four five six seven eight nine ten eleven thirteen"
+    val docs = Seq(
+      (1L, "en", goodA),
+      (2L, "en", goodA),                                  // exact dup of 1
+      (3L, "en", nearA),                                  // near dup of 1
+      (4L, "en", "too short to keep"),                    // < minTokens
+      (5L, "en", "spam spam spam spam spam spam spam spam spam spam spam spam"), // repetitious
+      (6L, "en", s"prefix $benchText suffix pad pad2 pad3"), // contaminated
+      (7L, "de", "ganz anderes dokument mit vielen verschiedenen deutschen " +
+        "woertern darin enthalten heute")
+    ).toDF("doc_id", "lang", "text")
+    val bench = Seq((100L, "de", benchText)).toDF("doc_id", "lang", "text")
+    val cfg = Curation.CurationConfig(minhashThreshold = 0.5,
+      benchmark = Some(bench))
+    val out = Curation.curate(docs, "doc_id", "text", "lang", cfg)
+    val rows = out.collect()
+    val ids = rows.map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 7L), s"survivors: $ids")
+    // Survivors carry the full curation schema.
+    assert(out.columns.toSet == Set("id", "text", "stratum", "n_tokens",
+      "split", "shard", "pack_id", "pack_offset"))
+    val splits = rows.map(r => r.getLong(0) ->
+      r.getString(out.columns.indexOf("split"))).toMap
+    assert(splits.values.forall(s => s == "train" || s == "val"))
+    // Deterministic end to end.
+    val again = Curation.curate(docs, "doc_id", "text", "lang", cfg)
+    assert(again.collect().map(_.toString).sorted
+      .sameElements(rows.map(_.toString).sorted))
+  }
+
   test("ngramRepetition: fixture fractions match hand computation") {
     val docs = Seq(
       (1L, "a b a b a b"),     // bigrams: ab x3, ba x2 -> all dup (5/5);

@@ -34,6 +34,25 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((1L, 5L)))
   }
 
+  test("portable md5 hash family: same planted pairs as the xxhash64 default") {
+    // q43/q44 run the portable variants so DuckDB can replicate them; pin
+    // here that the hash swap preserves the operator's findings.
+    val mh = Dedup.minhashDedup(docs, "doc_id", "text",
+      n = 3, k = 32, bands = 16, threshold = 0.3,
+      hash = Dedup.PortableMd5Family)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(mh.contains((1L, 4L)))
+    assert(!mh.contains((1L, 3L)) && !mh.contains((1L, 5L)))
+    val sigs = Dedup.simhash(docs, "doc_id", "text",
+      nBits = 60, tokenHash = Dedup.portableTokenHash)
+    val m = sigs.as[(Long, Long)].collect().toMap
+    assert(m(1L) == m(4L), "identical docs share the portable 60-bit signature")
+    assert(m.values.forall(s => s >= 0 && s < (1L << 60)), "60-bit domain")
+    val sh = Dedup.simhashPairs(sigs, maxHamming = 15, nBits = 60)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(sh.contains((1L, 4L)))
+  }
+
   test("minhash est_jaccard is 1.0 for identical docs") {
     val est = Dedup.minhashCandidates(
       Dedup.minhashSignatures(Dedup.shingles(docs, "doc_id", "text"), 32), 8, 4)
@@ -189,6 +208,17 @@ class AnnSpec extends SparkSpec {
       .select("q_id", "n_id").as[(Long, Long)].collect().toSet
     val recall = (brute & approx).size.toDouble / brute.size
     assert(recall > 0.3, s"recall $recall")
+  }
+
+  test("LSH ANN with portable hyperplanes: recall holds at the q45 operating point") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(emb, queries, "vec_id", "embedding", 5,
+      nTables = 12, nBits = 6, planes = Similarity.portableHyperplanes)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & approx).size.toDouble / brute.size
+    assert(recall > 0.3, s"portable-plane recall $recall")
   }
 
   test("IVF ANN: probing all cells equals brute force; partial probe keeps recall") {
