@@ -142,6 +142,17 @@ class CurationSpec extends SparkSpec {
       .sameElements(rows.map(_.toString).sorted))
   }
 
+  test("decontaminate plan: benchmark shingle side is broadcast, corpus is not shuffled") {
+    val train = (0 until 50).map(i => (i.toLong, s"train doc $i with words")).toDF("doc_id", "text")
+    val bench = Seq((1L, "bench doc with words here")).toDF("doc_id", "text")
+    val plan = Curation.decontaminate(train, bench, "doc_id", "text", n = 4)
+      .queryExecution.executedPlan.toString
+    // The eval-set side must reach the join as a broadcast: at 100 TB the
+    // training corpus is never shuffled for this check.
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast join in plan:\n$plan")
+  }
+
   test("ngramRepetition: fixture fractions match hand computation") {
     val docs = Seq(
       (1L, "a b a b a b"),     // bigrams: ab x3, ba x2 -> all dup (5/5);
