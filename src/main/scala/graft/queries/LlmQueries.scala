@@ -652,10 +652,10 @@ object LlmQueries {
                SELECT id, k, min(md5(CAST(k AS VARCHAR) || '|' || shingle)) AS h
                FROM sh CROSS JOIN range(32) AS t(k) GROUP BY id, k),
              bands AS (
-               SELECT id, k // 2 AS band,
-                 md5(CAST(k // 2 AS VARCHAR) || '|' ||
+               SELECT id, k // 4 AS band,
+                 md5(CAST(k // 4 AS VARCHAR) || '|' ||
                      string_agg(h, '|' ORDER BY k)) AS bh
-               FROM mh GROUP BY id, k // 2),
+               FROM mh GROUP BY id, k // 4),
              capped AS (
                SELECT * FROM bands
                QUALIFY count(*) OVER (PARTITION BY band, bh) BETWEEN 2 AND 1000),
