@@ -40,36 +40,46 @@ object Multimodal {
     def resize(a: MediaAsset, width: Int, height: Int): Array[Byte]
   }
 
-  /** Deterministic stand-in codec (STUB — see class doc). */
+  /** Deterministic stand-in codec (STUB — see class doc). All fake values
+    * derive from md5 of the content bytes, so a SQL engine with `md5` can
+    * replicate them exactly — which puts the mapPartitions plumbing behind
+    * q50 under the driver's DuckDB hash-compare instead of a rows-only
+    * check (a wrap-around LCG would not be portable: DuckDB BIGINT
+    * arithmetic errors on overflow). */
   object HashCodec extends MediaCodec {
-    private def h(bytes: Array[Byte], seed: Long): Long = {
-      var acc = seed
-      var i = 0
-      while (i < bytes.length) { acc = acc * 6364136223846793005L + bytes(i); i += 1 }
-      acc
+    private def md5hex(prefix: String, bytes: Array[Byte]): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update(prefix.getBytes("UTF-8"))
+      md.digest(bytes).map(b => f"${b & 0xff}%02x").mkString
     }
+    private def hexLong(hex: String, from: Int, len: Int): Long =
+      java.lang.Long.parseLong(hex.substring(from, from + len), 16)
     def decode(a: MediaAsset): DecodedMeta = {
-      val x = h(a.content, 42L)
+      val h = md5hex("", a.content)
       DecodedMeta(a.asset_id, a.media_type,
-        width = 64 + (math.abs(x) % 1024).toInt,
-        height = 64 + (math.abs(x >> 16) % 1024).toInt,
-        duration_ms = if (a.media_type == "image") 0L else math.abs(x >> 24) % 600000L,
-        n_frames = if (a.media_type == "video") 1 + (math.abs(x >> 32) % 512).toInt else 1)
+        width = 64 + (hexLong(h, 0, 8) % 1024).toInt,
+        height = 64 + (hexLong(h, 8, 8) % 1024).toInt,
+        duration_ms = if (a.media_type == "image") 0L
+          else hexLong(h, 16, 12) % 600000L,
+        n_frames = if (a.media_type == "video")
+          1 + (hexLong(h, 28, 4) % 512).toInt else 1)
     }
     def embed(a: MediaAsset, dim: Int): Array[Float] =
-      Array.tabulate(dim)(i => (h(a.content, i.toLong) % 1000) / 1000.0f)
+      Array.tabulate(dim)(i =>
+        (hexLong(md5hex(s"$i|", a.content), 0, 15) % 1000) / 1000.0f)
     def sampleFrames(a: MediaAsset, every: Int): Iterator[FrameSample] = {
       val meta = decode(a)
       (0 until meta.n_frames by every).iterator.map(i =>
         FrameSample(a.asset_id, i, a.content.take(16)))
     }
     // Deterministic stand-in: real codecs re-encode; the fake emits a
-    // width*height/64-byte payload seeded from content + target dims so
+    // width*height/64-byte payload derived from content + target dims so
     // output size tracks the target resolution.
     def resize(a: MediaAsset, width: Int, height: Int): Array[Byte] = {
       val n = math.max(1, width * height / 64)
-      val seed = h(a.content, width.toLong << 32 | height.toLong)
-      Array.tabulate(n)(i => ((seed >> (i % 8 * 8)) & 0xFF).toByte)
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$width|$height|".getBytes("UTF-8") ++ a.content)
+      Array.tabulate(n)(i => digest(i % digest.length))
     }
   }
 

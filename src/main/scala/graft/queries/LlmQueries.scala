@@ -375,8 +375,11 @@ object LlmQueries {
              SELECT doc_id, string_agg(shingle, ',' ORDER BY shingle) AS fingerprint
              FROM ranked WHERE rn <= 8 GROUP BY doc_id""")),
 
-    // ---- Multimodal plumbing: binary assets → decoded meta + features
-    // (deterministic stub codec; Spark-side schema/partitioning is real).
+    // ---- Multimodal plumbing: binary assets → decoded meta + features.
+    // The codec is still a declared STUB (DEVIATIONS.md §10) executed via
+    // the real mapPartitions machinery — but its fake values derive from
+    // md5(content bytes), so DuckDB replicates the whole decode+embed
+    // surface and the query is hash-compared, not rows-only.
     Q("q50_multimodal_meta",
       (s, d) => {
         implicit val sp = s
@@ -388,7 +391,15 @@ object LlmQueries {
         meta.join(feats, "asset_id")
           .select("asset_id", "media_type", "width", "height", "n_frames", "f0")
       },
-      None),
+      Some("""SELECT doc_id AS asset_id, 'image' AS media_type,
+               CAST(64 + CAST('0x' || substr(md5(text), 1, 8) AS BIGINT)
+                 % 1024 AS INT) AS width,
+               CAST(64 + CAST('0x' || substr(md5(text), 9, 8) AS BIGINT)
+                 % 1024 AS INT) AS height,
+               1 AS n_frames,
+               round((CAST('0x' || substr(md5('0|' || text), 1, 15) AS BIGINT)
+                 % 1000) / 1000.0, 6) AS f0
+             FROM documents""")),
 
     // ---- Embedding-cosine near-dup pairs via LSH candidates. Random 64-d
     // gaussians have cos ~ N(0, 1/64): threshold 0.3 ≈ 2.4σ keeps output
