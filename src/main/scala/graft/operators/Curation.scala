@@ -226,6 +226,75 @@ object Curation {
       minhashHash: Dedup.HashFamily = Dedup.XxHash64Family)
 
   /**
+   * Corpus-level repeated-segment removal — the line-level dedup step of
+   * CCNet/RefinedWeb-style pipelines: a segment (line) that occurs in more
+   * than `maxDf` distinct documents is boilerplate (navigation chrome,
+   * cookie banners, license headers) and is dropped from every document;
+   * the survivors are reassembled in order. The segmentation unit is a
+   * `delimiter` line when the corpus has line structure, else fixed
+   * windows of `segWords` whitespace tokens (token positions are
+   * re-indexed after empty-token filtering so segmentation is insensitive
+   * to leading/duplicate whitespace).
+   *
+   * Returns one row per input document: (id, clean_text, n_seg_kept,
+   * n_seg_dropped); a doc that is entirely boilerplate stays with
+   * clean_text = ''.
+   *
+   * Scale shape: one shuffle on id for the re-index window (the
+   * (id, seg_i) segment aggregation reuses its HashPartitioning), one
+   * shuffle on segment text for the corpus document-frequency count, and
+   * the reassembly groups on id again. The segment frame is persisted —
+   * the df aggregation and the flag join both traverse it (differing
+   * projections defeat exchange reuse). The over-represented set
+   * (df > maxDf) is small by construction at a real threshold and could
+   * be broadcast; the default keeps a shuffle join so a pathological
+   * corpus that is mostly boilerplate still completes.
+   */
+  def segmentDedup(df: DataFrame, idCol: String, textCol: String,
+      maxDf: Int = 2, segWords: Int = 8,
+      delimiter: Option[String] = None): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    require(maxDf >= 1 && segWords >= 1, "maxDf and segWords must be >= 1")
+    val reIdx = Window.partitionBy(col("id")).orderBy(col("i"))
+    val segs0 = delimiter match {
+      case Some(d) =>
+        df.select(col(idCol).as("id"),
+            posexplode(split(col(textCol), java.util.regex.Pattern.quote(d)))
+              .as(Seq("i", "seg")))
+          .filter(trim(col("seg")) =!= "")
+          .withColumn("seg_i", row_number().over(reIdx) - 1)
+          .select("id", "seg_i", "seg")
+      case None =>
+        df.select(col(idCol).as("id"),
+            posexplode(split(col(textCol), "\\s+")).as(Seq("i", "tok")))
+          .filter(col("tok") =!= "")
+          .withColumn("ti", row_number().over(reIdx) - 1)
+          .groupBy(col("id"), expr(s"ti div $segWords").as("seg_i"))
+          .agg(array_join(transform(
+            sort_array(collect_list(struct(col("ti"), col("tok")))),
+            x => x.getField("tok")), " ").as("seg"))
+    }
+    val segs = segs0.persist(MEMORY_AND_DISK)
+    val boiler = segs.groupBy(col("seg"))
+      .agg(countDistinct(col("id")).as("seg_df"))
+      .filter(col("seg_df") > maxDf)
+      .select(col("seg"), lit(1).as("is_bl"))
+    val sep = delimiter.getOrElse(" ")
+    val agg = segs.join(boiler, Seq("seg"), "left")
+      .withColumn("kept", col("is_bl").isNull)
+      .groupBy(col("id"))
+      .agg(
+        array_join(transform(sort_array(collect_list(
+            when(col("kept"), struct(col("seg_i"), col("seg"))))),
+          x => x.getField("seg")), sep).as("clean_text"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_seg_kept"),
+        sum(when(col("kept"), 0L).otherwise(1L)).as("n_seg_dropped"))
+    df.select(col(idCol).as("id")).join(agg, Seq("id"), "left")
+      .na.fill("", Seq("clean_text"))
+      .na.fill(0L, Seq("n_seg_kept", "n_seg_dropped"))
+  }
+
+  /**
    * Gopher-style repetition signal: per document, the fraction of n-gram
    * occurrences whose n-gram appears more than once within the doc (n = 2
    * and 3 over whitespace tokens). High values flag boilerplate/looping

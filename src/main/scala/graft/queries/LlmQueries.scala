@@ -773,6 +773,48 @@ object LlmQueries {
                CAST(p.cum_before % 2048 AS BIGINT) AS pack_offset
              FROM with_split w JOIN packed p ON p.id = w.id""")),
 
+    // ---- Corpus-level repeated-segment removal (the line-dedup step of
+    // CCNet/RefinedWeb pipelines): 8-token segments occurring in > 2
+    // distinct docs are boilerplate, dropped everywhere, and the docs are
+    // reassembled. Token positions are re-indexed after empty filtering so
+    // both engines segment identically regardless of whitespace runs.
+    Q("q74_segment_dedup",
+      (s, d) => Curation.segmentDedup(T.documents(s, d), "doc_id", "text",
+        maxDf = 2, segWords = 8)
+        .withColumnRenamed("id", "doc_id"),
+      Some("""WITH toks AS (
+               SELECT doc_id, i, tok FROM (
+                 SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS i
+                 FROM (SELECT doc_id, string_split_regex(text, '\s+') AS l
+                       FROM documents))
+               WHERE tok <> ''),
+             rtoks AS (
+               SELECT doc_id, tok,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS ti
+               FROM toks),
+             segs AS (
+               SELECT doc_id, ti // 8 AS seg_i,
+                 string_agg(tok, ' ' ORDER BY ti) AS seg
+               FROM rtoks GROUP BY doc_id, ti // 8),
+             bl AS (
+               SELECT seg FROM segs
+               GROUP BY seg HAVING count(DISTINCT doc_id) > 2),
+             flagged AS (
+               SELECT s.doc_id, s.seg_i, s.seg,
+                 s.seg IN (SELECT seg FROM bl) AS is_bl
+               FROM segs s),
+             agg AS (
+               SELECT doc_id,
+                 string_agg(seg, ' ' ORDER BY seg_i)
+                   FILTER (WHERE NOT is_bl) AS clean_text,
+                 count(*) FILTER (WHERE NOT is_bl) AS n_seg_kept,
+                 count(*) FILTER (WHERE is_bl) AS n_seg_dropped
+               FROM flagged GROUP BY doc_id)
+             SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+               CAST(coalesce(a.n_seg_kept, 0) AS BIGINT) AS n_seg_kept,
+               CAST(coalesce(a.n_seg_dropped, 0) AS BIGINT) AS n_seg_dropped
+             FROM documents d LEFT JOIN agg a USING (doc_id)""")),
+
     // ---- Shard-local sequence packing into fixed token budgets (packing
     // for pretraining batches; per-shard running sums, no global sort).
     Q("q65_seq_packing",

@@ -153,6 +153,59 @@ class CurationSpec extends SparkSpec {
       s"expected broadcast join in plan:\n$plan")
   }
 
+  test("segmentDedup: corpus-frequent segments dropped, rare ones survive in order") {
+    val boiler = "all rights reserved click here to subscribe"  // 8 tokens
+    val docs = Seq(
+      (1L, s"unique opening words for doc one here now $boiler"),
+      (2L, s"different second document body with some more words $boiler"),
+      (3L, s"third document text goes right here as well $boiler"),
+      (4L, "fourth doc has no boilerplate in it at all"),
+      (5L, ""),                                 // empty -> kept, empty clean text
+      (6L, boiler))                             // pure boilerplate -> emptied
+      .toDF("doc_id", "text")
+    val out = Curation.segmentDedup(docs, "doc_id", "text",
+      maxDf = 2, segWords = 8)
+      .select("id", "clean_text", "n_seg_kept", "n_seg_dropped")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+    assert(out.size == 6, "one row per input doc, empty included")
+    // The planted segment appears in 4 docs (> maxDf=2) -> dropped everywhere.
+    assert(out(1L) == (("unique opening words for doc one here now", 1L, 1L)))
+    assert(out(2L) == (("different second document body with some more words", 1L, 1L)))
+    assert(out(3L) == (("third document text goes right here as well", 1L, 1L)))
+    assert(out(4L) == (("fourth doc has no boilerplate in it at all", 2L, 0L)),
+      "9 tokens -> two segments (8 + 1), both unique, order preserved")
+    assert(out(5L) == (("", 0L, 0L)))
+    assert(out(6L) == (("", 0L, 1L)), "pure-boilerplate doc is emptied, not lost")
+    // Whitespace-insensitive segmentation: extra spaces don't shift windows.
+    val spaced = Seq((1L, s"unique opening  words for doc one here now  $boiler"))
+      .toDF("doc_id", "text")
+      .union(docs.filter($"doc_id" > 1L))
+    val out2 = Curation.segmentDedup(spaced, "doc_id", "text",
+      maxDf = 2, segWords = 8)
+      .select("id", "clean_text").as[(Long, String)].collect().toMap
+    assert(out2(1L) == "unique opening words for doc one here now")
+  }
+
+  test("segmentDedup: delimiter mode drops repeated lines, rejoins with the delimiter") {
+    val docs = Seq(
+      (1L, "real content line one\ncookie banner text\nreal content line two"),
+      (2L, "another real line\ncookie banner text"),
+      (3L, "cookie banner text\nthird doc body"),
+      (4L, "only original material"))
+      .toDF("doc_id", "text")
+    val out = Curation.segmentDedup(docs, "doc_id", "text",
+      maxDf = 2, delimiter = Some("\n"))
+      .select("id", "clean_text", "n_seg_dropped")
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == (("real content line one\nreal content line two", 1L)))
+    assert(out(2L) == (("another real line", 1L)))
+    assert(out(3L) == (("third doc body", 1L)))
+    assert(out(4L) == (("only original material", 0L)))
+  }
+
   test("ngramRepetition: fixture fractions match hand computation") {
     val docs = Seq(
       (1L, "a b a b a b"),     // bigrams: ab x3, ba x2 -> all dup (5/5);
