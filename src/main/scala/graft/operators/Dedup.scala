@@ -113,6 +113,16 @@ object Dedup {
       .select(col("id"), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
   }
 
+  /** (id, sig) → one row per band: (id, sig, band, bh) where bh hashes the
+    * band's `rows` signature components. Shared by the symmetric candidate
+    * join and the incremental corpus table. */
+  private[operators] def bandSignatures(sigs: DataFrame, bands: Int,
+      rows: Int, hash: HashFamily): DataFrame =
+    sigs.select(col("id"), col("sig"),
+      posexplode(array((0 until bands).map(b =>
+        hash.combine(lit(b) +: (0 until rows).map(r =>
+          element_at(col("sig"), b * rows + r + 1)))): _*)).as(Seq("band", "bh")))
+
   /**
    * Banded-LSH candidate pairs from minhash signatures: b bands of r rows
    * (k = b·r); docs sharing any band hash become candidates. Returns
@@ -122,10 +132,7 @@ object Dedup {
   def minhashCandidates(sigs: DataFrame, bands: Int = 8, rows: Int = 4,
       maxBucket: Int = DefaultMaxBucket,
       hash: HashFamily = XxHash64Family): DataFrame = {
-    val banded = sigs.select(col("id"), col("sig"),
-      posexplode(array((0 until bands).map(b =>
-        hash.combine(lit(b) +: (0 until rows).map(r =>
-          element_at(col("sig"), b * rows + r + 1)))): _*)).as(Seq("band", "bh")))
+    val banded = bandSignatures(sigs, bands, rows, hash)
     // Persisted: the a/b self-join traverses this twice, and exchange
     // reuse does NOT collapse the two branches (their projections differ —
     // measured 16 parquet scans in q43's executed plan without persists).
@@ -207,6 +214,111 @@ object Dedup {
       .select(col("ia").as("id_a"), col("ib").as("id_b"),
         lit(1.0d).as("est_jaccard"), lit(1.0d).as("jaccard"))
     cross.unionByName(within)
+  }
+
+  /**
+   * Banded MinHash signature table for a corpus — the precomputable,
+   * storable artifact behind incremental dedup: (id, band, bh, sig), one
+   * row per (doc, band). Build it once per corpus snapshot and write it
+   * partitioned/bucketed by (band, bh); every later increment probes it
+   * without touching corpus text again. Oversized (band, bh) buckets —
+   * non-discriminative band hashes, the LSH analogue of stopwords — are
+   * dropped at BUILD time (no 2-member lower bound here, unlike the
+   * symmetric join: a singleton corpus bucket still has to pair with
+   * future batch docs), so `maxBucket` bounds every future probe's
+   * fan-out. 0 = unbounded.
+   */
+  def minhashBandTable(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 32, bands: Int = 8,
+      maxBucket: Int = DefaultMaxBucket,
+      hash: HashFamily = XxHash64Family): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val sigs = minhashSignatures(
+      shingles(df.select(col(idCol).as("id"), col(textCol).as("text")),
+        "id", "text", n, hash), k, hash)
+    val banded = bandSignatures(sigs, bands, k / bands, hash)
+    if (maxBucket <= 0) banded else {
+      val ok = banded.groupBy(col("band"), col("bh"))
+        .agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") <= maxBucket)
+        .select("band", "bh")
+      banded.join(ok, Seq("band", "bh"), "left_semi")
+    }
+  }
+
+  /**
+   * Incremental near-dup: pairs between a NEW batch and an EXISTING corpus
+   * — the daily-increment shape of corpus dedup at scale (dedup today's
+   * crawl against the 100 TB already ingested WITHOUT re-running the
+   * corpus×corpus join). Returns (batch_id, corpus_id, est_jaccard,
+   * jaccard) with exact jaccard ≥ `threshold`.
+   *
+   * Scale design: the corpus participates only as its banded signature
+   * table — pass a precomputed [[minhashBandTable]] artifact as
+   * `corpusBands` (default builds it in-flight) — plus a text lookup
+   * restricted to candidate ids for exact verification. The batch side,
+   * small by definition, is BROADCAST into the candidate probe, so the
+   * corpus table is never shuffled (scan → broadcast-hash probe); the
+   * verify stage re-shingles only candidate corpus docs (a left_semi on
+   * candidate ids that prunes the corpus scan). Per-increment cost:
+   * O(batch) signature work + O(candidates) verification. Batch-internal
+   * duplicates are out of scope — run [[exact]]/[[minhashDedup]] on the
+   * batch itself.
+   */
+  def incrementalMinhash(batch: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String,
+      n: Int = 3, k: Int = 32, bands: Int = 8, threshold: Double = 0.5,
+      maxBucket: Int = DefaultMaxBucket,
+      hash: HashFamily = XxHash64Family,
+      corpusBands: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    require(k % bands == 0, "bands must divide k")
+    val cBands = corpusBands.getOrElse(
+      minhashBandTable(corpus, idCol, textCol, n, k, bands, maxBucket, hash))
+    // Batch shingles feed signatures, the verify join, and sizes; the
+    // candidate frame feeds the semi-join filter, est carry-through, and
+    // the final assembly — both persisted (no exchange reuse across
+    // differing projections).
+    val bsh = shingles(batch.select(col(idCol).as("id"), col(textCol).as("text")),
+        "id", "text", n, hash)
+      .persist(MEMORY_AND_DISK)
+    val bBands = bandSignatures(minhashSignatures(bsh, k, hash), bands,
+      k / bands, hash)
+    val cand = broadcast(bBands.select(col("band"), col("bh"),
+        col("id").as("batch_id"), col("sig").as("sig_a")))
+      .join(cBands.select(col("band"), col("bh"), col("id").as("corpus_id"),
+        col("sig").as("sig_b")), Seq("band", "bh"))
+      .select(col("batch_id"), col("corpus_id"),
+        (aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), _ + _)
+          .cast("double") / size(col("sig_a"))).as("est_jaccard"))
+      .dropDuplicates("batch_id", "corpus_id")
+      .persist(MEMORY_AND_DISK)
+    val candIds = cand.select(col("corpus_id").as("id")).distinct()
+    val csh = shingles(
+        corpus.select(col(idCol).as("id"), col(textCol).as("text"))
+          .join(candIds, Seq("id"), "left_semi"), "id", "text", n, hash)
+      .persist(MEMORY_AND_DISK)
+    val shared = cand.select("batch_id", "corpus_id")
+      .join(bsh.select(col("id").as("batch_id"), col("shingle")), Seq("batch_id"))
+      .join(csh.select(col("id").as("corpus_id"), col("shingle")),
+        Seq("corpus_id", "shingle"))
+      .groupBy(col("batch_id"), col("corpus_id"))
+      .agg(count(lit(1)).as("shared"))
+    val szA = bsh.groupBy(col("id")).agg(count(lit(1)).as("sz_a"))
+      .withColumnRenamed("id", "batch_id")
+    val szB = csh.groupBy(col("id")).agg(count(lit(1)).as("sz_b"))
+      .withColumnRenamed("id", "corpus_id")
+    cand
+      .join(shared, Seq("batch_id", "corpus_id"), "left_outer")
+      .na.fill(0L, Seq("shared"))
+      .join(szA, Seq("batch_id")).join(szB, Seq("corpus_id"))
+      .withColumn("jaccard",
+        col("shared") / (col("sz_a") + col("sz_b") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("batch_id"), col("corpus_id"),
+        round(col("est_jaccard"), 6).as("est_jaccard"),
+        round(col("jaccard"), 6).as("jaccard"))
   }
 
   /**

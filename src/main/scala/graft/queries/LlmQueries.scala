@@ -773,6 +773,101 @@ object LlmQueries {
                CAST(p.cum_before % 2048 AS BIGINT) AS pack_offset
              FROM with_split w JOIN packed p ON p.id = w.id""")),
 
+    // ---- Incremental near-dup: today's increment (doc_id ≡ 4 mod 5, a
+    // scale-free stand-in for the daily batch) probed against the banded
+    // signature table of everything already ingested. The corpus side is
+    // never shuffled — batch bands broadcast into the probe; verification
+    // re-shingles only candidate corpus docs. Portable md5 hashing puts
+    // the full asymmetric pipeline under the DuckDB hash-compare.
+    Q("q75_incremental_neardup",
+      (s, d) => {
+        val docs = T.documents(s, d)
+        Dedup.incrementalMinhash(
+          docs.filter(pmod(col("doc_id"), lit(5)) === 4),
+          docs.filter(pmod(col("doc_id"), lit(5)) =!= 4),
+          "doc_id", "text", n = 3, k = 32, bands = 8, threshold = 0.5,
+          hash = Dedup.PortableMd5Family)
+          .orderBy(col("batch_id"), col("corpus_id"))
+      },
+      Some("""WITH batch AS (
+               SELECT doc_id AS id, text FROM documents WHERE doc_id % 5 = 4),
+             corp AS (
+               SELECT doc_id AS id, text FROM documents WHERE doc_id % 5 <> 4),
+             btoks AS (
+               SELECT id, i, tok FROM (
+                 SELECT id, unnest(l) AS tok, unnest(range(len(l))) AS i
+                 FROM (SELECT id, string_split_regex(text, '\s+') AS l
+                       FROM batch))
+               WHERE tok <> ''),
+             bseq AS (
+               SELECT id, tok, lead(tok,1) OVER w AS t1,
+                 lead(tok,2) OVER w AS t2
+               FROM btoks WINDOW w AS (PARTITION BY id ORDER BY i)),
+             bsh AS (
+               SELECT DISTINCT id, md5(tok || ' ' || t1 || ' ' || t2) AS shingle
+               FROM bseq WHERE t2 IS NOT NULL),
+             bmh AS (
+               SELECT id, k, min(md5(CAST(k AS VARCHAR) || '|' || shingle)) AS h
+               FROM bsh CROSS JOIN range(32) AS t(k) GROUP BY id, k),
+             bbands AS (
+               SELECT id, k // 4 AS band,
+                 md5(CAST(k // 4 AS VARCHAR) || '|' ||
+                     string_agg(h, '|' ORDER BY k)) AS bh
+               FROM bmh GROUP BY id, k // 4),
+             ctoks AS (
+               SELECT id, i, tok FROM (
+                 SELECT id, unnest(l) AS tok, unnest(range(len(l))) AS i
+                 FROM (SELECT id, string_split_regex(text, '\s+') AS l
+                       FROM corp))
+               WHERE tok <> ''),
+             cseq AS (
+               SELECT id, tok, lead(tok,1) OVER w AS t1,
+                 lead(tok,2) OVER w AS t2
+               FROM ctoks WINDOW w AS (PARTITION BY id ORDER BY i)),
+             csh AS (
+               SELECT DISTINCT id, md5(tok || ' ' || t1 || ' ' || t2) AS shingle
+               FROM cseq WHERE t2 IS NOT NULL),
+             cmh AS (
+               SELECT id, k, min(md5(CAST(k AS VARCHAR) || '|' || shingle)) AS h
+               FROM csh CROSS JOIN range(32) AS t(k) GROUP BY id, k),
+             cbands AS (
+               SELECT id, k // 4 AS band,
+                 md5(CAST(k // 4 AS VARCHAR) || '|' ||
+                     string_agg(h, '|' ORDER BY k)) AS bh
+               FROM cmh GROUP BY id, k // 4),
+             ccap AS (
+               SELECT * FROM cbands
+               QUALIFY count(*) OVER (PARTITION BY band, bh) <= 1000),
+             cand AS (
+               SELECT DISTINCT b.id AS batch_id, c.id AS corpus_id
+               FROM bbands b JOIN ccap c USING (band, bh)),
+             est AS (
+               SELECT d.batch_id, d.corpus_id,
+                 round(CAST(sum(CASE WHEN bm.h = cm.h THEN 1 ELSE 0 END)
+                   AS DOUBLE) / 32, 6) AS est_jaccard
+               FROM cand d
+               JOIN bmh bm ON bm.id = d.batch_id
+               JOIN cmh cm ON cm.id = d.corpus_id AND cm.k = bm.k
+               GROUP BY 1, 2),
+             bsz AS (SELECT id, count(*) AS sz FROM bsh GROUP BY id),
+             csz AS (SELECT id, count(*) AS sz FROM csh GROUP BY id),
+             shared AS (
+               SELECT d.batch_id, d.corpus_id, count(*) AS shared
+               FROM cand d
+               JOIN bsh a ON a.id = d.batch_id
+               JOIN csh b ON b.id = d.corpus_id AND b.shingle = a.shingle
+               GROUP BY 1, 2)
+             SELECT e.batch_id, e.corpus_id, e.est_jaccard,
+               round(CAST(coalesce(s.shared, 0) AS DOUBLE) /
+                 (ba.sz + ca.sz - coalesce(s.shared, 0)), 6) AS jaccard
+             FROM est e
+             LEFT JOIN shared s ON s.batch_id = e.batch_id
+               AND s.corpus_id = e.corpus_id
+             JOIN bsz ba ON ba.id = e.batch_id
+             JOIN csz ca ON ca.id = e.corpus_id
+             WHERE CAST(coalesce(s.shared, 0) AS DOUBLE) /
+               (ba.sz + ca.sz - coalesce(s.shared, 0)) >= 0.5""")),
+
     // ---- Corpus-level repeated-segment removal (the line-dedup step of
     // CCNet/RefinedWeb pipelines): 8-token segments occurring in > 2
     // distinct docs are boilerplate, dropped everywhere, and the docs are

@@ -53,6 +53,48 @@ class DedupSpec extends SparkSpec {
     assert(sh.contains((1L, 4L)))
   }
 
+  test("incremental minhash: batch pairs against corpus only, artifact path identical") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs away fast"),
+      (2L, "completely different content about spark query engines and shuffles"),
+      (3L, "a third corpus document with its own very distinct token stream"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog and runs away quickly"), // near-dup of 1
+      (102L, "a third corpus document with its own very distinct token stream"),   // exact dup of 3
+      (103L, "brand new material sharing nothing with anything ingested before"))
+      .toDF("doc_id", "text")
+
+    val out = Dedup.incrementalMinhash(batch, corpus, "doc_id", "text",
+      n = 3, k = 32, bands = 16, threshold = 0.3)
+    val pairs = out.select("batch_id", "corpus_id", "jaccard")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+
+    assert(pairs.contains((101L, 1L)), s"near-dup probe missing: $pairs")
+    assert(pairs((102L, 3L)) == 1.0, "exact dup of an ingested doc has jaccard 1")
+    assert(!pairs.keys.exists(_._1 == 103L), "novel doc pairs with nothing")
+    assert(pairs.keys.forall(p => p._1 > 100L && p._2 < 100L),
+      "pairs are strictly batch x corpus (no corpus-internal, no batch-internal)")
+
+    // Precomputed signature-table artifact gives the identical result —
+    // the store-once / probe-daily path.
+    val table = Dedup.minhashBandTable(corpus, "doc_id", "text",
+      n = 3, k = 32, bands = 16)
+    val viaArtifact = Dedup.incrementalMinhash(batch, corpus, "doc_id", "text",
+      n = 3, k = 32, bands = 16, threshold = 0.3, corpusBands = Some(table))
+      .select("batch_id", "corpus_id", "jaccard")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(viaArtifact == pairs)
+
+    // The candidate probe broadcasts the batch side: the corpus signature
+    // table is never shuffled for the join.
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast candidate probe in plan:\n$plan")
+  }
+
   test("minhash est_jaccard is 1.0 for identical docs") {
     val est = Dedup.minhashCandidates(
       Dedup.minhashSignatures(Dedup.shingles(docs, "doc_id", "text"), 32), 8, 4)
