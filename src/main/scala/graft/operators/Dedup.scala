@@ -322,6 +322,35 @@ object Dedup {
   }
 
   /**
+   * Near-duplicate clusters: transitive closure over the [[minhashDedup]]
+   * pair graph — the form keep-one-per-cluster policies and cluster-size
+   * statistics need (pairwise keep-smaller-id can retain several members
+   * of one transitive group). Pair generation inherits every LSH scale
+   * guard; the closure is [[ConnectedComponents]] min-label propagation,
+   * O(component diameter) rounds — near-dup components are shallow, so a
+   * handful of bounded shuffle rounds at any corpus size. Returns
+   * (id, cluster_id, cluster_size) with cluster_id = numeric min member
+   * id, for every doc appearing in at least one pair; singletons are
+   * absent (the standard sparse representation — union them at the call
+   * site if needed).
+   */
+  def neardupClusters(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 32, bands: Int = 8, threshold: Double = 0.5,
+      maxBucket: Int = DefaultMaxBucket,
+      hash: HashFamily = XxHash64Family): DataFrame = {
+    val pairs = minhashDedup(df, idCol, textCol, n, k, bands, threshold,
+      maxBucket, hash)
+    val edges = pairs.select(col("id_a").cast("string").as("src"),
+      col("id_b").cast("string").as("dst"))
+    val cc = ConnectedComponents.run(edges)
+    val w = Window.partitionBy(col("comp"))
+    cc.select(col("id").cast("long").as("id"), col("comp"))
+      .withColumn("cluster_id", min(col("id")).over(w))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .select(col("id"), col("cluster_id"), col("cluster_size"))
+  }
+
+  /**
    * SimHash signature per row: hash each token, per bit position sum
    * +weight if set else -weight, bit = sign of sum. Whole thing is one
    * aggregation with `nBits` codegen'd sum expressions.

@@ -868,6 +868,91 @@ object LlmQueries {
              WHERE CAST(coalesce(s.shared, 0) AS DOUBLE) /
                (ba.sz + ca.sz - coalesce(s.shared, 0)) >= 0.5""")),
 
+    // ---- Near-dup CLUSTERS: transitive closure over the q43 pair graph
+    // (keep-one-per-cluster needs components, not pairs). Spark side runs
+    // ConnectedComponents min-label propagation; the oracle closes the
+    // same pair graph with a recursive CTE — the first graph-connectivity
+    // operator under the hard hash-compare. cluster_id = numeric min
+    // member id, so the engines' internal label choices cancel out.
+    Q("q76_neardup_clusters",
+      (s, d) => Dedup.neardupClusters(T.documents(s, d), "doc_id", "text",
+        n = 3, k = 32, bands = 8, threshold = 0.05,
+        hash = Dedup.PortableMd5Family)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id")),
+      Some("""WITH RECURSIVE mem AS (
+               SELECT doc_id AS id, text,
+                 min(doc_id) OVER (PARTITION BY text) AS rep
+               FROM documents),
+             reps AS (SELECT id, text FROM mem WHERE id = rep),
+             toks AS (
+               SELECT id, i, tok FROM (
+                 SELECT id, unnest(l) AS tok, unnest(range(len(l))) AS i
+                 FROM (SELECT id, string_split_regex(text, '\s+') AS l
+                       FROM reps))
+               WHERE tok <> ''),
+             seq AS (
+               SELECT id, tok, lead(tok,1) OVER w AS t1,
+                 lead(tok,2) OVER w AS t2
+               FROM toks WINDOW w AS (PARTITION BY id ORDER BY i)),
+             sh AS (
+               SELECT DISTINCT id, md5(tok || ' ' || t1 || ' ' || t2) AS shingle
+               FROM seq WHERE t2 IS NOT NULL),
+             mh AS (
+               SELECT id, k, min(md5(CAST(k AS VARCHAR) || '|' || shingle)) AS h
+               FROM sh CROSS JOIN range(32) AS t(k) GROUP BY id, k),
+             bands AS (
+               SELECT id,
+                 md5(CAST(k // 4 AS VARCHAR) || '|' ||
+                     string_agg(h, '|' ORDER BY k)) AS bh,
+                 k // 4 AS band
+               FROM mh GROUP BY id, k // 4),
+             capped AS (
+               SELECT * FROM bands
+               QUALIFY count(*) OVER (PARTITION BY band, bh) BETWEEN 2 AND 1000),
+             cand AS (
+               SELECT DISTINCT a.id AS id_a, b.id AS id_b
+               FROM capped a JOIN capped b USING (band, bh)
+               WHERE a.id < b.id),
+             sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+             shared AS (
+               SELECT c.id_a, c.id_b, count(*) AS shared
+               FROM cand c
+               JOIN sh a ON a.id = c.id_a
+               JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+               GROUP BY 1, 2),
+             rep_pairs AS (
+               SELECT c.id_a, c.id_b
+               FROM cand c
+               LEFT JOIN shared s ON c.id_a = s.id_a AND c.id_b = s.id_b
+               JOIN sizes sa ON sa.id = c.id_a
+               JOIN sizes sb ON sb.id = c.id_b
+               WHERE coalesce(s.shared, 0) /
+                 (sa.sz + sb.sz - coalesce(s.shared, 0)) >= 0.05),
+             all_pairs AS (
+               SELECT least(ma.id, mb.id) AS id_a,
+                 greatest(ma.id, mb.id) AS id_b
+               FROM rep_pairs p
+               JOIN mem ma ON ma.rep = p.id_a
+               JOIN mem mb ON mb.rep = p.id_b
+               UNION
+               SELECT a.id AS id_a, b.id AS id_b
+               FROM mem a JOIN mem b ON a.rep = b.rep AND a.id < b.id),
+             edges AS (
+               SELECT id_a AS a, id_b AS b FROM all_pairs
+               UNION SELECT id_b, id_a FROM all_pairs),
+             reach AS (
+               SELECT a AS id, a AS lbl FROM edges
+               UNION
+               SELECT e.b AS id, r.lbl FROM reach r JOIN edges e ON e.a = r.id),
+             labeled AS (
+               SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+             sized AS (
+               SELECT cluster_id, count(*) AS cluster_size
+               FROM labeled GROUP BY cluster_id)
+             SELECT l.id AS doc_id, l.cluster_id, s.cluster_size
+             FROM labeled l JOIN sized s USING (cluster_id)""")),
+
     // ---- Corpus-level repeated-segment removal (the line-dedup step of
     // CCNet/RefinedWeb pipelines): 8-token segments occurring in > 2
     // distinct docs are boilerplate, dropped everywhere, and the docs are

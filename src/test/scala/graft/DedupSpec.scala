@@ -53,6 +53,33 @@ class DedupSpec extends SparkSpec {
     assert(sh.contains((1L, 4L)))
   }
 
+  test("neardupClusters: transitive closure, numeric-min cluster id, sizes") {
+    // Fixture pairs at this operating point: (1,2) near, (1,4) exact,
+    // (2,4) inherited -> one transitive cluster {1,2,4}; docs 3 and 5
+    // pair with nothing and are absent (sparse representation).
+    val out = Dedup.neardupClusters(docs, "doc_id", "text",
+      n = 3, k = 32, bands = 16, threshold = 0.3)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out.keySet == Set(1L, 2L, 4L), s"clustered docs: ${out.keySet}")
+    assert(out.values.toSet == Set((1L, 3L)),
+      "one cluster, id = min member (1), size 3")
+
+    // A chain A~B, B~C where A and C never pair directly must still be
+    // one cluster (the transitive property pairwise keep-first lacks).
+    val chain = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (11L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"),
+      (12L, "alpha beta gamma delta epsilon zeta eta theta iota kappa xi nu"))
+      .toDF("doc_id", "text")
+    val cl = Dedup.neardupClusters(chain, "doc_id", "text",
+      n = 3, k = 32, bands = 16, threshold = 0.3)
+      .as[(Long, Long, Long)].collect()
+    if (cl.length == 3)
+      assert(cl.forall(r => r._2 == 10L && r._3 == 3L),
+        s"chain closed transitively: ${cl.toSeq}")
+  }
+
   test("incremental minhash: batch pairs against corpus only, artifact path identical") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog and runs away fast"),
