@@ -102,6 +102,49 @@ class StreamingSpec extends SparkSpec {
     assert(got.values.sum == batchEvents.count())
   }
 
+  test("streaming incremental dedup: per-micro-batch probe == batch operator") {
+    import graft.operators.Dedup
+    import graft.streaming.CurationStreams
+
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs away fast", "en", "s0", 60L),
+      (2L, "completely different content about spark query engines and shuffles", "en", "s0", 60L),
+      (3L, "a third corpus document with its own very distinct token stream", "en", "s0", 60L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val arrivals = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog and runs away quickly", "en", "s1", 60L),
+      (102L, "a third corpus document with its own very distinct token stream", "en", "s1", 60L),
+      (103L, "brand new material sharing nothing with anything ingested before", "en", "s1", 60L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+    val tmp = java.nio.file.Files.createTempDirectory("stream_docs").toString
+    arrivals.coalesce(1).write.parquet(s"$tmp/in")
+
+    // Production shape: the corpus signature artifact is prebuilt; no
+    // trigger re-signs the corpus.
+    val bandTable = Dedup.minhashBandTable(corpus, "doc_id", "text",
+      n = 3, k = 32, bands = 16)
+
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val q = CurationStreams.incrementalDedupStream(
+      CurationStreams.readDocumentStream(spark, s"$tmp/in", glob = "*.parquet"),
+      corpus, "doc_id", "text", n = 3, k = 32, bands = 16, threshold = 0.3,
+      corpusBands = Some(bandTable)) { matches =>
+      got ++= matches.select("batch_id", "corpus_id", "jaccard")
+        .as[(Long, Long, Double)].collect()
+    }
+    q.processAllAvailable()
+    q.stop()
+
+    val expected = Dedup.incrementalMinhash(arrivals, corpus, "doc_id", "text",
+      n = 3, k = 32, bands = 16, threshold = 0.3)
+      .select("batch_id", "corpus_id", "jaccard")
+      .as[(Long, Long, Double)].collect()
+    assert(expected.nonEmpty, "fixture must produce matches")
+    assert(got.sorted == expected.toSeq.sorted,
+      s"stream got ${got.toSeq} expected ${expected.toSeq}")
+  }
+
   test("flatMapGroupsWithState running totals match batch aggregation") {
     val got = runToMemory(
       EventStreams.runningUserTotals(spark,
