@@ -23,11 +23,16 @@ object ConnectedComponents {
 
   /**
    * @param edges DataFrame with string columns `src`, `dst` (undirected).
+   * @param strict when true, throw instead of silently returning
+   *               non-converged labels if `maxIter` rounds did not reach a
+   *               fixpoint (a component with diameter > maxIter would
+   *               otherwise be reported as several components).
    * @return DataFrame (`id`, `comp`) covering every vertex present in edges.
    *         Isolated vertices (no edges) are absent — union them as
    *         singleton components at the call site if needed.
    */
-  def run(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+  def run(edges: DataFrame, maxIter: Int = 25,
+      strict: Boolean = false): DataFrame = {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
@@ -55,6 +60,10 @@ object ConnectedComponents {
       iter += 1
     }
     sym.unpersist()
+    if (strict && changed > 0)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIter rounds " +
+          s"($changed labels still changing) — raise maxIter")
     labels
   }
 }

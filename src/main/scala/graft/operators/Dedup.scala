@@ -59,14 +59,18 @@ object Dedup {
    */
   val DefaultMaxBucket: Int = 1000
 
-  /** Keep only rows whose bucket (by `keyCols`) has 2..maxBucket members
-    * (singleton buckets pair nothing; oversized ones are dropped). */
-  private[operators] def capBuckets(
-      df: DataFrame, keyCols: Seq[String], maxBucket: Int): DataFrame = {
+  /** Keep only rows whose bucket (by `keyCols`) has minBucket..maxBucket
+    * members. Symmetric self-joins use the default minBucket=2 (singleton
+    * buckets pair nothing); asymmetric probe tables pass minBucket=1
+    * (a singleton corpus bucket must stay probeable by future batches).
+    * maxBucket=0 = unbounded; fully unbounded input returns unchanged. */
+  private[operators] def capBuckets(df: DataFrame, keyCols: Seq[String],
+      maxBucket: Int, minBucket: Int = 2): DataFrame = {
+    if (maxBucket <= 0 && minBucket <= 1) return df
     val upper = if (maxBucket > 0) maxBucket.toLong else Long.MaxValue
     val counts = df.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") >= 2 && col("bsz") <= upper)
+      .filter(col("bsz") >= minBucket && col("bsz") <= upper)
       .select(keyCols.map(col): _*)
     df.join(counts, keyCols, "left_semi")
   }
@@ -237,13 +241,7 @@ object Dedup {
       shingles(df.select(col(idCol).as("id"), col(textCol).as("text")),
         "id", "text", n, hash), k, hash)
     val banded = bandSignatures(sigs, bands, k / bands, hash)
-    if (maxBucket <= 0) banded else {
-      val ok = banded.groupBy(col("band"), col("bh"))
-        .agg(count(lit(1)).as("bsz"))
-        .filter(col("bsz") <= maxBucket)
-        .select("band", "bh")
-      banded.join(ok, Seq("band", "bh"), "left_semi")
-    }
+    capBuckets(banded, Seq("band", "bh"), maxBucket, minBucket = 1)
   }
 
   /**
@@ -270,7 +268,25 @@ object Dedup {
       n: Int = 3, k: Int = 32, bands: Int = 8, threshold: Double = 0.5,
       maxBucket: Int = DefaultMaxBucket,
       hash: HashFamily = XxHash64Family,
-      corpusBands: Option[DataFrame] = None): DataFrame = {
+      corpusBands: Option[DataFrame] = None): DataFrame =
+    incrementalMinhashWithCleanup(batch, corpus, idCol, textCol, n, k,
+      bands, threshold, maxBucket, hash, corpusBands)._1
+
+  /**
+   * [[incrementalMinhash]] plus a cleanup thunk that unpersists the three
+   * internal caches (batch shingles, candidates, candidate-corpus
+   * shingles). Call it AFTER fully consuming the result. Long-running
+   * repeated callers (the streaming wrapper fires one probe per trigger)
+   * must use this form: Spark's CacheManager holds persisted plans until
+   * an explicit unpersist, so leaking three entries per trigger grows
+   * executor storage without bound.
+   */
+  def incrementalMinhashWithCleanup(batch: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String,
+      n: Int = 3, k: Int = 32, bands: Int = 8, threshold: Double = 0.5,
+      maxBucket: Int = DefaultMaxBucket,
+      hash: HashFamily = XxHash64Family,
+      corpusBands: Option[DataFrame] = None): (DataFrame, () => Unit) = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     require(k % bands == 0, "bands must divide k")
     val cBands = corpusBands.getOrElse(
@@ -309,7 +325,7 @@ object Dedup {
       .withColumnRenamed("id", "batch_id")
     val szB = csh.groupBy(col("id")).agg(count(lit(1)).as("sz_b"))
       .withColumnRenamed("id", "corpus_id")
-    cand
+    val out = cand
       .join(shared, Seq("batch_id", "corpus_id"), "left_outer")
       .na.fill(0L, Seq("shared"))
       .join(szA, Seq("batch_id")).join(szB, Seq("corpus_id"))
@@ -319,6 +335,7 @@ object Dedup {
       .select(col("batch_id"), col("corpus_id"),
         round(col("est_jaccard"), 6).as("est_jaccard"),
         round(col("jaccard"), 6).as("jaccard"))
+    (out, () => { bsh.unpersist(); cand.unpersist(); csh.unpersist(); () })
   }
 
   /**
@@ -337,12 +354,20 @@ object Dedup {
   def neardupClusters(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 32, bands: Int = 8, threshold: Double = 0.5,
       maxBucket: Int = DefaultMaxBucket,
-      hash: HashFamily = XxHash64Family): DataFrame = {
+      hash: HashFamily = XxHash64Family, maxIter: Int = 64): DataFrame = {
+    // The string round-trip through CC would silently null non-numeric ids
+    // on the cast back; fail fast instead.
+    val idType = df.schema(idCol).dataType
+    require(idType == org.apache.spark.sql.types.LongType ||
+      idType == org.apache.spark.sql.types.IntegerType,
+      s"neardupClusters needs an integral id column, got $idType")
     val pairs = minhashDedup(df, idCol, textCol, n, k, bands, threshold,
       maxBucket, hash)
     val edges = pairs.select(col("id_a").cast("string").as("src"),
       col("id_b").cast("string").as("dst"))
-    val cc = ConnectedComponents.run(edges)
+    // strict: a component with diameter > maxIter must error, not split —
+    // the q76 oracle computes the exact closure.
+    val cc = ConnectedComponents.run(edges, maxIter, strict = true)
     val w = Window.partitionBy(col("comp"))
     cc.select(col("id").cast("long").as("id"), col("comp"))
       .withColumn("cluster_id", min(col("id")).over(w))

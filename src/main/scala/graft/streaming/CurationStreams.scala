@@ -46,19 +46,31 @@ object CurationStreams {
    * batch's (batch_id, corpus_id, est_jaccard, jaccard) matches feed
    * `sink` (memory table, parquet append, message bus — any batch writer).
    * Pass the precomputed `corpusBands` artifact in production so no
-   * trigger ever re-signs the corpus.
+   * trigger ever re-signs the corpus. Internal per-trigger caches are
+   * unpersisted after `sink` returns (the stream is long-running; leaked
+   * cache entries would otherwise accumulate forever).
+   *
+   * Scope, as for the batch operator: matches are batch-vs-CORPUS only.
+   * Docs that arrived in EARLIER micro-batches are not probe targets
+   * until they are folded into the corpus artifact — rebuild (or append
+   * to) `corpusBands` on the cadence your dedup SLA needs, exactly like
+   * the daily-batch flow; within-batch duplicates are handled by running
+   * [[Dedup.exact]]/[[Dedup.minhashDedup]] on the batch inside `sink`.
    */
   def incrementalDedupStream(docs: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String,
       n: Int = 3, k: Int = 32, bands: Int = 8, threshold: Double = 0.5,
+      maxBucket: Int = Dedup.DefaultMaxBucket,
       hash: Dedup.HashFamily = Dedup.XxHash64Family,
       corpusBands: Option[DataFrame] = None)(
       sink: DataFrame => Unit): StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        sink(Dedup.incrementalMinhash(batch, corpus, idCol, textCol,
-          n = n, k = k, bands = bands, threshold = threshold,
-          hash = hash, corpusBands = corpusBands))
+        val (matches, cleanup) = Dedup.incrementalMinhashWithCleanup(
+          batch, corpus, idCol, textCol, n = n, k = k, bands = bands,
+          threshold = threshold, maxBucket = maxBucket, hash = hash,
+          corpusBands = corpusBands)
+        try sink(matches) finally cleanup()
       }
       .start()
 }

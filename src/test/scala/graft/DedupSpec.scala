@@ -65,19 +65,36 @@ class DedupSpec extends SparkSpec {
     assert(out.values.toSet == Set((1L, 3L)),
       "one cluster, id = min member (1), size 3")
 
-    // A chain A~B, B~C where A and C never pair directly must still be
+    // A chain A~B, B~C where A and C do NOT pair directly must still be
     // one cluster (the transitive property pairwise keep-first lacks).
+    // 20 tokens; B changes A's last 3, C changes B's first 3:
+    // j(A,B) = j(B,C) = 15/21 ≈ 0.71 ≥ 0.6, j(A,C) = 12/24 = 0.5 < 0.6.
+    val mid = (4 to 17).map(i => s"w$i").mkString(" ")
     val chain = Seq(
-      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
-      (11L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"),
-      (12L, "alpha beta gamma delta epsilon zeta eta theta iota kappa xi nu"))
+      (10L, s"w1 w2 w3 $mid w18 w19 w20"),
+      (11L, s"w1 w2 w3 $mid x18 x19 x20"),
+      (12L, s"y1 y2 y3 $mid x18 x19 x20"))
       .toDF("doc_id", "text")
+    val directPairs = Dedup.minhashDedup(chain, "doc_id", "text",
+      n = 3, k = 32, bands = 16, threshold = 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(directPairs == Set((10L, 11L), (11L, 12L)),
+      s"fixture must be a true chain (no direct 10~12 pair): $directPairs")
     val cl = Dedup.neardupClusters(chain, "doc_id", "text",
-      n = 3, k = 32, bands = 16, threshold = 0.3)
+      n = 3, k = 32, bands = 16, threshold = 0.6)
       .as[(Long, Long, Long)].collect()
-    if (cl.length == 3)
-      assert(cl.forall(r => r._2 == 10L && r._3 == 3L),
-        s"chain closed transitively: ${cl.toSeq}")
+    assert(cl.length == 3, s"all three chain docs cluster: ${cl.toSeq}")
+    assert(cl.forall(r => r._2 == 10L && r._3 == 3L),
+      s"chain closed transitively into one cluster: ${cl.toSeq}")
+  }
+
+  test("neardupClusters rejects non-integral id columns instead of nulling them") {
+    val bad = Seq(("a", "some text here"), ("b", "other text here"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.neardupClusters(bad, "doc_id", "text")
+    }
+    assert(e.getMessage.contains("integral id column"))
   }
 
   test("incremental minhash: batch pairs against corpus only, artifact path identical") {
