@@ -19,6 +19,9 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Cap AQE plan-update string generation (driver-side, exponential in
+      // cache-nesting depth) — see PipelineQueries.corefPipeline scaladoc.
+      .config("spark.sql.maxPlanStringLength", "65536")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up codegen/JIT/scan machinery so the first timed query doesn't
@@ -39,10 +42,13 @@ object Bench {
           System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
           false
         }
-      // The q40-q42 family shares memoized persisted intermediates; after
-      // the last of them, release the block-manager memory so later
+      // The q40-q42 family shares memoized checkpointed intermediates;
+      // after the last of them, release the block-manager memory so later
       // queries don't run under cache/GC pressure.
-      if (q.name == "q42_document_entity") spark.catalog.clearCache()
+      if (q.name == "q42_document_entity") {
+        graft.queries.PipelineQueries.resetCache(spark)
+        spark.catalog.clearCache()
+      }
       (q.name, (System.nanoTime() - t0) / 1e9, ok)
     }
     val p1 = onePass().map(t => t._1 -> (t._2, t._3)).toMap

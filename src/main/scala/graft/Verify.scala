@@ -18,6 +18,11 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Deep-lineage frames over nested cached adaptive plans cost seconds
+      // of driver time PER ACTION just generating AQE plan-update strings
+      // (exponential in cache-nesting depth). The strings only feed
+      // UI/debug events — cap them. See PipelineQueries.corefPipeline.
+      .config("spark.sql.maxPlanStringLength", "65536")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
