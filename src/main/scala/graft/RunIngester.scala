@@ -8,12 +8,18 @@ import org.apache.spark.sql.SparkSession
  * SURVEY.md §3.2):
  *
  *   sbt "runMain graft.RunIngester <inputDir> <outputDir> [glob]"   full run
+ *   sbt "runMain graft.RunIngester run     <inputDir> <outputDir> [glob]"
  *   sbt "runMain graft.RunIngester extract <inputDir> <stageDir> [glob]"
  *   sbt "runMain graft.RunIngester coref   <stageDir>"
  *   sbt "runMain graft.RunIngester geocode <stageDir>"
  *   sbt "runMain graft.RunIngester index   <stageDir>"
  *   sbt "runMain graft.RunIngester export  <stageDir> <outDir>"
  *   sbt "runMain graft.RunIngester curate  <docsParquet> <outDir> [benchParquet]"
+ *
+ * Stage names win the args(0) dispatch (the conventional subcommand rule).
+ * A corpus input directory literally named like a stage command is run via
+ * the explicit `run` subcommand or an explicit path prefix (`./extract`) —
+ * without one of those, bare `extract`/`coref`/… is always the stage.
  *
  * The full run produces the relational parquet export (document/mention/
  * entity/document_entity/geolocation) plus social_network.graphml under
@@ -68,6 +74,15 @@ object RunIngester {
         out.write.mode("overwrite").parquet(s"${args(2)}/curated")
         val n = spark.read.parquet(s"${args(2)}/curated").count()
         println(s"curate: $n docs (of ${docs.count()}) under ${args(2)}/curated")
+      case "run" =>
+        // Explicit full-run form: unambiguous even when the corpus dir is
+        // literally named "extract"/"coref"/… (ADVICE r2).
+        require(args.length >= 3, "usage: RunIngester run <inputDir> <outputDir> [glob]")
+        val glob = if (args.length > 3) args(3) else "*.txt"
+        val r = Ingester.run(spark, Ingester.Config(args(1), args(2), glob))
+        println(s"documents=${r.documents.count()} mentions=${r.mentions.count()} " +
+          s"entities=${r.entities.count()} social_edges=${r.socialEdges.count()} " +
+          s"geolocations=${r.geolocation.count()}")
       case inputDir =>
         val glob = if (args.length > 2) args(2) else "*.txt"
         val r = Ingester.run(spark, Ingester.Config(inputDir, args(1), glob))

@@ -23,10 +23,14 @@ object ConnectedComponents {
 
   /**
    * @param edges DataFrame with string columns `src`, `dst` (undirected).
-   * @param strict when true, throw instead of silently returning
-   *               non-converged labels if `maxIter` rounds did not reach a
+   * @param strict when true, throw unless a ZERO-change round verified the
    *               fixpoint (a component with diameter > maxIter would
-   *               otherwise be reported as several components).
+   *               otherwise be reported as several components). Convergence
+   *               is only *verified* by observing a round that changes
+   *               nothing, so up to maxIter+1 propagation rounds run: a
+   *               component of diameter exactly maxIter finishes its last
+   *               merges in round maxIter and the extra round confirms the
+   *               fixpoint instead of spuriously failing.
    * @return DataFrame (`id`, `comp`) covering every vertex present in edges.
    *         Isolated vertices (no edges) are absent — union them as
    *         singleton components at the call site if needed.
@@ -42,9 +46,14 @@ object ConnectedComponents {
       .withColumn("comp", col("id"))
       .localCheckpoint()
 
+    // maxIter + 1: the final round is the verification round — if the
+    // maxIter'th round made the last changes, one more round observing
+    // zero changes proves the fixpoint (ADVICE r2: exiting with changed>0
+    // after round maxIter conflates "converged ON the last round" with
+    // "did not converge").
     var iter = 0
     var changed = 1L
-    while (changed > 0 && iter < maxIter) {
+    while (changed > 0 && iter < maxIter + 1) {
       // Each vertex proposes its current component to every neighbour;
       // a vertex keeps the min of its own and all proposals.
       val msgs = sym.join(labels, sym("src") === labels("id"))
@@ -56,14 +65,27 @@ object ConnectedComponents {
         .join(labels.as("o"), col("n.id") === col("o.id"))
         .filter(col("n.comp") =!= col("o.comp"))
         .count()
+      // The superseded round's checkpoint blocks are dead once `next` is
+      // materialized and compared — free them instead of leaking one
+      // cached RDD per round per invocation.
+      unpinCheckpoint(labels)
       labels = next
       iter += 1
     }
     sym.unpersist()
     if (strict && changed > 0)
       throw new IllegalStateException(
-        s"connected components did not converge in $maxIter rounds " +
-          s"($changed labels still changing) — raise maxIter")
+        s"connected components: convergence not verified within $maxIter " +
+          s"rounds ($changed labels still changing after the verification " +
+          s"round) — raise maxIter")
     labels
   }
+
+  /** Free the cached blocks behind a localCheckpoint'ed frame. */
+  private def unpinCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

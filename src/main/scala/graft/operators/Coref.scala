@@ -105,11 +105,10 @@ object Coref {
     // R16: normalize, drop empties. Persisted: reused by the edge windows,
     // the component join and the assignment join — recomputing the
     // normalize+explode lineage 4× dominated the pipeline cost otherwise.
-    val normed = mentions
+    val normed = CacheScope.pin(mentions
       .filter(col("mention_type") === p.entityType)
       .withColumn("norm", normalize_str(col("text"), p.junkChars))
-      .filter(col("norm") =!= "")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .filter(col("norm") =!= ""))
 
     // R25: exact clusters per (doc, normalized text).
     val keys = normed.groupBy(col("doc_id"), col("norm"))
@@ -129,7 +128,7 @@ object Coref {
         sum(when(col("edge"), 0).otherwise(1))
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select(col("doc_id"), col("norm"), col("cnt"), col("comp"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(CacheScope.pin(_))
 
     val clusters1 = stage1
       .groupBy(col("doc_id"), col("comp"))
@@ -176,8 +175,7 @@ object Coref {
     def entityId(text: Column): Column =
       xxhash64(lit(p.entityType), lit(p.createdBy), col("doc_id"), text)
 
-    val keyToEntity = clusters2
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keyToEntity = CacheScope.pin(clusters2)
 
     val entities = keyToEntity
       .groupBy(col("doc_id"), col("entity_text"))
@@ -217,8 +215,8 @@ object Coref {
    *         assignment: (entity_id → new_entity_id) for every input entity.
    */
   def acrossDoc(entities: DataFrame, p: AcrossDocParams): CorefResult = {
-    val input = entities.filter(col("entity_type") === p.entityType)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val input = CacheScope.pin(
+      entities.filter(col("entity_type") === p.entityType))
     val pred = candidate_predicate(col("entity_text"),
       p.numCharsMin, p.numTokensMax, p.numTokensMin, p.charsetRegex)
     val strong = input.filter(pred)
@@ -228,9 +226,8 @@ object Coref {
     // Merge edges only connect globally sort-adjacent keys, so components
     // are contiguous runs: SortedSegments resolves them in one range
     // shuffle + O(partitions) driver stitching (no iterative CC).
-    val keys = strong.groupBy(col("entity_text"))
-      .agg(count(lit(1)).as("n_entities"), sum(col("num_mentions")).as("mentions"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keys = CacheScope.pin(strong.groupBy(col("entity_text"))
+      .agg(count(lit(1)).as("n_entities"), sum(col("num_mentions")).as("mentions")))
     val labels = SortedSegments.assign(keys.select(col("entity_text")),
       (a, b) => closeMatch(a, b, matchNumbers = true))
 

@@ -39,12 +39,22 @@ object Curation {
    * cross-shard independence is the scale story: each shard's running sum
    * is one window partition, and nShards grows with the cluster — no
    * global sort, no single-partition window.
+   *
+   * `nShards = 0` (the default) derives the shard count from the input's
+   * partitioning — `max(8, input partitions)` — so each shard's
+   * single-partition running-sum window stays roughly one input partition
+   * of data at ANY scale (a literal default of 8 would mean 12.5 TB per
+   * window partition on a 100 TB corpus). The trade: the derived count
+   * depends on the cluster/file layout, so pass an explicit `nShards` when
+   * pack ids must be reproducible across environments (the oracle queries
+   * pin 8).
    */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
-      budget: Int = 2048, nShards: Int = 8): DataFrame = {
-    require(budget > 0 && nShards > 0, "budget and nShards must be positive")
+      budget: Int = 2048, nShards: Int = 0): DataFrame = {
+    require(budget > 0 && nShards >= 0, "budget must be positive, nShards >= 0")
+    val shards = deriveShards(df, nShards)
     val base = df.select(col(idCol).as("id"),
-      pmod(col(idCol), lit(nShards)).cast("int").as("shard"),
+      pmod(col(idCol), lit(shards)).cast("int").as("shard"),
       size(split(trim(col(textCol)), "\\s+")).as("n_tokens"))
     val w = Window.partitionBy(col("shard")).orderBy(col("id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -54,6 +64,12 @@ object Curation {
         expr(s"cum_before div $budget").as("pack_id"),
         expr(s"cum_before % $budget").as("pack_offset"))
   }
+
+  /** `max(8, input partitions)` when nShards = 0 (auto), else nShards.
+    * Reading the partition count builds the physical plan but runs no job. */
+  private def deriveShards(df: DataFrame, nShards: Int): Int =
+    if (nShards > 0) nShards
+    else math.max(8, df.rdd.getNumPartitions)
 
   /**
    * Deterministic content-hash train/validation split: a doc's split is a
@@ -136,28 +152,40 @@ object Curation {
    *
    * Near-dup removal keeps the smaller id of each verified pair (greedy
    * keep-first, the standard corpus-dedup policy — transitively connected
-   * groups may retain more than one member; full connected components is
-   * ConnectedComponents.run if required).
+   * groups may retain more than one member). With
+   * `cfg.clusterDedup = true` the pair graph is transitively closed
+   * instead ([[Dedup.neardupClustersFromPairs]] — a few bounded
+   * label-propagation rounds; near-dup components are shallow) and exactly
+   * ONE member per cluster survives (the min id) — e.g. docs 1~3 and 2~3
+   * with 1≁2: pairwise keeps {1, 2}, cluster keeps {1}.
    */
   def curate(docs: DataFrame, idCol: String, textCol: String,
       strataCol: String, cfg: CurationConfig = CurationConfig()): DataFrame = {
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val base = docs.select(col(idCol).as("id"), col(textCol).as("text"),
       col(strataCol).as("stratum"))
+    if (cfg.clusterDedup) {
+      val t = base.schema("id").dataType
+      require(t == org.apache.spark.sql.types.LongType ||
+        t == org.apache.spark.sql.types.IntegerType,
+        s"clusterDedup needs an integral id column, got $t")
+    }
 
-    val exactKept = Dedup.exact(base, "id", "text")
+    val exactKept = CacheScope.pin(Dedup.exact(base, "id", "text")
       .filter(col("is_dup") === 0)
-      .select("id", "text", "stratum")
-      .persist(MEMORY_AND_DISK)
-    val nearDrop = Dedup
+      .select("id", "text", "stratum"))
+    val nearPairs = Dedup
       .minhashDedup(exactKept, "id", "text", n = cfg.shingleN,
         k = cfg.minhashK, bands = cfg.minhashBands,
         threshold = cfg.minhashThreshold, hash = cfg.minhashHash)
-      .select(col("id_b").as("id")).distinct()
+    val nearDrop =
+      if (cfg.clusterDedup)
+        Dedup.neardupClustersFromPairs(nearPairs)
+          .filter(col("id") =!= col("cluster_id")).select("id")
+      else nearPairs.select(col("id_b").as("id")).distinct()
     // Persisted: both the repetition signal and the quality join traverse
     // it, and its lineage contains the whole MinHash near-dup subtree.
-    val deduped = exactKept.join(nearDrop, Seq("id"), "left_anti")
-      .persist(MEMORY_AND_DISK)
+    val deduped = CacheScope.pin(
+      exactKept.join(nearDrop, Seq("id"), "left_anti"))
 
     val quality = deduped
       .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
@@ -165,7 +193,7 @@ object Curation {
       .filter(col("n_tokens") >= cfg.minTokens &&
         col("dup_trigram_frac") <= cfg.maxDupTrigramFrac)
       .select("id", "text", "stratum", "n_tokens")
-      .persist(MEMORY_AND_DISK)
+      .transform(CacheScope.pin(_))
 
     val clean = cfg.benchmark match {
       case Some(b) =>
@@ -196,10 +224,13 @@ object Curation {
     val withSplit = sampled.withColumn("split",
       when(substring(md5(col("text")), 1, 1) <= cfg.trainHexMax, "train")
         .otherwise("val"))
+    // Shard count derived from the INPUT's partitioning (not the filtered
+    // tail — same corpus, same shards regardless of filter rates).
+    val shards = deriveShards(base, cfg.nShards)
     val w = Window.partitionBy(col("shard")).orderBy(col("id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     withSplit
-      .withColumn("shard", pmod(col("id"), lit(cfg.nShards)).cast("int"))
+      .withColumn("shard", pmod(col("id"), lit(shards)).cast("int"))
       .withColumn("cum_before",
         sum(col("n_tokens")).over(w) - col("n_tokens"))
       .select(col("id"), col("text"), col("stratum"), col("n_tokens"),
@@ -219,10 +250,18 @@ object Curation {
       shingleN: Int = 3, minhashK: Int = 32, minhashBands: Int = 8,
       minhashThreshold: Double = 0.8,
       minTokens: Int = 10, maxDupTrigramFrac: Double = 0.5,
+      // true = keep exactly one doc per TRANSITIVE near-dup cluster
+      // (min id) instead of the pairwise keep-smaller-id default, which
+      // can retain several members of one chain (see curate's scaladoc).
+      clusterDedup: Boolean = false,
       benchmark: Option[DataFrame] = None, decontaminateN: Int = 4,
       sampleRates: Map[String, Double] = Map.empty,
       trainHexMax: String = "c",
-      packBudget: Int = 2048, nShards: Int = 8,
+      packBudget: Int = 2048,
+      // 0 = derive from input partitions (see packSequences: a fixed
+      // literal is scale-hostile — 12.5 TB/window-partition at 100 TB).
+      // Pass an explicit count for cross-environment-reproducible packs.
+      nShards: Int = 0,
       minhashHash: Dedup.HashFamily = Dedup.XxHash64Family)
 
   /**
@@ -246,14 +285,18 @@ object Curation {
    * the reassembly groups on id again. The segment frame is persisted —
    * the df aggregation and the flag join both traverse it (differing
    * projections defeat exchange reuse). The over-represented set
-   * (df > maxDf) is small by construction at a real threshold and could
-   * be broadcast; the default keeps a shuffle join so a pathological
-   * corpus that is mostly boilerplate still completes.
+   * (df > maxDf) is small by construction at any real threshold, so it is
+   * BROADCAST into the flag join when its measured size is at most
+   * `maxBroadcastBoiler` rows (counting it is one cheap aggregation over
+   * the already-persisted segment frame) — the boilerplate-flag join then
+   * never shuffles the segment table. A pathological mostly-boilerplate
+   * corpus exceeds the bound and falls back to the shuffle join, which
+   * always completes. `maxBroadcastBoiler = 0` forces the shuffle join.
    */
   def segmentDedup(df: DataFrame, idCol: String, textCol: String,
       maxDf: Int = 2, segWords: Int = 8,
-      delimiter: Option[String] = None): DataFrame = {
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      delimiter: Option[String] = None,
+      maxBroadcastBoiler: Long = 1000000L): DataFrame = {
     require(maxDf >= 1 && segWords >= 1, "maxDf and segWords must be >= 1")
     val reIdx = Window.partitionBy(col("id")).orderBy(col("i"))
     val segs0 = delimiter match {
@@ -274,11 +317,22 @@ object Curation {
             sort_array(collect_list(struct(col("ti"), col("tok")))),
             x => x.getField("tok")), " ").as("seg"))
     }
-    val segs = segs0.persist(MEMORY_AND_DISK)
-    val boiler = segs.groupBy(col("seg"))
+    val segs = CacheScope.pin(segs0)
+    val boiler0 = segs.groupBy(col("seg"))
       .agg(countDistinct(col("id")).as("seg_df"))
       .filter(col("seg_df") > maxDf)
       .select(col("seg"), lit(1).as("is_bl"))
+    // Adaptive broadcast: measure the over-represented set (cheap — one
+    // aggregation over the persisted segment frame) and hint broadcast
+    // when it is genuinely small; otherwise keep the always-completes
+    // shuffle join.
+    val boiler = if (maxBroadcastBoiler <= 0) boiler0 else {
+      val b = CacheScope.pin(boiler0)
+      val probe = math.min(maxBroadcastBoiler + 1, Int.MaxValue.toLong).toInt
+      if (b.limit(probe).count() <= maxBroadcastBoiler)
+        broadcast(b)
+      else b
+    }
     val sep = delimiter.getOrElse(" ")
     val agg = segs.join(boiler, Seq("seg"), "left")
       .withColumn("kept", col("is_bl").isNull)

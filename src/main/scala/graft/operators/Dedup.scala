@@ -75,9 +75,16 @@ object Dedup {
     df.join(counts, keyCols, "left_semi")
   }
 
-  /** Exact dedup: rows keyed by identical `textCol`; canonical = min id. */
+  /** Exact dedup: rows keyed by identical `textCol`; canonical = min id.
+    *
+    * The shuffle/sort key is md5(text), not the text itself: the exchange
+    * hashes and the sort compares a 32-char digest instead of multi-KB
+    * documents (at 100 TB the raw-text key dominates exchange CPU). A
+    * 128-bit digest collision would need ~2⁶⁴ distinct docs (birthday
+    * bound) — ~10⁻¹⁹ at 10¹⁰ docs — so md5 equality IS text equality at
+    * any realistic corpus size. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = Window.partitionBy(col(textCol))
+    val w = Window.partitionBy(md5(col(textCol)))
     df.withColumn("canonical_id", min(col(idCol)).over(w))
       .withColumn("is_dup", (col(idCol) =!= col("canonical_id")).cast("int"))
   }
@@ -137,11 +144,11 @@ object Dedup {
       maxBucket: Int = DefaultMaxBucket,
       hash: HashFamily = XxHash64Family): DataFrame = {
     val banded = bandSignatures(sigs, bands, rows, hash)
-    // Persisted: the a/b self-join traverses this twice, and exchange
-    // reuse does NOT collapse the two branches (their projections differ —
-    // measured 16 parquet scans in q43's executed plan without persists).
-    val capped = capBuckets(banded, Seq("band", "bh"), maxBucket)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Persisted (scope-tracked): the a/b self-join traverses this twice,
+    // and exchange reuse does NOT collapse the two branches (their
+    // projections differ — measured 16 parquet scans in q43's executed
+    // plan without persists).
+    val capped = CacheScope.pin(capBuckets(banded, Seq("band", "bh"), maxBucket))
     val a = capped.select(col("band"), col("bh"),
       col("id").as("id_a"), col("sig").as("sig_a"))
     val b = capped.select(col("band"), col("bh"),
@@ -168,18 +175,21 @@ object Dedup {
     // distinct text. N copies of one doc cost O(N) here, not O(N²) banded
     // candidates + O(N²) shingle verifications; their pairs are
     // reconstituted at the end as pure output (jaccard = 1 by definition).
+    // Keyed by md5(text), not the raw text (see [[exact]] — digest-keyed
+    // exchanges don't hash/compare multi-KB documents; collision odds are
+    // ~10⁻¹⁹ at 10¹⁰ docs).
     val keyed = df.select(col(idCol).as("id"), col(textCol).as("text"))
     val mem = keyed
-      .withColumn("rep", min(col("id")).over(Window.partitionBy(col("text"))))
+      .withColumn("rep", min(col("id")).over(Window.partitionBy(md5(col("text")))))
     val reps = mem.filter(col("id") === col("rep")).select(col("id"), col("text"))
 
-    // Shared-frame persists: `sh` feeds signatures + both verify sides +
-    // sizes (4 traversals) and `members` feeds 3 joins — without a persist
-    // each branch recomputes the whole upstream (no exchange reuse across
+    // Shared-frame persists (scope-tracked — CacheScope.tracking callers
+    // can release them): `sh` feeds signatures + both verify sides + sizes
+    // (4 traversals) and `members` feeds 3 joins — without a persist each
+    // branch recomputes the whole upstream (no exchange reuse across
     // differing projections; measured on q43). (id, shingle)/(rep, id)
     // frames are the LSH build's working set — disk-backed at scale.
-    val sh = shingles(reps, "id", "text", n, hash)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = CacheScope.pin(shingles(reps, "id", "text", n, hash))
     val cands = minhashCandidates(minhashSignatures(sh, k, hash), bands,
       k / bands, maxBucket, hash)
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
@@ -204,8 +214,7 @@ object Dedup {
 
     // Member expansion: cross-group pairs inherit their representatives'
     // similarity; within-group pairs (identical texts) are exact dups.
-    val members = mem.select(col("rep"), col("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val members = CacheScope.pin(mem.select(col("rep"), col("id")))
     val cross = repPairs
       .join(members.select(col("rep").as("id_a"), col("id").as("ma")), Seq("id_a"))
       .join(members.select(col("rep").as("id_b"), col("id").as("mb")), Seq("id_b"))
@@ -242,6 +251,91 @@ object Dedup {
         "id", "text", n, hash), k, hash)
     val banded = bandSignatures(sigs, bands, k / bands, hash)
     capBuckets(banded, Seq("band", "bh"), maxBucket, minBucket = 1)
+  }
+
+  /**
+   * Fold a new batch into an existing [[minhashBandTable]] artifact — the
+   * append half of the incremental-dedup story (the build is the rebuild
+   * half). Computes the batch's banded signatures, unions them in, and
+   * re-applies the bucket cap ONLY to the (band, bh) buckets the batch
+   * touched; untouched buckets pass through unchanged, so on a
+   * (band, bh)-partitioned artifact the append reads/writes just the
+   * affected partitions — O(batch), never O(corpus).
+   *
+   * Append vs rebuild: the cap is monotone under growth — a surviving
+   * bucket pushed over the cap by the batch is dropped by both paths, and
+   * a bucket dropped at BUILD time stays dropped under rebuild (its count
+   * only grew). The one divergence is a build-time-dropped bucket that the
+   * batch re-touches: its artifact rows are gone, so its batch rows alone
+   * can sit under the cap and survive the append where a rebuild would
+   * drop the whole bucket. That divergence only ADDS candidate pairs
+   * (which exact verification then filters — never a false output pair),
+   * so the sidecar-less append is sound for dedup. Callers that want
+   * append == rebuild bit-exactly keep the tiny uncapped bucket-count
+   * sidecar ([[bandBucketCounts]], one row per bucket) and pass it as
+   * `bucketCounts`: the true combined count then decides each touched
+   * bucket, closing the divergence — the spec pins both paths.
+   *
+   * Compaction: appends never touch corpus text, so signature quality
+   * never degrades; rebuild is only needed to (a) resurrect buckets the
+   * cap dropped under an OLD maxBucket after raising it, or (b) re-shingle
+   * after changing n/k/bands/hash. A daily-append weekly-rebuild cadence
+   * is the standard operating point.
+   *
+   * @param artifact an existing band table (id, band, bh, sig)
+   * @param bucketCounts optional sidecar (band, bh, true_count) of
+   *        UNCAPPED build-time bucket counts; when given, a touched
+   *        bucket's combined count uses it, making append == rebuild
+   *        bit-exactly even when build-time-dropped buckets re-surface.
+   */
+  def appendToBandTable(artifact: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String,
+      n: Int = 3, k: Int = 32, bands: Int = 8,
+      maxBucket: Int = DefaultMaxBucket,
+      hash: HashFamily = XxHash64Family,
+      bucketCounts: Option[DataFrame] = None): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val sigs = minhashSignatures(
+      shingles(batch.select(col(idCol).as("id"), col(textCol).as("text")),
+        "id", "text", n, hash), k, hash)
+    val newBands = CacheScope.pin(bandSignatures(sigs, bands, k / bands, hash))
+    val touched = newBands.select(col("band"), col("bh")).distinct()
+    val untouched = artifact.join(touched, Seq("band", "bh"), "left_anti")
+    val combined = artifact.join(touched, Seq("band", "bh"), "left_semi")
+      .unionByName(newBands)
+    val cappedTouched = bucketCounts match {
+      case None =>
+        capBuckets(combined, Seq("band", "bh"), maxBucket, minBucket = 1)
+      case Some(_) if maxBucket <= 0 => combined
+      case Some(bc) =>
+        // True combined count = build-time true count (0 for brand-new
+        // buckets) + batch additions; survivors = count within cap.
+        val batchCounts = newBands.groupBy(col("band"), col("bh"))
+          .agg(count(lit(1)).as("batch_n"))
+        val keep = batchCounts
+          .join(bc.select(col("band"), col("bh"),
+            col("true_count").as("old_n")), Seq("band", "bh"), "left")
+          .na.fill(0L, Seq("old_n"))
+          .filter(col("old_n") + col("batch_n") <= maxBucket.toLong)
+          .select(col("band"), col("bh"))
+        combined.join(keep, Seq("band", "bh"), "left_semi")
+    }
+    untouched.unionByName(cappedTouched)
+  }
+
+  /** Uncapped (band, bh, true_count) sidecar for [[appendToBandTable]]'s
+    * exact-parity mode — build it alongside [[minhashBandTable]] from the
+    * same corpus (tiny relative to the table: one row per bucket). */
+  def bandBucketCounts(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 32, bands: Int = 8,
+      hash: HashFamily = XxHash64Family): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val sigs = minhashSignatures(
+      shingles(df.select(col(idCol).as("id"), col(textCol).as("text")),
+        "id", "text", n, hash), k, hash)
+    bandSignatures(sigs, bands, k / bands, hash)
+      .groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("true_count"))
   }
 
   /**
@@ -287,17 +381,18 @@ object Dedup {
       maxBucket: Int = DefaultMaxBucket,
       hash: HashFamily = XxHash64Family,
       corpusBands: Option[DataFrame] = None): (DataFrame, () => Unit) = {
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     require(k % bands == 0, "bands must divide k")
     val cBands = corpusBands.getOrElse(
       minhashBandTable(corpus, idCol, textCol, n, k, bands, maxBucket, hash))
     // Batch shingles feed signatures, the verify join, and sizes; the
     // candidate frame feeds the semi-join filter, est carry-through, and
     // the final assembly — both persisted (no exchange reuse across
-    // differing projections).
-    val bsh = shingles(batch.select(col(idCol).as("id"), col(textCol).as("text")),
-        "id", "text", n, hash)
-      .persist(MEMORY_AND_DISK)
+    // differing projections). Pinned via CacheScope so an outer tracking
+    // scope also sees them; the explicit thunk below remains this
+    // operator's own cleanup contract (double unpersist is a no-op).
+    val bsh = CacheScope.pin(
+      shingles(batch.select(col(idCol).as("id"), col(textCol).as("text")),
+        "id", "text", n, hash))
     val bBands = bandSignatures(minhashSignatures(bsh, k, hash), bands,
       k / bands, hash)
     val cand = broadcast(bBands.select(col("band"), col("bh"),
@@ -309,13 +404,12 @@ object Dedup {
           (x, y) => when(x === y, 1).otherwise(0)), lit(0), _ + _)
           .cast("double") / size(col("sig_a"))).as("est_jaccard"))
       .dropDuplicates("batch_id", "corpus_id")
-      .persist(MEMORY_AND_DISK)
-    val candIds = cand.select(col("corpus_id").as("id")).distinct()
-    val csh = shingles(
+    val candP = CacheScope.pin(cand)
+    val candIds = candP.select(col("corpus_id").as("id")).distinct()
+    val csh = CacheScope.pin(shingles(
         corpus.select(col(idCol).as("id"), col(textCol).as("text"))
-          .join(candIds, Seq("id"), "left_semi"), "id", "text", n, hash)
-      .persist(MEMORY_AND_DISK)
-    val shared = cand.select("batch_id", "corpus_id")
+          .join(candIds, Seq("id"), "left_semi"), "id", "text", n, hash))
+    val shared = candP.select("batch_id", "corpus_id")
       .join(bsh.select(col("id").as("batch_id"), col("shingle")), Seq("batch_id"))
       .join(csh.select(col("id").as("corpus_id"), col("shingle")),
         Seq("corpus_id", "shingle"))
@@ -325,7 +419,7 @@ object Dedup {
       .withColumnRenamed("id", "batch_id")
     val szB = csh.groupBy(col("id")).agg(count(lit(1)).as("sz_b"))
       .withColumnRenamed("id", "corpus_id")
-    val out = cand
+    val out = candP
       .join(shared, Seq("batch_id", "corpus_id"), "left_outer")
       .na.fill(0L, Seq("shared"))
       .join(szA, Seq("batch_id")).join(szB, Seq("corpus_id"))
@@ -335,7 +429,7 @@ object Dedup {
       .select(col("batch_id"), col("corpus_id"),
         round(col("est_jaccard"), 6).as("est_jaccard"),
         round(col("jaccard"), 6).as("jaccard"))
-    (out, () => { bsh.unpersist(); cand.unpersist(); csh.unpersist(); () })
+    (out, () => { bsh.unpersist(); candP.unpersist(); csh.unpersist(); () })
   }
 
   /**
@@ -361,8 +455,16 @@ object Dedup {
     require(idType == org.apache.spark.sql.types.LongType ||
       idType == org.apache.spark.sql.types.IntegerType,
       s"neardupClusters needs an integral id column, got $idType")
-    val pairs = minhashDedup(df, idCol, textCol, n, k, bands, threshold,
-      maxBucket, hash)
+    neardupClustersFromPairs(
+      minhashDedup(df, idCol, textCol, n, k, bands, threshold,
+        maxBucket, hash), maxIter)
+  }
+
+  /** The transitive-closure half of [[neardupClusters]], over an already
+    * computed (id_a, id_b) pair table (integral ids) — lets callers that
+    * already ran [[minhashDedup]] cluster its pairs without re-running the
+    * LSH pipeline (e.g. [[Curation.curate]]'s cluster-dedup policy). */
+  def neardupClustersFromPairs(pairs: DataFrame, maxIter: Int = 64): DataFrame = {
     val edges = pairs.select(col("id_a").cast("string").as("src"),
       col("id_b").cast("string").as("dst"))
     // strict: a component with diameter > maxIter must error, not split —
@@ -430,9 +532,8 @@ object Dedup {
     // lineage — q44's 64 bit-sum aggregation — would otherwise run twice);
     // capped is traversed by both self-join sides. Same rationale as
     // minhashDedup's persists. (id, simhash, rep) is 3 fixed-width cols.
-    val mem = sigs
-      .withColumn("rep", min(col("id")).over(Window.partitionBy(col("simhash"))))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mem = CacheScope.pin(sigs
+      .withColumn("rep", min(col("id")).over(Window.partitionBy(col("simhash")))))
     val reps = mem.filter(col("id") === col("rep")).select(col("id"), col("simhash"))
 
     val chunked = reps.select(col("id"), col("simhash"),
@@ -440,8 +541,7 @@ object Dedup {
         shiftrightunsigned(col("simhash"), c * chunkBits)
           .bitwiseAND(chunkMask)): _*))
         .as(Seq("chunk", "cv")))
-    val capped = capBuckets(chunked, Seq("chunk", "cv"), maxBucket)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val capped = CacheScope.pin(capBuckets(chunked, Seq("chunk", "cv"), maxBucket))
     val a = capped.select(col("chunk"), col("cv"),
       col("id").as("id_a"), col("simhash").as("sig_a"))
     val b = capped.select(col("chunk"), col("cv"),

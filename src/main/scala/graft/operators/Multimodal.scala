@@ -84,6 +84,112 @@ object Multimodal {
   }
 
   /**
+   * Real image decode via JDK-built-in `javax.imageio` — no external jars:
+   * width/height/format for PNG/JPEG/BMP/GIF content bytes (n_frames counts
+   * GIF animation frames), [[HashCodec]] fallback for bytes ImageIO cannot
+   * read (audio/video/garbage — this container ships no codecs for those;
+   * the fallback keeps pipelines total and deterministic). `embed` is a
+   * real pixel computation: the image is average-pooled onto a
+   * ceil(sqrt(dim))-sided grid of mean grayscale values (row-major, zero
+   * padding past the grid) — a genuine, deterministic visual feature.
+   * `resize` re-encodes a bilinear-scaled frame as PNG. ImageIO readers
+   * are allocated per call inside mapPartitions-driven iteration —
+   * stream/reader instances are NOT thread-safe and must not be shared.
+   */
+  object ImageIOCodec extends MediaCodec {
+    import java.io.ByteArrayInputStream
+
+    private def withReader[T](content: Array[Byte])(
+        f: (javax.imageio.ImageReader) => T): Option[T] = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new ByteArrayInputStream(content))
+      if (iis == null) return None
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          r.setInput(iis)
+          try Some(f(r)) finally r.dispose()
+        }
+      } catch { case _: Exception => None } finally if (iis != null) iis.close()
+    }
+
+    def decode(a: MediaAsset): DecodedMeta =
+      withReader(a.content) { r =>
+        val frames =
+          try r.getNumImages(true) catch { case _: Exception => 1 }
+        DecodedMeta(a.asset_id, r.getFormatName.toLowerCase,
+          width = r.getWidth(0), height = r.getHeight(0),
+          duration_ms = 0L, n_frames = math.max(frames, 1))
+      }.getOrElse(HashCodec.decode(a))
+
+    private def readImage(content: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      try Option(javax.imageio.ImageIO.read(new ByteArrayInputStream(content)))
+      catch { case _: Exception => None }
+
+    def embed(a: MediaAsset, dim: Int): Array[Float] =
+      readImage(a.content).map { img =>
+        val grid = math.ceil(math.sqrt(dim.toDouble)).toInt
+        val out = Array.ofDim[Float](dim)
+        val (w, h) = (img.getWidth, img.getHeight)
+        var gy = 0
+        while (gy < grid) {
+          var gx = 0
+          while (gx < grid) {
+            val i = gy * grid + gx
+            if (i < dim) {
+              val x0 = gx * w / grid; val x1 = math.max((gx + 1) * w / grid, x0 + 1)
+              val y0 = gy * h / grid; val y1 = math.max((gy + 1) * h / grid, y0 + 1)
+              var sum = 0.0; var n = 0
+              var y = y0
+              while (y < math.min(y1, h)) {
+                var x = x0
+                while (x < math.min(x1, w)) {
+                  val rgb = img.getRGB(x, y)
+                  sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
+                  n += 1; x += 1
+                }
+                y += 1
+              }
+              out(i) = if (n == 0) 0f else (sum / n / 255.0).toFloat
+            }
+            gx += 1
+          }
+          gy += 1
+        }
+        out
+      }.getOrElse(HashCodec.embed(a, dim))
+
+    def sampleFrames(a: MediaAsset, every: Int): Iterator[FrameSample] = {
+      val meta = decode(a)
+      (0 until meta.n_frames by every).iterator.map { i =>
+        val bytes = withReader(a.content) { r =>
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(r.read(i), "png", baos)
+          baos.toByteArray
+        }
+        FrameSample(a.asset_id, i, bytes.getOrElse(a.content.take(16)))
+      }
+    }
+
+    def resize(a: MediaAsset, width: Int, height: Int): Array[Byte] =
+      readImage(a.content).map { img =>
+        val dst = new java.awt.image.BufferedImage(width, height,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = dst.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, width, height, null)
+        } finally g.dispose()
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(dst, "png", baos)
+        baos.toByteArray
+      }.getOrElse(HashCodec.resize(a, width, height))
+  }
+
+  /**
    * Decode metadata for every asset. `mapPartitions` so the codec is
    * constructed once per partition, not per row.
    */

@@ -122,10 +122,42 @@ object Similarity {
   }
 
   /**
+   * Engine-portable IVF centroids: component (cell, d) is a uniform in
+   * [-0.25, 0.25) derived from md5("c|cell|d") — same derivation idea as
+   * [[portableHyperplanes]], scaled by 2⁻² (exact in binary) to sit inside
+   * the embedding value range. Fixed centroids make cell assignment,
+   * probing, and rank fully deterministic on ANY engine with md5, which is
+   * what puts the whole IVF pipeline under an exact cross-engine oracle
+   * (q62); k-means-trained centroids (the production default) give better
+   * cell balance but are inherently engine-specific.
+   */
+  def portableCentroids(nLists: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(nLists, dim) { (c, d) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"c|$c|$d".getBytes("UTF-8"))
+        .take(4).map(b => f"${b & 0xff}%02x").mkString
+      (java.lang.Long.parseLong(hex, 16) / 2147483648.0 - 1.0) * 0.25
+    }
+
+  /** In-order fold of squared component differences — double precision,
+    * sequential accumulation (replicable bit-for-bit by any engine that
+    * sums a list left-to-right, e.g. DuckDB `list_inner_product` of the
+    * difference list with itself). */
+  private def sqL2(vec: Column, centroid: Column): Column =
+    aggregate(zip_with(vec, centroid,
+      (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+      lit(0.0d), _ + _)
+
+  /**
    * IVF (inverted-file) ANN top-k — the other classic scale path next to
    * [[lshTopK]]: partition the corpus into `nLists` Voronoi cells around
-   * k-means centroids (fixed seed → reproducible), probe the `nProbe`
-   * nearest cells per query, exact-cosine only the candidates.
+   * centroids, probe the `nProbe` nearest cells per query, exact-cosine
+   * only the candidates. Centroids come from k-means (fixed seed →
+   * reproducible within Spark; `nLists` is clamped to the corpus row count
+   * — ML KMeans fails or degenerates when k exceeds the points) or, when
+   * `fixedCentroids` is given, from a caller-supplied deterministic array
+   * (see [[portableCentroids]]); assignment is then argmin squared-L2,
+   * first-min ties to the smaller cell id.
    *
    * At 100 TB the cell assignment is computed once and the corpus written
    * bucketed/partitioned by `cell`, so each probe is a partition-pruned
@@ -136,31 +168,51 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nLists: Int = 16, nProbe: Int = 4,
-      seed: Long = 42L, maxIter: Int = 5): DataFrame = {
+      seed: Long = 42L, maxIter: Int = 5,
+      fixedCentroids: Option[Array[Array[Double]]] = None): DataFrame = {
     val spark = corpus.sparkSession
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
 
-    val feat = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
-      .withColumn("features", array_to_vector(col("n_vec")))
-    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(maxIter)
-      .setFeaturesCol("features").setPredictionCol("cell")
-      .fit(feat)
-    val cells = model.transform(feat).select(col("n_id"), col("n_vec"), col("cell"))
-
-    val centroids = spark.createDataFrame(
-      model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) })
-      .toDF("cell", "centroid")
+    val feat0 = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val (cells, centroids) = fixedCentroids match {
+      case Some(cents) =>
+        require(cents.length > 0, "fixedCentroids must be non-empty")
+        val d2s = array(cents.map(c =>
+          sqL2(col("n_vec"), array(c.map(lit): _*))): _*)
+        // argmin cell: first index of the min distance (ties → smaller id).
+        val assigned = feat0
+          .withColumn("cell",
+            (array_position(d2s, array_min(d2s)) - 1).cast("int"))
+        val centDf = spark.createDataFrame(
+          cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) })
+          .toDF("cell", "centroid")
+        (assigned, centDf)
+      case None =>
+        import org.apache.spark.ml.clustering.KMeans
+        import org.apache.spark.ml.functions.array_to_vector
+        // Clamp k to the corpus size: KMeans with k > points fails or
+        // degenerates (ADVICE r2); one count() here is against the small
+        // featurized projection and only on the training path.
+        val nRows = feat0.count()
+        require(nRows > 0, "ivfTopK: empty corpus")
+        val kEff = math.min(nLists.toLong, nRows).toInt
+        val feat = feat0.withColumn("features", array_to_vector(col("n_vec")))
+        val model = new KMeans().setK(kEff).setSeed(seed).setMaxIter(maxIter)
+          .setFeaturesCol("features").setPredictionCol("cell")
+          .fit(feat)
+        val assigned = model.transform(feat)
+          .select(col("n_id"), col("n_vec"), col("cell"))
+        val centDf = spark.createDataFrame(
+          model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray.toSeq) })
+          .toDF("cell", "centroid")
+        (assigned, centDf)
+    }
 
     // nProbe nearest cells per query: tiny broadcast cross join (nLists
     // rows) + rank by squared L2 to the centroid.
     val wq = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("cell"))
     val probed = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
       .crossJoin(broadcast(centroids))
-      .withColumn("d2", aggregate(
-        zip_with(col("q_vec"), col("centroid"),
-          (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
-        lit(0.0d), _ + _))
+      .withColumn("d2", sqL2(col("q_vec"), col("centroid")))
       .withColumn("cr", row_number().over(wq))
       .filter(col("cr") <= nProbe)
       .select(col("q_id"), col("q_vec"), col("cell"))
@@ -187,14 +239,12 @@ object Similarity {
     // Persisted shared frames (same rationale as Dedup.minhashDedup: the
     // branches' projections differ, so exchange reuse never collapses
     // them and each re-traversal recomputes the signature pipeline).
-    val mem = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("rep", min(col("id")).over(Window.partitionBy(col("vec"))))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mem = CacheScope.pin(df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("rep", min(col("id")).over(Window.partitionBy(col("vec")))))
     val reps = mem.filter(col("id") === col("rep")).select(col("id"), col("vec"))
 
     val sigs = lshSignatures(reps, "id", "vec", nTables, nBits, dim, planes)
-    val capped = Dedup.capBuckets(sigs, Seq("table", "sig"), maxBucket)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val capped = CacheScope.pin(Dedup.capBuckets(sigs, Seq("table", "sig"), maxBucket))
     val a = capped.select(col("table"), col("sig"),
       col("id").as("id_a"), col("vec").as("vec_a"))
     val b = capped.select(col("table"), col("sig"),

@@ -66,8 +66,7 @@ object SocialNetwork {
     // branches' exchanges don't canonicalize equal (different
     // projections), so without this the whole mention⋈assignment⋈filter
     // aggregation chain runs twice.
-    val docEntity = capped
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docEntity = CacheScope.pin(capped)
     // R19/R20: unordered pairs per doc; multiplicity by construction = 1.
     val a = docEntity.select(col("doc_id"), col("entity_id").as("src_entity_id"))
     val b = docEntity.select(col("doc_id"), col("entity_id").as("dst_entity_id"))

@@ -35,10 +35,9 @@ object SortedNeighborhood {
     // bounds pass must observe the SAME partition boundaries — re-executing
     // the range-partition lineage twice can sample different ranges and
     // emit duplicate or missing boundary pairs (caught at sf0.1).
-    val sorted = keys.select(col(keyCol).cast("string").as("k"))
+    val sorted = CacheScope.pin(keys.select(col(keyCol).cast("string").as("k"))
       .repartitionByRange(n, col("k"))
-      .sortWithinPartitions("k")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .sortWithinPartitions("k"))
       .as[String]
 
     // Adjacent pairs inside each partition (narrow, no extra shuffle).
@@ -91,10 +90,9 @@ object SortedNeighborhood {
 
     val rowSchema = df.schema
     // Persisted for the same two-traversal consistency reason as above.
-    val sorted = df
+    val sorted = CacheScope.pin(df
       .repartitionByRange(n, sortCols.map(col): _*)
-      .sortWithinPartitions(sortCols.map(col): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .sortWithinPartitions(sortCols.map(col): _*))
 
     val pairSchema = StructType(Seq(
       StructField("prev", rowSchema), StructField("curr", rowSchema)))

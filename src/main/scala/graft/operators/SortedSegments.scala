@@ -47,14 +47,13 @@ object SortedSegments {
       .withColumn("pid", spark_partition_id())
 
     val w = Window.partitionBy(col("pid")).orderBy(col("k"))
-    val seg = sorted
+    val seg = CacheScope.pin(sorted
       .withColumn("prev", lag(col("k"), 1).over(w))
       .withColumn("edge", col("prev").isNotNull && edgeCond(col("prev"), col("k")))
       .withColumn("seg",
         sum(when(col("edge"), 0).otherwise(1))
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .select(col("k"), col("pid"), col("seg"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("k"), col("pid"), col("seg")))
 
     // Boundary metadata: one tiny row per non-empty partition.
     val bounds = seg.groupBy(col("pid")).agg(

@@ -161,24 +161,84 @@ object LlmQueries {
            SELECT * FROM cross_pairs UNION ALL SELECT * FROM within_pairs"""
       }),
 
-    // ---- IVF ANN (k-means cells + nProbe probing — the partition-pruned
-    // scale path; approximate + iterative-fit → rows-only, recall measured
-    // in AnnSpec against the brute-force baseline).
+    // ---- IVF ANN (Voronoi cells + nProbe probing — the partition-pruned
+    // scale path). Hash-derived FIXED centroids (portableCentroids) make
+    // cell assignment, probing, and the exact-cosine rank fully
+    // deterministic on both engines, so the whole IVF pipeline sits under
+    // the DuckDB hash-compare — the same trick as q45/q56's portable
+    // hyperplanes. The k-means-trained path stays the production default
+    // and is spec-pinned in AnnSpec (full-probe == brute force, recall).
+    // Distances replicate exactly: both engines compute in-order double
+    // folds of the same values (Spark aggregate/zip_with and VectorDot vs
+    // DuckDB list_inner_product — the pairing q46 already hash-validates).
     Q("q62_ann_ivf",
       (s, d) => {
         val e = T.embeddings(s, d)
         Similarity.ivfTopK(e, e.filter(col("vec_id") < 10),
-          "vec_id", "embedding", k = 5, nLists = 16, nProbe = 4)
+          "vec_id", "embedding", k = 5, nLists = 16, nProbe = 4,
+          fixedCentroids = Some(Similarity.portableCentroids(16, 64)))
           .select(col("q_id"), col("n_id"), col("rank"))
       },
-      None),
+      Some("""WITH cents AS (
+               SELECT c.cell, d.dim,
+                 (CAST('0x' || substr(md5('c|' || CAST(c.cell AS VARCHAR) ||
+                    '|' || CAST(d.dim AS VARCHAR)), 1, 8) AS BIGINT)
+                  / 2147483648.0 - 1.0) * 0.25 AS w
+               FROM range(16) c(cell) CROSS JOIN range(64) d(dim)),
+             clists AS (
+               SELECT cell, list(w ORDER BY dim) AS cvec
+               FROM cents GROUP BY cell),
+             v AS (
+               SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+               FROM embeddings),
+             d2s AS (
+               SELECT v.vec_id, c.cell,
+                 list_inner_product(
+                   list_transform(range(1, 65), i -> emb[i] - cvec[i]),
+                   list_transform(range(1, 65), i -> emb[i] - cvec[i])) AS d2
+               FROM v CROSS JOIN clists c),
+             assign AS (
+               SELECT vec_id AS n_id, cell FROM (
+                 SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY d2, cell) AS rn
+                 FROM d2s) WHERE rn = 1),
+             probed AS (
+               SELECT vec_id AS q_id, cell FROM (
+                 SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY d2, cell) AS cr
+                 FROM d2s WHERE vec_id < 10) WHERE cr <= 4),
+             cand AS (
+               SELECT p.q_id, a.n_id
+               FROM probed p JOIN assign a ON a.cell = p.cell
+               WHERE a.n_id <> p.q_id),
+             sims AS (
+               SELECT cand.q_id, cand.n_id,
+                 list_inner_product(a.emb, b.emb) /
+                   (sqrt(list_inner_product(a.emb, a.emb)) *
+                    sqrt(list_inner_product(b.emb, b.emb))) AS sim
+               FROM cand
+               JOIN v a ON a.vec_id = cand.q_id
+               JOIN v b ON b.vec_id = cand.n_id)
+             SELECT q_id, n_id, CAST(rank AS INT) AS rank FROM (
+               SELECT q_id, n_id,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY sim DESC, n_id) AS rank
+               FROM sims) WHERE rank <= 5""")),
 
     // ---- LSH-bucketed ANN (the scale path; recall measured in AnnSpec).
     // Short signatures + more tables: the right operating point for
     // weak-similarity (random-gaussian) data — see AnnSpec's recall
     // measurement against the brute-force baseline. Hash-derived
     // (engine-portable) hyperplanes put the signature → bucket-join →
-    // exact-cosine-rank pipeline under a full DuckDB oracle.
+    // exact-cosine-rank pipeline under a full DuckDB oracle. The dot
+    // products are computed as IN-ORDER double folds on both engines
+    // (Spark VectorDot ↔ DuckDB list_inner_product over the dim-ordered
+    // plane list — the pairing q46 hash-validates), so a dp within
+    // floating-point noise of 0 cannot flip a signature bit on one engine
+    // only (an unordered SUM group would reassociate the additions).
     Q("q45_ann_lsh",
       (s, d) => {
         val e = T.embeddings(s, d)
@@ -195,14 +255,17 @@ object LlmQueries {
                FROM range(12) t(tb)
                CROSS JOIN range(6) b(bit)
                CROSS JOIN range(64) d(dim)),
-             ve AS (
-               SELECT vec_id, unnest(range(len(embedding))) AS i,
-                 unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+             plists AS (
+               SELECT tb, bit, list(w ORDER BY dim) AS pvec
+               FROM planes GROUP BY tb, bit),
+             v0 AS (
+               SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
                FROM embeddings),
              dots AS (
-               SELECT v.vec_id, p.tb, p.bit, sum(v.x * p.w) AS dp
-               FROM ve v JOIN planes p ON p.dim = v.i
-               GROUP BY 1, 2, 3),
+               SELECT v.vec_id, p.tb, p.bit,
+                 list_inner_product(v.emb, p.pvec) AS dp
+               FROM v0 v CROSS JOIN plists p),
              sigs AS (
                SELECT vec_id, tb,
                  sum(CASE WHEN dp > 0
@@ -406,7 +469,10 @@ object LlmQueries {
     // sparse but non-empty at oracle scale; short signatures (8 bits ×
     // 6 tables) hold candidate recall up for weakly-similar pairs.
     // Portable hyperplanes → exact-dup collapse, banding, bucket caps,
-    // cosine verify, member expansion all replicated in DuckDB.
+    // cosine verify, member expansion all replicated in DuckDB. Dot
+    // products are in-order double folds on BOTH engines (VectorDot ↔
+    // list_inner_product over the dim-ordered plane list), so a dp within
+    // fp-noise of 0 cannot flip a signature bit on one engine only.
     Q("q56_cosine_neardup",
       (s, d) => graft.operators.Similarity.cosineNearDup(
         T.embeddings(s, d), "vec_id", "embedding",
@@ -426,14 +492,17 @@ object LlmQueries {
                  min(vec_id) OVER (PARTITION BY embedding) AS rep
                FROM embeddings),
              reps AS (SELECT id, embedding FROM mem WHERE id = rep),
-             ve AS (
-               SELECT id, unnest(range(len(embedding))) AS i,
-                 unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+             plists AS (
+               SELECT tb, bit, list(w ORDER BY dim) AS pvec
+               FROM planes GROUP BY tb, bit),
+             v0 AS (
+               SELECT id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
                FROM reps),
              dots AS (
-               SELECT v.id, p.tb, p.bit, sum(v.x * p.w) AS dp
-               FROM ve v JOIN planes p ON p.dim = v.i
-               GROUP BY 1, 2, 3),
+               SELECT v.id, p.tb, p.bit,
+                 list_inner_product(v.emb, p.pvec) AS dp
+               FROM v0 v CROSS JOIN plists p),
              sigs AS (
                SELECT id, tb,
                  sum(CASE WHEN dp > 0
@@ -633,6 +702,7 @@ object LlmQueries {
         val cfg = Curation.CurationConfig(
           benchmark = Some(docs.filter(col("source") === "src19")),
           sampleRates = Map("en" -> 0.5),
+          nShards = 8, // pinned: the oracle replicates shard = id % 8
           minhashHash = Dedup.PortableMd5Family)
         Curation.curate(docs.filter(col("source") =!= "src19"),
           "doc_id", "text", "lang", cfg)

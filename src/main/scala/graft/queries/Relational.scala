@@ -501,14 +501,29 @@ object Relational {
              CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
              FROM events GROUP BY user_id""")),
 
-    // ---- approx_count_distinct / HLL (S5): approximate by design → no
-    // hash oracle; accuracy pinned in RelationalSpec against exact counts.
+    // ---- approx_count_distinct / HLL (S5): the sketch estimate is
+    // engine-specific, but the query still carries a HARD oracle on the
+    // exact count + a within-5% accuracy flag (see below).
     Q("q53_approx_distinct",
       (s, d) => T.orders(s, d)
         .groupBy(col("o_orderstatus"))
-        .agg(approx_count_distinct(col("o_custkey")).as("approx_customers"),
-          count(lit(1)).as("n")),
-      None),
+        .agg(approx_count_distinct(col("o_custkey"), 0.01).as("approx_customers"),
+          countDistinct(col("o_custkey")).as("exact_customers"),
+          count(lit(1)).as("n"))
+        // The HLL estimate itself is engine-specific, so it is NOT an
+        // oracle column; what IS oracle-checked is the exact count, n, and
+        // a Spark-computed within-5% accuracy boolean that DuckDB asserts
+        // as literal TRUE — the sketch must be accurate for the hash to
+        // match. rsd = 0.01 makes the 5% bound a ~5σ guarantee (the
+        // default 0.05 rsd misses 5% on ~1/3 of groups — observed at
+        // sf0.01); accuracy is additionally pinned in RelationalSpec.
+        .select(col("o_orderstatus"), col("exact_customers"), col("n"),
+          (abs(col("approx_customers") - col("exact_customers"))
+            <= col("exact_customers") * 0.05).as("within_5pct")),
+      Some("""SELECT o_orderstatus,
+             count(DISTINCT o_custkey) AS exact_customers,
+             count(*) AS n, TRUE AS within_5pct
+             FROM orders GROUP BY o_orderstatus""")),
 
     // ---- Subquery surface (S3/S4 adjunct): the SQL planner paths a
     // relational user expects — correlated EXISTS (→ left semi),

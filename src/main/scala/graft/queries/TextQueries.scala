@@ -175,16 +175,16 @@ object TextQueries {
           .filter(col("t3").isNotNull)
           .select(col("doc_id"), concat_ws(" ", col("tok"), col("t2"), col("t3")).as("shingle"))
           .distinct()
-          // Persisted: keepable + the semi-join re-traverse shAll, and sh
-          // feeds sizes + both self-join sides — without persists the
-          // token/window/distinct pipeline runs ~5x (no exchange reuse
-          // across the differing projections).
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          // Persisted (scope-tracked): keepable + the semi-join re-traverse
+          // shAll, and sh feeds sizes + both self-join sides — without
+          // persists the token/window/distinct pipeline runs ~5x (no
+          // exchange reuse across the differing projections).
+          .transform(graft.operators.CacheScope.pin(_))
         val keepable = shAll.groupBy(col("shingle"))
           .agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
           .select(col("shingle"))
-        val sh = shAll.join(keepable, Seq("shingle"), "left_semi")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val sh = graft.operators.CacheScope.pin(
+          shAll.join(keepable, Seq("shingle"), "left_semi"))
         val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
         val shared = sh.select(col("doc_id").as("d1"), col("shingle"))
           .join(sh.select(col("doc_id").as("d2"), col("shingle")), Seq("shingle"))

@@ -73,4 +73,74 @@ object CurationStreams {
         try sink(matches) finally cleanup()
       }
       .start()
+
+  /**
+   * [[incrementalDedupStream]] plus the fold the plain stream defers to a
+   * rebuild cadence: after each trigger's probe, the batch is APPENDED into
+   * the corpus signature artifact ([[Dedup.appendToBandTable]] — only the
+   * touched (band, bh) buckets are re-capped), so the NEXT trigger's docs
+   * are probed against everything that has ever arrived, not just the
+   * initial corpus snapshot. This closes the "docs from earlier
+   * micro-batches are not probe targets" window at the cost of carrying
+   * the artifact through the stream.
+   *
+   * State discipline per trigger: the folded artifact and the batch's text
+   * (needed by later triggers' exact-verify stage) are pinned with eager
+   * `localCheckpoint` — lineage truncates to a leaf, so plans never grow
+   * with trigger count — and the previous artifact's blocks are freed. The
+   * accumulated batch-text union grows by one leaf per trigger; a
+   * production deployment folds batches into the corpus TABLE (and the
+   * persisted artifact files) on its usual write path instead of holding
+   * them in memory — this wrapper is the in-session shape of that loop.
+   * Append-vs-rebuild parity is exact away from the cap boundary (see
+   * appendToBandTable's scaladoc; pass the bucket-count sidecar there for
+   * bit-exact parity if build-time drops can re-surface).
+   */
+  def incrementalDedupStreamFolding(docs: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String,
+      n: Int = 3, k: Int = 32, bands: Int = 8, threshold: Double = 0.5,
+      maxBucket: Int = Dedup.DefaultMaxBucket,
+      hash: Dedup.HashFamily = Dedup.XxHash64Family,
+      corpusBands: Option[DataFrame] = None)(
+      sink: DataFrame => Unit): StreamingQuery = {
+    var artifact = corpusBands
+      .getOrElse(Dedup.minhashBandTable(corpus, idCol, textCol, n, k, bands,
+        maxBucket, hash))
+      .localCheckpoint(true)
+    val corpusBase = corpus.select(col(idCol), col(textCol))
+    var laterDocs: Option[DataFrame] = None
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val corpusNow = laterDocs
+          .map(corpusBase.unionByName(_)).getOrElse(corpusBase)
+        val (matches, cleanup) = Dedup.incrementalMinhashWithCleanup(
+          batch, corpusNow, idCol, textCol, n = n, k = k, bands = bands,
+          threshold = threshold, maxBucket = maxBucket, hash = hash,
+          corpusBands = Some(artifact))
+        try sink(matches) finally cleanup()
+        // Fold the batch into the artifact for the next trigger; release
+        // the append's internal caches once the checkpoint materializes,
+        // and the superseded artifact's blocks.
+        val (folded0, caches) = graft.operators.CacheScope.tracking {
+          Dedup.appendToBandTable(artifact, batch, idCol, textCol,
+            n, k, bands, maxBucket, hash)
+        }
+        val folded = folded0.localCheckpoint(true)
+        caches.release()
+        unpin(artifact)
+        artifact = folded
+        val batchDocs = batch.select(col(idCol), col(textCol))
+          .localCheckpoint(true)
+        laterDocs = Some(laterDocs.map(_.unionByName(batchDocs))
+          .getOrElse(batchDocs))
+      }
+      .start()
+  }
+
+  private def unpin(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

@@ -142,6 +142,61 @@ class CurationSpec extends SparkSpec {
       .sameElements(rows.map(_.toString).sorted))
   }
 
+  test("curate clusterDedup: one survivor per transitive chain vs pairwise keep-first") {
+    // 1 ~ 3 and 2 ~ 3 (shared halves), 1 !~ 2: the pairwise policy drops
+    // only 3 (the id_b of both pairs) and keeps BOTH 1 and 2; the
+    // transitive-cluster policy keeps exactly min id 1.
+    val a = (1 to 10).map(i => s"alpha$i").mkString(" ")
+    val b = (1 to 10).map(i => s"beta$i").mkString(" ")
+    val mixed = ((1 to 8).map(i => s"alpha$i") ++ (1 to 8).map(i => s"beta$i")).mkString(" ")
+    val docs = Seq((1L, "en", a), (2L, "en", b), (3L, "en", mixed),
+      (9L, "en", "completely unrelated filler words one two three four five six"))
+      .toDF("doc_id", "lang", "text")
+    // 16 bands x 2 rows: candidate probability ~0.97 at j~0.44 (8x4 would
+    // be ~0.27 — the chain pairs must actually surface as candidates).
+    val cfg = Curation.CurationConfig(shingleN = 1, minhashBands = 16,
+      minhashThreshold = 0.4, minTokens = 5, nShards = 8)
+    val pairwise = Curation.curate(docs, "doc_id", "text", "lang", cfg)
+      .select("id").as[Long].collect().toSet
+    assert(pairwise == Set(1L, 2L, 9L), s"pairwise keeps the chain ends: $pairwise")
+    val clustered = Curation.curate(docs, "doc_id", "text", "lang",
+      cfg.copy(clusterDedup = true))
+      .select("id").as[Long].collect().toSet
+    assert(clustered == Set(1L, 9L), s"cluster policy keeps one per chain: $clustered")
+  }
+
+  test("packSequences nShards=0 derives from input partitions, equals explicit") {
+    val docs = (0L until 60L).map(i => (i, ("tok " * (i.toInt % 13 + 1)).trim))
+      .toDF("doc_id", "text")
+    val derived = math.max(8, docs.rdd.getNumPartitions)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "shard", "n_tokens", "pack_id", "pack_offset")
+        .as[(Long, Int, Int, Long, Long)].collect().toSet
+    val auto = canon(Curation.packSequences(docs, "doc_id", "text", budget = 64))
+    val explicit = canon(Curation.packSequences(docs, "doc_id", "text",
+      budget = 64, nShards = derived))
+    assert(auto == explicit, "auto derivation == explicit max(8, partitions)")
+    assert(auto.forall(r => r._2 == (r._1 % derived).toInt))
+  }
+
+  test("segmentDedup adaptive broadcast: small boilerplate set is broadcast, bound 0 opts out") {
+    val boiler = "all rights reserved click here to subscribe now please"
+    val docs = (0L until 20L)
+      .map(i => (i, s"document body number $i with several distinct words $boiler"))
+      .toDF("doc_id", "text")
+    val out = Curation.segmentDedup(docs, "doc_id", "text", maxDf = 2, segWords = 8)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"small df>maxDf set must reach the flag join as a broadcast:\n$plan")
+    // Forced shuffle join produces identical output (the fallback path a
+    // pathological all-boilerplate corpus takes).
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "clean_text", "n_seg_kept", "n_seg_dropped")
+        .as[(Long, String, Long, Long)].collect().toSet
+    assert(canon(out) == canon(Curation.segmentDedup(docs, "doc_id", "text",
+      maxDf = 2, segWords = 8, maxBroadcastBoiler = 0L)))
+  }
+
   test("decontaminate plan: benchmark shingle side is broadcast, corpus is not shuffled") {
     val train = (0 until 50).map(i => (i.toLong, s"train doc $i with words")).toDF("doc_id", "text")
     val bench = Seq((1L, "bench doc with words here")).toDF("doc_id", "text")

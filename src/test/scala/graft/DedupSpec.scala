@@ -139,6 +139,78 @@ class DedupSpec extends SparkSpec {
       s"expected broadcast candidate probe in plan:\n$plan")
   }
 
+  test("appendToBandTable: append == rebuild, and probes agree") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs away fast"),
+      (2L, "completely different content about spark query engines and shuffles"))
+      .toDF("doc_id", "text")
+    val increment = Seq(
+      (101L, "a freshly ingested document with its own distinct token stream"),
+      (102L, "the quick brown fox jumps over the lazy dog and runs away fast"))
+      .toDF("doc_id", "text")
+    val probe = Seq(
+      (201L, "a freshly ingested document with its own distinct word stream"), // near-dup of 101
+      (202L, "totally unrelated probe content mentioning nothing seen before"))
+      .toDF("doc_id", "text")
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "band", "bh", "sig")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getSeq[Long](3))).toSet
+
+    val artifact = Dedup.minhashBandTable(corpus, "doc_id", "text",
+      n = 3, k = 32, bands = 16)
+    val appended = Dedup.appendToBandTable(artifact, increment, "doc_id", "text",
+      n = 3, k = 32, bands = 16)
+    val rebuilt = Dedup.minhashBandTable(corpus.unionByName(increment),
+      "doc_id", "text", n = 3, k = 32, bands = 16)
+    assert(canon(appended) == canon(rebuilt), "band tables must be set-equal")
+
+    val grown = corpus.unionByName(increment)
+    def probePairs(bands: org.apache.spark.sql.DataFrame) =
+      Dedup.incrementalMinhash(probe, grown, "doc_id", "text",
+        n = 3, k = 32, bands = 16, threshold = 0.3, corpusBands = Some(bands))
+        .select("batch_id", "corpus_id", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+    val viaAppend = probePairs(appended)
+    assert(viaAppend == probePairs(rebuilt))
+    assert(viaAppend.exists(p => p._1 == 201L && p._2 == 101L),
+      s"probe must see the doc the append folded in: $viaAppend")
+  }
+
+  test("appendToBandTable at the cap boundary: sidecar restores exact rebuild parity") {
+    // maxBucket = 2; three identical docs -> every (band, bh) bucket has 3
+    // members and is dropped at BUILD time. A 1-doc batch with the same
+    // text then re-touches those buckets.
+    val trip = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val one = Seq(
+      (4L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val artifact = Dedup.minhashBandTable(trip, "doc_id", "text",
+      n = 3, k = 32, bands = 16, maxBucket = 2)
+    assert(artifact.count() == 0, "build drops the over-cap buckets")
+    val rebuilt = Dedup.minhashBandTable(trip.unionByName(one), "doc_id", "text",
+      n = 3, k = 32, bands = 16, maxBucket = 2)
+    assert(rebuilt.count() == 0, "rebuild drops them too (cap is monotone)")
+
+    // Sidecar-less append keeps the batch rows (documented recall-only
+    // divergence: batch rows alone sit under the cap).
+    val noSidecar = Dedup.appendToBandTable(artifact, one, "doc_id", "text",
+      n = 3, k = 32, bands = 16, maxBucket = 2)
+    assert(noSidecar.count() == 16, "batch rows survive without the sidecar")
+
+    // With the uncapped bucket-count sidecar, append == rebuild bit-exactly.
+    val counts = Dedup.bandBucketCounts(trip, "doc_id", "text",
+      n = 3, k = 32, bands = 16)
+    val withSidecar = Dedup.appendToBandTable(artifact, one, "doc_id", "text",
+      n = 3, k = 32, bands = 16, maxBucket = 2, bucketCounts = Some(counts))
+    assert(withSidecar.count() == 0, "sidecar closes the divergence")
+  }
+
   test("minhash est_jaccard is 1.0 for identical docs") {
     val est = Dedup.minhashCandidates(
       Dedup.minhashSignatures(Dedup.shingles(docs, "doc_id", "text"), 32), 8, 4)

@@ -145,6 +145,58 @@ class StreamingSpec extends SparkSpec {
       s"stream got ${got.toSeq} expected ${expected.toSeq}")
   }
 
+  test("folding dedup stream: trigger 2 probes against trigger 1's docs") {
+    import graft.operators.Dedup
+    import graft.streaming.CurationStreams
+
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs away fast", "en", "s0", 60L),
+      (2L, "completely different content about spark query engines and shuffles", "en", "s0", 60L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // Trigger 1's doc shares nothing with the corpus; trigger 2's doc is a
+    // near-dup of TRIGGER 1's — only the folded artifact can catch it.
+    val batch1 = Seq(
+      (101L, "a freshly ingested document with its own distinct token stream", "en", "s1", 60L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val batch2 = Seq(
+      (201L, "a freshly ingested document with its own distinct word stream", "en", "s1", 60L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+    val tmp = java.nio.file.Files.createTempDirectory("fold_docs").toString
+    batch1.coalesce(1).write.parquet(s"$tmp/in")
+    // Distinct, later mtime so the file source orders batch2 second.
+    Thread.sleep(1100)
+    batch2.coalesce(1).write.mode("append").parquet(s"$tmp/in")
+
+    val stream = spark.readStream
+      .schema(CurationStreams.DocumentSchema)
+      .option("maxFilesPerTrigger", 1)
+      .option("latestFirst", "false")
+      .parquet(s"$tmp/in")
+
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val q = CurationStreams.incrementalDedupStreamFolding(
+      stream, corpus, "doc_id", "text",
+      n = 3, k = 32, bands = 16, threshold = 0.3) { matches =>
+      got ++= matches.select("batch_id", "corpus_id", "jaccard")
+        .as[(Long, Long, Double)].collect()
+    }
+    q.processAllAvailable()
+    q.stop()
+
+    // Expected: the non-folding stream sees nothing (101 and 201 both
+    // novel vs the static corpus); folding yields exactly (201, 101).
+    val expected = Dedup.incrementalMinhash(batch2,
+      corpus.unionByName(batch1).select("doc_id", "text"),
+      "doc_id", "text", n = 3, k = 32, bands = 16, threshold = 0.3)
+      .select("batch_id", "corpus_id", "jaccard")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(expected.exists(p => p._1 == 201L && p._2 == 101L),
+      s"fixture must produce the cross-trigger pair: $expected")
+    assert(got.sorted == expected.sorted,
+      s"folding stream got ${got.toSeq}, want $expected")
+  }
+
   test("flatMapGroupsWithState running totals match batch aggregation") {
     val got = runToMemory(
       EventStreams.runningUserTotals(spark,
