@@ -36,12 +36,19 @@ object Bench {
     // speedup in the JSON.
     def onePass(): Seq[(String, Double, Boolean)] = SparkEntry.allQueries.map { q =>
       val t0 = System.nanoTime()
-      val ok =
+      // Track each query's operator-internal persists and release them
+      // once the result is fully materialized: a 76-query sweep otherwise
+      // accumulates every LSH/curation cache in the CacheManager, and the
+      // later queries run under growing memory/GC pressure.
+      val (ok, caches) = graft.operators.CacheScope.tracking {
         try { q.fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
           false
         }
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      caches.release()
       // The q40-q42 family shares memoized checkpointed intermediates;
       // after the last of them, release the block-manager memory so later
       // queries don't run under cache/GC pressure.
@@ -49,7 +56,7 @@ object Bench {
         graft.queries.PipelineQueries.resetCache(spark)
         spark.catalog.clearCache()
       }
-      (q.name, (System.nanoTime() - t0) / 1e9, ok)
+      (q.name, sec, ok)
     }
     val p1 = onePass().map(t => t._1 -> (t._2, t._3)).toMap
     graft.queries.PipelineQueries.resetCache(spark)

@@ -28,11 +28,17 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       if (keep(name)) {
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // Per-query cache scope: operator-internal persists are released
+        // after each result lands, so the 76-query sweep holds a bounded
+        // cache footprint (see Bench for the same discipline).
+        val (_, caches) = graft.operators.CacheScope.tracking {
+          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          catch { case e: Throwable =>
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          }
         }
+        caches.release()
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -55,14 +55,13 @@ object TextQueries {
 
     // ---- Exact dedup: canonical = min doc_id per identical text (hash-groupBy).
     Q("q28_exact_dedup",
-      (s, d) => {
-        val w = Window.partitionBy(col("text"))
-        T.documents(s, d)
-          .withColumn("canonical", min(col("doc_id")).over(w))
-          .select(col("doc_id"),
-            (col("doc_id") =!= col("canonical")).cast("int").as("is_dup"),
-            col("canonical"))
-      },
+      // The operator form (Dedup.exact) keys the exchange on md5(text),
+      // not the raw document — same values (collision odds ~1e-19 at 1e10
+      // docs), digest-sized shuffle keys. The oracle SQL keeps PARTITION
+      // BY text: DuckDB computes the identical result either way.
+      (s, d) => graft.operators.Dedup.exact(T.documents(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("is_dup"),
+          col("canonical_id").as("canonical")),
       Some("""SELECT doc_id,
              CAST(doc_id <> min(doc_id) OVER (PARTITION BY text) AS INT) AS is_dup,
              min(doc_id) OVER (PARTITION BY text) AS canonical
