@@ -1083,6 +1083,101 @@ object LlmQueries {
              SELECT doc_id, shard, n_tokens,
                CAST(cum_before // 2048 AS BIGINT) AS pack_id,
                CAST(cum_before % 2048 AS BIGINT) AS pack_offset
-             FROM c"""))
+             FROM c""")),
+
+    // ---- Cross-document duplicate-SPAN detection (the rolling-window
+    // approximation of suffix-array substring dedup — repeated passages at
+    // arbitrary positions inside otherwise-distinct docs). 10-token
+    // windows keyed by md5(window text), df >= 2 across docs, flagged
+    // window starts coalesced into maximal [start, end) spans per doc.
+    // Identical lead-based window build + gaps-and-islands on both engines.
+    Q("q77_duplicate_spans",
+      (s, d) => graft.operators.SpanDedup.duplicateSpans(
+        T.documents(s, d), "doc_id", "text", window = 10, minDf = 2)
+        .select(col("id").as("doc_id"),
+          col("span_start").cast("long").as("span_start"),
+          col("span_end").cast("long").as("span_end"),
+          col("n_windows")),
+      Some(SpanSql + """
+        SELECT id AS doc_id, CAST(min(ti) AS BIGINT) AS span_start,
+          CAST(max(ti) + 10 AS BIGINT) AS span_end,
+          count(*) AS n_windows
+        FROM grp GROUP BY id, g""")),
+
+    // ---- Duplicate-span REMOVAL, keep-first-occurrence: the canonical
+    // holder of each duplicate window (min doc id) keeps its text; every
+    // other doc drops the covered tokens and is reassembled in order.
+    Q("q78_span_removal",
+      (s, d) => graft.operators.SpanDedup.removeDuplicateSpans(
+        T.documents(s, d), "doc_id", "text", window = 10, minDf = 2)
+        .withColumnRenamed("id", "doc_id"),
+      Some(SpanSql + """,
+        dupc AS (
+          SELECT wkey, min(id) AS canonical FROM wins
+          GROUP BY wkey HAVING count(DISTINCT id) >= 2),
+        covered AS (
+          SELECT DISTINCT w.id, r.cti AS ti
+          FROM wins w JOIN dupc d USING (wkey),
+               LATERAL (SELECT unnest(range(w.ti, w.ti + 10)) AS cti) r
+          WHERE w.id <> d.canonical),
+        kept AS (
+          SELECT t.id, t.ti, t.tok FROM rtoks t
+          WHERE NOT EXISTS (SELECT 1 FROM covered c
+                            WHERE c.id = t.id AND c.ti = t.ti)),
+        cleaned AS (
+          SELECT id, string_agg(tok, ' ' ORDER BY ti) AS clean_text,
+            count(*) AS n_tokens_kept
+          FROM kept GROUP BY id),
+        totals AS (SELECT id, count(*) AS n_tokens FROM rtoks GROUP BY id)
+        SELECT d.doc_id, coalesce(c.clean_text, '') AS clean_text,
+          CAST(coalesce(c.n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept,
+          CAST(coalesce(t.n_tokens, 0) - coalesce(c.n_tokens_kept, 0) AS BIGINT)
+            AS n_tokens_dropped
+        FROM documents d
+        LEFT JOIN totals t ON t.id = d.doc_id
+        LEFT JOIN cleaned c ON c.id = d.doc_id"""))
   )
+
+  /** Shared DuckDB CTEs for q77/q78: re-indexed tokens, lead-built
+    * 10-token window keys, df-flagged window starts, and the
+    * gaps-and-islands span grouping — the exact mirror of
+    * SpanDedup.tokens/windowKeys/coalesceSpans. (lazy: referenced during
+    * `all`'s initializer, which is declared above this val.) */
+  private lazy val SpanSql: String = {
+    val leads = (1 until 10).map(k => s"lead(tok, $k) OVER w AS t$k").mkString(", ")
+    val parts = "tok" +: (1 until 10).map(k => s"t$k")
+    s"""WITH toks AS (
+         SELECT doc_id AS id, i, tok FROM (
+           SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok,
+                  unnest(range(len(string_split_regex(text, '\\s+')))) AS i
+           FROM documents)
+         WHERE tok <> ''),
+       rtoks AS (
+         SELECT id, tok,
+           row_number() OVER (PARTITION BY id ORDER BY i) - 1 AS ti
+         FROM toks),
+       wins AS (
+         SELECT id, ti, md5(${parts.mkString(" || ' ' || ")}) AS wkey FROM (
+           SELECT id, ti, tok, $leads
+           FROM rtoks WINDOW w AS (PARTITION BY id ORDER BY ti))
+         WHERE t9 IS NOT NULL),
+       dup AS (
+         SELECT wkey FROM wins GROUP BY wkey
+         HAVING count(DISTINCT id) >= 2),
+       flag AS (
+         SELECT w.id, w.ti FROM wins w
+         WHERE EXISTS (SELECT 1 FROM dup d WHERE d.wkey = w.wkey)),
+       isl AS (
+         SELECT id, ti,
+           CASE WHEN prev_end IS NULL OR ti > prev_end THEN 1 ELSE 0 END AS brk
+         FROM (SELECT id, ti,
+                 max(ti + 10) OVER (PARTITION BY id ORDER BY ti
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+               FROM flag)),
+       grp AS (
+         SELECT id, ti,
+           sum(brk) OVER (PARTITION BY id ORDER BY ti
+             ROWS UNBOUNDED PRECEDING) AS g
+         FROM isl)"""
+  }
 }
