@@ -285,18 +285,21 @@ object Curation {
    * the reassembly groups on id again. The segment frame is persisted —
    * the df aggregation and the flag join both traverse it (differing
    * projections defeat exchange reuse). The over-represented set
-   * (df > maxDf) is small by construction at any real threshold, so it is
-   * BROADCAST into the flag join when its measured size is at most
-   * `maxBroadcastBoiler` rows (counting it is one cheap aggregation over
-   * the already-persisted segment frame) — the boilerplate-flag join then
-   * never shuffles the segment table. A pathological mostly-boilerplate
-   * corpus exceeds the bound and falls back to the shuffle join, which
-   * always completes. `maxBroadcastBoiler = 0` forces the shuffle join.
+   * (df > maxDf) is small by construction at any real threshold and the
+   * flag join adapts accordingly AT RUNTIME: AQE observes the df-filter's
+   * actual shuffle size and converts the join to broadcast when it is
+   * small (plan-asserted in CurationSpec), falling back to the
+   * always-completes shuffle join for a pathological mostly-boilerplate
+   * corpus — no eager size probe, so constructing the operator stays a
+   * pure plan transform (no job until an action). `broadcastBoiler =
+   * true` forces the broadcast hint for corpora the caller KNOWS are
+   * mostly unique (skips the runtime decision; overflow fails the job
+   * rather than degrading).
    */
   def segmentDedup(df: DataFrame, idCol: String, textCol: String,
       maxDf: Int = 2, segWords: Int = 8,
       delimiter: Option[String] = None,
-      maxBroadcastBoiler: Long = 1000000L): DataFrame = {
+      broadcastBoiler: Boolean = false): DataFrame = {
     require(maxDf >= 1 && segWords >= 1, "maxDf and segWords must be >= 1")
     val reIdx = Window.partitionBy(col("id")).orderBy(col("i"))
     val segs0 = delimiter match {
@@ -322,17 +325,7 @@ object Curation {
       .agg(countDistinct(col("id")).as("seg_df"))
       .filter(col("seg_df") > maxDf)
       .select(col("seg"), lit(1).as("is_bl"))
-    // Adaptive broadcast: measure the over-represented set (cheap — one
-    // aggregation over the persisted segment frame) and hint broadcast
-    // when it is genuinely small; otherwise keep the always-completes
-    // shuffle join.
-    val boiler = if (maxBroadcastBoiler <= 0) boiler0 else {
-      val b = CacheScope.pin(boiler0)
-      val probe = math.min(maxBroadcastBoiler + 1, Int.MaxValue.toLong).toInt
-      if (b.limit(probe).count() <= maxBroadcastBoiler)
-        broadcast(b)
-      else b
-    }
+    val boiler = if (broadcastBoiler) broadcast(boiler0) else boiler0
     val sep = delimiter.getOrElse(" ")
     val agg = segs.join(boiler, Seq("seg"), "left")
       .withColumn("kept", col("is_bl").isNull)

@@ -244,13 +244,31 @@ object Dedup {
   def minhashBandTable(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 32, bands: Int = 8,
       maxBucket: Int = DefaultMaxBucket,
-      hash: HashFamily = XxHash64Family): DataFrame = {
+      hash: HashFamily = XxHash64Family): DataFrame =
+    minhashBandTableWithCounts(df, idCol, textCol, n, k, bands, maxBucket,
+      hash)._1
+
+  /**
+   * [[minhashBandTable]] plus the uncapped (band, bh, true_count) sidecar
+   * from the SAME single shingle→minhash→band pass (the banded frame is
+   * scope-pinned across the two derivations — building the sidecar
+   * separately via [[bandBucketCounts]] would re-run the whole signature
+   * pipeline, the dominant cost at corpus scale). Store both; chain
+   * appends with [[appendToBandTableWithCounts]] for bit-exact rebuild
+   * parity.
+   */
+  def minhashBandTableWithCounts(df: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, k: Int = 32, bands: Int = 8,
+      maxBucket: Int = DefaultMaxBucket,
+      hash: HashFamily = XxHash64Family): (DataFrame, DataFrame) = {
     require(k % bands == 0, "bands must divide k")
     val sigs = minhashSignatures(
       shingles(df.select(col(idCol).as("id"), col(textCol).as("text")),
         "id", "text", n, hash), k, hash)
-    val banded = bandSignatures(sigs, bands, k / bands, hash)
-    capBuckets(banded, Seq("band", "bh"), maxBucket, minBucket = 1)
+    val banded = CacheScope.pin(bandSignatures(sigs, bands, k / bands, hash))
+    val counts = banded.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("true_count"))
+    (capBuckets(banded, Seq("band", "bh"), maxBucket, minBucket = 1), counts)
   }
 
   /**
@@ -271,10 +289,14 @@ object Dedup {
    * drop the whole bucket. That divergence only ADDS candidate pairs
    * (which exact verification then filters — never a false output pair),
    * so the sidecar-less append is sound for dedup. Callers that want
-   * append == rebuild bit-exactly keep the tiny uncapped bucket-count
-   * sidecar ([[bandBucketCounts]], one row per bucket) and pass it as
-   * `bucketCounts`: the true combined count then decides each touched
-   * bucket, closing the divergence — the spec pins both paths.
+   * append == rebuild bit-exactly carry the tiny uncapped bucket-count
+   * sidecar through [[appendToBandTableWithCounts]] (build both sides
+   * with [[minhashBandTableWithCounts]]): the true combined counts then
+   * decide every touched bucket AND the returned sidecar reflects the
+   * grown corpus, so parity holds across arbitrarily long append CHAINS
+   * (passing a stale build-time sidecar to repeated appends would
+   * under-count buckets and silently erode the cap — the spec pins a
+   * two-append chain crossing the cap boundary).
    *
    * Compaction: appends never touch corpus text, so signature quality
    * never degrades; rebuild is only needed to (a) resurrect buckets the
@@ -284,16 +306,42 @@ object Dedup {
    *
    * @param artifact an existing band table (id, band, bh, sig)
    * @param bucketCounts optional sidecar (band, bh, true_count) of
-   *        UNCAPPED build-time bucket counts; when given, a touched
-   *        bucket's combined count uses it, making append == rebuild
-   *        bit-exactly even when build-time-dropped buckets re-surface.
+   *        UNCAPPED bucket counts for the artifact's CURRENT corpus; when
+   *        given, a touched bucket's combined count uses it, making this
+   *        append == rebuild bit-exactly. For chained appends use
+   *        [[appendToBandTableWithCounts]], which also returns the
+   *        updated sidecar.
    */
   def appendToBandTable(artifact: DataFrame, batch: DataFrame,
       idCol: String, textCol: String,
       n: Int = 3, k: Int = 32, bands: Int = 8,
       maxBucket: Int = DefaultMaxBucket,
       hash: HashFamily = XxHash64Family,
-      bucketCounts: Option[DataFrame] = None): DataFrame = {
+      bucketCounts: Option[DataFrame] = None): DataFrame =
+    appendWithCounts(artifact, batch, idCol, textCol, n, k, bands,
+      maxBucket, hash, bucketCounts)._1
+
+  /**
+   * Sidecar-carrying append: returns (grown artifact, UPDATED uncapped
+   * bucket counts). Feed each append's outputs into the next — the
+   * updated counts are what keep append == rebuild exact across chains;
+   * see [[appendToBandTable]].
+   */
+  def appendToBandTableWithCounts(artifact: DataFrame,
+      bucketCounts: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String,
+      n: Int = 3, k: Int = 32, bands: Int = 8,
+      maxBucket: Int = DefaultMaxBucket,
+      hash: HashFamily = XxHash64Family): (DataFrame, DataFrame) = {
+    val (table, counts) = appendWithCounts(artifact, batch, idCol, textCol,
+      n, k, bands, maxBucket, hash, Some(bucketCounts))
+    (table, counts.get)
+  }
+
+  private def appendWithCounts(artifact: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, n: Int, k: Int, bands: Int,
+      maxBucket: Int, hash: HashFamily,
+      bucketCounts: Option[DataFrame]): (DataFrame, Option[DataFrame]) = {
     require(k % bands == 0, "bands must divide k")
     val sigs = minhashSignatures(
       shingles(batch.select(col(idCol).as("id"), col(textCol).as("text")),
@@ -303,15 +351,24 @@ object Dedup {
     val untouched = artifact.join(touched, Seq("band", "bh"), "left_anti")
     val combined = artifact.join(touched, Seq("band", "bh"), "left_semi")
       .unionByName(newBands)
+    val batchCounts = newBands.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("batch_n"))
+    // Updated sidecar = old true counts + batch additions (full outer:
+    // untouched buckets pass through, brand-new buckets enter at batch_n).
+    val newCounts = bucketCounts.map { bc =>
+      bc.select(col("band"), col("bh"), col("true_count"))
+        .join(batchCounts, Seq("band", "bh"), "full_outer")
+        .na.fill(0L, Seq("true_count", "batch_n"))
+        .select(col("band"), col("bh"),
+          (col("true_count") + col("batch_n")).as("true_count"))
+    }
     val cappedTouched = bucketCounts match {
       case None =>
         capBuckets(combined, Seq("band", "bh"), maxBucket, minBucket = 1)
       case Some(_) if maxBucket <= 0 => combined
       case Some(bc) =>
-        // True combined count = build-time true count (0 for brand-new
+        // True combined count = current true count (0 for brand-new
         // buckets) + batch additions; survivors = count within cap.
-        val batchCounts = newBands.groupBy(col("band"), col("bh"))
-          .agg(count(lit(1)).as("batch_n"))
         val keep = batchCounts
           .join(bc.select(col("band"), col("bh"),
             col("true_count").as("old_n")), Seq("band", "bh"), "left")
@@ -320,12 +377,15 @@ object Dedup {
           .select(col("band"), col("bh"))
         combined.join(keep, Seq("band", "bh"), "left_semi")
     }
-    untouched.unionByName(cappedTouched)
+    (untouched.unionByName(cappedTouched), newCounts)
   }
 
-  /** Uncapped (band, bh, true_count) sidecar for [[appendToBandTable]]'s
-    * exact-parity mode — build it alongside [[minhashBandTable]] from the
-    * same corpus (tiny relative to the table: one row per bucket). */
+  /** Uncapped (band, bh, true_count) sidecar for the exact-parity append
+    * mode, built standalone from corpus text. Prefer
+    * [[minhashBandTableWithCounts]], which derives table AND sidecar from
+    * ONE shingle→minhash→band pass — this standalone form re-runs that
+    * pipeline and only exists for retrofitting a sidecar onto an
+    * artifact whose build didn't keep one. */
   def bandBucketCounts(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 32, bands: Int = 8,
       hash: HashFamily = XxHash64Family): DataFrame = {
@@ -465,6 +525,14 @@ object Dedup {
     * already ran [[minhashDedup]] cluster its pairs without re-running the
     * LSH pipeline (e.g. [[Curation.curate]]'s cluster-dedup policy). */
   def neardupClustersFromPairs(pairs: DataFrame, maxIter: Int = 64): DataFrame = {
+    // Same fail-fast as neardupClusters: the string round-trip through CC
+    // would silently null non-numeric ids on the cast back.
+    Seq("id_a", "id_b").foreach { c =>
+      val t = pairs.schema(c).dataType
+      require(t == org.apache.spark.sql.types.LongType ||
+        t == org.apache.spark.sql.types.IntegerType,
+        s"neardupClustersFromPairs needs integral pair ids, got $c: $t")
+    }
     val edges = pairs.select(col("id_a").cast("string").as("src"),
       col("id_b").cast("string").as("dst"))
     // strict: a component with diameter > maxIter must error, not split —

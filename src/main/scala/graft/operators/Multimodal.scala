@@ -161,17 +161,23 @@ object Multimodal {
         out
       }.getOrElse(HashCodec.embed(a, dim))
 
-    def sampleFrames(a: MediaAsset, every: Int): Iterator[FrameSample] = {
-      val meta = decode(a)
-      (0 until meta.n_frames by every).iterator.map { i =>
-        val bytes = withReader(a.content) { r =>
-          val baos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(r.read(i), "png", baos)
-          baos.toByteArray
-        }
-        FrameSample(a.asset_id, i, bytes.getOrElse(a.content.take(16)))
-      }
-    }
+    // One reader scope for ALL sampled frames: reopening the container per
+    // frame would re-parse from byte 0 each time (and GIF delta frames can
+    // force decoding 0..i), turning an N-frame sample quadratic.
+    def sampleFrames(a: MediaAsset, every: Int): Iterator[FrameSample] =
+      withReader(a.content) { r =>
+        val frames = math.max(
+          try r.getNumImages(true) catch { case _: Exception => 1 }, 1)
+        (0 until frames by every).map { i =>
+          val bytes =
+            try {
+              val baos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(r.read(i), "png", baos)
+              baos.toByteArray
+            } catch { case _: Exception => a.content.take(16) }
+          FrameSample(a.asset_id, i, bytes)
+        }.toList // materialize inside the reader scope (disposed on exit)
+      }.map(_.iterator).getOrElse(HashCodec.sampleFrames(a, every))
 
     def resize(a: MediaAsset, width: Int, height: Int): Array[Byte] =
       readImage(a.content).map { img =>

@@ -190,11 +190,12 @@ object Similarity {
         import org.apache.spark.ml.clustering.KMeans
         import org.apache.spark.ml.functions.array_to_vector
         // Clamp k to the corpus size: KMeans with k > points fails or
-        // degenerates (ADVICE r2); one count() here is against the small
-        // featurized projection and only on the training path.
-        val nRows = feat0.count()
-        require(nRows > 0, "ivfTopK: empty corpus")
-        val kEff = math.min(nLists.toLong, nRows).toInt
+        // degenerates (ADVICE r2). limit(nLists).count() returns exactly
+        // min(rows, nLists) and stops scanning after nLists rows — an
+        // early-exit probe, not a full corpus pass.
+        val sample = feat0.limit(nLists).count()
+        require(sample > 0, "ivfTopK: empty corpus")
+        val kEff = math.min(nLists.toLong, sample).toInt
         val feat = feat0.withColumn("features", array_to_vector(col("n_vec")))
         val model = new KMeans().setK(kEff).setSeed(seed).setMaxIter(maxIter)
           .setFeaturesCol("features").setPredictionCol("cell")

@@ -92,21 +92,26 @@ object CurationStreams {
    * production deployment folds batches into the corpus TABLE (and the
    * persisted artifact files) on its usual write path instead of holding
    * them in memory — this wrapper is the in-session shape of that loop.
-   * Append-vs-rebuild parity is exact away from the cap boundary (see
-   * appendToBandTable's scaladoc; pass the bucket-count sidecar there for
-   * bit-exact parity if build-time drops can re-surface).
+   * Append-vs-rebuild parity is exact away from the cap boundary; pass
+   * the uncapped bucket-count sidecar (`corpusBandCounts`, from
+   * [[Dedup.minhashBandTableWithCounts]]) for bit-exact parity — the
+   * stream then carries the UPDATED sidecar across triggers (a stale
+   * sidecar would erode the cap on chained appends).
    */
   def incrementalDedupStreamFolding(docs: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String,
       n: Int = 3, k: Int = 32, bands: Int = 8, threshold: Double = 0.5,
       maxBucket: Int = Dedup.DefaultMaxBucket,
       hash: Dedup.HashFamily = Dedup.XxHash64Family,
-      corpusBands: Option[DataFrame] = None)(
+      corpusBands: Option[DataFrame] = None,
+      corpusBandCounts: Option[DataFrame] = None)(
       sink: DataFrame => Unit): StreamingQuery = {
     var artifact = corpusBands
       .getOrElse(Dedup.minhashBandTable(corpus, idCol, textCol, n, k, bands,
         maxBucket, hash))
       .localCheckpoint(true)
+    var counts: Option[DataFrame] =
+      corpusBandCounts.map(_.localCheckpoint(true))
     val corpusBase = corpus.select(col(idCol), col(textCol))
     var laterDocs: Option[DataFrame] = None
     docs.writeStream
@@ -118,17 +123,27 @@ object CurationStreams {
           threshold = threshold, maxBucket = maxBucket, hash = hash,
           corpusBands = Some(artifact))
         try sink(matches) finally cleanup()
-        // Fold the batch into the artifact for the next trigger; release
-        // the append's internal caches once the checkpoint materializes,
-        // and the superseded artifact's blocks.
-        val (folded0, caches) = graft.operators.CacheScope.tracking {
-          Dedup.appendToBandTable(artifact, batch, idCol, textCol,
-            n, k, bands, maxBucket, hash)
+        // Fold the batch into the artifact (and the carried sidecar) for
+        // the next trigger; release the append's internal caches once the
+        // checkpoints materialize, and the superseded frames' blocks.
+        val ((folded0, newCounts0), caches) = graft.operators.CacheScope.tracking {
+          counts match {
+            case Some(c) =>
+              val (a, nc) = Dedup.appendToBandTableWithCounts(artifact, c,
+                batch, idCol, textCol, n, k, bands, maxBucket, hash)
+              (a, Some(nc))
+            case None =>
+              (Dedup.appendToBandTable(artifact, batch, idCol, textCol,
+                n, k, bands, maxBucket, hash), None)
+          }
         }
         val folded = folded0.localCheckpoint(true)
+        val newCounts = newCounts0.map(_.localCheckpoint(true))
         caches.release()
         unpin(artifact)
+        counts.foreach(unpin)
         artifact = folded
+        counts = newCounts
         val batchDocs = batch.select(col(idCol), col(textCol))
           .localCheckpoint(true)
         laterDocs = Some(laterDocs.map(_.unionByName(batchDocs))

@@ -179,22 +179,26 @@ class CurationSpec extends SparkSpec {
     assert(auto.forall(r => r._2 == (r._1 % derived).toInt))
   }
 
-  test("segmentDedup adaptive broadcast: small boilerplate set is broadcast, bound 0 opts out") {
+  test("segmentDedup: AQE broadcasts the small boilerplate set at runtime; hint agrees") {
     val boiler = "all rights reserved click here to subscribe now please"
     val docs = (0L until 20L)
       .map(i => (i, s"document body number $i with several distinct words $boiler"))
       .toDF("doc_id", "text")
+    // Constructing the operator must stay a pure plan transform (no job):
+    // the runtime-adaptive broadcast is AQE's call, visible only in the
+    // FINAL adaptive plan after materialization.
     val out = Curation.segmentDedup(docs, "doc_id", "text", maxDf = 2, segWords = 8)
-    val plan = out.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"),
-      s"small df>maxDf set must reach the flag join as a broadcast:\n$plan")
-    // Forced shuffle join produces identical output (the fallback path a
-    // pathological all-boilerplate corpus takes).
     def canon(df: org.apache.spark.sql.DataFrame) =
       df.select("id", "clean_text", "n_seg_kept", "n_seg_dropped")
         .as[(Long, String, Long, Long)].collect().toSet
-    assert(canon(out) == canon(Curation.segmentDedup(docs, "doc_id", "text",
-      maxDf = 2, segWords = 8, maxBroadcastBoiler = 0L)))
+    val base = canon(out)
+    val finalPlan = out.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("BroadcastHashJoin"),
+      s"AQE must convert the small df>maxDf flag join to broadcast:\n$finalPlan")
+    // The explicit hint (caller KNOWS the corpus is mostly unique)
+    // produces identical output.
+    assert(base == canon(Curation.segmentDedup(docs, "doc_id", "text",
+      maxDf = 2, segWords = 8, broadcastBoiler = true)))
   }
 
   test("decontaminate plan: benchmark shingle side is broadcast, corpus is not shuffled") {

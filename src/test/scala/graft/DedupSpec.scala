@@ -211,6 +211,33 @@ class DedupSpec extends SparkSpec {
     assert(withSidecar.count() == 0, "sidecar closes the divergence")
   }
 
+  test("chained appends: the UPDATED sidecar keeps parity when the chain crosses the cap") {
+    // maxBucket = 3. Build with 2 identical docs (bucket size 2, kept);
+    // append one more identical doc (3 <= 3, kept); append a fourth
+    // (4 > 3 -> rebuild drops the bucket). A STALE build-time sidecar
+    // would compute 2 + 1 = 3 <= 3 at the second append and silently keep
+    // the bucket; the carried sidecar computes 3 + 1 = 4 and drops it.
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    def doc(ids: Long*) = ids.map(i => (i, text)).toDF("doc_id", "text")
+    val (art0, cnt0) = Dedup.minhashBandTableWithCounts(doc(1L, 2L),
+      "doc_id", "text", n = 3, k = 32, bands = 16, maxBucket = 3)
+    assert(art0.count() == 32, "2 docs x 16 bands under the cap")
+    val (art1, cnt1) = Dedup.appendToBandTableWithCounts(art0, cnt0,
+      doc(3L), "doc_id", "text", n = 3, k = 32, bands = 16, maxBucket = 3)
+    assert(art1.count() == 48, "3 docs x 16 bands still under the cap")
+    val (art2, _) = Dedup.appendToBandTableWithCounts(art1, cnt1,
+      doc(4L), "doc_id", "text", n = 3, k = 32, bands = 16, maxBucket = 3)
+    assert(art2.count() == 0, "4th copy pushes every bucket over the cap")
+    val rebuilt = Dedup.minhashBandTable(doc(1L, 2L, 3L, 4L), "doc_id",
+      "text", n = 3, k = 32, bands = 16, maxBucket = 3)
+    assert(rebuilt.count() == 0, "chained append == rebuild at the boundary")
+    // The stale-sidecar misuse the API now steers away from: reusing cnt0
+    // at step 2 would keep all 48 + 16 rows.
+    val stale = Dedup.appendToBandTable(art1, doc(4L), "doc_id", "text",
+      n = 3, k = 32, bands = 16, maxBucket = 3, bucketCounts = Some(cnt0))
+    assert(stale.count() == 64, "stale sidecar demonstrably under-counts")
+  }
+
   test("minhash est_jaccard is 1.0 for identical docs") {
     val est = Dedup.minhashCandidates(
       Dedup.minhashSignatures(Dedup.shingles(docs, "doc_id", "text"), 32), 8, 4)

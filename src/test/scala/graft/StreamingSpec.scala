@@ -195,6 +195,27 @@ class StreamingSpec extends SparkSpec {
       s"fixture must produce the cross-trigger pair: $expected")
     assert(got.sorted == expected.sorted,
       s"folding stream got ${got.toSeq}, want $expected")
+
+    // Sidecar-carrying variant (bit-exact append parity): same matches.
+    val (bands0, counts0) = Dedup.minhashBandTableWithCounts(corpus,
+      "doc_id", "text", n = 3, k = 32, bands = 16)
+    val got2 = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val stream2 = spark.readStream
+      .schema(CurationStreams.DocumentSchema)
+      .option("maxFilesPerTrigger", 1)
+      .option("latestFirst", "false")
+      .parquet(s"$tmp/in")
+    val q2 = CurationStreams.incrementalDedupStreamFolding(
+      stream2, corpus, "doc_id", "text",
+      n = 3, k = 32, bands = 16, threshold = 0.3,
+      corpusBands = Some(bands0), corpusBandCounts = Some(counts0)) { m =>
+      got2 ++= m.select("batch_id", "corpus_id", "jaccard")
+        .as[(Long, Long, Double)].collect()
+    }
+    q2.processAllAvailable()
+    q2.stop()
+    assert(got2.sorted == expected.sorted,
+      s"sidecar-carrying fold got ${got2.toSeq}, want $expected")
   }
 
   test("flatMapGroupsWithState running totals match batch aggregation") {
