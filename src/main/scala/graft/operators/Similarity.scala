@@ -227,6 +227,61 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("rank"), col("sim"))
   }
 
+  /**
+   * SemDeDup-style semantic dedup (Abbas et al. 2023): embedding-cosine
+   * near-dup pairs found WITHIN Voronoi cells — assign every vector to its
+   * nearest centroid (argmin in-order squared-L2, first-min ties to the
+   * smaller cell), then compare only within-cell pairs. The cell
+   * complement to [[cosineNearDup]]'s LSH banding: each vector lives in
+   * exactly ONE cell, so at 100 TB the corpus is written partitioned by
+   * cell and the pair join is a partition-local self-join with no
+   * cross-cell shuffle — the price is by-design recall loss for similar
+   * pairs straddling a cell boundary (the SemDeDup trade; measured
+   * against [[cosineNearDup]] in AnnSpec).
+   *
+   * Same scale guards as the LSH path: identical vectors pre-collapse to
+   * one representative (members reconstituted at cosine 1.0) and cells
+   * over `maxCell` distinct vectors are dropped (a cell of B vectors is an
+   * O(B²) join; an over-full cell means the centroids under-fit that
+   * region — re-train with more lists rather than pay quadratic cost).
+   * Returns (id_a, id_b, cosine) with id_a < id_b, cosine ≥ threshold.
+   */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, centroids: Array[Array[Double]],
+      maxCell: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    require(centroids.nonEmpty, "centroids must be non-empty")
+    val mem = CacheScope.pin(df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("rep", min(col("id")).over(Window.partitionBy(col("vec")))))
+    val reps = mem.filter(col("id") === col("rep")).select(col("id"), col("vec"))
+
+    val d2s = array(centroids.map(c =>
+      sqL2(col("vec"), array(c.map(lit): _*))): _*)
+    val cells = reps.withColumn("cell",
+      (array_position(d2s, array_min(d2s)) - 1).cast("int"))
+    val capped = CacheScope.pin(
+      Dedup.capBuckets(cells, Seq("cell"), maxCell))
+    val a = capped.select(col("cell"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val b = capped.select(col("cell"), col("id").as("id_b"), col("vec").as("vec_b"))
+    val repPairs = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+
+    val members = mem.select(col("rep"), col("id"))
+    val cross = repPairs
+      .join(members.select(col("rep").as("id_a"), col("id").as("ma")), Seq("id_a"))
+      .join(members.select(col("rep").as("id_b"), col("id").as("mb")), Seq("id_b"))
+      .select(least(col("ma"), col("mb")).as("id_a"),
+        greatest(col("ma"), col("mb")).as("id_b"), col("cosine"))
+    val within = members.select(col("rep"), col("id").as("ia"))
+      .join(members.select(col("rep"), col("id").as("ib")), Seq("rep"))
+      .filter(col("ia") < col("ib"))
+      .select(col("ia").as("id_a"), col("ib").as("id_b"),
+        lit(1.0d).as("cosine"))
+    cross.unionByName(within)
+  }
+
   /** Embedding-cosine near-dup pairs: all pairs with cosine ≥ threshold,
     * via LSH candidate generation (id_a < id_b). Identical vectors are
     * collapsed to one representative before banding and their member pairs

@@ -75,6 +75,50 @@ object TextAnalysis {
         lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as("bpe_ish_tokens"))
 
   /**
+   * Reference-LM cross-entropy quality score — the CCNet-style "perplexity
+   * vs a trusted corpus" curation signal, with a deterministic add-one
+   * unigram LM standing in for the wiki-trained KenLM (the signal's SHAPE
+   * is identical: low cross-entropy = looks like the reference, high =
+   * junk/outlier; the model is exactly reproducible on any engine — no
+   * external LM binary).
+   *
+   * LM: p(tok) = (c(tok) + 1) / (N + V + 1) over the reference corpus's
+   * whitespace tokens (V = reference vocab size; the +1 in the denominator
+   * reserves mass for the single unseen-token class, which every
+   * out-of-vocabulary token maps to: p_oov = 1 / (N + V + 1)).
+   * Per scored doc: cross_entropy = -avg ln p(tok), plus the token count
+   * and the out-of-vocabulary rate (a quality signal in its own right).
+   *
+   * Scale shape: the LM is a vocab-sized aggregate of the (small, trusted)
+   * reference corpus, BROADCAST into the token join with its N/V folded in
+   * as a broadcast 1-row aggregate — the scored corpus is never shuffled
+   * for the lookup; the per-doc aggregation shuffles doc ids once.
+   */
+  def lmCrossEntropy(docs: DataFrame, idCol: String, textCol: String,
+      reference: DataFrame, refTextCol: String): DataFrame = {
+    def toks(df: DataFrame, id: Column, text: Column) =
+      df.select(id.as("id"), explode(split(text, "\\s+")).as("tok"))
+        .filter(col("tok") =!= "")
+    val refToks = toks(reference, lit(0L), col(refTextCol))
+    val lm = refToks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val stats = lm.agg(sum(col("c")).as("n_ref"),
+      count(lit(1)).as("v_ref"))
+    val scored = toks(docs, col(idCol), col(textCol))
+      .join(broadcast(lm), Seq("tok"), "left")
+      .crossJoin(broadcast(stats))
+      .withColumn("logp",
+        log((coalesce(col("c"), lit(0L)) + lit(1).cast("double")) /
+          (col("n_ref") + col("v_ref") + lit(1))))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(when(col("c").isNull, 1.0d).otherwise(0.0d)), 6).as("oov_rate"),
+        round(-avg(col("logp")), 6).as("cross_entropy"))
+    docs.select(col(idCol).as("id")).join(scored, Seq("id"), "left")
+      .na.fill(0L, Seq("n_tokens"))
+      .na.fill(0.0, Seq("oov_rate", "cross_entropy"))
+  }
+
+  /**
    * Winnowing-style fingerprint: rolling w-gram shingle hashes, keep the
    * k smallest per document (order-stable). Two docs sharing content share
    * fingerprint elements → joinable for containment detection. Hashes are

@@ -1135,7 +1135,118 @@ object LlmQueries {
             AS n_tokens_dropped
         FROM documents d
         LEFT JOIN totals t ON t.id = d.doc_id
-        LEFT JOIN cleaned c ON c.id = d.doc_id"""))
+        LEFT JOIN cleaned c ON c.id = d.doc_id""")),
+
+    // ---- SemDeDup-style semantic dedup: cosine near-dup pairs WITHIN
+    // Voronoi cells around the q62 portable centroids — one cell per
+    // vector, so at scale the corpus partitions by cell and the pair join
+    // is partition-local (recall trade: cross-cell pairs missed by
+    // design). Assignment + cosine replicate exactly (in-order folds).
+    Q("q79_semantic_dedup",
+      (s, d) => Similarity.semanticDedup(T.embeddings(s, d),
+        "vec_id", "embedding", threshold = 0.3,
+        centroids = Similarity.portableCentroids(16, 64))
+        .orderBy(col("id_a"), col("id_b")),
+      Some("""WITH cents AS (
+               SELECT c.cell, d.dim,
+                 (CAST('0x' || substr(md5('c|' || CAST(c.cell AS VARCHAR) ||
+                    '|' || CAST(d.dim AS VARCHAR)), 1, 8) AS BIGINT)
+                  / 2147483648.0 - 1.0) * 0.25 AS w
+               FROM range(16) c(cell) CROSS JOIN range(64) d(dim)),
+             clists AS (
+               SELECT cell, list(w ORDER BY dim) AS cvec
+               FROM cents GROUP BY cell),
+             mem AS (
+               SELECT vec_id AS id, embedding,
+                 min(vec_id) OVER (PARTITION BY embedding) AS rep
+               FROM embeddings),
+             reps AS (
+               SELECT id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+               FROM mem WHERE id = rep),
+             d2s AS (
+               SELECT r.id, c.cell,
+                 list_inner_product(
+                   list_transform(range(1, 65), i -> emb[i] - cvec[i]),
+                   list_transform(range(1, 65), i -> emb[i] - cvec[i])) AS d2
+               FROM reps r CROSS JOIN clists c),
+             assign AS (
+               SELECT id, cell FROM (
+                 SELECT id, cell,
+                   row_number() OVER (PARTITION BY id
+                     ORDER BY d2, cell) AS rn
+                 FROM d2s) WHERE rn = 1),
+             capped AS (
+               SELECT * FROM assign
+               QUALIFY count(*) OVER (PARTITION BY cell) BETWEEN 2 AND 1000),
+             rep_pairs AS (
+               SELECT s.id_a, s.id_b, round(s.cos, 6) AS cosine FROM (
+                 SELECT a.id AS id_a, b.id AS id_b,
+                   list_inner_product(x.emb, y.emb) /
+                     (sqrt(list_inner_product(x.emb, x.emb)) *
+                      sqrt(list_inner_product(y.emb, y.emb))) AS cos
+                 FROM capped a JOIN capped b USING (cell)
+                 JOIN reps x ON x.id = a.id
+                 JOIN reps y ON y.id = b.id
+                 WHERE a.id < b.id) s
+               WHERE s.cos >= 0.3),
+             cross_pairs AS (
+               SELECT least(ma.id, mb.id) AS id_a,
+                 greatest(ma.id, mb.id) AS id_b, p.cosine
+               FROM rep_pairs p
+               JOIN mem ma ON ma.rep = p.id_a
+               JOIN mem mb ON mb.rep = p.id_b),
+             within_pairs AS (
+               SELECT a.id AS id_a, b.id AS id_b,
+                 CAST(1.0 AS DOUBLE) AS cosine
+               FROM mem a JOIN mem b ON a.rep = b.rep AND a.id < b.id)
+             SELECT * FROM cross_pairs
+             UNION ALL SELECT * FROM within_pairs""")),
+
+    // ---- CCNet-style reference-LM quality score: cross-entropy of each
+    // doc under an add-one unigram LM built from a trusted slice (source
+    // 'src0' here) — low = looks like the reference, high = junk/outlier;
+    // plus the OOV rate. The LM is exactly reproducible on both engines.
+    Q("q80_lm_quality",
+      (s, d) => {
+        val docs = T.documents(s, d)
+        TextAnalysis.lmCrossEntropy(
+          docs.filter(col("source") =!= "src0"), "doc_id", "text",
+          docs.filter(col("source") === "src0"), "text")
+          .withColumnRenamed("id", "doc_id")
+      },
+      Some("""WITH ref_toks AS (
+               SELECT tok FROM (
+                 SELECT unnest(string_split_regex(text, '\s+')) AS tok
+                 FROM documents WHERE source = 'src0')
+               WHERE tok <> ''),
+             lm AS (SELECT tok, count(*) AS c FROM ref_toks GROUP BY tok),
+             stats AS (
+               SELECT sum(c) AS n_ref, count(*) AS v_ref FROM lm),
+             doc_toks AS (
+               SELECT doc_id, tok FROM (
+                 SELECT doc_id,
+                   unnest(string_split_regex(text, '\s+')) AS tok
+                 FROM documents WHERE source <> 'src0')
+               WHERE tok <> ''),
+             scored AS (
+               SELECT t.doc_id,
+                 count(*) AS n_tokens,
+                 round(avg(CASE WHEN l.c IS NULL THEN 1.0 ELSE 0.0 END), 6)
+                   AS oov_rate,
+                 round(-avg(ln((coalesce(l.c, 0) + CAST(1 AS DOUBLE)) /
+                   (s.n_ref + s.v_ref + 1))), 6) AS cross_entropy
+               FROM doc_toks t
+               LEFT JOIN lm l ON l.tok = t.tok
+               CROSS JOIN stats s
+               GROUP BY t.doc_id)
+             SELECT d.doc_id,
+               CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+               coalesce(s.oov_rate, 0.0) AS oov_rate,
+               coalesce(s.cross_entropy, 0.0) AS cross_entropy
+             FROM documents d
+             LEFT JOIN scored s ON s.doc_id = d.doc_id
+             WHERE d.source <> 'src0'"""))
   )
 
   /** Shared DuckDB CTEs for q77/q78: re-indexed tokens, lead-built

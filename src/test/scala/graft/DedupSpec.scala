@@ -434,4 +434,46 @@ class AnnSpec extends SparkSpec {
     assert(out.length >= 40, s"found ${out.length} of 50 planted dups")
     assert(out.forall { case (a, b, c) => b == a + 100000 && c >= 0.999 })
   }
+
+  test("semanticDedup: planted dups land in the same cell and are found; cap drops over-full cells") {
+    val base = emb.limit(50)
+    val dup = base.withColumn("vec_id", col("vec_id") + 100000)
+    val cents = Similarity.portableCentroids(8, 64)
+    val out = Similarity.semanticDedup(base.union(dup), "vec_id", "embedding",
+      threshold = 0.999, centroids = cents)
+      .as[(Long, Long, Double)].collect()
+    // An identical vector is ALWAYS in its twin's cell (argmin of equal
+    // distances, deterministic tie-break): the pre-collapse catches every
+    // planted pair regardless of cell geometry.
+    assert(out.length == 50, s"found ${out.length} of 50 planted exact dups")
+    assert(out.forall { case (a, b, c) => b == a + 100000 && c >= 0.999 })
+    // A 1-cell layout puts all 50 distinct vectors in one cell; maxCell
+    // below that drops it (capped, not quadratic) -> only the
+    // identical-member pairs remain.
+    val capped = Similarity.semanticDedup(base.union(dup), "vec_id", "embedding",
+      threshold = -1.0, centroids = Similarity.portableCentroids(1, 64),
+      maxCell = 10)
+      .as[(Long, Long, Double)].collect()
+    assert(capped.length == 50 && capped.forall(_._3 == 1.0),
+      s"over-full cell must be dropped, members kept: ${capped.length}")
+  }
+
+  test("lmCrossEntropy: hand-computed unigram LM, OOV handling, empty/ref-free docs") {
+    val ref = Seq((100L, "a a b")).toDF("rid", "rtext")
+    val docs = Seq(
+      (1L, "a b z"),   // CE = -(ln 1/2 + ln 1/3 + ln 1/6) / 3, oov 1/3
+      (2L, "a a"),     // CE = -ln(1/2)
+      (3L, ""))        // no tokens -> zero-filled
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.lmCrossEntropy(docs, "doc_id", "text", ref, "rtext")
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // LM over ref: c(a)=2, c(b)=1, N=3, V=2 -> p(a)=3/6, p(b)=2/6, p_oov=1/6.
+    val ce1 = -(math.log(0.5) + math.log(2.0 / 6) + math.log(1.0 / 6)) / 3
+    assert(out(1L)._1 == 3 && math.abs(out(1L)._3 - ce1) < 1e-5, out(1L).toString)
+    assert(math.abs(out(1L)._2 - 1.0 / 3) < 1e-5)
+    assert(out(2L)._1 == 2 && math.abs(out(2L)._3 + math.log(0.5)) < 1e-5)
+    assert(out(2L)._2 == 0.0)
+    assert(out(3L) == ((0L, 0.0, 0.0)), "empty doc zero-filled")
+  }
 }
