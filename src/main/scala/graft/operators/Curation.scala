@@ -72,6 +72,24 @@ object Curation {
     else math.max(8, df.rdd.getNumPartitions)
 
   /**
+   * (id, ti, tok): whitespace tokens with RE-INDEXED positions — empty
+   * tokens are removed BEFORE numbering, so positions are insensitive to
+   * leading/duplicate whitespace. This is the cross-operator position
+   * contract shared by [[segmentDedup]]'s fixed-window mode and
+   * [[SpanDedup]] (span offsets and segment indexes must agree with the
+   * oracles' identical re-index); change it in one place only.
+   */
+  private[operators] def reindexedTokens(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val reIdx = Window.partitionBy(col("id")).orderBy(col("i"))
+    df.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), "\\s+")).as(Seq("i", "tok")))
+      .filter(col("tok") =!= "")
+      .withColumn("ti", row_number().over(reIdx) - 1)
+      .select("id", "ti", "tok")
+  }
+
+  /**
    * Deterministic content-hash train/validation split: a doc's split is a
    * pure function of its TEXT (md5 first hex digit), so byte-identical
    * docs always land in the same split — the leakage-safe alternative to
@@ -311,10 +329,7 @@ object Curation {
           .withColumn("seg_i", row_number().over(reIdx) - 1)
           .select("id", "seg_i", "seg")
       case None =>
-        df.select(col(idCol).as("id"),
-            posexplode(split(col(textCol), "\\s+")).as(Seq("i", "tok")))
-          .filter(col("tok") =!= "")
-          .withColumn("ti", row_number().over(reIdx) - 1)
+        reindexedTokens(df, idCol, textCol)
           .groupBy(col("id"), expr(s"ti div $segWords").as("seg_i"))
           .agg(array_join(transform(
             sort_array(collect_list(struct(col("ti"), col("tok")))),

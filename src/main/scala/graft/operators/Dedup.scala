@@ -244,9 +244,18 @@ object Dedup {
   def minhashBandTable(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 32, bands: Int = 8,
       maxBucket: Int = DefaultMaxBucket,
-      hash: HashFamily = XxHash64Family): DataFrame =
-    minhashBandTableWithCounts(df, idCol, textCol, n, k, bands, maxBucket,
-      hash)._1
+      hash: HashFamily = XxHash64Family): DataFrame = {
+    // NOT pinned (unlike the WithCounts variant): this form is invoked
+    // per trigger on the streaming default path, where a persist the
+    // cleanup thunk doesn't know about would leak one full-corpus cache
+    // entry per trigger.
+    require(k % bands == 0, "bands must divide k")
+    val sigs = minhashSignatures(
+      shingles(df.select(col(idCol).as("id"), col(textCol).as("text")),
+        "id", "text", n, hash), k, hash)
+    val banded = bandSignatures(sigs, bands, k / bands, hash)
+    capBuckets(banded, Seq("band", "bh"), maxBucket, minBucket = 1)
+  }
 
   /**
    * [[minhashBandTable]] plus the uncapped (band, bh, true_count) sidecar
@@ -255,7 +264,8 @@ object Dedup {
    * separately via [[bandBucketCounts]] would re-run the whole signature
    * pipeline, the dominant cost at corpus scale). Store both; chain
    * appends with [[appendToBandTableWithCounts]] for bit-exact rebuild
-   * parity.
+   * parity. Release the pin via `CacheScope.tracking` (or clearCache)
+   * after materializing both outputs.
    */
   def minhashBandTableWithCounts(df: DataFrame, idCol: String,
       textCol: String, n: Int = 3, k: Int = 32, bands: Int = 8,

@@ -161,6 +161,13 @@ object Multimodal {
         out
       }.getOrElse(HashCodec.embed(a, dim))
 
+    /** Sampled-frame bound per asset: the single-reader pass materializes
+      * its PNG re-encodes before the reader is disposed, so an unbounded
+      * animation would hold every sampled frame in memory at once — cap
+      * it (same guard philosophy as the LSH bucket caps; raise only with
+      * the memory budget to match). */
+    val MaxSampledFrames = 256
+
     // One reader scope for ALL sampled frames: reopening the container per
     // frame would re-parse from byte 0 each time (and GIF delta frames can
     // force decoding 0..i), turning an N-frame sample quadratic.
@@ -168,7 +175,7 @@ object Multimodal {
       withReader(a.content) { r =>
         val frames = math.max(
           try r.getNumImages(true) catch { case _: Exception => 1 }, 1)
-        (0 until frames by every).map { i =>
+        (0 until frames by every).take(MaxSampledFrames).map { i =>
           val bytes =
             try {
               val baos = new java.io.ByteArrayOutputStream()

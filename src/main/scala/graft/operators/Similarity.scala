@@ -236,8 +236,8 @@ object Similarity {
    * exactly ONE cell, so at 100 TB the corpus is written partitioned by
    * cell and the pair join is a partition-local self-join with no
    * cross-cell shuffle — the price is by-design recall loss for similar
-   * pairs straddling a cell boundary (the SemDeDup trade; measured
-   * against [[cosineNearDup]] in AnnSpec).
+   * pairs straddling a cell boundary (the SemDeDup trade; AnnSpec
+   * measures recall against exact all-pairs truth on the test fixture).
    *
    * Same scale guards as the LSH path: identical vectors pre-collapse to
    * one representative (members reconstituted at cosine 1.0) and cells
@@ -250,9 +250,7 @@ object Similarity {
       threshold: Double, centroids: Array[Array[Double]],
       maxCell: Int = Dedup.DefaultMaxBucket): DataFrame = {
     require(centroids.nonEmpty, "centroids must be non-empty")
-    val mem = CacheScope.pin(df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("rep", min(col("id")).over(Window.partitionBy(col("vec")))))
-    val reps = mem.filter(col("id") === col("rep")).select(col("id"), col("vec"))
+    val (mem, reps) = collapseIdenticalVectors(df, idCol, vecCol)
 
     val d2s = array(centroids.map(c =>
       sqL2(col("vec"), array(c.map(lit): _*))): _*)
@@ -268,6 +266,24 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
 
+    expandMembers(repPairs, mem)
+  }
+
+  /** Mega-cluster guard shared by the vector-dedup operators: collapse
+    * byte-identical vectors to one representative (min id) before any
+    * candidate generation. Returns (mem = (id, vec, rep) scope-pinned —
+    * feeds the member expansion twice; reps = one row per distinct vec). */
+  private def collapseIdenticalVectors(df: DataFrame, idCol: String,
+      vecCol: String): (DataFrame, DataFrame) = {
+    val mem = CacheScope.pin(df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("rep", min(col("id")).over(Window.partitionBy(col("vec")))))
+    (mem, mem.filter(col("id") === col("rep")).select(col("id"), col("vec")))
+  }
+
+  /** Reconstitute member pairs after a representative-level pass:
+    * cross-group pairs inherit their representatives' cosine; within-group
+    * pairs (identical vectors) are exact dups at cosine 1.0. */
+  private def expandMembers(repPairs: DataFrame, mem: DataFrame): DataFrame = {
     val members = mem.select(col("rep"), col("id"))
     val cross = repPairs
       .join(members.select(col("rep").as("id_a"), col("id").as("ma")), Seq("id_a"))
@@ -292,12 +308,10 @@ object Similarity {
       threshold: Double, nTables: Int = 6, nBits: Int = 10,
       dim: Int = 64, maxBucket: Int = Dedup.DefaultMaxBucket,
       planes: (Int, Int, Int) => Array[Array[Array[Double]]] = gaussianHyperplanes): DataFrame = {
-    // Persisted shared frames (same rationale as Dedup.minhashDedup: the
+    // Pinned shared frames (same rationale as Dedup.minhashDedup: the
     // branches' projections differ, so exchange reuse never collapses
     // them and each re-traversal recomputes the signature pipeline).
-    val mem = CacheScope.pin(df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("rep", min(col("id")).over(Window.partitionBy(col("vec")))))
-    val reps = mem.filter(col("id") === col("rep")).select(col("id"), col("vec"))
+    val (mem, reps) = collapseIdenticalVectors(df, idCol, vecCol)
 
     val sigs = lshSignatures(reps, "id", "vec", nTables, nBits, dim, planes)
     val capped = CacheScope.pin(Dedup.capBuckets(sigs, Seq("table", "sig"), maxBucket))
@@ -312,17 +326,6 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
 
-    val members = mem.select(col("rep"), col("id"))
-    val cross = repPairs
-      .join(members.select(col("rep").as("id_a"), col("id").as("ma")), Seq("id_a"))
-      .join(members.select(col("rep").as("id_b"), col("id").as("mb")), Seq("id_b"))
-      .select(least(col("ma"), col("mb")).as("id_a"),
-        greatest(col("ma"), col("mb")).as("id_b"), col("cosine"))
-    val within = members.select(col("rep"), col("id").as("ia"))
-      .join(members.select(col("rep"), col("id").as("ib")), Seq("rep"))
-      .filter(col("ia") < col("ib"))
-      .select(col("ia").as("id_a"), col("ib").as("id_b"),
-        lit(1.0d).as("cosine"))
-    cross.unionByName(within)
+    expandMembers(repPairs, mem)
   }
 }

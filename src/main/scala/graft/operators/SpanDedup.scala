@@ -37,16 +37,11 @@ import org.apache.spark.sql.functions._
  */
 object SpanDedup {
 
-  /** (id, ti, tok): whitespace tokens with re-indexed positions (empty
-    * tokens removed first, so positions are whitespace-insensitive). */
-  private def tokens(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val reIdx = Window.partitionBy(col("id")).orderBy(col("i"))
-    df.select(col(idCol).as("id"),
-        posexplode(split(col(textCol), "\\s+")).as(Seq("i", "tok")))
-      .filter(col("tok") =!= "")
-      .withColumn("ti", row_number().over(reIdx) - 1)
-      .select("id", "ti", "tok")
-  }
+  /** (id, ti, tok): the shared re-indexed whitespace tokenizer —
+    * [[Curation.reindexedTokens]] is the single home of the position
+    * contract this operator's span offsets rely on. */
+  private def tokens(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    Curation.reindexedTokens(df, idCol, textCol)
 
   /** (id, ti, wkey): one row per window start, wkey = md5 of the
     * space-joined `window` tokens starting at ti. */

@@ -93,6 +93,13 @@ object TextAnalysis {
    * reference corpus, BROADCAST into the token join with its N/V folded in
    * as a broadcast 1-row aggregate — the scored corpus is never shuffled
    * for the lookup; the per-doc aggregation shuffles doc ids once.
+   *
+   * Degenerate inputs: a doc with no tokens scores (0, 0.0, 0.0) — no
+   * signal either way. A reference with no tokens yields NULL
+   * cross_entropy (and oov_rate 1.0) for every non-empty doc: there is no
+   * model to score under, and silently reporting 0.0 — the best possible
+   * score — would make a quality filter keep everything, so callers see
+   * the misconfiguration instead of a no-op filter.
    */
   def lmCrossEntropy(docs: DataFrame, idCol: String, textCol: String,
       reference: DataFrame, refTextCol: String): DataFrame = {
@@ -113,9 +120,16 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tokens"),
         round(avg(when(col("c").isNull, 1.0d).otherwise(0.0d)), 6).as("oov_rate"),
         round(-avg(col("logp")), 6).as("cross_entropy"))
-    docs.select(col(idCol).as("id")).join(scored, Seq("id"), "left")
-      .na.fill(0L, Seq("n_tokens"))
-      .na.fill(0.0, Seq("oov_rate", "cross_entropy"))
+    // Zero-fill ONLY the docs absent from `scored` (no tokens): a blanket
+    // na.fill would also rewrite the NULL scores of the empty-reference
+    // case into perfect 0.0 quality.
+    docs.select(col(idCol).as("id"))
+      .join(scored.withColumnRenamed("n_tokens", "nt"), Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("nt"), lit(0L)).as("n_tokens"),
+        when(col("nt").isNull, 0.0d).otherwise(col("oov_rate")).as("oov_rate"),
+        when(col("nt").isNull, 0.0d).otherwise(col("cross_entropy"))
+          .as("cross_entropy"))
   }
 
   /**

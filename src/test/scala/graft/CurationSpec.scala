@@ -186,19 +186,23 @@ class CurationSpec extends SparkSpec {
       .toDF("doc_id", "text")
     // Constructing the operator must stay a pure plan transform (no job):
     // the runtime-adaptive broadcast is AQE's call, visible only in the
-    // FINAL adaptive plan after materialization.
+    // FINAL adaptive plan — so materialize the operator's OWN
+    // QueryExecution (a derived select would execute its own copy and
+    // leave this one's adaptive plan un-finalized).
     val out = Curation.segmentDedup(docs, "doc_id", "text", maxDf = 2, segWords = 8)
-    def canon(df: org.apache.spark.sql.DataFrame) =
-      df.select("id", "clean_text", "n_seg_kept", "n_seg_dropped")
-        .as[(Long, String, Long, Long)].collect().toSet
-    val base = canon(out)
+    def canon(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getAs[Long]("id"), r.getAs[String]("clean_text"),
+        r.getAs[Long]("n_seg_kept"), r.getAs[Long]("n_seg_dropped"))).toSet
+    val base = canon(out.collect())
     val finalPlan = out.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("isFinalPlan=true"),
+      s"assertion must read the FINAL adaptive plan:\n$finalPlan")
     assert(finalPlan.contains("BroadcastHashJoin"),
       s"AQE must convert the small df>maxDf flag join to broadcast:\n$finalPlan")
     // The explicit hint (caller KNOWS the corpus is mostly unique)
     // produces identical output.
     assert(base == canon(Curation.segmentDedup(docs, "doc_id", "text",
-      maxDf = 2, segWords = 8, broadcastBoiler = true)))
+      maxDf = 2, segWords = 8, broadcastBoiler = true).collect()))
   }
 
   test("decontaminate plan: benchmark shingle side is broadcast, corpus is not shuffled") {

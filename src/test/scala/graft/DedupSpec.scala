@@ -435,6 +435,31 @@ class AnnSpec extends SparkSpec {
     assert(out.forall { case (a, b, c) => b == a + 100000 && c >= 0.999 })
   }
 
+  test("semanticDedup cell-boundary recall vs exact all-pairs (the SemDeDup trade, measured)") {
+    // Exact truth: brute-force all-pairs cosine >= threshold on the small
+    // embedding fixture; semantic recall = found / true. Cross-cell pairs
+    // are missed BY DESIGN — the measurement pins that the loss is partial
+    // (cells carry real signal even on random gaussians), not total.
+    val t = 0.25
+    val vecs = emb.limit(50).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val truth = (for {
+      a <- vecs.keys; b <- vecs.keys if a < b
+      if cos(vecs(a), vecs(b)) >= t
+    } yield (a, b)).toSet
+    assert(truth.nonEmpty, "fixture must contain similar pairs at the threshold")
+    val found = Similarity.semanticDedup(emb.limit(50), "vec_id", "embedding",
+      threshold = t, centroids = Similarity.portableCentroids(4, 64))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(found.subsetOf(truth), "every reported pair must be truly similar")
+    val recall = (truth & found).size.toDouble / truth.size
+    assert(recall > 0.2, s"cell recall collapsed: $recall over ${truth.size} pairs")
+  }
+
   test("semanticDedup: planted dups land in the same cell and are found; cap drops over-full cells") {
     val base = emb.limit(50)
     val dup = base.withColumn("vec_id", col("vec_id") + 100000)
