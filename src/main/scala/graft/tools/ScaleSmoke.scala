@@ -1,0 +1,100 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Empirical scaling smoke (diagnostic main, not part of the driver
+ * contract): run the heaviest curation operators on m× multiples of the
+ * sf0.1 documents table and report wall times, so the "linear in corpus
+ * size" claims in docs/SCALE.md carry measured single-node evidence, not
+ * just plan reasoning.
+ *
+ * The m× corpus is m copies of the sf0.1 documents with distinct ids and
+ * a per-copy token suffix: texts are DISTINCT (the exact-dedup
+ * pre-collapse cannot shortcut the work) but each original forms a
+ * high-jaccard near-dup cluster of size m — a deliberately adversarial
+ * shape for the LSH path (every cluster survives banding into the
+ * verify join, pairs per cluster grow as m²/2; the bucket caps keep that
+ * bounded per bucket).
+ *
+ * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+ *        sbt "runMain graft.tools.ScaleSmoke" [multiples...]
+ */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val multiples =
+      if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(1, 2, 5, 10)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.maxPlanStringLength", "65536")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    val base = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "lang")
+
+    def corpus(m: Int): DataFrame =
+      (0 until m).map { i =>
+        base.select(
+          (col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+          concat(col("text"), lit(s" copymarker$i")).as("text"),
+          col("lang"))
+      }.reduce(_ unionByName _)
+
+    def time[T](f: => T): (Double, T) = {
+      val t0 = System.nanoTime(); val r = f
+      ((System.nanoTime() - t0) / 1e9, r)
+    }
+
+    println("multiple,docs,op,seconds")
+    for (m <- multiples) {
+      // Materialize the input once so generation cost is outside the
+      // measured operator (checkpoint = what a real on-disk corpus is).
+      val df = corpus(m).localCheckpoint(true)
+      val n = df.count()
+      // Each op is timed cold: one build, one full materialization through
+      // the noop sink, internal caches released afterwards.
+      def runOnce(op: String)(body: => DataFrame): Unit = {
+        val (sec, caches) = graft.operators.CacheScope.tracking {
+          time(body.write.format("noop").mode("overwrite").save())._1
+        }
+        caches.release()
+        println(s"$m,$n,$op,${"%.2f".format(sec)}")
+      }
+      runOnce("exact_dedup") {
+        graft.operators.Dedup.exact(df, "doc_id", "text")
+      }
+      runOnce("minhash_neardup") {
+        graft.operators.Dedup.minhashDedup(df, "doc_id", "text",
+          n = 3, k = 32, bands = 8, threshold = 0.5)
+      }
+      runOnce("duplicate_spans") {
+        graft.operators.SpanDedup.duplicateSpans(df, "doc_id", "text",
+          window = 10, minDf = 2)
+      }
+      runOnce("ngram_repetition") {
+        graft.operators.Curation.ngramRepetition(df, "doc_id", "text")
+      }
+      runOnce("segment_dedup") {
+        graft.operators.Curation.segmentDedup(df, "doc_id", "text",
+          maxDf = 2, segWords = 8)
+      }
+      runOnce("curate_full") {
+        graft.operators.Curation.curate(df, "doc_id", "text", "lang",
+          graft.operators.Curation.CurationConfig(nShards = 32))
+      }
+      graft.queries.PipelineQueries.resetCache(spark)
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}
