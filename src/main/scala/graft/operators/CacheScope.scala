@@ -35,17 +35,26 @@ import org.apache.spark.storage.StorageLevel
  */
 object CacheScope {
 
-  /** Handle over the frames persisted inside one [[tracking]] block. */
-  final class TrackedCaches private[CacheScope] (frames: Seq[DataFrame]) {
-    def size: Int = frames.size
-    /** Unpersist every tracked frame. Only call after the tracked result
-      * has been fully consumed — the frames back its lazy plan. */
-    def release(): Unit = frames.foreach(_.unpersist(blocking = false))
+  /** Handle over the frames (and checkpoint RDDs) pinned inside one
+    * [[tracking]] block. */
+  final class TrackedCaches private[CacheScope] (frames: Seq[DataFrame],
+      checkpoints: Seq[() => Unit]) {
+    def size: Int = frames.size + checkpoints.size
+    /** Release every tracked frame/checkpoint. Only call after the tracked
+      * result has been fully consumed — they back its lazy plan. */
+    def release(): Unit = {
+      frames.foreach(_.unpersist(blocking = false))
+      checkpoints.foreach(_.apply())
+    }
     private[graft] def all: Seq[DataFrame] = frames
   }
 
-  private val active =
-    new ThreadLocal[scala.collection.mutable.ListBuffer[DataFrame]]
+  private final class Scope {
+    val frames = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    val checkpoints = scala.collection.mutable.ListBuffer.empty[() => Unit]
+  }
+
+  private val active = new ThreadLocal[Scope]
 
   /** Persist `df` and register it with the innermost tracking scope (plain
     * persist when none is active). Operator-internal entry point. */
@@ -53,19 +62,49 @@ object CacheScope {
       level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     val out = df.persist(level)
     val buf = active.get
-    if (buf != null) buf += out
+    if (buf != null) buf.frames += out
     out
   }
 
+  /** Register an already-localCheckpoint'ed frame's blocks with the
+    * innermost tracking scope (no-op when none is active — the library
+    * default keeps the checkpoint alive for the caller). Checkpoint blocks
+    * are RDD-level caches a DataFrame unpersist cannot see, so operators
+    * that RETURN checkpointed frames (ConnectedComponents) route their
+    * release path through here. */
+  private[graft] def pinCheckpointed(df: DataFrame): DataFrame = {
+    val buf = active.get
+    if (buf != null) buf.checkpoints += (() => unpinCheckpoint(df))
+    df
+  }
+
+  /** Free the cached blocks behind a localCheckpoint'ed frame. Single home
+    * of the LogicalRDD-unpersist idiom (used by ConnectedComponents' round
+    * rotation, the folding dedup stream, and the pipeline memo cache). */
+  private[graft] def unpinCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Run `body`, collecting every internal persist of the operators invoked
-    * inside it. Returns the result plus the handle releasing those caches. */
+    * inside it. Returns the result plus the handle releasing those caches.
+    * If `body` throws, everything pinned so far is released before the
+    * exception propagates — a failed-and-retried invocation (e.g. a
+    * streaming trigger) must not strand cache entries. */
   def tracking[T](body: => T): (T, TrackedCaches) = {
     val prev = active.get
-    val buf = scala.collection.mutable.ListBuffer.empty[DataFrame]
-    active.set(buf)
+    val scope = new Scope
+    active.set(scope)
     try {
       val r = body
-      (r, new TrackedCaches(buf.toList))
+      (r, new TrackedCaches(scope.frames.toList, scope.checkpoints.toList))
+    } catch {
+      case e: Throwable =>
+        scope.frames.foreach(_.unpersist(blocking = false))
+        scope.checkpoints.foreach(_.apply())
+        throw e
     } finally {
       if (prev == null) active.remove() else active.set(prev)
     }

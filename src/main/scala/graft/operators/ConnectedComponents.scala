@@ -68,7 +68,7 @@ object ConnectedComponents {
       // The superseded round's checkpoint blocks are dead once `next` is
       // materialized and compared — free them instead of leaking one
       // cached RDD per round per invocation.
-      unpinCheckpoint(labels)
+      CacheScope.unpinCheckpoint(labels)
       labels = next
       iter += 1
     }
@@ -78,14 +78,10 @@ object ConnectedComponents {
         s"connected components: convergence not verified within $maxIter " +
           s"rounds ($changed labels still changing after the verification " +
           s"round) — raise maxIter")
-    labels
+    // The RETURNED frame's checkpoint blocks are RDD-level caches no
+    // DataFrame unpersist can release — register them with the caller's
+    // tracking scope so sweep harnesses (Bench/Verify) free one vertex-set
+    // RDD per invocation instead of accumulating them.
+    CacheScope.pinCheckpointed(labels)
   }
-
-  /** Free the cached blocks behind a localCheckpoint'ed frame. */
-  private def unpinCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
 }

@@ -1242,8 +1242,12 @@ object LlmQueries {
                GROUP BY t.doc_id)
              SELECT d.doc_id,
                CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
-               coalesce(s.oov_rate, 0.0) AS oov_rate,
-               coalesce(s.cross_entropy, 0.0) AS cross_entropy
+               CASE WHEN s.n_tokens IS NULL THEN 0.0
+                    ELSE s.oov_rate END AS oov_rate,
+               -- zero-fill ONLY token-less docs (mirror the operator: an
+               -- empty REFERENCE must stay NULL, never perfect-0 quality)
+               CASE WHEN s.n_tokens IS NULL THEN 0.0
+                    ELSE s.cross_entropy END AS cross_entropy
              FROM documents d
              LEFT JOIN scored s ON s.doc_id = d.doc_id
              WHERE d.source <> 'src0'"""))

@@ -66,14 +66,9 @@ object PipelineQueries {
     * free their checkpoint blocks. */
   def resetCache(s: SparkSession): Unit =
     cache.keys.filter(_._1 eq s).foreach { k =>
-      cache.remove(k).foreach { case (a, b, c) => Seq(a, b, c).foreach(unpin) }
-    }
-
-  private def unpin(df: DataFrame): Unit =
-    df.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
-      case _ => ()
+      cache.remove(k).foreach { case (a, b, c) =>
+        Seq(a, b, c).foreach(graft.operators.CacheScope.unpinCheckpoint)
+      }
     }
 
   private def corefPipeline(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) =

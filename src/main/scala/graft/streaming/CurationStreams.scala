@@ -97,6 +97,17 @@ object CurationStreams {
    * [[Dedup.minhashBandTableWithCounts]]) for bit-exact parity — the
    * stream then carries the UPDATED sidecar across triggers (a stale
    * sidecar would erode the cap on chained appends).
+   *
+   * Failure semantics: foreachBatch is at-least-once — a trigger can be
+   * RE-RUN after a transient failure, so the fold is guarded by the batch
+   * id (a re-delivered batch is re-probed and re-sunk, but folded only
+   * once; double-folding would duplicate band rows and inflate the
+   * sidecar, silently dropping buckets below the real cap). The artifact
+   * state itself is session-local: on restart-from-checkpoint it rebuilds
+   * from the ORIGINAL corpus while committed batches are not replayed —
+   * matching the scaladoc's production guidance that durable deployments
+   * persist the folded artifact on their write path and pass it back in
+   * via `corpusBands`/`corpusBandCounts`.
    */
   def incrementalDedupStreamFolding(docs: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String,
@@ -114,48 +125,54 @@ object CurationStreams {
       corpusBandCounts.map(_.localCheckpoint(true))
     val corpusBase = corpus.select(col(idCol), col(textCol))
     var laterDocs: Option[DataFrame] = None
+    var lastFolded = -1L
     docs.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val corpusNow = laterDocs
           .map(corpusBase.unionByName(_)).getOrElse(corpusBase)
         val (matches, cleanup) = Dedup.incrementalMinhashWithCleanup(
           batch, corpusNow, idCol, textCol, n = n, k = k, bands = bands,
           threshold = threshold, maxBucket = maxBucket, hash = hash,
           corpusBands = Some(artifact))
-        try sink(matches) finally cleanup()
-        // Fold the batch into the artifact (and the carried sidecar) for
-        // the next trigger; release the append's internal caches once the
-        // checkpoints materialize, and the superseded frames' blocks.
-        val ((folded0, newCounts0), caches) = graft.operators.CacheScope.tracking {
-          counts match {
-            case Some(c) =>
-              val (a, nc) = Dedup.appendToBandTableWithCounts(artifact, c,
-                batch, idCol, textCol, n, k, bands, maxBucket, hash)
-              (a, Some(nc))
-            case None =>
-              (Dedup.appendToBandTable(artifact, batch, idCol, textCol,
-                n, k, bands, maxBucket, hash), None)
+        try {
+          sink(matches)
+          // Fold the batch into the artifact (and the carried sidecar)
+          // for the next trigger — at most ONCE per batch id (foreachBatch
+          // is at-least-once; see scaladoc). The fold runs BEFORE the
+          // probe's cleanup so its identical batch-shingle plan hits the
+          // still-persisted probe frames (CacheManager matches by plan)
+          // instead of re-running the dominant signature build.
+          if (batchId > lastFolded) {
+            val ((folded0, newCounts0), caches) =
+              graft.operators.CacheScope.tracking {
+                counts match {
+                  case Some(c) =>
+                    val (a, nc) = Dedup.appendToBandTableWithCounts(artifact,
+                      c, batch, idCol, textCol, n, k, bands, maxBucket, hash)
+                    (a, Some(nc))
+                  case None =>
+                    (Dedup.appendToBandTable(artifact, batch, idCol, textCol,
+                      n, k, bands, maxBucket, hash), None)
+                }
+              }
+            val folded = folded0.localCheckpoint(true)
+            val newCounts = newCounts0.map(_.localCheckpoint(true))
+            caches.release()
+            unpin(artifact)
+            counts.foreach(unpin)
+            artifact = folded
+            counts = newCounts
+            val batchDocs = batch.select(col(idCol), col(textCol))
+              .localCheckpoint(true)
+            laterDocs = Some(laterDocs.map(_.unionByName(batchDocs))
+              .getOrElse(batchDocs))
+            lastFolded = batchId
           }
-        }
-        val folded = folded0.localCheckpoint(true)
-        val newCounts = newCounts0.map(_.localCheckpoint(true))
-        caches.release()
-        unpin(artifact)
-        counts.foreach(unpin)
-        artifact = folded
-        counts = newCounts
-        val batchDocs = batch.select(col(idCol), col(textCol))
-          .localCheckpoint(true)
-        laterDocs = Some(laterDocs.map(_.unionByName(batchDocs))
-          .getOrElse(batchDocs))
+        } finally cleanup()
       }
       .start()
   }
 
   private def unpin(df: DataFrame): Unit =
-    df.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
+    graft.operators.CacheScope.unpinCheckpoint(df)
 }

@@ -50,6 +50,46 @@ class CacheScopeSpec extends SparkSpec {
     assert(pairs.count() >= 0) // builds and runs fine outside any scope
   }
 
+  test("tracking releases everything pinned so far when the body throws") {
+    import org.apache.spark.sql.graftbridge.CacheBridge
+    spark.catalog.clearCache()
+    assert(CacheBridge.cacheIsEmpty(spark), "precondition: clean cache")
+    val ex = intercept[RuntimeException] {
+      CacheScope.tracking {
+        // Build (and pin) a full operator, then fail the enclosing body —
+        // the retried-trigger shape that must not strand cache entries.
+        Dedup.minhashDedup(corpus, "doc_id", "text", n = 3, k = 32,
+          bands = 16, threshold = 0.3).count()
+        throw new RuntimeException("trigger failed after pinning")
+      }
+    }
+    assert(ex.getMessage.contains("after pinning"))
+    assert(CacheBridge.cacheIsEmpty(spark),
+      "throw path must release the operator's pins")
+  }
+
+  test("connected-components checkpoints release under a tracking scope") {
+    import org.apache.spark.sql.graftbridge.CacheBridge
+    spark.catalog.clearCache()
+    val edges = Seq(("a", "b"), ("b", "c"), ("d", "e"))
+      .toDF("src", "dst")
+    // Compare persistent-RDD sets before/after (other suites may have
+    // left unrelated checkpoint RDDs in this shared session).
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val (comps, caches) = CacheScope.tracking {
+      graft.operators.ConnectedComponents.run(edges, maxIter = 8,
+        strict = true).collect()
+    }
+    assert(comps.length == 5)
+    caches.release()
+    assert(CacheBridge.cacheIsEmpty(spark),
+      "no cached plans may remain after release")
+    // The returned frame's localCheckpoint blocks are RDD-level caches:
+    // release() must free them too (the scope learned checkpoint pins).
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked checkpoint RDDs: $leaked")
+  }
+
   test("scopes nest: inner pins do not leak into the outer handle") {
     val (outerFrames, outer) = CacheScope.tracking {
       val (_, inner) = CacheScope.tracking {

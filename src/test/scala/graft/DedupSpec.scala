@@ -500,5 +500,17 @@ class AnnSpec extends SparkSpec {
     assert(out(2L)._1 == 2 && math.abs(out(2L)._3 + math.log(0.5)) < 1e-5)
     assert(out(2L)._2 == 0.0)
     assert(out(3L) == ((0L, 0.0, 0.0)), "empty doc zero-filled")
+
+    // Empty reference = no model to score under: non-empty docs must get
+    // NULL cross_entropy (oov 1.0), NOT a perfect 0.0 — a quality filter
+    // keyed on high CE would otherwise silently keep everything.
+    val emptyRef = Seq((200L, "   ")).toDF("rid", "rtext")
+    val degenerate = TextAnalysis.lmCrossEntropy(docs, "doc_id", "text",
+      emptyRef, "rtext").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(degenerate(1L).isNullAt(3), "empty reference must surface as NULL CE")
+    assert(degenerate(1L).getDouble(2) == 1.0, "every token is OOV")
+    assert(degenerate(3L).getLong(1) == 0L &&
+      degenerate(3L).getDouble(3) == 0.0, "token-less doc still zero-filled")
   }
 }
