@@ -133,6 +133,39 @@ object TextAnalysis {
   }
 
   /**
+   * Corpus vocabulary with coverage statistics — the frequency-cutoff
+   * step before tokenizer/vocab training: the `topK` most frequent
+   * whitespace tokens (ties broken by token asc, deterministic on any
+   * engine), each with its corpus count and the CUMULATIVE fraction of
+   * all token occurrences the vocabulary covers up to that rank (the
+   * curve that decides where to cut a vocab).
+   *
+   * Scale shape: one shuffle for the token count; the top-K selection is
+   * a TakeOrdered (no global sort of the vocab), and the ranking/cumsum
+   * window runs over AT MOST topK rows — a single partition bounded by
+   * the knob, never by data size. The total-occurrence denominator is a
+   * broadcast 1-row aggregate (no driver-side count).
+   */
+  def vocabulary(df: DataFrame, idCol: String, textCol: String,
+      topK: Int = 1000): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    val toks = df.select(
+      explode(split(col(textCol), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+    val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("total"))
+    val top = counts.orderBy(col("n").desc, col("tok")).limit(topK)
+    val w = Window.orderBy(col("n").desc, col("tok"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col("tok"))))
+      .withColumn("cum_coverage",
+        round(sum(col("n")).over(w) / col("total"), 6))
+      .select(col("rank"), col("tok"), col("n"), col("cum_coverage"))
+  }
+
+  /**
    * Winnowing-style fingerprint: rolling w-gram shingle hashes, keep the
    * k smallest per document (order-stable). Two docs sharing content share
    * fingerprint elements → joinable for containment detection. Hashes are

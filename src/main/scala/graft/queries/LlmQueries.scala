@@ -1250,7 +1250,31 @@ object LlmQueries {
                     ELSE s.cross_entropy END AS cross_entropy
              FROM documents d
              LEFT JOIN scored s ON s.doc_id = d.doc_id
-             WHERE d.source <> 'src0'"""))
+             WHERE d.source <> 'src0'""")),
+
+    // ---- Corpus vocabulary + coverage curve (the frequency-cutoff step
+    // before tokenizer/vocab training): top-500 tokens by count (ties →
+    // token asc), cumulative coverage of all occurrences at each rank.
+    Q("q81_vocabulary",
+      (s, d) => TextAnalysis.vocabulary(T.documents(s, d),
+        "doc_id", "text", topK = 500),
+      Some("""WITH toks AS (
+               SELECT tok FROM (
+                 SELECT unnest(string_split_regex(text, '\s+')) AS tok
+                 FROM documents)
+               WHERE tok <> ''),
+             counts AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+             total AS (SELECT sum(n) AS total FROM counts),
+             ranked AS (
+               SELECT tok, n,
+                 row_number() OVER (ORDER BY n DESC, tok) AS rank,
+                 sum(n) OVER (ORDER BY n DESC, tok
+                   ROWS UNBOUNDED PRECEDING) AS cum
+               FROM counts)
+             SELECT CAST(rank AS INT) AS rank, tok, n,
+               round(cum / CAST(t.total AS DOUBLE), 6) AS cum_coverage
+             FROM ranked CROSS JOIN total t
+             WHERE rank <= 500"""))
   )
 
   /** Shared DuckDB CTEs for q77/q78: re-indexed tokens, lead-built

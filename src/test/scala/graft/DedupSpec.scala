@@ -336,6 +336,21 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) == "und")
   }
 
+  test("vocabulary: hand-computed ranks, tie order, and coverage curve") {
+    // 9 occurrences total: b=4, a=3, c=1, d=1 (the double space is noise).
+    val df = Seq(
+      (1L, "b b b a a c"),
+      (2L, "a d  b")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabulary(df, "doc_id", "text", topK = 3)
+      .as[(Int, String, Long, Double)].collect()
+    // b(4) then a(3) then c(1) — c beats d on the token-asc tie-break;
+    // coverage = 4/9, 7/9, 8/9 rounded to 6 places.
+    assert(out.toSeq == Seq(
+      (1, "b", 4L, 0.444444),
+      (2, "a", 3L, 0.777778),
+      (3, "c", 1L, 0.888889)), out.mkString(","))
+  }
+
   test("multimodal stub: decode/features/frames are deterministic and partition-safe") {
     implicit val s = spark
     val assets = Multimodal.assetsFromText(
