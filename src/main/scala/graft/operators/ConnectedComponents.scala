@@ -75,9 +75,9 @@ object ConnectedComponents {
     sym.unpersist()
     if (strict && changed > 0)
       throw new IllegalStateException(
-        s"connected components: convergence not verified within $maxIter " +
-          s"rounds ($changed labels still changing after the verification " +
-          s"round) — raise maxIter")
+        s"connected components: fixpoint not verified after $iter rounds " +
+          s"(maxIter = $maxIter merge rounds + 1 verification round; " +
+          s"$changed labels still changing in the last round) — raise maxIter")
     // The RETURNED frame's checkpoint blocks are RDD-level caches no
     // DataFrame unpersist can release — register them with the caller's
     // tracking scope so sweep harnesses (Bench/Verify) free one vertex-set

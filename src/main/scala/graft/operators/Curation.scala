@@ -41,13 +41,13 @@ object Curation {
    * global sort, no single-partition window.
    *
    * `nShards = 0` (the default) derives the shard count from the input's
-   * partitioning — `max(8, input partitions)` — so each shard's
-   * single-partition running-sum window stays roughly one input partition
-   * of data at ANY scale (a literal default of 8 would mean 12.5 TB per
-   * window partition on a 100 TB corpus). The trade: the derived count
-   * depends on the cluster/file layout, so pass an explicit `nShards` when
-   * pack ids must be reproducible across environments (the oracle queries
-   * pin 8).
+   * SIZE — `max(8, parallelism, size-estimate / maxPartitionBytes)` — so
+   * each shard's single-partition running-sum window stays roughly one
+   * scan partition of data at ANY scale (a literal default of 8 would
+   * mean 12.5 TB per window partition on a 100 TB corpus). The trade: the
+   * derived count depends on the cluster/file layout, so pass an explicit
+   * `nShards` when pack ids must be reproducible across environments (the
+   * oracle queries pin 8).
    */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
       budget: Int = 2048, nShards: Int = 0): DataFrame = {
@@ -65,11 +65,27 @@ object Curation {
         expr(s"cum_before % $budget").as("pack_offset"))
   }
 
-  /** `max(8, input partitions)` when nShards = 0 (auto), else nShards.
-    * Reading the partition count builds the physical plan but runs no job. */
-  private def deriveShards(df: DataFrame, nShards: Int): Int =
+  /** Auto shard count (nShards = 0): scale with the INPUT SIZE so pack
+    * windows stay bounded at any corpus scale, floored at 8 and at the
+    * session's parallelism. Derived from Catalyst's leaf-stats size
+    * estimate (file lengths for scans) over maxPartitionBytes — NOT from
+    * `df.rdd.getNumPartitions`, which under AQE plans the exchanges and
+    * MATERIALIZES every upstream query stage (a silent full pre-run of
+    * the pipeline for non-scan inputs). The stats estimate runs no job;
+    * for exchange-heavy plans it may overestimate (join-multiplied
+    * stats), which costs pack balance, never correctness — capped so a
+    * degenerate estimate can't explode the shard count. */
+  private[graft] def deriveShards(df: DataFrame, nShards: Int): Int = {
     if (nShards > 0) nShards
-    else math.max(8, df.rdd.getNumPartitions)
+    else {
+      val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      val perShard = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+      val est = (bytes / math.max(perShard, 1L)).min(BigInt(1 << 20)).toInt
+      math.max(8, math.max(est,
+        df.sparkSession.sparkContext.defaultParallelism))
+    }
+  }
 
   /**
    * (id, ti, tok): whitespace tokens with RE-INDEXED positions — empty

@@ -175,14 +175,17 @@ object Multimodal {
       withReader(a.content) { r =>
         val frames = math.max(
           try r.getNumImages(true) catch { case _: Exception => 1 }, 1)
-        (0 until frames by every).take(MaxSampledFrames).map { i =>
-          val bytes =
-            try {
-              val baos = new java.io.ByteArrayOutputStream()
-              javax.imageio.ImageIO.write(r.read(i), "png", baos)
-              baos.toByteArray
-            } catch { case _: Exception => a.content.take(16) }
-          FrameSample(a.asset_id, i, bytes)
+        (0 until frames by every).take(MaxSampledFrames).flatMap { i =>
+          // A frame that fails to read/re-encode is SKIPPED, not
+          // substituted: emitting placeholder bytes here would hand
+          // downstream resize/embed stages garbage indistinguishable
+          // from a real PNG (the whole-asset undecodable case already
+          // falls back to HashCodec below).
+          try {
+            val baos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(r.read(i), "png", baos)
+            Some(FrameSample(a.asset_id, i, baos.toByteArray))
+          } catch { case _: Exception => None }
         }.toList // materialize inside the reader scope (disposed on exit)
       }.map(_.iterator).getOrElse(HashCodec.sampleFrames(a, every))
 

@@ -506,10 +506,19 @@ object Relational {
     // exact count + a within-5% accuracy flag (see below).
     Q("q53_approx_distinct",
       (s, d) => T.orders(s, d)
+        // Two-level aggregation instead of countDistinct-next-to-other-aggs:
+        // mixing a distinct agg with plain aggs triggers Catalyst's Expand
+        // rewrite (row count ×2 through the first shuffle). Pre-grouping by
+        // (status, custkey) makes exact_customers a plain count, and the HLL
+        // sketch is duplicate-insensitive, so approx_count_distinct over the
+        // deduped level-1 rows is the SAME estimate — two cheap partial-agg
+        // shuffles, no Expand.
+        .groupBy(col("o_orderstatus"), col("o_custkey"))
+        .agg(count(lit(1)).as("nk"))
         .groupBy(col("o_orderstatus"))
         .agg(approx_count_distinct(col("o_custkey"), 0.01).as("approx_customers"),
-          countDistinct(col("o_custkey")).as("exact_customers"),
-          count(lit(1)).as("n"))
+          count(lit(1)).as("exact_customers"),
+          sum(col("nk")).as("n"))
         // The HLL estimate itself is engine-specific, so it is NOT an
         // oracle column; what IS oracle-checked is the exact count, n, and
         // a Spark-computed within-5% accuracy boolean that DuckDB asserts

@@ -165,18 +165,47 @@ class CurationSpec extends SparkSpec {
     assert(clustered == Set(1L, 9L), s"cluster policy keeps one per chain: $clustered")
   }
 
-  test("packSequences nShards=0 derives from input partitions, equals explicit") {
+  test("packSequences nShards=0 derives a size-scaled count, equals explicit") {
     val docs = (0L until 60L).map(i => (i, ("tok " * (i.toInt % 13 + 1)).trim))
       .toDF("doc_id", "text")
-    val derived = math.max(8, docs.rdd.getNumPartitions)
+    val derived = Curation.deriveShards(docs, 0)
+    assert(derived >= 8, "auto shard count is floored at 8")
     def canon(df: org.apache.spark.sql.DataFrame) =
       df.select("id", "shard", "n_tokens", "pack_id", "pack_offset")
         .as[(Long, Int, Int, Long, Long)].collect().toSet
     val auto = canon(Curation.packSequences(docs, "doc_id", "text", budget = 64))
     val explicit = canon(Curation.packSequences(docs, "doc_id", "text",
       budget = 64, nShards = derived))
-    assert(auto == explicit, "auto derivation == explicit max(8, partitions)")
+    assert(auto == explicit, "auto derivation == explicit deriveShards count")
     assert(auto.forall(r => r._2 == (r._1 % derived).toInt))
+  }
+
+  test("packSequences auto-shard derivation plans without running any job") {
+    // ADVICE r3: under AQE, df.rdd.getNumPartitions on an exchange-bearing
+    // plan MATERIALIZES the upstream query stages — the old derivation
+    // silently pre-ran the whole pipeline once for non-scan inputs. The
+    // accumulator-bearing UDF observes any such execution: if deriving the
+    // shard count ran the aggregate below, tasks would have incremented it
+    // by the time packSequences returns (accumulators update on job
+    // completion, which any materialization must reach).
+    val hits = spark.sparkContext.longAccumulator("derive-probe")
+    val tap = udf((s: String) => { hits.add(1); s })
+    // A parquet-backed input, not a LocalRelation: ConvertToLocalRelation
+    // would evaluate the tap UDF driver-side at OPTIMIZATION time and
+    // pollute the job-execution signal this spec isolates.
+    val dir = java.nio.file.Files.createTempDirectory("derive-probe").toString
+    (0L until 40L).map(i => (i, s"body ${i % 5} words here"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    val withExchange = spark.read.parquet(dir)
+      .withColumn("text", tap(col("text")))
+      .groupBy("text").agg(min(col("doc_id")).as("doc_id"))
+    val planned = Curation.packSequences(withExchange, "doc_id", "text",
+      budget = 64) // nShards = 0: derivation happens during construction
+    assert(hits.value == 0L,
+      s"shard derivation executed upstream stages (${hits.value} rows ran)")
+    // The plan still works when actually executed.
+    assert(planned.count() > 0)
+    assert(hits.value > 0L, "sanity: the tap UDF does run on real execution")
   }
 
   test("segmentDedup: AQE broadcasts the small boilerplate set at runtime; hint agrees") {
