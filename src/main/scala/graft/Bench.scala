@@ -65,6 +65,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Optional query-name regex (local iteration); driver passes no args.
+    val nameFilter = args.headOption.map(_.r)
+    // Harness pinning mode — see CacheScope.pin: truncates operator-
+    // internal pins to LogicalRDD leaves so timings measure task work,
+    // not Spark 4's nested-AQE plan-string rendering on the driver.
+    // SPARK_GRAFT_PIN=persist opts back into the library default (A/B
+    // measurement aid).
+    if (sys.env.getOrElse("SPARK_GRAFT_PIN", "checkpoint") == "checkpoint")
+      System.setProperty("graft.pin.checkpoint", "true")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .withExtensions(new graft.plans.GraftExtensions)
@@ -88,7 +97,7 @@ object Bench {
         Seq(Q("q75_artifact_build", Q75Bench.build, None),
           Q(q.name, Q75Bench.probe, None))
       else Seq(q)
-    }
+    }.filter(q => nameFilter.forall(_.findFirstIn(q.name).isDefined))
     // Two passes, min per query: this host is shared and single-run
     // timings swing 2-5x under external load; min-of-2 reports the plan's
     // actual cost rather than the noisiest co-tenant moment.

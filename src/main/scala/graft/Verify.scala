@@ -12,6 +12,8 @@ object Verify {
     def keep(name: String): Boolean =
       nameFilter.forall(_.findFirstIn(name).isDefined)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Harness pinning mode — see CacheScope.pin (same rationale as Bench).
+    System.setProperty("graft.pin.checkpoint", "true")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .withExtensions(new graft.plans.GraftExtensions)

@@ -56,14 +56,38 @@ object CacheScope {
 
   private val active = new ThreadLocal[Scope]
 
+  /**
+   * Harness pinning mode (`-Dgraft.pin.checkpoint=true`, set by Bench and
+   * Verify): pin() eagerly localCheckpoints instead of persisting. On
+   * Spark 4, every action over a plan nesting cached adaptive subplans
+   * pays DRIVER time generating AQE plan-update strings (exponential in
+   * nesting depth — the q41 root cause, see PipelineQueries.corefPipeline);
+   * checkpointing truncates each pinned frame to a LogicalRDD leaf, which
+   * removes the nesting entirely. Total task work is unchanged (the same
+   * stages run once either way) and the jobs run inside the operator
+   * invocation, so benches still charge them to the right query. The
+   * library DEFAULT stays persist: on a real cluster lineage must survive
+   * executor loss, and eager construction-time jobs would surprise
+   * composing callers. `level` is ignored in checkpoint mode.
+   */
+  private def checkpointMode: Boolean =
+    java.lang.Boolean.getBoolean("graft.pin.checkpoint")
+
   /** Persist `df` and register it with the innermost tracking scope (plain
     * persist when none is active). Operator-internal entry point. */
   private[graft] def pin(df: DataFrame,
       level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
-    val out = df.persist(level)
-    val buf = active.get
-    if (buf != null) buf.frames += out
-    out
+    if (checkpointMode) {
+      val out = df.localCheckpoint(true)
+      val buf = active.get
+      if (buf != null) buf.checkpoints += (() => unpinCheckpoint(out))
+      out
+    } else {
+      val out = df.persist(level)
+      val buf = active.get
+      if (buf != null) buf.frames += out
+      out
+    }
   }
 
   /** Register an already-localCheckpoint'ed frame's blocks with the

@@ -75,6 +75,49 @@ object Dedup {
     df.join(counts, keyCols, "left_semi")
   }
 
+  /**
+   * Over-cap bucket policy for the symmetric (self-join) candidate
+   * generators. [[Overflow.Drop]] — the default and the standard cap in
+   * the dedup literature — discards an oversized bucket entirely: recall
+   * loss is silent, and on boilerplate-heavy corpora the hottest buckets
+   * are exactly where the duplicates are. [[Overflow.Salt]] keeps every
+   * row, splitting an over-cap bucket into ceil(B/cap) sub-buckets by a
+   * deterministic secondary hash of the row id; pairs are then generated
+   * within sub-buckets only. Cost for a B-row bucket: expected O(B·cap)
+   * candidate pairs instead of O(B²) unsalted or 0 dropped — still a hard
+   * quadratic bound, while recovering ~cap/B of the bucket's pairs (and,
+   * for a bucket of mutual near-dups, a MUCH higher fraction of its DOCS:
+   * every doc that lands in a sub-bucket with ≥1 other doc gains a
+   * verified edge, so transitive-closure consumers like [[neardupClusters]]
+   * recover most members — DedupSpec measures both fractions on a planted
+   * mega-bucket).
+   */
+  sealed trait Overflow
+  object Overflow {
+    case object Drop extends Overflow
+    case object Salt extends Overflow
+  }
+
+  /** [[capBuckets]] under [[Overflow.Salt]]: instead of dropping over-cap
+    * buckets, adds a `bsalt` sub-bucket column (0 for under-cap buckets;
+    * hash(idCol) mod ceil(bsz/cap) above it) that the caller must include
+    * in its pair-join keys. minBucket filtering matches [[capBuckets]]. */
+  private[graft] def capBucketsSalted(df: DataFrame, keyCols: Seq[String],
+      maxBucket: Int, minBucket: Int = 2,
+      idCol: String = "id"): DataFrame = {
+    if (maxBucket <= 0 && minBucket <= 1) return df.withColumn("bsalt", lit(0))
+    val upper = if (maxBucket > 0) maxBucket.toLong else Long.MaxValue
+    val counts = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") >= minBucket)
+    val nSub = ((col("bsz") + lit(upper - 1L)) / lit(upper)).cast("long")
+    df.join(counts, keyCols)
+      .withColumn("bsalt",
+        when(col("bsz") <= upper, lit(0))
+          .otherwise(pmod(xxhash64(col(idCol)), nSub).cast("int")))
+      .drop("bsz")
+  }
+
   /** Exact dedup: rows keyed by identical `textCol`; canonical = min id.
     *
     * The shuffle/sort key is md5(text), not the text itself: the exchange
@@ -135,6 +178,30 @@ object Dedup {
           element_at(col("sig"), b * rows + r + 1)))): _*)).as(Seq("band", "bh")))
 
   /**
+   * Cap-policy observability: one row of aggregate stats over a bucketed
+   * frame — total buckets, over-cap buckets, the rows inside them (what
+   * [[Overflow.Drop]] silently discards and [[Overflow.Salt]] sub-buckets),
+   * and the largest bucket. Neither policy can log this inline (the
+   * operators build lazy plans; counting would force an extra action in
+   * the hot path), so deployments materialize THIS on their build cadence
+   * and alert on it — the dedup-SLA answer to "how much recall is the cap
+   * costing today?". Works on any banded frame: [[bandRowsUncapped]]
+   * output with keys (band, bh), simhash chunks with (chunk, cv),
+   * semantic-dedup cells with (cell).
+   */
+  def bucketOverflowStats(rows: DataFrame, keyCols: Seq[String],
+      maxBucket: Int): DataFrame = {
+    val upper = if (maxBucket > 0) maxBucket.toLong else Long.MaxValue
+    rows.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("bsz"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(when(col("bsz") > upper, 1L).otherwise(0L)).as("n_buckets_over"),
+        sum(when(col("bsz") > upper, col("bsz")).otherwise(0L))
+          .as("n_rows_over"),
+        max(col("bsz")).as("max_bucket_size"))
+  }
+
+  /**
    * Banded-LSH candidate pairs from minhash signatures: b bands of r rows
    * (k = b·r); docs sharing any band hash become candidates. Returns
    * (id_a, id_b, est_jaccard) with id_a < id_b, est = matching-component
@@ -142,18 +209,26 @@ object Dedup {
    */
   def minhashCandidates(sigs: DataFrame, bands: Int = 8, rows: Int = 4,
       maxBucket: Int = DefaultMaxBucket,
-      hash: HashFamily = XxHash64Family): DataFrame = {
+      hash: HashFamily = XxHash64Family,
+      overflow: Overflow = Overflow.Drop): DataFrame = {
     val banded = bandSignatures(sigs, bands, rows, hash)
     // Persisted (scope-tracked): the a/b self-join traverses this twice,
     // and exchange reuse does NOT collapse the two branches (their
     // projections differ — measured 16 parquet scans in q43's executed
     // plan without persists).
-    val capped = CacheScope.pin(capBuckets(banded, Seq("band", "bh"), maxBucket))
-    val a = capped.select(col("band"), col("bh"),
-      col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = capped.select(col("band"), col("bh"),
-      col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "bh"))
+    val (capped, joinKeys) = overflow match {
+      case Overflow.Drop =>
+        (CacheScope.pin(capBuckets(banded, Seq("band", "bh"), maxBucket)),
+          Seq("band", "bh"))
+      case Overflow.Salt =>
+        (CacheScope.pin(capBucketsSalted(banded, Seq("band", "bh"), maxBucket)),
+          Seq("band", "bh", "bsalt"))
+    }
+    val a = capped.select((joinKeys.map(col) :+
+      col("id").as("id_a") :+ col("sig").as("sig_a")): _*)
+    val b = capped.select((joinKeys.map(col) :+
+      col("id").as("id_b") :+ col("sig").as("sig_b")): _*)
+    a.join(b, joinKeys)
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         (aggregate(zip_with(col("sig_a"), col("sig_b"),
@@ -169,7 +244,8 @@ object Dedup {
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 32, bands: Int = 8,
       threshold: Double = 0.5, maxBucket: Int = DefaultMaxBucket,
-      hash: HashFamily = XxHash64Family): DataFrame = {
+      hash: HashFamily = XxHash64Family,
+      overflow: Overflow = Overflow.Drop): DataFrame = {
     // Mega-cluster guard: collapse byte-identical texts FIRST, so the whole
     // shingle/sign/band/verify pipeline runs on one representative per
     // distinct text. N copies of one doc cost O(N) here, not O(N²) banded
@@ -191,7 +267,7 @@ object Dedup {
     // frames are the LSH build's working set — disk-backed at scale.
     val sh = CacheScope.pin(shingles(reps, "id", "text", n, hash))
     val cands = minhashCandidates(minhashSignatures(sh, k, hash), bands,
-      k / bands, maxBucket, hash)
+      k / bands, maxBucket, hash, overflow)
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val shA = sh.select(col("id").as("id_a"), col("shingle"))
     val shB = sh.select(col("id").as("id_b"), col("shingle"))
@@ -244,17 +320,52 @@ object Dedup {
   def minhashBandTable(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 32, bands: Int = 8,
       maxBucket: Int = DefaultMaxBucket,
-      hash: HashFamily = XxHash64Family): DataFrame = {
+      hash: HashFamily = XxHash64Family): DataFrame =
     // NOT pinned (unlike the WithCounts variant): this form is invoked
     // per trigger on the streaming default path, where a persist the
     // cleanup thunk doesn't know about would leak one full-corpus cache
     // entry per trigger.
+    capBuckets(bandRowsUncapped(df, idCol, textCol, n, k, bands, hash),
+      Seq("band", "bh"), maxBucket, minBucket = 1)
+
+  /**
+   * UNCAPPED banded signature rows (id, band, bh, sig) — the durable unit
+   * of the incremental-dedup state: both the capped artifact and the
+   * exact bucket-count sidecar are PURE FUNCTIONS of the union of these
+   * rows ([[artifactFromBandLog]]), so a continuous-ingestion deployment
+   * persists one O(batch) uncapped row-set per batch (an append-only log)
+   * and never rewrites corpus-sized state. Deterministic in the text:
+   * recomputing a batch's rows always yields the same set, which is what
+   * makes per-batch overwrite writes idempotent under at-least-once
+   * redelivery.
+   */
+  def bandRowsUncapped(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 32, bands: Int = 8,
+      hash: HashFamily = XxHash64Family): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val sigs = minhashSignatures(
       shingles(df.select(col(idCol).as("id"), col(textCol).as("text")),
         "id", "text", n, hash), k, hash)
-    val banded = bandSignatures(sigs, bands, k / bands, hash)
-    capBuckets(banded, Seq("band", "bh"), maxBucket, minBucket = 1)
+    bandSignatures(sigs, bands, k / bands, hash)
+  }
+
+  /**
+   * (capped artifact, exact sidecar) reconstructed from an UNCAPPED
+   * band-row log (the union of [[bandRowsUncapped]] outputs for the
+   * corpus and every folded batch). Bit-exact with building
+   * [[minhashBandTableWithCounts]] on the whole corpus and with any
+   * sidecar-exact append chain reaching the same doc set: in all three,
+   * a bucket's rows survive iff its TRUE total count ≤ maxBucket.
+   */
+  def artifactFromBandLog(log: DataFrame,
+      maxBucket: Int = DefaultMaxBucket): (DataFrame, DataFrame) = {
+    val counts = log.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("true_count"))
+    val artifact =
+      if (maxBucket <= 0) log
+      else log.join(counts.filter(col("true_count") <= maxBucket.toLong)
+        .select(col("band"), col("bh")), Seq("band", "bh"), "left_semi")
+    (artifact, counts)
   }
 
   /**
@@ -271,11 +382,8 @@ object Dedup {
       textCol: String, n: Int = 3, k: Int = 32, bands: Int = 8,
       maxBucket: Int = DefaultMaxBucket,
       hash: HashFamily = XxHash64Family): (DataFrame, DataFrame) = {
-    require(k % bands == 0, "bands must divide k")
-    val sigs = minhashSignatures(
-      shingles(df.select(col(idCol).as("id"), col(textCol).as("text")),
-        "id", "text", n, hash), k, hash)
-    val banded = CacheScope.pin(bandSignatures(sigs, bands, k / bands, hash))
+    val banded = CacheScope.pin(
+      bandRowsUncapped(df, idCol, textCol, n, k, bands, hash))
     val counts = banded.groupBy(col("band"), col("bh"))
       .agg(count(lit(1)).as("true_count"))
     (capBuckets(banded, Seq("band", "bh"), maxBucket, minBucket = 1), counts)
@@ -352,11 +460,20 @@ object Dedup {
       idCol: String, textCol: String, n: Int, k: Int, bands: Int,
       maxBucket: Int, hash: HashFamily,
       bucketCounts: Option[DataFrame]): (DataFrame, Option[DataFrame]) = {
-    require(k % bands == 0, "bands must divide k")
-    val sigs = minhashSignatures(
-      shingles(batch.select(col(idCol).as("id"), col(textCol).as("text")),
-        "id", "text", n, hash), k, hash)
-    val newBands = CacheScope.pin(bandSignatures(sigs, bands, k / bands, hash))
+    val newBands = CacheScope.pin(
+      bandRowsUncapped(batch, idCol, textCol, n, k, bands, hash))
+    appendBandRows(artifact, newBands, maxBucket, bucketCounts)
+  }
+
+  /** Fold PRECOMPUTED uncapped batch band rows into an artifact — the
+    * inner step of [[appendToBandTable]], exposed so callers that already
+    * materialized the batch's rows (e.g. the durable stream, which writes
+    * them to its band log first) don't recompute the signature pipeline.
+    * `newBands` should be pinned/checkpointed by the caller (it is
+    * traversed several times here). */
+  private[graft] def appendBandRows(artifact: DataFrame, newBands: DataFrame,
+      maxBucket: Int,
+      bucketCounts: Option[DataFrame]): (DataFrame, Option[DataFrame]) = {
     val touched = newBands.select(col("band"), col("bh")).distinct()
     val untouched = artifact.join(touched, Seq("band", "bh"), "left_anti")
     val combined = artifact.join(touched, Seq("band", "bh"), "left_semi")
@@ -398,15 +515,10 @@ object Dedup {
     * artifact whose build didn't keep one. */
   def bandBucketCounts(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 32, bands: Int = 8,
-      hash: HashFamily = XxHash64Family): DataFrame = {
-    require(k % bands == 0, "bands must divide k")
-    val sigs = minhashSignatures(
-      shingles(df.select(col(idCol).as("id"), col(textCol).as("text")),
-        "id", "text", n, hash), k, hash)
-    bandSignatures(sigs, bands, k / bands, hash)
+      hash: HashFamily = XxHash64Family): DataFrame =
+    bandRowsUncapped(df, idCol, textCol, n, k, bands, hash)
       .groupBy(col("band"), col("bh"))
       .agg(count(lit(1)).as("true_count"))
-  }
 
   /**
    * Incremental near-dup: pairs between a NEW batch and an EXISTING corpus
@@ -518,7 +630,8 @@ object Dedup {
   def neardupClusters(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 32, bands: Int = 8, threshold: Double = 0.5,
       maxBucket: Int = DefaultMaxBucket,
-      hash: HashFamily = XxHash64Family, maxIter: Int = 64): DataFrame = {
+      hash: HashFamily = XxHash64Family, maxIter: Int = 64,
+      overflow: Overflow = Overflow.Drop): DataFrame = {
     // The string round-trip through CC would silently null non-numeric ids
     // on the cast back; fail fast instead.
     val idType = df.schema(idCol).dataType
@@ -527,7 +640,7 @@ object Dedup {
       s"neardupClusters needs an integral id column, got $idType")
     neardupClustersFromPairs(
       minhashDedup(df, idCol, textCol, n, k, bands, threshold,
-        maxBucket, hash), maxIter)
+        maxBucket, hash, overflow), maxIter)
   }
 
   /** The transitive-closure half of [[neardupClusters]], over an already

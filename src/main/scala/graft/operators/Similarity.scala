@@ -243,12 +243,15 @@ object Similarity {
    * one representative (members reconstituted at cosine 1.0) and cells
    * over `maxCell` distinct vectors are dropped (a cell of B vectors is an
    * O(B²) join; an over-full cell means the centroids under-fit that
-   * region — re-train with more lists rather than pay quadratic cost).
+   * region — re-train with more lists rather than pay quadratic cost) —
+   * or, under [[Dedup.Overflow.Salt]], split into hash sub-cells so the
+   * region keeps bounded-cost pair coverage instead of none.
    * Returns (id_a, id_b, cosine) with id_a < id_b, cosine ≥ threshold.
    */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, centroids: Array[Array[Double]],
-      maxCell: Int = Dedup.DefaultMaxBucket): DataFrame = {
+      maxCell: Int = Dedup.DefaultMaxBucket,
+      overflow: Dedup.Overflow = Dedup.Overflow.Drop): DataFrame = {
     require(centroids.nonEmpty, "centroids must be non-empty")
     val (mem, reps) = collapseIdenticalVectors(df, idCol, vecCol)
 
@@ -256,11 +259,19 @@ object Similarity {
       sqL2(col("vec"), array(c.map(lit): _*))): _*)
     val cells = reps.withColumn("cell",
       (array_position(d2s, array_min(d2s)) - 1).cast("int"))
-    val capped = CacheScope.pin(
-      Dedup.capBuckets(cells, Seq("cell"), maxCell))
-    val a = capped.select(col("cell"), col("id").as("id_a"), col("vec").as("vec_a"))
-    val b = capped.select(col("cell"), col("id").as("id_b"), col("vec").as("vec_b"))
-    val repPairs = a.join(b, Seq("cell"))
+    val (capped, joinKeys) = overflow match {
+      case Dedup.Overflow.Drop =>
+        (CacheScope.pin(Dedup.capBuckets(cells, Seq("cell"), maxCell)),
+          Seq("cell"))
+      case Dedup.Overflow.Salt =>
+        (CacheScope.pin(Dedup.capBucketsSalted(cells, Seq("cell"), maxCell)),
+          Seq("cell", "bsalt"))
+    }
+    val a = capped.select((joinKeys.map(col) :+
+      col("id").as("id_a") :+ col("vec").as("vec_a")): _*)
+    val b = capped.select((joinKeys.map(col) :+
+      col("id").as("id_b") :+ col("vec").as("vec_b")): _*)
+    val repPairs = a.join(b, joinKeys)
       .filter(col("id_a") < col("id_b"))
       .withColumn("cosine", cosine(col("vec_a"), col("vec_b")))
       .filter(col("cosine") >= threshold)

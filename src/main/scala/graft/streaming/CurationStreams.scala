@@ -102,12 +102,15 @@ object CurationStreams {
    * RE-RUN after a transient failure, so the fold is guarded by the batch
    * id (a re-delivered batch is re-probed and re-sunk, but folded only
    * once; double-folding would duplicate band rows and inflate the
-   * sidecar, silently dropping buckets below the real cap). The artifact
-   * state itself is session-local: on restart-from-checkpoint it rebuilds
-   * from the ORIGINAL corpus while committed batches are not replayed —
-   * matching the scaladoc's production guidance that durable deployments
-   * persist the folded artifact on their write path and pass it back in
-   * via `corpusBands`/`corpusBandCounts`.
+   * sidecar, silently dropping buckets below the real cap). The guard is
+   * made atomic by MATERIALIZING every failable fold job (folded
+   * artifact, updated sidecar, batch texts — each an eager checkpoint)
+   * BEFORE mutating any carried state: a failure anywhere leaves the
+   * pre-fold state fully intact, so the retry re-enters cleanly instead
+   * of re-folding a half-applied batch. The artifact state itself is
+   * session-local: on restart-from-checkpoint it rebuilds from the
+   * ORIGINAL corpus while committed batches are not replayed — use
+   * [[incrementalDedupStreamDurable]] for the restart-safe shape.
    */
   def incrementalDedupStreamFolding(docs: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String,
@@ -155,20 +158,176 @@ object CurationStreams {
                       n, k, bands, maxBucket, hash), None)
                 }
               }
-            val folded = folded0.localCheckpoint(true)
-            val newCounts = newCounts0.map(_.localCheckpoint(true))
-            caches.release()
+            // Materialize EVERY failable job before touching carried
+            // state; the swap below is pure driver-side bookkeeping. A
+            // checkpoint failing midway unpins the partial results and
+            // rethrows with the pre-fold state intact, so the at-least-
+            // once retry can't fold the batch twice (ADVICE r3: the old
+            // order updated `artifact` before the batch-text checkpoint,
+            // leaving a window where a retry re-entered with
+            // batchId > lastFolded and duplicated band rows).
+            val staged = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+            val (folded, newCounts, batchDocs) =
+              try {
+                val f = folded0.localCheckpoint(true); staged += f
+                val nc = newCounts0.map { c =>
+                  val p = c.localCheckpoint(true); staged += p; p
+                }
+                val bd = batch.select(col(idCol), col(textCol))
+                  .localCheckpoint(true); staged += bd
+                (f, nc, bd)
+              } catch {
+                case e: Throwable => staged.foreach(unpin); throw e
+              } finally caches.release()
             unpin(artifact)
             counts.foreach(unpin)
             artifact = folded
             counts = newCounts
-            val batchDocs = batch.select(col(idCol), col(textCol))
-              .localCheckpoint(true)
             laterDocs = Some(laterDocs.map(_.unionByName(batchDocs))
               .getOrElse(batchDocs))
             lastFolded = batchId
           }
         } finally cleanup()
+      }
+      .start()
+  }
+
+  /**
+   * Restart-safe continuous ingestion dedup: [[incrementalDedupStreamFolding]]
+   * with the artifact state made DURABLE, closing the session-local caveat.
+   *
+   * State layout under `stateDir` — an append-only log of UNCAPPED band
+   * rows plus the arrived texts, one directory per unit:
+   * {{{
+   *   bands/corpus/       corpus [[Dedup.bandRowsUncapped]], written once
+   *   bands/batch=<id>/   each folded batch's uncapped band rows
+   *   docs/batch=<id>/    each batch's (id, text) for later exact-verify
+   *   checkpoint/         the stream's offset/commit checkpoint
+   * }}}
+   * The capped artifact and the exact bucket-count sidecar are pure
+   * functions of the band log ([[Dedup.artifactFromBandLog]]), so the
+   * per-trigger durable write is O(batch) — no corpus-sized state is ever
+   * rewritten — and a restart bootstraps by one log read. Equivalently:
+   * the log IS the sidecar-exact append chain, so append == rebuild
+   * parity holds across restarts. At scale, lay the log out bucketed by
+   * (band, bh) on the deployment's table format so the probe's semi-joins
+   * prune to touched buckets; compaction of the per-batch directories can
+   * run on any cadence without changing semantics (the artifact is a pure
+   * function of the log's UNION).
+   *
+   * Idempotence under at-least-once redelivery (no fold guard to corrupt):
+   *  - Each batch's band rows are DETERMINISTIC in its text, and each
+   *    write is `overwrite` into the batch's own directory — a retried
+   *    trigger rewrites identical state instead of appending a duplicate.
+   *  - A batch counts as folded only when BOTH its directories carry
+   *    `_SUCCESS` (the two writes aren't atomic together); bootstrap and
+   *    the fold-skip test use that same rule, so a half-written batch is
+   *    re-folded and a fully-written one never double-folds.
+   *  - The probe EXCLUDES the current batch's own ids from the artifact
+   *    (broadcast anti-join): a batch replayed after a crash that landed
+   *    its fold but not its offset commit re-probes against an artifact
+   *    that already contains it, and would otherwise emit spurious
+   *    self-matches. (Consequence: a RE-INGESTED id never matches its own
+   *    stored copy — ids are assumed unique across the stream's life.)
+   *  - In-memory swap happens only after every failable job, as in the
+   *    in-session variant.
+   *
+   * `corpus` must be the same initial corpus on every (re)start; docs
+   * arrived through the stream are recovered from `stateDir`, not from
+   * the caller.
+   */
+  def incrementalDedupStreamDurable(docs: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, stateDir: String,
+      n: Int = 3, k: Int = 32, bands: Int = 8, threshold: Double = 0.5,
+      maxBucket: Int = Dedup.DefaultMaxBucket,
+      hash: Dedup.HashFamily = Dedup.XxHash64Family)(
+      sink: DataFrame => Unit): StreamingQuery = {
+    val spark = docs.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def committed(dir: String): Boolean =
+      fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))
+    def bandsDir(id: Long) = s"$stateDir/bands/batch=$id"
+    def docsDir(id: Long) = s"$stateDir/docs/batch=$id"
+    val corpusBandsDir = s"$stateDir/bands/corpus"
+    if (!committed(corpusBandsDir))
+      Dedup.bandRowsUncapped(corpus, idCol, textCol, n, k, bands, hash)
+        .write.mode("overwrite").parquet(corpusBandsDir)
+    def committedBatchIds(): Seq[Long] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$stateDir/bands")).toSeq
+        .map(_.getPath.getName)
+        .collect { case s if s.startsWith("batch=") =>
+          s.stripPrefix("batch=").toLong }
+        .filter(id => committed(bandsDir(id)) && committed(docsDir(id)))
+        .sorted
+
+    val corpusBase = corpus.select(col(idCol), col(textCol))
+    // Bootstrap carried state from the durable log (first start: corpus
+    // bands only). All pinned with eager localCheckpoint — same lineage-
+    // truncation rationale as the in-session variant.
+    val bootIds = committedBatchIds()
+    val (artifact0, counts0) = Dedup.artifactFromBandLog(
+      spark.read.parquet(
+        (corpusBandsDir +: bootIds.map(bandsDir)): _*), maxBucket)
+    var artifact = artifact0.localCheckpoint(true)
+    var counts = counts0.localCheckpoint(true)
+    var laterDocs: Option[DataFrame] =
+      if (bootIds.isEmpty) None
+      else Some(spark.read.parquet(bootIds.map(docsDir): _*)
+        .localCheckpoint(true))
+    // A batch whose directories are fully committed was folded by a prior
+    // incarnation: skip its fold on replay (only the last in-flight batch
+    // can replay, so max committed id is the correct watermark).
+    var lastFolded = bootIds.lastOption.getOrElse(-1L)
+
+    docs.writeStream
+      .option("checkpointLocation", s"$stateDir/checkpoint")
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        // One materialization of the micro-batch feeds the id exclusion,
+        // the probe, the two durable writes, and the fold.
+        val batch = batch0.localCheckpoint(true)
+        try {
+          val batchIds = batch.select(col(idCol).as("id"))
+          val probeArtifact = artifact.join(broadcast(batchIds),
+            Seq("id"), "left_anti")
+          val corpusNow = laterDocs
+            .map(corpusBase.unionByName(_)).getOrElse(corpusBase)
+          val (matches, cleanup) = Dedup.incrementalMinhashWithCleanup(
+            batch, corpusNow, idCol, textCol, n = n, k = k, bands = bands,
+            threshold = threshold, maxBucket = maxBucket, hash = hash,
+            corpusBands = Some(probeArtifact))
+          try {
+            sink(matches)
+            if (batchId > lastFolded) {
+              val newBands = Dedup.bandRowsUncapped(batch, idCol, textCol,
+                n, k, bands, hash).localCheckpoint(true)
+              val staged =
+                scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+              try {
+                // Durable first (overwrite = idempotent), then the
+                // in-memory fold, then the pure driver-side swap.
+                newBands.write.mode("overwrite").parquet(bandsDir(batchId))
+                batch.select(col(idCol), col(textCol))
+                  .write.mode("overwrite").parquet(docsDir(batchId))
+                val (folded0, newCounts0) = Dedup.appendBandRows(
+                  artifact, newBands, maxBucket, Some(counts))
+                val folded = folded0.localCheckpoint(true); staged += folded
+                val ncounts = newCounts0.get.localCheckpoint(true)
+                staged += ncounts
+                val batchDocs = batch.select(col(idCol), col(textCol))
+                  .localCheckpoint(true); staged += batchDocs
+                unpin(artifact); unpin(counts)
+                artifact = folded
+                counts = ncounts
+                laterDocs = Some(laterDocs.map(_.unionByName(batchDocs))
+                  .getOrElse(batchDocs))
+                lastFolded = batchId
+              } catch {
+                case e: Throwable => staged.foreach(unpin); throw e
+              } finally unpin(newBands)
+            }
+          } finally cleanup()
+        } finally unpin(batch)
       }
       .start()
   }

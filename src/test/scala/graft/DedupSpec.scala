@@ -238,6 +238,101 @@ class DedupSpec extends SparkSpec {
     assert(stale.count() == 64, "stale sidecar demonstrably under-counts")
   }
 
+  test("Overflow.Salt: planted mega-bucket recovers pairs/docs the Drop policy loses") {
+    // 40 DISTINCT mutual near-dups (common 30-token prefix, unique tail):
+    // every LSH band bucket holds most of them, so with cap = 5 the Drop
+    // policy discards the hot buckets — on boilerplate-heavy corpora
+    // exactly where the duplicates are.
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = (0L until 40L).map(i => (i, s"$base extra$i"))
+      .toDF("doc_id", "text")
+    val cap = 5
+    def run(ov: Dedup.Overflow) = Dedup.minhashDedup(docs, "doc_id", "text",
+      n = 3, k = 32, bands = 16, threshold = 0.7, maxBucket = cap,
+      overflow = ov).select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSeq
+    val dropped = run(Dedup.Overflow.Drop)
+    val salted = run(Dedup.Overflow.Salt)
+    assert(salted.size > dropped.size,
+      s"salting must recover pairs: drop=${dropped.size} salt=${salted.size}")
+    // No false positives: the exact-verify stage still gates every pair.
+    assert(salted.forall(_._3 >= 0.7), "salted pairs must be true near-dups")
+
+    // Doc-level recovery (the transitive-closure consumer's view): under
+    // Salt, (nearly) every mega-bucket member gains at least one verified
+    // edge, so clustering recovers most DOCS even though pair recall per
+    // bucket is ~cap/B.
+    def docsInClusters(ov: Dedup.Overflow) =
+      Dedup.neardupClusters(docs, "doc_id", "text", n = 3, k = 32,
+        bands = 16, threshold = 0.7, maxBucket = cap, overflow = ov)
+        .select("id").as[Long].collect().toSet.size
+    val saltDocs = docsInClusters(Dedup.Overflow.Salt)
+    assert(saltDocs >= 30,
+      s"salting should cluster most of the 40 planted dups, got $saltDocs")
+    assert(saltDocs > docsInClusters(Dedup.Overflow.Drop))
+
+    // Bounded cost: sub-buckets stay near the cap (hash-split variance
+    // bounded well below the 40-row unsalted bucket).
+    val banded = Dedup.bandRowsUncapped(docs, "doc_id", "text",
+      n = 3, k = 32, bands = 16)
+    val maxSub = Dedup.capBucketsSalted(banded, Seq("band", "bh"), cap)
+      .groupBy("band", "bh", "bsalt").count()
+      .agg(max("count")).as[Long].head()
+    assert(maxSub <= 3L * cap, s"sub-bucket blew past the bound: $maxSub")
+
+    // Observability: the stats frame quantifies what Drop discards.
+    val stats = Dedup.bucketOverflowStats(banded, Seq("band", "bh"), cap)
+      .as[(Long, Long, Long, Long)].head()
+    assert(stats._2 > 0 && stats._3 > 0, s"expected over-cap buckets: $stats")
+    assert(stats._4 >= 30, s"mega-bucket should dominate: $stats")
+    val unbounded = Dedup.bucketOverflowStats(banded, Seq("band", "bh"), 0)
+      .as[(Long, Long, Long, Long)].head()
+    assert(unbounded._2 == 0 && unbounded._3 == 0)
+    spark.catalog.clearCache()
+  }
+
+  test("artifactFromBandLog: log-derived state == rebuild == append chain across the cap") {
+    // The durable-stream invariant: the capped artifact and exact sidecar
+    // are pure functions of the UNCAPPED band-row log, bit-exact with both
+    // a from-scratch build and the sidecar-exact append chain — pinned at
+    // a cap boundary (maxBucket = 3, 4 identical docs arriving 2 + 1 + 1).
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    def doc(ids: Long*) = ids.map(i => (i, text)).toDF("doc_id", "text")
+    val uniq = Seq((100L, "completely unrelated content with its own tokens"))
+      .toDF("doc_id", "text")
+    def bandRows(df: org.apache.spark.sql.DataFrame) =
+      Dedup.bandRowsUncapped(df, "doc_id", "text", n = 3, k = 32, bands = 16)
+
+    val log = bandRows(doc(1L, 2L).unionByName(uniq))
+      .unionByName(bandRows(doc(3L)))
+      .unionByName(bandRows(doc(4L)))
+    val (la, lc) = Dedup.artifactFromBandLog(log, maxBucket = 3)
+
+    val all = doc(1L, 2L, 3L, 4L).unionByName(uniq)
+    val (ra, rc) = Dedup.minhashBandTableWithCounts(all, "doc_id", "text",
+      n = 3, k = 32, bands = 16, maxBucket = 3)
+    assert(la.exceptAll(ra).isEmpty && ra.exceptAll(la).isEmpty,
+      "log-derived artifact != rebuild")
+    assert(lc.exceptAll(rc).isEmpty && rc.exceptAll(lc).isEmpty,
+      "log-derived sidecar != rebuild sidecar")
+    // The over-cap mega-bucket is dropped, the unique doc survives.
+    assert(la.filter(col("id") <= 4L).count() == 0)
+    assert(la.filter(col("id") === 100L).count() == 16)
+
+    val (a0, c0) = Dedup.minhashBandTableWithCounts(
+      doc(1L, 2L).unionByName(uniq), "doc_id", "text",
+      n = 3, k = 32, bands = 16, maxBucket = 3)
+    val (a1, c1) = Dedup.appendToBandTableWithCounts(a0, c0, doc(3L),
+      "doc_id", "text", n = 3, k = 32, bands = 16, maxBucket = 3)
+    val (a2, c2) = Dedup.appendToBandTableWithCounts(a1, c1, doc(4L),
+      "doc_id", "text", n = 3, k = 32, bands = 16, maxBucket = 3)
+    assert(a2.exceptAll(la).isEmpty && la.exceptAll(a2).isEmpty,
+      "append chain != log-derived artifact")
+    assert(c2.exceptAll(lc).isEmpty && lc.exceptAll(c2).isEmpty,
+      "append-chain sidecar != log-derived sidecar")
+    spark.catalog.clearCache()
+  }
+
   test("minhash est_jaccard is 1.0 for identical docs") {
     val est = Dedup.minhashCandidates(
       Dedup.minhashSignatures(Dedup.shingles(docs, "doc_id", "text"), 32), 8, 4)

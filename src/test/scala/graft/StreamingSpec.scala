@@ -218,6 +218,123 @@ class StreamingSpec extends SparkSpec {
       s"sidecar-carrying fold got ${got2.toSeq}, want $expected")
   }
 
+  // Shared fixtures for the durable-stream tests: trigger 1's doc shares
+  // nothing with the corpus; trigger 2's doc is a near-dup of TRIGGER 1's.
+  private lazy val durCorpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog and runs away fast", "en", "s0", 60L),
+    (2L, "completely different content about spark query engines and shuffles", "en", "s0", 60L))
+    .toDF("doc_id", "text", "lang", "source", "n_chars")
+  private lazy val durBatch1 = Seq(
+    (101L, "a freshly ingested document with its own distinct token stream", "en", "s1", 60L))
+    .toDF("doc_id", "text", "lang", "source", "n_chars")
+  private lazy val durBatch2 = Seq(
+    (201L, "a freshly ingested document with its own distinct word stream", "en", "s1", 60L))
+    .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  private def durStream(in: String) = spark.readStream
+    .schema(graft.streaming.CurationStreams.DocumentSchema)
+    .option("maxFilesPerTrigger", 1)
+    .option("latestFirst", "false")
+    .parquet(in)
+
+  private def runDurable(in: String, state: String,
+      got: scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]): Unit = {
+    val q = graft.streaming.CurationStreams.incrementalDedupStreamDurable(
+      durStream(in), durCorpus, "doc_id", "text", state,
+      n = 3, k = 32, bands = 16, threshold = 0.3) { m =>
+      got ++= m.select("batch_id", "corpus_id", "jaccard")
+        .as[(Long, Long, Double)].collect()
+    }
+    q.processAllAvailable()
+    q.stop()
+    // stop() signals; wait for full termination so the next incarnation
+    // can take over the checkpoint dir (Spark guards concurrent use).
+    q.awaitTermination(30000)
+  }
+
+  test("durable folding stream: restart from stateDir keeps earlier triggers probeable") {
+    import graft.operators.Dedup
+    val tmp = java.nio.file.Files.createTempDirectory("durable_fold").toString
+    val state = s"$tmp/state"
+    durBatch1.coalesce(1).write.parquet(s"$tmp/in")
+
+    // Incarnation 1 processes batch1 (novel vs corpus: no matches), then
+    // the query is STOPPED — simulating shutdown.
+    val got1 = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    runDurable(s"$tmp/in", state, got1)
+    assert(got1.isEmpty, s"batch1 is novel vs the corpus, got $got1")
+    for (d <- Seq(s"$state/bands/corpus", s"$state/bands/batch=0", s"$state/docs/batch=0"))
+      assert(new java.io.File(s"$d/_SUCCESS").exists, s"missing durable state: $d")
+
+    // Incarnation 2: fresh query, same stateDir. The checkpoint skips
+    // batch1's file; batch2 must still match TRIGGER 1's doc — possible
+    // only if the folded artifact (and batch1's text) survived the restart.
+    durBatch2.coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    val got2 = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    runDurable(s"$tmp/in", state, got2)
+    val expected = Dedup.incrementalMinhash(durBatch2,
+      durCorpus.unionByName(durBatch1).select("doc_id", "text"),
+      "doc_id", "text", n = 3, k = 32, bands = 16, threshold = 0.3)
+      .select("batch_id", "corpus_id", "jaccard")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(expected.exists(p => p._1 == 201L && p._2 == 101L),
+      s"fixture must produce the cross-restart pair: $expected")
+    assert(got2.sorted == expected.sorted,
+      s"restarted stream got ${got2.toSeq}, want $expected")
+
+    // Append == rebuild parity ACROSS the restart: the durable band log
+    // reconstructs exactly the artifact+sidecar a from-scratch build over
+    // corpus ∪ batch1 ∪ batch2 produces.
+    val all = durCorpus.unionByName(durBatch1).unionByName(durBatch2)
+    val (ra, rc) = Dedup.minhashBandTableWithCounts(all, "doc_id", "text",
+      n = 3, k = 32, bands = 16)
+    val (la, lc) = Dedup.artifactFromBandLog(spark.read.parquet(
+      s"$state/bands/corpus", s"$state/bands/batch=0", s"$state/bands/batch=1"))
+    assert(la.exceptAll(ra).isEmpty && ra.exceptAll(la).isEmpty,
+      "log-derived artifact != rebuild artifact")
+    assert(lc.exceptAll(rc).isEmpty && rc.exceptAll(lc).isEmpty,
+      "log-derived sidecar != rebuild sidecar")
+    spark.catalog.clearCache()
+  }
+
+  test("durable folding stream: replayed batch neither self-matches nor double-folds") {
+    import graft.operators.Dedup
+    val tmp = java.nio.file.Files.createTempDirectory("durable_replay").toString
+    val state = s"$tmp/state"
+    durBatch1.coalesce(1).write.parquet(s"$tmp/in")
+    val got1 = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    runDurable(s"$tmp/in", state, got1)
+    assert(got1.isEmpty)
+
+    // Simulate a crash AFTER the fold landed durably but BEFORE the offset
+    // commit: removing the commit marker makes the restarted stream replay
+    // batch 0 against an artifact that already contains it.
+    val commit = new java.io.File(s"$state/checkpoint/commits/0")
+    assert(commit.exists, "expected a commit marker for batch 0")
+    assert(commit.delete())
+    // The local-FS checkpoint manager writes a CRC sidecar; leaving it
+    // behind makes the replayed batch's re-commit rename fail.
+    new java.io.File(s"$state/checkpoint/commits/.0.crc").delete()
+    val got2 = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    runDurable(s"$tmp/in", state, got2)
+    assert(got2.isEmpty,
+      s"replayed batch must not match its own stored copy: ${got2.toSeq}")
+
+    // No double-fold: the log still reconstructs exactly the from-scratch
+    // build over corpus ∪ batch1 (duplicated band rows would inflate the
+    // sidecar counts).
+    val (ra, rc) = Dedup.minhashBandTableWithCounts(
+      durCorpus.unionByName(durBatch1), "doc_id", "text",
+      n = 3, k = 32, bands = 16)
+    val (la, lc) = Dedup.artifactFromBandLog(spark.read.parquet(
+      s"$state/bands/corpus", s"$state/bands/batch=0"))
+    assert(la.exceptAll(ra).isEmpty && ra.exceptAll(la).isEmpty,
+      "replay corrupted the band log")
+    assert(lc.exceptAll(rc).isEmpty && rc.exceptAll(lc).isEmpty,
+      "replay inflated the sidecar counts")
+    spark.catalog.clearCache()
+  }
+
   test("flatMapGroupsWithState running totals match batch aggregation") {
     val got = runToMemory(
       EventStreams.runningUserTotals(spark,
