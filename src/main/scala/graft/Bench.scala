@@ -86,6 +86,24 @@ object Bench {
       .config("spark.sql.maxPlanStringLength", "65536")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Per-query shuffle-bytes telemetry: wall time on a shared host swings
+    // 2-5x under co-tenant load, but a plan's shuffle volume doesn't — the
+    // bytes column is the regression signal noise can't fake. The bus is
+    // flushed around each query so stage completions land in the right
+    // delta.
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          shuffleBytes.addAndGet(
+            sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      })
+    def flushedShuffleBytes(): Long = {
+      org.apache.spark.graftbridge.ListenerBridge
+        .waitUntilListenerBusEmpty(spark.sparkContext, 10000)
+      shuffleBytes.get()
+    }
     // Warm up codegen/JIT/scan machinery so the first timed query doesn't
     // absorb session initialization.
     spark.range(1000).selectExpr("sum(id)").collect()
@@ -104,7 +122,8 @@ object Bench {
     // A query that throws reports -1 (and lands in "failed"), never its
     // wall-clock-to-exception time — a fast failure must not look like a
     // speedup in the JSON.
-    def onePass(): Seq[(String, Double, Boolean)] = benchQueries.map { q =>
+    def onePass(): Seq[(String, Double, Boolean, Long)] = benchQueries.map { q =>
+      val sb0 = flushedShuffleBytes()
       val t0 = System.nanoTime()
       // Track each query's operator-internal persists and release them
       // once the result is fully materialized: a 80+-query sweep otherwise
@@ -118,6 +137,7 @@ object Bench {
         }
       }
       val sec = (System.nanoTime() - t0) / 1e9
+      val sb = flushedShuffleBytes() - sb0
       caches.release()
       // The q40-q42 family shares memoized checkpointed intermediates;
       // after the last of them, release the block-manager memory so later
@@ -126,35 +146,40 @@ object Bench {
         graft.queries.PipelineQueries.resetCache(spark)
         spark.catalog.clearCache()
       }
-      (q.name, sec, ok)
+      (q.name, sec, ok, sb)
     }
-    val p1 = onePass().map(t => t._1 -> (t._2, t._3)).toMap
+    val p1 = onePass().map(t => t._1 -> (t._2, t._3, t._4)).toMap
     graft.queries.PipelineQueries.resetCache(spark)
     Q75Bench.release()
     spark.catalog.clearCache()
-    val p2 = onePass().map(t => t._1 -> (t._2, t._3)).toMap
+    val p2 = onePass().map(t => t._1 -> (t._2, t._3, t._4)).toMap
     Q75Bench.release()
     def r3(v: Double): Double = math.round(v * 1000).toDouble / 1000
+    // Per query: min-of-2 seconds plus the shuffle bytes of the pass that
+    // provided them (bytes are plan-determined and stable across passes).
     val results = benchQueries.map { q =>
-      val (s1, ok1) = p1(q.name); val (s2, ok2) = p2(q.name)
-      val sec =
-        if (ok1 && ok2) math.min(s1, s2)
-        else if (ok1) s1 else if (ok2) s2 else -1.0
-      q.name -> r3(sec)
+      val (s1, ok1, b1) = p1(q.name); val (s2, ok2, b2) = p2(q.name)
+      val (sec, bytes) =
+        if (ok1 && ok2) { if (s1 <= s2) (s1, b1) else (s2, b2) }
+        else if (ok1) (s1, b1) else if (ok2) (s2, b2) else (-1.0, -1L)
+      (q.name, r3(sec), bytes)
     }
-    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val failed = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = r3(results.map(_._2).filter(_ >= 0).sum)
     // Unique short key per line: the qNN prefix ("q75_artifact_build" is
     // the one bench-only extra sharing q75's number → "q75b").
     def shortKey(name: String): String =
       if (name == "q75_artifact_build") "q75b" else name.takeWhile(_ != '_')
-    val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qsFull = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val qsShort = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + v }
+    val shFull = results.map { case (k, _, b) => "\"" + k + "\":" + b }
       .mkString("{", ",", "}")
-    // Full-name line first (for humans / complete logs)…
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"failed":$failed,"sf":"$sfDir"}""")
+    val qsShort = results.map { case (k, v, _) => "\"" + shortKey(k) + "\":" + v }
+      .mkString("{", ",", "}")
+    // Full-name line first (for humans / complete logs), with the
+    // shuffle-bytes map for plan-regression tracking…
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"shuffle_bytes":$shFull,"failed":$failed,"sf":"$sfDir"}""")
     // …compact line LAST so a bounded stdout tail always captures it whole.
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsShort,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()

@@ -25,11 +25,32 @@ object GraphML {
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
       .replace("\"", "&quot;")
 
+  /** Ceiling on rows a single driver-written XML export will stream. A
+    * thresholded social network sits orders of magnitude below this; an
+    * UNFILTERED 100×-scale export would otherwise serialize the corpus
+    * through one driver thread into one file — fail fast instead. */
+  val DefaultMaxExportRows: Long = 5000000L
+
   /**
    * @param nodes (entity_id, entity_text, num_docs)
    * @param edges (src_entity_id, dst_entity_id, num_docs)
+   * @param maxRows guard over nodes+edges (see [[DefaultMaxExportRows]]);
+   *                raise deliberately, or use [[RelationalExport
+   *                .writeParquet]] for bulk distributed output. 0 disables.
    */
-  def write(nodes: DataFrame, edges: DataFrame, path: String): Unit = {
+  def write(nodes: DataFrame, edges: DataFrame, path: String,
+      maxRows: Long = DefaultMaxExportRows): Unit = {
+    if (maxRows > 0) {
+      // Two cheap count jobs before any driver-side streaming begins: the
+      // guard must trip before an oversized export starts, not midway.
+      val (nN, nE) = (nodes.count(), edges.count())
+      require(nN + nE <= maxRows,
+        s"GraphML export is a single driver-streamed XML file by contract " +
+          s"(reference SNGephiGraphML artifact); $nN nodes + $nE edges " +
+          s"exceeds maxRows=$maxRows. Export the THRESHOLDED network " +
+          s"(num_docs filter), raise maxRows deliberately, or use " +
+          s"RelationalExport.writeParquet for bulk output.")
+    }
     val w = new BufferedWriter(new FileWriter(path))
     try {
       w.write("""<?xml version="1.0" encoding="UTF-8"?>""")

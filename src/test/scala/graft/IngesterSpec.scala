@@ -64,6 +64,27 @@ class IngesterSpec extends SparkSpec {
     assert(gml.contains("JOHN SMITH"))
   }
 
+  test("GraphML export guard trips before streaming an oversized network") {
+    import graft.sinks.GraphML
+    val nodes = spark.range(0, 100)
+      .selectExpr("id AS entity_id", "concat('E', id) AS entity_text",
+        "id AS num_docs")
+    val edges = spark.range(0, 50)
+      .selectExpr("id AS src_entity_id", "id + 1 AS dst_entity_id",
+        "CAST(2 AS BIGINT) AS num_docs")
+    val path = Files.createTempDirectory("gml-guard").toString + "/g.graphml"
+    val e = intercept[IllegalArgumentException] {
+      GraphML.write(nodes, edges, path, maxRows = 100)
+    }
+    assert(e.getMessage.contains("100 nodes + 50 edges"),
+      s"guard message should carry the counts: ${e.getMessage}")
+    assert(!Files.exists(Paths.get(path)),
+      "guard must trip BEFORE the file is opened")
+    // Under the limit (and with the guard disabled) the writer works.
+    GraphML.write(nodes, edges, path, maxRows = 200)
+    assert(Files.exists(Paths.get(path)))
+  }
+
   test("per-step stages over parquet checkpoints reproduce the full run") {
     val in = writeFixtureCorpus()
     val stage = Files.createTempDirectory("graft-stage").toString

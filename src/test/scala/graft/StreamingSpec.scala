@@ -252,6 +252,69 @@ class StreamingSpec extends SparkSpec {
     q.awaitTermination(30000)
   }
 
+  test("folding stream == per-trigger batch oracle over randomized trigger splits") {
+    import graft.operators.Dedup
+    import graft.streaming.CurationStreams
+    // 3 near-dup families (long shared backbone, one variant token) + 2
+    // singletons, randomly partitioned into triggers: the stream's output
+    // must equal, trigger by trigger, the batch operator run against
+    // corpus ∪ everything-that-arrived-earlier.
+    val families = for { f <- 0 until 3; v <- 0 until 3 } yield
+      ((100 + f * 10 + v).toLong,
+        s"family $f shared backbone tokens alpha$f beta$f gamma$f delta$f epsilon$f zeta$f variant$v")
+    val singles = Seq(
+      (900L, "totally standalone text one with nothing shared at all here"),
+      (901L, "another disjoint document speaking of entirely different things"))
+    val allDocs = (families ++ singles).toList
+    val corpus = Seq(
+      (1L, "family 0 shared backbone tokens alpha0 beta0 gamma0 delta0 epsilon0 zeta0 corpusvariant"),
+      (2L, "background corpus document with miscellaneous unrelated content"))
+      .toDF("doc_id", "text")
+
+    for (seed <- Seq(7, 23)) {
+      val rnd = new scala.util.Random(seed)
+      val triggers = rnd.shuffle(allDocs).grouped(4).toList
+      val tmp = java.nio.file.Files.createTempDirectory(s"foldprop$seed").toString
+      triggers.zipWithIndex.foreach { case (t, i) =>
+        if (i > 0) Thread.sleep(1100) // distinct mtimes → deterministic order
+        t.toDF("doc_id", "text")
+          .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+          .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+      }
+      val stream = spark.readStream
+        .schema(CurationStreams.DocumentSchema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(s"$tmp/in")
+      val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      val q = CurationStreams.incrementalDedupStreamFolding(
+        stream, corpus, "doc_id", "text",
+        n = 3, k = 32, bands = 16, threshold = 0.3) { m =>
+        got ++= m.select("batch_id", "corpus_id", "jaccard")
+          .as[(Long, Long, Double)].collect()
+      }
+      q.processAllAvailable()
+      q.stop()
+      q.awaitTermination(30000)
+
+      val expected = triggers.zipWithIndex.flatMap { case (t, i) =>
+        val corpusNow = triggers.take(i).flatten
+          .foldLeft(corpus.select("doc_id", "text")) { (acc, d) =>
+            acc.unionByName(Seq(d).toDF("doc_id", "text"))
+          }
+        Dedup.incrementalMinhash(t.toDF("doc_id", "text"), corpusNow,
+          "doc_id", "text", n = 3, k = 32, bands = 16, threshold = 0.3)
+          .select("batch_id", "corpus_id", "jaccard")
+          .as[(Long, Long, Double)].collect()
+      }
+      assert(expected.nonEmpty, s"seed $seed must produce matches")
+      assert(got.sorted == expected.sorted,
+        s"seed $seed: stream ${got.sorted} != batch ${expected.sorted}")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("durable folding stream: restart from stateDir keeps earlier triggers probeable") {
     import graft.operators.Dedup
     val tmp = java.nio.file.Files.createTempDirectory("durable_fold").toString
