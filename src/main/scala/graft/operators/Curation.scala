@@ -88,6 +88,58 @@ object Curation {
   }
 
   /**
+   * Budgeted corpus selection — the data-constrained-training step: given
+   * a quality score per document, keep the BEST documents until a global
+   * token budget is exhausted (a doc whose selection STARTS inside the
+   * budget is kept whole). Deterministic total order: (score desc, id asc).
+   *
+   * Input: (id, score, n_tokens) with score in [0, 1] (any quality metric
+   * — [[TextAnalysis.qualityScore]] ratios, [[referenceLmQuality]], a
+   * model score — out-of-range scores clamp into the edge bins, which
+   * degrades binning granularity, never correctness). Output: the selected
+   * rows, same columns.
+   *
+   * Scale story: the naive plan is a GLOBAL sort + running token sum —
+   * one totally-ordered window partition over the corpus. Instead:
+   * (1) histogram score into `bins` buckets (one small shuffle, ≤ bins
+   * rows collected); (2) a driver prefix-sum over the histogram picks the
+   * boundary bucket — buckets above it are kept whole, below it dropped,
+   * with NO ordering of the corpus at all; (3) only the boundary bucket's
+   * docs (≈ 1/bins of the corpus) pay the ordered running-sum window.
+   * Degenerate case: if most docs share one score they share one bucket
+   * and step 3 approaches the naive plan — raise `bins` or pre-jitter the
+   * score's low-order digits.
+   */
+  def selectByTokenBudget(scored: DataFrame, tokenBudget: Long,
+      bins: Int = 1024): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    val base = scored.select(col("id"), col("score"), col("n_tokens"))
+    if (tokenBudget <= 0L) return base.filter(lit(false))
+    val binned = CacheScope.pin(base.withColumn("bin",
+      least(greatest(floor(col("score") * bins).cast("int"), lit(0)),
+        lit(bins - 1))))
+    // O(bins) driver histogram — same boundary-stitch budget as
+    // SortedSegments (collect is bounded by `bins`, never by data).
+    val sums = binned.groupBy(col("bin"))
+      .agg(sum(col("n_tokens")).as("toks"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(-_._1)
+    var cum = 0L
+    var boundary = -1
+    var before = 0L
+    for ((b, t) <- sums if boundary < 0)
+      if (cum + t > tokenBudget) { boundary = b; before = cum } else cum += t
+    if (boundary < 0) return binned.drop("bin") // whole corpus fits
+    val full = binned.filter(col("bin") > boundary).drop("bin")
+    val w = Window.orderBy(col("score").desc, col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundarySel = binned.filter(col("bin") === boundary)
+      .withColumn("cb", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .filter(col("cb") < tokenBudget - before)
+      .drop("cb", "bin")
+    full.unionByName(boundarySel)
+  }
+
+  /**
    * (id, ti, tok): whitespace tokens with RE-INDEXED positions — empty
    * tokens are removed BEFORE numbering, so positions are insensitive to
    * leading/duplicate whitespace. This is the cross-operator position

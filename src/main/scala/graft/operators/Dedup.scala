@@ -95,16 +95,28 @@ object Dedup {
   sealed trait Overflow
   object Overflow {
     case object Drop extends Overflow
+    /** Sub-bucket over-cap buckets by xxhash64(id) — the default salt. */
     case object Salt extends Overflow
+    /** [[Salt]] with a caller-supplied salt hash over the id column —
+      * e.g. [[portableSalt]] to put the salted pipeline under a DuckDB
+      * oracle (xxhash64 has no cross-engine mirror). The expression must
+      * be deterministic and return a non-negative integral column. */
+    final case class SaltWith(saltHash: Column => Column) extends Overflow
   }
+
+  /** Engine-portable salt hash: first 8 md5 hex digits of the id as a
+    * long (DuckDB mirror: `CAST('0x' || substr(md5(CAST(id AS VARCHAR)),
+    * 1, 8) AS BIGINT)`). */
+  val portableSalt: Column => Column = id =>
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long")
 
   /** [[capBuckets]] under [[Overflow.Salt]]: instead of dropping over-cap
     * buckets, adds a `bsalt` sub-bucket column (0 for under-cap buckets;
     * hash(idCol) mod ceil(bsz/cap) above it) that the caller must include
     * in its pair-join keys. minBucket filtering matches [[capBuckets]]. */
   private[graft] def capBucketsSalted(df: DataFrame, keyCols: Seq[String],
-      maxBucket: Int, minBucket: Int = 2,
-      idCol: String = "id"): DataFrame = {
+      maxBucket: Int, minBucket: Int = 2, idCol: String = "id",
+      saltHash: Column => Column = xxhash64(_)): DataFrame = {
     if (maxBucket <= 0 && minBucket <= 1) return df.withColumn("bsalt", lit(0))
     val upper = if (maxBucket > 0) maxBucket.toLong else Long.MaxValue
     val counts = df.groupBy(keyCols.map(col): _*)
@@ -114,7 +126,7 @@ object Dedup {
     df.join(counts, keyCols)
       .withColumn("bsalt",
         when(col("bsz") <= upper, lit(0))
-          .otherwise(pmod(xxhash64(col(idCol)), nSub).cast("int")))
+          .otherwise(pmod(saltHash(col(idCol)), nSub).cast("int")))
       .drop("bsz")
   }
 
@@ -223,6 +235,9 @@ object Dedup {
       case Overflow.Salt =>
         (CacheScope.pin(capBucketsSalted(banded, Seq("band", "bh"), maxBucket)),
           Seq("band", "bh", "bsalt"))
+      case Overflow.SaltWith(f) =>
+        (CacheScope.pin(capBucketsSalted(banded, Seq("band", "bh"), maxBucket,
+          saltHash = f)), Seq("band", "bh", "bsalt"))
     }
     val a = capped.select((joinKeys.map(col) :+
       col("id").as("id_a") :+ col("sig").as("sig_a")): _*)

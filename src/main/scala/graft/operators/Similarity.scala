@@ -266,6 +266,9 @@ object Similarity {
       case Dedup.Overflow.Salt =>
         (CacheScope.pin(Dedup.capBucketsSalted(cells, Seq("cell"), maxCell)),
           Seq("cell", "bsalt"))
+      case Dedup.Overflow.SaltWith(f) =>
+        (CacheScope.pin(Dedup.capBucketsSalted(cells, Seq("cell"), maxCell,
+          saltHash = f)), Seq("cell", "bsalt"))
     }
     val a = capped.select((joinKeys.map(col) :+
       col("id").as("id_a") :+ col("vec").as("vec_a")): _*)

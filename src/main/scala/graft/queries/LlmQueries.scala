@@ -1274,7 +1274,142 @@ object LlmQueries {
              SELECT CAST(rank AS INT) AS rank, tok, n,
                round(cum / CAST(t.total AS DOUBLE), 6) AS cum_coverage
              FROM ranked CROSS JOIN total t
-             WHERE rank <= 500"""))
+             WHERE rank <= 500""")),
+
+    // ---- Budgeted corpus selection (data-constrained training): keep the
+    // highest-quality docs (distinct-token ratio here; any score plugs in)
+    // until a global token budget is exhausted. Spark runs the two-phase
+    // histogram plan (driver prefix over ≤1024 bins + boundary-bin window,
+    // never a corpus-wide ordered window); DuckDB computes the global
+    // greedy directly — the hash compare proves the phases agree, ties
+    // pinned by (score desc, id). Distinct-ratio scoring is two-level
+    // (id, tok) → id, avoiding the distinct-agg Expand (see q53).
+    Q("q82_budget_selection",
+      (s, d) => {
+        val toks = T.documents(s, d)
+          .select(col("doc_id").as("id"),
+            explode(split(col("text"), "\\s+")).as("tok"))
+          .filter(col("tok") =!= "")
+        val scored = toks.groupBy(col("id"), col("tok"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("id"))
+          .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("nd"))
+          .select(col("id"),
+            round(col("nd").cast("double") / col("n_tokens"), 6).as("score"),
+            col("n_tokens"))
+        Curation.selectByTokenBudget(scored, tokenBudget = 20000L)
+          .orderBy(col("id"))
+      },
+      Some("""WITH toks AS (
+               SELECT id, tok FROM (
+                 SELECT doc_id AS id,
+                   unnest(string_split_regex(text, '\s+')) AS tok
+                 FROM documents)
+               WHERE tok <> ''),
+             scored AS (
+               SELECT id, count(*) AS n_tokens,
+                 round(CAST(count(DISTINCT tok) AS DOUBLE) / count(*), 6)
+                   AS score
+               FROM toks GROUP BY id),
+             ordered AS (
+               SELECT *, sum(n_tokens) OVER (ORDER BY score DESC, id
+                 ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_before
+               FROM scored)
+             SELECT id, score, n_tokens FROM ordered
+             WHERE cum_before < 20000 ORDER BY id""")),
+
+    // ---- Salted LSH overflow under the hash gate: q43's pipeline with a
+    // deliberately tiny bucket cap (2 — sf0.01's largest real buckets
+    // hold 3 docs, so they genuinely overflow), and
+    // Overflow.SaltWith(portableSalt) instead of dropping them — the
+    // whole sub-bucket assignment (ceil(bsz/cap) sub-buckets keyed by the
+    // first 8 md5 hex digits of the id) is replicated in DuckDB, proving
+    // the bounded-cost recovery path pair-for-pair, not just spec-level.
+    Q("q83_salted_neardup",
+      (s, d) => Dedup.minhashDedup(T.documents(s, d), "doc_id", "text",
+        n = 3, k = 32, bands = 8, threshold = 0.05, maxBucket = 2,
+        hash = Dedup.PortableMd5Family,
+        overflow = Dedup.Overflow.SaltWith(Dedup.portableSalt))
+        .orderBy(col("id_a"), col("id_b")),
+      Some("""WITH mem AS (
+               SELECT doc_id AS id, text,
+                 min(doc_id) OVER (PARTITION BY text) AS rep
+               FROM documents),
+             reps AS (SELECT id, text FROM mem WHERE id = rep),
+             toks AS (
+               SELECT id, i, tok FROM (
+                 SELECT id, unnest(l) AS tok, unnest(range(len(l))) AS i
+                 FROM (SELECT id, string_split_regex(text, '\s+') AS l
+                       FROM reps))
+               WHERE tok <> ''),
+             seq AS (
+               SELECT id, tok, lead(tok,1) OVER w AS t1,
+                 lead(tok,2) OVER w AS t2
+               FROM toks WINDOW w AS (PARTITION BY id ORDER BY i)),
+             sh AS (
+               SELECT DISTINCT id, md5(tok || ' ' || t1 || ' ' || t2) AS shingle
+               FROM seq WHERE t2 IS NOT NULL),
+             mh AS (
+               SELECT id, k, min(md5(CAST(k AS VARCHAR) || '|' || shingle)) AS h
+               FROM sh CROSS JOIN range(32) AS t(k) GROUP BY id, k),
+             bands AS (
+               SELECT id,
+                 md5(CAST(k // 4 AS VARCHAR) || '|' ||
+                     string_agg(h, '|' ORDER BY k)) AS bh,
+                 k // 4 AS band
+               FROM mh GROUP BY id, k // 4),
+             counts AS (
+               SELECT band, bh, count(*) AS bsz FROM bands GROUP BY band, bh),
+             salted AS (
+               SELECT b.id, b.band, b.bh,
+                 CASE WHEN c.bsz <= 2 THEN 0
+                   ELSE CAST('0x' || substr(md5(CAST(b.id AS VARCHAR)), 1, 8)
+                          AS BIGINT) % ((c.bsz + 1) // 2) END AS bsalt
+               FROM bands b JOIN counts c USING (band, bh)
+               WHERE c.bsz >= 2),
+             cand AS (
+               SELECT DISTINCT a.id AS id_a, b.id AS id_b
+               FROM salted a JOIN salted b USING (band, bh, bsalt)
+               WHERE a.id < b.id),
+             est AS (
+               SELECT c.id_a, c.id_b,
+                 sum(CASE WHEN x.h = y.h THEN 1 ELSE 0 END) / 32.0
+                   AS est_jaccard
+               FROM cand c
+               JOIN mh x ON x.id = c.id_a
+               JOIN mh y ON y.id = c.id_b AND y.k = x.k
+               GROUP BY 1, 2),
+             sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+             shared AS (
+               SELECT c.id_a, c.id_b, count(*) AS shared
+               FROM cand c
+               JOIN sh a ON a.id = c.id_a
+               JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+               GROUP BY 1, 2),
+             rep_pairs AS (
+               SELECT e.id_a, e.id_b,
+                 round(e.est_jaccard, 6) AS est_jaccard,
+                 round(coalesce(s.shared, 0) /
+                   (sa.sz + sb.sz - coalesce(s.shared, 0)), 6) AS jaccard
+               FROM est e
+               LEFT JOIN shared s ON e.id_a = s.id_a AND e.id_b = s.id_b
+               JOIN sizes sa ON sa.id = e.id_a
+               JOIN sizes sb ON sb.id = e.id_b
+               WHERE coalesce(s.shared, 0) /
+                 (sa.sz + sb.sz - coalesce(s.shared, 0)) >= 0.05),
+             cross_pairs AS (
+               SELECT least(ma.id, mb.id) AS id_a,
+                 greatest(ma.id, mb.id) AS id_b, p.est_jaccard, p.jaccard
+               FROM rep_pairs p
+               JOIN mem ma ON ma.rep = p.id_a
+               JOIN mem mb ON mb.rep = p.id_b),
+             within_pairs AS (
+               SELECT a.id AS id_a, b.id AS id_b,
+                 CAST(1.0 AS DOUBLE) AS est_jaccard,
+                 CAST(1.0 AS DOUBLE) AS jaccard
+               FROM mem a JOIN mem b ON a.rep = b.rep AND a.id < b.id)
+             SELECT * FROM cross_pairs
+             UNION ALL SELECT * FROM within_pairs"""))
   )
 
   /** Shared DuckDB CTEs for q77/q78: re-indexed tokens, lead-built

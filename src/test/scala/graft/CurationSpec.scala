@@ -208,6 +208,28 @@ class CurationSpec extends SparkSpec {
     assert(hits.value > 0L, "sanity: the tap UDF does run on real execution")
   }
 
+  test("selectByTokenBudget: greedy-by-score selection with boundary ties and edges") {
+    // Scores spread across bins; ids 4/5 tie at 0.5 — the (score desc, id)
+    // order must break the tie toward the smaller id at the boundary.
+    val scored = Seq(
+      (1L, 0.9, 100L), // cum_before   0
+      (2L, 0.8, 200L), // cum_before 100
+      (3L, 0.6, 300L), // cum_before 300
+      (4L, 0.5, 250L), // cum_before 600
+      (5L, 0.5, 250L), // cum_before 850 — starts inside budget 900, kept
+      (6L, 0.2, 400L)  // cum_before 1100 — out
+    ).toDF("id", "score", "n_tokens")
+    def sel(budget: Long) = Curation.selectByTokenBudget(scored, budget)
+      .select("id").as[Long].collect().toSet
+    assert(sel(900L) == Set(1L, 2L, 3L, 4L, 5L), s"greedy fill: ${sel(900L)}")
+    assert(sel(850L) == Set(1L, 2L, 3L, 4L), "doc starting AT the budget is out")
+    assert(sel(601L) == Set(1L, 2L, 3L, 4L), "doc STARTING inside is kept whole")
+    assert(sel(10000L) == Set(1L, 2L, 3L, 4L, 5L, 6L), "budget beyond total keeps all")
+    assert(sel(0L).isEmpty && sel(-5L).isEmpty, "non-positive budget selects nothing")
+    assert(sel(50L) == Set(1L), "tiny budget keeps only the best doc (whole)")
+    spark.catalog.clearCache()
+  }
+
   test("segmentDedup: AQE broadcasts the small boilerplate set at runtime; hint agrees") {
     val boiler = "all rights reserved click here to subscribe now please"
     val docs = (0L until 20L)
