@@ -77,14 +77,18 @@ object CacheScope {
     * persist when none is active). Operator-internal entry point. */
   private[graft] def pin(df: DataFrame,
       level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
-    if (checkpointMode) {
+    val buf = active.get
+    // Checkpoint pinning only INSIDE a tracking scope: an unscoped
+    // checkpoint's blocks are RDD-level caches that neither the caller's
+    // DataFrame.unpersist nor spark.catalog.clearCache can reach — a
+    // persist at least stays releasable. Bench/Verify wrap every query in
+    // tracking, so the harness path always takes the checkpoint branch.
+    if (checkpointMode && buf != null) {
       val out = df.localCheckpoint(true)
-      val buf = active.get
-      if (buf != null) buf.checkpoints += (() => unpinCheckpoint(out))
+      buf.checkpoints += (() => unpinCheckpoint(out))
       out
     } else {
       val out = df.persist(level)
-      val buf = active.get
       if (buf != null) buf.frames += out
       out
     }
