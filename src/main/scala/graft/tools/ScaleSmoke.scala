@@ -92,6 +92,42 @@ object ScaleSmoke {
         graft.operators.Curation.curate(df, "doc_id", "text", "lang",
           graft.operators.Curation.CurationConfig(nShards = 32))
       }
+      // Round-4 additions. Salted overflow at a deliberately small cap:
+      // every size-m near-dup cluster's band buckets overflow at m > 5,
+      // so the sub-bucketing path is actually exercised as m grows.
+      runOnce("minhash_salted_cap5") {
+        graft.operators.Dedup.minhashDedup(df, "doc_id", "text",
+          n = 3, k = 32, bands = 8, threshold = 0.5, maxBucket = 5,
+          overflow = graft.operators.Dedup.Overflow.Salt)
+      }
+      // Budgeted selection: fixed 100k-token budget — the histogram +
+      // boundary-bin plan should hold near-flat as the corpus grows.
+      runOnce("budget_selection") {
+        val toks = df.select(col("doc_id").as("id"),
+          explode(split(col("text"), "\\s+")).as("tok"))
+          .filter(col("tok") =!= "")
+        val scored = toks.groupBy(col("id"), col("tok"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("id"))
+          .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("nd"))
+          .select(col("id"),
+            round(col("nd").cast("double") / col("n_tokens"), 6).as("score"),
+            col("n_tokens"))
+        graft.operators.Curation.selectByTokenBudget(scored, 100000L)
+      }
+      // Incremental probe at its production operating point: the corpus
+      // artifact prebuilt OUTSIDE the timed region (both sides still grow
+      // with m here; production holds the batch fixed).
+      val corpusSide = df.filter(pmod(col("doc_id"), lit(5)) =!= 4)
+      val batchSide = df.filter(pmod(col("doc_id"), lit(5)) === 4)
+      val art = graft.operators.Dedup.minhashBandTable(corpusSide,
+        "doc_id", "text", n = 3, k = 32, bands = 8).localCheckpoint(true)
+      runOnce("incremental_probe") {
+        graft.operators.Dedup.incrementalMinhash(batchSide, corpusSide,
+          "doc_id", "text", n = 3, k = 32, bands = 8, threshold = 0.5,
+          corpusBands = Some(art))
+      }
+      graft.operators.CacheScope.unpinCheckpoint(art)
       graft.queries.PipelineQueries.resetCache(spark)
       spark.catalog.clearCache()
     }
