@@ -226,6 +226,45 @@ object Curation {
   }
 
   /**
+   * Temperature-based mixture resampling (the UniMax/mT5-style language
+   * or source balancing step): sample stratum s at rate
+   * `min(1, targetFrac · N · n_s^(α−1) / Σ_t n_t^α)` — α = 1 reproduces
+   * uniform sampling at `targetFrac`; α < 1 flattens the mixture,
+   * upsampling rare strata RELATIVE to common ones while holding the
+   * overall expected doc budget at ~targetFrac·N (exactly, when no rate
+   * clamps at 1). Selection is the same deterministic content-hash draw
+   * as [[stratifiedSample]] (leakage-safe, RNG-free, engine-portable).
+   *
+   * Scale shape: the stratum-count frame is tiny (one row per stratum) —
+   * the Σ n^α denominator is a broadcast 1-row aggregate over it and the
+   * per-stratum rates broadcast back into the corpus-side join; the
+   * corpus itself is never shuffled. Rates are rounded to 6 decimals
+   * BEFORE the threshold compare so both engines threshold the same
+   * number (pow/summation may differ in final ULPs across engines).
+   * Returns (id, stratum, rate) for the selected docs.
+   */
+  def temperatureSample(df: DataFrame, idCol: String, textCol: String,
+      strataCol: String, alpha: Double,
+      targetFrac: Double): DataFrame = {
+    require(alpha > 0.0, s"alpha must be positive: $alpha")
+    require(targetFrac >= 0.0 && targetFrac <= 1.0,
+      s"targetFrac out of [0,1]: $targetFrac")
+    val counts = df.groupBy(col(strataCol).as("stratum"))
+      .agg(count(lit(1)).as("n_s"))
+    val denom = counts.agg(
+      sum(pow(col("n_s"), alpha)).as("denom"),
+      sum(col("n_s")).as("n_total"))
+    val rates = counts.crossJoin(broadcast(denom))
+      .select(col("stratum"),
+        round(least(lit(1.0), lit(targetFrac) * col("n_total") *
+          pow(col("n_s"), alpha - 1.0) / col("denom")), 6).as("rate"))
+    df.join(broadcast(rates), col(strataCol) === col("stratum"))
+      .filter(conv(substring(md5(col(textCol)), 1, 8), 16, 10).cast("long")
+        < col("rate") * 4294967296.0)
+      .select(col(idCol).as("id"), col("stratum"), col("rate"))
+  }
+
+  /**
    * Full corpus-curation pipeline — the standard pretraining-data
    * preparation flow, composed from this file's operators plus the dedup
    * family: exact dedup → MinHash near-dup removal → quality filter

@@ -1409,7 +1409,34 @@ object LlmQueries {
                  CAST(1.0 AS DOUBLE) AS jaccard
                FROM mem a JOIN mem b ON a.rep = b.rep AND a.id < b.id)
              SELECT * FROM cross_pairs
-             UNION ALL SELECT * FROM within_pairs"""))
+             UNION ALL SELECT * FROM within_pairs""")),
+
+    // ---- Temperature mixture resampling (UniMax/mT5 balancing): α = 0.5
+    // flattens the language mixture — rare strata sampled at a HIGHER
+    // rate than common ones — while the content-hash draw keeps selection
+    // deterministic and leakage-safe. Rates round to 6 before the
+    // threshold compare (pow/summation last-ULP portability); both
+    // engines turn the first 8 md5 hex digits into the same integer.
+    Q("q84_temperature_sample",
+      (s, d) => Curation.temperatureSample(T.documents(s, d),
+        "doc_id", "text", "lang", alpha = 0.5, targetFrac = 0.5)
+        .orderBy(col("id")),
+      Some("""WITH counts AS (
+               SELECT lang AS stratum, count(*) AS n_s
+               FROM documents GROUP BY lang),
+             tot AS (
+               SELECT sum(pow(n_s, 0.5)) AS denom, sum(n_s) AS n_total
+               FROM counts),
+             rates AS (
+               SELECT stratum,
+                 round(least(1.0, 0.5 * t.n_total * pow(n_s, -0.5) /
+                   t.denom), 6) AS rate
+               FROM counts CROSS JOIN tot t)
+             SELECT d.doc_id AS id, r.stratum, r.rate
+             FROM documents d JOIN rates r ON d.lang = r.stratum
+             WHERE CAST('0x' || substr(md5(d.text), 1, 8) AS BIGINT)
+               < r.rate * 4294967296
+             ORDER BY id"""))
   )
 
   /** Shared DuckDB CTEs for q77/q78: re-indexed tokens, lead-built

@@ -230,6 +230,42 @@ class CurationSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("temperatureSample: flattened rates match hand computation; draw is deterministic") {
+    // Strata A: 8 docs, B: 2 docs; alpha = 0.5, targetFrac = 0.5.
+    // denom = sqrt(8) + sqrt(2); rate_s = 0.5 * 10 * n_s^-0.5 / denom:
+    //   rate_A = 5 / (sqrt(8) * denom) = 0.416667
+    //   rate_B = 5 / (sqrt(2) * denom) = 0.833333  — rare stratum upsampled
+    val docs = ((0 until 8).map(i => (i.toLong, s"alpha doc number $i", "A")) ++
+      (8 until 10).map(i => (i.toLong, s"beta doc number $i", "B")))
+      .toDF("doc_id", "text", "lang")
+    val out = Curation.temperatureSample(docs, "doc_id", "text", "lang",
+      alpha = 0.5, targetFrac = 0.5)
+    val rates = out.select("stratum", "rate").distinct()
+      .as[(String, Double)].collect().toMap
+    val denom = math.sqrt(8) + math.sqrt(2)
+    def expect(n: Int) =
+      math.round(0.5 * 10 * math.pow(n, -0.5) / denom * 1e6) / 1e6
+    // rates surface only for strata with at least one selected doc
+    rates.foreach { case (s, r) =>
+      val want = if (s == "A") expect(8) else expect(2)
+      assert(r == want, s"stratum $s rate $r != $want")
+    }
+    assert(expect(2) > expect(8), "alpha < 1 must upsample the rare stratum")
+    // deterministic: the same input selects the same ids
+    val ids1 = out.select("id").as[Long].collect().sorted.toSeq
+    val ids2 = Curation.temperatureSample(docs, "doc_id", "text", "lang",
+      alpha = 0.5, targetFrac = 0.5).select("id").as[Long].collect().sorted.toSeq
+    assert(ids1 == ids2)
+    // alpha = 1 degenerates to uniform targetFrac for every stratum
+    val uni = Curation.temperatureSample(docs, "doc_id", "text", "lang",
+      alpha = 1.0, targetFrac = 0.5).select("rate").distinct()
+      .as[Double].collect().toSet
+    assert(uni.subsetOf(Set(0.5)), s"alpha=1 rates must all be targetFrac: $uni")
+    // targetFrac = 1 with alpha = 1 keeps everything
+    assert(Curation.temperatureSample(docs, "doc_id", "text", "lang",
+      alpha = 1.0, targetFrac = 1.0).count() == 10)
+  }
+
   test("segmentDedup: AQE broadcasts the small boilerplate set at runtime; hint agrees") {
     val boiler = "all rights reserved click here to subscribe now please"
     val docs = (0L until 20L)
