@@ -115,9 +115,12 @@ object Curation {
     require(bins > 0, "bins must be positive")
     val base = scored.select(col("id"), col("score"), col("n_tokens"))
     if (tokenBudget <= 0L) return base.filter(lit(false))
+    // Clamp on the DOUBLE before the int cast: under ANSI mode (the
+    // Spark 4 default) an out-of-[0,1] score would otherwise overflow
+    // the cast and kill the job instead of landing in an edge bin.
     val binned = CacheScope.pin(base.withColumn("bin",
-      least(greatest(floor(col("score") * bins).cast("int"), lit(0)),
-        lit(bins - 1))))
+      least(greatest(floor(col("score") * bins), lit(0.0)),
+        lit((bins - 1).toDouble)).cast("int")))
     // O(bins) driver histogram — same boundary-stitch budget as
     // SortedSegments (collect is bounded by `bins`, never by data).
     val sums = binned.groupBy(col("bin"))
@@ -249,7 +252,12 @@ object Curation {
     require(alpha > 0.0, s"alpha must be positive: $alpha")
     require(targetFrac >= 0.0 && targetFrac <= 1.0,
       s"targetFrac out of [0,1]: $targetFrac")
-    val counts = df.groupBy(col(strataCol).as("stratum"))
+    // Narrow to aliased columns FIRST: joining rates back by the raw
+    // strataCol would be ambiguous if the input already carries a column
+    // named "stratum" (or "rate").
+    val base = df.select(col(idCol).as("id"), col(textCol).as("text"),
+      col(strataCol).as("stratum"))
+    val counts = base.groupBy(col("stratum"))
       .agg(count(lit(1)).as("n_s"))
     val denom = counts.agg(
       sum(pow(col("n_s"), alpha)).as("denom"),
@@ -258,10 +266,10 @@ object Curation {
       .select(col("stratum"),
         round(least(lit(1.0), lit(targetFrac) * col("n_total") *
           pow(col("n_s"), alpha - 1.0) / col("denom")), 6).as("rate"))
-    df.join(broadcast(rates), col(strataCol) === col("stratum"))
-      .filter(conv(substring(md5(col(textCol)), 1, 8), 16, 10).cast("long")
+    base.join(broadcast(rates), Seq("stratum"))
+      .filter(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long")
         < col("rate") * 4294967296.0)
-      .select(col(idCol).as("id"), col("stratum"), col("rate"))
+      .select(col("id"), col("stratum"), col("rate"))
   }
 
   /**

@@ -206,11 +206,14 @@ object Dedup {
     val upper = if (maxBucket > 0) maxBucket.toLong else Long.MaxValue
     rows.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("bsz"))
+      // coalesce: a global agg over ZERO buckets (empty input) yields
+      // NULL sums/max — alert thresholds comparing NULL never fire.
       .agg(count(lit(1)).as("n_buckets"),
-        sum(when(col("bsz") > upper, 1L).otherwise(0L)).as("n_buckets_over"),
-        sum(when(col("bsz") > upper, col("bsz")).otherwise(0L))
-          .as("n_rows_over"),
-        max(col("bsz")).as("max_bucket_size"))
+        coalesce(sum(when(col("bsz") > upper, 1L).otherwise(0L)), lit(0L))
+          .as("n_buckets_over"),
+        coalesce(sum(when(col("bsz") > upper, col("bsz")).otherwise(0L)),
+          lit(0L)).as("n_rows_over"),
+        coalesce(max(col("bsz")), lit(0L)).as("max_bucket_size"))
   }
 
   /**

@@ -179,15 +179,21 @@ object Multimodal {
           // A frame that fails to read/re-encode is SKIPPED, not
           // substituted: emitting placeholder bytes here would hand
           // downstream resize/embed stages garbage indistinguishable
-          // from a real PNG (the whole-asset undecodable case already
-          // falls back to HashCodec below).
+          // from a real PNG.
           try {
             val baos = new java.io.ByteArrayOutputStream()
             javax.imageio.ImageIO.write(r.read(i), "png", baos)
             Some(FrameSample(a.asset_id, i, baos.toByteArray))
           } catch { case _: Exception => None }
         }.toList // materialize inside the reader scope (disposed on exit)
-      }.map(_.iterator).getOrElse(HashCodec.sampleFrames(a, every))
+      } match {
+        // Reader failed to open, OR it opened but EVERY frame failed
+        // (e.g. a truncated container with a parseable header): fall back
+        // to HashCodec so the asset stays visible to frame-level
+        // consumers instead of silently vanishing.
+        case Some(fs) if fs.nonEmpty => fs.iterator
+        case _ => HashCodec.sampleFrames(a, every)
+      }
 
     def resize(a: MediaAsset, width: Int, height: Int): Array[Byte] =
       readImage(a.content).map { img =>

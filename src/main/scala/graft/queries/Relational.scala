@@ -516,8 +516,11 @@ object Relational {
         .groupBy(col("o_orderstatus"), col("o_custkey"))
         .agg(count(lit(1)).as("nk"))
         .groupBy(col("o_orderstatus"))
+        // count(o_custkey), not count(1): a NULL custkey forms a level-1
+        // group too, and countDistinct (the semantics this rewrite
+        // replaces) never counted NULLs.
         .agg(approx_count_distinct(col("o_custkey"), 0.01).as("approx_customers"),
-          count(lit(1)).as("exact_customers"),
+          count(col("o_custkey")).as("exact_customers"),
           sum(col("nk")).as("n"))
         // The HLL estimate itself is engine-specific, so it is NOT an
         // oracle column; what IS oracle-checked is the exact count, n, and

@@ -314,8 +314,12 @@ object CurationStreams {
                 val folded = folded0.localCheckpoint(true); staged += folded
                 val ncounts = newCounts0.get.localCheckpoint(true)
                 staged += ncounts
-                val batchDocs = batch.select(col(idCol), col(textCol))
-                  .localCheckpoint(true); staged += batchDocs
+                // Later-trigger text comes from the durable dir just
+                // written (the same source the restart bootstrap reads):
+                // a third in-memory copy via localCheckpoint would pin the
+                // entire arrived-text history in block-manager storage for
+                // the stream's lifetime.
+                val batchDocs = spark.read.parquet(docsDir(batchId))
                 unpin(artifact); unpin(counts)
                 artifact = folded
                 counts = ncounts

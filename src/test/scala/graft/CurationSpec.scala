@@ -227,6 +227,15 @@ class CurationSpec extends SparkSpec {
     assert(sel(10000L) == Set(1L, 2L, 3L, 4L, 5L, 6L), "budget beyond total keeps all")
     assert(sel(0L).isEmpty && sel(-5L).isEmpty, "non-positive budget selects nothing")
     assert(sel(50L) == Set(1L), "tiny budget keeps only the best doc (whole)")
+    // Out-of-[0,1] scores clamp into the edge bins (an unclamped
+    // floor(score*bins) int cast would overflow under ANSI mode).
+    val wild = Seq((1L, 3.0e6, 10L), (2L, -4.5, 20L), (3L, 0.5, 30L))
+      .toDF("id", "score", "n_tokens")
+    // Greedy order 1 (bin 1023), 3 (bin 512), 2 (bin 0): doc 3 STARTS at
+    // cum 10 < 15 so it is kept whole; doc 2 starts at 40, out.
+    val got = Curation.selectByTokenBudget(wild, 15L)
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(1L, 3L), s"clamped-edge greedy selection: $got")
     spark.catalog.clearCache()
   }
 
@@ -263,6 +272,10 @@ class CurationSpec extends SparkSpec {
     assert(uni.subsetOf(Set(0.5)), s"alpha=1 rates must all be targetFrac: $uni")
     // targetFrac = 1 with alpha = 1 keeps everything
     assert(Curation.temperatureSample(docs, "doc_id", "text", "lang",
+      alpha = 1.0, targetFrac = 1.0).count() == 10)
+    // strata column literally named "stratum" must not be ambiguous
+    val named = docs.withColumnRenamed("lang", "stratum")
+    assert(Curation.temperatureSample(named, "doc_id", "text", "stratum",
       alpha = 1.0, targetFrac = 1.0).count() == 10)
   }
 

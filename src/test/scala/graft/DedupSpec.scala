@@ -288,6 +288,11 @@ class DedupSpec extends SparkSpec {
     val unbounded = Dedup.bucketOverflowStats(banded, Seq("band", "bh"), 0)
       .as[(Long, Long, Long, Long)].head()
     assert(unbounded._2 == 0 && unbounded._3 == 0)
+    // Empty input yields zeros, not NULLs (alert thresholds vs NULL
+    // silently never fire).
+    val empty = Dedup.bucketOverflowStats(banded.filter(lit(false)),
+      Seq("band", "bh"), cap).as[(Long, Long, Long, Long)].head()
+    assert(empty == ((0L, 0L, 0L, 0L)), s"empty-input stats: $empty")
     spark.catalog.clearCache()
   }
 
