@@ -309,7 +309,8 @@ object Curation {
     val nearPairs = Dedup
       .minhashDedup(exactKept, "id", "text", n = cfg.shingleN,
         k = cfg.minhashK, bands = cfg.minhashBands,
-        threshold = cfg.minhashThreshold, hash = cfg.minhashHash)
+        threshold = cfg.minhashThreshold, maxBucket = cfg.minhashMaxBucket,
+        hash = cfg.minhashHash, overflow = cfg.minhashOverflow)
     val nearDrop =
       if (cfg.clusterDedup)
         Dedup.neardupClustersFromPairs(nearPairs)
@@ -328,7 +329,7 @@ object Curation {
       .select("id", "text", "stratum", "n_tokens")
       .transform(CacheScope.pin(_))
 
-    val clean = cfg.benchmark match {
+    val clean0 = cfg.benchmark match {
       case Some(b) =>
         val flagged = decontaminate(quality, b.select(col(idCol).as("id"),
           col(textCol).as("text")), "id", "text", cfg.decontaminateN)
@@ -336,6 +337,14 @@ object Curation {
           Seq("id"), "left_semi")
       case None => quality
     }
+    // The temperature/budget stages run small aggregations OVER the clean
+    // frame and join the survivors back — pin it so those extra traversals
+    // don't re-execute the decontamination branch (quality is pinned, the
+    // decontaminate semi-join above is not).
+    val clean =
+      if (cfg.temperature.isDefined || cfg.tokenBudget.isDefined)
+        CacheScope.pin(clean0)
+      else clean0
     // The tail stages are inlined as column expressions rather than joins
     // against `contentSplit`/`stratifiedSample`/`packSequences` applied to
     // the same frame: a self-join would re-execute the whole un-persisted
@@ -343,17 +352,47 @@ object Curation {
     // measured 48 s vs ~10 s for q73 at sf0.1. Formulas are identical to
     // the standalone operators (which remain the composable/oracle-checked
     // forms).
-    val sampled =
-      if (cfg.sampleRates.isEmpty) clean
-      else {
-        def thr(r: Double): String =
-          if (r >= 1.0) "g" else f"${(r * 4294967296L).toLong}%08x"
-        val thresh = cfg.sampleRates.foldLeft(lit(thr(1.0))) {
-          case (acc, (k, r)) =>
-            when(col("stratum") === k, lit(thr(r))).otherwise(acc)
+    require(cfg.temperature.isEmpty || cfg.sampleRates.isEmpty,
+      "temperature and sampleRates are alternative mixture stages")
+    val sampled0 = cfg.temperature match {
+      case Some((alphaT, fT)) =>
+        // Rates from the post-filter strata counts; tiny agg + broadcast
+        // join inside temperatureSample, clean never shuffled.
+        clean.join(temperatureSample(clean, "id", "text", "stratum",
+          alphaT, fT).select("id"), Seq("id"), "left_semi")
+      case None =>
+        if (cfg.sampleRates.isEmpty) clean
+        else {
+          def thr(r: Double): String =
+            if (r >= 1.0) "g" else f"${(r * 4294967296L).toLong}%08x"
+          val thresh = cfg.sampleRates.foldLeft(lit(thr(1.0))) {
+            case (acc, (k, r)) =>
+              when(col("stratum") === k, lit(thr(r))).otherwise(acc)
+          }
+          clean.filter(substring(md5(col("text")), 1, 8) < thresh)
         }
-        clean.filter(substring(md5(col("text")), 1, 8) < thresh)
-      }
+    }
+    // Optional data-constrained budget: keep the least-repetitive docs
+    // (distinct-token ratio, as q82) until the whitespace-token budget is
+    // exhausted — [[selectByTokenBudget]]'s two-phase plan, never a
+    // corpus-wide sort.
+    val sampled = cfg.tokenBudget match {
+      case Some(budget) =>
+        val s = CacheScope.pin(sampled0)
+        val toks = s.select(col("id"),
+          explode(split(col("text"), "\\s+")).as("tok"))
+          .filter(col("tok") =!= "")
+        val scored = toks.groupBy(col("id"), col("tok"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("id"))
+          .agg(sum(col("c")).as("bn"), count(lit(1)).as("nd"))
+          .select(col("id"),
+            round(col("nd").cast("double") / col("bn"), 6).as("score"),
+            col("bn").as("n_tokens"))
+        s.join(selectByTokenBudget(scored, budget).select("id"),
+          Seq("id"), "left_semi")
+      case None => sampled0
+    }
     val withSplit = sampled.withColumn("split",
       when(substring(md5(col("text")), 1, 1) <= cfg.trainHexMax, "train")
         .otherwise("val"))
@@ -395,7 +434,19 @@ object Curation {
       // literal is scale-hostile — 12.5 TB/window-partition at 100 TB).
       // Pass an explicit count for cross-environment-reproducible packs.
       nShards: Int = 0,
-      minhashHash: Dedup.HashFamily = Dedup.XxHash64Family)
+      minhashHash: Dedup.HashFamily = Dedup.XxHash64Family,
+      // Over-cap LSH bucket policy + cap for the near-dup stage ([[Dedup
+      // .Overflow]]): Salt keeps boilerplate-heavy mega-buckets pairable
+      // at bounded cost instead of dropping them.
+      minhashOverflow: Dedup.Overflow = Dedup.Overflow.Drop,
+      minhashMaxBucket: Int = Dedup.DefaultMaxBucket,
+      // (alpha, targetFrac) — temperature mixture resampling
+      // ([[temperatureSample]]), the computed-rate alternative to the
+      // explicit per-stratum `sampleRates`.
+      temperature: Option[(Double, Double)] = None,
+      // Whitespace-token budget applied after the mixture stage: keep the
+      // least-repetitive docs first ([[selectByTokenBudget]]).
+      tokenBudget: Option[Long] = None)
 
   /**
    * Corpus-level repeated-segment removal — the line-level dedup step of

@@ -239,6 +239,69 @@ class CurationSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("curate: temperature/budget/salt config knobs compose the standalone operators") {
+    import graft.operators.Dedup
+    // Distinct texts so exact/near dedup keep everything: the mixture and
+    // budget stages are then exactly the standalone operators over the
+    // kept frame.
+    val docs = ((0 until 12).map(i =>
+      (i.toLong, s"alpha body with plenty of distinct words ${i} x${i * 7} y${i * 13}", "A")) ++
+      (12 until 15).map(i =>
+        (i.toLong, s"beta body with plenty of distinct words ${i} x${i * 7} y${i * 13}", "B")))
+      .toDF("doc_id", "text", "lang")
+    val cfg0 = Curation.CurationConfig(minTokens = 2, minhashThreshold = 0.99,
+      nShards = 4)
+    val full = Curation.curate(docs, "doc_id", "text", "lang", cfg0)
+    val fullRows = full.select("id", "text", "stratum").persist()
+    assert(fullRows.count() == 15, "fixture survives dedup/quality intact")
+
+    // temperature knob == standalone temperatureSample over the kept frame
+    val tempIds = Curation.curate(docs, "doc_id", "text", "lang",
+      cfg0.copy(temperature = Some((0.5, 0.6))))
+      .select("id").as[Long].collect().toSet
+    val wantTemp = Curation.temperatureSample(fullRows, "id", "text",
+      "stratum", alpha = 0.5, targetFrac = 0.6)
+      .select("id").as[Long].collect().toSet
+    assert(tempIds == wantTemp, s"curate temperature stage: $tempIds != $wantTemp")
+
+    // budget knob == standalone selectByTokenBudget over the same scoring
+    val budIds = Curation.curate(docs, "doc_id", "text", "lang",
+      cfg0.copy(tokenBudget = Some(60L)))
+      .select("id").as[Long].collect().toSet
+    val toks = fullRows.select(col("id"),
+      explode(split(col("text"), "\\s+")).as("tok")).filter(col("tok") =!= "")
+    val scored = toks.groupBy(col("id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("id")).agg(sum(col("c")).as("bn"), count(lit(1)).as("nd"))
+      .select(col("id"),
+        round(col("nd").cast("double") / col("bn"), 6).as("score"),
+        col("bn").as("n_tokens"))
+    val wantBud = Curation.selectByTokenBudget(scored, 60L)
+      .select("id").as[Long].collect().toSet
+    assert(budIds == wantBud, s"curate budget stage: $budIds != $wantBud")
+    assert(budIds.nonEmpty && budIds.size < 15, "budget actually constrains")
+
+    // salt knob reaches the near-dup stage: on a planted mega-bucket at a
+    // tiny cap, Drop keeps every copy (buckets dropped -> no pairs) while
+    // Salt still finds in-sub-bucket pairs and removes them.
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val mega = (0L until 40L).map(i => (i, s"$base extra$i", "A"))
+      .toDF("doc_id", "text", "lang")
+    val cfgM = Curation.CurationConfig(minTokens = 2, minhashThreshold = 0.7,
+      minhashMaxBucket = 5)
+    def survivors(ov: Dedup.Overflow) =
+      Curation.curate(mega, "doc_id", "text", "lang",
+        cfgM.copy(minhashOverflow = ov)).count()
+    val keptDrop = survivors(Dedup.Overflow.Drop)
+    val keptSalt = survivors(Dedup.Overflow.Salt)
+    assert(keptDrop == 40L,
+      s"cap 5 + Drop drops every mega-bucket: no pairs, all kept ($keptDrop)")
+    assert(keptSalt < keptDrop,
+      s"salted near-dup stage removes mega-bucket members ($keptSalt)")
+    fullRows.unpersist()
+    spark.catalog.clearCache()
+  }
+
   test("temperatureSample: flattened rates match hand computation; draw is deterministic") {
     // Strata A: 8 docs, B: 2 docs; alpha = 0.5, targetFrac = 0.5.
     // denom = sqrt(8) + sqrt(2); rate_s = 0.5 * 10 * n_s^-0.5 / denom:
