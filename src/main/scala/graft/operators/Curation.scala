@@ -257,19 +257,33 @@ object Curation {
     // named "stratum" (or "rate").
     val base = df.select(col(idCol).as("id"), col(textCol).as("text"),
       col(strataCol).as("stratum"))
+    val rates = temperatureRates(base, alpha, targetFrac)
+    // Null-safe join: a NULL stratum is a real group (it has a rate row
+    // from the groupBy above) — a plain equi-join would silently drop
+    // every NULL-stratum doc while still counting it in the denominator.
+    base.join(broadcast(rates.withColumnRenamed("stratum", "__ts_stratum")),
+        col("stratum") <=> col("__ts_stratum"))
+      .filter(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long")
+        < col("rate") * 4294967296.0)
+      .select(col("id"), col("stratum"), col("rate"))
+  }
+
+  /** The per-stratum rate frame behind [[temperatureSample]] — (stratum,
+    * rate), one row per stratum INCLUDING a NULL-stratum group. Exposed
+    * so composing pipelines ([[curate]]) can broadcast the rates and
+    * apply the threshold filter inline instead of semi-joining selected
+    * ids back across a corpus shuffle. */
+  private[graft] def temperatureRates(base: DataFrame, alpha: Double,
+      targetFrac: Double): DataFrame = {
     val counts = base.groupBy(col("stratum"))
       .agg(count(lit(1)).as("n_s"))
     val denom = counts.agg(
       sum(pow(col("n_s"), alpha)).as("denom"),
       sum(col("n_s")).as("n_total"))
-    val rates = counts.crossJoin(broadcast(denom))
+    counts.crossJoin(broadcast(denom))
       .select(col("stratum"),
         round(least(lit(1.0), lit(targetFrac) * col("n_total") *
           pow(col("n_s"), alpha - 1.0) / col("denom")), 6).as("rate"))
-    base.join(broadcast(rates), Seq("stratum"))
-      .filter(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long")
-        < col("rate") * 4294967296.0)
-      .select(col("id"), col("stratum"), col("rate"))
   }
 
   /**
@@ -337,14 +351,15 @@ object Curation {
           Seq("id"), "left_semi")
       case None => quality
     }
-    // The temperature/budget stages run small aggregations OVER the clean
-    // frame and join the survivors back — pin it so those extra traversals
-    // don't re-execute the decontamination branch (quality is pinned, the
-    // decontaminate semi-join above is not).
+    // The temperature stage runs a small strata aggregation OVER the
+    // clean frame and then filters it — pin it so the second traversal
+    // doesn't re-execute the decontamination branch (quality is pinned,
+    // the decontaminate semi-join above is not). The budget-only case
+    // pins once inside its own stage (sampled0 IS clean there; pinning
+    // here too would hold two materialized corpus copies in checkpoint
+    // mode).
     val clean =
-      if (cfg.temperature.isDefined || cfg.tokenBudget.isDefined)
-        CacheScope.pin(clean0)
-      else clean0
+      if (cfg.temperature.isDefined) CacheScope.pin(clean0) else clean0
     // The tail stages are inlined as column expressions rather than joins
     // against `contentSplit`/`stratifiedSample`/`packSequences` applied to
     // the same frame: a self-join would re-execute the whole un-persisted
@@ -356,10 +371,16 @@ object Curation {
       "temperature and sampleRates are alternative mixture stages")
     val sampled0 = cfg.temperature match {
       case Some((alphaT, fT)) =>
-        // Rates from the post-filter strata counts; tiny agg + broadcast
-        // join inside temperatureSample, clean never shuffled.
-        clean.join(temperatureSample(clean, "id", "text", "stratum",
-          alphaT, fT).select("id"), Seq("id"), "left_semi")
+        // Rates from the post-filter strata counts (tiny agg), broadcast
+        // back and applied as an INLINE threshold filter — same
+        // no-corpus-shuffle discipline as the sampleRates branch below
+        // (a semi-join of selected ids would shuffle the corpus by id).
+        val rates = temperatureRates(clean, alphaT, fT)
+        clean.join(broadcast(rates.withColumnRenamed("stratum", "__ts_s")),
+            col("stratum") <=> col("__ts_s"))
+          .filter(conv(substring(md5(col("text")), 1, 8), 16, 10)
+            .cast("long") < col("rate") * 4294967296.0)
+          .drop("__ts_s", "rate")
       case None =>
         if (cfg.sampleRates.isEmpty) clean
         else {
@@ -445,7 +466,11 @@ object Curation {
       // explicit per-stratum `sampleRates`.
       temperature: Option[(Double, Double)] = None,
       // Whitespace-token budget applied after the mixture stage: keep the
-      // least-repetitive docs first ([[selectByTokenBudget]]).
+      // least-repetitive docs first ([[selectByTokenBudget]]). NOTE:
+      // setting this makes curate() EAGER — the budget stage's histogram
+      // prefix runs jobs (the whole upstream pipeline) at CALL time, not
+      // first action; leave None to keep construction a pure plan
+      // transform.
       tokenBudget: Option[Long] = None)
 
   /**

@@ -1433,7 +1433,8 @@ object LlmQueries {
                    t.denom), 6) AS rate
                FROM counts CROSS JOIN tot t)
              SELECT d.doc_id AS id, r.stratum, r.rate
-             FROM documents d JOIN rates r ON d.lang = r.stratum
+             FROM documents d
+             JOIN rates r ON d.lang IS NOT DISTINCT FROM r.stratum
              WHERE CAST('0x' || substr(md5(d.text), 1, 8) AS BIGINT)
                < r.rate * 4294967296
              ORDER BY id"""))

@@ -211,9 +211,13 @@ object CurationStreams {
    * the log IS the sidecar-exact append chain, so append == rebuild
    * parity holds across restarts. At scale, lay the log out bucketed by
    * (band, bh) on the deployment's table format so the probe's semi-joins
-   * prune to touched buckets; compaction of the per-batch directories can
-   * run on any cadence without changing semantics (the artifact is a pure
-   * function of the log's UNION).
+   * prune to touched buckets; compaction of the per-batch directories
+   * preserves semantics (the artifact is a pure function of the log's
+   * UNION) but must run BETWEEN incarnations: a live incarnation's
+   * carried plans reference the current files (the band state by
+   * checkpointed blocks, later-trigger TEXT by lazy scans of the
+   * `docs/batch=<id>` dirs), so moving files under a running stream
+   * fails its next trigger — compact, then restart from the checkpoint.
    *
    * Idempotence under at-least-once redelivery (no fold guard to corrupt):
    *  - Each batch's band rows are DETERMINISTIC in its text, and each

@@ -340,6 +340,14 @@ class CurationSpec extends SparkSpec {
     val named = docs.withColumnRenamed("lang", "stratum")
     assert(Curation.temperatureSample(named, "doc_id", "text", "stratum",
       alpha = 1.0, targetFrac = 1.0).count() == 10)
+    // NULL strata form their own group and are KEPT (null-safe join):
+    // alpha=1, targetFrac=1 must keep every doc including NULL-lang ones.
+    val withNull = docs.withColumn("lang",
+      when(col("doc_id") < 3, lit(null).cast("string")).otherwise(col("lang")))
+    val kept = Curation.temperatureSample(withNull, "doc_id", "text", "lang",
+      alpha = 1.0, targetFrac = 1.0)
+    assert(kept.count() == 10, "NULL-stratum docs must not be dropped")
+    assert(kept.filter(col("stratum").isNull).count() == 3)
   }
 
   test("segmentDedup: AQE broadcasts the small boilerplate set at runtime; hint agrees") {
