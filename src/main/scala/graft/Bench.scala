@@ -146,14 +146,20 @@ object Bench {
         graft.queries.PipelineQueries.resetCache(spark)
         spark.catalog.clearCache()
       }
+      // Same discipline for the q43/q83 shared signature build: q83 is the
+      // family's last user, release its checkpoint blocks there.
+      if (q.name == "q83_salted_neardup")
+        graft.queries.LlmQueries.resetCache(spark)
       (q.name, sec, ok, sb)
     }
     val p1 = onePass().map(t => t._1 -> (t._2, t._3, t._4)).toMap
     graft.queries.PipelineQueries.resetCache(spark)
+    graft.queries.LlmQueries.resetCache(spark)
     Q75Bench.release()
     spark.catalog.clearCache()
     val p2 = onePass().map(t => t._1 -> (t._2, t._3, t._4)).toMap
     Q75Bench.release()
+    graft.queries.LlmQueries.resetCache(spark)
     def r3(v: Double): Double = math.round(v * 1000).toDouble / 1000
     // Per query: min-of-2 seconds plus the shuffle bytes of the pass that
     // provided them (bytes are plan-determined and stable across passes).
@@ -168,20 +174,33 @@ object Bench {
       .mkString("[", ",", "]")
     val total = r3(results.map(_._2).filter(_ >= 0).sum)
     // Unique short key per line: the qNN prefix ("q75_artifact_build" is
-    // the one bench-only extra sharing q75's number → "q75b").
+    // the one bench-only extra sharing q75's number → "q75b"). Collisions
+    // fail LOUDLY — a silent duplicate key would corrupt the parsed
+    // (last, harness-captured) JSON line.
     def shortKey(name: String): String =
       if (name == "q75_artifact_build") "q75b" else name.takeWhile(_ != '_')
+    require(results.map(r => shortKey(r._1)).distinct.size == results.size,
+      "short bench keys collide: " + results.map(_._1)
+        .groupBy(shortKey).collect { case (k, vs) if vs.size > 1 =>
+          s"$k<-{${vs.mkString(",")}}" }.mkString("; "))
     val qsFull = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val shFull = results.map { case (k, _, b) => "\"" + k + "\":" + b }
       .mkString("{", ",", "}")
     val qsShort = results.map { case (k, v, _) => "\"" + shortKey(k) + "\":" + v }
       .mkString("{", ",", "}")
+    // Top-10 shuffle writers, short keys, MEGABYTES (keeps the compact
+    // line inside the driver's 2000-byte stdout tail): the plan-regression
+    // signal survives in the harness artifact even when the full-name line
+    // above is truncated away.
+    val shTop = results.sortBy(-_._3).take(10)
+      .map { case (k, _, b) => "\"" + shortKey(k) + "\":" + (b >> 20) }
+      .mkString("{", ",", "}")
     // Full-name line first (for humans / complete logs), with the
     // shuffle-bytes map for plan-regression tracking…
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"shuffle_bytes":$shFull,"failed":$failed,"sf":"$sfDir"}""")
     // …compact line LAST so a bounded stdout tail always captures it whole.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsShort,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsShort,"shuffle_mb_top":$shTop,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

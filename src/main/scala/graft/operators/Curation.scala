@@ -105,15 +105,24 @@ object Curation {
    * rows collected); (2) a driver prefix-sum over the histogram picks the
    * boundary bucket — buckets above it are kept whole, below it dropped,
    * with NO ordering of the corpus at all; (3) only the boundary bucket's
-   * docs (≈ 1/bins of the corpus) pay the ordered running-sum window.
-   * Degenerate case: if most docs share one score they share one bucket
-   * and step 3 approaches the naive plan — raise `bins` or pre-jitter the
-   * score's low-order digits.
+   * docs (≈ 1/bins of the corpus) pay an ordered running sum — and that
+   * bucket is RANGE-partitioned on the selection order (score desc, id)
+   * first, so each window partition holds ~1/bins of the bucket and a
+   * driver prefix-sum over the ≤ `bins` per-partition subtotals stitches
+   * the global running sum (the SortedSegments boundary-stitch shape).
+   * No input distribution — including every doc sharing one score, where
+   * ordering falls back to id and the range exchange splits on id — pays
+   * a single-partition global window.
+   *
+   * Rows with a NULL score or NULL n_tokens violate the documented
+   * contract (they can be neither ordered nor budgeted) and are dropped
+   * up front — never silently binned or crashed on.
    */
   def selectByTokenBudget(scored: DataFrame, tokenBudget: Long,
       bins: Int = 1024): DataFrame = {
     require(bins > 0, "bins must be positive")
     val base = scored.select(col("id"), col("score"), col("n_tokens"))
+      .filter(col("score").isNotNull && col("n_tokens").isNotNull)
     if (tokenBudget <= 0L) return base.filter(lit(false))
     // Clamp on the DOUBLE before the int cast: under ANSI mode (the
     // Spark 4 default) an out-of-[0,1] score would otherwise overflow
@@ -133,12 +142,38 @@ object Curation {
       if (cum + t > tokenBudget) { boundary = b; before = cum } else cum += t
     if (boundary < 0) return binned.drop("bin") // whole corpus fits
     val full = binned.filter(col("bin") > boundary).drop("bin")
-    val w = Window.orderBy(col("score").desc, col("id"))
+    // Boundary bucket: range-partition on the selection order — the range
+    // exchange's sampler balances partitions even under total score ties
+    // (the order keys are then (constant, id), still distinct). Pinned so
+    // the sampled partition boundaries are decided ONCE: the per-partition
+    // subtotal collect and the final window read the same materialization,
+    // keeping spark_partition_id consistent between the two actions.
+    val bnd = CacheScope.pin(binned.filter(col("bin") === boundary)
+      .drop("bin")
+      .repartitionByRange(bins, col("score").desc, col("id"))
+      .withColumn("pid", spark_partition_id()))
+    // Partition 0 holds the range FIRST in (score desc, id) order, so
+    // ascending pid walks the global selection order: exclusive-prefix
+    // the ≤ `bins` subtotals on the driver.
+    val partToks = bnd.groupBy(col("pid"))
+      .agg(sum(col("n_tokens")).as("ptoks"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = partToks.scanLeft((0, 0L)) { case ((_, acc), (p, t)) =>
+      (p, acc + t)
+    }.tail.zip(partToks).map { case ((p, cumIncl), (_, t)) =>
+      (p, cumIncl - t)
+    }
+    val spark = scored.sparkSession
+    val offDf = broadcast(spark.createDataFrame(offsets.toSeq)
+      .toDF("pid", "poff"))
+    val w = Window.partitionBy(col("pid"))
+      .orderBy(col("score").desc, col("id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val boundarySel = binned.filter(col("bin") === boundary)
-      .withColumn("cb", sum(col("n_tokens")).over(w) - col("n_tokens"))
+    val boundarySel = bnd.join(offDf, Seq("pid"))
+      .withColumn("cb",
+        sum(col("n_tokens")).over(w) - col("n_tokens") + col("poff"))
       .filter(col("cb") < tokenBudget - before)
-      .drop("cb", "bin")
+      .select(col("id"), col("score"), col("n_tokens"))
     full.unionByName(boundarySel)
   }
 

@@ -225,8 +225,15 @@ object Dedup {
   def minhashCandidates(sigs: DataFrame, bands: Int = 8, rows: Int = 4,
       maxBucket: Int = DefaultMaxBucket,
       hash: HashFamily = XxHash64Family,
-      overflow: Overflow = Overflow.Drop): DataFrame = {
-    val banded = bandSignatures(sigs, bands, rows, hash)
+      overflow: Overflow = Overflow.Drop): DataFrame =
+    candidatesFromBanded(bandSignatures(sigs, bands, rows, hash),
+      maxBucket, overflow)
+
+  /** Cap-and-join tail of [[minhashCandidates]], taking prebuilt
+    * [[bandSignatures]] rows — the split point that lets several
+    * cap/overflow operating points share one signature build. */
+  private[graft] def candidatesFromBanded(banded: DataFrame,
+      maxBucket: Int, overflow: Overflow): DataFrame = {
     // Persisted (scope-tracked): the a/b self-join traverses this twice,
     // and exchange reuse does NOT collapse the two branches (their
     // projections differ — measured 16 parquet scans in q43's executed
@@ -264,6 +271,39 @@ object Dedup {
       threshold: Double = 0.5, maxBucket: Int = DefaultMaxBucket,
       hash: HashFamily = XxHash64Family,
       overflow: Overflow = Overflow.Drop): DataFrame = {
+    // Shared-frame persists (scope-tracked — CacheScope.tracking callers
+    // can release them): `sh` feeds signatures + both verify sides + sizes
+    // (4 traversals) and `members` feeds 3 joins — without a persist each
+    // branch recomputes the whole upstream (no exchange reuse across
+    // differing projections; measured on q43). (id, shingle)/(rep, id)
+    // frames are the LSH build's working set — disk-backed at scale.
+    val b = minhashBuild(df, idCol, textCol, n, k, bands, hash,
+      pinned = CacheScope.pin(_))
+    minhashDedupFromBuild(b, threshold, maxBucket, overflow,
+      pinMembers = CacheScope.pin(_))
+  }
+
+  /**
+   * The shareable front half of [[minhashDedup]]: exact pre-collapse
+   * membership, representative shingles, and uncapped banded signature
+   * rows — everything UPSTREAM of the bucket-cap/overflow policy. Callers
+   * running several operating points over the same corpus (different
+   * caps, Drop vs Salt) build this ONCE, pin the three frames, and feed
+   * [[minhashDedupFromBuild]] per operating point; the duplicated
+   * shingle→sign→band cost was the whole q43-vs-q83 battery waste.
+   *
+   * `pinned` wraps `sh` before the signature pass derives from it, so a
+   * pin that REPLACES the frame (checkpoint mode) still deduplicates the
+   * shingle computation into the banded lineage.
+   */
+  case class MinhashBuild(members: DataFrame, sh: DataFrame,
+      banded: DataFrame)
+
+  def minhashBuild(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 32, bands: Int = 8,
+      hash: HashFamily = XxHash64Family,
+      pinned: DataFrame => DataFrame = identity): MinhashBuild = {
+    require(k % bands == 0, "bands must divide k")
     // Mega-cluster guard: collapse byte-identical texts FIRST, so the whole
     // shingle/sign/band/verify pipeline runs on one representative per
     // distinct text. N copies of one doc cost O(N) here, not O(N²) banded
@@ -276,16 +316,23 @@ object Dedup {
     val mem = keyed
       .withColumn("rep", min(col("id")).over(Window.partitionBy(md5(col("text")))))
     val reps = mem.filter(col("id") === col("rep")).select(col("id"), col("text"))
+    val sh = pinned(shingles(reps, "id", "text", n, hash))
+    val banded = bandSignatures(minhashSignatures(sh, k, hash), bands,
+      k / bands, hash)
+    MinhashBuild(mem.select(col("rep"), col("id")), sh, banded)
+  }
 
-    // Shared-frame persists (scope-tracked — CacheScope.tracking callers
-    // can release them): `sh` feeds signatures + both verify sides + sizes
-    // (4 traversals) and `members` feeds 3 joins — without a persist each
-    // branch recomputes the whole upstream (no exchange reuse across
-    // differing projections; measured on q43). (id, shingle)/(rep, id)
-    // frames are the LSH build's working set — disk-backed at scale.
-    val sh = CacheScope.pin(shingles(reps, "id", "text", n, hash))
-    val cands = minhashCandidates(minhashSignatures(sh, k, hash), bands,
-      k / bands, maxBucket, hash, overflow)
+  /** Back half of [[minhashDedup]]: cap/salt → candidate pairs → exact
+    * Jaccard verify ≥ `threshold` → member expansion, over a prebuilt
+    * (possibly shared) [[MinhashBuild]]. `pinMembers` lets the one-shot
+    * path keep its scope-tracked members pin while a memoizing caller
+    * passes an already-pinned frame through. */
+  def minhashDedupFromBuild(b: MinhashBuild, threshold: Double,
+      maxBucket: Int = DefaultMaxBucket,
+      overflow: Overflow = Overflow.Drop,
+      pinMembers: DataFrame => DataFrame = identity): DataFrame = {
+    val sh = b.sh
+    val cands = candidatesFromBanded(b.banded, maxBucket, overflow)
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val shA = sh.select(col("id").as("id_a"), col("shingle"))
     val shB = sh.select(col("id").as("id_b"), col("shingle"))
@@ -308,7 +355,7 @@ object Dedup {
 
     // Member expansion: cross-group pairs inherit their representatives'
     // similarity; within-group pairs (identical texts) are exact dups.
-    val members = CacheScope.pin(mem.select(col("rep"), col("id")))
+    val members = pinMembers(b.members)
     val cross = repPairs
       .join(members.select(col("rep").as("id_a"), col("id").as("ma")), Seq("id_a"))
       .join(members.select(col("rep").as("id_b"), col("id").as("mb")), Seq("id_b"))

@@ -14,6 +14,39 @@ import graft.operators.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
  */
 object LlmQueries {
 
+  // q43 and q83 are the SAME corpus and signature config (n=3, k=32,
+  // bands=8, portable md5) up to the cap/overflow policy — only the
+  // bucket cap (default vs 2) and Drop vs Salt differ. The expensive
+  // front half (exact pre-collapse → shingles → signatures → banded
+  // rows) is memoized per (session, dir) with eagerly-checkpointed
+  // frames (same single-JVM-harness rationale as PipelineQueries
+  // .corefPipeline), so a Verify/Bench session pays it once; each query
+  // still runs its own cap/verify tail. Released via [[resetCache]]
+  // (Bench calls it after q83, the family's last user, and between
+  // passes).
+  private val buildCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), Dedup.MinhashBuild]
+
+  private def sharedMd5Build(s: org.apache.spark.sql.SparkSession,
+      d: String): Dedup.MinhashBuild =
+    buildCache.getOrElseUpdate((s, d), {
+      val b = Dedup.minhashBuild(T.documents(s, d), "doc_id", "text",
+        n = 3, k = 32, bands = 8, hash = Dedup.PortableMd5Family,
+        pinned = _.localCheckpoint(true))
+      Dedup.MinhashBuild(b.members.localCheckpoint(true), b.sh,
+        b.banded.localCheckpoint(true))
+    })
+
+  /** Drop the memoized q43/q83 signature build for `s` and free its
+    * checkpoint blocks. */
+  def resetCache(s: org.apache.spark.sql.SparkSession): Unit =
+    buildCache.keys.filter(_._1 eq s).foreach { k =>
+      buildCache.remove(k).foreach { b =>
+        Seq(b.members, b.sh, b.banded)
+          .foreach(graft.operators.CacheScope.unpinCheckpoint)
+      }
+    }
+
   val all: Seq[Q] = Seq(
 
     // ---- MinHash-LSH near-dup detection (shingle→sign→band→verify).
@@ -23,9 +56,8 @@ object LlmQueries {
     // replicated verbatim in DuckDB and hash-compared (the fast xxhash64
     // family stays the default and is covered by DedupSpec).
     Q("q43_minhash_neardup",
-      (s, d) => Dedup.minhashDedup(T.documents(s, d), "doc_id", "text",
-        n = 3, k = 32, bands = 8, threshold = 0.05,
-        hash = Dedup.PortableMd5Family)
+      (s, d) => Dedup.minhashDedupFromBuild(sharedMd5Build(s, d),
+        threshold = 0.05)
         .orderBy(col("id_a"), col("id_b")),
       Some("""WITH mem AS (
                SELECT doc_id AS id, text,
@@ -1326,9 +1358,8 @@ object LlmQueries {
     // first 8 md5 hex digits of the id) is replicated in DuckDB, proving
     // the bounded-cost recovery path pair-for-pair, not just spec-level.
     Q("q83_salted_neardup",
-      (s, d) => Dedup.minhashDedup(T.documents(s, d), "doc_id", "text",
-        n = 3, k = 32, bands = 8, threshold = 0.05, maxBucket = 2,
-        hash = Dedup.PortableMd5Family,
+      (s, d) => Dedup.minhashDedupFromBuild(sharedMd5Build(s, d),
+        threshold = 0.05, maxBucket = 2,
         overflow = Dedup.Overflow.SaltWith(Dedup.portableSalt))
         .orderBy(col("id_a"), col("id_b")),
       Some("""WITH mem AS (

@@ -35,8 +35,14 @@ object GraphML {
    * @param nodes (entity_id, entity_text, num_docs)
    * @param edges (src_entity_id, dst_entity_id, num_docs)
    * @param maxRows guard over nodes+edges (see [[DefaultMaxExportRows]]);
-   *                raise deliberately, or use [[RelationalExport
-   *                .writeParquet]] for bulk distributed output. 0 disables.
+   *                raise deliberately, use [[writeSharded]] for networks
+   *                above the single-file contract, or [[RelationalExport
+   *                .writeParquet]] for bulk relational output. 0 disables.
+   *                Note the guard's two count() jobs execute the input
+   *                plans a second time ahead of the streamed write —
+   *                pin (persist/checkpoint) expensive upstream plans, or
+   *                accept the re-run for the thresholded (small) networks
+   *                this sink targets.
    */
   def write(nodes: DataFrame, edges: DataFrame, path: String,
       maxRows: Long = DefaultMaxExportRows): Unit = {
@@ -90,6 +96,77 @@ object GraphML {
   def writeNodeIdTsv(nodes: DataFrame, path: String): Unit =
     nodes.select(col("entity_id"), col("entity_text"))
       .write.mode("overwrite").option("sep", "\t").csv(path)
+
+  /** Column-level XML escape (the SQL mirror of [[esc]]); `&` first so
+    * escapes aren't re-escaped. */
+  private def escCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(c,
+      "&", "&amp;"), "<", "&lt;"), ">", "&gt;"), "\"", "&quot;")
+
+  /**
+   * Sharded GraphML export — the escape hatch above [[write]]'s
+   * single-file `maxRows` contract: node and edge elements are written as
+   * XML FRAGMENT shards by the EXECUTORS (distributed text writes — no
+   * driver streaming, no row ceiling), with a driver-written `header.xml`
+   * / `footer.xml` and an `index.json` listing concatenation order.
+   * Concatenating the listed files in order reproduces a valid GraphML
+   * document; consumers that stream (Gephi importers, SAX) can also read
+   * the shards directly.
+   *
+   * Shard CONTENT is byte-stable run-to-run: rows are hash-partitioned on
+   * their id columns (murmur3 — deterministic for a fixed `shards`) and
+   * sorted within each shard, and edge ids are content-derived
+   * (`e<src>_<dst>`, globally unique for the undirected-deduped edge
+   * table) instead of the single-file writer's stream-sequence numbers.
+   * Only the part-file NAMES carry a per-run task UUID; `index.json`
+   * abstracts them away.
+   */
+  def writeSharded(nodes: DataFrame, edges: DataFrame, dir: String,
+      shards: Int = 64): Unit = {
+    require(shards > 0, "shards must be positive")
+    val nodeXml = nodes
+      .repartition(shards, col("entity_id"))
+      .sortWithinPartitions(col("entity_id"))
+      .select(format_string(
+        "<node id=\"n%d\"><data key=\"label\">%s</data>" +
+          "<data key=\"num_docs\">%d</data></node>",
+        col("entity_id"), escCol(col("entity_text")), col("num_docs"))
+        .as("value"))
+    val edgeXml = edges
+      .repartition(shards, col("src_entity_id"), col("dst_entity_id"))
+      .sortWithinPartitions(col("src_entity_id"), col("dst_entity_id"))
+      .select(format_string(
+        "<edge id=\"e%d_%d\" source=\"n%d\" target=\"n%d\">" +
+          "<data key=\"num_docs\">%d</data></edge>",
+        col("src_entity_id"), col("dst_entity_id"), col("src_entity_id"),
+        col("dst_entity_id"), col("num_docs")).as("value"))
+    nodeXml.write.mode("overwrite").text(s"$dir/nodes")
+    edgeXml.write.mode("overwrite").text(s"$dir/edges")
+    val header = Seq(
+      """<?xml version="1.0" encoding="UTF-8"?>""",
+      """<graphml xmlns="http://graphml.graphdrawing.org/xmlns">""",
+      """<key id="label" for="node" attr.name="label" attr.type="string"/>""",
+      """<key id="num_docs" for="all" attr.name="num_docs" attr.type="int"/>""",
+      """<graph edgedefault="undirected">""").mkString("", "\n", "\n")
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      nodes.sparkSession.sparkContext.hadoopConfiguration)
+    def put(name: String, content: String): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(dir, name), true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+    }
+    put("header.xml", header)
+    put("footer.xml", "</graph></graphml>\n")
+    // part files in name order == partition order (fixed-width part index
+    // prefix), so the index is deterministic modulo the task UUID suffix.
+    def parts(sub: String): Seq[String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir, sub)).toSeq
+        .map(_.getPath.getName).filter(_.startsWith("part-")).sorted
+        .map(n => s"$sub/$n")
+    val order = ("header.xml" +: (parts("nodes") ++ parts("edges"))) :+
+      "footer.xml"
+    put("index.json", order.map(p => "\"" + p + "\"")
+      .mkString("{\"order\":[", ",", "]}\n"))
+  }
 }
 
 /** Relational export mirroring the H2 schema (GraphDBToH2.groovy:79-159). */

@@ -169,9 +169,9 @@ object CurationStreams {
             val staged = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
             val (folded, newCounts, batchDocs) =
               try {
-                val f = folded0.localCheckpoint(true); staged += f
+                val f = boundedCheckpoint(folded0); staged += f
                 val nc = newCounts0.map { c =>
-                  val p = c.localCheckpoint(true); staged += p; p
+                  val p = boundedCheckpoint(c); staged += p; p
                 }
                 val bd = batch.select(col(idCol), col(textCol))
                   .localCheckpoint(true); staged += bd
@@ -211,13 +211,24 @@ object CurationStreams {
    * the log IS the sidecar-exact append chain, so append == rebuild
    * parity holds across restarts. At scale, lay the log out bucketed by
    * (band, bh) on the deployment's table format so the probe's semi-joins
-   * prune to touched buckets; compaction of the per-batch directories
-   * preserves semantics (the artifact is a pure function of the log's
-   * UNION) but must run BETWEEN incarnations: a live incarnation's
-   * carried plans reference the current files (the band state by
-   * checkpointed blocks, later-trigger TEXT by lazy scans of the
-   * `docs/batch=<id>` dirs), so moving files under a running stream
-   * fails its next trigger — compact, then restart from the checkpoint.
+   * prune to touched buckets.
+   *
+   * Plan growth: the per-trigger probe plan is O(1) in trigger count.
+   * Arrived-doc text is NOT carried as an in-memory union chain (one scan
+   * leaf per folded batch, linearly growing analysis cost); each trigger
+   * issues ONE partitioned read of `$stateDir/docs/` pruned to
+   * `batch <= lastFolded` — same files, constant leaf count, and the
+   * half-written directory a retried trigger may leave behind is pruned
+   * out by the partition filter before any file is touched. Because the
+   * docs scan re-lists per trigger, coalescing small files IN PLACE
+   * inside a `docs/batch=<id>` directory is safe between triggers of a
+   * live incarnation; reshaping the directory layout itself (or touching
+   * `bands/`, whose state lives in checkpointed blocks) still requires a
+   * restart from the checkpoint. The carried band artifact is likewise
+   * O(1) in trigger count on BOTH axes — plan depth (checkpoint truncates
+   * to a LogicalRDD leaf) and PARTITION count ([[boundedCheckpoint]]:
+   * the append's narrow union would otherwise double partitions per
+   * fold).
    *
    * Idempotence under at-least-once redelivery (no fold guard to corrupt):
    *  - Each batch's band rows are DETERMINISTIC in its text, and each
@@ -266,19 +277,36 @@ object CurationStreams {
         .sorted
 
     val corpusBase = corpus.select(col(idCol), col(textCol))
+    // Arrived-doc text, as of fold watermark `upTo`: ONE partitioned scan
+    // of the docs log, partition-PRUNED to committed batches. Constant
+    // plan size however many triggers have folded (see scaladoc), and the
+    // verify stage's left_semi prunes which files are actually read. The
+    // schema is passed EXPLICITLY so analysis never opens a parquet footer
+    // — inference samples files before partition pruning, and the one
+    // unpruned-but-uncommitted dir a crashed trigger leaves behind may
+    // hold a torn file.
+    val docsSchema = org.apache.spark.sql.types.StructType(
+      corpus.select(col(idCol), col(textCol)).schema.fields :+
+        org.apache.spark.sql.types.StructField("batch",
+          org.apache.spark.sql.types.LongType))
+    def foldedDocs(upTo: Long): Option[DataFrame] =
+      if (upTo < 0) None
+      else Some(spark.read
+        .schema(docsSchema)
+        .option("basePath", s"$stateDir/docs")
+        .parquet(s"$stateDir/docs")
+        .where(col("batch") <= upTo)
+        .select(col(idCol), col(textCol)))
     // Bootstrap carried state from the durable log (first start: corpus
-    // bands only). All pinned with eager localCheckpoint — same lineage-
-    // truncation rationale as the in-session variant.
+    // bands only). Band state pinned with eager localCheckpoint — same
+    // lineage-truncation rationale as the in-session variant; doc text
+    // stays on disk and is re-scanned per trigger via foldedDocs.
     val bootIds = committedBatchIds()
     val (artifact0, counts0) = Dedup.artifactFromBandLog(
       spark.read.parquet(
         (corpusBandsDir +: bootIds.map(bandsDir)): _*), maxBucket)
     var artifact = artifact0.localCheckpoint(true)
     var counts = counts0.localCheckpoint(true)
-    var laterDocs: Option[DataFrame] =
-      if (bootIds.isEmpty) None
-      else Some(spark.read.parquet(bootIds.map(docsDir): _*)
-        .localCheckpoint(true))
     // A batch whose directories are fully committed was folded by a prior
     // incarnation: skip its fold on replay (only the last in-flight batch
     // can replay, so max committed id is the correct watermark).
@@ -294,7 +322,7 @@ object CurationStreams {
           val batchIds = batch.select(col(idCol).as("id"))
           val probeArtifact = artifact.join(broadcast(batchIds),
             Seq("id"), "left_anti")
-          val corpusNow = laterDocs
+          val corpusNow = foldedDocs(lastFolded)
             .map(corpusBase.unionByName(_)).getOrElse(corpusBase)
           val (matches, cleanup) = Dedup.incrementalMinhashWithCleanup(
             batch, corpusNow, idCol, textCol, n = n, k = k, bands = bands,
@@ -315,20 +343,15 @@ object CurationStreams {
                   .write.mode("overwrite").parquet(docsDir(batchId))
                 val (folded0, newCounts0) = Dedup.appendBandRows(
                   artifact, newBands, maxBucket, Some(counts))
-                val folded = folded0.localCheckpoint(true); staged += folded
-                val ncounts = newCounts0.get.localCheckpoint(true)
+                val folded = boundedCheckpoint(folded0); staged += folded
+                val ncounts = boundedCheckpoint(newCounts0.get)
                 staged += ncounts
-                // Later-trigger text comes from the durable dir just
-                // written (the same source the restart bootstrap reads):
-                // a third in-memory copy via localCheckpoint would pin the
-                // entire arrived-text history in block-manager storage for
-                // the stream's lifetime.
-                val batchDocs = spark.read.parquet(docsDir(batchId))
+                // Later-trigger text needs no in-memory carry: advancing
+                // the watermark is enough — the next trigger's foldedDocs
+                // scan picks up the durable dir just written.
                 unpin(artifact); unpin(counts)
                 artifact = folded
                 counts = ncounts
-                laterDocs = Some(laterDocs.map(_.unionByName(batchDocs))
-                  .getOrElse(batchDocs))
                 lastFolded = batchId
               } catch {
                 case e: Throwable => staged.foreach(unpin); throw e
@@ -342,4 +365,24 @@ object CurationStreams {
 
   private def unpin(df: DataFrame): Unit =
     graft.operators.CacheScope.unpinCheckpoint(df)
+
+  /**
+   * Checkpoint a folded artifact with a BOUNDED partition count.
+   * [[Dedup.appendBandRows]]' output unions two branches of the previous
+   * artifact (untouched via broadcast anti-join, touched via broadcast
+   * semi-join — both NARROW, partition-preserving) plus the batch rows,
+   * so its RDD inherits ~2×+c the parent's partitions. Checkpointing
+   * that chain as-is doubles the carried artifact's partition count per
+   * trigger — by the late teens each fold materializes hundreds of
+   * thousands of near-empty partitions whose per-task closure overhead
+   * dwarfs the data (measured: fold wall time doubling per trigger, a
+   * 400k-task stage by trigger 17). coalesce is narrow (no shuffle — it
+   * only concatenates parent partitions) and restores
+   * O(shuffle.partitions) partitions, so the per-trigger checkpoint
+   * stays O(artifact rows) with a flat task count for the stream's life.
+   */
+  private def boundedCheckpoint(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sessionState.conf.numShufflePartitions
+    df.coalesce(p).localCheckpoint(true)
+  }
 }

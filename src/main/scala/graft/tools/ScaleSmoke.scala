@@ -27,6 +27,12 @@ object ScaleSmoke {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val multiples =
       if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(1, 2, 5, 10)
+    // Optional op-name regex (SPARK_GRAFT_SMOKE_OPS): rerun one section —
+    // e.g. "overflow" for the salted-cap observability sweep — without
+    // paying the whole battery per multiple.
+    val opFilter = sys.env.get("SPARK_GRAFT_SMOKE_OPS").map(_.r)
+    def wanted(op: String): Boolean =
+      opFilter.forall(_.findFirstIn(op).isDefined)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .withExtensions(new graft.plans.GraftExtensions)
@@ -63,7 +69,7 @@ object ScaleSmoke {
       val n = df.count()
       // Each op is timed cold: one build, one full materialization through
       // the noop sink, internal caches released afterwards.
-      def runOnce(op: String)(body: => DataFrame): Unit = {
+      def runOnce(op: String)(body: => DataFrame): Unit = if (wanted(op)) {
         val (sec, caches) = graft.operators.CacheScope.tracking {
           time(body.write.format("noop").mode("overwrite").save())._1
         }
@@ -100,6 +106,37 @@ object ScaleSmoke {
           n = 3, k = 32, bands = 8, threshold = 0.5, maxBucket = 5,
           overflow = graft.operators.Dedup.Overflow.Salt)
       }
+      // Cap-policy observability at the same operating point (VERDICT r5
+      // #6): the bucketOverflowStats deployments would alert on, plus the
+      // measured Drop-vs-Salt recall tradeoff — pairs the cap silently
+      // drops vs pairs the salted sub-buckets recover. One CSV line:
+      // overflow,m,docs,n_buckets,n_buckets_over,n_rows_over,max_bucket,
+      // pairs_drop,pairs_salt,recovered_frac.
+      if (wanted("overflow")) {
+        val ((stats, pairsDrop, pairsSalt), caches) =
+          graft.operators.CacheScope.tracking {
+            val banded = graft.operators.Dedup.bandRowsUncapped(
+              df, "doc_id", "text", n = 3, k = 32, bands = 8)
+            val st = graft.operators.Dedup.bucketOverflowStats(
+              banded, Seq("band", "bh"), 5).collect().head
+            val pd = graft.operators.Dedup.minhashDedup(df, "doc_id",
+              "text", n = 3, k = 32, bands = 8, threshold = 0.5,
+              maxBucket = 5,
+              overflow = graft.operators.Dedup.Overflow.Drop).count()
+            val ps = graft.operators.Dedup.minhashDedup(df, "doc_id",
+              "text", n = 3, k = 32, bands = 8, threshold = 0.5,
+              maxBucket = 5,
+              overflow = graft.operators.Dedup.Overflow.Salt).count()
+            (st, pd, ps)
+          }
+        caches.release()
+        val rec =
+          if (pairsSalt == 0L) 0.0
+          else (pairsSalt - pairsDrop).toDouble / pairsSalt
+        println(s"overflow,$m,$n,${stats.getLong(0)},${stats.getLong(1)}," +
+          s"${stats.getLong(2)},${stats.getLong(3)},$pairsDrop,$pairsSalt," +
+          s"${"%.3f".format(rec)}")
+      }
       // Budgeted selection: fixed 100k-token budget — the histogram +
       // boundary-bin plan should hold near-flat as the corpus grows.
       runOnce("budget_selection") {
@@ -118,16 +155,18 @@ object ScaleSmoke {
       // Incremental probe at its production operating point: the corpus
       // artifact prebuilt OUTSIDE the timed region (both sides still grow
       // with m here; production holds the batch fixed).
-      val corpusSide = df.filter(pmod(col("doc_id"), lit(5)) =!= 4)
-      val batchSide = df.filter(pmod(col("doc_id"), lit(5)) === 4)
-      val art = graft.operators.Dedup.minhashBandTable(corpusSide,
-        "doc_id", "text", n = 3, k = 32, bands = 8).localCheckpoint(true)
-      runOnce("incremental_probe") {
-        graft.operators.Dedup.incrementalMinhash(batchSide, corpusSide,
-          "doc_id", "text", n = 3, k = 32, bands = 8, threshold = 0.5,
-          corpusBands = Some(art))
+      if (wanted("incremental_probe")) {
+        val corpusSide = df.filter(pmod(col("doc_id"), lit(5)) =!= 4)
+        val batchSide = df.filter(pmod(col("doc_id"), lit(5)) === 4)
+        val art = graft.operators.Dedup.minhashBandTable(corpusSide,
+          "doc_id", "text", n = 3, k = 32, bands = 8).localCheckpoint(true)
+        runOnce("incremental_probe") {
+          graft.operators.Dedup.incrementalMinhash(batchSide, corpusSide,
+            "doc_id", "text", n = 3, k = 32, bands = 8, threshold = 0.5,
+            corpusBands = Some(art))
+        }
+        graft.operators.CacheScope.unpinCheckpoint(art)
       }
-      graft.operators.CacheScope.unpinCheckpoint(art)
       graft.queries.PipelineQueries.resetCache(spark)
       spark.catalog.clearCache()
     }

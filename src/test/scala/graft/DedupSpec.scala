@@ -53,6 +53,28 @@ class DedupSpec extends SparkSpec {
     assert(sh.contains((1L, 4L)))
   }
 
+  test("shared minhash build: one build feeds multiple cap/overflow operating points") {
+    // VERDICT r5 #3: q43 and q83 share the shingle→sign→band front half.
+    // minhashDedupFromBuild over ONE build must reproduce the standalone
+    // operator at EACH operating point (default-cap Drop, tiny-cap Salt).
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double, Double)] =
+      df.select("id_a", "id_b", "est_jaccard", "jaccard")
+        .as[(Long, Long, Double, Double)].collect().toSet
+    val b = Dedup.minhashBuild(docs, "doc_id", "text", n = 3, k = 32,
+      bands = 16)
+    val viaBuild = pairs(Dedup.minhashDedupFromBuild(b, threshold = 0.3))
+    val direct = pairs(Dedup.minhashDedup(docs, "doc_id", "text",
+      n = 3, k = 32, bands = 16, threshold = 0.3))
+    assert(viaBuild == direct, "default operating point must match standalone")
+    val viaBuildSalt = pairs(Dedup.minhashDedupFromBuild(b, threshold = 0.3,
+      maxBucket = 2, overflow = Dedup.Overflow.Salt))
+    val directSalt = pairs(Dedup.minhashDedup(docs, "doc_id", "text",
+      n = 3, k = 32, bands = 16, threshold = 0.3, maxBucket = 2,
+      overflow = Dedup.Overflow.Salt))
+    assert(viaBuildSalt == directSalt, "salted operating point must match standalone")
+    spark.catalog.clearCache()
+  }
+
   test("neardupClusters: transitive closure, numeric-min cluster id, sizes") {
     // Fixture pairs at this operating point: (1,2) near, (1,4) exact,
     // (2,4) inherited -> one transitive cluster {1,2,4}; docs 3 and 5
