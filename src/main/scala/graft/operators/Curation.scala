@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -319,6 +319,72 @@ object Curation {
       .select(col("stratum"),
         round(least(lit(1.0), lit(targetFrac) * col("n_total") *
           pow(col("n_s"), alpha - 1.0) / col("denom")), 6).as("rate"))
+  }
+
+  /**
+   * DSIR-style importance weighting (Xie et al. 2023, "Data Selection for
+   * Language Models via Importance Resampling"): score every document by
+   * how target-like its hashed-bigram distribution is. Consecutive
+   * whitespace-bigram features hash into `buckets` buckets (first 8 md5
+   * hex digits — engine-portable, see [[Dedup.portableSalt]]); bucket
+   * log-likelihood ratio `ln(p_target(b) / p_raw(b))` under add-one
+   * smoothing; a document's weight is the mean LLR over its bigram
+   * occurrences. Returns the topK docs as (id, n_bigrams, weight, rank).
+   *
+   * Cross-engine determinism: smoothed probabilities divide exact
+   * integer-valued doubles (counts < 2^53) with identical association in
+   * the DuckDB mirror. The per-bucket LLR is quantized to an integer
+   * micro-LLR (`round(ln(·)·1e6)` as long) so the per-doc accumulation is
+   * EXACT integer arithmetic — averaging engine-rounded doubles instead
+   * puts ~1/12 of docs on a half-grid rounding boundary where libm ULP
+   * noise flips the 6th decimal (observed at sf0.01); quantizing first
+   * leaves only the measure-zero chance of a bucket's `ln` landing within
+   * 1e-10 of an integer-micro boundary.
+   *
+   * Scale shape: bigrams never leave their document partition until the
+   * one bucket aggregation (output ≤ buckets rows); totals are a broadcast
+   * 1-row aggregate; the LLR table (≤ buckets rows) broadcasts back onto
+   * the bigram stream, so the corpus shuffles once (doc_id groupBy). The
+   * topK selection is a TakeOrdered; the rank window runs over ≤ topK
+   * rows — bounded by the knob, never by data.
+   */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, buckets: Int = 1024, topK: Int = 100): DataFrame = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    require(topK > 0, s"topK must be positive: $topK")
+    val base = docs.select(col(idCol).as("id"), isTarget.as("is_target"),
+        filter(split(col(textCol), "\\s+"), t => t =!= lit("")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    // element_at is 1-based: sequence(1, n-1) pairs toks[i] with toks[i+1].
+    val bigrams = base.select(col("id"), col("is_target"),
+      explode(transform(sequence(lit(1), size(col("toks")) - 1),
+        i => concat(element_at(col("toks"), i), lit(" "),
+          element_at(col("toks"), i + 1)))).as("bg"))
+      .withColumn("bucket",
+        pmod(conv(substring(md5(col("bg")), 1, 8), 16, 10).cast("long"),
+          lit(buckets.toLong)))
+    val bucketCounts = bigrams.groupBy(col("bucket")).agg(
+      count(lit(1)).as("c_raw"),
+      sum(when(col("is_target"), 1L).otherwise(lit(0L))).as("c_tgt"))
+    val totals = bucketCounts.agg(
+      sum(col("c_raw")).as("t_raw"), sum(col("c_tgt")).as("t_tgt"))
+    val llr = bucketCounts.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        round(log(
+          ((col("c_tgt") + 1).cast("double") /
+            (col("t_tgt") + buckets).cast("double")) /
+          ((col("c_raw") + 1).cast("double") /
+            (col("t_raw") + buckets).cast("double"))) * 1e6)
+          .cast("long").as("illr"))
+    val weights = bigrams.join(broadcast(llr), Seq("bucket"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("illr")).as("s_illr"))
+      .select(col("id"), col("n_bigrams"),
+        round(col("s_illr").cast("double") / col("n_bigrams") / lit(1e6), 6)
+          .as("weight"))
+    weights.orderBy(col("weight").desc, col("id")).limit(topK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("weight").desc, col("id"))))
   }
 
   /**

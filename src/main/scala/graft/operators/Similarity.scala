@@ -34,6 +34,28 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 
   /**
+   * Linear-probe classifier score over an embedding column — the
+   * FineWeb-Edu / fastText-style "model-based quality filter" applied at
+   * corpus scale: `sigmoid(w · x + b)`, weights fixed (a trained probe is
+   * a literal array at plan time). Purely narrow — the weight vector is a
+   * plan literal, no join, no shuffle; sits in whole-stage codegen via
+   * [[dot]] (VectorDot). Floats are cast to double FIRST so both engines
+   * run the identical double accumulation; the score is rounded to 6
+   * before any downstream threshold (libm `exp` may differ in last ULPs
+   * across engines).
+   */
+  def linearProbeScore(df: DataFrame, idCol: String, vecCol: String,
+      weights: Array[Double], bias: Double = 0.0): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    val w = array(weights.map(lit): _*)
+    val vecD = transform(col(vecCol), x => x.cast("double"))
+    df.withColumn("__probe_score",
+        round(lit(1.0) / (lit(1.0) +
+          exp(-(dot(vecD, w) + lit(bias)))), 6))
+      .select(col(idCol).as("id"), col("__probe_score").as("score"))
+  }
+
+  /**
    * Exact top-k neighbors for each query vector.
    * @param corpus  (idCol, vecCol)
    * @param queries (idCol, vecCol) — expected small; broadcast side

@@ -66,6 +66,64 @@ object TextAnalysis {
           greatest(length(col(textCol)), lit(1)), 6).as("digit_ratio")), Seq("id"))
   }
 
+  /**
+   * Gopher-style quality rule set (Rae et al. 2021, appendix A — word-count
+   * bounds, mean-word-length band, most-frequent-token repetition cap,
+   * alphabetic-word floor, required-word minimum; the reference has no
+   * equivalent, this is the LLM-curation extension surface). Emits the
+   * per-document signals, one 0/1 flag per rule, and a composite `keep`.
+   *
+   * Every rule decides by exact integer cross-multiplication (e.g.
+   * `sum_len*10 >= n_words*minMeanLenTenths` instead of comparing a
+   * floating mean to 4.2), so the keep decision is bit-identical across
+   * engines; the rounded ratio columns are display signals only.
+   *
+   * Scale shape: two-level (id, tok) → id aggregation — one doc_id
+   * shuffle, no Expand, no joins; signals and flags are a narrow
+   * projection on top. Survives any corpus size that can be tokenized.
+   */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 30, maxWords: Int = 90,
+      minMeanLenTenths: Int = 42, maxMeanLenTenths: Int = 50,
+      maxTopTokPct: Int = 10, minAlphaPct: Int = 80,
+      requiredWords: Seq[String] = Seq("table", "row", "data", "key"),
+      minRequiredHits: Int = 2): DataFrame = {
+    require(requiredWords.nonEmpty, "requiredWords must be non-empty")
+    val toks = df.select(col(idCol).as("id"),
+        explode(split(col(textCol), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+    // (id, tok) level first: top-token count and required-word hits come
+    // from the same pass that sums words — no countDistinct Expand.
+    val perTok = toks.groupBy(col("id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val sig = perTok.groupBy(col("id")).agg(
+      sum(col("c")).as("n_words"),
+      sum(col("c") * length(col("tok"))).as("sum_len"),
+      max(col("c")).as("top_c"),
+      sum(when(col("tok").rlike("[A-Za-z]"), col("c")).otherwise(lit(0L)))
+        .as("alpha_c"),
+      sum(when(col("tok").isin(requiredWords: _*), 1L).otherwise(lit(0L)))
+        .as("req_hits"))
+    sig.select(col("id"), col("n_words"),
+      round(col("sum_len").cast("double") / col("n_words"), 6).as("mean_word_len"),
+      round(col("top_c").cast("double") / col("n_words"), 6).as("top_tok_frac"),
+      round(col("alpha_c").cast("double") / col("n_words"), 6).as("alpha_frac"),
+      col("req_hits"),
+      (col("n_words") >= minWords && col("n_words") <= maxWords)
+        .cast("int").as("words_ok"),
+      (col("sum_len") * 10 >= col("n_words") * minMeanLenTenths &&
+        col("sum_len") * 10 <= col("n_words") * maxMeanLenTenths)
+        .cast("int").as("mean_len_ok"),
+      (col("top_c") * 100 <= col("n_words") * maxTopTokPct)
+        .cast("int").as("rep_ok"),
+      (col("alpha_c") * 100 >= col("n_words") * minAlphaPct)
+        .cast("int").as("alpha_ok"),
+      (col("req_hits") >= minRequiredHits).cast("int").as("req_ok"))
+      .withColumn("keep", (col("words_ok") === 1 && col("mean_len_ok") === 1 &&
+        col("rep_ok") === 1 && col("alpha_ok") === 1 && col("req_ok") === 1)
+        .cast("int"))
+  }
+
   /** Whitespace token count + BPE-ish subunit count (letter runs, digit
     * runs, single symbols — a cheap proxy for tokenizer load). */
   def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =

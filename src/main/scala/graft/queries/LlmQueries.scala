@@ -38,6 +38,17 @@ object LlmQueries {
         b.banded.localCheckpoint(true))
     })
 
+  // q87's fixed linear probe: Knuth-multiplicative integer recipe →
+  // weights in [-1, 1] with exactly 3 decimal digits, so the Scala
+  // double ((k-1000)/1000.0) and the DuckDB literal ("-0.123") are the
+  // SAME correctly-rounded double. dim 64 = the embeddings table's width.
+  private val ProbeDim = 64
+  private[queries] val ProbeWeights: Array[Double] =
+    Array.tabulate(ProbeDim)(i =>
+      (((i + 1) * 2654435761L) % 1000003L % 2001L - 1000L) / 1000.0)
+  private def probeWeightsSql: String =
+    ProbeWeights.map(w => f"$w%.3f").mkString("[", ", ", "]")
+
   /** Drop the memoized q43/q83 signature build for `s` and free its
     * checkpoint blocks. */
   def resetCache(s: org.apache.spark.sql.SparkSession): Unit =
@@ -1472,7 +1483,117 @@ object LlmQueries {
              JOIN rates r ON d.lang IS NOT DISTINCT FROM r.stratum
              WHERE CAST('0x' || substr(md5(d.text), 1, 8) AS BIGINT)
                < r.rate * 4294967296
-             ORDER BY id"""))
+             ORDER BY id""")),
+
+    // ---- Gopher quality rule set (Rae et al. 2021 appendix A): per-doc
+    // structural signals + one 0/1 flag per rule + composite keep. Rules
+    // decide by exact integer cross-multiplication (never a float
+    // threshold), so both engines agree bit-for-bit; thresholds tuned so
+    // the synthetic corpus discriminates on every rule.
+    Q("q85_gopher_rules",
+      (s, d) => TextAnalysis.gopherRules(T.documents(s, d), "doc_id", "text")
+        .orderBy(col("id")),
+      Some("""WITH toks AS (
+               SELECT id, tok FROM (
+                 SELECT doc_id AS id,
+                   unnest(string_split_regex(text, '\s+')) AS tok
+                 FROM documents) WHERE tok <> ''),
+             pt AS (SELECT id, tok, count(*) AS c FROM toks GROUP BY id, tok),
+             sig AS (
+               SELECT id,
+                 CAST(sum(c) AS BIGINT) AS n_words,
+                 CAST(sum(c * length(tok)) AS BIGINT) AS sum_len,
+                 CAST(max(c) AS BIGINT) AS top_c,
+                 CAST(sum(CASE WHEN regexp_matches(tok, '[A-Za-z]')
+                   THEN c ELSE 0 END) AS BIGINT) AS alpha_c,
+                 CAST(sum(CASE WHEN tok IN ('table','row','data','key')
+                   THEN 1 ELSE 0 END) AS BIGINT) AS req_hits
+               FROM pt GROUP BY id)
+             SELECT id, n_words,
+               round(CAST(sum_len AS DOUBLE) / n_words, 6) AS mean_word_len,
+               round(CAST(top_c AS DOUBLE) / n_words, 6) AS top_tok_frac,
+               round(CAST(alpha_c AS DOUBLE) / n_words, 6) AS alpha_frac,
+               req_hits,
+               CAST(n_words BETWEEN 30 AND 90 AS INT) AS words_ok,
+               CAST(sum_len * 10 >= n_words * 42
+                 AND sum_len * 10 <= n_words * 50 AS INT) AS mean_len_ok,
+               CAST(top_c * 100 <= n_words * 10 AS INT) AS rep_ok,
+               CAST(alpha_c * 100 >= n_words * 80 AS INT) AS alpha_ok,
+               CAST(req_hits >= 2 AS INT) AS req_ok,
+               CAST(n_words BETWEEN 30 AND 90
+                 AND sum_len * 10 >= n_words * 42
+                 AND sum_len * 10 <= n_words * 50
+                 AND top_c * 100 <= n_words * 10
+                 AND alpha_c * 100 >= n_words * 80
+                 AND req_hits >= 2 AS INT) AS keep
+             FROM sig ORDER BY id""")),
+
+    // ---- DSIR importance weights (Xie et al. 2023): hashed-bigram
+    // bucket LLR vs the lang='en' target slice, mean LLR per doc, top-100.
+    // The md5 bucket hash is the portable-salt recipe (q83/q84); the
+    // bucket LLR quantizes to an integer micro-LLR so the per-doc mean is
+    // exact integer arithmetic in both engines (see dsirWeights scaladoc).
+    Q("q86_dsir_weights",
+      (s, d) => Curation.dsirWeights(T.documents(s, d), "doc_id", "text",
+        isTarget = col("lang") === "en", buckets = 1024, topK = 100)
+        .orderBy(col("id")),
+      Some("""WITH l AS (
+               SELECT doc_id AS id, lang = 'en' AS is_target,
+                 list_filter(string_split_regex(text, '\s+'),
+                   t -> t <> '') AS toks
+               FROM documents),
+             bg AS (
+               SELECT id, is_target,
+                 unnest(list_transform(range(1, len(toks)),
+                   i -> toks[i] || ' ' || toks[i+1])) AS bg
+               FROM l WHERE len(toks) >= 2),
+             bk AS (
+               SELECT id, is_target,
+                 CAST('0x' || substr(md5(bg), 1, 8) AS BIGINT) % 1024
+                   AS bucket
+               FROM bg),
+             bc AS (
+               SELECT bucket, count(*) AS c_raw,
+                 sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS c_tgt
+               FROM bk GROUP BY bucket),
+             tot AS (SELECT sum(c_raw) AS t_raw, sum(c_tgt) AS t_tgt
+               FROM bc),
+             llr AS (
+               SELECT bucket, CAST(round(ln(
+                 (CAST(c_tgt + 1 AS DOUBLE) / CAST(t.t_tgt + 1024 AS DOUBLE)) /
+                 (CAST(c_raw + 1 AS DOUBLE) / CAST(t.t_raw + 1024 AS DOUBLE)))
+                 * 1000000) AS BIGINT) AS illr
+               FROM bc CROSS JOIN tot t),
+             w AS (
+               SELECT bk.id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                 round(CAST(sum(l2.illr) AS DOUBLE) / count(*) / 1000000, 6)
+                   AS weight
+               FROM bk JOIN llr l2 USING (bucket) GROUP BY bk.id)
+             SELECT id, n_bigrams, weight, CAST(rank AS INT) AS rank FROM (
+               SELECT *, row_number() OVER (ORDER BY weight DESC, id)
+                 AS rank
+               FROM w)
+             WHERE rank <= 100 ORDER BY id""")),
+
+    // ---- Model-based quality filter (FineWeb-Edu / fastText-style): a
+    // fixed linear probe over the embedding column, sigmoid score, keep
+    // score >= 0.5. Weights derive from a Knuth-hash integer recipe with
+    // 3 decimal digits — the identical double literal in both engines —
+    // and the score rounds to 6 before the threshold (libm exp ULPs).
+    Q("q87_probe_filter",
+      (s, d) => Similarity.linearProbeScore(T.embeddings(s, d), "vec_id",
+        "embedding", ProbeWeights)
+        .filter(col("score") >= 0.5).orderBy(col("id")),
+      Some(s"""WITH v AS (
+               SELECT vec_id AS id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+               FROM embeddings)
+             SELECT id, score FROM (
+               SELECT id, round(1.0 / (1.0 +
+                 exp(-(list_inner_product(emb, $probeWeightsSql)))), 6)
+                 AS score
+               FROM v)
+             WHERE score >= 0.5 ORDER BY id"""))
   )
 
   /** Shared DuckDB CTEs for q77/q78: re-indexed tokens, lead-built

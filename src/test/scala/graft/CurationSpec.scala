@@ -499,4 +499,32 @@ class CurationSpec extends SparkSpec {
     assert(out(4L) == ((0.0, 0.0)))
     assert(out(5L) == ((0.5, 0.0)))
   }
+
+  test("dsirWeights: target-vocab docs outrank raw-only vocab, topK and rank hold") {
+    // Two disjoint bigram vocabularies: docs 0-4 (the target slice) speak
+    // A, docs 10-14 speak B. Every A-bucket is target-heavy (positive
+    // LLR), every B-bucket target-free (negative LLR), so each A-doc must
+    // outweigh each B-doc. Doc 20 has a single token -> no bigrams ->
+    // excluded entirely.
+    val a = "alpha beta gamma delta epsilon zeta"
+    val b = "omega psi chi phi upsilon tau"
+    val docs = ((0L until 5L).map(i => (i, a)) ++
+      (10L until 15L).map(i => (i, b)) :+ (20L, "lonely"))
+      .toDF("doc_id", "text")
+    val out = Curation.dsirWeights(docs, "doc_id", "text",
+      isTarget = col("doc_id") < 5, buckets = 64, topK = 8)
+      .select("id", "n_bigrams", "weight", "rank")
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._4)
+
+    assert(out.length == 8, "topK caps the output")
+    assert(out.forall(_._2 == 5L), "6 tokens -> 5 bigram occurrences")
+    assert(!out.exists(_._1 == 20L), "single-token doc has no bigrams")
+    assert(out.map(_._4).toSeq == (1 to 8), "dense 1-based ranks")
+    // All 5 A-docs rank above every B-doc; identical text -> identical
+    // weight, ties broken by id asc.
+    assert(out.take(5).map(_._1).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    assert(out.take(5).forall(_._3 > 0), "target-vocab weight is positive")
+    assert(out.drop(5).forall(_._3 < 0), "raw-only vocab weight is negative")
+    assert(out.take(5).map(_._3).distinct.size == 1)
+  }
 }

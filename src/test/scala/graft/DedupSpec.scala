@@ -446,6 +446,67 @@ class DedupSpec extends SparkSpec {
     assert(fp(1L).size <= 8)
   }
 
+  test("gopherRules: each rule trips independently, exact integer decisions") {
+    def words(n: Int, len: Int, prefix: String = "w"): String =
+      (0 until n).map(i => (prefix + i).padTo(len, 'x').take(len)).mkString(" ")
+    val docs = Seq(
+      // 1: passes every rule — 40 words, mean 4.95, top 1/40, 2 required.
+      (1L, "table row " + words(38, 5)),
+      // 2: too few words (10).
+      (2L, "table row " + words(8, 5)),
+      // 3: too many words (95).
+      (3L, "table row " + words(93, 5)),
+      // 4: mean word length 3.05 < 4.2.
+      (4L, "table row " + words(38, 3)),
+      // 5: one token is 25% of the doc (> 10% cap).
+      (5L, "table row " + ("dup " * 10).trim + " " + words(28, 5, "q")),
+      // 6: 10/40 digit-only words -> alpha 75% < 80% (distinct digit
+      // words keep the repetition rule green).
+      (6L, "table row " + words(28, 5) + " " +
+        (0 until 10).map(i => s"123$i").mkString(" ")),
+      // 7: only 1 required word.
+      (7L, "table " + words(39, 5)),
+      // 8: required-word hits count DISTINCT words — "table" twice is 1.
+      (8L, "table table " + words(38, 5)))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .select("id", "n_words", "words_ok", "mean_len_ok", "rep_ok",
+        "alpha_ok", "req_ok", "keep", "req_hits")
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    def flags(id: Long): Seq[Int] =
+      (2 to 7).map(i => out(id).getInt(i))
+    assert(flags(1L) == Seq(1, 1, 1, 1, 1, 1), "doc 1 passes all")
+    assert(flags(2L) == Seq(0, 1, 1, 1, 1, 0), "doc 2 fails words only")
+    assert(flags(3L) == Seq(0, 1, 1, 1, 1, 0), "doc 3 fails words only")
+    assert(flags(4L) == Seq(1, 0, 1, 1, 1, 0), "doc 4 fails mean length only")
+    assert(flags(5L) == Seq(1, 1, 0, 1, 1, 0), "doc 5 fails repetition only")
+    assert(flags(6L) == Seq(1, 1, 1, 0, 1, 0), "doc 6 fails alpha only")
+    assert(flags(7L) == Seq(1, 1, 1, 1, 0, 0), "doc 7 fails required words only")
+    assert(out(8L).getLong(8) == 1L, "duplicate required word counts once")
+    // Exact-boundary checks ride on doc 1: 40 words in [30, 90] and the
+    // integer cross-multiplied mean (198/40 = 4.95) inside [4.2, 5.0].
+    assert(out(1L).getLong(1) == 40L)
+  }
+
+  test("linearProbeScore: hand-computed sigmoids, bias, monotone in dot") {
+    val emb = Seq(
+      (1L, Array(0.5f, 0f, 0f)),
+      (2L, Array(-0.5f, 0f, 0f)),
+      (3L, Array(0f, 0f, 0f)),
+      (4L, Array(2.0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val w = Array(2.0, 0.0, 0.0)
+    val out = Similarity.linearProbeScore(emb, "vec_id", "embedding", w)
+      .as[(Long, Double)].collect().toMap
+    assert(out(1L) == 0.731059, "sigmoid(1.0) rounded to 6")
+    assert(out(2L) == 0.268941, "sigmoid(-1.0) rounded to 6")
+    assert(out(3L) == 0.5)
+    assert(out(4L) > out(1L) && out(1L) > out(3L) && out(3L) > out(2L))
+    val biased = Similarity.linearProbeScore(emb, "vec_id", "embedding",
+      w, bias = 1.0).as[(Long, Double)].collect().toMap
+    assert(biased(3L) == 0.731059, "bias shifts the zero vector to sigmoid(1)")
+  }
+
   test("langId picks marker-heavy language deterministically") {
     val df = Seq(
       (1L, "the cat and the dog is in the house"),
