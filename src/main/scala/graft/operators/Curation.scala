@@ -346,7 +346,11 @@ object Curation {
    * 1-row aggregate; the LLR table (≤ buckets rows) broadcasts back onto
    * the bigram stream, so the corpus shuffles once (doc_id groupBy). The
    * topK selection is a TakeOrdered; the rank window runs over ≤ topK
-   * rows — bounded by the knob, never by data.
+   * rows — bounded by the knob, never by data. The tokenize→bigram
+   * stage runs twice (once under the bucket aggregation, once under the
+   * weight join) by design: materializing a corpus-sized bigram cache
+   * costs more than the second narrow pass at scale, and the bucket
+   * pass is projection-pruned to (is_target, bg).
    */
   def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
       isTarget: Column, buckets: Int = 1024, topK: Int = 100): DataFrame = {

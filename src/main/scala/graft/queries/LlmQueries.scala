@@ -43,7 +43,7 @@ object LlmQueries {
   // double ((k-1000)/1000.0) and the DuckDB literal ("-0.123") are the
   // SAME correctly-rounded double. dim 64 = the embeddings table's width.
   private val ProbeDim = 64
-  private[queries] val ProbeWeights: Array[Double] =
+  private[graft] val ProbeWeights: Array[Double] =
     Array.tabulate(ProbeDim)(i =>
       (((i + 1) * 2654435761L) % 1000003L % 2001L - 1000L) / 1000.0)
   private def probeWeightsSql: String =

@@ -152,6 +152,27 @@ object ScaleSmoke {
             col("n_tokens"))
         graft.operators.Curation.selectByTokenBudget(scored, 100000L)
       }
+      // Round-5 additions: the three narrow/one-shuffle curation scorers —
+      // all should track the input size near-linearly with no join blowup.
+      runOnce("gopher_rules") {
+        graft.operators.TextAnalysis.gopherRules(df, "doc_id", "text")
+      }
+      runOnce("dsir_weights") {
+        graft.operators.Curation.dsirWeights(df, "doc_id", "text",
+          isTarget = col("lang") === "en")
+      }
+      if (wanted("probe_filter")) {
+        val emb = (0 until m).map { i =>
+          graft.Tables.embeddings(spark, sfDir).select(
+            (col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
+            col("embedding"))
+        }.reduce(_ unionByName _).localCheckpoint(true)
+        runOnce("probe_filter") {
+          graft.operators.Similarity.linearProbeScore(emb, "vec_id",
+            "embedding", graft.queries.LlmQueries.ProbeWeights)
+        }
+        graft.operators.CacheScope.unpinCheckpoint(emb)
+      }
       // Incremental probe at its production operating point: the corpus
       // artifact prebuilt OUTSIDE the timed region (both sides still grow
       // with m here; production holds the batch fixed).
