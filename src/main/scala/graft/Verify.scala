@@ -28,16 +28,24 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Every query that throws is recorded in errors.json (written even when
+    // empty) and its partial output dir is removed, so the correctness
+    // artifact enumerates the full declared battery — a crashed query can
+    // never read as merely absent, let alone green.
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.foreach { case (name, fn) =>
       if (keep(name)) {
         // Per-query cache scope: operator-internal persists are released
-        // after each result lands, so the 76-query sweep holds a bounded
+        // after each result lands, so the 87-query sweep holds a bounded
         // cache footprint (see Bench for the same discipline).
         val (_, caches) = graft.operators.CacheScope.tracking {
           try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
           catch { case e: Throwable =>
             System.err.println(s"[verify] $name failed: ${e.getMessage}")
+            failures(name) =
+              s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}".take(500)
+            deleteRecursively(new java.io.File(s"$outDir/$name"))
           }
         }
         caches.release()
@@ -59,6 +67,17 @@ object Verify {
       .filter { case (k, _) => keep(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val ejson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), ejson)
+    if (failures.nonEmpty)
+      System.err.println(s"[verify] ${failures.size} queries FAILED: " +
+        failures.keys.mkString(", "))
     spark.stop()
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
   }
 }

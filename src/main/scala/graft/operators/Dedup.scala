@@ -144,6 +144,49 @@ object Dedup {
       .withColumn("is_dup", (col(idCol) =!= col("canonical_id")).cast("int"))
   }
 
+  /** C4-style corpus-level line dedup (Raffel et al. 2020 §2.2 dedupe any
+    * repeated occurrence; cf. `/root/reference/src/CorefBase.groovy:135-155`
+    * for the reference's analogous exact-key clustering): every non-blank
+    * line that occurs more than once in the corpus keeps only its FIRST
+    * occurrence (min (doc_id, line_idx)), and each document is reassembled
+    * from its surviving lines in original order.
+    *
+    * Output: (id, n_lines, n_kept, text) — n_lines counts the doc's
+    * non-blank lines, text joins the kept lines with '\n' ('' when every
+    * line lost). Docs whose lines are all blank emit no row (they carry no
+    * dedupable content), mirrored exactly by the oracle.
+    *
+    * 100 TB shape: lines shuffle ONCE by a 16-byte md5 line key (never the
+    * line text); the winner per key comes from a map-side-combining
+    * min(struct) aggregation — a corpus-wide boilerplate line partial-
+    * aggregates inside each task instead of flooding one reducer (the skew
+    * reason this is an agg+join, not a row_number window). The join back is
+    * keyed on the same digest with a 1-row-per-key build side, AQE
+    * skew-splitting the probe; reassembly shuffles once by doc id. */
+  def corpusLineDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = df.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("idx", "line")))
+      .filter(length(trim(col("line"))) > 0)
+      .withColumn("k", md5(col("line")))
+    val winners = lines.groupBy(col("k"))
+      .agg(min(struct(col("id").as("wid"), col("idx").as("widx"))).as("w"))
+    lines.join(winners, "k")
+      .withColumn("keep",
+        col("id") === col("w.wid") && col("idx") === col("w.widx"))
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        // collect_list skips the non-kept NULLs; struct sorts by idx (unique
+        // per doc), restoring original line order.
+        array_join(
+          transform(
+            sort_array(collect_list(when(col("keep"),
+              struct(col("idx"), col("line"))))),
+            x => x.getField("line")),
+          "\n").as("text"))
+  }
+
   /** Raw word n-gram shingle strings: (id, shingle), distinct. */
   def shingleStrings(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3): DataFrame = {

@@ -1593,7 +1593,34 @@ object LlmQueries {
                  exp(-(list_inner_product(emb, $probeWeightsSql)))), 6)
                  AS score
                FROM v)
-             WHERE score >= 0.5 ORDER BY id"""))
+             WHERE score >= 0.5 ORDER BY id""")),
+
+    // ---- C4-style corpus-level line dedup (Raffel et al. 2020): any
+    // non-blank line repeated anywhere in the corpus keeps only its first
+    // occurrence (min (doc_id, idx)); docs are reassembled from surviving
+    // lines. The oracle mirrors the winner rule with a row_number window —
+    // same winner as Spark's skew-proof min(struct) aggregation.
+    Q("q89_line_dedup",
+      (s, d) => Dedup.corpusLineDedup(T.documents(s, d), "doc_id", "text")
+        .orderBy(col("id")),
+      Some("""WITH lines AS (
+               SELECT id, i, line FROM (
+                 SELECT doc_id AS id,
+                   unnest(string_split(text, chr(10))) AS line,
+                   unnest(range(len(string_split(text, chr(10))))) AS i
+                 FROM documents)
+               WHERE length(trim(line)) > 0),
+             flag AS (
+               SELECT id, i, line,
+                 row_number() OVER (PARTITION BY md5(line)
+                   ORDER BY id, i) = 1 AS keep
+               FROM lines)
+             SELECT id,
+               count(*) AS n_lines,
+               CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               coalesce(string_agg(CASE WHEN keep THEN line END,
+                 chr(10) ORDER BY i), '') AS text
+             FROM flag GROUP BY id ORDER BY id"""))
   )
 
   /** Shared DuckDB CTEs for q77/q78: re-indexed tokens, lead-built

@@ -588,6 +588,102 @@ object Relational {
       Some("""SELECT o_orderkey,
                (SELECT count(*) FROM lineitem l
                 WHERE l.l_orderkey = o.o_orderkey) AS n_items
-             FROM orders o WHERE o_orderkey <= 2000"""))
+             FROM orders o WHERE o_orderkey <= 2000""")),
+
+    // ---- Statistical profile (S7 widening): exact interpolated
+    // percentiles, stddev, and Pearson correlation per group. stddev/corr
+    // are DERIVED FROM EXACT INTEGER SUMS (n, Σx, Σx², Σy, Σy², Σxy) with
+    // the identical double formula on both engines — never the engines'
+    // own stddev/corr aggregates, whose summation order differs. Exact
+    // percentile is the oracle-checkable form; approx_percentile (t-digest)
+    // is the same-shaped 100 TB path when a group's values no longer fit
+    // one aggregation buffer.
+    Q("q88_stat_profile",
+      (s, d) => T.documents(s, d)
+        .select(col("lang"), col("n_chars"),
+          expr("size(filter(split(text, '\\\\s+'), t -> t <> ''))")
+            .cast("long").as("n_toks"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sx"),
+          sum(col("n_chars") * col("n_chars")).as("sxx"),
+          sum(col("n_toks")).as("sy"),
+          sum(col("n_toks") * col("n_toks")).as("syy"),
+          sum(col("n_chars") * col("n_toks")).as("sxy"),
+          expr("round(percentile(n_chars, 0.5), 6)").as("p50_chars"),
+          expr("round(percentile(n_chars, 0.9), 6)").as("p90_chars"))
+        .filter(col("n_docs") >= 2)
+        .select(col("lang"), col("n_docs"), col("p50_chars"), col("p90_chars"),
+          expr("""round(sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n_docs) / (n_docs - 1)), 6)""")
+            .as("sd_chars"),
+          expr("""CASE WHEN n_docs * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                        AND n_docs * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+                       THEN round((n_docs * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                         (sqrt(n_docs * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+                          sqrt(n_docs * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+                  END""").as("corr_chars_toks"))
+        .orderBy(col("lang")),
+      Some("""WITH sig AS (
+               SELECT lang, n_chars,
+                 CAST(len(list_filter(string_split_regex(text, '\s+'),
+                   t -> t <> '')) AS BIGINT) AS n_toks
+               FROM documents),
+             g AS (
+               SELECT lang,
+                 count(*) AS n_docs,
+                 CAST(sum(n_chars) AS BIGINT) AS sx,
+                 CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx,
+                 CAST(sum(n_toks) AS BIGINT) AS sy,
+                 CAST(sum(n_toks * n_toks) AS BIGINT) AS syy,
+                 CAST(sum(n_chars * n_toks) AS BIGINT) AS sxy,
+                 round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+                 round(quantile_cont(n_chars, 0.9), 6) AS p90_chars
+               FROM sig GROUP BY lang HAVING count(*) >= 2)
+             SELECT lang, n_docs, p50_chars, p90_chars,
+               round(sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n_docs) / (n_docs - 1)), 6)
+                 AS sd_chars,
+               CASE WHEN n_docs * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                     AND n_docs * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+                    THEN round((n_docs * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                      (sqrt(n_docs * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+                       sqrt(n_docs * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+               END AS corr_chars_toks
+             FROM g ORDER BY lang""")),
+
+    // ---- Unpivot / melt (S10-adjacent surface): per-doc signals to long
+    // form via Dataset.unpivot, then a per-(lang, signal) rollup. The
+    // oracle uses the portable UNION ALL expansion — same rows, and the
+    // long form shuffles once on (lang, signal).
+    Q("q90_unpivot_signals",
+      (s, d) => T.documents(s, d)
+        .select(col("doc_id").as("id"), col("lang"),
+          col("n_chars").cast("long").as("chars"),
+          expr("size(filter(split(text, '\\\\s+'), t -> t <> ''))")
+            .cast("long").as("toks"),
+          expr("size(filter(split(text, '\\n'), l -> length(trim(l)) > 0))")
+            .cast("long").as("lines"))
+        .unpivot(Array(col("id"), col("lang")),
+          Array(col("chars"), col("toks"), col("lines")), "signal", "value")
+        .groupBy(col("lang"), col("signal"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("total"),
+          round(avg(col("value")), 6).as("mean"))
+        .orderBy(col("lang"), col("signal")),
+      Some("""WITH sig AS (
+               SELECT doc_id AS id, lang,
+                 CAST(n_chars AS BIGINT) AS chars,
+                 CAST(len(list_filter(string_split_regex(text, '\s+'),
+                   t -> t <> '')) AS BIGINT) AS toks,
+                 CAST(len(list_filter(string_split(text, chr(10)),
+                   l -> length(trim(l)) > 0)) AS BIGINT) AS lines
+               FROM documents),
+             longf AS (
+               SELECT id, lang, 'chars' AS signal, chars AS value FROM sig
+               UNION ALL SELECT id, lang, 'toks', toks FROM sig
+               UNION ALL SELECT id, lang, 'lines', lines FROM sig)
+             SELECT lang, signal, count(*) AS n,
+               CAST(sum(value) AS BIGINT) AS total,
+               round(avg(value), 6) AS mean
+             FROM longf GROUP BY lang, signal ORDER BY lang, signal"""))
   )
 }

@@ -18,24 +18,38 @@ import org.apache.spark.sql.types._
  */
 object EventStreams {
 
-  /** File schema: ts read as raw nanos long (see graft.Tables.events). */
-  val FileSchema: StructType = StructType(Seq(
+  /** File schema with `ts` of the given type (see graft.Tables.events —
+    * NANOS testdata reads `ts` as a raw long; MICROS as a timestamp). */
+  def fileSchema(tsType: DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Stream of events from a testdata directory, micros `ts` derived. */
+  /** Stream of events from a testdata directory, normalized to the same
+    * (ts_ns long, ts micros-timestamp) surface as the batch loader. A
+    * readStream needs an explicit schema, so the `ts` physical encoding is
+    * sniffed from a batch read of the same file (footer-only, no data job).
+    */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(FileSchema)
+    val tsType = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    val raw = spark.readStream
+      .schema(fileSchema(tsType))
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    val normalized = tsType match {
+      case LongType =>
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+    }
+    normalized.select("event_id", "ts_ns", "user_id", "event_type", "value",
+      "props", "ts")
   }
 
   /** Tumbling-window counts/sums per event_type with a watermark. */

@@ -711,4 +711,24 @@ class AnnSpec extends SparkSpec {
     assert(degenerate(3L).getLong(1) == 0L &&
       degenerate(3L).getDouble(3) == 0.0, "token-less doc still zero-filled")
   }
+
+  test("corpusLineDedup: first occurrence wins, docs reassembled in order") {
+    val docs = Seq(
+      (1L, "alpha\nshared boilerplate\nbeta"),
+      (2L, "shared boilerplate\ngamma\nshared boilerplate"), // corpus dup + within-doc dup
+      (3L, "shared boilerplate"),                            // every line lost
+      (4L, "  \n\n"),                                        // blank-only: no output row
+      (5L, "delta\nalpha"))                                  // later dup of doc 1's line
+      .toDF("doc_id", "text")
+    val out = Dedup.corpusLineDedup(docs, "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((3L, 3L, "alpha\nshared boilerplate\nbeta")),
+      "doc 1 holds every first occurrence")
+    assert(out(2L) == ((3L, 1L, "gamma")),
+      "both boilerplate copies lose to doc 1 (min doc, then min idx)")
+    assert(out(3L) == ((1L, 0L, "")), "all-dup doc keeps empty text")
+    assert(!out.contains(4L), "blank-only doc emits no row")
+    assert(out(5L) == ((2L, 1L, "delta")), "alpha deduped against doc 1")
+  }
 }

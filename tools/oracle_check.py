@@ -25,6 +25,12 @@ for p in glob.glob(f"{SF_DIR}/*.parquet"):
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+# Verify records thrown queries here (always written, possibly empty), so a
+# crashed query surfaces with its exception instead of a bare missing-dir.
+try:
+    verify_errors = json.load(open(f"{OUT}/errors.json"))
+except Exception:
+    verify_errors = {}
 
 import numpy as np
 
@@ -68,7 +74,8 @@ for name in sorted(oracle):
     sql = oracle[name]
     spark_dir = f"{OUT}/{name}"
     if not os.path.isdir(spark_dir):
-        fails.append((name, "spark output missing"))
+        fails.append((name, "spark CRASHED: " + verify_errors[name]
+                      if name in verify_errors else "spark output missing"))
         continue
     try:
         # .df() (not fetchall) to go through pandas like the driver does:
