@@ -150,16 +150,22 @@ object Bench {
       // family's last user, release its checkpoint blocks there.
       if (q.name == "q83_salted_neardup")
         graft.queries.LlmQueries.resetCache(spark)
+      // …and for the shared token table: q60_tfidf is its last battery
+      // user (q29-q35, q40-q42 via syntheticMentions, q54/q55, q60).
+      if (q.name == "q60_tfidf")
+        graft.queries.TextQueries.resetCache(spark)
       (q.name, sec, ok, sb)
     }
     val p1 = onePass().map(t => t._1 -> (t._2, t._3, t._4)).toMap
     graft.queries.PipelineQueries.resetCache(spark)
     graft.queries.LlmQueries.resetCache(spark)
+    graft.queries.TextQueries.resetCache(spark)
     Q75Bench.release()
     spark.catalog.clearCache()
     val p2 = onePass().map(t => t._1 -> (t._2, t._3, t._4)).toMap
     Q75Bench.release()
     graft.queries.LlmQueries.resetCache(spark)
+    graft.queries.TextQueries.resetCache(spark)
     def r3(v: Double): Double = math.round(v * 1000).toDouble / 1000
     // Per query: min-of-2 seconds plus the shuffle bytes of the pass that
     // provided them (bytes are plan-determined and stable across passes).
@@ -196,11 +202,22 @@ object Bench {
     val shTop = results.sortBy(-_._3).take(10)
       .map { case (k, _, b) => "\"" + shortKey(k) + "\":" + (b >> 20) }
       .mkString("{", ",", "}")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"shuffle_bytes":$shFull,"failed":$failed,"sf":"$sfDir"}"""
+    val compactLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsShort,"shuffle_mb_top":$shTop,"failed":$failed,"sf":"$sfDir"}"""
     // Full-name line first (for humans / complete logs), with the
     // shuffle-bytes map for plan-regression tracking…
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"shuffle_bytes":$shFull,"failed":$failed,"sf":"$sfDir"}""")
+    println(fullLine)
     // …compact line LAST so a bounded stdout tail always captures it whole.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsShort,"shuffle_mb_top":$shTop,"failed":$failed,"sf":"$sfDir"}""")
+    println(compactLine)
+    // The same compact line also lands in a FILE: stdout tail capture has
+    // already mis-parsed once (BENCH_r06 "parsed": null — sbt's [success]
+    // trailer was the literal last line), so the artifact no longer depends
+    // on it. Full-name line included for complete per-query shuffle bytes.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_summary.json"),
+      compactLine + "\n" + fullLine + "\n")
     spark.stop()
   }
 }

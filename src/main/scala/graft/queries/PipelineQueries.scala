@@ -25,11 +25,11 @@ import graft.operators.{Coref, SocialNetwork}
  */
 object PipelineQueries {
 
-  /** Synthesize a PERSON mention table from document token bigrams. */
+  /** Synthesize a PERSON mention table from document token bigrams
+    * (starting from the memoized shared token table — see
+    * TextQueries.tokensPos). */
   def syntheticMentions(s: SparkSession, d: String): DataFrame = {
-    val toks = T.documents(s, d)
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-      .filter(col("tok") =!= "")
+    val toks = TextQueries.tokensPos(s, d)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
     toks

@@ -615,7 +615,11 @@ object Relational {
           expr("round(percentile(n_chars, 0.9), 6)").as("p90_chars"))
         .filter(col("n_docs") >= 2)
         .select(col("lang"), col("n_docs"), col("p50_chars"), col("p90_chars"),
-          expr("""round(sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n_docs) / (n_docs - 1)), 6)""")
+          // greatest(0.0, …): with a constant-valued group, double rounding
+          // can make the variance term slightly negative — Spark's sqrt
+          // returns NaN but DuckDB raises Out-of-Range, so an unguarded form
+          // diverges in FAILURE MODE (oracle exec error), not just value.
+          expr("""round(sqrt(greatest(0.0, CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n_docs) / (n_docs - 1)), 6)""")
             .as("sd_chars"),
           expr("""CASE WHEN n_docs * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
                         AND n_docs * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
@@ -641,7 +645,7 @@ object Relational {
                  round(quantile_cont(n_chars, 0.9), 6) AS p90_chars
                FROM sig GROUP BY lang HAVING count(*) >= 2)
              SELECT lang, n_docs, p50_chars, p90_chars,
-               round(sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n_docs) / (n_docs - 1)), 6)
+               round(sqrt(greatest(0.0, CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n_docs) / (n_docs - 1)), 6)
                  AS sd_chars,
                CASE WHEN n_docs * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
                      AND n_docs * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0

@@ -18,12 +18,42 @@ import graft.operators.SortedNeighborhood
  */
 object TextQueries {
 
+  // The exploded token table underlies eight queries (q29-q33, q35's
+  // shingles, q54/q55's index, q60's TF-IDF via LlmQueries, plus the coref
+  // family's synthetic mentions) — before round 7 each rebuilt the
+  // documents-scan → split → explode pipeline from scratch, ~8 identical
+  // passes per Verify/Bench sweep. Memoized per (session, dir) with an
+  // eager localCheckpoint, the same single-JVM-harness rationale (and the
+  // same release discipline) as PipelineQueries.corefPipeline and
+  // LlmQueries.sharedMd5Build: Bench releases after the family's last
+  // battery user (q60_tfidf) via [[resetCache]]. On a real cluster a
+  // composing caller would persist (lineage survives executor loss) or
+  // write the token table once and read it back — either way the point
+  // stands: tokenize 100 TB ONCE, not once per downstream query.
+  private val tokensCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  /** Positioned (doc_id, pos, tok) token table — one row per non-empty
+    * token occurrence, `pos` = offset in the space-split (gaps where empty
+    * strings were dropped; windows order by it). Memoized + checkpointed. */
+  private[queries] def tokensPos(s: SparkSession, d: String): DataFrame =
+    tokensCache.getOrElseUpdate((s, d),
+      T.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .filter(col("tok") =!= "")
+        .localCheckpoint(true))
+
   /** Exploded (doc_id, tok) mention table — one row per token occurrence.
     * Shared with LlmQueries (q60 TF-IDF reuses the q54 index tokenization). */
   private[queries] def tokens(s: SparkSession, d: String): DataFrame =
-    T.documents(s, d)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .filter(col("tok") =!= "")
+    tokensPos(s, d).drop("pos")
+
+  /** Drop memoized token tables for `s` and free their checkpoint blocks. */
+  def resetCache(s: SparkSession): Unit =
+    tokensCache.keys.filter(_._1 eq s).foreach { k =>
+      tokensCache.remove(k).foreach(graft.operators.CacheScope.unpinCheckpoint)
+    }
 
   private val TokensSql =
     "SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents"
@@ -164,9 +194,7 @@ object TextQueries {
     Q("q35_jaccard_pairs",
       (s, d) => {
         val maxDf = 500
-        val toks = T.documents(s, d).select(col("doc_id"),
-          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-          .filter(col("tok") =!= "")
+        val toks = tokensPos(s, d)
         val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
         val shAll = toks
           .withColumn("t2", lead(col("tok"), 1).over(w))

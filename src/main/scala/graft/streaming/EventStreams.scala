@@ -32,10 +32,15 @@ object EventStreams {
     * (ts_ns long, ts micros-timestamp) surface as the batch loader. A
     * readStream needs an explicit schema, so the `ts` physical encoding is
     * sniffed from a batch read of the same file (footer-only, no data job).
+    * When the file does not exist yet (a stream started over a directory
+    * that will be populated later), the sniff falls back to the legacy
+    * nanos-as-long encoding, matching the pre-round-6 static schema.
     */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tsType = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    val tsType =
+      try spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+      catch { case _: org.apache.spark.sql.AnalysisException => LongType }
     val raw = spark.readStream
       .schema(fileSchema(tsType))
       .option("pathGlobFilter", "events.parquet")

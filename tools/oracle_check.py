@@ -74,7 +74,7 @@ for name in sorted(oracle):
     sql = oracle[name]
     spark_dir = f"{OUT}/{name}"
     if not os.path.isdir(spark_dir):
-        fails.append((name, "spark CRASHED: " + verify_errors[name]
+        fails.append((name, ("spark CRASHED: " + verify_errors[name])
                       if name in verify_errors else "spark output missing"))
         continue
     try:
