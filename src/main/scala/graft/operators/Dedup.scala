@@ -164,16 +164,32 @@ object Dedup {
     * keyed on the same digest with a 1-row-per-key build side, AQE
     * skew-splitting the probe; reassembly shuffles once by doc id. */
   def corpusLineDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val lines = df.select(col(idCol).as("id"),
+    val lines = docLines(df, idCol, textCol)
+    val winners = lines.groupBy(col("k"))
+      .agg(min(struct(col("id").as("wid"), col("idx").as("widx"))).as("w"))
+    reassembleLines(
+      lines.join(winners, "k")
+        .withColumn("keep",
+          col("id") === col("w.wid") && col("idx") === col("w.widx")))
+  }
+
+  /** Line-dedup front half: (id, idx, line, k) — one row per non-blank
+    * (SQL-trim: space-only-blank) line, k = md5 digest shuffle key. Shared
+    * by [[corpusLineDedup]] and the streaming incremental form
+    * (graft.streaming.CurationStreams.lineDedupStream) so both stay in
+    * semantic lockstep. */
+  private[graft] def docLines(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
         posexplode(split(col(textCol), "\n")).as(Seq("idx", "line")))
       .filter(length(trim(col("line"))) > 0)
       .withColumn("k", md5(col("line")))
-    val winners = lines.groupBy(col("k"))
-      .agg(min(struct(col("id").as("wid"), col("idx").as("widx"))).as("w"))
-    lines.join(winners, "k")
-      .withColumn("keep",
-        col("id") === col("w.wid") && col("idx") === col("w.widx"))
-      .groupBy(col("id"))
+
+  /** Line-dedup tail: reassemble (id, idx, line, keep) line rows into
+    * (id, n_lines, n_kept, text) docs, original line order. One doc-id
+    * shuffle. */
+  private[graft] def reassembleLines(marked: DataFrame): DataFrame =
+    marked.groupBy(col("id"))
       .agg(
         count(lit(1)).as("n_lines"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
@@ -185,7 +201,6 @@ object Dedup {
               struct(col("idx"), col("line"))))),
             x => x.getField("line")),
           "\n").as("text"))
-  }
 
   /** Raw word n-gram shingle strings: (id, shingle), distinct. */
   def shingleStrings(df: DataFrame, idCol: String, textCol: String,

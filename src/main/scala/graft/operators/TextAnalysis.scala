@@ -241,4 +241,50 @@ object TextAnalysis {
       .groupBy(col("id"))
       .agg(sort_array(collect_list(col("shingle"))).as("fingerprint"))
   }
+
+  /**
+   * Per-group statistical profile of a long-valued signal: count, mean,
+   * stddev (both derived from exact integer sums — engine-portable,
+   * summation-order-free), and one `p<NN>` column per requested quantile.
+   *
+   * `exact = true` uses `percentile` (exact interpolated): one aggregation
+   * buffer holds the group's VALUES, so it is the oracle-checkable form
+   * (q88) and fine while a group fits an executor. `exact = false` (the
+   * default, and the 100 TB path) uses `approx_percentile`: a mergeable
+   * constant-memory quantile sketch with rank error bounded by
+   * n / accuracy — group size no longer bounds memory, partial aggregation
+   * stays map-side, and the plan is otherwise IDENTICAL (one shuffle on the
+   * group key). StatProfileSpec pins the error bound against the exact form
+   * on a known distribution.
+   */
+  def statProfile(df: DataFrame, groupCol: String, valueCol: String,
+      percentiles: Seq[Double] = Seq(0.5, 0.9),
+      exact: Boolean = false, accuracy: Int = 10000): DataFrame = {
+    require(percentiles.nonEmpty && percentiles.forall(p => p >= 0 && p <= 1))
+    val pctArray = percentiles.mkString("array(", ", ", ")")
+    val pctAgg =
+      if (exact) s"percentile($valueCol, $pctArray)"
+      else s"approx_percentile($valueCol, $pctArray, $accuracy)"
+    val v = col(valueCol)
+    val n = col("n")
+    val grouped = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n"),
+      sum(v).as("sx"),
+      sum(v * v).as("sxx"),
+      expr(pctAgg).as("pcts"))
+    val pctCols = percentiles.zipWithIndex.map { case (p, i) =>
+      col("pcts").getItem(i).cast("double")
+        .as("p" + math.round(p * 100).toString)
+    }
+    grouped.select(
+      (col(groupCol) +: n +:
+        round(col("sx").cast("double") / n, 6).as("mean") +:
+        // greatest(0.0, …): constant-valued group must not NaN (see q88);
+        // singleton group → NULL (sample sd undefined), not 0/0.
+        when(n > 1, round(sqrt(greatest(lit(0.0),
+            col("sxx").cast("double") - col("sx").cast("double") *
+              col("sx").cast("double") / n) /
+          (n - lit(1))), 6)).as("sd") +:
+        pctCols): _*)
+  }
 }

@@ -363,6 +363,76 @@ object CurationStreams {
       .start()
   }
 
+  /**
+   * Streaming incremental corpus-level line dedup: the micro-batch form of
+   * [[Dedup.corpusLineDedup]]. Each arriving batch's non-blank lines are
+   * checked against the carried line-digest artifact (the set of md5 line
+   * keys ever seen); a line occurrence survives iff its key is UNSEEN and
+   * it is the batch-wide min (doc_id, idx) for that key — so across the
+   * stream's life the FIRST occurrence in arrival order wins, which equals
+   * the batch operator's min-(doc_id, idx) rule whenever docs arrive in
+   * doc-id order (LineDedupStreamSpec pins stream == batch on exactly that
+   * split). Per batch, `sink` receives the batch's reassembled docs in the
+   * batch operator's (id, n_lines, n_kept, text) shape.
+   *
+   * State = ONE digest column, O(distinct lines ever seen) — 16 bytes per
+   * distinct line, the minimal sufficient statistic for the first-wins
+   * rule. Carried with the same discipline as the folding dedup stream:
+   * eager bounded checkpoint per fold (plan depth AND partition count O(1)
+   * in trigger count), previous blocks freed, fold guarded by batch id and
+   * applied only after `sink` returns (a failed trigger retries against
+   * the pre-fold artifact). At 100 TB the artifact is a stored table
+   * bucketed by digest; the per-trigger work is one batch-lines shuffle
+   * plus a semi-join against it — the batch side never exceeds the
+   * micro-batch.
+   *
+   * `seenKeys`: optional bootstrap artifact (single `k` column — e.g. the
+   * digests of an existing deduped corpus: `docLines(corpus).select("k")
+   * .distinct`). Docs whose every line is blank emit no row, as in batch.
+   */
+  def lineDedupStream(docs: DataFrame, idCol: String, textCol: String,
+      seenKeys: Option[DataFrame] = None)(
+      sink: DataFrame => Unit): StreamingQuery = {
+    val spark = docs.sparkSession
+    var artifact = seenKeys
+      .map(_.select(col("k")).distinct())
+      .getOrElse(spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(Seq(StructField("k", StringType)))))
+      .localCheckpoint(true)
+    var lastFolded = -1L
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // One materialization of the batch's line table feeds the winner
+        // aggregation, the reassembly, and the fold.
+        val lines = Dedup.docLines(batch, idCol, textCol).localCheckpoint(true)
+        try {
+          val winners = lines.join(artifact, Seq("k"), "left_anti")
+            .groupBy(col("k"))
+            .agg(min(struct(col("id").as("wid"), col("idx").as("widx"))).as("w"))
+            .localCheckpoint(true)
+          try {
+            val out = Dedup.reassembleLines(
+              lines.join(winners, Seq("k"), "left")
+                .withColumn("keep", col("w").isNotNull &&
+                  col("id") === col("w.wid") && col("idx") === col("w.widx")))
+            sink(out)
+            // Fold the batch's new keys — at most once per batch id
+            // (foreachBatch is at-least-once; sink-then-fold means a failed
+            // trigger retries with the pre-fold artifact intact).
+            if (batchId > lastFolded) {
+              val folded = boundedCheckpoint(
+                artifact.unionByName(winners.select(col("k"))))
+              unpin(artifact)
+              artifact = folded
+              lastFolded = batchId
+            }
+          } finally unpin(winners)
+        } finally unpin(lines)
+      }
+      .start()
+  }
+
   private def unpin(df: DataFrame): Unit =
     graft.operators.CacheScope.unpinCheckpoint(df)
 

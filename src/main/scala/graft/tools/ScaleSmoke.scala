@@ -157,6 +157,15 @@ object ScaleSmoke {
       runOnce("gopher_rules") {
         graft.operators.TextAnalysis.gopherRules(df, "doc_id", "text")
       }
+      // Round-7 addition (VERDICT r6 #5): corpus-level line dedup — the
+      // m× corpus is adversarial here too (every original line recurs in
+      // all m copies... except the copymarker suffix lands on the LAST
+      // line only, so all other lines form corpus-wide duplicate groups of
+      // size m). Linear = the min(struct) agg partial-combines; a
+      // reducer-flooding formulation would go superlinear in m.
+      runOnce("line_dedup") {
+        graft.operators.Dedup.corpusLineDedup(df, "doc_id", "text")
+      }
       runOnce("dsir_weights") {
         graft.operators.Curation.dsirWeights(df, "doc_id", "text",
           isTarget = col("lang") === "en")
