@@ -242,6 +242,47 @@ object TextAnalysis {
       .agg(sort_array(collect_list(col("shingle"))).as("fingerprint"))
   }
 
+  /** URLs and their lowercased hosts per document: (id, url, domain) —
+    * one row per URL occurrence; docs with no URLs keep one row with NULL
+    * url/domain (explode_outer, so downstream aggregation never loses a
+    * doc). Host = authority up to the first '/', ':', '?' or '#' (ports
+    * and paths excluded). */
+  def urlDomains(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode_outer(expr(s"regexp_extract_all($textCol, 'https?://\\\\S+', 0)"))
+          .as("url"))
+      .withColumn("domain",
+        lower(regexp_extract(col("url"), "^https?://([^/:?#\\s]+)", 1)))
+
+  /**
+   * RefinedWeb-style URL/domain blocklist filter (Penedo et al. 2023 §3.1
+   * use a curated blocklist as the first curation stage): per doc, count
+   * URLs, count blocklist hits (exact host match OR subdomain — host ends
+   * with ".blocked"), list the distinct blocked hosts, and emit
+   * keep = 1 iff no hit.
+   *
+   * The blocklist is compiled into a codegen'd OR-chain of plan literals
+   * (like q87's probe weights) — zero joins, purely narrow, right for the
+   * curated lists of O(10²–10⁴) entries the technique uses. A
+   * millions-of-entries list would instead broadcast-join on the
+   * registrable suffix of the host; the per-doc aggregation is unchanged.
+   */
+  def domainBlocklistFilter(df: DataFrame, idCol: String, textCol: String,
+      blocked: Seq[String]): DataFrame = {
+    require(blocked.nonEmpty, "empty blocklist")
+    val d = col("domain")
+    val hit = blocked.map(b => d === b.toLowerCase ||
+      d.endsWith("." + b.toLowerCase)).reduce(_ || _)
+    urlDomains(df, idCol, textCol)
+      .groupBy(col("id"))
+      .agg(
+        count(col("url")).as("n_urls"),
+        sum(when(hit, 1L).otherwise(0L)).as("n_blocked"),
+        array_join(sort_array(collect_set(when(hit, d))), ",")
+          .as("blocked_domains"))
+      .withColumn("keep", (col("n_blocked") === 0L).cast("int"))
+  }
+
   /**
    * Per-group statistical profile of a long-valued signal: count, mean,
    * stddev (both derived from exact integer sums — engine-portable,

@@ -450,6 +450,57 @@ object LlmQueries {
                (3, 'plain text with no pii at all'),
                (4, 'mixed: a@b.co http://x.io 555-111-2222')) AS t(id, text)""")),
 
+    // ---- RefinedWeb-style URL/domain blocklist filter: the curation
+    // stage upstream of every text heuristic. Pinned fixture (the
+    // synthetic documents carry no URLs — q61 precedent); exercises
+    // multi-URL docs, subdomain + exact matches, case/port insensitivity,
+    // no-URL docs, and a non-match whose host merely CONTAINS a blocked
+    // name (fineads.net vs ads.net).
+    Q("q91_domain_blocklist",
+      (s, d) => {
+        val fixture = s.createDataFrame(Seq(
+          (1, "see https://spam.example/path and http://ok.org"),
+          (2, "http://tracker.ads.net/x?y=1 plus https://Mirror.SPAM.example:8080/z"),
+          (3, "no urls at all here"),
+          (4, "https://ok.org/a https://also-ok.io/b https://ok.org/c"),
+          (5, "edge http://ads.net trailing text"),
+          (6, "notads.net without scheme and https://fineads.net/ok")))
+          .toDF("id", "text")
+        TextAnalysis.domainBlocklistFilter(fixture, "id", "text",
+          Seq("spam.example", "ads.net"))
+          .orderBy(col("id"))
+      },
+      Some("""WITH input(id, text) AS (VALUES
+               (1, 'see https://spam.example/path and http://ok.org'),
+               (2, 'http://tracker.ads.net/x?y=1 plus https://Mirror.SPAM.example:8080/z'),
+               (3, 'no urls at all here'),
+               (4, 'https://ok.org/a https://also-ok.io/b https://ok.org/c'),
+               (5, 'edge http://ads.net trailing text'),
+               (6, 'notads.net without scheme and https://fineads.net/ok')),
+             urls AS (
+               SELECT id, unnest(regexp_extract_all(text, 'https?://\S+')) AS url
+               FROM input),
+             doms AS (
+               SELECT id, url,
+                 lower(regexp_extract(url, '^https?://([^/:?#\s]+)', 1)) AS domain
+               FROM urls),
+             agg AS (
+               SELECT id, count(*) AS n_urls,
+                 CAST(sum(CASE WHEN domain = 'spam.example' OR domain LIKE '%.spam.example'
+                            OR domain = 'ads.net' OR domain LIKE '%.ads.net'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
+                 coalesce(array_to_string(list_sort(list(DISTINCT domain)
+                   FILTER (WHERE domain = 'spam.example' OR domain LIKE '%.spam.example'
+                             OR domain = 'ads.net' OR domain LIKE '%.ads.net')), ','), '')
+                   AS blocked_domains
+               FROM doms GROUP BY id)
+             SELECT i.id, CAST(coalesce(a.n_urls, 0) AS BIGINT) AS n_urls,
+               CAST(coalesce(a.n_blocked, 0) AS BIGINT) AS n_blocked,
+               coalesce(a.blocked_domains, '') AS blocked_domains,
+               CAST(coalesce(a.n_blocked, 0) = 0 AS INT) AS keep
+             FROM input i LEFT JOIN agg a ON i.id = a.id
+             ORDER BY i.id""")),
+
     // ---- Winnowing-style min-k fingerprints (md5 shingle hashes — the
     // same function exists in DuckDB, so the full operator is
     // oracle-checked).

@@ -446,6 +446,25 @@ class DedupSpec extends SparkSpec {
     assert(fp(1L).size <= 8)
   }
 
+  test("domainBlocklistFilter: exact + subdomain hits, case/port-insensitive, no joins") {
+    val fixture = Seq(
+      (1L, "https://spam.example/a and http://ok.org and http://A.Spam.Example:9/x"),
+      (2L, "no urls"),
+      (3L, "https://fineads.net/ok only")).toDF("id", "text")
+    val out = TextAnalysis.domainBlocklistFilter(fixture, "id", "text",
+      Seq("Spam.Example", "ads.net"))
+      .as[(Long, Long, Long, String, Int)].collect().map(r => r._1 -> r).toMap
+    // Doc 1: 3 urls, exact + case-folded subdomain (port stripped) blocked.
+    assert(out(1L) == ((1L, 3L, 2L, "a.spam.example,spam.example", 0)))
+    // No-URL doc survives with zero counts; containment is NOT a match.
+    assert(out(2L) == ((2L, 0L, 0L, "", 1)))
+    assert(out(3L) == ((3L, 1L, 0L, "", 1)))
+    // Plan-literal OR chain: no join anywhere in the plan.
+    val plan = TextAnalysis.domainBlocklistFilter(fixture, "id", "text",
+      Seq("x.y")).queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("join"), plan.take(300))
+  }
+
   test("gopherRules: each rule trips independently, exact integer decisions") {
     def words(n: Int, len: Int, prefix: String = "w"): String =
       (0 until n).map(i => (prefix + i).padTo(len, 'x').take(len)).mkString(" ")
