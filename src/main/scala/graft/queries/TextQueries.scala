@@ -55,6 +55,39 @@ object TextQueries {
       tokensCache.remove(k).foreach(graft.operators.CacheScope.unpinCheckpoint)
     }
 
+  /** Shared front half of the shingle-overlap family (q35 jaccard, q92
+    * containment): df-capped distinct 3-shingles → inverted-index
+    * self-join → per-pair shared counts + per-doc shingle sizes. The
+    * df ≤ maxDf hot-shingle cap is applied in BOTH engines before the
+    * join (see q35's scaladoc — the only way the self-join's output stays
+    * O(candidates) at 100 TB). Frames are scope-pinned: each query pays
+    * one build; keepable + the semi-join re-traverse shAll, and sh feeds
+    * sizes + both self-join sides — without the pins the
+    * token/window/distinct pipeline runs ~5×. */
+  private def sharedShinglePairs(s: SparkSession, d: String,
+      maxDf: Int): (DataFrame, DataFrame) = {
+    val toks = tokensPos(s, d)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val shAll = toks
+      .withColumn("t2", lead(col("tok"), 1).over(w))
+      .withColumn("t3", lead(col("tok"), 2).over(w))
+      .filter(col("t3").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("tok"), col("t2"), col("t3")).as("shingle"))
+      .distinct()
+      .transform(graft.operators.CacheScope.pin(_))
+    val keepable = shAll.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
+      .select(col("shingle"))
+    val sh = graft.operators.CacheScope.pin(
+      shAll.join(keepable, Seq("shingle"), "left_semi"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val shared = sh.select(col("doc_id").as("d1"), col("shingle"))
+      .join(sh.select(col("doc_id").as("d2"), col("shingle")), Seq("shingle"))
+      .filter(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("shared"))
+    (shared, sizes)
+  }
+
   private val TokensSql =
     "SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents"
 
@@ -193,30 +226,7 @@ object TextQueries {
     // output stays O(candidates) at 100 TB.
     Q("q35_jaccard_pairs",
       (s, d) => {
-        val maxDf = 500
-        val toks = tokensPos(s, d)
-        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-        val shAll = toks
-          .withColumn("t2", lead(col("tok"), 1).over(w))
-          .withColumn("t3", lead(col("tok"), 2).over(w))
-          .filter(col("t3").isNotNull)
-          .select(col("doc_id"), concat_ws(" ", col("tok"), col("t2"), col("t3")).as("shingle"))
-          .distinct()
-          // Persisted (scope-tracked): keepable + the semi-join re-traverse
-          // shAll, and sh feeds sizes + both self-join sides — without
-          // persists the token/window/distinct pipeline runs ~5x (no
-          // exchange reuse across the differing projections).
-          .transform(graft.operators.CacheScope.pin(_))
-        val keepable = shAll.groupBy(col("shingle"))
-          .agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
-          .select(col("shingle"))
-        val sh = graft.operators.CacheScope.pin(
-          shAll.join(keepable, Seq("shingle"), "left_semi"))
-        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-        val shared = sh.select(col("doc_id").as("d1"), col("shingle"))
-          .join(sh.select(col("doc_id").as("d2"), col("shingle")), Seq("shingle"))
-          .filter(col("d1") < col("d2"))
-          .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("shared"))
+        val (shared, sizes) = sharedShinglePairs(s, d, maxDf = 500)
         shared
           .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), Seq("d1"))
           .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), Seq("d2"))
@@ -252,6 +262,59 @@ object TextQueries {
              JOIN sizes s1 ON s1.doc_id = d1
              JOIN sizes s2 ON s2.doc_id = d2
              ORDER BY CAST(shared AS DOUBLE) / (s1.sz + s2.sz - shared) DESC, d1, d2
+             LIMIT 20""")),
+
+    // ---- n-gram CONTAINMENT pairs: the asymmetric twin of q35 —
+    // C(A,B) = |A∩B| / min(|A|,|B|) ≈ "is the smaller doc (mostly) inside
+    // the larger one". Symmetric Jaccard misses a short doc quoted whole
+    // by a long one (the intersection is tiny relative to the union);
+    // containment is the standard detector for quotes / subset
+    // contamination (the decontamination literature's n-gram overlap is
+    // exactly this shape). Same df-capped inverted-index build as q35
+    // (one shared front half), same single-division portability; the
+    // min-size ≥ 10 floor keeps trivial docs from reporting containment 1.
+    Q("q92_containment_pairs",
+      (s, d) => {
+        val (shared, sizes) = sharedShinglePairs(s, d, maxDf = 500)
+        shared
+          .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), Seq("d1"))
+          .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), Seq("d2"))
+          .filter(least(col("sz1"), col("sz2")) >= 10)
+          .withColumn("containment", col("shared") / least(col("sz1"), col("sz2")))
+          .orderBy(col("containment").desc, col("d1"), col("d2"))
+          .select(col("d1"), col("d2"), col("shared"),
+            least(col("sz1"), col("sz2")).as("min_sz"),
+            round(col("containment"), 6).as("containment"))
+          .limit(20)
+      },
+      Some("""WITH toks AS (
+               SELECT doc_id, i AS pos, toks[i] AS tok
+               FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+                    LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i)
+               WHERE toks[i] <> ''),
+             sh_all AS (
+               SELECT DISTINCT doc_id,
+                 tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+               FROM toks
+               WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+               QUALIFY lead(tok, 2) OVER w IS NOT NULL),
+             keepable AS (
+               SELECT shingle FROM sh_all GROUP BY shingle HAVING count(*) <= 500),
+             sh AS (
+               SELECT doc_id, shingle FROM sh_all
+               WHERE shingle IN (SELECT shingle FROM keepable)),
+             sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+             shared AS (
+               SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+               FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+               GROUP BY a.doc_id, b.doc_id)
+             SELECT d1, d2, shared, least(s1.sz, s2.sz) AS min_sz,
+               round(CAST(shared AS DOUBLE) / least(s1.sz, s2.sz), 6) AS containment
+             FROM shared
+             JOIN sizes s1 ON s1.doc_id = d1
+             JOIN sizes s2 ON s2.doc_id = d2
+             WHERE least(s1.sz, s2.sz) >= 10
+             ORDER BY CAST(shared AS DOUBLE) / least(s1.sz, s2.sz) DESC, d1, d2
              LIMIT 20""")),
 
     // ---- Brute-force cosine top-k over embeddings (ANN baseline).
