@@ -49,44 +49,65 @@ object TextQueries {
   private[queries] def tokens(s: SparkSession, d: String): DataFrame =
     tokensPos(s, d).drop("pos")
 
-  /** Drop memoized token tables for `s` and free their checkpoint blocks. */
-  def resetCache(s: SparkSession): Unit =
+  // (shared-pair counts, per-doc sizes) of the shingle-overlap family —
+  // q35 jaccard and q92 containment consume the IDENTICAL two tables and
+  // differ only in the final scoring projection, so the expensive
+  // inverted-index self-join is memoized per (session, dir) like the token
+  // table (eager localCheckpoint; released together with it by
+  // [[resetCache]] — Bench's q60 hook / end-of-pass reset).
+  private val shingleCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame)]
+
+  /** Drop memoized token + shingle-pair tables for `s` and free their
+    * checkpoint blocks. */
+  def resetCache(s: SparkSession): Unit = {
     tokensCache.keys.filter(_._1 eq s).foreach { k =>
       tokensCache.remove(k).foreach(graft.operators.CacheScope.unpinCheckpoint)
     }
+    shingleCache.keys.filter(_._1 eq s).foreach { k =>
+      shingleCache.remove(k).foreach { case (a, b) =>
+        Seq(a, b).foreach(graft.operators.CacheScope.unpinCheckpoint)
+      }
+    }
+  }
 
   /** Shared front half of the shingle-overlap family (q35 jaccard, q92
     * containment): df-capped distinct 3-shingles → inverted-index
     * self-join → per-pair shared counts + per-doc shingle sizes. The
     * df ≤ maxDf hot-shingle cap is applied in BOTH engines before the
     * join (see q35's scaladoc — the only way the self-join's output stays
-    * O(candidates) at 100 TB). Frames are scope-pinned: each query pays
-    * one build; keepable + the semi-join re-traverse shAll, and sh feeds
+    * O(candidates) at 100 TB). The intermediate shAll/sh frames are
+    * scope-pinned (keepable + the semi-join re-traverse shAll; sh feeds
     * sizes + both self-join sides — without the pins the
-    * token/window/distinct pipeline runs ~5×. */
+    * token/window/distinct pipeline runs ~5×) and are released with the
+    * building query's scope: the memoized outputs are eagerly
+    * checkpointed, so they no longer need their upstream caches. */
   private def sharedShinglePairs(s: SparkSession, d: String,
-      maxDf: Int): (DataFrame, DataFrame) = {
-    val toks = tokensPos(s, d)
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val shAll = toks
-      .withColumn("t2", lead(col("tok"), 1).over(w))
-      .withColumn("t3", lead(col("tok"), 2).over(w))
-      .filter(col("t3").isNotNull)
-      .select(col("doc_id"), concat_ws(" ", col("tok"), col("t2"), col("t3")).as("shingle"))
-      .distinct()
-      .transform(graft.operators.CacheScope.pin(_))
-    val keepable = shAll.groupBy(col("shingle"))
-      .agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
-      .select(col("shingle"))
-    val sh = graft.operators.CacheScope.pin(
-      shAll.join(keepable, Seq("shingle"), "left_semi"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val shared = sh.select(col("doc_id").as("d1"), col("shingle"))
-      .join(sh.select(col("doc_id").as("d2"), col("shingle")), Seq("shingle"))
-      .filter(col("d1") < col("d2"))
-      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("shared"))
-    (shared, sizes)
-  }
+      maxDf: Int): (DataFrame, DataFrame) =
+    shingleCache.getOrElseUpdate((s, d), {
+      val toks = tokensPos(s, d)
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val shAll = toks
+        .withColumn("t2", lead(col("tok"), 1).over(w))
+        .withColumn("t3", lead(col("tok"), 2).over(w))
+        .filter(col("t3").isNotNull)
+        .select(col("doc_id"), concat_ws(" ", col("tok"), col("t2"), col("t3")).as("shingle"))
+        .distinct()
+        .transform(graft.operators.CacheScope.pin(_))
+      val keepable = shAll.groupBy(col("shingle"))
+        .agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
+        .select(col("shingle"))
+      val sh = graft.operators.CacheScope.pin(
+        shAll.join(keepable, Seq("shingle"), "left_semi"))
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+        .localCheckpoint(true)
+      val shared = sh.select(col("doc_id").as("d1"), col("shingle"))
+        .join(sh.select(col("doc_id").as("d2"), col("shingle")), Seq("shingle"))
+        .filter(col("d1") < col("d2"))
+        .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("shared"))
+        .localCheckpoint(true)
+      (shared, sizes)
+    })
 
   private val TokensSql =
     "SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents"
