@@ -24,6 +24,21 @@ class StreamingSpec extends SparkSpec {
 
   private lazy val batchEvents = Tables.events(spark, dir)
 
+  test("readEventStream over a not-yet-populated directory: legacy schema fallback") {
+    // ADVICE r6: the ts-encoding sniff must not throw when events.parquet
+    // does not exist at stream construction — it falls back to the legacy
+    // nanos-as-long schema, and the stream starts (processing nothing).
+    val empty = java.nio.file.Files.createTempDirectory("no_events").toString
+    val stream = EventStreams.readEventStream(spark, empty)
+    assert(stream.schema("ts_ns").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(stream.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val q = stream.writeStream.format("noop").start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   test("tumbling window counts: stream == batch") {
     val got = runToMemory(
       EventStreams.tumblingCounts(EventStreams.readEventStream(spark, dir)),
