@@ -7,9 +7,12 @@ import org.apache.spark.sql.functions._
  * Multimodal-column plumbing: image/audio/video as opaque `binary` columns
  * with typed metadata, processed per-partition with lazily-initialized
  * decoders. The Spark-side machinery — schema, partition-batched execution,
- * deterministic outputs — is real and tested; the actual codec call is
- * STUBBED behind [[MediaCodec]] (this container ships no image/audio libs),
- * with a deterministic hash-derived fake so pipelines are reproducible.
+ * deterministic outputs — is real and tested. Codecs behind the
+ * [[MediaCodec]] seam: [[ImageIOCodec]] (REAL JDK decode for
+ * PNG/JPEG/BMP/GIF), [[AudioCodec]] (REAL JDK decode for WAV/AIFF/AU PCM),
+ * [[JdkCodec]] routing by media_type, and the deterministic hash-derived
+ * [[HashCodec]] stand-in for formats this container ships no codec for
+ * (mp3/ogg/video) and for q50's engine-portable oracle.
  *
  * At scale: assets live in parquet/object storage as (asset_id, media_type,
  * content, meta); decode/feature stages are `mapPartitions` over
@@ -209,6 +212,150 @@ object Multimodal {
         javax.imageio.ImageIO.write(dst, "png", baos)
         baos.toByteArray
       }.getOrElse(HashCodec.resize(a, width, height))
+  }
+
+  /**
+   * Real audio decode via JDK-built-in `javax.sound.sampled` — no external
+   * jars: WAV/AIFF/AU (PCM) content bytes. [[HashCodec]] fallback for
+   * anything the JDK cannot parse (mp3/ogg/video/garbage — codecs this
+   * container doesn't ship), keeping pipelines total and deterministic.
+   *
+   * [[DecodedMeta]] field mapping for audio (the schema is shared with
+   * images): `width` = channels, `height` = bits per sample,
+   * `duration_ms` = real clip duration, `n_frames` = PCM frame count.
+   *
+   * `embed` is a real signal feature: the RMS energy envelope — PCM
+   * samples split into `dim` equal windows, root-mean-square per window,
+   * normalized to [0, 1] by full scale. `sampleFrames` emits every-th
+   * one-second PCM segment (raw little-endian 16-bit mono-mixed bytes).
+   * `resize(w, h)` = naive linear-interpolation resample of the mono mix
+   * to exactly w*h samples (16-bit LE) — the real length-normalization
+   * shape an audio feature pipeline needs before fixed-input models.
+   */
+  object AudioCodec extends MediaCodec {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+
+    /** Decode to a mono double stream in [-1, 1] plus the source format;
+      * None when the JDK has no parser for the bytes. */
+    private def pcm(content: Array[Byte]): Option[(Array[Double], AudioFormat)] =
+      try {
+        val in = AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(content))
+        try {
+          val fmt = in.getFormat
+          // Normalize to signed 16-bit PCM (the JDK converts U8/big-endian).
+          val target = new AudioFormat(fmt.getSampleRate, 16,
+            fmt.getChannels, true, false)
+          val conv = AudioSystem.getAudioInputStream(target, in)
+          try {
+            val bytes = conv.readAllBytes()
+            val ch = target.getChannels
+            val nFrames = bytes.length / (2 * ch)
+            val mono = Array.ofDim[Double](nFrames)
+            var i = 0
+            while (i < nFrames) {
+              var sum = 0.0
+              var c = 0
+              while (c < ch) {
+                val o = (i * ch + c) * 2
+                sum += ((bytes(o) & 0xff) | (bytes(o + 1) << 8)).toShort
+                c += 1
+              }
+              mono(i) = sum / ch / 32768.0
+              i += 1
+            }
+            Some((mono, fmt))
+          } finally conv.close()
+        } finally in.close()
+      } catch { case _: Exception => None }
+
+    def decode(a: MediaAsset): DecodedMeta =
+      pcm(a.content).map { case (mono, fmt) =>
+        DecodedMeta(a.asset_id, "audio",
+          width = fmt.getChannels,
+          height = if (fmt.getSampleSizeInBits > 0) fmt.getSampleSizeInBits else 16,
+          duration_ms = math.round(mono.length * 1000.0 / fmt.getSampleRate),
+          n_frames = mono.length)
+      }.getOrElse(HashCodec.decode(a))
+
+    def embed(a: MediaAsset, dim: Int): Array[Float] =
+      pcm(a.content).map { case (mono, _) =>
+        val out = Array.ofDim[Float](dim)
+        if (mono.nonEmpty) {
+          var w = 0
+          while (w < dim) {
+            val s = w.toLong * mono.length / dim
+            val e = math.max(((w + 1).toLong * mono.length / dim).toInt, s.toInt + 1)
+            var sum = 0.0
+            var i = s.toInt
+            while (i < math.min(e, mono.length)) { sum += mono(i) * mono(i); i += 1 }
+            val n = math.max(math.min(e, mono.length) - s.toInt, 1)
+            out(w) = math.sqrt(sum / n).toFloat
+            w += 1
+          }
+        }
+        out
+      }.getOrElse(HashCodec.embed(a, dim))
+
+    def sampleFrames(a: MediaAsset, every: Int): Iterator[FrameSample] =
+      pcm(a.content) match {
+        case Some((mono, fmt)) if mono.nonEmpty =>
+          val seg = math.max(fmt.getSampleRate.toInt, 1) // 1-second segments
+          val nSeg = (mono.length + seg - 1) / seg
+          (0 until nSeg by math.max(every, 1)).iterator.map { s =>
+            val slice = mono.slice(s * seg, math.min((s + 1) * seg, mono.length))
+            FrameSample(a.asset_id, s, toPcm16(slice))
+          }
+        case _ => HashCodec.sampleFrames(a, every)
+      }
+
+    def resize(a: MediaAsset, width: Int, height: Int): Array[Byte] =
+      pcm(a.content).map { case (mono, _) =>
+        val n = math.max(width * height, 1)
+        val out = Array.ofDim[Double](n)
+        if (mono.nonEmpty) {
+          var i = 0
+          while (i < n) {
+            val pos = if (n == 1) 0.0 else i.toDouble * (mono.length - 1) / (n - 1)
+            val lo = pos.toInt
+            val hi = math.min(lo + 1, mono.length - 1)
+            out(i) = mono(lo) + (mono(hi) - mono(lo)) * (pos - lo)
+            i += 1
+          }
+        }
+        toPcm16(out)
+      }.getOrElse(HashCodec.resize(a, width, height))
+
+    private def toPcm16(samples: Array[Double]): Array[Byte] = {
+      val out = Array.ofDim[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        val v = math.max(-1.0, math.min(1.0, samples(i)))
+        val s = math.round(v * 32767).toShort
+        out(2 * i) = (s & 0xff).toByte
+        out(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** JDK-native composite codec: images via [[ImageIOCodec]], audio via
+    * [[AudioCodec]], everything else (video, unknown) the deterministic
+    * [[HashCodec]] — routed by `media_type`, so one codec instance serves
+    * a mixed asset table inside one mapPartitions pass. */
+  object JdkCodec extends MediaCodec {
+    private def route(a: MediaAsset): MediaCodec = a.media_type match {
+      case "image" => ImageIOCodec
+      case "audio" => AudioCodec
+      case _       => HashCodec
+    }
+    def decode(a: MediaAsset): DecodedMeta = route(a).decode(a)
+    def embed(a: MediaAsset, dim: Int): Array[Float] = route(a).embed(a, dim)
+    def sampleFrames(a: MediaAsset, every: Int): Iterator[FrameSample] =
+      route(a).sampleFrames(a, every)
+    def resize(a: MediaAsset, width: Int, height: Int): Array[Byte] =
+      route(a).resize(a, width, height)
   }
 
   /**

@@ -89,4 +89,80 @@ class MultimodalSpec extends SparkSpec {
     val feats = Multimodal.extractFeatures(assets, dim = 9, ImageIOCodec).collect()
     assert(feats.length == 12 && feats.forall(_.feature.length == 9))
   }
+
+  // ---- AudioCodec: REAL JDK decode of WAV (PCM) bytes, generated in-test.
+
+  /** 16-bit LE mono WAV at `rate` Hz from [-1,1] samples. */
+  private def wav(samples: Array[Double], rate: Float = 8000f,
+      channels: Int = 1): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(rate, 16, channels, true, false)
+    val bytes = Array.ofDim[Byte](samples.length * 2 * channels)
+    samples.zipWithIndex.foreach { case (v, i) =>
+      val s = math.round(math.max(-1.0, math.min(1.0, v)) * 32767).toShort
+      for (c <- 0 until channels) {
+        val o = (i * channels + c) * 2
+        bytes(o) = (s & 0xff).toByte
+        bytes(o + 1) = ((s >> 8) & 0xff).toByte
+      }
+    }
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, samples.length)
+    val baos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  import javax.sound.sampled.{AudioFileFormat, AudioInputStream, AudioSystem}
+  import graft.operators.Multimodal.{AudioCodec, JdkCodec}
+
+  test("audio decode: real channels/bits/duration/frames from WAV bytes") {
+    val samples = Array.tabulate(16000)(i => math.sin(i * 0.05)) // 2 s @ 8 kHz
+    val meta = AudioCodec.decode(MediaAsset(10L, "audio", wav(samples)))
+    assert(meta.media_type == "audio")
+    assert(meta.width == 1 && meta.height == 16) // channels, bits
+    assert(meta.n_frames == 16000)
+    assert(meta.duration_ms == 2000L)
+    // Stereo: channel count reflected, frame count unchanged.
+    val st = AudioCodec.decode(MediaAsset(11L, "audio",
+      wav(samples.take(8000), channels = 2)))
+    assert(st.width == 2 && st.n_frames == 8000 && st.duration_ms == 1000L)
+  }
+
+  test("audio embed: RMS energy envelope tracks the actual signal") {
+    // Silent first half, full-scale square second half → first dim/2
+    // windows ~0, last dim/2 windows ~1.
+    val samples = Array.tabulate(8000)(i =>
+      if (i < 4000) 0.0 else { if ((i / 50) % 2 == 0) 1.0 else -1.0 })
+    val e = AudioCodec.embed(MediaAsset(12L, "audio", wav(samples)), 8)
+    assert(e.length == 8)
+    assert(e.take(4).forall(_ < 0.01f), e.mkString(","))
+    assert(e.drop(4).forall(_ > 0.9f), e.mkString(","))
+  }
+
+  test("audio resize + sampleFrames: real resample lengths and segments") {
+    val samples = Array.tabulate(20000)(i => math.sin(i * 0.01)) // 2.5 s
+    val a = MediaAsset(13L, "audio", wav(samples))
+    // Linear resample to exactly w*h samples of 16-bit PCM.
+    assert(AudioCodec.resize(a, 10, 10).length == 100 * 2)
+    // 1-second segments at 8 kHz → ceil(20000/8000) = 3; every=1 keeps all.
+    val frames = AudioCodec.sampleFrames(a, 1).toList
+    assert(frames.map(_.frame_idx) == List(0, 1, 2))
+    assert(frames.head.frame.length == 8000 * 2)
+    assert(frames.last.frame.length == 4000 * 2) // 0.5 s tail
+  }
+
+  test("audio fallback + JdkCodec routing") {
+    val garbage = MediaAsset(14L, "audio", Array.fill(64)(7.toByte))
+    assert(AudioCodec.decode(garbage) ==
+      Multimodal.HashCodec.decode(garbage))
+    // JdkCodec routes by media_type: audio bytes decode as audio, image
+    // bytes as image, video falls back to the hash stand-in.
+    val aud = MediaAsset(15L, "audio", wav(Array.tabulate(800)(_ => 0.5)))
+    assert(JdkCodec.decode(aud).n_frames == 800)
+    val img = MediaAsset(16L, "image", encode(testCard(9, 7), "png"))
+    assert(JdkCodec.decode(img).width == 9)
+    val vid = MediaAsset(17L, "video", Array.fill(32)(3.toByte))
+    assert(JdkCodec.decode(vid) == Multimodal.HashCodec.decode(vid))
+  }
 }
