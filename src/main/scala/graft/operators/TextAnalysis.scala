@@ -242,6 +242,47 @@ object TextAnalysis {
       .agg(sort_array(collect_list(col("shingle"))).as("fingerprint"))
   }
 
+  /**
+   * Compression-ratio quality signal: deflate each document's UTF-8 bytes
+   * and report n_bytes, n_compressed, and ratio = compressed/raw (rounded
+   * to 6). Highly templated/repetitive text compresses far below ~0.4;
+   * natural prose sits around 0.5–0.7 — a cheap, language-agnostic
+   * low-entropy detector used alongside the Gopher rules.
+   *
+   * Implementation note: `mapPartitions` with ONE `Deflater` per
+   * partition, `reset()` between rows — deflater allocation is the
+   * expensive part (native zlib state), the same per-partition-init
+   * pattern as the NER/codec seams. Purely narrow: no shuffle, no join;
+   * at 100 TB this is a map-only pass. No oracle (DuckDB has no
+   * deterministic-deflate surface) — spec-bound (DedupSpec), like the
+   * streaming operators.
+   */
+  def compressionRatio(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(
+          java.util.zip.Deflater.BEST_SPEED)
+        val buf = new Array[Byte](64 * 1024)
+        it.map { case (id, text) =>
+          val raw = Option(text).getOrElse("").getBytes("UTF-8")
+          deflater.reset()
+          deflater.setInput(raw)
+          deflater.finish()
+          var compressed = 0L
+          while (!deflater.finished())
+            compressed += deflater.deflate(buf)
+          val ratio =
+            if (raw.isEmpty) 1.0
+            else math.round(compressed.toDouble / raw.length * 1e6) / 1e6
+          (id, raw.length.toLong, compressed, ratio)
+        }
+      }
+      .toDF("id", "n_bytes", "n_compressed", "compression_ratio")
+  }
+
   /** URLs and their lowercased hosts per document: (id, url, domain) —
     * one row per URL occurrence; docs with no URLs keep one row with NULL
     * url/domain (explode_outer, so downstream aggregation never loses a

@@ -446,6 +446,27 @@ class DedupSpec extends SparkSpec {
     assert(fp(1L).size <= 8)
   }
 
+  test("compressionRatio: repetitive text compresses far below varied text") {
+    val rnd = new scala.util.Random(5)
+    val varied = (0 until 400).map(_ => rnd.nextInt(1000000).toString).mkString(" ")
+    val repetitive = "the same boilerplate line repeated forever " * 60
+    val df = Seq((1L, repetitive), (2L, varied), (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.compressionRatio(df, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val (_, rawRep, compRep, ratioRep) = out(1L)
+    val (_, rawVar, _, ratioVar) = out(2L)
+    assert(rawRep == repetitive.getBytes("UTF-8").length.toLong)
+    assert(rawVar == varied.getBytes("UTF-8").length.toLong)
+    assert(compRep < rawRep && ratioRep < 0.1, s"repetitive ratio $ratioRep")
+    assert(ratioVar > 0.3, s"varied ratio $ratioVar")
+    assert(ratioRep < ratioVar / 3)
+    assert(out(3L) == ((3L, 0L, out(3L)._3, 1.0))) // empty doc pinned to 1.0
+    // Determinism across runs (one Deflater per partition, reset per row).
+    val again = TextAnalysis.compressionRatio(df, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(again == out)
+  }
+
   test("domainBlocklistFilter: exact + subdomain hits, case/port-insensitive, no joins") {
     val fixture = Seq(
       (1L, "https://spam.example/a and http://ok.org and http://A.Spam.Example:9/x"),
