@@ -115,6 +115,30 @@ object EventStreams {
       .select(col("user_id"), col("purchase_id"), col("click_id"))
   }
 
+  /**
+   * Tumbling-window statistical profile of `value` per event_type: count,
+   * mean, and approx p50/p90 — the streaming face of the stat-profile
+   * operator (TextAnalysis.statProfile). `approx_percentile`'s sketch is
+   * mergeable, so it aggregates incrementally under a watermark exactly
+   * like count/avg; the exact `percentile` would not (its buffer holds
+   * every value). Rank error ≤ n/accuracy per window; the spec asserts
+   * stream output within that bound of the batch-exact percentile rather
+   * than equality, since sketch merge ORDER differs between incremental
+   * and batch execution.
+   */
+  def windowedValueProfile(events: DataFrame, width: String = "30 minutes",
+      watermark: String = "60 minutes", accuracy: Int = 10000): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("value")), 6).as("avg_value"),
+        expr(s"approx_percentile(value, array(0.5, 0.9), $accuracy)").as("pcts"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("avg_value"),
+        col("pcts").getItem(0).as("p50"), col("pcts").getItem(1).as("p90"))
+
   case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 
   /**

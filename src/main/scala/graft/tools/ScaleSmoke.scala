@@ -166,6 +166,11 @@ object ScaleSmoke {
       runOnce("line_dedup") {
         graft.operators.Dedup.corpusLineDedup(df, "doc_id", "text")
       }
+      // Round-7: deflate quality signal — map-only, should be linear in
+      // corpus bytes with zero shuffle.
+      runOnce("compression_ratio") {
+        graft.operators.TextAnalysis.compressionRatio(df, "doc_id", "text")
+      }
       runOnce("dsir_weights") {
         graft.operators.Curation.dsirWeights(df, "doc_id", "text",
           isTarget = col("lang") === "en")

@@ -39,6 +39,34 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("windowed value profile: stream percentiles within sketch bound of batch-exact") {
+    val got = runToMemory(
+      EventStreams.windowedValueProfile(EventStreams.readEventStream(spark, dir)),
+      "value_profile", "complete")
+      .as[(java.sql.Timestamp, String, Long, Double, Double, Double)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    // Batch reference: the SAME approx_percentile aggregation run batch.
+    // With n << accuracy the sketch holds every value, so both executions
+    // are exact nearest-rank regardless of merge order — stream == batch
+    // exactly. (Comparing against the exact `percentile` would conflate
+    // nearest-rank vs interpolation semantics on tiny windows.)
+    val want = batchEvents
+      .groupBy(window(col("ts"), "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("avg_value"),
+        expr("approx_percentile(value, array(0.5, 0.9), 10000)").as("pcts"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"),
+        col("avg_value"), col("pcts").getItem(0), col("pcts").getItem(1))
+      .as[(java.sql.Timestamp, String, Long, Double, Double, Double)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    assert(got.keySet == want.keySet && got.nonEmpty)
+    want.foreach { case (k, (_, _, n, mean, p50, p90)) =>
+      val (_, _, gn, gmean, gp50, gp90) = got(k)
+      assert(gn == n && gmean == mean, s"$k count/mean must be exact")
+      assert(gp50 == p50 && gp90 == p90,
+        s"$k percentiles: stream ($gp50, $gp90) vs batch ($p50, $p90)")
+    }
+  }
+
   test("tumbling window counts: stream == batch") {
     val got = runToMemory(
       EventStreams.tumblingCounts(EventStreams.readEventStream(spark, dir)),
