@@ -36,7 +36,7 @@ object TextQueries {
   /** Positioned (doc_id, pos, tok) token table — one row per non-empty
     * token occurrence, `pos` = offset in the space-split (gaps where empty
     * strings were dropped; windows order by it). Memoized + checkpointed. */
-  private[queries] def tokensPos(s: SparkSession, d: String): DataFrame =
+  private[graft] def tokensPos(s: SparkSession, d: String): DataFrame =
     tokensCache.getOrElseUpdate((s, d),
       T.documents(s, d)
         .select(col("doc_id"),
@@ -46,7 +46,7 @@ object TextQueries {
 
   /** Exploded (doc_id, tok) mention table — one row per token occurrence.
     * Shared with LlmQueries (q60 TF-IDF reuses the q54 index tokenization). */
-  private[queries] def tokens(s: SparkSession, d: String): DataFrame =
+  private[graft] def tokens(s: SparkSession, d: String): DataFrame =
     tokensPos(s, d).drop("pos")
 
   // (shared-pair counts, per-doc sizes) of the shingle-overlap family —
