@@ -171,6 +171,30 @@ object ScaleSmoke {
       runOnce("compression_ratio") {
         graft.operators.TextAnalysis.compressionRatio(df, "doc_id", "text")
       }
+      // Round-7: the flagship coref pipeline (q40's shape) on the m×
+      // corpus — synthetic PERSON mentions from token bigrams, within-doc
+      // then across-doc passes. The across-doc stage is ONE range shuffle
+      // + O(partitions) boundary stitch (SortedSegments), so the whole
+      // pipeline should track mention count near-linearly.
+      runOnce("coref_pipeline") {
+        import org.apache.spark.sql.expressions.Window
+        val toks = df.select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+          .filter(col("tok") =!= "")
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val mentions = toks
+          .withColumn("next", lead(col("tok"), 1).over(w))
+          .filter(col("next").isNotNull)
+          .select(col("doc_id"),
+            xxhash64(col("doc_id"), col("pos")).as("mention_id"),
+            lit("PERSON").as("mention_type"),
+            concat_ws(" ", col("tok"), col("next")).as("text"))
+        val within = graft.operators.Coref.withinDoc(mentions,
+          graft.operators.Coref.WithinDocParams.person)
+        val across = graft.operators.Coref.acrossDoc(within.entities,
+          graft.operators.Coref.AcrossDocParams.person)
+        across.entities
+      }
       runOnce("dsir_weights") {
         graft.operators.Curation.dsirWeights(df, "doc_id", "text",
           isTarget = col("lang") === "en")
