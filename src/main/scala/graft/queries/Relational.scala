@@ -688,6 +688,32 @@ object Relational {
              SELECT lang, signal, count(*) AS n,
                CAST(sum(value) AS BIGINT) AS total,
                round(avg(value), 6) AS mean
-             FROM longf GROUP BY lang, signal ORDER BY lang, signal"""))
+             FROM longf GROUP BY lang, signal ORDER BY lang, signal""")),
+
+    // ---- Multi-measure pivot (q90's inverse, widening q59's
+    // single-count form): two aggregates per pivot value exercises Spark's
+    // `{value}_{aggAlias}` output naming and the null-preserving absent
+    // combination semantics (q59 na.fills instead). Explicit pivot values
+    // keep the plan a single pass (no distinct-values pre-query) — the
+    // form that scales: one groupBy shuffle on the row key, conditional
+    // aggregation map-side. The oracle is the portable CASE-WHEN expansion
+    // Spark itself rewrites pivot into. Quantities are integer-valued
+    // doubles (1..50) cast to BIGINT so the sums are exact on both engines
+    // regardless of accumulation order.
+    Q("q93_pivot_status",
+      (s, d) => T.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(col("l_quantity").cast("long")).as("qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+               CAST(sum(CASE WHEN l_linestatus = 'F'
+                 THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS F_qty,
+               count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS F_n,
+               CAST(sum(CASE WHEN l_linestatus = 'O'
+                 THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS O_qty,
+               count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS O_n
+             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }
