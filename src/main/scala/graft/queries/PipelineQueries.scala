@@ -273,6 +273,69 @@ object PipelineQueries {
       Some(CorefSql + """
         SELECT doc_id, entity_text, created_by,
           CAST(sum(num_mentions) AS BIGINT) AS num_mentions
-        FROM wd_final GROUP BY doc_id, entity_text, created_by"""))
+        FROM wd_final GROUP BY doc_id, entity_text, created_by""")),
+
+    // ---- PageRank centrality over a co-occurrence graph (the global
+    // refinement of q41's degree-style `num_docs` ranking; same operator a
+    // user would point at the entity network — exercised here on the
+    // customer↔supplier co-purchase graph so the oracle stays independent
+    // of the coref SQL). Supplier node ids are offset by 10⁹ to disjoint
+    // the two key spaces. Integer fixed-point arithmetic makes all five
+    // iterations bit-identical on both engines (see PageRank scaladoc);
+    // the oracle unrolls the recursion as five generated CTE pairs.
+    Q("q94_pagerank",
+      (s, d) => {
+        val pairs = T.orders(s, d)
+          .join(T.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("cust"),
+            (col("l_suppkey") + lit(1000000000L)).as("supp"))
+          .distinct()
+        val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
+          .union(pairs.select(col("supp").as("src"), col("cust").as("dst")))
+        graft.operators.PageRank.run(edges, iterations = 5)
+          .select(col("node_id"), col("rank").as("pr"))
+          .orderBy(col("pr").desc, col("node_id"))
+          .limit(20)
+      },
+      Some(PageRankSql(5)))
   )
+
+  /** q94 oracle: the PageRank recursion unrolled — one (contrib, rank)
+    * CTE pair per iteration, all arithmetic BIGINT floor division so the
+    * values replicate Spark's `div` exactly. DuckDB sums of BIGINT return
+    * HUGEINT (pandas-visible as float64), hence the CASTs on every sum. */
+  private def PageRankSql(iters: Int): String = {
+    val head = """WITH pairs AS (
+        SELECT DISTINCT o_custkey AS cust, l_suppkey + 1000000000 AS supp
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      edges AS (
+        SELECT cust AS src, supp AS dst FROM pairs
+        UNION ALL SELECT supp, cust FROM pairs),
+      deg AS (SELECT src AS dnode, count(*) AS outdeg FROM edges GROUP BY src),
+      nodes AS (SELECT src AS node_id FROM edges
+                UNION SELECT dst FROM edges),
+      nv AS (SELECT count(*) AS n_nodes FROM nodes),
+      r0 AS (SELECT node_id, CAST(1000000000 AS BIGINT) AS pr FROM nodes)"""
+    val iterCtes = (1 to iters).map { i =>
+      val p = i - 1
+      s"""d$i AS (SELECT CAST(coalesce(sum(r.pr), 0) AS BIGINT) AS dmass
+           FROM r$p r LEFT JOIN deg ON r.node_id = deg.dnode
+           WHERE deg.dnode IS NULL),
+         c$i AS (SELECT e.dst AS node_id,
+             CAST(sum(r.pr // d.outdeg) AS BIGINT) AS inflow
+           FROM edges e
+           JOIN r$p r ON e.src = r.node_id
+           JOIN deg d ON e.src = d.dnode
+           GROUP BY e.dst),
+         r$i AS (SELECT n.node_id,
+             CAST(15000000000 // 100
+               + (85 * (coalesce(c.inflow, 0)
+                  + (SELECT dmass FROM d$i) // (SELECT n_nodes FROM nv))) // 100
+               AS BIGINT) AS pr
+           FROM nodes n LEFT JOIN c$i c ON n.node_id = c.node_id)"""
+    }.mkString(",\n")
+    s"""$head,
+      $iterCtes
+      SELECT node_id, pr FROM r$iters ORDER BY pr DESC, node_id LIMIT 20"""
+  }
 }
