@@ -369,4 +369,58 @@ object TextAnalysis {
           (n - lit(1))), 6)).as("sd") +:
         pctCols): _*)
   }
+
+  /**
+   * Hashing-trick featurizer (Weinberger et al. 2009) — model-free text →
+   * fixed-dim vector, the standard way to featurize a 100 TB corpus
+   * without a driver-held vocabulary: bucket = md5-derived hash of the
+   * token mod `dim`, value = Σ of per-occurrence signs (sign from an
+   * independent hash bit, so colliding tokens cancel in expectation
+   * rather than bias upward; `signed = false` gives plain TF counts).
+   *
+   * Both hashes are engine-portable md5 derivations (the q43/q45
+   * discipline), so the whole featurizer sits under a DuckDB oracle
+   * (q95). Long (sparse) form: ONE groupBy shuffle on (doc, bucket),
+   * partial-agg map-side; no vocabulary table, no join, no driver state —
+   * the properties that make it the scale path next to [[vocabulary]]'s
+   * explicit top-K table.
+   *
+   * @param tokens exploded (idCol, tokCol) occurrence table — feed the
+   *               memoized shared token table, never re-tokenize
+   * @return sparse long form (idCol, bucket, v) — only nonzero buckets;
+   *         signed cancellation CAN zero a bucket, which [[toDenseVector]]
+   *         restores as an explicit 0
+   */
+  def hashingVectorizer(tokens: DataFrame, idCol: String, tokCol: String,
+      dim: Int, signed: Boolean = true): DataFrame = {
+    require(dim > 0, "dim must be positive")
+    val bucket = pmod(
+      conv(substring(md5(col(tokCol)), 1, 8), 16, 10).cast("long"),
+      lit(dim.toLong)).cast("int")
+    // Independent bit: hex digit 9 of the same digest (outside the bucket
+    // substring), even → +1, odd → -1.
+    val sign =
+      if (!signed) lit(1L)
+      else when(conv(substring(md5(col(tokCol)), 9, 1), 16, 10)
+        .cast("long") % 2 === 0, lit(1L)).otherwise(lit(-1L))
+    tokens
+      .select(col(idCol), bucket.as("bucket"), sign.as("s"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(sum(col("s")).as("v"))
+      .filter(col("v") =!= 0)
+  }
+
+  /** Densify [[hashingVectorizer]]'s sparse long form into one
+    * `Array[Long]` row per doc (map-from-entries + a range lookup — no
+    * shuffle beyond the groupBy). Array cells can't cross the driver's
+    * pandas compare, so q95 oracles the sparse form and
+    * HashingVectorizerSpec pins sparse == dense expansion. */
+  def toDenseVector(sparse: DataFrame, idCol: String, dim: Int): DataFrame =
+    sparse
+      .groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("v"))))
+        .as("m"))
+      .select(col(idCol),
+        expr(s"transform(sequence(0, ${dim - 1}), b -> coalesce(m[b], CAST(0 AS BIGINT)))")
+          .as("features"))
 }

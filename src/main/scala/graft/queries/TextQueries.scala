@@ -536,6 +536,28 @@ object TextQueries {
                levenshtein(n1, p_name) AS dist
              FROM s
              WHERE b1 = p_brand AND levenshtein(n1, p_name) <= 2
-               AND regexp_extract_all(n1, '\d+') = regexp_extract_all(p_name, '\d+')"""))
+               AND regexp_extract_all(n1, '\d+') = regexp_extract_all(p_name, '\d+')""")),
+
+    // ---- Hashing-trick featurizer (Weinberger 2009): vocabulary-free
+    // text → fixed-dim features, the model-free way to vectorize 100 TB
+    // (no vocab table, no join, no driver state — one (doc, bucket)
+    // groupBy off the memoized shared token table). Signed variant:
+    // colliding tokens cancel in expectation instead of biasing upward.
+    // Bucket and sign are engine-portable md5 derivations, so the sparse
+    // form hash-compares exactly; the dense expansion is an array cell
+    // (driver-incomparable) and is pinned sparse==dense in
+    // HashingVectorizerSpec.
+    Q("q95_hashing_features",
+      (s, d) => graft.operators.TextAnalysis.hashingVectorizer(
+        tokens(s, d), "doc_id", "tok", dim = 64),
+      Some(s"""SELECT doc_id,
+               CAST(CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 64
+                 AS INTEGER) AS bucket,
+               CAST(sum(CASE WHEN CAST('0x' || substr(md5(tok), 9, 1) AS BIGINT) % 2 = 0
+                 THEN 1 ELSE -1 END) AS BIGINT) AS v
+             FROM ($TokensSql) WHERE tok <> ''
+             GROUP BY 1, 2
+             HAVING sum(CASE WHEN CAST('0x' || substr(md5(tok), 9, 1) AS BIGINT) % 2 = 0
+               THEN 1 ELSE -1 END) <> 0"""))
   )
 }
