@@ -364,4 +364,119 @@ object Similarity {
 
     expandMembers(repPairs, mem)
   }
+
+  // ---------------------------------------------------------------- PQ ANN
+
+  /**
+   * Engine-portable PQ codebooks — component (sub, code, d) is a uniform
+   * in [-0.25, 0.25) derived from md5("pq|sub|code|d"): the
+   * [[portableCentroids]] trick per subspace, which puts the whole
+   * encode → ADC → rank pipeline under an exact DuckDB oracle (q96).
+   * K-means-trained codebooks ([[pqTrainCodebooks]]) are the production
+   * default — lower quantization error — but engine-specific.
+   */
+  def portableCodebooks(m: Int, ksub: Int, subDim: Int): Array[Array[Array[Double]]] =
+    Array.tabulate(m, ksub, subDim) { (s, c, d) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"pq|$s|$c|$d".getBytes("UTF-8"))
+        .take(4).map(b => f"${b & 0xff}%02x").mkString
+      (java.lang.Long.parseLong(hex, 16) / 2147483648.0 - 1.0) * 0.25
+    }
+
+  /**
+   * Train product-quantization codebooks: one independent k-means per
+   * subspace over the corpus' subvector slices. The result is
+   * m × ksub × (dim/m) doubles (≤ a few KB) — driver-held and
+   * plan-literal like the LSH hyperplanes, NOT a distributed frame.
+   */
+  def pqTrainCodebooks(corpus: DataFrame, vecCol: String,
+      m: Int = 8, ksub: Int = 16, dim: Int = 64,
+      seed: Long = 42L, maxIter: Int = 5): Array[Array[Array[Double]]] = {
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val subDim = dim / m
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val vecs = corpus.select(col(vecCol).as("v")).persist()
+    try {
+      val n = vecs.limit(ksub).count()
+      require(n > 0, "pqTrainCodebooks: empty corpus")
+      val kEff = math.min(ksub.toLong, n).toInt
+      Array.tabulate(m) { s =>
+        val sliced = vecs.select(array_to_vector(
+          slice(col("v"), s * subDim + 1, subDim)).as("features"))
+        val model = new KMeans().setK(kEff).setSeed(seed + s)
+          .setMaxIter(maxIter).setFeaturesCol("features")
+          .setPredictionCol("cell").fit(sliced)
+        model.clusterCenters.map(_.toArray)
+      }
+    } finally { vecs.unpersist(); () }
+  }
+
+  /** Per-subspace argmin encoder: subvector → index of its nearest
+    * codebook row (in-order squared-L2; first-min ties to the smaller
+    * code — replicated by the oracle's `ORDER BY d2, code`). */
+  private def pqCode(vec: Column, book: Array[Array[Double]],
+      sub: Int, subDim: Int): Column = {
+    val subvec = slice(vec, sub * subDim + 1, subDim)
+    val d2s = array(book.map(c => sqL2(subvec, array(c.map(lit): _*))): _*)
+    (array_position(d2s, array_min(d2s)) - 1).cast("int")
+  }
+
+  /**
+   * Product-quantization encode: each vector → `m` codebook indices.
+   * THE stored artifact of the PQ scale path: at the default
+   * m=8 × ksub=16 a 64-dim float vector (256 B) compresses to 8
+   * nibble-codes (4 B with bit packing, 32 B as this int array) — two
+   * orders of magnitude — which is what lets a 100 TB embedding corpus
+   * sit in executor memory for exhaustive ADC scans.
+   */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val subDim = codebooks.head.head.length
+    df.select(col(idCol).as("n_id"),
+      array((0 until m).map(s =>
+        pqCode(col(vecCol), codebooks(s), s, subDim)): _*).as("codes"))
+  }
+
+  /**
+   * PQ top-k by asymmetric distance (ADC): queries stay exact, the corpus
+   * is its codes. Per query, the m × ksub lookup table of
+   * subvector-to-centroid squared distances is computed ONCE and the
+   * corpus distance is an in-order fold of `m` table lookups — no
+   * per-pair float vector math at all. Unlike LSH/IVF this scans every
+   * code (PQ compresses, it does not prune) — the complementary
+   * operating point: exact recall ceiling of the quantizer, no
+   * candidate-miss risk, and composable with IVF cells for pruning.
+   *
+   * Plan shape: corpus codes ⨯ broadcast(query LUTs) — a narrow
+   * codegen'd pass over the codes table (the 100 TB operating mode reads
+   * the stored [[pqEncode]] artifact, ~4-32 B/vector) — then one window
+   * shuffle of (n × |queries|) slim rows for the per-query top-k.
+   * Distances are in-order double folds at every level (subspace dims,
+   * then subspaces), so ranks replicate exactly cross-engine (q96).
+   */
+  def pqTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val ksub = codebooks.head.length
+    val subDim = codebooks.head.head.length
+    val codes = pqEncode(corpus, idCol, vecCol, codebooks)
+    // Flat LUT, subspace-major: lut[s*ksub + c] = d2(q_sub(s), book(s)(c)).
+    val lut = array((for (s <- 0 until m; c <- 0 until ksub) yield
+      sqL2(slice(col("q_vec"), s * subDim + 1, subDim),
+        array(codebooks(s)(c).map(lit): _*))): _*)
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("lut", lut).drop("q_vec")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("n_id"))
+    codes.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("adist",
+        expr(s"aggregate(sequence(0, ${m - 1}), CAST(0.0 AS DOUBLE), " +
+          s"(acc, s) -> acc + element_at(lut, s * $ksub + element_at(codes, s + 1) + 1))"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"), col("adist"))
+  }
 }

@@ -272,6 +272,69 @@ object LlmQueries {
                    ORDER BY sim DESC, n_id) AS rank
                FROM sims) WHERE rank <= 5""")),
 
+    // ---- Product-quantization ANN (the COMPRESSION scale path next to
+    // q45's LSH and q62's IVF pruning): vectors → m=8 codebook indices
+    // (4-32 B vs 256 B — the artifact that lets a 100 TB embedding corpus
+    // sit in memory), queries ranked by asymmetric distance = an in-order
+    // fold of 8 LUT lookups. Hash-derived portable codebooks
+    // (Similarity.portableCodebooks — the q62 centroid trick per
+    // subspace) make encode, LUT, and rank bit-identical on both engines;
+    // the k-means-trained codebooks stay the production default and are
+    // recall-pinned in AnnSpec. Ranks only in the output (adist is a
+    // float; the rank ordering already hash-pins it).
+    Q("q96_ann_pq",
+      (s, d) => {
+        val e = T.embeddings(s, d)
+        Similarity.pqTopK(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5,
+          codebooks = Similarity.portableCodebooks(8, 16, 8))
+          .select(col("q_id"), col("n_id"), col("rank"))
+      },
+      Some("""WITH cb AS (
+               SELECT s.sub, c.code, d.dim,
+                 (CAST('0x' || substr(md5('pq|' || CAST(s.sub AS VARCHAR) ||
+                    '|' || CAST(c.code AS VARCHAR) ||
+                    '|' || CAST(d.dim AS VARCHAR)), 1, 8) AS BIGINT)
+                  / 2147483648.0 - 1.0) * 0.25 AS w
+               FROM range(8) s(sub) CROSS JOIN range(16) c(code)
+               CROSS JOIN range(8) d(dim)),
+             cbl AS (
+               SELECT sub, code, list(w ORDER BY dim) AS cvec
+               FROM cb GROUP BY sub, code),
+             v AS (
+               SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+               FROM embeddings),
+             subd AS (
+               SELECT v.vec_id, c.sub, c.code,
+                 list_inner_product(
+                   list_transform(range(1, 9),
+                     i -> emb[CAST(c.sub * 8 + i AS INT)] - cvec[i]),
+                   list_transform(range(1, 9),
+                     i -> emb[CAST(c.sub * 8 + i AS INT)] - cvec[i])) AS d2
+               FROM v CROSS JOIN cbl c),
+             codes AS (
+               SELECT vec_id, sub, code FROM (
+                 SELECT vec_id, sub, code,
+                   row_number() OVER (PARTITION BY vec_id, sub
+                     ORDER BY d2, code) AS rn
+                 FROM subd) WHERE rn = 1),
+             lut AS (
+               SELECT vec_id AS q_id, sub, code, d2
+               FROM subd WHERE vec_id < 10),
+             paird AS (
+               SELECT l.q_id, c.vec_id AS n_id,
+                 list_inner_product(list(l.d2 ORDER BY l.sub),
+                   list_transform(range(8), x -> 1.0)) AS adist
+               FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
+               WHERE c.vec_id <> l.q_id
+               GROUP BY l.q_id, c.vec_id)
+             SELECT q_id, n_id, CAST(rank AS INT) AS rank FROM (
+               SELECT q_id, n_id,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY adist, n_id) AS rank
+               FROM paird) WHERE rank <= 5""")),
+
     // ---- LSH-bucketed ANN (the scale path; recall measured in AnnSpec).
     // Short signatures + more tables: the right operating point for
     // weak-similarity (random-gaussian) data — see AnnSpec's recall

@@ -663,6 +663,50 @@ class AnnSpec extends SparkSpec {
     assert(recall > 0.3, s"recall $recall")
   }
 
+  test("PQ ANN: planted exact duplicate is always rank 1; codes are the compressed artifact") {
+    // ADC distance of q to its identical twin = Σ_s min_c d2(q_s, c) —
+    // the minimum any vector can score — so the twin MUST rank first
+    // (ties by n_id can only add other code-identical vectors above k).
+    val base = emb.limit(30)
+    val dup = base.withColumn("vec_id", col("vec_id") + 100000)
+    val books = Similarity.portableCodebooks(8, 16, 8)
+    val queries = base.filter(col("vec_id") < 5)
+    val top = Similarity.pqTopK(base.union(dup), queries,
+      "vec_id", "embedding", k = 1, codebooks = books)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toMap
+    assert(top.size == 5)
+    top.foreach { case (q, n) =>
+      assert(n == q + 100000, s"query $q: twin not rank-1 (got $n)")
+    }
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", books)
+    val stats = codes.select(size(col("codes")).as("m"),
+      array_min(col("codes")).as("lo"), array_max(col("codes")).as("hi"))
+      .agg(min("m"), max("m"), min("lo"), max("hi"))
+      .as[(Int, Int, Int, Int)].head()
+    assert(stats._1 == 8 && stats._2 == 8, "every vector encodes to m codes")
+    assert(stats._3 >= 0 && stats._4 < 16, "codes index the ksub codebook")
+  }
+
+  test("PQ ANN: k-means-trained codebooks beat portable ones on recall@5") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    def recallOf(books: Array[Array[Array[Double]]]): Double = {
+      val approx = Similarity.pqTopK(emb, queries, "vec_id", "embedding", 5,
+        codebooks = books)
+        .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+      (brute & approx).size.toDouble / brute.size
+    }
+    val trained = recallOf(Similarity.pqTrainCodebooks(emb, "embedding"))
+    val portable = recallOf(Similarity.portableCodebooks(8, 16, 8))
+    // Random gaussians are the hard case (quantization error dominates);
+    // trained codebooks must stay useful and at least match the
+    // data-blind hash-derived ones.
+    assert(trained > 0.2, s"trained-codebook recall collapsed: $trained")
+    assert(trained >= portable - 0.1,
+      s"trained $trained should not lose to portable $portable")
+  }
+
   test("cosineNearDup finds planted duplicates") {
     val base = emb.limit(50)
     val dup = base.withColumn("vec_id", col("vec_id") + 100000)
