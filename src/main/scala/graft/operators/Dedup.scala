@@ -880,4 +880,75 @@ object Dedup {
         lit(0).cast("int").as("hamming"))
     cross.unionByName(within)
   }
+
+  // ------------------------------------------------ Bloom membership artifact
+
+  /**
+   * Constant-size probabilistic membership artifact — the O(1)-state
+   * alternative to the exact md5 line/doc-digest artifacts: a corpus of
+   * ANY size compresses to `-n·ln(fpp)/ln²2` bits (~1.1 GB at 10⁹ keys,
+   * fpp 1% — vs 16 B/key exact), so incremental "have we seen this
+   * document?" probes against a 100 TB history become a broadcast-size
+   * side input instead of a corpus-wide join.
+   *
+   * Built with Spark's own BloomFilterAggregate (the engine's runtime
+   * join-filter machinery): one pass, mergeable partial aggregates,
+   * result collected as ONE binary cell — O(bits) driver transfer
+   * independent of corpus size, the same shape Spark itself uses for
+   * injected runtime filters. Keys are xxhash64'd (matching
+   * BloomFilterMightContain's probe hashing).
+   *
+   * Semantics: NO false negatives ever — a key the filter rejects is
+   * DEFINITELY unseen — and false positives at ≤ ~fpp: a genuinely-new
+   * row is mistaken for seen (and, in [[bloomNewRows]], over-dropped)
+   * with that probability. The right trade for ingestion dedup, where a
+   * duplicate slipping IN costs training quality but an occasional fresh
+   * row dropped costs ~nothing.
+   */
+  def buildBloomArtifact(df: DataFrame, key: Column,
+      expectedItems: Long, fpp: Double = 0.01): Array[Byte] = {
+    require(expectedItems > 0 && fpp > 0 && fpp < 1)
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val numBits = math.ceil(
+      -expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    val agg = new BloomFilterAggregate(
+      new XxHash64(Seq(ColumnBridge.expression(key))),
+      Literal(expectedItems), Literal(numBits))
+    val row = df.select(
+      ColumnBridge.column(agg.toAggregateExpression()).as("bloom")).head()
+    row.getAs[Array[Byte]]("bloom")
+  }
+
+  /** Probe column: true ⇔ the artifact MIGHT contain `key` (false ⇒
+    * definitely absent). A plan-literal + codegen'd predicate — map-side,
+    * no join, no shuffle. */
+  def bloomMightContain(artifact: Array[Byte], key: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.types.BinaryType
+    ColumnBridge.column(BloomFilterMightContain(
+      Literal(artifact, BinaryType),
+      new XxHash64(Seq(ColumnBridge.expression(key)))))
+  }
+
+  /** Definitely-new rows of `batch` vs the artifact: keeps every row whose
+    * key the filter rejects. Over-drops genuinely-new rows at ≤ ~fpp (the
+    * documented bloom trade); never passes a true duplicate. */
+  def bloomNewRows(batch: DataFrame, artifact: Array[Byte], key: Column): DataFrame =
+    batch.filter(!bloomMightContain(artifact, key))
+
+  /** Fold a new batch into the artifact (set union — same bit layout
+    * required: build every increment with the same expectedItems/fpp).
+    * O(bits) driver work; the 100 TB cadence is build-per-batch →
+    * merge-into-carried-artifact, mirroring the md5 band-log append path. */
+  def mergeBloomArtifacts(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    import org.apache.spark.util.sketch.BloomFilter
+    val fa = BloomFilter.readFrom(a)
+    fa.mergeInPlace(BloomFilter.readFrom(b))
+    val out = new java.io.ByteArrayOutputStream()
+    fa.writeTo(out)
+    out.toByteArray
+  }
 }
