@@ -479,4 +479,60 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("n_id"), col("rank"), col("adist"))
   }
+
+  /**
+   * IVF-ADC: the composed production layout (FAISS IVFADC / Jégou et al.
+   * 2011) — IVF cells PRUNE (probe nProbe/nLists of the corpus), PQ codes
+   * COMPRESS (candidates ranked by LUT lookups, no float vectors read).
+   * The stored corpus artifact is (cell, m codes) per vector — at 100 TB,
+   * partition the artifact by `cell` and a probe reads nProbe partitions
+   * of ~4-32 B/vector; the float embeddings are only ever read at
+   * artifact-build time.
+   *
+   * With nProbe = nLists the candidate set is the whole corpus and the
+   * result equals [[pqTopK]] exactly (spec-pinned); with both halves on
+   * portable hash-derived parameters the full compose sits under the
+   * DuckDB oracle (q97).
+   */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      nProbe: Int = 4): DataFrame = {
+    val m = codebooks.length
+    val ksub = codebooks.head.length
+    val subDim = codebooks.head.head.length
+    // Corpus artifact: (n_id, cell, codes) — one pass over the vectors.
+    val d2s = array(centroids.map(c =>
+      sqL2(col("n_vec"), array(c.map(lit): _*))): _*)
+    val enc = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+      .withColumn("cell", (array_position(d2s, array_min(d2s)) - 1).cast("int"))
+      .select(col("n_id"), col("cell"),
+        array((0 until m).map(s =>
+          pqCode(col("n_vec"), codebooks(s), s, subDim)): _*).as("codes"))
+    // Query side: ADC lookup table + nProbe nearest cells, both tiny.
+    val lut = array((for (s <- 0 until m; c <- 0 until ksub) yield
+      sqL2(slice(col("q_vec"), s * subDim + 1, subDim),
+        array(codebooks(s)(c).map(lit): _*))): _*)
+    val centDf = corpus.sparkSession.createDataFrame(
+      centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) })
+      .toDF("cell", "centroid")
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("cd2"), col("cell"))
+    val probed = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("lut", lut)
+      .crossJoin(broadcast(centDf))
+      .withColumn("cd2", sqL2(col("q_vec"), col("centroid")))
+      .withColumn("cr", row_number().over(wq))
+      .filter(col("cr") <= nProbe)
+      .select(col("q_id"), col("cell"), col("lut"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("n_id"))
+    enc.join(broadcast(probed), Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("adist",
+        expr(s"aggregate(sequence(0, ${m - 1}), CAST(0.0 AS DOUBLE), " +
+          s"(acc, s) -> acc + element_at(lut, s * $ksub + element_at(codes, s + 1) + 1))"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"), col("adist"))
+  }
 }

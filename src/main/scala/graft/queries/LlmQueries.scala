@@ -335,6 +335,101 @@ object LlmQueries {
                    ORDER BY adist, n_id) AS rank
                FROM paird) WHERE rank <= 5""")),
 
+    // ---- IVF-ADC (FAISS IVFADC; Jégou 2011): q62's cell PRUNING composed
+    // with q96's PQ COMPRESSION — the production big-corpus layout. The
+    // stored artifact is (cell, 8 codes) per vector, partitioned by cell;
+    // a probe reads nProbe/nLists of it and ranks by LUT lookups without
+    // touching a float vector. Both halves on portable hash-derived
+    // parameters → the whole compose is hash-checked; nProbe == nLists
+    // equals plain PQ exactly (spec-pinned in AnnSpec).
+    Q("q97_ann_ivfpq",
+      (s, d) => {
+        val e = T.embeddings(s, d)
+        Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5,
+          centroids = Similarity.portableCentroids(16, 64),
+          codebooks = Similarity.portableCodebooks(8, 16, 8),
+          nProbe = 4)
+          .select(col("q_id"), col("n_id"), col("rank"))
+      },
+      Some("""WITH cents AS (
+               SELECT c.cell, d.dim,
+                 (CAST('0x' || substr(md5('c|' || CAST(c.cell AS VARCHAR) ||
+                    '|' || CAST(d.dim AS VARCHAR)), 1, 8) AS BIGINT)
+                  / 2147483648.0 - 1.0) * 0.25 AS w
+               FROM range(16) c(cell) CROSS JOIN range(64) d(dim)),
+             clists AS (
+               SELECT cell, list(w ORDER BY dim) AS cvec
+               FROM cents GROUP BY cell),
+             v AS (
+               SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+               FROM embeddings),
+             celld AS (
+               SELECT v.vec_id, c.cell,
+                 list_inner_product(
+                   list_transform(range(1, 65), i -> emb[i] - cvec[i]),
+                   list_transform(range(1, 65), i -> emb[i] - cvec[i])) AS d2
+               FROM v CROSS JOIN clists c),
+             assign AS (
+               SELECT vec_id AS n_id, cell FROM (
+                 SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY d2, cell) AS rn
+                 FROM celld) WHERE rn = 1),
+             probed AS (
+               SELECT vec_id AS q_id, cell FROM (
+                 SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY d2, cell) AS cr
+                 FROM celld WHERE vec_id < 10) WHERE cr <= 4),
+             cb AS (
+               SELECT s.sub, c.code, d.dim,
+                 (CAST('0x' || substr(md5('pq|' || CAST(s.sub AS VARCHAR) ||
+                    '|' || CAST(c.code AS VARCHAR) ||
+                    '|' || CAST(d.dim AS VARCHAR)), 1, 8) AS BIGINT)
+                  / 2147483648.0 - 1.0) * 0.25 AS w
+               FROM range(8) s(sub) CROSS JOIN range(16) c(code)
+               CROSS JOIN range(8) d(dim)),
+             cbl AS (
+               SELECT sub, code, list(w ORDER BY dim) AS cvec
+               FROM cb GROUP BY sub, code),
+             subd AS (
+               SELECT v.vec_id, c.sub, c.code,
+                 list_inner_product(
+                   list_transform(range(1, 9),
+                     i -> emb[CAST(c.sub * 8 + i AS INT)] - cvec[i]),
+                   list_transform(range(1, 9),
+                     i -> emb[CAST(c.sub * 8 + i AS INT)] - cvec[i])) AS d2
+               FROM v CROSS JOIN cbl c),
+             codes AS (
+               SELECT vec_id, sub, code FROM (
+                 SELECT vec_id, sub, code,
+                   row_number() OVER (PARTITION BY vec_id, sub
+                     ORDER BY d2, code) AS rn
+                 FROM subd) WHERE rn = 1),
+             lut AS (
+               SELECT vec_id AS q_id, sub, code, d2
+               FROM subd WHERE vec_id < 10),
+             cand AS (
+               SELECT p.q_id, a.n_id
+               FROM probed p JOIN assign a ON a.cell = p.cell
+               WHERE a.n_id <> p.q_id),
+             paird AS (
+               SELECT ca.q_id, ca.n_id,
+                 list_inner_product(list(l.d2 ORDER BY l.sub),
+                   list_transform(range(8), x -> 1.0)) AS adist
+               FROM cand ca
+               JOIN codes c ON c.vec_id = ca.n_id
+               JOIN lut l ON l.q_id = ca.q_id
+                 AND l.sub = c.sub AND l.code = c.code
+               GROUP BY ca.q_id, ca.n_id)
+             SELECT q_id, n_id, CAST(rank AS INT) AS rank FROM (
+               SELECT q_id, n_id,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY adist, n_id) AS rank
+               FROM paird) WHERE rank <= 5""")),
+
     // ---- LSH-bucketed ANN (the scale path; recall measured in AnnSpec).
     // Short signatures + more tables: the right operating point for
     // weak-similarity (random-gaussian) data — see AnnSpec's recall

@@ -707,6 +707,28 @@ class AnnSpec extends SparkSpec {
       s"trained $trained should not lose to portable $portable")
   }
 
+  test("IVF-ADC: full probe equals plain PQ; partial probe is a subset ranking") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val cents = Similarity.portableCentroids(8, 64)
+    val books = Similarity.portableCodebooks(8, 16, 8)
+    // nProbe == nLists → candidates = whole corpus → exactly pqTopK.
+    val full = Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding", 5,
+      cents, books, nProbe = 8)
+      .select("q_id", "n_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val pq = Similarity.pqTopK(emb, queries, "vec_id", "embedding", 5,
+      codebooks = books)
+      .select("q_id", "n_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(full == pq, "full-probe IVFADC must equal plain PQ ranking")
+    // Partial probe returns only candidates from probed cells — each
+    // query's list is a ranked subset of what full-probe considered.
+    val part = Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding", 5,
+      cents, books, nProbe = 2)
+      .select("q_id", "n_id").as[(Long, Long)].collect()
+    assert(part.nonEmpty)
+    val recall = (part.toSet & pq.map(t => (t._1, t._2))).size.toDouble / pq.size
+    assert(recall > 0.2, s"partial-probe recall vs PQ collapsed: $recall")
+  }
+
   test("cosineNearDup finds planted duplicates") {
     val base = emb.limit(50)
     val dup = base.withColumn("vec_id", col("vec_id") + 100000)
