@@ -410,6 +410,44 @@ object TextAnalysis {
       .filter(col("v") =!= 0)
   }
 
+  /**
+   * Exact heavy hitters by sketch-then-verify — the two-pass scale
+   * pattern for "which tokens exceed frequency 1/supportDen": pass 1 is
+   * Spark's `stat.freqItems` (a merged Misra-Gries-style summary — ONE
+   * pass, map-side partials, NO shuffle of the token stream) whose
+   * result is a guaranteed SUPERSET of every item with frequency >
+   * 1/(2·supportDen); pass 2 exactly counts only those ≤ 2·supportDen
+   * candidates (broadcast semi-join, then a groupBy of the filtered —
+   * tiny — stream) and applies the exact integer threshold
+   * `cnt · supportDen ≥ N` (cross-multiplication, no float). Output is
+   * EXACT — sketch error cannot surface, only shrink pass-2 work — so
+   * the operator carries a plain DuckDB counting oracle (q98) despite
+   * the approximate first pass.
+   *
+   * The candidate list (≤ 2·supportDen entries) is the only driver
+   * transfer — independent of corpus size, like the PQ/bloom artifacts.
+   */
+  def heavyHitters(tokens: DataFrame, tokCol: String,
+      supportDen: Long = 1000L): DataFrame = {
+    require(supportDen >= 2, "supportDen must be >= 2")
+    val spark = tokens.sparkSession
+    import spark.implicits._
+    // Half the target support: freqItems only guarantees items STRICTLY
+    // above its support, so sketching at 1/(2·supportDen) covers the
+    // `≥ N/supportDen` boundary exactly.
+    val cands = tokens.stat.freqItems(Seq(tokCol), 1.0 / (2.0 * supportDen))
+      .head().getSeq[String](0)
+    val candDf = cands.toDF(tokCol)
+    val nRow = tokens.agg(count(lit(1)).as("total"))
+    tokens
+      .join(broadcast(candDf), Seq(tokCol), "left_semi")
+      .groupBy(col(tokCol))
+      .agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(nRow))
+      .filter(col("cnt") * supportDen >= col("total"))
+      .select(col(tokCol), col("cnt"))
+  }
+
   /** Densify [[hashingVectorizer]]'s sparse long form into one
     * `Array[Long]` row per doc (map-from-entries + a range lookup — no
     * shuffle beyond the groupBy). Array cells can't cross the driver's

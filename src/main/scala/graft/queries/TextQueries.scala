@@ -558,6 +558,20 @@ object TextQueries {
              FROM ($TokensSql) WHERE tok <> ''
              GROUP BY 1, 2
              HAVING sum(CASE WHEN CAST('0x' || substr(md5(tok), 9, 1) AS BIGINT) % 2 = 0
-               THEN 1 ELSE -1 END) <> 0"""))
+               THEN 1 ELSE -1 END) <> 0""")),
+
+    // ---- Exact heavy hitters via sketch-then-verify: freqItems (one
+    // pass, no shuffle, guaranteed candidate SUPERSET) prunes the exact
+    // counting pass to ≤ 2·supportDen tokens, and the integer
+    // cross-multiplied threshold (cnt·500 ≥ N — the q85 trick) keeps the
+    // comparison float-free. Output is exact, so the approximate first
+    // pass still hash-compares against DuckDB's plain counting mirror.
+    Q("q98_heavy_hitters",
+      (s, d) => graft.operators.TextAnalysis.heavyHitters(
+        tokens(s, d), "tok", supportDen = 500L),
+      Some(s"""WITH t AS (SELECT tok FROM ($TokensSql) WHERE tok <> ''),
+               n AS (SELECT count(*) AS total FROM t)
+             SELECT tok, count(*) AS cnt FROM t GROUP BY tok
+             HAVING count(*) * 500 >= (SELECT total FROM n)"""))
   )
 }

@@ -67,3 +67,26 @@ class HashingVectorizerSpec extends SparkSpec {
     assert(signed.isEmpty || math.abs(signed.head._3) == 2)
   }
 }
+
+class HeavyHittersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sketch-then-verify equals exact counting, boundary inclusive") {
+    // 100 tokens total, supportDen 10 → threshold cnt ≥ 10.
+    // "hot" 50, "warm" exactly 10 (ON the boundary — must be included),
+    // "cool" 9 (just under), 31 singletons.
+    val toks = (Seq.fill(50)("hot") ++ Seq.fill(10)("warm") ++
+      Seq.fill(9)("cool") ++ (0 until 31).map(i => s"rare$i"))
+      .map(Tuple1(_)).toDF("tok")
+    val got = TextAnalysis.heavyHitters(toks, "tok", supportDen = 10L)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("hot" -> 50L, "warm" -> 10L),
+      s"expected exactly hot+warm (boundary inclusive), got $got")
+  }
+
+  test("uniform stream: nothing exceeds support, result is empty") {
+    val toks = (0 until 1000).map(i => Tuple1(s"t${i % 100}")).toDF("tok")
+    // each token has cnt 10, threshold at supportDen 50 → 1000/50 = 20.
+    assert(TextAnalysis.heavyHitters(toks, "tok", 50L).count() == 0)
+  }
+}
