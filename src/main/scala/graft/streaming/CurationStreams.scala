@@ -433,6 +433,67 @@ object CurationStreams {
       .start()
   }
 
+  /**
+   * Streaming exact-document dedup with CONSTANT-SIZE carried state: the
+   * cross-trigger "seen" set is a [[Dedup.buildBloomArtifact]] bloom
+   * filter (O(bits), independent of corpus size) instead of
+   * [[lineDedupStream]]'s exact O(distinct-keys) digest table — the
+   * operating point for unbounded ingestion where even 16 B/key state
+   * eventually outgrows the executor tier. The trade is the bloom one,
+   * and it is one-sided: a true duplicate NEVER passes; a fresh doc is
+   * over-dropped with probability ≤ ~fpp (size `expectedItems` for the
+   * stream's lifetime total).
+   *
+   * Per trigger: md5-digest the batch, keep the first occurrence per
+   * digest within the batch (min id — deterministic), anti-probe the
+   * carried bloom map-side (no join, no shuffle against state), sink the
+   * survivors, then fold their digests in. The fold builds a bloom of
+   * JUST the batch keys (one agg over the micro-batch) and merges — a
+   * bitwise OR, so replays are IDEMPOTENT; the batch-id guard only saves
+   * the rebuild cost. Sink-then-fold: a failed trigger retries against
+   * the pre-fold artifact (at-least-once, same as the exact streams).
+   * Durability = write the few-MB artifact bytes per committed batch; a
+   * restart resumes from the last committed artifact via `seen`.
+   */
+  def bloomDedupStream(docs: DataFrame, idCol: String, textCol: String,
+      expectedItems: Long, fpp: Double = 0.01,
+      seen: Option[Array[Byte]] = None)(
+      sink: DataFrame => Unit): StreamingQuery = {
+    var artifact = seen
+    var lastFolded = -1L
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val keyed = batch
+          .withColumn("graft_key", md5(col(textCol)))
+          .localCheckpoint(true)
+        try {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("graft_key")).orderBy(col(idCol))
+          val firsts = keyed
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1).drop("rn")
+          val survivors0 = artifact match {
+            case Some(b) => firsts.filter(
+              !graft.operators.Dedup.bloomMightContain(b, col("graft_key")))
+            case None => firsts
+          }
+          val survivors = survivors0.localCheckpoint(true)
+          try {
+            sink(survivors.drop("graft_key"))
+            if (batchId > lastFolded) {
+              val batchBloom = graft.operators.Dedup.buildBloomArtifact(
+                survivors, col("graft_key"), expectedItems, fpp)
+              artifact = Some(artifact
+                .map(graft.operators.Dedup.mergeBloomArtifacts(_, batchBloom))
+                .getOrElse(batchBloom))
+              lastFolded = batchId
+            }
+          } finally unpin(survivors)
+        } finally unpin(keyed)
+      }
+      .start()
+  }
+
   private def unpin(df: DataFrame): Unit =
     graft.operators.CacheScope.unpinCheckpoint(df)
 

@@ -2,6 +2,8 @@ package graft
 
 import scala.util.Random
 
+import org.apache.spark.sql.functions.{col, md5}
+
 import graft.operators.Dedup
 import graft.streaming.CurationStreams
 
@@ -101,5 +103,51 @@ class LineDedupStreamSpec extends SparkSpec {
     assert(byId(100L) == ((2L, 1L, "brand new line alpha")), s"got ${byId(100L)}")
     // Doc 101: "alpha" lost to doc 100 within the same batch; "beta" kept.
     assert(byId(101L) == ((2L, 1L, "brand new line beta")), s"got ${byId(101L)}")
+  }
+
+  test("bloomDedupStream: cross-trigger doc dedup with constant-size state") {
+    // 12 distinct texts; each later trigger repeats some earlier texts
+    // under new ids, plus within-batch twins.
+    def doc(id: Long, t: String) = id -> t
+    val t1 = Seq(doc(0, "text A"), doc(1, "text B"), doc(2, "text A"))
+    val t2 = Seq(doc(10, "text B"), doc(11, "text C"), doc(12, "text C"))
+    val t3 = Seq(doc(20, "text A"), doc(21, "text D"))
+    val tmp = java.nio.file.Files.createTempDirectory("bloom_stream").toString
+
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val q = CurationStreams.bloomDedupStream(
+      triggerStream(tmp, Seq(t1, t2, t3)), "doc_id", "text",
+      expectedItems = 1000L, fpp = 0.001) { out =>
+      got ++= out.select("doc_id", "text").as[(Long, String)].collect()
+    }
+    q.processAllAvailable()
+    q.stop()
+
+    // No duplicate text ever passes (the one-sided bloom guarantee) and
+    // the winner is the min id of the first trigger containing the text.
+    // fpp over-drop is deterministic per key set; at 0.001 on 4 keys the
+    // probability-weighted expectation of a drop is ~0.004 — and if one
+    // DID occur it would fail the exact expectation below, loudly.
+    assert(got.map(_._2).distinct.size == got.size, s"dup text passed: $got")
+    assert(got.sortBy(_._1).toSeq == Seq(
+      0L -> "text A", 1L -> "text B", 11L -> "text C", 21L -> "text D"),
+      s"got ${got.sortBy(_._1).toSeq}")
+  }
+
+  test("bloomDedupStream seeded with an existing corpus artifact") {
+    val corpusBloom = Dedup.buildBloomArtifact(
+      toDocs(Seq(0L -> "pre-seen text")).withColumn("k", md5(col("text"))),
+      col("k"), 1000L, fpp = 0.001)
+    val fresh = Seq(100L -> "pre-seen text", 101L -> "genuinely new text")
+    val tmp = java.nio.file.Files.createTempDirectory("bloom_boot").toString
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val q = CurationStreams.bloomDedupStream(
+      triggerStream(tmp, Seq(fresh)), "doc_id", "text",
+      expectedItems = 1000L, fpp = 0.001, seen = Some(corpusBloom)) { out =>
+      got ++= out.select("doc_id", "text").as[(Long, String)].collect()
+    }
+    q.processAllAvailable()
+    q.stop()
+    assert(got.toSeq == Seq(101L -> "genuinely new text"), s"got $got")
   }
 }
