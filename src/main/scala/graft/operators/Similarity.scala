@@ -481,6 +481,24 @@ object Similarity {
   }
 
   /**
+   * Johnson–Lindenstrauss random projection: embed `dim`-d vectors into
+   * `outDim` dimensions as x′_j = (x · r_j)/√outDim — pairwise distances
+   * preserved within (1±ε) w.h.p. for outDim = O(log n / ε²). The cheap
+   * pre-step that makes downstream clustering/ANN over a 100 TB embedding
+   * corpus 4-8× narrower: map-only (a codegen'd in-order fold per output
+   * dim), no shuffle, no trained state. Projection rows come from the
+   * caller: [[portableHyperplanes]]`(1, outDim, dim)(0)` is the
+   * engine-portable choice (oracle q99); any fixed gaussian matrix works.
+   */
+  def randomProjection(df: DataFrame, idCol: String, vecCol: String,
+      planes: Array[Array[Double]]): DataFrame = {
+    val norm = math.sqrt(planes.length.toDouble)
+    df.select(col(idCol),
+      array(planes.map(p =>
+        (dot(col(vecCol), array(p.map(lit): _*)) / norm)): _*).as("proj"))
+  }
+
+  /**
    * IVF-ADC: the composed production layout (FAISS IVFADC / Jégou et al.
    * 2011) — IVF cells PRUNE (probe nProbe/nLists of the corpus), PQ codes
    * COMPRESS (candidates ranked by LUT lookups, no float vectors read).

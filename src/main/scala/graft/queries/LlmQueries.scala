@@ -430,6 +430,37 @@ object LlmQueries {
                    ORDER BY adist, n_id) AS rank
                FROM paird) WHERE rank <= 5""")),
 
+    // ---- Johnson–Lindenstrauss random projection (map-only dim
+    // reduction; the cheap pre-step that narrows downstream clustering /
+    // ANN 4×): x′_j = (x·r_j)/√outDim over the portable hyperplane family
+    // — every dot is the same in-order double fold as q45/q46, so the
+    // projected values replicate exactly and round(·, 6) hash-compares.
+    Q("q99_random_projection",
+      (s, d) => {
+        val planes = Similarity.portableHyperplanes(1, 16, 64)(0)
+        Similarity.randomProjection(
+          T.embeddings(s, d).filter(col("vec_id") < 50),
+          "vec_id", "embedding", planes)
+          .select(col("vec_id"), posexplode(col("proj")).as(Seq("j", "v")))
+          .select(col("vec_id"), col("j"), round(col("v"), 6).as("v"))
+      },
+      Some("""WITH planes AS (
+               SELECT b.bit, d.dim,
+                 CAST('0x' || substr(md5('0|' || CAST(b.bit AS VARCHAR) ||
+                   '|' || CAST(d.dim AS VARCHAR)), 1, 8) AS BIGINT)
+                   / 2147483648.0 - 1.0 AS w
+               FROM range(16) b(bit) CROSS JOIN range(64) d(dim)),
+             plists AS (
+               SELECT bit, list(w ORDER BY dim) AS pvec
+               FROM planes GROUP BY bit),
+             v AS (
+               SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+               FROM embeddings WHERE vec_id < 50)
+             SELECT v.vec_id, CAST(p.bit AS INT) AS j,
+               round(list_inner_product(emb, pvec) / sqrt(16.0), 6) AS v
+             FROM v CROSS JOIN plists p""")),
+
     // ---- LSH-bucketed ANN (the scale path; recall measured in AnnSpec).
     // Short signatures + more tables: the right operating point for
     // weak-similarity (random-gaussian) data — see AnnSpec's recall

@@ -729,6 +729,28 @@ class AnnSpec extends SparkSpec {
     assert(recall > 0.2, s"partial-probe recall vs PQ collapsed: $recall")
   }
 
+  test("random projection roughly preserves pairwise distances (JL)") {
+    val planes = Similarity.portableHyperplanes(1, 16, 64)(0)
+    val rows = emb.limit(20).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val proj = Similarity.randomProjection(emb.limit(20), "vec_id", "embedding", planes)
+      .as[(Long, Seq[Double])].collect().map(t => t._1 -> t._2.toArray).toMap
+    assert(proj.values.forall(_.length == 16))
+    def d(a: Array[Double], b: Array[Double]) =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val ratios = for {
+      (ia, va) <- rows; (ib, vb) <- rows if ia < ib
+    } yield d(proj(ia), proj(ib)) / d(va, vb)
+    // JL at outDim 16 is coarse; the median ratio must sit near a fixed
+    // constant (E[ratio] ≈ sqrt(E w²) = 1/sqrt(3) for uniform[-1,1)
+    // rows), and no pair may collapse to zero or blow up.
+    val sorted = ratios.sorted
+    val med = sorted(sorted.length / 2)
+    assert(med > 0.3 && med < 1.0, s"median distance ratio $med")
+    assert(sorted.head > 0.05 && sorted.last < 2.0,
+      s"distance distortion out of range: ${sorted.head} .. ${sorted.last}")
+  }
+
   test("cosineNearDup finds planted duplicates") {
     val base = emb.limit(50)
     val dup = base.withColumn("vec_id", col("vec_id") + 100000)
