@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Exact triangle counting — the clustering/cohesion measure for the
+ * entity co-occurrence graphs this engine materializes (the reference's
+ * social network export, /root/reference/src/SocialNetworkDCO.groovy:53-84,
+ * stops at pairwise co-occurrence edges; triangles are the standard next
+ * cohesion statistic over exactly that edge list — "my contacts know each
+ * other").
+ *
+ * Algorithm: degree-ordered edge orientation (Cohen 2009 / Suri &
+ * Vassilvitskii "Counting Triangles and the Curse of the Last Reducer",
+ * WWW'11). Each undirected edge is directed from its lower-(degree, id)
+ * endpoint to the higher; every triangle then has EXACTLY ONE wedge
+ * (u→v, u→w) at its minimum-degree corner, so one wedge-join plus one
+ * edge-existence probe enumerates each triangle once — no 6× duplication
+ * and, critically, no reducer ever holds a hub's full neighborhood: the
+ * out-degree after orientation is bounded by O(√m), which caps the
+ * wedge-join's per-key fan-out at O(m) total wedges ~ O(m^1.5) worst
+ * case instead of Σ deg² (the "last reducer" that dies on power-law hubs
+ * at 100 TB).
+ *
+ * Shuffle shape: canonical-dedup groupBy, degree agg, two joins keyed on
+ * node / canonical edge — all map-side combinable; the wedge probe is an
+ * equi-join on the (lo, hi) edge key, never a cartesian. Output counts
+ * are exact integers, so the whole operator sits under a DuckDB hash
+ * oracle (q103, mirrored there as the naive a<b<c triple self-join —
+ * same triangles, different join order).
+ */
+object TriangleCount {
+
+  /**
+   * Per-node triangle participation counts.
+   *
+   * @param edges undirected edge list with long columns `src`, `dst`;
+   *              self-loops dropped, multi-edges collapsed (canonical
+   *              (least, greatest) dedup), direction ignored
+   * @return (node_id, n_triangles) — one row per node that closes at
+   *         least one triangle
+   */
+  def perNode(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = und.select(col("a").as("n"))
+      .union(und.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    // Orient each edge from the lower (deg, id) endpoint to the higher —
+    // the total order that makes wedge enumeration unique per triangle.
+    val oriented = und
+      .join(deg.select(col("n").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("deg").as("db")), Seq("b"))
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("v")))
+          .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+    // Wedges at the min corner: (u→v, u→w), v ≠ w, keyed canonically so
+    // the closing probe is an equi-join against the undirected edge set.
+    val wedges = oriented.select(col("u"), col("v"))
+      .join(oriented.select(col("u"), col("v").as("w")), Seq("u"))
+      .filter(col("v") < col("w"))
+      .select(col("u"), col("v").as("a"), col("w").as("b"))
+    val triangles = wedges.join(und, Seq("a", "b"))
+    triangles.select(col("u").as("node_id"))
+      .union(triangles.select(col("a")))
+      .union(triangles.select(col("b")))
+      .groupBy(col("node_id")).agg(count(lit(1)).as("n_triangles"))
+  }
+}

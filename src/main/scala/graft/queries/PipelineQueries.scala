@@ -297,8 +297,105 @@ object PipelineQueries {
           .orderBy(col("pr").desc, col("node_id"))
           .limit(20)
       },
-      Some(PageRankSql(5)))
+      Some(PageRankSql(5))),
+
+    // ---- Triangle participation (graph cohesion, the next statistic
+    // after q94's centrality over the same co-occurrence-graph family) —
+    // parts co-ordered within an order form the edges; top-20 triangle
+    // closers. Spark runs the degree-ordered orientation
+    // (TriangleCount.perNode — each triangle enumerated ONCE at its
+    // min-degree corner, wedge fan-out capped at O(√m), the shape that
+    // survives power-law hubs); the oracle is the naive canonical a<b<c
+    // triple self-join — same exact triangle set, so the integer counts
+    // hash-compare.
+    Q("q103_triangle_count",
+      (s, d) => {
+        val li = T.lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val edges = li.as("x").join(li.as("y"),
+            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+          .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+          .distinct()
+        graft.operators.TriangleCount.perNode(edges)
+          .select(col("node_id").as("part_key"), col("n_triangles"))
+          .orderBy(col("n_triangles").desc, col("part_key"))
+          .limit(20)
+      },
+      Some("""WITH li AS (
+               SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+               FROM lineitem),
+             e AS (
+               SELECT DISTINCT x.pk AS a, y.pk AS b
+               FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+             tri AS (
+               SELECT e1.a AS x, e1.b AS y, e2.b AS z
+               FROM e e1
+               JOIN e e2 ON e1.b = e2.a
+               JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+             corners AS (
+               SELECT x AS node FROM tri
+               UNION ALL SELECT y FROM tri
+               UNION ALL SELECT z FROM tri)
+             SELECT node AS part_key, count(*) AS n_triangles
+             FROM corners GROUP BY node
+             ORDER BY n_triangles DESC, part_key LIMIT 20""")),
+
+    // ---- Data-driven length binning: integer 1-D k-means over document
+    // char counts (k=4 natural size buckets, 3 Lloyd iterations) — the
+    // clustering refinement of q22's hand-picked CASE thresholds, and the
+    // curriculum/length-bucketing primitive a packing pipeline feeds on.
+    // Exact integer arithmetic end-to-end (KMeans scaladoc); the oracle
+    // unrolls the recursion as one assign/update CTE pair per iteration,
+    // the q94 discipline.
+    Q("q104_kmeans_bins",
+      (s, d) => graft.operators.KMeans.fit1D(
+        T.documents(s, d).select(col("n_chars").cast("long").as("v")),
+        "v", k = 4, iters = 3),
+      Some(KMeansSql(k = 4, iters = 3)))
   )
+
+  /** q104 oracle: the Lloyd recursion unrolled — per iteration an
+    * assignment CTE (argmin |v−c| with ties to the lower centroid index,
+    * via a (doc, centroid) cross join + row_number) and an update CTE
+    * (floor-divided means, empty clusters keeping their centroid). All
+    * BIGINT; the final SELECT casts the cluster index to INTEGER to match
+    * Spark's `transform` lambda index type. */
+  private def KMeansSql(k: Int, iters: Int): String = {
+    val head = s"""WITH v AS (
+        SELECT row_number() OVER () AS rid, CAST(n_chars AS BIGINT) AS v
+        FROM documents),
+      mm AS (SELECT min(v) AS vmin, max(v) AS vmax FROM v),
+      c0 AS (
+        SELECT CAST(t.i AS INTEGER) AS i,
+          vmin + (vmax - vmin) * t.i // ${k - 1} AS c
+        FROM range($k) t(i) CROSS JOIN mm)"""
+    val iterCtes = (1 to iters).map { j =>
+      val p = j - 1
+      s"""a$j AS (
+           SELECT rid, v, i, c,
+             row_number() OVER (PARTITION BY rid ORDER BY abs(v - c), i)
+               AS rn
+           FROM v CROSS JOIN c$p),
+         s$j AS (
+           SELECT i AS ci, CAST(sum(v) AS BIGINT) AS sv, count(*) AS n
+           FROM a$j WHERE rn = 1 GROUP BY i),
+         c$j AS (
+           SELECT c$p.i,
+             CASE WHEN s$j.n IS NOT NULL THEN sv // n ELSE c$p.c END AS c
+           FROM c$p LEFT JOIN s$j ON c$p.i = s$j.ci)"""
+    }.mkString(",\n")
+    val f = iters + 1
+    s"""$head,
+      $iterCtes,
+      a$f AS (
+        SELECT rid, v, i, c,
+          row_number() OVER (PARTITION BY rid ORDER BY abs(v - c), i) AS rn
+        FROM v CROSS JOIN c$iters)
+      SELECT i AS cluster, c AS centroid, count(*) AS n,
+        CAST(sum(v) AS BIGINT) AS total
+      FROM a$f WHERE rn = 1 GROUP BY i, c ORDER BY i"""
+  }
 
   /** q94 oracle: the PageRank recursion unrolled — one (contrib, rank)
     * CTE pair per iteration, all arithmetic BIGINT floor division so the

@@ -714,6 +714,103 @@ object Relational {
                CAST(sum(CASE WHEN l_linestatus = 'O'
                  THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS O_qty,
                count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS O_n
-             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- Ordered conversion funnel over the event stream: signup → view
+    // → click → purchase, each stage's timestamp the MIN matching event
+    // STRICTLY AFTER the previous stage and within a 24 h conversion
+    // window of it (the standard product-analytics funnel — ordered AND
+    // time-bounded, not mere set-membership; unbounded, this corpus
+    // converts everyone). The four dependent minima chain as four window
+    // aggregations over the SAME user partitioning — Catalyst reuses one
+    // exchange for all four Window operators, so the whole funnel costs a
+    // single user_id shuffle regardless of stage count (the alternative,
+    // one groupBy+join-back per stage, is 4 shuffles + 3 joins; the
+    // oracle mirrors with that chain since SQL window frames can't nest).
+    // All arithmetic on exact ts_ns longs; conversion total is an integer
+    // sum.
+    Q("q100_funnel_stages",
+      (s, d) => {
+        val W = 86400000000000L // 24 h in ns
+        val w = Window.partitionBy(col("user_id"))
+        def nextStage(evt: String, prev: String) =
+          min(when(col("event_type") === evt &&
+            col("ts_ns") > col(prev) &&
+            col("ts_ns") <= col(prev) + lit(W), col("ts_ns"))).over(w)
+        val t = T.events(s, d)
+          .withColumn("t1", min(when(col("event_type") === "signup",
+            col("ts_ns"))).over(w))
+          .withColumn("t2", nextStage("view", "t1"))
+          .withColumn("t3", nextStage("click", "t2"))
+          .withColumn("t4", nextStage("purchase", "t3"))
+          .select(col("user_id"), col("t1"), col("t2"), col("t3"), col("t4"))
+          .distinct()
+        t.withColumn("stage",
+            when(col("t1").isNull, 0).when(col("t2").isNull, 1)
+              .when(col("t3").isNull, 2).when(col("t4").isNull, 3)
+              .otherwise(4))
+          .groupBy(col("stage"))
+          .agg(count(lit(1)).as("n_users"),
+            sum(col("t4") - col("t1")).as("total_conv_ns"))
+          .orderBy(col("stage"))
+      },
+      Some("""WITH e AS (
+               SELECT user_id, event_type, epoch_ns(ts) AS ts_ns FROM events),
+             u1 AS (
+               SELECT user_id,
+                 min(CASE WHEN event_type = 'signup' THEN ts_ns END) AS t1
+               FROM e GROUP BY user_id),
+             u2 AS (
+               SELECT e.user_id, t1,
+                 min(CASE WHEN event_type = 'view' AND ts_ns > t1
+                   AND ts_ns <= t1 + 86400000000000 THEN ts_ns END) AS t2
+               FROM e JOIN u1 USING (user_id) GROUP BY e.user_id, t1),
+             u3 AS (
+               SELECT e.user_id, t1, t2,
+                 min(CASE WHEN event_type = 'click' AND ts_ns > t2
+                   AND ts_ns <= t2 + 86400000000000 THEN ts_ns END) AS t3
+               FROM e JOIN u2 USING (user_id) GROUP BY e.user_id, t1, t2),
+             u4 AS (
+               SELECT e.user_id, t1, t2, t3,
+                 min(CASE WHEN event_type = 'purchase' AND ts_ns > t3
+                   AND ts_ns <= t3 + 86400000000000 THEN ts_ns END) AS t4
+               FROM e JOIN u3 USING (user_id) GROUP BY e.user_id, t1, t2, t3)
+             SELECT CASE WHEN t1 IS NULL THEN 0 WHEN t2 IS NULL THEN 1
+                         WHEN t3 IS NULL THEN 2 WHEN t4 IS NULL THEN 3
+                         ELSE 4 END AS stage,
+               count(*) AS n_users,
+               CAST(sum(t4 - t1) AS BIGINT) AS total_conv_ns
+             FROM u4 GROUP BY 1 ORDER BY 1""")),
+
+    // ---- Weekly cohort retention: users bucketed by first-seen week,
+    // counted distinct per (cohort, week-offset). day/week are exact
+    // integer floor-divisions of ts_ns, so there is no timezone or
+    // rounding surface. Two shuffles total: one user_id agg for the
+    // cohort anchor, one (cohort, offset) distinct-count — the join-back
+    // is user-keyed and co-partitioned with the anchor agg at scale (the
+    // anchor side is |users|, far smaller than events; AQE broadcasts it
+    // when it fits, which is exactly the right call on both sides of the
+    // 100 TB boundary).
+    Q("q101_cohort_retention",
+      (s, d) => {
+        val e = T.events(s, d)
+          .select(col("user_id"), expr("ts_ns div 86400000000000").as("day"))
+        val anchors = e.groupBy(col("user_id"))
+          .agg(min(col("day")).as("day0"))
+        e.join(anchors, Seq("user_id"))
+          .select(col("user_id"), expr("day0 div 7").as("cohort_week"),
+            expr("(day - day0) div 7").as("week_offset"))
+          .groupBy(col("cohort_week"), col("week_offset"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("cohort_week"), col("week_offset"))
+      },
+      Some("""WITH e AS (
+               SELECT user_id, epoch_ns(ts) // 86400000000000 AS day
+               FROM events),
+             a AS (SELECT user_id, min(day) AS day0 FROM e GROUP BY user_id)
+             SELECT day0 // 7 AS cohort_week, (day - day0) // 7 AS week_offset,
+               count(DISTINCT e.user_id) AS n_users
+             FROM e JOIN a USING (user_id)
+             GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }

@@ -572,6 +572,43 @@ object TextQueries {
       Some(s"""WITH t AS (SELECT tok FROM ($TokensSql) WHERE tok <> ''),
                n AS (SELECT count(*) AS total FROM t)
              SELECT tok, count(*) AS cnt FROM t GROUP BY tok
-             HAVING count(*) * 500 >= (SELECT total FROM n)"""))
+             HAVING count(*) * 500 >= (SELECT total FROM n)""")),
+
+    // ---- BM25 graded retrieval (Lucene's default relevance) over the
+    // shared token table — q55's query terms, OR semantics, ranked. Each
+    // (doc, term) partial is a single double expression quantized to
+    // micro-units before summation (the q86 recipe), so the score is
+    // bit-stable under any accumulation order on both engines. See
+    // SearchIndex.bm25 for the scale shape (candidate filter before any
+    // shuffle; broadcast df/totals; TakeOrdered top-k).
+    Q("q102_bm25",
+      (s, d) => graft.sinks.SearchIndex.bm25(
+        tokens(s, d), Seq("query", "window", "stream"), topK = 20),
+      Some(s"""WITH t AS (
+               SELECT doc_id, tok FROM ($TokensSql) WHERE tok <> ''),
+             dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+             tot AS (SELECT count(*) AS n_docs,
+               CAST(sum(dl) AS BIGINT) AS total_toks FROM dl),
+             cand AS (
+               SELECT doc_id, tok, count(*) AS tf FROM t
+               WHERE tok IN ('query', 'window', 'stream')
+               GROUP BY doc_id, tok),
+             dfs AS (SELECT tok, count(DISTINCT doc_id) AS df
+               FROM cand GROUP BY tok),
+             scored AS (
+               SELECT c.doc_id, c.tok,
+                 CAST(round(ln((CAST(n_docs - df AS DOUBLE) + 0.5)
+                   / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+                   * (CAST(tf AS DOUBLE) * 2.2)
+                   / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+                      * CAST(n_docs AS DOUBLE) / CAST(total_toks AS DOUBLE)))
+                   * 1000000) AS BIGINT) AS score_micro
+               FROM cand c JOIN dfs USING (tok) JOIN dl USING (doc_id)
+               CROSS JOIN tot)
+             SELECT doc_id, count(DISTINCT tok) AS n_terms,
+               CAST(sum(score_micro) AS BIGINT) AS score_micro,
+               round(CAST(sum(score_micro) AS DOUBLE) / 1000000, 6) AS bm25
+             FROM scored GROUP BY doc_id
+             ORDER BY score_micro DESC, doc_id LIMIT 20"""))
   )
 }

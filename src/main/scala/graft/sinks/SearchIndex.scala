@@ -69,4 +69,52 @@ object SearchIndex {
       .agg(countDistinct(col("tok")).as("n_terms"), sum(col("tf")).as("score"))
       .filter(col("n_terms") === terms.distinct.length)
       .select(col("doc_id"), col("score"))
+
+  /**
+   * Disjunctive (OR) BM25 ranking over a (doc_id, tok) token frame — the
+   * relevance scoring the reference's Lucene index serves
+   * (/root/reference/src/Ingester.groovy:289-294 builds it; Lucene's
+   * default Similarity IS BM25), widening q55's boolean-AND search to
+   * graded retrieval. Robertson k1/b defaults; Lucene's idf formulation
+   * ln((N - df + 0.5)/(df + 0.5) + 1) — strictly positive, so common
+   * terms never flip a score's sign.
+   *
+   * Engine-portable determinism: each (doc, term) partial score is ONE
+   * double expression over exact integer inputs (tf, df, dl, N, total
+   * tokens), quantized to integer micro-units before the per-doc sum —
+   * the q86 micro-LLR recipe — so accumulation order can't perturb the
+   * result on either engine.
+   *
+   * Scale shape: the corpus-sized work is a single doc_id length agg
+   * (map-side combined); the candidate set is filtered to the query's
+   * terms BEFORE any shuffle, so the scoring joins move O(postings of
+   * queried terms), with the 1-row totals and |terms|-row df frames
+   * broadcast. Top-k is TakeOrderedAndProject — no global sort.
+   */
+  def bm25(tokens: DataFrame, terms: Seq[String], topK: Int = 20): DataFrame = {
+    val doclen = tokens.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val totals = doclen.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("total_toks"))
+    val cand = tokens.filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfs = cand.groupBy(col("tok"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    cand.join(broadcast(dfs), Seq("tok"))
+      .join(doclen, Seq("doc_id"))
+      .crossJoin(broadcast(totals))
+      .withColumn("score_micro", expr(
+        """CAST(round(ln((CAST(n_docs - df AS DOUBLE) + 0.5)
+          |  / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+          |  * (CAST(tf AS DOUBLE) * 2.2)
+          |  / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+          |     * CAST(n_docs AS DOUBLE) / CAST(total_toks AS DOUBLE)))
+          |  * 1000000) AS BIGINT)""".stripMargin))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("tok")).as("n_terms"),
+        sum(col("score_micro")).as("score_micro"))
+      .withColumn("bm25",
+        expr("round(CAST(score_micro AS DOUBLE) / 1000000, 6)"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(topK)
+  }
 }
