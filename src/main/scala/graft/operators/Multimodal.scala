@@ -412,4 +412,69 @@ object Multimodal {
       lit(mediaType).as("media_type"),
       encode(col(textCol), "UTF-8").as("content")).as[MediaAsset]
   }
+
+  /**
+   * 64-bit average-hash (aHash) per asset: the codec's 8×8 grid-mean
+   * embedding thresholded at its own mean, packed little-endian into one
+   * long — the classic perceptual image fingerprint (robust to re-encode,
+   * resize, and mild edits; cheap enough to run inline with decode). On
+   * the [[ImageIOCodec]] path this is a REAL perceptual hash of decoded
+   * pixels; on [[HashCodec]] it degrades to a deterministic content hash
+   * (exact-dup only), keeping the pipeline total where codecs are absent.
+   */
+  def perceptualHashes(assets: Dataset[MediaAsset],
+      codec: MediaCodec = HashCodec)(implicit s: SparkSession): DataFrame = {
+    import s.implicits._
+    assets.mapPartitions { it =>
+      val c = codec
+      it.map { a =>
+        val g = c.embed(a, 64)
+        val mean = g.sum / 64f
+        var bits = 0L
+        var i = 0
+        while (i < 64) {
+          if (g(i) > mean) bits |= (1L << i)
+          i += 1
+        }
+        (a.asset_id, bits)
+      }
+    }.toDF("asset_id", "phash")
+  }
+
+  /**
+   * Near-duplicate image pairs from a (asset_id, phash) table: Hamming
+   * distance ≤ `maxHamming` (≤ 3), found by banding — each 64-bit hash
+   * splits into four 16-bit bands, and by pigeonhole any pair within
+   * Hamming 3 shares at least one INTACT band, so candidates are an
+   * equi-join on (band_idx, band_value), never all-pairs (the SimHash
+   * banding discipline, Dedup.scala's cap rationale applies at 100 TB:
+   * pre-collapse identical hashes first — [[phashExactGroups]] — so a
+   * million re-posts of one image cost one representative here).
+   * Candidates verify with a codegen'd `bit_count(xor)`.
+   */
+  def phashNearDup(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "4-band pigeonhole guarantees recall only up to Hamming 3")
+    val bands = hashes.select(col("asset_id"), col("phash"),
+        explode(expr("sequence(0, 3)")).as("b"))
+      .withColumn("band",
+        expr("shiftrightunsigned(phash, b * 16) & 65535"))
+    bands.as("x").join(bands.as("y"),
+        col("x.b") === col("y.b") && col("x.band") === col("y.band") &&
+          col("x.asset_id") < col("y.asset_id"))
+      .select(col("x.asset_id").as("id1"), col("y.asset_id").as("id2"),
+        col("x.phash").as("h1"), col("y.phash").as("h2"))
+      .distinct()
+      .withColumn("hamming", expr("CAST(bit_count(h1 ^ h2) AS INT)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id1"), col("id2"), col("hamming"))
+  }
+
+  /** Identical-hash groups (the pre-collapse for [[phashNearDup]]):
+    * phash → member count + sorted members, groups of ≥ 2 only. */
+  def phashExactGroups(hashes: DataFrame): DataFrame =
+    hashes.groupBy(col("phash"))
+      .agg(count(lit(1)).as("n"),
+        sort_array(collect_list(col("asset_id"))).as("members"))
+      .filter(col("n") >= 2)
 }

@@ -461,4 +461,51 @@ object TextAnalysis {
       .select(col(idCol),
         expr(s"transform(sequence(0, ${dim - 1}), b -> coalesce(m[b], CAST(0 AS BIGINT)))")
           .as("features"))
+
+  /**
+   * PMI collocation mining (Church & Hanks 1990) over a positioned token
+   * table: adjacent-pair bigrams scored by pointwise mutual information
+   * against unigram frequencies —
+   * PMI(x,y) = ln(p(xy) / (p(x)·p(y))) with p(xy) = c_xy/N_bigrams and
+   * p(x) = c_x/N_unigrams. The standard collocation detector ("New York"
+   * scores high, "of the" scores low) and the phrase-vocabulary builder a
+   * tokenizer-training pipeline runs first.
+   *
+   * Determinism: all counts are exact integers; each bigram's PMI is ONE
+   * double expression over them, quantized to micro-units (the q86
+   * recipe) — no float accumulation anywhere, so the score hash-compares
+   * against DuckDB (q105).
+   *
+   * Scale shape: bigrams come off the already-positioned token table via
+   * one per-doc lead() window (narrow after the token table's own
+   * shuffle); the `minCount` filter lands BEFORE the unigram joins, so
+   * join traffic is O(frequent bigrams), not O(all bigrams); the two
+   * 1-row totals broadcast. Top-k is TakeOrderedAndProject.
+   */
+  def pmiCollocations(tokensPos: DataFrame, minCount: Long = 5L,
+      topK: Int = 50): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bg = tokensPos
+      .withColumn("t2", lead(col("tok"), 1).over(w))
+      .filter(col("t2").isNotNull)
+      .select(col("tok").as("t1"), col("t2"))
+    val bc = bg.groupBy(col("t1"), col("t2"))
+      .agg(count(lit(1)).as("cb"))
+      .filter(col("cb") >= minCount)
+    val uc = tokensPos.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val nu = tokensPos.agg(count(lit(1)).as("nu"))
+    val nb = bg.agg(count(lit(1)).as("nb"))
+    bc.join(uc.select(col("tok").as("t1"), col("c").as("c1")), Seq("t1"))
+      .join(uc.select(col("tok").as("t2"), col("c").as("c2")), Seq("t2"))
+      .crossJoin(broadcast(nu))
+      .crossJoin(broadcast(nb))
+      .withColumn("pmi_micro", expr(
+        """CAST(round(ln((CAST(cb AS DOUBLE) * CAST(nu AS DOUBLE)
+          |  * CAST(nu AS DOUBLE))
+          |  / (CAST(nb AS DOUBLE) * CAST(c1 AS DOUBLE)
+          |     * CAST(c2 AS DOUBLE))) * 1000000) AS BIGINT)""".stripMargin))
+      .select(col("t1"), col("t2"), col("cb"), col("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("t1"), col("t2"))
+      .limit(topK)
+  }
 }

@@ -811,6 +811,58 @@ object Relational {
              SELECT day0 // 7 AS cohort_week, (day - day0) // 7 AS week_offset,
                count(DISTINCT e.user_id) AS n_users
              FROM e JOIN a USING (user_id)
-             GROUP BY 1, 2 ORDER BY 1, 2"""))
+             GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- Z-score anomaly detection: events whose value is > 3σ from
+    // their event_type's mean — the q88 exact-integer-moment discipline
+    // (values quantized to cents, sums/products exact BIGINTs) pointed at
+    // outlier flagging. The degenerate-variance guard is an exact INTEGER
+    // predicate (sxx·n − sx² > 0) rather than a float epsilon, because
+    // NaN comparison semantics differ between engines (Spark's NaN > 3 is
+    // false, DuckDB sorts NaN above everything) — the one cross-engine
+    // trap a float guard would step on. Per-event z is then a single
+    // double expression over integers, micro-quantized. One shuffle (the
+    // 5-row per-type stats agg, broadcast back); the event scan stays
+    // narrow.
+    Q("q106_zscore_outliers",
+      (s, d) => {
+        val e = T.events(s, d).select(col("event_id"), col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        val stats = e.groupBy(col("event_type")).agg(
+          sum(col("cents")).as("sx"),
+          sum(col("cents") * col("cents")).as("sxx"),
+          count(lit(1)).as("n"))
+        e.join(broadcast(stats), Seq("event_type"))
+          .filter(col("n") > 1 &&
+            col("sxx") * col("n") - col("sx") * col("sx") > 0)
+          .withColumn("z_micro", expr(
+            """CAST(round((CAST(cents AS DOUBLE) - CAST(sx AS DOUBLE) / n)
+              |  / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+              |          * CAST(sx AS DOUBLE) / n) / (n - 1))
+              |  * 1000000) AS BIGINT)""".stripMargin))
+          .filter(abs(col("z_micro")) > lit(3000000L))
+          .select(col("event_id"), col("event_type"), col("cents"),
+            col("z_micro"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH e AS (
+               SELECT event_id, event_type,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+               FROM events),
+             st AS (
+               SELECT event_type, CAST(sum(cents) AS BIGINT) AS sx,
+                 CAST(sum(cents * cents) AS BIGINT) AS sxx,
+                 count(*) AS n
+               FROM e GROUP BY event_type),
+             z AS (
+               SELECT e.event_id, e.event_type, e.cents,
+                 CAST(round((CAST(cents AS DOUBLE) - CAST(sx AS DOUBLE) / n)
+                   / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                           * CAST(sx AS DOUBLE) / n) / (n - 1))
+                   * 1000000) AS BIGINT) AS z_micro
+               FROM e JOIN st USING (event_type)
+               WHERE n > 1 AND sxx * n - sx * sx > 0)
+             SELECT event_id, event_type, cents, z_micro FROM z
+             WHERE abs(z_micro) > 3000000 ORDER BY event_id"""))
   )
 }

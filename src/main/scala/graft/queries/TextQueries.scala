@@ -609,6 +609,43 @@ object TextQueries {
                CAST(sum(score_micro) AS BIGINT) AS score_micro,
                round(CAST(sum(score_micro) AS DOUBLE) / 1000000, 6) AS bm25
              FROM scored GROUP BY doc_id
-             ORDER BY score_micro DESC, doc_id LIMIT 20"""))
+             ORDER BY score_micro DESC, doc_id LIMIT 20""")),
+
+    // ---- PMI collocations over the shared positioned token table —
+    // adjacent-bigram pointwise mutual information vs unigram counts, the
+    // phrase/collocation detector (q86's bigram machinery pointed at
+    // vocabulary mining instead of importance weighting). Integer counts →
+    // one quantized double per bigram (TextAnalysis.pmiCollocations).
+    Q("q105_pmi_collocations",
+      (s, d) => graft.operators.TextAnalysis.pmiCollocations(
+        tokensPos(s, d), minCount = 5L, topK = 50),
+      Some(s"""WITH l AS (
+               SELECT doc_id,
+                 list_filter(string_split(text, ' '), t -> t <> '') AS toks
+               FROM documents),
+             u AS (SELECT unnest(toks) AS tok FROM l),
+             uc AS (SELECT tok, count(*) AS c FROM u GROUP BY tok),
+             nu AS (SELECT count(*) AS n FROM u),
+             b AS (
+               SELECT unnest(list_transform(range(1, len(toks)),
+                 i -> toks[i] || ' ' || toks[i+1])) AS bg
+               FROM l WHERE len(toks) >= 2),
+             bc AS (
+               SELECT string_split(bg, ' ')[1] AS t1,
+                 string_split(bg, ' ')[2] AS t2, count(*) AS cb
+               FROM b GROUP BY 1, 2 HAVING count(*) >= 5),
+             nb AS (SELECT count(*) AS n FROM b),
+             scored AS (
+               SELECT t1, t2, cb,
+                 CAST(round(ln((CAST(cb AS DOUBLE) * CAST(nu.n AS DOUBLE)
+                   * CAST(nu.n AS DOUBLE))
+                   / (CAST(nb.n AS DOUBLE) * CAST(u1.c AS DOUBLE)
+                      * CAST(u2.c AS DOUBLE))) * 1000000) AS BIGINT)
+                   AS pmi_micro
+               FROM bc JOIN uc u1 ON bc.t1 = u1.tok
+               JOIN uc u2 ON bc.t2 = u2.tok
+               CROSS JOIN nu CROSS JOIN nb)
+             SELECT t1, t2, cb, pmi_micro FROM scored
+             ORDER BY pmi_micro DESC, t1, t2 LIMIT 50"""))
   )
 }
