@@ -863,6 +863,64 @@ object Relational {
                FROM e JOIN st USING (event_type)
                WHERE n > 1 AND sxx * n - sx * sx > 0)
              SELECT event_id, event_type, cents, z_micro FROM z
-             WHERE abs(z_micro) > 3000000 ORDER BY event_id"""))
+             WHERE abs(z_micro) > 3000000 ORDER BY event_id""")),
+
+    // ---- Z-order layout tiles: Morton-interleave (l_partkey, l_suppkey)
+    // and aggregate min/max of BOTH keys per 2^18-aligned curve tile —
+    // exactly the parquet footer stats a z-clustered write would carry,
+    // demonstrating why a scan filtered on EITHER key prunes files (each
+    // tile is a ≤ 512×512 rectangle; ZOrderSpec pins the bound exactly).
+    // The interleave is one codegen'd integer expression (ZOrder.zValue),
+    // mirrored textually into DuckDB by ZOrder.zValueSql — no shuffle
+    // beyond the tile agg.
+    Q("q107_zorder_tiles",
+      (s, d) => T.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey"))
+        .withColumn("z", graft.operators.ZOrder.zValue(
+          col("l_partkey"), col("l_suppkey"), 16))
+        .withColumn("tile", expr("z div 262144"))
+        .groupBy(col("tile"))
+        .agg(count(lit(1)).as("n"),
+          min(col("l_partkey")).as("pk_min"), max(col("l_partkey")).as("pk_max"),
+          min(col("l_suppkey")).as("sk_min"), max(col("l_suppkey")).as("sk_max"))
+        .orderBy(col("tile")),
+      Some(s"""WITH z AS (
+               SELECT l_partkey, l_suppkey,
+                 ${graft.operators.ZOrder.zValueSql("l_partkey", "l_suppkey", 16)} AS zv
+               FROM lineitem)
+             SELECT zv // 262144 AS tile, count(*) AS n,
+               min(l_partkey) AS pk_min, max(l_partkey) AS pk_max,
+               min(l_suppkey) AS sk_min, max(l_suppkey) AS sk_max
+             FROM z GROUP BY 1 ORDER BY 1""")),
+
+    // ---- ntile curriculum bins: equal-population length quartiles per
+    // language (the rank-based counterpart of q104's k-means bins, and
+    // the missing ntile() from the S8 window family — q13/q14/q15 cover
+    // rank/row_number/running aggs). Tie-break pinned by doc_id so the
+    // bucket assignment is total-ordered on both engines; one lang
+    // shuffle, no joins.
+    Q("q108_ntile_bins",
+      (s, d) => {
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("chars"), col("doc_id"))
+        T.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            col("n_chars").cast("long").as("chars"))
+          .withColumn("bin", ntile(4).over(w))
+          .groupBy(col("lang"), col("bin"))
+          .agg(count(lit(1)).as("n"),
+            min(col("chars")).as("lo"), max(col("chars")).as("hi"),
+            sum(col("chars")).as("total"))
+          .orderBy(col("lang"), col("bin"))
+      },
+      Some("""WITH b AS (
+               SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS chars,
+                 ntile(4) OVER (PARTITION BY lang
+                   ORDER BY n_chars, doc_id) AS bin
+               FROM documents)
+             SELECT lang, bin, count(*) AS n,
+               min(chars) AS lo, max(chars) AS hi,
+               CAST(sum(chars) AS BIGINT) AS total
+             FROM b GROUP BY lang, bin ORDER BY lang, bin"""))
   )
 }
