@@ -921,6 +921,46 @@ object Relational {
              SELECT lang, bin, count(*) AS n,
                min(chars) AS lo, max(chars) AS hi,
                CAST(sum(chars) AS BIGINT) AS total
-             FROM b GROUP BY lang, bin ORDER BY lang, bin"""))
+             FROM b GROUP BY lang, bin ORDER BY lang, bin""")),
+
+    // ---- Time-RANGE window frames: per event, the count and value-sum
+    // of the SAME USER's events in the trailing hour — rangeBetween over
+    // exact ts_ns (a value frame, not a row frame: simultaneous events
+    // all see the same trailing window, and gaps shrink it — semantics a
+    // rows-frame can't express; the last S8 frame type the battery
+    // lacked). Value sums in exact cents. One user_id shuffle. The
+    // summary rollup keeps the output driver-comparable while every
+    // event's frame result feeds the hash (max per user pins the frame
+    // computation, not just its existence).
+    Q("q109_trailing_window",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"))
+          .rangeBetween(-3600000000000L, 0L)
+        T.events(s, d)
+          .select(col("user_id"), col("ts_ns"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+          .withColumn("n_1h", count(lit(1)).over(w))
+          .withColumn("cents_1h", sum(col("cents")).over(w))
+          .groupBy(col("user_id"))
+          .agg(max(col("n_1h")).as("peak_events_1h"),
+            max(col("cents_1h")).as("peak_cents_1h"),
+            sum(col("n_1h")).as("total_frame_rows"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH e AS (
+               SELECT user_id, epoch_ns(ts) AS ts_ns,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+               FROM events),
+             f AS (
+               SELECT user_id,
+                 count(*) OVER w AS n_1h,
+                 CAST(sum(cents) OVER w AS BIGINT) AS cents_1h
+               FROM e
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns
+                 RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW))
+             SELECT user_id, max(n_1h) AS peak_events_1h,
+               max(cents_1h) AS peak_cents_1h,
+               CAST(sum(n_1h) AS BIGINT) AS total_frame_rows
+             FROM f GROUP BY user_id ORDER BY user_id"""))
   )
 }

@@ -646,6 +646,96 @@ object TextQueries {
                JOIN uc u2 ON bc.t2 = u2.tok
                CROSS JOIN nu CROSS JOIN nb)
              SELECT t1, t2, cb, pmi_micro FROM scored
-             ORDER BY pmi_micro DESC, t1, t2 LIMIT 50"""))
+             ORDER BY pmi_micro DESC, t1, t2 LIMIT 50""")),
+
+    // ---- BPE merge training (Sennrich 2016) — learn the first 5 merges
+    // of a byte-pair-encoding tokenizer from the corpus: ONE corpus
+    // shuffle (word freqs), then every iteration is vocab-sized (see Bpe
+    // scaladoc). The oracle unrolls all 5 iterations — pair-count top-1
+    // (count DESC, lexicographic ties) and the leftmost-greedy
+    // gaps-and-islands merge — CTE-for-CTE in DuckDB, so the learned
+    // merge TABLE itself is hash-compared, not just its size.
+    Q("q110_bpe_merges",
+      (s, d) => graft.operators.Bpe.train(
+        T.documents(s, d), "text", merges = 5).orderBy(col("step")),
+      Some(BpeSql(merges = 5, maxVocab = 5000)))
   )
+
+  /** q110 oracle: the BPE recursion unrolled. Per iteration: pair counts
+    * off lead() adjacency, deterministic top-1, match marking, run
+    * (gaps-and-islands) identification, even-offset greedy keeps,
+    * absorbed-successor drop, positional re-index — the q94/q104
+    * unrolling discipline applied to a window-heavy recursion. */
+  private def BpeSql(merges: Int, maxVocab: Int): String = {
+    val head = s"""WITH w0 AS (
+        SELECT word, freq FROM (
+          SELECT word, count(*) AS freq,
+            row_number() OVER (ORDER BY count(*) DESC, word) AS rk
+          FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+          WHERE word <> '' GROUP BY word)
+        WHERE rk <= $maxVocab),
+      s0 AS (
+        SELECT word, freq,
+          unnest(range(length(word))) AS pos,
+          unnest(list_transform(range(length(word)),
+            i -> substr(word, CAST(i + 1 AS INT), 1))) AS sym
+        FROM w0)"""
+    val iters = (1 to merges).map { j =>
+      val p = j - 1
+      s"""l$j AS (
+           SELECT word, freq, pos, sym,
+             lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+           FROM s$p),
+         t$j AS (
+           SELECT sym AS a, nxt AS b, CAST(sum(freq) AS BIGINT) AS cnt
+           FROM l$j WHERE nxt IS NOT NULL GROUP BY sym, nxt
+           ORDER BY cnt DESC, a, b LIMIT 1),
+         m$j AS (
+           SELECT word, freq, pos, sym, nxt,
+             CASE WHEN sym = (SELECT a FROM t$j)
+                   AND nxt = (SELECT b FROM t$j) THEN 1 ELSE 0 END AS m
+           FROM l$j),
+         r$j AS (
+           SELECT *, CASE WHEN m = 1 AND (prev_m = 0 OR prev_pos <> pos - 1)
+                     THEN 1 ELSE 0 END AS run_head
+           FROM (SELECT *,
+               coalesce(lag(m) OVER (PARTITION BY word ORDER BY pos), 0)
+                 AS prev_m,
+               lag(pos) OVER (PARTITION BY word ORDER BY pos) AS prev_pos
+             FROM m$j)),
+         ri$j AS (
+           SELECT *, CASE WHEN m = 1 THEN
+               sum(run_head) OVER (PARTITION BY word ORDER BY pos) END
+             AS run_id
+           FROM r$j),
+         k$j AS (
+           SELECT *, coalesce(m = 1 AND run_off % 2 = 0, FALSE) AS keep_m
+           FROM (SELECT *, CASE WHEN m = 1 THEN
+                 pos - min(CASE WHEN run_head = 1 THEN pos END)
+                   OVER (PARTITION BY word, run_id) END AS run_off
+             FROM ri$j)),
+         e$j AS (
+           SELECT word, freq, pos AS old_pos,
+             CASE WHEN keep_m THEN sym || nxt ELSE sym END AS sym
+           FROM (SELECT *,
+               coalesce(lag(keep_m) OVER (PARTITION BY word ORDER BY pos),
+                 FALSE) AS absorbed
+             FROM k$j)
+           WHERE NOT absorbed),
+         s$j AS (
+           SELECT word, freq,
+             row_number() OVER (PARTITION BY word ORDER BY old_pos) - 1
+               AS pos,
+             sym
+           FROM e$j)"""
+    }.mkString(",\n")
+    val out = (1 to merges)
+      .map(j => s"""SELECT CAST($j AS INT) AS step, a AS "left", b AS "right",
+           a || b AS merged, cnt AS pair_count FROM t$j""")
+      .mkString("\nUNION ALL ")
+    s"""$head,
+      $iters
+      $out
+      ORDER BY step"""
+  }
 }

@@ -199,6 +199,36 @@ object ScaleSmoke {
         graft.operators.Curation.dsirWeights(df, "doc_id", "text",
           isTarget = col("lang") === "en")
       }
+      // Round-7 (continued): BM25 over the m× corpus — the corpus-sized
+      // work is one doclen agg; scoring joins touch only the query
+      // terms' postings, so growth should track the doclen agg.
+      runOnce("bm25") {
+        graft.sinks.SearchIndex.bm25(
+          df.select(col("doc_id"),
+            explode(split(col("text"), " ")).as("tok"))
+            .filter(col("tok") =!= ""),
+          Seq("query", "window", "stream"))
+      }
+      // Round-7 (continued): broadcast-centroid k-means — per iteration
+      // one map-side-combined groupBy; should be linear in rows with a
+      // constant per-iteration driver cost.
+      runOnce("kmeans_bins") {
+        graft.operators.KMeans.fit1D(
+          df.select(length(col("text")).cast("long").as("v")), "v",
+          k = 4, iters = 3)
+      }
+      // Round-7 (continued): degree-ordered triangle counting on a
+      // synthetic hash-derived random graph growing with m (n = 5000·m
+      // nodes, avg degree 60). Wedge count grows ~linearly with n at
+      // fixed degree, so wall time should too; a Σdeg² formulation
+      // without orientation would not.
+      runOnce("triangle_count") {
+        val nNodes = 5000L * m
+        val e = spark.range(nNodes * 30)
+          .select(pmod(xxhash64(col("id"), lit(1)), lit(nNodes)).as("src"),
+            pmod(xxhash64(col("id"), lit(2)), lit(nNodes)).as("dst"))
+        graft.operators.TriangleCount.perNode(e)
+      }
       if (wanted("probe_filter")) {
         val emb = (0 until m).map { i =>
           graft.Tables.embeddings(spark, sfDir).select(
