@@ -120,4 +120,82 @@ object Bpe {
     import spark.implicits._
     learned.toSeq.toDF("step", "left", "right", "merged", "pair_count")
   }
+
+  /**
+   * Apply a learned merge table: tokenize (id, text) into BPE symbols.
+   * This is the PER-ROW side of BPE — the merge table (O(merges) rows)
+   * broadcasts to executors and each word encodes locally with the
+   * standard greedy algorithm (repeatedly merge the lowest-ranked
+   * applicable pair), so encoding is a narrow map over the corpus: no
+   * shuffle, no per-merge passes — the shape that tokenizes 100 TB.
+   * Iterating the distributed [[train]] merge machinery per document
+   * would instead cost `merges` passes over corpus-sized data.
+   *
+   * Consistency contract (pinned by BpeSpec): encoding the training
+   * corpus' words with the learned table reproduces EXACTLY the symbol
+   * sequences the trainer ended with — apply is the inverse-direction
+   * replay of training's merge order, driver-free.
+   *
+   * @param mergeTable output of [[train]] (step, left, right, ...)
+   * @return (idCol, syms: Array[String], n_syms)
+   */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+      mergeTable: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ranks: Map[(String, String), Int] = mergeTable
+      .select(col("step").cast("int"), col("left"), col("right"))
+      .collect()
+      .map(r => (r.getString(1), r.getString(2)) -> r.getInt(0)).toMap
+    val bc = spark.sparkContext.broadcast(ranks)
+    docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val rk = bc.value
+        it.map { case (id, text) =>
+          val syms = text.split(" ").filter(_.nonEmpty).toSeq
+            .flatMap(w => encodeWord(w, rk))
+          (id, syms)
+        }
+      }
+      .toDF("id", "syms")
+      .select(col("id").as(idCol), col("syms"),
+        size(col("syms")).as("n_syms"))
+  }
+
+  /** Greedy single-word encode: repeatedly apply the LOWEST-ranked
+    * applicable merge, leftmost-first within a rank — the exact replay
+    * of training's merge order on one word. */
+  private[operators] def encodeWord(word: String,
+      ranks: Map[(String, String), Int]): Vector[String] = {
+    var s = word.split("").toVector
+    var done = false
+    while (!done && s.length > 1) {
+      // Lowest-ranked pair present in the word (training applied merges
+      // in step order, so replay must too).
+      var best = -1
+      var i = 0
+      while (i < s.length - 1) {
+        val r = ranks.getOrElse((s(i), s(i + 1)), Int.MaxValue)
+        if (r != Int.MaxValue && (best == -1 || r < ranks(
+          (s(best), s(best + 1))))) best = i
+        i += 1
+      }
+      if (best == -1) done = true
+      else {
+        val (a, b) = (s(best), s(best + 1))
+        // Merge ALL non-overlapping occurrences of (a,b), leftmost-greedy
+        // — one training iteration's effect on this word.
+        val buf = Vector.newBuilder[String]
+        var j = 0
+        while (j < s.length) {
+          if (j < s.length - 1 && s(j) == a && s(j + 1) == b) {
+            buf += (a + b); j += 2
+          } else { buf += s(j); j += 1 }
+        }
+        s = buf.result()
+      }
+    }
+    s
+  }
 }

@@ -76,4 +76,54 @@ class BpeSpec extends SparkSpec {
       assert(run(texts, 5) == ref(texts, 5), s"trial $trial")
     }
   }
+
+  /** Training's final symbol state, replayed sequentially (same merge
+    * order and leftmost-greedy pass as `ref`). */
+  private def refFinalSeqs(texts: Seq[String], merges: Int): Map[String, Vector[String]] = {
+    val ms = ref(texts, merges)
+    val words = texts.flatMap(_.split(" ")).filter(_.nonEmpty).distinct
+    words.map { w =>
+      var s = w.split("").toVector
+      for ((_, a, b, _, _) <- ms) {
+        val buf = Vector.newBuilder[String]
+        var i = 0
+        while (i < s.length) {
+          if (i < s.length - 1 && s(i) == a && s(i + 1) == b) {
+            buf += (a + b); i += 2
+          } else { buf += s(i); i += 1 }
+        }
+        s = buf.result()
+      }
+      w -> s
+    }.toMap
+  }
+
+  test("encode replays training exactly: training words reach the trainer's final symbols") {
+    val rnd = new Random(29)
+    for (trial <- 1 to 3) {
+      val texts = Seq.fill(25) {
+        Seq.fill(rnd.nextInt(6) + 1)(
+          Seq.fill(rnd.nextInt(7) + 1)("abc"(rnd.nextInt(3))).mkString)
+          .mkString(" ")
+      }
+      val docs = texts.zipWithIndex.map(_.swap).toDF("id", "text")
+      val table = Bpe.train(docs, "text", merges = 6)
+      val expected = refFinalSeqs(texts, 6)
+      val got = Bpe.encode(docs, "id", "text", table)
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      for ((text, i) <- texts.zipWithIndex) {
+        val want = text.split(" ").filter(_.nonEmpty)
+          .flatMap(expected).toSeq
+        assert(got(i.toLong) == want, s"trial $trial doc $i")
+      }
+    }
+  }
+
+  test("encode: unseen symbols pass through; n_syms counts the output") {
+    val table = Bpe.train(Seq((0L, "ab ab ab")).toDF("id", "text"), "text", 1)
+    val out = Bpe.encode(Seq((7L, "ab xy")).toDF("id", "text"),
+      "id", "text", table).collect().head
+    assert(out.getSeq[String](1) == Seq("ab", "x", "y"))
+    assert(out.getInt(2) == 3)
+  }
 }
