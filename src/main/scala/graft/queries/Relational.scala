@@ -961,6 +961,73 @@ object Relational {
              SELECT user_id, max(n_1h) AS peak_events_1h,
                max(cents_1h) AS peak_cents_1h,
                CAST(sum(n_1h) AS BIGINT) AS total_frame_rows
-             FROM f GROUP BY user_id ORDER BY user_id"""))
+             FROM f GROUP BY user_id ORDER BY user_id""")),
+
+    // ---- CUSUM mean-shift detection per event_type — drift monitoring
+    // for a live ingest. The one-sided CUSUM recurrence
+    // S_i = max(0, S_{i-1} + d_i) looks window-inexpressible, but the
+    // classic prefix identity S_i = P_i − min(0, min_{j≤i} P_j) (P =
+    // running sum of deviations) turns it into TWO stacked running
+    // windows over one partitioning — no recurrence, no mapPartitions,
+    // one shuffle. Deviations are scaled by n (d′ = cents·n − sx) so the
+    // mean subtraction stays exact-integer; the alarm threshold scales
+    // identically (h·n). Output: per type, alarm count, peak statistic,
+    // and its first-reaching event (min ts tie-break) — all integers.
+    Q("q111_cusum_shift",
+      (s, d) => {
+        val e = T.events(s, d).select(col("event_type"), col("event_id"),
+          col("ts_ns"), expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        val stats = e.groupBy(col("event_type"))
+          .agg(sum(col("cents")).as("sx"), count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("ts_ns"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val scored = e.join(broadcast(stats), Seq("event_type"))
+          .withColumn("dev", col("cents") * col("n") - col("sx"))
+          .withColumn("p", sum(col("dev")).over(w))
+          .withColumn("cusum", col("p") - least(min(col("p")).over(w), lit(0L)))
+        scored
+          .withColumn("alarm",
+            (col("cusum") > lit(100000L) * col("n")).cast("long"))
+          .withColumn("mx",
+            max(col("cusum")).over(Window.partitionBy(col("event_type"))))
+          .groupBy(col("event_type"))
+          .agg(sum(col("alarm")).as("n_alarms"),
+            max(col("cusum")).as("peak_cusum_scaled"),
+            min(when(col("cusum") === col("mx"), col("event_id")))
+              .as("peak_event_id"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH e AS (
+               SELECT event_type, event_id, epoch_ns(ts) AS ts_ns,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+               FROM events),
+             st AS (
+               SELECT event_type, CAST(sum(cents) AS BIGINT) AS sx,
+                 count(*) AS n
+               FROM e GROUP BY event_type),
+             p AS (
+               SELECT e.event_type, event_id, ts_ns, n,
+                 CAST(sum(cents * n - sx) OVER w AS BIGINT) AS p
+               FROM e JOIN st USING (event_type)
+               WINDOW w AS (PARTITION BY e.event_type
+                 ORDER BY ts_ns, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             c AS (
+               SELECT event_type, event_id, n,
+                 p - least(min(p) OVER (PARTITION BY event_type
+                   ORDER BY ts_ns, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+                   AS cusum
+               FROM p),
+             cm AS (
+               SELECT *, max(cusum) OVER (PARTITION BY event_type) AS mx
+               FROM c)
+             SELECT event_type,
+               CAST(sum(CASE WHEN cusum > 100000 * n THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_alarms,
+               max(cusum) AS peak_cusum_scaled,
+               min(CASE WHEN cusum = mx THEN event_id END) AS peak_event_id
+             FROM cm GROUP BY event_type ORDER BY event_type"""))
   )
 }
