@@ -1028,6 +1028,52 @@ object Relational {
                  AS BIGINT) AS n_alarms,
                max(cusum) AS peak_cusum_scaled,
                min(CASE WHEN cusum = mx THEN event_id END) AS peak_event_id
-             FROM cm GROUP BY event_type ORDER BY event_type"""))
+             FROM cm GROUP BY event_type ORDER BY event_type""")),
+
+    // ---- Grid-bucketed spatial join (points-in-boxes): supplier points
+    // vs customer boxes on a synthetic integer centi-degree plane (hash-
+    // free modular synthesis so both engines derive identical coords
+    // from the keys). Spark runs SpatialJoin.pointsInBoxes — the
+    // LSH-style equi-join on grid cells with exact containment verify,
+    // each true pair met exactly once; the oracle is the naive theta
+    // join (same pairs, O(n·m) — fine at oracle scale, the thing the
+    // grid exists to avoid at 100 TB).
+    Q("q112_spatial_join",
+      (s, d) => {
+        val pts = T.supplier(s, d).select(
+          col("s_suppkey").cast("long").as("id"),
+          expr("(s_suppkey * 7919) % 36000 - 18000").cast("long").as("x"),
+          expr("(s_suppkey * 104729) % 18000 - 9000").cast("long").as("y"))
+        val bxs = T.customer(s, d).select(
+          col("c_custkey").cast("long").as("box_id"),
+          expr("(c_custkey * 7919) % 36000 - 18000 - (100 + c_custkey % 400)")
+            .cast("long").as("x_min"),
+          expr("(c_custkey * 7919) % 36000 - 18000 + (100 + c_custkey % 400)")
+            .cast("long").as("x_max"),
+          expr("(c_custkey * 104729) % 18000 - 9000 - (100 + c_custkey % 300)")
+            .cast("long").as("y_min"),
+          expr("(c_custkey * 104729) % 18000 - 9000 + (100 + c_custkey % 300)")
+            .cast("long").as("y_max"))
+        graft.operators.SpatialJoin.pointsInBoxes(pts, bxs, cellSize = 500L)
+          .groupBy(col("box_id")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("box_id")).limit(20)
+      },
+      Some("""WITH p AS (
+               SELECT s_suppkey AS id,
+                 (s_suppkey * 7919) % 36000 - 18000 AS x,
+                 (s_suppkey * 104729) % 18000 - 9000 AS y
+               FROM supplier),
+             b AS (
+               SELECT c_custkey AS box_id,
+                 (c_custkey * 7919) % 36000 - 18000 AS cx,
+                 (c_custkey * 104729) % 18000 - 9000 AS cy,
+                 100 + c_custkey % 400 AS wx,
+                 100 + c_custkey % 300 AS wy
+               FROM customer)
+             SELECT box_id, count(*) AS n
+             FROM p JOIN b
+               ON x BETWEEN cx - wx AND cx + wx
+              AND y BETWEEN cy - wy AND cy + wy
+             GROUP BY box_id ORDER BY n DESC, box_id LIMIT 20"""))
   )
 }

@@ -162,4 +162,52 @@ object EventStreams {
           Iterator(next)
       }
   }
+
+  case class CusumState(s: Long, nAlarms: Long,
+      peak: Long, peakEvent: Long)
+  case class CusumRow(event_type: String, n_alarms: Long,
+      peak_cusum: Long, peak_event_id: Long)
+
+  /**
+   * Streaming CUSUM mean-shift monitor — the streaming face of q111.
+   * Batch CUSUM centers deviations on the corpus mean; a stream cannot
+   * know the final mean, so the production form monitors against a FIXED
+   * baseline target per event type (`targetCents` — the value a change
+   * is a change FROM), which is also what makes state O(1) per type:
+   * (running prefix, running min-prefix, alarm count, peak, peak event),
+   * folded through the exact recurrence S = max(0, S + d).
+   *
+   * Per trigger each type's new rows sort by (ts_ns, event_id) INSIDE
+   * the state function — bounded by trigger size — so the fold is
+   * order-correct as long as triggers themselves arrive in event-time
+   * order per type (the contract EventStreamsSpec pins: stream over a
+   * time-split == batch over the concatenation, exactly).
+   */
+  def cusumStream(spark: SparkSession, events: DataFrame,
+      targetCents: Long, thresholdCents: Long): Dataset[CusumRow] = {
+    import spark.implicits._
+    events
+      .select(col("event_type"), col("event_id"), col("ts_ns"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .as[(String, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[CusumState, CusumRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (etype: String, rows: Iterator[(String, Long, Long, Long)],
+            state: GroupState[CusumState]) =>
+          var st = state.getOption.getOrElse(CusumState(0L, 0L, 0L, -1L))
+          val sorted = rows.toSeq.sortBy { case (_, id, ts, _) => (ts, id) }
+          for ((_, id, _, cents) <- sorted) {
+            // The recurrence directly (equals q111's prefix identity
+            // S_i = P_i − min_{0≤j≤i} P_j — EventStreamsSpec pins both).
+            val s = math.max(0L, st.s + (cents - targetCents))
+            val alarms = st.nAlarms + (if (s > thresholdCents) 1L else 0L)
+            val (peak, peakEvent) =
+              if (s > st.peak) (s, id) else (st.peak, st.peakEvent)
+            st = CusumState(s, alarms, peak, peakEvent)
+          }
+          state.update(st)
+          Iterator(CusumRow(etype, st.nAlarms, st.peak, st.peakEvent))
+      }
+  }
 }
