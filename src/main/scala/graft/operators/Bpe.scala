@@ -163,6 +163,44 @@ object Bpe {
         size(col("syms")).as("n_syms"))
   }
 
+  /**
+   * Vocabulary compression statistics: how many symbols the learned
+   * merges leave per word, frequency-weighted — the eval every
+   * tokenizer-training run reports (chars/token before vs after).
+   * Trains, then encodes the SAME capped vocabulary with the learned
+   * table; because encode replays training exactly (BpeSpec), the
+   * output equals reading the trainer's final symbol table — which is
+   * how the q113 oracle mirrors it (the unrolled training chain's last
+   * CTE, aggregated).
+   */
+  def vocabStats(docs: DataFrame, textCol: String, merges: Int,
+      maxVocab: Int = 5000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val table = train(docs, textCol, merges, maxVocab)
+    val ranks = table.select(col("step").cast("int"), col("left"), col("right"))
+      .collect()
+      .map(r => (r.getString(1), r.getString(2)) -> r.getInt(0)).toMap
+    val bc = spark.sparkContext.broadcast(ranks)
+    val words = docs
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word")).limit(maxVocab)
+    words.as[(String, Long)]
+      .mapPartitions { it =>
+        val rk = bc.value
+        it.map { case (w, f) =>
+          (f, w.length.toLong, encodeWord(w, rk).length.toLong)
+        }
+      }
+      .toDF("freq", "wl", "ns")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("freq")).as("total_freq"),
+        sum(expr("freq * wl")).as("chars_weighted"),
+        sum(expr("freq * ns")).as("syms_weighted"))
+  }
+
   /** Greedy single-word encode: repeatedly apply the LOWEST-ranked
     * applicable merge, leftmost-first within a rank — the exact replay
     * of training's merge order on one word. */

@@ -658,15 +658,54 @@ object TextQueries {
     Q("q110_bpe_merges",
       (s, d) => graft.operators.Bpe.train(
         T.documents(s, d), "text", merges = 5).orderBy(col("step")),
-      Some(BpeSql(merges = 5, maxVocab = 5000)))
+      Some(BpeSql(merges = 5, maxVocab = 5000))),
+
+    // ---- BPE compression eval: frequency-weighted chars vs symbols per
+    // vocab word after the learned merges (Bpe.vocabStats — train, then
+    // encode-replay the capped vocabulary with the broadcast merge
+    // table). The oracle reads the SAME unrolled training chain at its
+    // final symbol CTE, so the hash pins that the narrow encode path
+    // reproduces training's end state — the replay contract, under the
+    // oracle rather than only under BpeSpec.
+    Q("q113_bpe_compression",
+      (s, d) => graft.operators.Bpe.vocabStats(
+        T.documents(s, d), "text", merges = 5),
+      Some(BpeStatsSql(merges = 5, maxVocab = 5000)))
   )
 
-  /** q110 oracle: the BPE recursion unrolled. Per iteration: pair counts
-    * off lead() adjacency, deterministic top-1, match marking, run
+  /** q110 oracle: the BPE recursion unrolled (shared CTE chain). */
+  private def BpeSql(merges: Int, maxVocab: Int): String = {
+    val out = (1 to merges)
+      .map(j => s"""SELECT CAST($j AS INT) AS step, a AS "left", b AS "right",
+           a || b AS merged, cnt AS pair_count FROM t$j""")
+      .mkString("\nUNION ALL ")
+    s"""${BpeCtes(merges, maxVocab)}
+      $out
+      ORDER BY step"""
+  }
+
+  /** q113 oracle: the SAME unrolled chain, read at its final symbol
+    * table s{merges} — per-word symbol counts weighted by frequency, the
+    * corpus compression the learned merges buy. Because the chain IS the
+    * training recursion, this puts the encode/replay semantics under the
+    * hash too (Bpe.encode replays training exactly — BpeSpec). */
+  private def BpeStatsSql(merges: Int, maxVocab: Int): String =
+    s"""${BpeCtes(merges, maxVocab)},
+      pw AS (
+        SELECT word, freq, length(word) AS wl, count(*) AS ns
+        FROM s$merges GROUP BY word, freq)
+      SELECT count(*) AS n_words,
+        CAST(sum(freq) AS BIGINT) AS total_freq,
+        CAST(sum(freq * wl) AS BIGINT) AS chars_weighted,
+        CAST(sum(freq * ns) AS BIGINT) AS syms_weighted
+      FROM pw"""
+
+  /** The BPE recursion as a WITH-chain: pair counts off lead()
+    * adjacency, deterministic top-1, match marking, run
     * (gaps-and-islands) identification, even-offset greedy keeps,
     * absorbed-successor drop, positional re-index — the q94/q104
     * unrolling discipline applied to a window-heavy recursion. */
-  private def BpeSql(merges: Int, maxVocab: Int): String = {
+  private def BpeCtes(merges: Int, maxVocab: Int): String = {
     val head = s"""WITH w0 AS (
         SELECT word, freq FROM (
           SELECT word, count(*) AS freq,
@@ -729,13 +768,7 @@ object TextQueries {
              sym
            FROM e$j)"""
     }.mkString(",\n")
-    val out = (1 to merges)
-      .map(j => s"""SELECT CAST($j AS INT) AS step, a AS "left", b AS "right",
-           a || b AS merged, cnt AS pair_count FROM t$j""")
-      .mkString("\nUNION ALL ")
     s"""$head,
-      $iters
-      $out
-      ORDER BY step"""
+      $iters"""
   }
 }
