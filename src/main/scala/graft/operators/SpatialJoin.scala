@@ -23,9 +23,17 @@ import org.apache.spark.sql.functions._
  * all-pairs, verify after an equi-join on a derived key.
  *
  * Coordinates are INTEGERS (e.g. centi-degrees): the grid arithmetic is
- * floor division on longs, so the whole operator sits under a DuckDB
+ * integer division on longs, so the whole operator sits under a DuckDB
  * hash oracle (q112, mirrored there as the naive theta join — same
  * pairs, different join order). Box bounds are inclusive.
+ *
+ * Negative coordinates: Spark's `div` truncates toward zero (cells
+ * around the origin are effectively wider), which is still CORRECT here
+ * because truncating division is monotonic — x_min ≤ x ≤ x_max implies
+ * cell(x) ∈ [cell(x_min), cell(x_max)], so a contained point always
+ * meets its box's cell enumeration. Only the Spark side computes cells
+ * (the oracle is the theta join), so no cross-engine floor-vs-truncate
+ * divergence exists; SpatialJoinSpec covers negative coords explicitly.
  */
 object SpatialJoin {
 
