@@ -210,4 +210,50 @@ object EventStreams {
           Iterator(CusumRow(etype, st.nAlarms, st.peak, st.peakEvent))
       }
   }
+
+  case class FunnelState(t1: Long, t2: Long, t3: Long, t4: Long)
+  case class FunnelRow(user_id: Long, stage: Int, t1: Long, t4: Long)
+
+  /**
+   * Streaming conversion funnel — the streaming face of q100 (same
+   * semantics: signup → view → click → purchase, each stage the FIRST
+   * matching event strictly after the previous stage within `windowNs`).
+   * Per-user state is four timestamps (−1 = unreached); each trigger's
+   * rows sort by event time inside the state function, and because a
+   * qualifying next-stage event always has a LATER timestamp than the
+   * stage before it, time-ordered triggers make the greedy fold equal
+   * the batch minima exactly — FunnelStreamSpec pins stream == the
+   * oracle-checked q100 per-stage counts on a trigger split.
+   */
+  def funnelStream(spark: SparkSession, events: DataFrame,
+      windowNs: Long = 86400000000000L): Dataset[FunnelRow] = {
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("event_type"), col("ts_ns"), col("event_id"))
+      .as[(Long, String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, FunnelRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, String, Long, Long)],
+            state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L, -1L))
+          val sorted = rows.toSeq.sortBy { case (_, _, ts, id) => (ts, id) }
+          for ((_, etype, ts, _) <- sorted) {
+            st = etype match {
+              case "signup" if st.t1 < 0 => st.copy(t1 = ts)
+              case "view" if st.t2 < 0 && st.t1 >= 0 && ts > st.t1 &&
+                ts <= st.t1 + windowNs => st.copy(t2 = ts)
+              case "click" if st.t3 < 0 && st.t2 >= 0 && ts > st.t2 &&
+                ts <= st.t2 + windowNs => st.copy(t3 = ts)
+              case "purchase" if st.t4 < 0 && st.t3 >= 0 && ts > st.t3 &&
+                ts <= st.t3 + windowNs => st.copy(t4 = ts)
+              case _ => st
+            }
+          }
+          state.update(st)
+          val stage = if (st.t1 < 0) 0 else if (st.t2 < 0) 1
+            else if (st.t3 < 0) 2 else if (st.t4 < 0) 3 else 4
+          Iterator(FunnelRow(user, stage, st.t1, st.t4))
+      }
+  }
 }
