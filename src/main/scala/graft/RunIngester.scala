@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, count, lit, sum}
 
 /**
  * Standalone pipeline CLI (the reference's Ingester.main shape —
@@ -32,7 +33,8 @@ object RunIngester {
     require(args.length >= 2,
       "usage: RunIngester <inputDir> <outputDir> [glob] | " +
         "extract <in> <stage> [glob] | coref <stage> | geocode <stage> | " +
-        "index <stage> | export <stage> <out> | curate <docs> <out> [bench]")
+        "index <stage> | export <stage> <out> | curate <docs> <out> [bench] | " +
+        "tokenize <docs> <out> [merges]")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -74,6 +76,25 @@ object RunIngester {
         out.write.mode("overwrite").parquet(s"${args(2)}/curated")
         val n = spark.read.parquet(s"${args(2)}/curated").count()
         println(s"curate: $n docs (of ${docs.count()}) under ${args(2)}/curated")
+      case "tokenize" =>
+        // tokenize <documents.parquet> <outDir> [merges]: train a BPE
+        // merge table on the corpus, write it, encode the corpus with it
+        // — the tokenizer-training + application step of an LLM data
+        // pipeline as a CLI stage (artifacts: merges/ + encoded/).
+        require(args.length >= 3,
+          "usage: RunIngester tokenize <docsParquet> <outDir> [merges]")
+        val docs = spark.read.parquet(args(1))
+        val nMerges = args.lift(3).map(_.toInt).getOrElse(50)
+        val table = graft.operators.Bpe.train(docs, "text", nMerges)
+        table.write.mode("overwrite").parquet(s"${args(2)}/merges")
+        val persisted = spark.read.parquet(s"${args(2)}/merges")
+        graft.operators.Bpe.encode(docs, "doc_id", "text", persisted)
+          .write.mode("overwrite").parquet(s"${args(2)}/encoded")
+        val enc = spark.read.parquet(s"${args(2)}/encoded")
+        val stats = enc.agg(count(lit(1)), sum(col("n_syms"))).head()
+        println(s"tokenize: ${persisted.count()} merges; " +
+          s"${stats.getLong(0)} docs, ${stats.getLong(1)} symbols " +
+          s"under ${args(2)}")
       case "run" =>
         // Explicit full-run form: unambiguous even when the corpus dir is
         // literally named "extract"/"coref"/… (ADVICE r2).

@@ -119,6 +119,18 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("merge table round-trips through parquet (the tokenize CLI artifact)") {
+    val docs = Seq((0L, "lower lower lowest low")).toDF("id", "text")
+    val table = Bpe.train(docs, "text", merges = 4)
+    val dir = java.nio.file.Files.createTempDirectory("bpe_rt").toString
+    table.write.mode("overwrite").parquet(dir)
+    val direct = Bpe.encode(docs, "id", "text", table).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val viaDisk = Bpe.encode(docs, "id", "text", spark.read.parquet(dir))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(viaDisk == direct)
+  }
+
   test("encode: unseen symbols pass through; n_syms counts the output") {
     val table = Bpe.train(Seq((0L, "ab ab ab")).toDF("id", "text"), "text", 1)
     val out = Bpe.encode(Seq((7L, "ab xy")).toDF("id", "text"),
