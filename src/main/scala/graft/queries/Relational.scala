@@ -1074,6 +1074,52 @@ object Relational {
              FROM p JOIN b
                ON x BETWEEN cx - wx AND cx + wx
               AND y BETWEEN cy - wy AND cy + wy
-             GROUP BY box_id ORDER BY n DESC, box_id LIMIT 20"""))
+             GROUP BY box_id ORDER BY n DESC, box_id LIMIT 20""")),
+
+    // ---- CDC changelog collapse + snapshot⊕delta merge: events as a
+    // mutation log on user_id ('error' = tombstone), compacted at a
+    // mid-month cutoff into an O(keys) snapshot, then merged with the
+    // newer delta. Spark runs the two-step incremental path (compact →
+    // merge — the Changelog scaladoc algebra); the oracle collapses the
+    // WHOLE log in one window, so the hash compare IS the proof that
+    // snapshot⊕delta == full-log collapse across engines. Latest-wins is
+    // a map-side-combining max(struct) agg, not a window (skew note in
+    // operators/Changelog.scala).
+    Q("q114_changelog_merge",
+      (s, d) => {
+        val log = T.events(s, d).select(
+          col("user_id"), col("ts_ns"), col("event_id"),
+          col("event_type"), col("value"))
+        val cut = lit(1705363200000000000L) // 2024-01-16T00:00Z as ns
+        val snap = graft.operators.Changelog.latestState(
+          log.filter(col("ts_ns") < cut),
+          Seq("user_id"), Seq("ts_ns", "event_id"), "event_type", "error",
+          dropTombstones = false)
+        val state = graft.operators.Changelog.mergeSnapshot(
+          snap, log.filter(col("ts_ns") >= cut),
+          Seq("user_id"), Seq("ts_ns", "event_id"), "event_type", "error")
+        state.select(col("user_id"),
+          col("event_id").as("last_event_id"),
+          col("ts_ns").as("last_ts_ns"),
+          col("event_type").as("last_type"),
+          round(col("value"), 6).as("last_value"),
+          col("n_log_rows"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH log AS (
+               SELECT user_id, epoch_ns(ts) AS ts_ns, event_id, event_type,
+                 value
+               FROM events),
+             w AS (
+               SELECT *,
+                 row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts_ns DESC, event_id DESC) AS rn,
+                 count(*) OVER (PARTITION BY user_id) AS n_log_rows
+               FROM log)
+             SELECT user_id, event_id AS last_event_id, ts_ns AS last_ts_ns,
+               event_type AS last_type, round(value, 6) AS last_value,
+               n_log_rows
+             FROM w WHERE rn = 1 AND event_type <> 'error'
+             ORDER BY user_id"""))
   )
 }

@@ -1,0 +1,120 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Changelog
+
+/**
+ * CDC changelog collapse / snapshot⊕delta merge (q114). The load-bearing
+ * property is the segment algebra — latestState(a ∪ b) ==
+ * mergeSnapshot(latestState(a), b) for ANY split of the log, which is
+ * what lets a pipeline compact history once and fold deltas forever —
+ * checked here against random logs with random split points, plus the
+ * two classic CDC traps: tombstone resurrection by a late-arriving old
+ * update, and a delete that must survive compaction to keep winning.
+ */
+class ChangelogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val K = Seq("k")
+  private val O = Seq("ts", "seq")
+
+  /** Random log: keys 0..9, ops weighted toward upserts, unique seq. */
+  private def gen(seed: Int, n: Int): Seq[(Long, Long, Long, String, String)] = {
+    val r = new Random(seed)
+    (0 until n).map { i =>
+      val op = r.nextInt(10) match {
+        case 0 | 1 => "del"
+        case _     => "put"
+      }
+      // Colliding ts values on purpose: seq is the tie-break.
+      (r.nextInt(10).toLong, r.nextInt(20).toLong, i.toLong, op,
+        s"v$seed-$i")
+    }
+  }
+
+  private def df(rows: Seq[(Long, Long, Long, String, String)]): DataFrame =
+    rows.toDF("k", "ts", "seq", "op", "payload")
+
+  /** Sequential reference: per key, the row with max (ts, seq) wins. */
+  private def reference(rows: Seq[(Long, Long, Long, String, String)])
+      : Map[Long, (Long, Long, String, String, Long)] =
+    rows.groupBy(_._1).map { case (k, g) =>
+      val w = g.maxBy(r => (r._2, r._3))
+      k -> (w._2, w._3, w._4, w._5, g.size.toLong)
+    }
+
+  private def collect(state: DataFrame): Map[Long, (Long, Long, String, String, Long)] =
+    state.select("k", "ts", "seq", "op", "payload", "n_log_rows")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3),
+        r.getString(4), r.getLong(5)))
+      .toMap
+
+  test("latestState matches the sequential latest-wins reference") {
+    val rows = gen(1, 200)
+    val ref = reference(rows).filter(_._2._3 != "del")
+    val got = collect(Changelog.latestState(df(rows), K, O, "op", "del"))
+    assert(got === ref)
+  }
+
+  test("snapshot ⊕ delta == full-log collapse for random splits") {
+    for (seed <- 2 to 5) {
+      val rows = gen(seed, 300)
+      val r = new Random(seed * 31)
+      val cut = 1 + r.nextInt(298)
+      // Split POSITIONALLY, not by ts: the delta deliberately contains
+      // mutations older than snapshot rows (late arrivals).
+      val (a, b) = rows.splitAt(cut)
+      val snap = Changelog.latestState(df(a), K, O, "op", "del",
+        dropTombstones = false)
+      val merged = collect(Changelog.mergeSnapshot(snap, df(b), K, O,
+        "op", "del"))
+      val full = collect(Changelog.latestState(df(rows), K, O, "op", "del"))
+      assert(merged === full, s"seed=$seed cut=$cut")
+    }
+  }
+
+  test("a compacted tombstone keeps beating a late-arriving older update") {
+    val snapLog = Seq((1L, 100L, 10L, "del", "gone"))
+    val delta = Seq((1L, 50L, 5L, "put", "stale"))
+    val snap = Changelog.latestState(df(snapLog), K, O, "op", "del",
+      dropTombstones = false)
+    val merged = Changelog.mergeSnapshot(snap, df(delta), K, O, "op", "del")
+    assert(merged.count() === 0L)
+    // The retained tombstone still records both log rows.
+    val kept = Changelog.mergeSnapshot(snap, df(delta), K, O, "op", "del",
+      dropTombstones = false)
+    assert(collect(kept)(1L) === ((100L, 10L, "del", "gone", 2L)))
+  }
+
+  test("dropping tombstones at compaction time WOULD resurrect (the trap)") {
+    // Not a behavior we ship — the spec documents why latestState's
+    // snapshot form must keep deletes: compact with dropTombstones=true,
+    // merge an older update, and the dead key comes back.
+    val snapLog = Seq((1L, 100L, 10L, "del", "gone"))
+    val delta = Seq((1L, 50L, 5L, "put", "stale"))
+    val wrongSnap = Changelog.latestState(df(snapLog), K, O, "op", "del",
+      dropTombstones = true)
+    val resurrected = Changelog.mergeSnapshot(wrongSnap, df(delta), K, O,
+      "op", "del")
+    assert(resurrected.count() === 1L)
+  }
+
+  test("n_log_rows accumulates across repeated merges") {
+    val rows = gen(7, 120)
+    val (a, rest) = rows.splitAt(40)
+    val (b, c) = rest.splitAt(40)
+    val s0 = Changelog.latestState(df(a), K, O, "op", "del",
+      dropTombstones = false)
+    val s1 = Changelog.mergeSnapshot(s0, df(b), K, O, "op", "del",
+      dropTombstones = false)
+    val s2 = collect(Changelog.mergeSnapshot(s1, df(c), K, O, "op", "del",
+      dropTombstones = false))
+    val ref = reference(rows)
+    assert(s2 === ref)
+  }
+}
