@@ -461,6 +461,35 @@ object LlmQueries {
                round(list_inner_product(emb, pvec) / sqrt(16.0), 6) AS v
              FROM v CROSS JOIN plists p""")),
 
+    // ---- PCA moment pass (the data-aware counterpart of q99's
+    // data-oblivious JL projection): the full second-moment/gram artifact
+    // over micro-quantized embeddings — one mapPartitions fold per
+    // partition, one O(partitions·d²) merge agg, exact integer output
+    // (operators/Pca.scala scaladoc). The oracle recomputes every
+    // (i ≤ j) pair through an unnest self-join; integer sums make the
+    // 2080-row matrix hash-identical regardless of partitioning. The
+    // eigensolve/projection stage on top is driver-side O(d²) and
+    // spec-bound (PcaSpec) — no SQL-expressible oracle exists for an
+    // iterative eigendecomposition.
+    Q("q115_pca_moments",
+      (s, d) => graft.operators.Pca.momentsMicro(
+          T.embeddings(s, d), "embedding", dim = 64)
+        .orderBy(col("i"), col("j")),
+      Some("""WITH q AS (
+               SELECT vec_id, list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+                 AS qv
+               FROM embeddings),
+             c AS (
+               SELECT vec_id, CAST(t.i AS BIGINT) AS i, qv[t.i] AS v
+               FROM q CROSS JOIN range(1, 65) t(i))
+             SELECT a.i, b.i AS j, CAST(count(*) AS BIGINT) AS n_vecs,
+               CAST(sum(a.v) AS BIGINT) AS s_i,
+               CAST(sum(b.v) AS BIGINT) AS s_j,
+               CAST(sum(a.v * b.v) AS BIGINT) AS s_ij
+             FROM c a JOIN c b ON a.vec_id = b.vec_id AND a.i <= b.i
+             GROUP BY a.i, b.i ORDER BY a.i, b.i""")),
+
     // ---- LSH-bucketed ANN (the scale path; recall measured in AnnSpec).
     // Short signatures + more tables: the right operating point for
     // weak-similarity (random-gaussian) data — see AnnSpec's recall
