@@ -508,4 +508,58 @@ object TextAnalysis {
       .orderBy(col("pmi_micro").desc, col("t1"), col("t2"))
       .limit(topK)
   }
+
+  /**
+   * Per-group corpus drift: Jensen–Shannon divergence between each
+   * group's unigram token distribution and the whole corpus's — the
+   * distribution-level monitor a mixture pipeline runs per source/shard/
+   * day to catch a feed going off-distribution (q88's stat profile
+   * watches scalar signals; this watches the token histogram itself).
+   * JS is symmetric and bounded by ln 2, so thresholds transfer across
+   * corpora.
+   *
+   * Exactness recipe (the q86 micro-LLR discipline): every present
+   * (group, token) term 0.5·(p·ln(p/m) + q·ln(q/m)) is computed from
+   * exact integer counts and quantized to an integer nano-term before
+   * the per-group sum, so accumulation order can't perturb the result.
+   * The absent-token mass needs no pair enumeration: tokens missing
+   * from a group contribute 0.5·ln2·q each, and Σ q over them is
+   * (N − Σ_present c_t)/N — a closed form over integers already in the
+   * per-group aggregate (this is what keeps the operator O(present
+   * pairs), NOT O(groups × vocab)).
+   *
+   * Scale shape: the corpus shuffles ONCE (the (group, token) count);
+   * the global token table is vocab-sized and the group-totals table is
+   * group-sized — both broadcast back. Output is O(groups).
+   */
+  def jsDrift(docs: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(groupCol).as("grp"),
+      explode(filter(split(col(textCol), "\\s+"), t => t =!= lit("")))
+        .as("tok"))
+    val st = toks.groupBy(col("grp"), col("tok"))
+      .agg(count(lit(1)).as("c_st"))
+    val t = st.groupBy(col("tok")).agg(sum(col("c_st")).as("c_t"))
+    val g = st.groupBy(col("grp")).agg(sum(col("c_st")).as("n_g"))
+    val tot = t.agg(sum(col("c_t")).as("n_all"))
+    val p = col("c_st") / col("n_g")
+    val q = col("c_t") / col("n_all")
+    val m = (p + q) / lit(2)
+    val terms = st.join(broadcast(t), Seq("tok"))
+      .join(broadcast(g), Seq("grp"))
+      .crossJoin(broadcast(tot))
+      .select(col("grp"), col("n_g"), col("c_t"),
+        round((lit(0.5) * (p * log(p / m) + q * log(q / m))) * lit(1e9))
+          .cast("long").as("iterm"))
+    terms.groupBy(col("grp"))
+      .agg(min(col("n_g")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c_t")).as("g_present"),
+        sum(col("iterm")).as("s_iterm"))
+      .crossJoin(broadcast(tot))
+      .select(col("grp").as("source"), col("n_tokens"), col("n_distinct"),
+        round(col("s_iterm") / lit(1e9) +
+          lit(0.5) * log(lit(2.0)) *
+            (col("n_all") - col("g_present")) / col("n_all"), 6)
+          .as("js_divergence"))
+  }
 }

@@ -670,7 +670,52 @@ object TextQueries {
     Q("q113_bpe_compression",
       (s, d) => graft.operators.Bpe.vocabStats(
         T.documents(s, d), "text", merges = 5),
-      Some(BpeStatsSql(merges = 5, maxVocab = 5000)))
+      Some(BpeStatsSql(merges = 5, maxVocab = 5000))),
+
+    // ---- Per-source distribution drift: Jensen–Shannon divergence of
+    // each source's unigram distribution vs the whole corpus
+    // (TextAnalysis.jsDrift — q88 watches scalar signals, this watches
+    // the token histogram itself). One (source, token) shuffle;
+    // vocab-/group-sized broadcasts; nano-quantized integer terms make
+    // the per-source sums order-independent, and the absent-token mass
+    // folds to a closed form over integer counts (no groups×vocab
+    // enumeration — scaladoc).
+    Q("q116_js_drift",
+      (s, d) => graft.operators.TextAnalysis.jsDrift(
+        T.documents(s, d), "source", "text").orderBy(col("source")),
+      Some("""WITH toks AS (
+               SELECT grp, tok FROM (
+                 SELECT source AS grp,
+                   unnest(string_split_regex(text, '\s+')) AS tok
+                 FROM documents) WHERE tok <> ''),
+             st AS (SELECT grp, tok, count(*) AS c_st
+                    FROM toks GROUP BY grp, tok),
+             t AS (SELECT tok, CAST(sum(c_st) AS BIGINT) AS c_t
+                   FROM st GROUP BY tok),
+             g AS (SELECT grp, CAST(sum(c_st) AS BIGINT) AS n_g
+                   FROM st GROUP BY grp),
+             tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS n_all FROM t),
+             terms AS (
+               SELECT grp, n_g, c_t,
+                 CAST(round(0.5 * (
+                   (c_st / n_g) * ln((c_st / n_g) /
+                     ((c_st / n_g + c_t / n_all) / 2)) +
+                   (c_t / n_all) * ln((c_t / n_all) /
+                     ((c_st / n_g + c_t / n_all) / 2))
+                 ) * 1e9) AS BIGINT) AS iterm
+               FROM st JOIN t USING (tok) JOIN g USING (grp)
+               CROSS JOIN tot),
+             agg AS (
+               SELECT grp, min(n_g) AS n_tokens, count(*) AS n_distinct,
+                 CAST(sum(c_t) AS BIGINT) AS g_present,
+                 CAST(sum(iterm) AS BIGINT) AS s_iterm
+               FROM terms GROUP BY grp)
+             SELECT grp AS source, n_tokens,
+               CAST(n_distinct AS BIGINT) AS n_distinct,
+               round(s_iterm / 1e9 +
+                 0.5 * ln(2) * (n_all - g_present) / n_all, 6)
+                 AS js_divergence
+             FROM agg CROSS JOIN tot ORDER BY source"""))
   )
 
   /** q110 oracle: the BPE recursion unrolled (shared CTE chain). */
