@@ -490,6 +490,19 @@ object LlmQueries {
              FROM c a JOIN c b ON a.vec_id = b.vec_id AND a.i <= b.i
              GROUP BY a.i, b.i ORDER BY a.i, b.i""")),
 
+    // ---- Greedy k-center coreset (farthest-point traversal): the
+    // diversity-selection counterpart of q79's SemDeDup removal — pick
+    // the 6 vectors that best cover the corpus. Exact integer micro-d²
+    // makes the greedy trajectory engine-portable; the oracle unrolls
+    // all 5 selection rounds CTE-for-CTE (operators/KCenter.scala).
+    // Each round is one max(struct) agg with centers inlined as array
+    // literals — no join, no data shuffle, O(k·d) driver state.
+    Q("q117_kcenter_coreset",
+      (s, d) => graft.operators.KCenter.select(
+        T.embeddings(s, d), "vec_id", "embedding", k = 6)
+        .orderBy(col("sel_round")),
+      Some(KCenterSql(k = 6, dim = 64))),
+
     // ---- LSH-bucketed ANN (the scale path; recall measured in AnnSpec).
     // Short signatures + more tables: the right operating point for
     // weak-similarity (random-gaussian) data — see AnnSpec's recall
@@ -1933,5 +1946,42 @@ object LlmQueries {
            sum(brk) OVER (PARTITION BY id ORDER BY ti
              ROWS UNBOUNDED PRECEDING) AS g
          FROM isl)"""
+  }
+
+  /** q117 oracle: the farthest-point recursion unrolled — per round a
+    * distance CTE (min exact-integer d² to every already-chosen center)
+    * and an argmax CTE (farthest, ties to smaller id) — the
+    * q94/q104/q110 unrolling discipline. Centers are 1-row CTEs, so each
+    * round's scan is a cross join against O(r) single rows. */
+  private def KCenterSql(k: Int, dim: Int): String = {
+    def dist(a: String, b: String) =
+      s"""CAST(list_sum(list_transform(range(1, ${dim + 1}),
+          ii -> ($a[ii] - $b[ii]) * ($a[ii] - $b[ii]))) AS BIGINT)"""
+    val head = s"""WITH q AS (
+        SELECT vec_id, list_transform(embedding,
+          x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+        FROM embeddings),
+      c0 AS (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 1)"""
+    val iters = (1 until k).map { r =>
+      val dists = (0 until r).map(i => dist("v.qv", s"c$i.qv"))
+      val dmin =
+        if (r == 1) dists.head else dists.mkString("least(", ", ", ")")
+      val joins = (0 until r).map(i => s"CROSS JOIN c$i").mkString(" ")
+      s"""m$r AS (
+          SELECT v.vec_id, v.qv, $dmin AS dmin
+          FROM q v $joins),
+        c$r AS (
+          SELECT vec_id, qv, dmin FROM m$r
+          ORDER BY dmin DESC, vec_id LIMIT 1)"""
+    }.mkString(",\n")
+    val out =
+      (s"SELECT CAST(0 AS INT) AS sel_round, vec_id, " +
+        s"CAST(0 AS BIGINT) AS d2 FROM c0") +:
+        (1 until k).map(r =>
+          s"SELECT CAST($r AS INT) AS sel_round, vec_id, dmin AS d2 FROM c$r")
+    s"""$head,
+      $iters
+      ${out.mkString("\nUNION ALL ")}
+      ORDER BY sel_round"""
   }
 }
