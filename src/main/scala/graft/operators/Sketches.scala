@@ -54,4 +54,58 @@ object Sketches {
     sketches.select(
       groupCols.map(col) :+
         round(hll_sketch_estimate(col("hll"))).cast("long").as("n_distinct"): _*)
+
+  // --------------------------------------------------------------------
+  // Count-min sketch — the FREQUENCY member of the artifact family:
+  // Bloom answers "seen?", HLL answers "how many distinct?", CMS answers
+  // "about how often?" in O(depth·width) space with a one-sided
+  // guarantee (estimate ≥ true count; error ≤ N·e/width with prob
+  // 1−e^−depth). Unlike the DataSketches binaries, the sketch here is a
+  // SPARSE FRAME of (r, bucket, cnt) cells under a portable md5-derived
+  // hash — which (a) makes merge a plain map-side-combined groupBy sum
+  // (associative shard algebra, like hllMerge), and (b) lets the ENTIRE
+  // build+probe pipeline sit under a DuckDB hash oracle (q118) — the
+  // property the opaque-binary sketches can't offer. Zero cells are
+  // omitted; estimate coalesces them to 0.
+  //
+  // Scale: the build is ONE groupBy over depth×|input| rows of
+  // fixed-size keys (map-side partial agg collapses each partition to
+  // ≤ depth·width cells before the shuffle); the sketch itself is
+  // ≤ depth·width rows — broadcastable at any corpus size; probing N
+  // keys is a broadcast join against it.
+  // --------------------------------------------------------------------
+
+  /** Portable row hash: bucket of `v` under hash row `r`. */
+  private def cmsBucket(v: org.apache.spark.sql.Column, r: org.apache.spark.sql.Column,
+      width: Int) =
+    pmod(conv(substring(md5(concat(r.cast("string"), lit("|"), v)), 1, 8),
+      16, 10).cast("long"), lit(width.toLong))
+
+  /** Build a CMS over `valueCol` occurrences: sparse (r, bucket, cnt). */
+  def cmsBuild(df: DataFrame, valueCol: String, depth: Int = 4,
+      width: Int = 256): DataFrame =
+    df.select(col(valueCol).cast("string").as("v"),
+        explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .groupBy(col("r"), cmsBucket(col("v"), col("r"), width).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Merge shard sketches built with the SAME depth/width: exact — the
+    * merged sketch is identical to a single-shot build over the union
+    * (integer cell sums, unlike HLL's estimator drift). */
+  def cmsMerge(sketches: DataFrame): DataFrame =
+    sketches.groupBy(col("r"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Point-estimate each distinct value of `probeCol` in `probes`:
+    * min over rows of the matching cell (absent cell = 0). Returns
+    * (probeCol, est). */
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame, probeCol: String,
+      depth: Int = 4, width: Int = 256): DataFrame =
+    probes.select(col(probeCol)).distinct()
+      .select(col(probeCol), explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .withColumn("bucket",
+        cmsBucket(col(probeCol).cast("string"), col("r"), width))
+      .join(broadcast(sketch), Seq("r", "bucket"), "left")
+      .groupBy(col(probeCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
 }

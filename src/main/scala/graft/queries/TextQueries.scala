@@ -715,7 +715,55 @@ object TextQueries {
                round(s_iterm / 1e9 +
                  0.5 * ln(2) * (n_all - g_present) / n_all, 6)
                  AS js_divergence
-             FROM agg CROSS JOIN tot ORDER BY source"""))
+             FROM agg CROSS JOIN tot ORDER BY source""")),
+
+    // ---- Count-min sketch frequency artifact (Sketches.cmsBuild/
+    // cmsEstimate): q98's sketch-then-verify finds the heavy hitters;
+    // CMS answers point frequency queries for EVERY key from an
+    // O(depth·width) artifact. The portable md5 row-hash lets DuckDB
+    // rebuild the identical sketch cell-for-cell, so the one-sided
+    // estimates (est ≥ true, inflated only by bucket collisions — width
+    // 64 forces real collisions at this vocab) hash-compare exactly.
+    // Build = one groupBy over depth×tokens fixed-size keys; the sketch
+    // broadcasts into the probe join at any corpus size.
+    Q("q118_cms_frequency",
+      (s, d) => {
+        val toks = T.documents(s, d).select(
+          explode(filter(split(col("text"), "\\s+"), t => t =!= lit("")))
+            .as("tok"))
+        val sk = graft.operators.Sketches.cmsBuild(toks, "tok",
+          depth = 4, width = 64)
+        val est = graft.operators.Sketches.cmsEstimate(sk, toks, "tok",
+          depth = 4, width = 64)
+        val truth = toks.groupBy(col("tok"))
+          .agg(count(lit(1)).as("true_count"))
+        truth.join(est, Seq("tok")).orderBy(col("tok"))
+      },
+      Some("""WITH toks AS (
+               SELECT tok FROM (
+                 SELECT unnest(string_split_regex(text, '\s+')) AS tok
+                 FROM documents) WHERE tok <> ''),
+             cells AS (
+               SELECT t.r,
+                 CAST('0x' || substr(md5(CAST(t.r AS VARCHAR) || '|' || tok),
+                   1, 8) AS BIGINT) % 64 AS bucket,
+                 count(*) AS cnt
+               FROM toks CROSS JOIN range(4) t(r) GROUP BY 1, 2),
+             probes AS (SELECT DISTINCT tok FROM toks),
+             pr AS (
+               SELECT tok, t.r,
+                 CAST('0x' || substr(md5(CAST(t.r AS VARCHAR) || '|' || tok),
+                   1, 8) AS BIGINT) % 64 AS bucket
+               FROM probes CROSS JOIN range(4) t(r)),
+             est AS (
+               SELECT pr.tok, min(coalesce(c.cnt, 0)) AS est
+               FROM pr LEFT JOIN cells c
+                 ON pr.r = c.r AND pr.bucket = c.bucket
+               GROUP BY pr.tok),
+             truth AS (SELECT tok, count(*) AS true_count
+                       FROM toks GROUP BY tok)
+             SELECT t.tok, t.true_count, CAST(e.est AS BIGINT) AS est
+             FROM truth t JOIN est e USING (tok) ORDER BY tok"""))
   )
 
   /** q110 oracle: the BPE recursion unrolled (shared CTE chain). */

@@ -49,4 +49,51 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(merged - 10000L) < 500,
       s"estimate $merged should be within ~5% of 10000")
   }
+
+  // ---- Count-min sketch (q118 covers the oracle face; these cover the
+  // guarantees and the shard algebra on random data).
+
+  private def zipf(seed: Int, n: Int): Seq[String] = {
+    val r = new scala.util.Random(seed)
+    (0 until n).map { _ =>
+      val k = math.min(99, math.floor(math.pow(r.nextDouble(), -0.7)).toInt)
+      s"key$k"
+    }
+  }
+
+  test("CMS never underestimates and bounds total overestimate error") {
+    val rows = zipf(11, 20000)
+    val df = rows.toDF("v")
+    val sk = Sketches.cmsBuild(df, "v", depth = 4, width = 128)
+    val est = Sketches.cmsEstimate(sk, df, "v", depth = 4, width = 128)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val truth = rows.groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+    truth.foreach { case (k, c) =>
+      assert(est(k) >= c, s"$k underestimated: ${est(k)} < $c")
+      // Markov bound with slack: overestimate ≤ 2eN/width w.h.p.
+      assert(est(k) - c <= 2 * math.E * rows.size / 128,
+        s"$k overestimate ${est(k) - c} breaks the error envelope")
+    }
+  }
+
+  test("CMS shard merge is EXACTLY the single-shot build") {
+    val rows = zipf(12, 8000)
+    val (a, b) = rows.splitAt(3000)
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val merged = cells(Sketches.cmsMerge(
+      Sketches.cmsBuild(a.toDF("v"), "v").union(
+        Sketches.cmsBuild(b.toDF("v"), "v"))))
+    val single = cells(Sketches.cmsBuild(rows.toDF("v"), "v"))
+    assert(merged === single)
+  }
+
+  test("CMS estimates a never-built key as collision mass only") {
+    val df = (1 to 1000).map(i => s"built$i").toDF("v")
+    val sk = Sketches.cmsBuild(df, "v", depth = 4, width = 512)
+    val est = Sketches.cmsEstimate(sk,
+      Seq("never-seen-key").toDF("v"), "v", depth = 4, width = 512)
+      .collect().head.getLong(1)
+    assert(est <= 2 * math.E * 1000 / 512)
+  }
 }
