@@ -108,4 +108,65 @@ object Sketches {
       .join(broadcast(sketch), Seq("r", "bucket"), "left")
       .groupBy(col(probeCol))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+
+  // --------------------------------------------------------------------
+  // Log-bucketed histogram — the QUANTILE member of the artifact family,
+  // and the mergeable scale path behind q88's exact `percentile` (whose
+  // scaladoc names approx quantiles as the 100 TB form). HdrHistogram-
+  // style base-2 buckets with 3 sub-bucket bits: values 0..15 are exact;
+  // above that a bucket spans [s·2^shift, (s+1)·2^shift) with s ∈ [8,16),
+  // so any quantile estimate (bucket midpoint) is within 1/16 relative
+  // error — DETERMINISTICALLY, from pure integer bit arithmetic
+  // (length(bin(v)), shifts), which is what lets DuckDB rebuild the
+  // histogram bucket-for-bucket and the estimates hash-compare (q119).
+  // The artifact is O(8·log₂(max)) rows per group — ~500 rows covers the
+  // full int64 range; merge is a groupBy sum (exact, associative).
+  // Non-negative inputs only (shift by the min for signed data).
+  // --------------------------------------------------------------------
+
+  /** Bucket index of non-negative long SQL term `v` (pure integer bit
+    * arithmetic — textually mirrorable into DuckDB with `>>`/`//`). */
+  private def histIdxSql(v: String): String =
+    s"""CASE WHEN $v <= 15 THEN $v
+        ELSE 16 + (length(bin($v)) - 5) * 8 +
+          (shiftright($v, CAST(length(bin($v)) - 4 AS INT)) - 8) END"""
+
+  /** Bucket midpoint (floor), inverse of [[histIdxSql]]: mid of
+    * [s·2^shift, (s+1)·2^shift − 1] via shifts only (no 2^53 hazard). */
+  private def histMidSql(idx: String): String =
+    s"""CASE WHEN $idx <= 15 THEN $idx
+        ELSE shiftright(
+          shiftleft(8 + ($idx - 16) % 8, CAST(1 + ($idx - 16) div 8 AS INT)) +
+          shiftleft(9 + ($idx - 16) % 8, CAST(1 + ($idx - 16) div 8 AS INT))
+          - 1, 1) END"""
+
+  /** Build the histogram artifact over a non-negative long-valued
+    * column: sparse (idx, cnt) rows. One map-side-combined groupBy. */
+  def histBuild(df: DataFrame, valueCol: String): DataFrame =
+    df.select(col(valueCol).cast("long").as("v"))
+      .select(expr(histIdxSql("v")).as("idx"))
+      .groupBy(col("idx")).agg(count(lit(1)).as("cnt"))
+
+  /** Merge shard histograms: exact (integer cell sums). */
+  def histMerge(hists: DataFrame): DataFrame =
+    hists.groupBy(col("idx")).agg(sum(col("cnt")).as("cnt"))
+
+  /** Estimate percentiles (integer pct values, e.g. 25/50/75/90/99) off
+    * the artifact: rank ceil(pct·n/100) located in the cumulative bucket
+    * walk, decoded to the bucket midpoint. O(buckets) work. Returns
+    * (pct, est). */
+  def histQuantiles(hist: DataFrame, pcts: Seq[Int]): DataFrame = {
+    val spark = hist.sparkSession
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("idx"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val c = hist
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .crossJoin(broadcast(hist.agg(sum(col("cnt")).as("n"))))
+    pcts.toDF("pct").crossJoin(broadcast(c))
+      .filter(expr("cum >= (CAST(pct AS BIGINT) * n + 99) div 100"))
+      .groupBy(col("pct")).agg(min(col("idx")).as("idx"))
+      .select(col("pct"), expr(histMidSql("idx")).as("est"))
+  }
 }

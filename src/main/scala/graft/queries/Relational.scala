@@ -1120,6 +1120,52 @@ object Relational {
                event_type AS last_type, round(value, 6) AS last_value,
                n_log_rows
              FROM w WHERE rn = 1 AND event_type <> 'error'
-             ORDER BY user_id"""))
+             ORDER BY user_id""")),
+
+    // ---- Mergeable log-histogram quantiles (Sketches.histBuild/
+    // histQuantiles): the bounded-error artifact path behind q88's exact
+    // percentiles — HdrHistogram-style base-2 buckets (3 sub-bucket
+    // bits → ≤1/16 relative error) from pure integer bit arithmetic, so
+    // DuckDB rebuilds the histogram bucket-for-bucket with `>>`/`//`
+    // mirrors of the same expressions and the estimates hash-compare.
+    // One map-side-combined groupBy builds the O(8·log₂ max)-row
+    // artifact; the quantile walk is O(buckets), data-size-independent.
+    Q("q119_hist_quantiles",
+      (s, d) => {
+        val cents = T.lineitem(s, d).select(
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+        val hist = graft.operators.Sketches.histBuild(cents, "cents")
+        graft.operators.Sketches
+          .histQuantiles(hist, Seq(25, 50, 75, 90, 99))
+          .orderBy(col("pct"))
+      },
+      Some("""WITH v AS (
+               SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+               FROM lineitem),
+             b AS (
+               SELECT CASE WHEN v <= 15 THEN v
+                 ELSE 16 + (length(bin(v)) - 5) * 8 +
+                   ((v >> (length(bin(v)) - 4)) - 8) END AS idx
+               FROM v),
+             h AS (SELECT idx, count(*) AS cnt FROM b GROUP BY idx),
+             c AS (
+               SELECT idx, cnt,
+                 CAST(sum(cnt) OVER (ORDER BY idx) AS BIGINT) AS cum,
+                 CAST(sum(cnt) OVER () AS BIGINT) AS n
+               FROM h),
+             p AS (SELECT CAST(unnest([25, 50, 75, 90, 99]) AS INT) AS pct),
+             sel AS (
+               SELECT p.pct, min(c.idx) AS idx
+               FROM p JOIN c
+                 ON c.cum >= (CAST(p.pct AS BIGINT) * c.n + 99) // 100
+               GROUP BY p.pct)
+             SELECT pct,
+               CAST(CASE WHEN idx <= 15 THEN idx
+                 ELSE (((CAST(8 + (idx - 16) % 8 AS BIGINT)
+                          << (1 + (idx - 16) // 8)) +
+                        (CAST(9 + (idx - 16) % 8 AS BIGINT)
+                          << (1 + (idx - 16) // 8)) - 1) >> 1)
+                 END AS BIGINT) AS est
+             FROM sel ORDER BY pct"""))
   )
 }

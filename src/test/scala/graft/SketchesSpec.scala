@@ -96,4 +96,42 @@ class SketchesSpec extends SparkSpec {
       .collect().head.getLong(1)
     assert(est <= 2 * math.E * 1000 / 512)
   }
+
+  // ---- Log-histogram quantile artifact (q119 covers the oracle face).
+
+  test("hist quantile estimates stay within the 1/16 relative envelope") {
+    val r = new scala.util.Random(31)
+    // Log-uniform values spanning 5 decades, plus small exact values.
+    val rows: Seq[Long] = (1 to 20000).map(_ =>
+      math.floor(math.pow(10, 1 + r.nextDouble() * 5)).toLong) ++
+      (0 to 15).map(_.toLong)
+    val df = rows.toDF("v")
+    val pcts = Seq(10, 25, 50, 75, 90, 99)
+    val est = Sketches.histQuantiles(Sketches.histBuild(df, "v"), pcts)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val sorted = rows.sorted
+    pcts.foreach { p =>
+      val exact = sorted((p * rows.size + 99) / 100 - 1)
+      val rel = math.abs(est(p) - exact).toDouble / exact
+      assert(rel <= 1.0 / 16 + 1e-9, s"p$p est=${est(p)} exact=$exact rel=$rel")
+    }
+  }
+
+  test("hist values 0..15 are exact; shard merge == single-shot") {
+    val small = (0 to 15).flatMap(v => Seq.fill(v + 1)(v.toLong))
+    val est = Sketches.histQuantiles(
+      Sketches.histBuild(small.toDF("v"), "v"), Seq(50))
+      .collect().head.getLong(1)
+    val exact = small.sorted.apply((50 * small.size + 99) / 100 - 1)
+    assert(est === exact)
+
+    val rows = (1 to 5000).map(i => (i.toLong * 37) % 100000)
+    val (a, b) = rows.splitAt(2222)
+    def cells(h: org.apache.spark.sql.DataFrame) =
+      h.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val merged = cells(Sketches.histMerge(
+      Sketches.histBuild(a.toDF("v"), "v")
+        .union(Sketches.histBuild(b.toDF("v"), "v"))))
+    assert(merged === cells(Sketches.histBuild(rows.toDF("v"), "v")))
+  }
 }
