@@ -303,6 +303,41 @@ object Curation {
       .select(col("id"), col("stratum"), col("rate"))
   }
 
+  /**
+   * Deterministic weighted sampling without replacement (Efraimidis–
+   * Spirakis A-ES, "weighted random sampling with a reservoir"): each
+   * row draws u ∈ (0, 1] from a salted content hash (the same RNG-free
+   * draw discipline as [[stratifiedSample]] — rerunnable, leakage-safe,
+   * engine-portable) and the k rows with the largest u^(1/w) are the
+   * sample — inclusion probability proportional to weight, the exact
+   * reservoir rule. The comparison key is ln(u)/w (a monotone transform
+   * that dodges pow underflow for tiny u / huge w), micro-quantized to
+   * an integer nano-key (q86 recipe) so the top-k ORDER is bit-identical
+   * across engines and the whole draw sits under a DuckDB oracle (q120).
+   *
+   * Scale shape: one narrow scan computing (hash, key), then top-k =
+   * TakeOrderedAndProject (per-partition heaps, O(k) to the driver) —
+   * the corpus is never shuffled. Changing `salt` re-draws the whole
+   * sample independently (WeightedSampleSpec uses that for the
+   * frequency test).
+   */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, salt: String = ""): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    df.select(col(idCol).as("id"),
+        col(weightCol).cast("long").as("weight"))
+      .filter(col("weight") > 0)
+      .withColumn("h",
+        conv(substring(md5(concat(lit(salt), lit("|"),
+          col("id").cast("string"))), 1, 8), 16, 10).cast("long"))
+      .withColumn("skey",
+        round(log((col("h") + 1) / lit(4294967296.0)) / col("weight")
+          * lit(1e9)).cast("long"))
+      .select(col("id"), col("weight"), col("skey"))
+      .orderBy(col("skey").desc, col("id"))
+      .limit(k)
+  }
+
   /** The per-stratum rate frame behind [[temperatureSample]] — (stratum,
     * rate), one row per stratum INCLUDING a NULL-stratum group. Exposed
     * so composing pipelines ([[curate]]) can broadcast the rates and

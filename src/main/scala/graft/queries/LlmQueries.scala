@@ -1767,6 +1767,25 @@ object LlmQueries {
                < r.rate * 4294967296
              ORDER BY id""")),
 
+    // ---- Deterministic weighted sampling without replacement
+    // (Efraimidis–Spirakis A-ES; Curation.weightedSample): inclusion
+    // probability ∝ n_chars via salted hash draws u and top-k on the
+    // nano-quantized ln(u)/w key — q72 samples strata at fixed RATES,
+    // this draws an exact-size sample BIASED by a per-row weight.
+    // Corpus never shuffles (TakeOrderedAndProject top-k).
+    Q("q120_weighted_sample",
+      (s, d) => Curation.weightedSample(T.documents(s, d),
+        "doc_id", "n_chars", k = 25, salt = "s1"),
+      Some("""WITH d AS (
+               SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS weight,
+                 CAST('0x' || substr(md5('s1|' || CAST(doc_id AS VARCHAR)),
+                   1, 8) AS BIGINT) AS h
+               FROM documents WHERE n_chars > 0)
+             SELECT id, weight,
+               CAST(round(ln((h + 1) / 4294967296.0) / weight * 1e9)
+                 AS BIGINT) AS skey
+             FROM d ORDER BY skey DESC, id LIMIT 25""")),
+
     // ---- Gopher quality rule set (Rae et al. 2021 appendix A): per-doc
     // structural signals + one 0/1 flag per rule + composite keep. Rules
     // decide by exact integer cross-multiplication (never a float
