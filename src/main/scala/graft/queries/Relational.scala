@@ -1166,6 +1166,64 @@ object Relational {
                         (CAST(9 + (idx - 16) % 8 AS BIGINT)
                           << (1 + (idx - 16) // 8)) - 1) >> 1)
                  END AS BIGINT) AS est
-             FROM sel ORDER BY pct"""))
+             FROM sel ORDER BY pct""")),
+
+    // ---- Declarative data-quality gate (operators/DataChecks): the
+    // whole expectation suite — range/domain/null rules in ONE
+    // map-side-combined pass, key uniqueness (the one inherently
+    // shuffling rule), FK orphans (anti-join, parent side
+    // AQE-broadcastable) — unioned into a single violations report.
+    // NULL predicates count as violations (a null can't prove it
+    // passed). The upper-bound rule genuinely trips on this corpus.
+    Q("q121_data_checks",
+      (s, d) => {
+        import graft.operators.DataChecks
+        import graft.operators.DataChecks.Rule
+        val o = T.orders(s, d)
+        DataChecks.validate(o, Seq(
+          Rule("totalprice_positive", col("o_totalprice") > 0),
+          Rule("totalprice_upper_bound", col("o_totalprice") <= 400000),
+          Rule("status_domain", col("o_orderstatus").isin("O", "F", "P")),
+          Rule("priority_not_null", col("o_orderpriority").isNotNull)))
+          .unionByName(DataChecks.uniqueKey(o, Seq("o_orderkey"),
+            "orderkey_unique"))
+          .unionByName(DataChecks.fkOrphans(o, "o_custkey",
+            T.customer(s, d), "c_custkey", "custkey_fk"))
+          .orderBy(col("check_name"))
+      },
+      Some("""WITH t AS (
+               SELECT count(*) AS n,
+                 sum(CASE WHEN coalesce(o_totalprice > 0, false)
+                   THEN 0 ELSE 1 END) AS v0,
+                 sum(CASE WHEN coalesce(o_totalprice <= 400000, false)
+                   THEN 0 ELSE 1 END) AS v1,
+                 sum(CASE WHEN coalesce(o_orderstatus IN ('O', 'F', 'P'),
+                   false) THEN 0 ELSE 1 END) AS v2,
+                 sum(CASE WHEN o_orderpriority IS NOT NULL
+                   THEN 0 ELSE 1 END) AS v3
+               FROM orders),
+             uq AS (
+               SELECT count(*) AS n,
+                 count(*) - count(DISTINCT o_orderkey) AS v
+               FROM orders),
+             fk AS (
+               SELECT (SELECT count(*) FROM orders) AS n,
+                 (SELECT count(*)
+                  FROM orders o
+                  LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+                    ON o.o_custkey = c.c_custkey
+                  WHERE c.c_custkey IS NULL) AS v)
+             SELECT 'totalprice_positive' AS check_name, n AS n_rows,
+               CAST(v0 AS BIGINT) AS n_violations FROM t
+             UNION ALL SELECT 'totalprice_upper_bound', n,
+               CAST(v1 AS BIGINT) FROM t
+             UNION ALL SELECT 'status_domain', n,
+               CAST(v2 AS BIGINT) FROM t
+             UNION ALL SELECT 'priority_not_null', n,
+               CAST(v3 AS BIGINT) FROM t
+             UNION ALL SELECT 'orderkey_unique', n,
+               CAST(v AS BIGINT) FROM uq
+             UNION ALL SELECT 'custkey_fk', n, CAST(v AS BIGINT) FROM fk
+             ORDER BY check_name"""))
   )
 }
