@@ -1224,6 +1224,57 @@ object Relational {
              UNION ALL SELECT 'orderkey_unique', n,
                CAST(v AS BIGINT) FROM uq
              UNION ALL SELECT 'custkey_fk', n, CAST(v AS BIGINT) FROM fk
-             ORDER BY check_name"""))
+             ORDER BY check_name""")),
+
+    // ---- Automatic one-pass table profiler (operators/Profiler): the
+    // schema-driven generalization of q88 — null/distinct/range/length
+    // per column of ANY table in one aggregation (exact distincts via a
+    // single Expand pass; approx_count_distinct is the documented
+    // 100 TB switch). The oracle mirrors each of orders' six columns
+    // explicitly; dtype strings are Spark's simpleString names.
+    Q("q122_auto_profile",
+      (s, d) => graft.operators.Profiler.profile(T.orders(s, d))
+        .orderBy(col("column")),
+      Some("""SELECT 'o_orderkey' AS "column", 'bigint' AS dtype,
+               count(*) AS n_rows,
+               count(*) - count(o_orderkey) AS n_nulls,
+               count(DISTINCT o_orderkey) AS n_distinct,
+               round(CAST(min(o_orderkey) AS DOUBLE), 6) AS min_num,
+               round(CAST(max(o_orderkey) AS DOUBLE), 6) AS max_num,
+               CAST(NULL AS DOUBLE) AS avg_len
+             FROM orders
+             UNION ALL SELECT 'o_custkey', 'bigint', count(*),
+               count(*) - count(o_custkey), count(DISTINCT o_custkey),
+               round(CAST(min(o_custkey) AS DOUBLE), 6),
+               round(CAST(max(o_custkey) AS DOUBLE), 6),
+               CAST(NULL AS DOUBLE)
+             FROM orders
+             UNION ALL SELECT 'o_orderstatus', 'string', count(*),
+               count(*) - count(o_orderstatus),
+               count(DISTINCT o_orderstatus),
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+               round(avg(length(o_orderstatus)), 6)
+             FROM orders
+             UNION ALL SELECT 'o_totalprice', 'double', count(*),
+               count(*) - count(o_totalprice),
+               count(DISTINCT o_totalprice),
+               round(CAST(min(o_totalprice) AS DOUBLE), 6),
+               round(CAST(max(o_totalprice) AS DOUBLE), 6),
+               CAST(NULL AS DOUBLE)
+             FROM orders
+             UNION ALL SELECT 'o_orderdate', 'timestamp_ntz', count(*),
+               count(*) - count(o_orderdate),
+               count(DISTINCT o_orderdate),
+               CAST(epoch_us(min(o_orderdate)) AS DOUBLE),
+               CAST(epoch_us(max(o_orderdate)) AS DOUBLE),
+               CAST(NULL AS DOUBLE)
+             FROM orders
+             UNION ALL SELECT 'o_orderpriority', 'string', count(*),
+               count(*) - count(o_orderpriority),
+               count(DISTINCT o_orderpriority),
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+               round(avg(length(o_orderpriority)), 6)
+             FROM orders
+             ORDER BY "column""""))
   )
 }

@@ -256,6 +256,54 @@ object ScaleSmoke {
         }
         graft.operators.CacheScope.unpinCheckpoint(art)
       }
+      // Round-7 third pass: ingestion-state + statistics operators.
+      // Changelog: the m× log keeps the KEY space fixed (20k keys), so
+      // hot keys grow linearly with m — exactly the skew the
+      // max(struct) agg must absorb without a reducer flood.
+      runOnce("changelog_merge") {
+        val log = df.select(pmod(col("doc_id"), lit(20000L)).as("k"),
+          col("doc_id").as("ts"), col("doc_id").as("seq"),
+          when(pmod(col("doc_id"), lit(10)) < 1, lit("del"))
+            .otherwise(lit("put")).as("op"),
+          col("lang").as("payload"))
+        graft.operators.Changelog.latestState(log, Seq("k"),
+          Seq("ts", "seq"), "op", "del")
+      }
+      runOnce("js_drift") {
+        graft.operators.TextAnalysis.jsDrift(df, "lang", "text")
+      }
+      runOnce("hist_quantiles") {
+        val v = df.select(length(col("text")).cast("long").as("v"))
+        graft.operators.Sketches.histQuantiles(
+          graft.operators.Sketches.histBuild(v, "v"), Seq(50, 99))
+      }
+      runOnce("cms_frequency") {
+        val toks = df.select(explode(split(col("text"), "\\s+")).as("tok"))
+        graft.operators.Sketches.cmsBuild(toks, "tok")
+      }
+      runOnce("weighted_sample") {
+        graft.operators.Curation.weightedSample(
+          df.withColumn("w", length(col("text")).cast("long")),
+          "doc_id", "w", k = 100, salt = "smoke")
+      }
+      // PCA / k-center on hash-synthesized 64-dim embeddings (generated
+      // OUTSIDE the timed region — a real corpus reads them from disk).
+      if (wanted("pca_moments") || wanted("kcenter")) {
+        val emb = df.select(col("doc_id").as("vec_id"),
+          expr("""transform(sequence(1, 64), i ->
+            CAST(CAST(pmod(conv(substring(md5(concat(
+              CAST(doc_id AS STRING), '|', CAST(i AS STRING))), 1, 6),
+              16, 10), 1000) AS DOUBLE) / 1000.0 - 0.5 AS FLOAT))""")
+            .as("embedding"))
+          .localCheckpoint(true)
+        runOnce("pca_moments") {
+          graft.operators.Pca.momentsMicro(emb, "embedding", 64)
+        }
+        runOnce("kcenter_k6") {
+          graft.operators.KCenter.select(emb, "vec_id", "embedding", k = 6)
+        }
+        graft.operators.CacheScope.unpinCheckpoint(emb)
+      }
       graft.queries.PipelineQueries.resetCache(spark)
       spark.catalog.clearCache()
     }
