@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Synchronous label-propagation community detection (Raghavan 2007's
+ * LPA, made deterministic): after PageRank (importance, q94) and
+ * triangle counting (cohesion, q103), the third graph statistic a
+ * curation pipeline wants — WHICH group a node belongs to (e.g.
+ * collapsing a near-dup match graph into communities when the strict
+ * transitive closure of [[Dedup]] q76 is too fine/coarse a cut).
+ *
+ * Classic LPA breaks ties randomly and updates asynchronously — both
+ * non-reproducible. This variant is the deterministic form: synchronous
+ * rounds, label₀ = node id, and each round every node adopts the
+ * neighbor label with the highest count, ties to the SMALLest label —
+ * an argmax expressible as one `max(struct(cnt, −label))` aggregation,
+ * making every round bit-identical on any engine; the q123 oracle
+ * unrolls the rounds CTE-for-CTE (the q94/q104/q117 discipline).
+ *
+ * Scale shape: each round is (join labels onto edges — co-partitioned
+ * by node after round 1) + ONE (dst, label) groupBy + ONE dst argmax
+ * agg, i.e. two map-side-combined shuffles per round over edge-sized
+ * data; labels are O(nodes). Fixed `iters` (bulk-synchronous), no
+ * driver-side state at all; `localCheckpoint` truncates the iteration
+ * lineage like [[PageRank]]. Isolated nodes keep their own label.
+ */
+object LabelPropagation {
+
+  /** Run `iters` synchronous rounds over an undirected edge list
+    * (`src`, `dst` — symmetrized internally). Returns (node_id, label). */
+  def run(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0: $iters")
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val nodes = sym.select(col("src").as("node_id")).distinct()
+    var labels = nodes.select(col("node_id"), col("node_id").as("label"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      // Neighbor label counts: relabel each edge's src by its current
+      // label, count per (dst, label), argmax with ties to min label.
+      val counts = sym
+        .join(labels.withColumnRenamed("node_id", "src"), Seq("src"))
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      val winner = counts
+        .groupBy(col("dst"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("neg"))).as("w"))
+        .select(col("dst").as("node_id"), (-col("w.neg")).as("new_label"))
+      labels = labels
+        .join(winner, Seq("node_id"), "left")
+        .select(col("node_id"),
+          coalesce(col("new_label"), col("label")).as("label"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+}

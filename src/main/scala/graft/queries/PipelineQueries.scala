@@ -352,8 +352,62 @@ object PipelineQueries {
       (s, d) => graft.operators.KMeans.fit1D(
         T.documents(s, d).select(col("n_chars").cast("long").as("v")),
         "v", k = 4, iters = 3),
-      Some(KMeansSql(k = 4, iters = 3)))
+      Some(KMeansSql(k = 4, iters = 3))),
+
+    // ---- Label-propagation communities (deterministic synchronous LPA)
+    // over the q94 co-purchase graph — the third graph statistic after
+    // centrality (q94) and cohesion (q103): WHICH group each node
+    // belongs to. Ties break to the smallest label via one
+    // max(struct(cnt, −label)) agg per round, so the fixed-round
+    // recursion is bit-identical cross-engine; the oracle unrolls all 3
+    // rounds CTE-for-CTE (row_number mirror of the argmax).
+    Q("q123_lpa_communities",
+      (s, d) => {
+        val pairs = T.orders(s, d)
+          .join(T.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("cust"),
+            (col("l_suppkey") + lit(1000000000L)).as("supp"))
+          .distinct()
+        val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
+        graft.operators.LabelPropagation.run(edges, iters = 3)
+          .orderBy(col("node_id"))
+      },
+      Some(LpaSql(3)))
   )
+
+  /** q123 oracle: the LPA recursion unrolled — per round a neighbor-
+    * label count CTE and a row_number argmax CTE (ORDER BY cnt DESC,
+    * label — the min-label tie-break), isolated nodes kept by the left
+    * join. The q94/q104/q117 unrolling discipline. */
+  private def LpaSql(iters: Int): String = {
+    val head = """WITH pairs AS (
+        SELECT DISTINCT o_custkey AS cust, l_suppkey + 1000000000 AS supp
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      edges AS (
+        SELECT DISTINCT src, dst FROM (
+          SELECT cust AS src, supp AS dst FROM pairs
+          UNION ALL SELECT supp, cust FROM pairs)),
+      l0 AS (SELECT DISTINCT src AS node_id, src AS label FROM edges)"""
+    val iterCtes = (1 to iters).map { i =>
+      val p = i - 1
+      s"""c$i AS (
+           SELECT e.dst, l.label, count(*) AS cnt
+           FROM edges e JOIN l$p l ON e.src = l.node_id
+           GROUP BY e.dst, l.label),
+         w$i AS (
+           SELECT dst AS node_id, label AS new_label FROM (
+             SELECT dst, label,
+               row_number() OVER (PARTITION BY dst
+                 ORDER BY cnt DESC, label) AS rn
+             FROM c$i) WHERE rn = 1),
+         l$i AS (
+           SELECT l.node_id, coalesce(w.new_label, l.label) AS label
+           FROM l$p l LEFT JOIN w$i w USING (node_id))"""
+    }.mkString(",\n")
+    s"""$head,
+      $iterCtes
+      SELECT node_id, label FROM l$iters ORDER BY node_id"""
+  }
 
   /** q104 oracle: the Lloyd recursion unrolled — per iteration an
     * assignment CTE (argmin |v−c| with ties to the lower centroid index,
