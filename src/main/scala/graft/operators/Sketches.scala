@@ -109,6 +109,22 @@ object Sketches {
       .groupBy(col(probeCol))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
 
+  /** Equi-join cardinality pre-flight: |A ⋈ₖ B| = Σ_k f_A(k)·f_B(k),
+    * estimated from the two CMS artifacts alone as min over hash rows of
+    * the cell-wise inner product (the classic CM inner-product bound:
+    * one-sided, est ≥ true, error ≤ N_A·N_B/width per row w.h.p.).
+    * This is the planner question — "dare I run this self-join?" —
+    * answered from O(depth·width) state without touching either input
+    * (q124 asks it about the lineitem part-key self-join). Both
+    * sketches must share depth/width/hash. Returns one row (`est`). */
+  def cmsJoinSize(a: DataFrame, b: DataFrame): DataFrame = {
+    val aa = a.select(col("r"), col("bucket"), col("cnt").as("ca"))
+    val bb = b.select(col("r"), col("bucket"), col("cnt").as("cb"))
+    aa.join(bb, Seq("r", "bucket"))
+      .groupBy(col("r")).agg(sum(col("ca") * col("cb")).as("ip"))
+      .agg(min(col("ip")).as("est"))
+  }
+
   // --------------------------------------------------------------------
   // Log-bucketed histogram — the QUANTILE member of the artifact family,
   // and the mergeable scale path behind q88's exact `percentile` (whose

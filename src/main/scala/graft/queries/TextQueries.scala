@@ -763,7 +763,39 @@ object TextQueries {
              truth AS (SELECT tok, count(*) AS true_count
                        FROM toks GROUP BY tok)
              SELECT t.tok, t.true_count, CAST(e.est AS BIGINT) AS est
-             FROM truth t JOIN est e USING (tok) ORDER BY tok"""))
+             FROM truth t JOIN est e USING (tok) ORDER BY tok""")),
+
+    // ---- Join-size pre-flight from sketches (Sketches.cmsJoinSize):
+    // the lineitem part-key SELF-join size Σ f(p)² — the question a
+    // planner asks before risking a quadratic join — estimated from the
+    // O(depth·width) CMS alone, next to the exact answer (one-sided:
+    // est ≥ exact, collision-inflated). DuckDB rebuilds the sketch and
+    // both numbers hash-compare.
+    Q("q124_join_size_estimate",
+      (s, d) => {
+        val k = T.lineitem(s, d).select(col("l_partkey").as("k"))
+        val sk = graft.operators.Sketches.cmsBuild(k, "k",
+          depth = 4, width = 1024)
+        val est = graft.operators.Sketches.cmsJoinSize(sk, sk)
+        val exact = k.groupBy(col("k")).agg(count(lit(1)).as("c"))
+          .agg(sum(col("c") * col("c")).as("exact_size"))
+        exact.crossJoin(est)
+      },
+      Some("""WITH k AS (SELECT l_partkey AS k FROM lineitem),
+             cells AS (
+               SELECT t.r,
+                 CAST('0x' || substr(md5(CAST(t.r AS VARCHAR) || '|' ||
+                   CAST(k AS VARCHAR)), 1, 8) AS BIGINT) % 1024 AS bucket,
+                 count(*) AS cnt
+               FROM k CROSS JOIN range(4) t(r) GROUP BY 1, 2),
+             ip AS (
+               SELECT r, CAST(sum(cnt * cnt) AS BIGINT) AS ip
+               FROM cells GROUP BY r),
+             est AS (SELECT CAST(min(ip) AS BIGINT) AS est FROM ip),
+             ex AS (
+               SELECT CAST(sum(c * c) AS BIGINT) AS exact_size FROM (
+                 SELECT count(*) AS c FROM k GROUP BY k))
+             SELECT exact_size, est FROM ex CROSS JOIN est"""))
   )
 
   /** q110 oracle: the BPE recursion unrolled (shared CTE chain). */

@@ -117,6 +117,25 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("CMS join-size estimate upper-bounds the true size, tightly when wide") {
+    val r = new scala.util.Random(17)
+    val a = (1 to 5000).map(_ => s"k${r.nextInt(400)}")
+    val b = (1 to 3000).map(_ => s"k${r.nextInt(400)}")
+    val trueSize = {
+      val ca = a.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val cb = b.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      ca.map { case (k, c) => c * cb.getOrElse(k, 0L) }.sum
+    }
+    val est = Sketches.cmsJoinSize(
+      Sketches.cmsBuild(a.toDF("v"), "v", depth = 4, width = 4096),
+      Sketches.cmsBuild(b.toDF("v"), "v", depth = 4, width = 4096))
+      .collect().head.getLong(0)
+    assert(est >= trueSize, s"underestimated: $est < $trueSize")
+    // CM inner-product error bound: ≤ e·Na·Nb/width per row w.h.p.
+    assert(est - trueSize <= math.E * 5000L * 3000L / 4096,
+      s"overestimate ${est - trueSize} breaks the envelope")
+  }
+
   test("hist values 0..15 are exact; shard merge == single-shot") {
     val small = (0 to 15).flatMap(v => Seq.fill(v + 1)(v.toLong))
     val est = Sketches.histQuantiles(
