@@ -88,6 +88,16 @@ object Pca {
         sum(col("s_j")).as("s_j"), sum(col("s_ij")).as("s_ij"))
   }
 
+  /** Merge two moment artifacts (same dim): entrywise integer sums —
+    * the associative shard/stream algebra (PcaSpec proves merge ==
+    * single-shot; [[graft.streaming.ArtifactStreams.momentsStream]]
+    * folds per trigger with it). */
+  def mergeMoments(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("n_vecs")).as("n_vecs"), sum(col("s_i")).as("s_i"),
+        sum(col("s_j")).as("s_j"), sum(col("s_ij")).as("s_ij"))
+
   /** Driver-side fit from a moments frame: covariance eigendecomposition
     * (cyclic Jacobi, deterministic). Returns eigenvalues (descending) and
     * row-major orthonormal components, both in original (unquantized)

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.{CacheScope, Pca}
+
+/**
+ * Generic per-trigger artifact folding — the state discipline that
+ * [[CurationStreams]] (band logs), [[ChangelogStreams]] (snapshots) and
+ * the Bloom/line-digest streams all share, factored once: a carried
+ * artifact frame is an ASSOCIATIVE fold of per-batch contributions, so
+ * streaming maintenance is `state := fold(state, batch)` per trigger
+ * with
+ *  - eager bounded-partition checkpoint of the new state BEFORE the
+ *    swap (foreachBatch is at-least-once; a retry must re-enter against
+ *    intact pre-fold state),
+ *  - a batch-id guard (re-delivered batches re-emit, never re-fold),
+ *  - release of the previous state's checkpoint blocks after the swap.
+ *
+ * Any operator whose artifact merges associatively gets a streaming
+ * face for free — [[momentsStream]] instantiates it for PCA moments
+ * (q115), whose entrywise-integer-sum merge PcaSpec proves equal to the
+ * single-shot build; MomentsStreamSpec then pins stream == batch across
+ * trigger splits.
+ */
+object ArtifactStreams {
+
+  /** Fold the stream into a carried artifact; `sink` receives the
+    * artifact each trigger. `init` builds the artifact of a first
+    * batch; `fold` merges the carried artifact with the next batch. */
+  def foldStream(stream: DataFrame)(
+      init: DataFrame => DataFrame,
+      fold: (DataFrame, DataFrame) => DataFrame)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    var state: Option[DataFrame] = None
+    var lastFolded = -1L
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (batchId > lastFolded) {
+          val next0 = state match {
+            case Some(s) => fold(s, batch)
+            case None => init(batch)
+          }
+          val p = next0.sparkSession.sessionState.conf.numShufflePartitions
+          val next = next0.coalesce(p).localCheckpoint(true)
+          state.foreach(CacheScope.unpinCheckpoint)
+          state = Some(next)
+          lastFolded = batchId
+        }
+        sink(state.get, batchId)
+      }
+      .start()
+  }
+
+  /** Streaming PCA second-moment maintenance: the q115 artifact kept
+    * current over an unbounded vector stream — each trigger computes
+    * the batch's own O(d²) moments and entrywise-sums them into the
+    * carried artifact (exact integers; order/packing irrelevant). */
+  def momentsStream(vecs: DataFrame, vecCol: String, dim: Int)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
+    foldStream(vecs)(
+      b => Pca.momentsMicro(b, vecCol, dim),
+      (s, b) => Pca.mergeMoments(s, Pca.momentsMicro(b, vecCol, dim)))(sink)
+}
