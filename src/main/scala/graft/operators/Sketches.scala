@@ -167,6 +167,40 @@ object Sketches {
   def histMerge(hists: DataFrame): DataFrame =
     hists.groupBy(col("idx")).agg(sum(col("cnt")).as("cnt"))
 
+  /** Per-group histogram artifact: groupCols..., idx, cnt — one
+    * map-side-combined groupBy; merges per (group, idx) like
+    * [[histMerge]]. */
+  def histBuildGrouped(df: DataFrame, valueCol: String,
+      groupCols: Seq[String]): DataFrame =
+    df.select(groupCols.map(col) :+ col(valueCol).cast("long").as("v"): _*)
+      .select(groupCols.map(col) :+ expr(histIdxSql("v")).as("idx"): _*)
+      .groupBy((groupCols :+ "idx").map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Per-group quantile estimates off a grouped artifact: the q119 walk
+    * with the cumulative window PARTITIONED by group (each partition is
+    * an O(buckets) slice of the artifact — data-size-independent).
+    * Returns groupCols..., pct, est. */
+  def histQuantilesGrouped(hist: DataFrame, groupCols: Seq[String],
+      pcts: Seq[Int]): DataFrame = {
+    val spark = hist.sparkSession
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col("idx"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tot = hist.groupBy(groupCols.map(col): _*)
+      .agg(sum(col("cnt")).as("n"))
+    hist.withColumn("cum", sum(col("cnt")).over(w))
+      .join(broadcast(tot), groupCols)
+      .crossJoin(broadcast(pcts.toDF("pct")))
+      .filter(expr("cum >= (CAST(pct AS BIGINT) * n + 99) div 100"))
+      .groupBy((groupCols :+ "pct").map(col): _*)
+      .agg(min(col("idx")).as("idx"))
+      .select(groupCols.map(col) ++ Seq(col("pct"),
+        expr(histMidSql("idx")).as("est")): _*)
+  }
+
   /** Estimate percentiles (integer pct values, e.g. 25/50/75/90/99) off
     * the artifact: rank ceil(pct·n/100) located in the cumulative bucket
     * walk, decoded to the bucket midpoint. O(buckets) work. Returns

@@ -1275,6 +1275,50 @@ object Relational {
                CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
                round(avg(length(o_orderpriority)), 6)
              FROM orders
-             ORDER BY "column""""))
+             ORDER BY "column"""")),
+
+    // ---- Per-group quantiles off the grouped histogram artifact
+    // (q119's walk with a PARTITIONED cumulative window — each slice is
+    // O(buckets) regardless of data size): per-lang doc-length median
+    // and p99, the length-distribution monitor a mixture pipeline runs
+    // per stratum.
+    Q("q125_grouped_quantiles",
+      (s, d) => {
+        val v = T.documents(s, d).select(col("lang"),
+          col("n_chars").cast("long").as("v"))
+        val h = graft.operators.Sketches.histBuildGrouped(v, "v",
+          Seq("lang"))
+        graft.operators.Sketches.histQuantilesGrouped(h, Seq("lang"),
+          Seq(50, 99)).orderBy(col("lang"), col("pct"))
+      },
+      Some("""WITH v AS (
+               SELECT lang, CAST(n_chars AS BIGINT) AS v FROM documents),
+             b AS (
+               SELECT lang, CASE WHEN v <= 15 THEN v
+                 ELSE 16 + (length(bin(v)) - 5) * 8 +
+                   ((v >> (length(bin(v)) - 4)) - 8) END AS idx
+               FROM v),
+             h AS (SELECT lang, idx, count(*) AS cnt
+                   FROM b GROUP BY lang, idx),
+             c AS (
+               SELECT lang, idx, cnt,
+                 CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY idx)
+                   AS BIGINT) AS cum,
+                 CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n
+               FROM h),
+             p AS (SELECT CAST(unnest([50, 99]) AS INT) AS pct),
+             sel AS (
+               SELECT c.lang, p.pct, min(c.idx) AS idx
+               FROM p JOIN c
+                 ON c.cum >= (CAST(p.pct AS BIGINT) * c.n + 99) // 100
+               GROUP BY c.lang, p.pct)
+             SELECT lang, pct,
+               CAST(CASE WHEN idx <= 15 THEN idx
+                 ELSE (((CAST(8 + (idx - 16) % 8 AS BIGINT)
+                          << (1 + (idx - 16) // 8)) +
+                        (CAST(9 + (idx - 16) % 8 AS BIGINT)
+                          << (1 + (idx - 16) // 8)) - 1) >> 1)
+                 END AS BIGINT) AS est
+             FROM sel ORDER BY lang, pct"""))
   )
 }

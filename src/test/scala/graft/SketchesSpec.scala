@@ -136,6 +136,26 @@ class SketchesSpec extends SparkSpec {
       s"overestimate ${est - trueSize} breaks the envelope")
   }
 
+  test("grouped hist quantiles match per-group exact within the envelope") {
+    val r = new scala.util.Random(23)
+    val rows = (1 to 6000).map { _ =>
+      val g = s"g${r.nextInt(3)}"
+      (g, math.floor(math.pow(10, 1 + r.nextDouble() * 4)).toLong)
+    }
+    val df = rows.toDF("g", "v")
+    val est = Sketches.histQuantilesGrouped(
+      Sketches.histBuildGrouped(df, "v", Seq("g")), Seq("g"), Seq(50, 90))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    rows.groupBy(_._1).foreach { case (g, grp) =>
+      val sorted = grp.map(_._2).sorted
+      Seq(50, 90).foreach { p =>
+        val exact = sorted((p * sorted.size + 99) / 100 - 1)
+        val rel = math.abs(est((g, p)) - exact).toDouble / exact
+        assert(rel <= 1.0 / 16 + 1e-9, s"$g p$p est=${est((g, p))} exact=$exact")
+      }
+    }
+  }
+
   test("hist values 0..15 are exact; shard merge == single-shot") {
     val small = (0 to 15).flatMap(v => Seq.fill(v + 1)(v.toLong))
     val est = Sketches.histQuantiles(
