@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Prefix-filtered set-similarity self-join (the SSJoin/PPJoin candidate
+ * rule of Chaudhuri 2006 / Xiao 2008): all document pairs with Jaccard
+ * ≥ t over their distinct shingle sets — the PRINCIPLED bound on the
+ * inverted-index join, complementing [[graft.queries.TextQueries]] q35's
+ * df-cap (which bounds work by *discarding* hot shingles; the prefix
+ * rule bounds it while staying EXACT).
+ *
+ * The rule: order every document's shingles by one global total order
+ * (ascending document frequency, rarest first — ties by shingle text);
+ * a pair with Jaccard ≥ t MUST share a shingle inside both documents'
+ * first ⌊(1−t)·|d|⌋+1 shingles, so only that prefix is indexed — the
+ * index shrinks by ~t·|corpus| and, because prefixes hold each doc's
+ * RAREST shingles, bucket sizes collapse (the hot boilerplate shingle
+ * that floods a full inverted index never enters anyone's prefix unless
+ * the doc has nothing rarer). Candidates then pass the length filter
+ * (t·|a| ≤ |b| ≤ |a|/t) and an EXACT verify.
+ *
+ * Cross-engine exactness: thresholds are a rational num/den and every
+ * filter is integer cross-multiplication (prefix length, length filter,
+ * final (den+num)·inter ≥ num·(|a|+|b|)) — no float Jaccard anywhere.
+ * The q126 oracle is the NAIVE all-shared-shingle-pairs join with the
+ * same integer predicate, so the hash compare IS the completeness proof
+ * (a pair dropped by the prefix rule would fail it).
+ *
+ * Scale shape: one (id, shingle) shuffle for df + rank windows (per-doc
+ * window is narrow; the df table is vocab-sized); the candidate join
+ * runs prefix×prefix (smallest index possible for exactness); verify
+ * joins candidates back to full shingle sets — O(candidates·|d|), the
+ * exact-verify cost every LSH path here also pays.
+ */
+object SetJoin {
+
+  /** All pairs (a < b) with Jaccard(shingles(a), shingles(b)) ≥ num/den.
+    * Output: a, b, inter, sz_a, sz_b. */
+  def prefixJaccardJoin(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, num: Int = 1, den: Int = 2): DataFrame = {
+    require(num > 0 && den > 0 && num <= den, s"bad threshold $num/$den")
+    val tk = CacheScope.pin(shingles(docs, idCol, textCol, n))
+    val sz = tk.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val dfreq = tk.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    // Per-doc rank in the global (df asc, shingle asc) order; prefix =
+    // first sz − ceil(t·sz) + 1 shingles.
+    val byRarity = Window.partitionBy(col("id"))
+      .orderBy(col("df"), col("s"))
+    // No forced broadcasts: df is vocab-sized and sz is corpus-sized —
+    // tiny here, unboundedly large at 100 TB; AQE picks the strategy.
+    val ranked = tk.join(dfreq, Seq("s"))
+      .withColumn("pos", row_number().over(byRarity))
+      .join(sz, Seq("id"))
+    val prefix = ranked.filter(
+      col("pos") <= col("sz") -
+        expr(s"(CAST($num AS BIGINT) * sz + ${den - 1}) div $den") + 1)
+      .select(col("id"), col("s"), col("sz"))
+    val cand = prefix.as("x").join(prefix.as("y"),
+        col("x.s") === col("y.s") && col("x.id") < col("y.id") &&
+          // Length filter: t·|a| ≤ |b| and t·|b| ≤ |a|.
+          lit(num) * col("x.sz") <= lit(den) * col("y.sz") &&
+          lit(num) * col("y.sz") <= lit(den) * col("x.sz"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        col("x.sz").as("sz_a"), col("y.sz").as("sz_b"))
+      .distinct()
+    // Exact verify: overlap via the full shingle sets.
+    val inter = cand
+      .join(tk.select(col("id").as("a"), col("s")), Seq("a"))
+      .join(tk.select(col("id").as("b"), col("s")), Seq("b", "s"))
+      .groupBy(col("a"), col("b"), col("sz_a"), col("sz_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter.filter(
+        lit(den + num) * col("inter") >= lit(num) * (col("sz_a") + col("sz_b")))
+      .select(col("a"), col("b"), col("inter"), col("sz_a"), col("sz_b"))
+  }
+
+  /** Distinct word n-gram shingles per doc: (id, s). */
+  private[graft] def shingles(docs: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+        filter(split(col(textCol), "\\s+"), t => t =!= lit("")).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("id"), explode(expr(
+        s"""transform(sequence(1, size(toks) - ${n - 1}),
+            i -> concat_ws(' ', slice(toks, i, $n)))""")).as("s"))
+      .distinct()
+}

@@ -795,7 +795,46 @@ object TextQueries {
              ex AS (
                SELECT CAST(sum(c * c) AS BIGINT) AS exact_size FROM (
                  SELECT count(*) AS c FROM k GROUP BY k))
-             SELECT exact_size, est FROM ex CROSS JOIN est"""))
+             SELECT exact_size, est FROM ex CROSS JOIN est""")),
+
+    // ---- Prefix-filtered set-similarity self-join (SetJoin scaladoc —
+    // the SSJoin/PPJoin candidate rule): EXACT Jaccard ≥ 1/2 pairs with
+    // only each doc's ⌊|d|/2⌋+1 RAREST shingles indexed; integer
+    // cross-multiplication everywhere (no float Jaccard). The oracle is
+    // the NAIVE all-shared-shingle join with the same predicate, so the
+    // hash compare IS the completeness proof of the prefix rule.
+    Q("q126_prefix_jaccard_join",
+      (s, d) => graft.operators.SetJoin.prefixJaccardJoin(
+          T.documents(s, d), "doc_id", "text", n = 3, num = 1, den = 2)
+        .orderBy(col("a"), col("b")),
+      Some("""WITH toks AS (
+               SELECT doc_id, i AS pos, toks[i] AS tok
+               FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                     FROM documents),
+                    LATERAL (SELECT unnest(generate_series(1, len(toks)))
+                             AS i)
+               WHERE toks[i] <> ''),
+             sh AS (
+               SELECT DISTINCT doc_id,
+                 tok || ' ' || lead(tok, 1) OVER w || ' ' ||
+                   lead(tok, 2) OVER w AS s
+               FROM toks
+               WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+               QUALIFY lead(tok, 2) OVER w IS NOT NULL),
+             sizes AS (SELECT doc_id, count(*) AS sz FROM sh
+                       GROUP BY doc_id),
+             shared AS (
+               SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+               FROM sh x JOIN sh y
+                 ON x.s = y.s AND x.doc_id < y.doc_id
+               GROUP BY 1, 2)
+             SELECT a, b, CAST(inter AS BIGINT) AS inter,
+               sa.sz AS sz_a, sb.sz AS sz_b
+             FROM shared
+             JOIN sizes sa ON a = sa.doc_id
+             JOIN sizes sb ON b = sb.doc_id
+             WHERE 3 * inter >= sa.sz + sb.sz
+             ORDER BY a, b"""))
   )
 
   /** q110 oracle: the BPE recursion unrolled (shared CTE chain). */

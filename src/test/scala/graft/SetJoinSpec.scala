@@ -1,0 +1,72 @@
+package graft
+
+import scala.util.Random
+
+import graft.operators.SetJoin
+
+/**
+ * Prefix-filtered Jaccard join (q126): completeness vs a brute-force
+ * reference on random corpora with planted near-dups, at multiple
+ * thresholds (the oracle pins one corpus/threshold; the generator
+ * sweeps), plus the candidate-reduction claim that justifies the
+ * operator.
+ */
+class SetJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def gen(seed: Int): Seq[(Long, String)] = {
+    val r = new Random(seed)
+    val vocab = (0 until 60).map(i => s"w$i")
+    val originals = (0L until 25L).map { id =>
+      id -> Seq.fill(12 + r.nextInt(15))(vocab(r.nextInt(vocab.size)))
+        .mkString(" ")
+    }
+    // Planted near-dups: copy with a few token edits.
+    val dups = originals.take(8).map { case (id, t) =>
+      val toks = t.split(" ").toBuffer
+      toks(r.nextInt(toks.size)) = vocab(r.nextInt(vocab.size))
+      (id + 1000L) -> toks.mkString(" ")
+    }
+    originals ++ dups
+  }
+
+  /** Brute force: all pairs, exact distinct-3-shingle Jaccard. */
+  private def reference(rows: Seq[(Long, String)], num: Int, den: Int)
+      : Set[(Long, Long, Long, Long, Long)] = {
+    def sh(t: String): Set[String] = {
+      val toks = t.split("\\s+").filter(_.nonEmpty)
+      toks.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+    }
+    val sets = rows.map { case (id, t) => id -> sh(t) }.filter(_._2.nonEmpty)
+    (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      inter = (sa & sb).size.toLong
+      if (den + num) * inter >= num * (sa.size + sb.size)
+    } yield (a, b, inter, sa.size.toLong, sb.size.toLong)).toSet
+  }
+
+  test("matches brute force on random corpora at three thresholds") {
+    for (seed <- 1 to 2; (num, den) <- Seq((1, 2), (1, 3), (3, 4))) {
+      val rows = gen(seed)
+      val got = SetJoin.prefixJaccardJoin(rows.toDF("doc_id", "text"),
+          "doc_id", "text", n = 3, num = num, den = den)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+      assert(got === reference(rows, num, den), s"seed=$seed t=$num/$den")
+    }
+  }
+
+  test("the prefix index is genuinely smaller than the full index") {
+    val rows = gen(7)
+    val docs = rows.toDF("doc_id", "text")
+    val full = SetJoin.shingles(docs, "doc_id", "text", 3).count()
+    // Reconstruct the prefix size bound: sum over docs of floor(sz/2)+1.
+    val szs = SetJoin.shingles(docs, "doc_id", "text", 3)
+      .groupBy("id").count().collect().map(_.getLong(1))
+    val prefixBound = szs.map(sz => sz / 2 + 1).sum
+    assert(prefixBound < full,
+      s"prefix bound $prefixBound should undercut full index $full")
+    assert(prefixBound <= full * 3 / 5)
+  }
+}
