@@ -1319,6 +1319,47 @@ object Relational {
                         (CAST(9 + (idx - 16) % 8 AS BIGINT)
                           << (1 + (idx - 16) // 8)) - 1) >> 1)
                  END AS BIGINT) AS est
-             FROM sel ORDER BY lang, pct"""))
+             FROM sel ORDER BY lang, pct""")),
+
+    // ---- Incremental materialized-view maintenance
+    // (operators/IncrementalAgg over the q114 changelog family): the
+    // per-type (count, sum) aggregate of CURRENT user state, maintained
+    // through the mid-month delta by the ±contribution rule — O(delta +
+    // affected keys), corpus never rescanned. The oracle aggregates the
+    // full-log latest live state in one shot, so the hash IS the
+    // maintain ≡ rebuild proof (exact because sums are micro-int).
+    Q("q127_incremental_view",
+      (s, d) => {
+        import graft.operators.{Changelog, IncrementalAgg}
+        val log = T.events(s, d).select(col("user_id"), col("ts_ns"),
+          col("event_id"), col("event_type"),
+          round(col("value") * 1e6).cast("long").as("v_micro"))
+        val cut = lit(1705363200000000000L)
+        val K = Seq("user_id"); val O = Seq("ts_ns", "event_id")
+        val snap0 = Changelog.latestState(log.filter(col("ts_ns") < cut),
+          K, O, "event_type", "error", dropTombstones = false)
+        val agg0 = IncrementalAgg.contrib(
+          snap0.filter(col("event_type") =!= "error"),
+          "event_type", "v_micro")
+        val (agg1, _) = IncrementalAgg.maintain(agg0, snap0,
+          log.filter(col("ts_ns") >= cut), K, O, "event_type", "error",
+          "event_type", "v_micro")
+        agg1.select(col("event_type"), col("c").as("n_users"),
+          round(col("s") / lit(1e6), 6).as("sum_value"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH log AS (
+               SELECT user_id, epoch_ns(ts) AS ts_ns, event_id,
+                 event_type, CAST(round(value * 1e6) AS BIGINT) AS v_micro
+               FROM events),
+             w AS (
+               SELECT *, row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts_ns DESC, event_id DESC) AS rn
+               FROM log),
+             live AS (
+               SELECT * FROM w WHERE rn = 1 AND event_type <> 'error')
+             SELECT event_type, count(*) AS n_users,
+               round(CAST(sum(v_micro) AS BIGINT) / 1e6, 6) AS sum_value
+             FROM live GROUP BY event_type ORDER BY event_type"""))
   )
 }
