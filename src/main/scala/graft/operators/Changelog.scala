@@ -72,6 +72,19 @@ object Changelog {
     if (dropTombstones) out.filter(col(opCol) =!= lit(tombstoneOp)) else out
   }
 
+  /** Vacuum: drop tombstones whose winning ord lies below a delivery
+    * watermark. Safe ONLY under the contract that no future delta can
+    * carry a mutation older than the watermark — vacuuming a tombstone
+    * still inside the late-arrival horizon reopens the resurrection
+    * trap the scaladoc above describes (ChangelogSpec pins both the
+    * safe and the premature case). Live rows are never touched; the
+    * snapshot shrinks by its dead weight, which at 100 TB is the
+    * difference between a state table that grows forever and one
+    * bounded by live keys + horizon. */
+  def vacuum(snapshot: DataFrame, opCol: String, tombstoneOp: String,
+      olderThanWatermark: org.apache.spark.sql.Column): DataFrame =
+    snapshot.filter(col(opCol) =!= lit(tombstoneOp) || !olderThanWatermark)
+
   /** Merge a compacted snapshot (output of `latestState` with
     * `dropTombstones=false`) with a newer delta log: one union + one
     * latest-wins collapse. The snapshot's rows compete on their winning

@@ -338,6 +338,28 @@ object Curation {
       .limit(k)
   }
 
+  /** Per-stratum [[weightedSample]]: k winners per stratum (balanced
+    * coverage with weight bias inside each — the mixture-sampling
+    * refinement where q72 fixes RATES and q120 fixes a GLOBAL size).
+    * One window over the nano-key per stratum; the corpus shuffles once
+    * on the stratum key. Returns (stratum, id, weight, skey, rk). */
+  def weightedSampleGrouped(df: DataFrame, idCol: String,
+      weightCol: String, strataCol: String, k: Int,
+      salt: String = ""): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val keyed = df.select(col(strataCol).as("stratum"),
+        col(idCol).as("id"), col(weightCol).cast("long").as("weight"))
+      .filter(col("weight") > 0)
+      .withColumn("skey",
+        round(log((conv(substring(md5(concat(lit(salt), lit("|"),
+            col("id").cast("string"))), 1, 8), 16, 10).cast("long") + 1)
+          / lit(4294967296.0)) / col("weight") * lit(1e9)).cast("long"))
+    keyed.withColumn("rk", row_number().over(
+        Window.partitionBy(col("stratum"))
+          .orderBy(col("skey").desc, col("id"))))
+      .filter(col("rk") <= k)
+  }
+
   /** The per-stratum rate frame behind [[temperatureSample]] — (stratum,
     * rate), one row per stratum INCLUDING a NULL-stratum group. Exposed
     * so composing pipelines ([[curate]]) can broadcast the rates and

@@ -1786,6 +1786,33 @@ object LlmQueries {
                  AS BIGINT) AS skey
              FROM d ORDER BY skey DESC, id LIMIT 25""")),
 
+    // ---- Per-stratum weighted sampling (q120's draw under a stratum
+    // window): k weight-biased winners PER LANG — balanced coverage
+    // with in-stratum weight bias, where q72 fixes rates and q120 a
+    // global size. One stratum-keyed shuffle.
+    Q("q128_grouped_weighted_sample",
+      (s, d) => Curation.weightedSampleGrouped(T.documents(s, d),
+        "doc_id", "n_chars", "lang", k = 5, salt = "s2")
+        .orderBy(col("stratum"), col("rk")),
+      Some("""WITH d AS (
+               SELECT lang AS stratum, doc_id AS id,
+                 CAST(n_chars AS BIGINT) AS weight,
+                 CAST('0x' || substr(md5('s2|' || CAST(doc_id AS VARCHAR)),
+                   1, 8) AS BIGINT) AS h
+               FROM documents WHERE n_chars > 0),
+             keyed AS (
+               SELECT stratum, id, weight,
+                 CAST(round(ln((h + 1) / 4294967296.0) / weight * 1e9)
+                   AS BIGINT) AS skey
+               FROM d),
+             ranked AS (
+               SELECT *, CAST(row_number() OVER (PARTITION BY stratum
+                 ORDER BY skey DESC, id) AS INT) AS rk
+               FROM keyed)
+             SELECT stratum, id, weight, skey, rk
+             FROM ranked WHERE rk <= 5
+             ORDER BY stratum, rk""")),
+
     // ---- Gopher quality rule set (Rae et al. 2021 appendix A): per-doc
     // structural signals + one 0/1 flag per rule + composite keep. Rules
     // decide by exact integer cross-multiplication (never a float

@@ -57,6 +57,48 @@ object ChangelogStreams {
       .start()
   }
 
+  /** Streaming incremental VIEW maintenance: carry (aggregate artifact,
+    * snapshot) and fold each micro-batch with
+    * [[graft.operators.IncrementalAgg.maintain]] — per-trigger work is
+    * O(batch + affected keys); `sink` receives the current aggregate.
+    * Same state rules as [[changelogStateStream]] (both frames
+    * checkpoint BEFORE either swaps — a retry must never see an agg
+    * from one fold and a snapshot from another). */
+  def incrementalViewStream(log: DataFrame, keyCols: Seq[String],
+      ordCols: Seq[String], opCol: String, tombstoneOp: String,
+      groupCol: String, valueMicroCol: String)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    var state: Option[(DataFrame, DataFrame)] = None
+    var lastFolded = -1L
+    log.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (batchId > lastFolded) {
+          val (agg0, snap0) = state match {
+            case Some((agg, snap)) =>
+              graft.operators.IncrementalAgg.maintain(agg, snap, batch,
+                keyCols, ordCols, opCol, tombstoneOp, groupCol,
+                valueMicroCol)
+            case None =>
+              val snap = Changelog.latestState(batch, keyCols, ordCols,
+                opCol, tombstoneOp, dropTombstones = false)
+              val agg = graft.operators.IncrementalAgg.contrib(
+                snap.filter(col(opCol) =!= lit(tombstoneOp)), groupCol,
+                valueMicroCol)
+              (agg, snap)
+          }
+          val aggC = boundedCheckpoint(agg0)
+          val snapC =
+            try boundedCheckpoint(snap0)
+            catch { case e: Throwable => unpin(aggC); throw e }
+          state.foreach { case (a, s) => unpin(a); unpin(s) }
+          state = Some((aggC, snapC))
+          lastFolded = batchId
+        }
+        sink(state.get._1, batchId)
+      }
+      .start()
+  }
+
   private def unpin(df: DataFrame): Unit = CacheScope.unpinCheckpoint(df)
 
   private def boundedCheckpoint(df: DataFrame): DataFrame = {

@@ -104,6 +104,28 @@ class ChangelogSpec extends SparkSpec {
     assert(resurrected.count() === 1L)
   }
 
+  test("vacuum drops only sub-watermark tombstones; premature vacuum resurrects") {
+    val log = Seq(
+      (1L, 10L, 1L, "del", "old-dead"),   // below watermark → droppable
+      (2L, 90L, 2L, "del", "fresh-dead"), // inside horizon → must stay
+      (3L, 5L, 3L, "put", "old-live"))    // live rows never vacuumed
+    val snap = Changelog.latestState(df(log), K, O, "op", "del",
+      dropTombstones = false)
+    val vac = Changelog.vacuum(snap, "op", "del",
+      org.apache.spark.sql.functions.col("ts") < 50L)
+    assert(collect(vac).keySet === Set(2L, 3L))
+    // Safe case: a post-watermark delta can't reference key 1 (contract),
+    // so merging against the vacuumed snapshot equals the full collapse.
+    val delta = Seq((3L, 60L, 4L, "put", "newer"))
+    assert(collect(Changelog.mergeSnapshot(vac, df(delta), K, O, "op", "del"))
+      === collect(Changelog.latestState(df(log ++ delta), K, O, "op", "del")))
+    // Premature case: an old update for key 1 arriving AFTER the vacuum
+    // resurrects — the trap the watermark contract exists to prevent.
+    val late = Seq((1L, 8L, 5L, "put", "stale"))
+    assert(Changelog.mergeSnapshot(vac, df(late), K, O, "op", "del")
+      .filter(org.apache.spark.sql.functions.col("k") === 1L).count() === 1L)
+  }
+
   test("n_log_rows accumulates across repeated merges") {
     val rows = gen(7, 120)
     val (a, rest) = rows.splitAt(40)

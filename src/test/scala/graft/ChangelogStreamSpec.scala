@@ -77,6 +77,47 @@ class ChangelogStreamSpec extends SparkSpec {
     } || perTrigger.head._2.keySet != perTrigger.last._2.keySet)
   }
 
+  test("incremental view stream == rebuild per trigger") {
+    // op doubles as the group (the q127 shape); value column as micros.
+    val rows = gen(33, 90).map { case (k, ts, seq, op, _) =>
+      (k, ts, seq, if (op == "del") "del" else s"g${k % 3}", (k * 100 + seq))
+    }
+    val splits = Seq(rows.slice(0, 30), rows.slice(30, 60), rows.slice(60, 90))
+    val tmp = java.nio.file.Files.createTempDirectory("view_stream").toString
+    splits.zipWithIndex.foreach { case (part, i) =>
+      if (i > 0) Thread.sleep(1100)
+      part.toDF("k", "ts", "seq", "op", "v").coalesce(1)
+        .write.mode("append").parquet(s"$tmp/in")
+    }
+    val stream = spark.readStream.schema(StructType(Seq(
+        StructField("k", LongType), StructField("ts", LongType),
+        StructField("seq", LongType), StructField("op", StringType),
+        StructField("v", LongType))))
+      .option("maxFilesPerTrigger", 1).option("latestFirst", "false")
+      .parquet(s"$tmp/in")
+    val perTrigger = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Map[String, (Long, Long)])]
+    val q = ChangelogStreams.incrementalViewStream(stream, Seq("k"),
+      Seq("ts", "seq"), "op", "del", "op", "v") { (agg, id) =>
+      perTrigger += (id -> agg.collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap)
+    }
+    q.processAllAvailable()
+    q.stop()
+    assert(perTrigger.size === 3)
+    perTrigger.foreach { case (id, got) =>
+      val delivered = splits.take(id.toInt + 1).flatten
+      val want = delivered.groupBy(_._1).values
+        .map(g => g.maxBy(r => (r._2, r._3)))
+        .filter(_._4 != "del")
+        .groupBy(_._4)
+        .map { case (grp, rs) =>
+          grp -> (rs.size.toLong, rs.map(_._5).sum)
+        }
+      assert(got === want, s"trigger $id diverges from rebuild")
+    }
+  }
+
   test("a tombstone keeps a late-arriving older update dead across triggers") {
     val t1 = Seq((5L, 100L, 10L, "del", "gone"))
     val t2 = Seq((5L, 50L, 5L, "put", "stale"), (6L, 60L, 6L, "put", "live"))
