@@ -553,4 +553,39 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("n_id"), col("rank"), col("adist"))
   }
+
+  /**
+   * Contrastive pair mining over a LABELED embedding table: per query,
+   * the hardest positive (same label, LOWEST cosine — the pair a
+   * metric-learning loss must pull together) and the hardest negative
+   * (different label, HIGHEST cosine — the pair it must push apart).
+   * The mining step behind triplet/InfoNCE training set construction.
+   *
+   * Same scale shape as [[bruteForceTopK]] (broadcast query side, one
+   * corpus scan, codegen'd VectorDot in-order folds so the argmin/argmax
+   * is engine-portable — q130's oracle replays it in DuckDB); ties
+   * break to the smaller neighbor id via lexicographic struct extremes,
+   * no window needed.
+   */
+  def hardPairs(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      col(labelCol).as("q_lab"))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      col(labelCol).as("n_lab"))
+    val sims = c.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
+    val pos = sims.filter(col("q_lab") === col("n_lab"))
+      .groupBy(col("q_id"))
+      .agg(min(struct(col("sim"), col("n_id"))).as("p"))
+      .select(col("q_id"), col("p.n_id").as("pos_id"),
+        round(col("p.sim"), 6).as("pos_sim"))
+    val neg = sims.filter(col("q_lab") =!= col("n_lab"))
+      .groupBy(col("q_id"))
+      .agg(max(struct(col("sim"), (-col("n_id")).as("nid"))).as("n"))
+      .select(col("q_id"), (-col("n.nid")).as("neg_id"),
+        round(col("n.sim"), 6).as("neg_sim"))
+    pos.join(neg, Seq("q_id"))
+  }
 }

@@ -590,6 +590,44 @@ object LlmQueries {
                  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
                FROM sims) WHERE rn = 1""")),
 
+    // ---- Contrastive pair mining (Similarity.hardPairs): per query the
+    // hardest POSITIVE (same label, lowest cosine) and hardest NEGATIVE
+    // (different label, highest cosine) — the triplet/InfoNCE training-
+    // set construction step, exercised on the labeled embeddings table.
+    // Same broadcast-query/in-order-fold discipline as q46, so the
+    // argmin/argmax replays exactly in DuckDB.
+    Q("q130_hard_pairs",
+      (s, d) => {
+        val v = T.embeddings(s, d)
+        graft.operators.Similarity.hardPairs(
+          v, v.filter(col("vec_id") < 100), "vec_id", "embedding", "label")
+          .orderBy(col("q_id"))
+      },
+      Some("""WITH v AS (
+               SELECT vec_id, label,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+               FROM embeddings),
+             q AS (SELECT vec_id AS q_id, label AS q_lab, emb AS q_emb
+                   FROM v WHERE vec_id < 100),
+             sims AS (
+               SELECT q_id, q_lab, vec_id AS n_id, label AS n_lab,
+                 list_inner_product(q_emb, emb) /
+                   (sqrt(list_inner_product(q_emb, q_emb)) *
+                    sqrt(list_inner_product(emb, emb))) AS sim
+               FROM q CROSS JOIN v WHERE q_id <> vec_id),
+             pos AS (
+               SELECT q_id, n_id AS pos_id, round(sim, 6) AS pos_sim FROM (
+                 SELECT q_id, n_id, sim, row_number() OVER (
+                   PARTITION BY q_id ORDER BY sim ASC, n_id) AS rn
+                 FROM sims WHERE q_lab = n_lab) WHERE rn = 1),
+             neg AS (
+               SELECT q_id, n_id AS neg_id, round(sim, 6) AS neg_sim FROM (
+                 SELECT q_id, n_id, sim, row_number() OVER (
+                   PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+                 FROM sims WHERE q_lab <> n_lab) WHERE rn = 1)
+             SELECT q_id, pos_id, pos_sim, neg_id, neg_sim
+             FROM pos JOIN neg USING (q_id) ORDER BY q_id""")),
+
     // ---- Marker-token language ID (oracle-checked: identical scoring).
     Q("q47_lang_id",
       (s, d) => TextAnalysis.langId(T.documents(s, d), "doc_id", "text")
@@ -1580,6 +1618,74 @@ object LlmQueries {
              FROM documents d
              LEFT JOIN scored s ON s.doc_id = d.doc_id
              WHERE d.source <> 'src0'""")),
+
+    // ---- CCNet head/middle/tail bucketing: q80's cross-entropy cut
+    // into per-lang terciles (head = closest to the reference LM) — the
+    // published CCNet pipeline's quality-stratification stage, and the
+    // q108 ntile discipline applied to a model score. Bucket means are
+    // micro-int sums (the rounded score is already on a 1e-6 grid) so
+    // the per-bucket averages are association-free.
+    Q("q129_ccnet_buckets",
+      (s, d) => {
+        val docs = T.documents(s, d)
+        val scored = TextAnalysis.lmCrossEntropy(
+          docs.filter(col("source") =!= "src0"), "doc_id", "text",
+          docs.filter(col("source") === "src0"), "text")
+          .withColumnRenamed("id", "doc_id")
+        val withLang = scored.join(
+          docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        val byLang = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang"))
+          .orderBy(col("cross_entropy"), col("doc_id"))
+        withLang
+          .withColumn("bucket", ntile(3).over(byLang))
+          .withColumn("ce_micro",
+            round(col("cross_entropy") * 1e6).cast("long"))
+          .groupBy(col("lang"), col("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            round((sum(col("ce_micro")) / count(lit(1))) / 1e6, 6)
+              .as("avg_ce"))
+          .orderBy(col("lang"), col("bucket"))
+      },
+      Some("""WITH ref_toks AS (
+               SELECT tok FROM (
+                 SELECT unnest(string_split_regex(text, '\s+')) AS tok
+                 FROM documents WHERE source = 'src0')
+               WHERE tok <> ''),
+             lm AS (SELECT tok, count(*) AS c FROM ref_toks GROUP BY tok),
+             stats AS (
+               SELECT sum(c) AS n_ref, count(*) AS v_ref FROM lm),
+             doc_toks AS (
+               SELECT doc_id, tok FROM (
+                 SELECT doc_id,
+                   unnest(string_split_regex(text, '\s+')) AS tok
+                 FROM documents WHERE source <> 'src0')
+               WHERE tok <> ''),
+             sc AS (
+               SELECT t.doc_id,
+                 round(-avg(ln((coalesce(l.c, 0) + CAST(1 AS DOUBLE)) /
+                   (s.n_ref + s.v_ref + 1))), 6) AS ce
+               FROM doc_toks t
+               LEFT JOIN lm l ON l.tok = t.tok
+               CROSS JOIN stats s
+               GROUP BY t.doc_id),
+             all_docs AS (
+               SELECT d.doc_id, d.lang,
+                 CASE WHEN s.ce IS NULL THEN 0.0 ELSE s.ce END AS ce
+               FROM documents d
+               LEFT JOIN sc s ON s.doc_id = d.doc_id
+               WHERE d.source <> 'src0'),
+             bucketed AS (
+               SELECT lang,
+                 CAST(ntile(3) OVER (PARTITION BY lang
+                   ORDER BY ce, doc_id) AS INT) AS bucket,
+                 CAST(round(ce * 1e6) AS BIGINT) AS ce_micro
+               FROM all_docs)
+             SELECT lang, bucket, count(*) AS n_docs,
+               round((CAST(sum(ce_micro) AS BIGINT) / count(*)) / 1e6, 6)
+                 AS avg_ce
+             FROM bucketed GROUP BY lang, bucket
+             ORDER BY lang, bucket""")),
 
     // ---- Corpus vocabulary + coverage curve (the frequency-cutoff step
     // before tokenizer/vocab training): top-500 tokens by count (ties →
