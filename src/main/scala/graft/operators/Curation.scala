@@ -324,6 +324,19 @@ object Curation {
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
       k: Int, salt: String = ""): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
+    aesKeys(df, idCol, weightCol, salt)
+      .orderBy(col("skey").desc, col("id"))
+      .limit(k)
+  }
+
+  /** The keyed-but-unlimited A-ES frame behind [[weightedSample]]:
+    * (id, weight, skey). Exposed so the streaming reservoir
+    * ([[graft.streaming.ArtifactStreams.weightedReservoirStream]]) can
+    * fold per-batch keys into a carried top-k — the A-ES key makes
+    * "top-k of union of top-k's == global top-k" hold, which is the
+    * associativity a streaming reservoir needs. */
+  private[graft] def aesKeys(df: DataFrame, idCol: String,
+      weightCol: String, salt: String): DataFrame =
     df.select(col(idCol).as("id"),
         col(weightCol).cast("long").as("weight"))
       .filter(col("weight") > 0)
@@ -334,9 +347,6 @@ object Curation {
         round(log((col("h") + 1) / lit(4294967296.0)) / col("weight")
           * lit(1e9)).cast("long"))
       .select(col("id"), col("weight"), col("skey"))
-      .orderBy(col("skey").desc, col("id"))
-      .limit(k)
-  }
 
   /** Per-stratum [[weightedSample]]: k winners per stratum (balanced
     * coverage with weight bias inside each — the mixture-sampling

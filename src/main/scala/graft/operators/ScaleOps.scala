@@ -46,4 +46,29 @@ object ScaleOps {
   /** True if the executed plan of `df` contains a shuffle exchange. */
   def hasShuffle(df: DataFrame): Boolean =
     df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+
+  /**
+   * Small-file compaction: rewrite a parquet directory into
+   * ⌈totalBytes / targetBytes⌉ files. The operational counterpart of
+   * the layout ops above — long-running ingestion (each trigger writing
+   * a few files) degrades a table into thousands of KB-sized files
+   * whose per-file open/footer cost dominates scans; periodic
+   * compaction restores the scan-friendly shape. Uses the actual
+   * on-disk byte total (not row counts — compression ratio varies), one
+   * round-robin repartition, one write. Returns the file count chosen.
+   * At 100 TB this runs per partition-directory, not per table, and
+   * z-ordered tables compact via [[ZOrder.clusterByZ]] instead so the
+   * layout survives.
+   */
+  def compact(spark: SparkSession, inDir: String, outDir: String,
+      targetBytes: Long): Int = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val path = new org.apache.hadoop.fs.Path(inDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val total = fs.getContentSummary(path).getLength
+    val n = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(inDir).repartition(n)
+      .write.mode("overwrite").parquet(outDir)
+    n
+  }
 }

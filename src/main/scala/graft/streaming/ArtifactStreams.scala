@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.operators.{CacheScope, Pca}
@@ -62,4 +63,20 @@ object ArtifactStreams {
     foldStream(vecs)(
       b => Pca.momentsMicro(b, vecCol, dim),
       (s, b) => Pca.mergeMoments(s, Pca.momentsMicro(b, vecCol, dim)))(sink)
+
+  /** Streaming weighted reservoir (A-ES over an unbounded stream): the
+    * carried artifact is the current top-k by the q120 nano-key, and
+    * because the key is a pure row property, "top-k of (carried top-k ∪
+    * batch keys)" equals the batch-mode sample over everything ever
+    * seen — O(k) state, no key ever revisited. */
+  def weightedReservoirStream(rows: DataFrame, idCol: String,
+      weightCol: String, k: Int, salt: String = "")(
+      sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    def topK(df: DataFrame): DataFrame =
+      df.orderBy(col("skey").desc, col("id")).limit(k)
+    foldStream(rows)(
+      b => topK(graft.operators.Curation.aesKeys(b, idCol, weightCol, salt)),
+      (s, b) => topK(s.unionByName(
+        graft.operators.Curation.aesKeys(b, idCol, weightCol, salt))))(sink)
+  }
 }

@@ -43,4 +43,23 @@ class ScaleOpsSpec extends SparkSpec {
       .select("k", "v", "name").as[(Long, Int, String)].collect().sorted
     assert(salted.toSeq == plain.toSeq)
   }
+
+  test("compact rewrites a many-small-file dir to the byte-targeted count") {
+    val tmp = java.nio.file.Files.createTempDirectory("compact").toString
+    val df = (1 to 20000).map(i => (i.toLong, s"row-padding-$i"))
+      .toDF("id", "s")
+    df.repartition(40).write.parquet(s"$tmp/in")
+    def files(dir: String) = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files(s"$tmp/in") === 40)
+    val total = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+      .getContentSummary(new org.apache.hadoop.fs.Path(s"$tmp/in"))
+      .getLength
+    val n = ScaleOps.compact(spark, s"$tmp/in", s"$tmp/out", total / 3)
+    assert(n >= 3 && n <= 4)
+    assert(files(s"$tmp/out") === n)
+    // Content survives the rewrite.
+    assert(spark.read.parquet(s"$tmp/out").count() === 20000L)
+  }
 }

@@ -37,6 +37,37 @@ class WeightedSampleSpec extends SparkSpec {
     }
   }
 
+  test("streaming reservoir == batch sample over everything delivered") {
+    import org.apache.spark.sql.types._
+    val rows: Seq[(Long, Long)] = (0L until 90L).map(i => i -> (i % 13 + 1))
+    val splits = Seq(rows.slice(0, 30), rows.slice(30, 60), rows.slice(60, 90))
+    val tmp = java.nio.file.Files.createTempDirectory("reservoir").toString
+    splits.zipWithIndex.foreach { case (part, i) =>
+      if (i > 0) Thread.sleep(1100)
+      part.toDF("doc_id", "w").coalesce(1)
+        .write.mode("append").parquet(s"$tmp/in")
+    }
+    val stream = spark.readStream.schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("w", LongType))))
+      .option("maxFilesPerTrigger", 1).option("latestFirst", "false")
+      .parquet(s"$tmp/in")
+    val perTrigger = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
+    val q = graft.streaming.ArtifactStreams.weightedReservoirStream(
+      stream, "doc_id", "w", k = 8, salt = "rs") { (res, id) =>
+      perTrigger += (id -> res.collect().map(_.getLong(0)).toSeq.sorted)
+    }
+    q.processAllAvailable()
+    q.stop()
+    assert(perTrigger.size === 3)
+    perTrigger.foreach { case (id, got) =>
+      val delivered = splits.take(id.toInt + 1).flatten
+      val want = Curation.weightedSample(delivered.toDF("doc_id", "w"),
+        "doc_id", "w", k = 8, salt = "rs")
+        .collect().map(_.getLong(0)).toSeq.sorted
+      assert(got === want, s"trigger $id diverges from batch sample")
+    }
+  }
+
   test("inclusion frequency tracks weight: heavy item wins ~w/(W) of draws") {
     // One item at weight 200 among 99 at weight 1: P(win at k=1) = 200/299.
     val rows = (0L until 99L).map(_ -> 1L) :+ (999L -> 200L)
