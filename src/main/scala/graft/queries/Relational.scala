@@ -1360,6 +1360,79 @@ object Relational {
                SELECT * FROM w WHERE rn = 1 AND event_type <> 'error')
              SELECT event_type, count(*) AS n_users,
                round(CAST(sum(v_micro) AS BIGINT) / 1e6, 6) AS sum_value
-             FROM live GROUP BY event_type ORDER BY event_type"""))
+             FROM live GROUP BY event_type ORDER BY event_type""")),
+
+    // ---- Winsorized robust statistics: clamp prices into the [p1, p99]
+    // band READ OFF THE q119 HISTOGRAM ARTIFACT (integer thresholds —
+    // no second exact-percentile pass over the corpus), then per-flag
+    // winsorized means + clip counts. The robust-stats consumer the
+    // quantile artifact exists to serve: outlier-trimmed aggregates
+    // whose thresholds cost O(buckets), not a corpus sort.
+    Q("q131_winsorized_stats",
+      (s, d) => {
+        import graft.operators.Sketches
+        val cents = T.lineitem(s, d).select(col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long").as("v"))
+        val th = Sketches
+          .histQuantiles(Sketches.histBuild(cents, "v"), Seq(1, 99))
+          .agg(min(when(col("pct") === 1, col("est"))).as("lo"),
+            min(when(col("pct") === 99, col("est"))).as("hi"))
+        cents.crossJoin(broadcast(th))
+          .select(col("l_returnflag"),
+            greatest(col("lo"), least(col("hi"), col("v"))).as("w"),
+            (col("v") < col("lo")).cast("long").as("cl"),
+            (col("v") > col("hi")).cast("long").as("ch"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), sum(col("w")).as("sw"),
+            sum(col("cl")).as("clipped_low"),
+            sum(col("ch")).as("clipped_high"))
+          .select(col("l_returnflag"), col("n"),
+            round(col("sw") / col("n") / 100.0, 6).as("winsorized_mean"),
+            col("clipped_low"), col("clipped_high"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH v0 AS (
+               SELECT l_returnflag,
+                 CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+               FROM lineitem),
+             b AS (
+               SELECT CASE WHEN v <= 15 THEN v
+                 ELSE 16 + (length(bin(v)) - 5) * 8 +
+                   ((v >> (length(bin(v)) - 4)) - 8) END AS idx
+               FROM v0),
+             h AS (SELECT idx, count(*) AS cnt FROM b GROUP BY idx),
+             c AS (
+               SELECT idx,
+                 CAST(sum(cnt) OVER (ORDER BY idx) AS BIGINT) AS cum,
+                 CAST(sum(cnt) OVER () AS BIGINT) AS n
+               FROM h),
+             p AS (SELECT CAST(unnest([1, 99]) AS INT) AS pct),
+             sel AS (
+               SELECT p.pct, min(c.idx) AS idx
+               FROM p JOIN c
+                 ON c.cum >= (CAST(p.pct AS BIGINT) * c.n + 99) // 100
+               GROUP BY p.pct),
+             est AS (
+               SELECT pct,
+                 CAST(CASE WHEN idx <= 15 THEN idx
+                   ELSE (((CAST(8 + (idx - 16) % 8 AS BIGINT)
+                            << (1 + (idx - 16) // 8)) +
+                          (CAST(9 + (idx - 16) % 8 AS BIGINT)
+                            << (1 + (idx - 16) // 8)) - 1) >> 1)
+                   END AS BIGINT) AS est
+               FROM sel),
+             th AS (
+               SELECT min(CASE WHEN pct = 1 THEN est END) AS lo,
+                 min(CASE WHEN pct = 99 THEN est END) AS hi
+               FROM est)
+             SELECT l_returnflag, count(*) AS n,
+               round(CAST(sum(greatest(lo, least(hi, v))) AS BIGINT)
+                 / count(*) / 100.0, 6) AS winsorized_mean,
+               CAST(sum(CASE WHEN v < lo THEN 1 ELSE 0 END) AS BIGINT)
+                 AS clipped_low,
+               CAST(sum(CASE WHEN v > hi THEN 1 ELSE 0 END) AS BIGINT)
+                 AS clipped_high
+             FROM v0 CROSS JOIN th
+             GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }
