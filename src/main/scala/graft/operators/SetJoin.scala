@@ -77,6 +77,53 @@ object SetJoin {
       .select(col("a"), col("b"), col("inter"), col("sz_a"), col("sz_b"))
   }
 
+  /** Incremental face of [[prefixJaccardJoin]]: probe a BATCH against a
+    * CORPUS for cross pairs with Jaccard ≥ num/den — the exact
+    * counterpart of [[Dedup.incrementalMinhash]] (LSH probes are
+    * approximate; this one misses nothing, which the q132 naive-join
+    * oracle proves). Both sides rank by the CORPUS's df order (shingles
+    * the corpus has never seen get df 0 — rarest-first), so the prefix
+    * lemma's single global order covers the cross pair. The corpus
+    * prefix table is the storable artifact: at a fixed threshold it's a
+    * pure function of the corpus, reusable per batch like the band
+    * table. Output: a (batch id), b (corpus id), inter, sz_a, sz_b. */
+  def prefixJaccardProbe(batch: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, n: Int = 3, num: Int = 1,
+      den: Int = 2): DataFrame = {
+    require(num > 0 && den > 0 && num <= den, s"bad threshold $num/$den")
+    val bt = CacheScope.pin(shingles(batch, idCol, textCol, n))
+    val ct = CacheScope.pin(shingles(corpus, idCol, textCol, n))
+    val dfreq = ct.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    def prefixOf(tk: DataFrame): DataFrame = {
+      val sz = tk.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+      tk.join(dfreq, Seq("s"), "left")
+        .na.fill(0L, Seq("df"))
+        .withColumn("pos", row_number().over(
+          Window.partitionBy(col("id")).orderBy(col("df"), col("s"))))
+        .join(sz, Seq("id"))
+        .filter(col("pos") <= col("sz") -
+          expr(s"(CAST($num AS BIGINT) * sz + ${den - 1}) div $den") + 1)
+        .select(col("id"), col("s"), col("sz"))
+    }
+    val bp = prefixOf(bt)
+    val cp = prefixOf(ct)
+    val cand = bp.as("x").join(cp.as("y"),
+        col("x.s") === col("y.s") &&
+          lit(num) * col("x.sz") <= lit(den) * col("y.sz") &&
+          lit(num) * col("y.sz") <= lit(den) * col("x.sz"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        col("x.sz").as("sz_a"), col("y.sz").as("sz_b"))
+      .distinct()
+    cand
+      .join(bt.select(col("id").as("a"), col("s")), Seq("a"))
+      .join(ct.select(col("id").as("b"), col("s")), Seq("b", "s"))
+      .groupBy(col("a"), col("b"), col("sz_a"), col("sz_b"))
+      .agg(count(lit(1)).as("inter"))
+      .filter(lit(den + num) * col("inter") >=
+        lit(num) * (col("sz_a") + col("sz_b")))
+      .select(col("a"), col("b"), col("inter"), col("sz_a"), col("sz_b"))
+  }
+
   /** Distinct word n-gram shingles per doc: (id, s). */
   private[graft] def shingles(docs: DataFrame, idCol: String,
       textCol: String, n: Int): DataFrame =

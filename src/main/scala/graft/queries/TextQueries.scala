@@ -834,6 +834,50 @@ object TextQueries {
              JOIN sizes sa ON a = sa.doc_id
              JOIN sizes sb ON b = sb.doc_id
              WHERE 3 * inter >= sa.sz + sb.sz
+             ORDER BY a, b""")),
+
+    // ---- Incremental EXACT near-dup probe (SetJoin.prefixJaccardProbe):
+    // even-id docs as the arriving batch, odd-id docs as the stored
+    // corpus — cross pairs at Jaccard ≥ 1/2 with both sides ranked by
+    // the CORPUS's rarity order (unseen shingles df 0). The exact
+    // counterpart of q75's LSH probe; the naive cross-join oracle proves
+    // the prefix rule misses nothing.
+    Q("q132_prefix_probe",
+      (s, d) => {
+        val docs = T.documents(s, d)
+        graft.operators.SetJoin.prefixJaccardProbe(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+          "doc_id", "text", n = 3, num = 1, den = 2)
+          .orderBy(col("a"), col("b"))
+      },
+      Some("""WITH toks AS (
+               SELECT doc_id, i AS pos, toks[i] AS tok
+               FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                     FROM documents),
+                    LATERAL (SELECT unnest(generate_series(1, len(toks)))
+                             AS i)
+               WHERE toks[i] <> ''),
+             sh AS (
+               SELECT DISTINCT doc_id,
+                 tok || ' ' || lead(tok, 1) OVER w || ' ' ||
+                   lead(tok, 2) OVER w AS s
+               FROM toks
+               WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+               QUALIFY lead(tok, 2) OVER w IS NOT NULL),
+             sizes AS (SELECT doc_id, count(*) AS sz FROM sh
+                       GROUP BY doc_id),
+             shared AS (
+               SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+               FROM sh x JOIN sh y ON x.s = y.s
+               WHERE x.doc_id % 2 = 0 AND y.doc_id % 2 = 1
+               GROUP BY 1, 2)
+             SELECT a, b, CAST(inter AS BIGINT) AS inter,
+               sa.sz AS sz_a, sb.sz AS sz_b
+             FROM shared
+             JOIN sizes sa ON a = sa.doc_id
+             JOIN sizes sb ON b = sb.doc_id
+             WHERE 3 * inter >= sa.sz + sb.sz
              ORDER BY a, b"""))
   )
 

@@ -57,6 +57,35 @@ class SetJoinSpec extends SparkSpec {
     }
   }
 
+  test("probe matches brute-force cross pairs, incl. unseen-shingle batches") {
+    for (seed <- 4 to 5) {
+      val rows = gen(seed)
+      // Batch: half the docs PLUS one doc whose vocabulary the corpus
+      // has never seen (every shingle at df 0 — the rarest-first path).
+      val (batchBase, corpus) = rows.partition(_._1 % 2 == 0)
+      val batch = batchBase :+ (9999L -> "zz1 zz2 zz3 zz4 zz5 zz6")
+      val got = SetJoin.prefixJaccardProbe(batch.toDF("doc_id", "text"),
+          corpus.toDF("doc_id", "text"), "doc_id", "text",
+          n = 3, num = 1, den = 2)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+      // Brute force over the cross product (reuse the self-join
+      // reference on re-keyed ids: batch ids stay, corpus ids offset).
+      def sh(t: String): Set[String] = {
+        val toks = t.split("\\s+").filter(_.nonEmpty)
+        toks.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+      }
+      val want = (for {
+        (a, ta) <- batch; (b, tb) <- corpus
+        sa = sh(ta); sb = sh(tb) if sa.nonEmpty && sb.nonEmpty
+        inter = (sa & sb).size.toLong
+        if 3 * inter >= sa.size + sb.size
+      } yield (a, b, inter, sa.size.toLong, sb.size.toLong)).toSet
+      assert(got === want, s"seed=$seed")
+    }
+  }
+
   test("the prefix index is genuinely smaller than the full index") {
     val rows = gen(7)
     val docs = rows.toDF("doc_id", "text")
