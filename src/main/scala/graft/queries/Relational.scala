@@ -1433,6 +1433,98 @@ object Relational {
                CAST(sum(CASE WHEN v > hi THEN 1 ELSE 0 END) AS BIGINT)
                  AS clipped_high
              FROM v0 CROSS JOIN th
-             GROUP BY l_returnflag ORDER BY l_returnflag"""))
+             GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- Event-type transition matrix (first-order Markov over each
+    // user's time-ordered stream): the behavioral-model summary next to
+    // q100's fixed funnel — which steps actually follow which. One
+    // user-keyed window + one (from, to) count; probabilities divide
+    // exact integers per from-row.
+    Q("q133_markov_transitions",
+      (s, d) => {
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_ns"), col("event_id"))
+        val trans = T.events(s, d)
+          .withColumn("to_type", lead(col("event_type"), 1).over(byUser))
+          .filter(col("to_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("n"))
+        val fromTotals = trans.groupBy(col("from_type"))
+          .agg(sum(col("n")).as("n_from"))
+        trans.join(fromTotals, Seq("from_type"))
+          .select(col("from_type"), col("to_type"), col("n"),
+            round(col("n") / col("n_from"), 6).as("p"))
+          .orderBy(col("from_type"), col("to_type"))
+      },
+      Some("""WITH e AS (
+               SELECT user_id, event_id, event_type,
+                 epoch_ns(ts) AS ts_ns
+               FROM events),
+             t AS (
+               SELECT event_type AS from_type,
+                 lead(event_type, 1) OVER (PARTITION BY user_id
+                   ORDER BY ts_ns, event_id) AS to_type
+               FROM e),
+             trans AS (
+               SELECT from_type, to_type, count(*) AS n
+               FROM t WHERE to_type IS NOT NULL
+               GROUP BY from_type, to_type),
+             tot AS (
+               SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+               FROM trans GROUP BY from_type)
+             SELECT t.from_type, t.to_type, t.n,
+               round(t.n / tot.n_from, 6) AS p
+             FROM trans t JOIN tot USING (from_type)
+             ORDER BY t.from_type, t.to_type""")),
+
+    // ---- Top session paths (path mining over q26's sessionization):
+    // the first 5 event types of every 30-min-gap session, concatenated
+    // in time order, counted corpus-wide — "how do sessions actually
+    // start". Deterministic ordering via sort_array over (ts, event_id)
+    // structs; top-20 is a TakeOrdered.
+    Q("q134_session_paths",
+      (s, d) => {
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_ns"), col("event_id"))
+        T.events(s, d)
+          .withColumn("gap_ns",
+            col("ts_ns") - lag(col("ts_ns"), 1).over(byUser))
+          .withColumn("new_session",
+            when(col("gap_ns").isNull ||
+              col("gap_ns") > 1800000000000L, 1).otherwise(0))
+          .withColumn("session_id", sum(col("new_session"))
+            .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(expr("""concat_ws('>', slice(transform(
+              sort_array(collect_list(struct(ts_ns, event_id, event_type))),
+              x -> x.event_type), 1, 5))""").as("path"))
+          .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+          .orderBy(col("n_sessions").desc, col("path"))
+          .limit(20)
+      },
+      Some("""WITH e AS (
+               SELECT user_id, event_id, event_type,
+                 epoch_ns(ts) AS ts_ns
+               FROM events),
+             flagged AS (
+               SELECT *, CASE WHEN ts_ns - lag(ts_ns, 1) OVER w IS NULL
+                     OR ts_ns - lag(ts_ns, 1) OVER w > 1800000000000
+                   THEN 1 ELSE 0 END AS new_session
+               FROM e WINDOW w AS (PARTITION BY user_id
+                 ORDER BY ts_ns, event_id)),
+             sess AS (
+               SELECT *, sum(new_session) OVER (PARTITION BY user_id
+                 ORDER BY ts_ns, event_id ROWS UNBOUNDED PRECEDING)
+                 AS session_id
+               FROM flagged),
+             paths AS (
+               SELECT user_id, session_id,
+                 array_to_string(
+                   (list(event_type ORDER BY ts_ns, event_id))[1:5],
+                   '>') AS path
+               FROM sess GROUP BY user_id, session_id)
+             SELECT path, count(*) AS n_sessions
+             FROM paths GROUP BY path
+             ORDER BY n_sessions DESC, path LIMIT 20"""))
   )
 }
