@@ -286,6 +286,13 @@ object ScaleSmoke {
           df.withColumn("w", length(col("text")).cast("long")),
           "doc_id", "w", k = 100, salt = "smoke")
       }
+      // Exact prefix-filtered Jaccard join on the adversarial m× corpus:
+      // every original doc becomes an m-sized near-dup cluster (pairs
+      // per cluster m²/2) — candidate growth is the quantity to watch.
+      runOnce("prefix_join") {
+        graft.operators.SetJoin.prefixJaccardJoin(df, "doc_id", "text",
+          n = 3, num = 1, den = 2)
+      }
       // PCA / k-center on hash-synthesized 64-dim embeddings (generated
       // OUTSIDE the timed region — a real corpus reads them from disk).
       if (wanted("pca_moments") || wanted("kcenter")) {
