@@ -53,6 +53,25 @@ object DataChecks {
       .select(lit(name).as("check_name"), col("n_rows"),
         col("n_violations"))
 
+  /** Functional-dependency expectation lhs → rhs: keys (lhs tuples)
+    * determining MORE than one distinct rhs tuple violate; reported as
+    * the number of violating keys (not rows — the key is the unit a
+    * fixer deduplicates). One (lhs, rhs)-distinct pass + one lhs
+    * aggregation; NULL rhs counts as a value (two rows (k, NULL) and
+    * (k, 1) disagree). */
+  def functionalDependency(df: DataFrame, lhs: Seq[String],
+      rhs: Seq[String], name: String = "fd"): DataFrame = {
+    val keyed = df
+      .select((lhs ++ rhs).map(col): _*).distinct()
+      .groupBy(lhs.map(col): _*)
+      .agg(count(lit(1)).as("n_rhs"))
+    df.agg(count(lit(1)).as("n_rows"))
+      .crossJoin(keyed.agg(
+        sum(when(col("n_rhs") > 1, 1L).otherwise(0L)).as("n_violations")))
+      .select(lit(name).as("check_name"), col("n_rows"),
+        coalesce(col("n_violations"), lit(0L)).as("n_violations"))
+  }
+
   /** Referential-integrity expectation: child rows whose key misses the
     * parent (NULL child keys count as orphans — they reference nothing). */
   def fkOrphans(child: DataFrame, childKey: String, parent: DataFrame,

@@ -1525,6 +1525,58 @@ object Relational {
                FROM sess GROUP BY user_id, session_id)
              SELECT path, count(*) AS n_sessions
              FROM paths GROUP BY path
-             ORDER BY n_sessions DESC, path LIMIT 20"""))
+             ORDER BY n_sessions DESC, path LIMIT 20""")),
+
+    // ---- Functional-dependency discovery/validation (the schema-rule
+    // face of q121's value rules): does l_orderkey determine shipdate?
+    // does a part pin its supplier? — violations counted per KEY (the
+    // unit a fixer deduplicates). The cross-order FD runs over the
+    // join; two of the three genuinely fail on this corpus.
+    Q("q135_fd_checks",
+      (s, d) => {
+        import graft.operators.DataChecks
+        val li = T.lineitem(s, d)
+        DataChecks.functionalDependency(li, Seq("l_orderkey"),
+            Seq("l_shipdate"), "order_determines_shipdate")
+          .unionByName(DataChecks.functionalDependency(li,
+            Seq("l_partkey"), Seq("l_suppkey"),
+            "part_determines_supplier"))
+          .unionByName(DataChecks.functionalDependency(
+            li.join(T.orders(s, d),
+              col("l_orderkey") === col("o_orderkey")),
+            Seq("l_orderkey"), Seq("o_custkey"),
+            "order_determines_customer"))
+          .orderBy(col("check_name"))
+      },
+      Some("""WITH n_li AS (SELECT count(*) AS n FROM lineitem),
+             n_j AS (
+               SELECT count(*) AS n FROM lineitem
+               JOIN orders ON l_orderkey = o_orderkey),
+             f1 AS (
+               SELECT CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS v
+               FROM (SELECT l_orderkey, count(*) AS n FROM (
+                 SELECT DISTINCT l_orderkey, l_shipdate FROM lineitem)
+                 GROUP BY l_orderkey)),
+             f2 AS (
+               SELECT CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS v
+               FROM (SELECT l_partkey, count(*) AS n FROM (
+                 SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+                 GROUP BY l_partkey)),
+             f3 AS (
+               SELECT CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS v
+               FROM (SELECT l_orderkey, count(*) AS n FROM (
+                 SELECT DISTINCT l_orderkey, o_custkey FROM lineitem
+                 JOIN orders ON l_orderkey = o_orderkey)
+                 GROUP BY l_orderkey))
+             SELECT 'order_determines_shipdate' AS check_name,
+               n_li.n AS n_rows, f1.v AS n_violations FROM n_li, f1
+             UNION ALL SELECT 'part_determines_supplier', n_li.n, f2.v
+               FROM n_li, f2
+             UNION ALL SELECT 'order_determines_customer', n_j.n, f3.v
+               FROM n_j, f3
+             ORDER BY check_name"""))
   )
 }

@@ -37,6 +37,18 @@ class DataChecksSpec extends SparkSpec {
     assert((fk.getLong(1), fk.getLong(2)) === ((3L, 2L))) // 99 and NULL
   }
 
+  test("functional dependency counts violating KEYS, nulls as values") {
+    val df = Seq[(Long, Option[Long])](
+      (1L, Some(10L)), (1L, Some(10L)), // consistent duplicate rows: fine
+      (2L, Some(20L)), (2L, Some(21L)), // k=2 violates (two rhs)
+      (3L, None), (3L, Some(30L)),      // k=3 violates (NULL vs 30)
+      (4L, None), (4L, None))           // consistent NULLs: fine
+      .toDF("k", "v")
+    val out = DataChecks.functionalDependency(df, Seq("k"), Seq("v"))
+      .collect().head
+    assert((out.getLong(1), out.getLong(2)) === ((8L, 2L)))
+  }
+
   test("a multi-rule suite runs as one aggregation pass") {
     val df = (1 to 100).map(i => (i.toLong, i % 10)).toDF("id", "m")
     val out = DataChecks.validate(df, Seq(
