@@ -201,6 +201,30 @@ object Sketches {
         expr(histMidSql("idx")).as("est")): _*)
   }
 
+  /** Inverse lookup — CDF / percentile-rank estimation off the
+    * artifact: for each probe value, the fraction of the corpus at or
+    * below it, read as cum(bucket(v)) / n (exact integers; the bucket
+    * granularity bounds the error the same ≤1/16 way). The
+    * score-normalization primitive: turning a raw signal into "what
+    * percentile is this document" costs an O(buckets) broadcast join,
+    * not a corpus sort — and the artifact answers for values it has
+    * never seen (below-all → 0, above-all → 1). Returns (v, pct_rank
+    * rounded 6). */
+  def histPercentileRank(hist: DataFrame, probes: DataFrame,
+      valueCol: String): DataFrame = {
+    val cumB = hist.withColumn("cum", sum(col("cnt")).over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("idx"))
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    probes.select(col(valueCol).cast("long").as("v")).distinct()
+      .select(col("v"), expr(histIdxSql("v")).as("pidx"))
+      .crossJoin(broadcast(hist.agg(sum(col("cnt")).as("n"))))
+      .join(broadcast(cumB), col("pidx") >= col("idx"), "left")
+      .groupBy(col("v"), col("n"))
+      .agg(max(coalesce(col("cum"), lit(0L))).as("below"))
+      .select(col("v"), round(col("below") / col("n"), 6).as("pct_rank"))
+  }
+
   /** Estimate percentiles (integer pct values, e.g. 25/50/75/90/99) off
     * the artifact: rank ceil(pct·n/100) located in the cumulative bucket
     * walk, decoded to the bucket midpoint. O(buckets) work. Returns

@@ -1577,6 +1577,51 @@ object Relational {
                FROM n_li, f2
              UNION ALL SELECT 'order_determines_customer', n_j.n, f3.v
                FROM n_j, f3
-             ORDER BY check_name"""))
+             ORDER BY check_name""")),
+
+    // ---- CDF / percentile-rank lookup off the q119 histogram artifact
+    // (Sketches.histPercentileRank — the INVERSE of q119's quantile
+    // walk): score-normalize a probe set against the corpus price
+    // distribution with an O(buckets) broadcast join, no corpus sort.
+    // Exact integer cum/total ratios mirror bucket-for-bucket.
+    Q("q136_percentile_rank",
+      (s, d) => {
+        import graft.operators.Sketches
+        val cents = T.lineitem(s, d).select(
+          round(col("l_extendedprice") * 100).cast("long").as("v"))
+        val probes = T.lineitem(s, d)
+          .filter(col("l_orderkey") < 10)
+          .select(round(col("l_extendedprice") * 100).cast("long")
+            .as("pv"))
+        Sketches.histPercentileRank(Sketches.histBuild(cents, "v"),
+          probes, "pv").orderBy(col("v"))
+      },
+      Some("""WITH v0 AS (
+               SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+               FROM lineitem),
+             b AS (
+               SELECT CASE WHEN v <= 15 THEN v
+                 ELSE 16 + (length(bin(v)) - 5) * 8 +
+                   ((v >> (length(bin(v)) - 4)) - 8) END AS idx
+               FROM v0),
+             h AS (SELECT idx, count(*) AS cnt FROM b GROUP BY idx),
+             c AS (
+               SELECT idx,
+                 CAST(sum(cnt) OVER (ORDER BY idx) AS BIGINT) AS cum
+               FROM h),
+             tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v0),
+             probes AS (
+               SELECT DISTINCT
+                 CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+               FROM lineitem WHERE l_orderkey < 10),
+             pi AS (
+               SELECT v, CASE WHEN v <= 15 THEN v
+                 ELSE 16 + (length(bin(v)) - 5) * 8 +
+                   ((v >> (length(bin(v)) - 4)) - 8) END AS pidx
+               FROM probes)
+             SELECT pi.v,
+               round(coalesce((SELECT max(cum) FROM c
+                 WHERE c.idx <= pi.pidx), 0) / tot.n, 6) AS pct_rank
+             FROM pi CROSS JOIN tot ORDER BY pi.v"""))
   )
 }

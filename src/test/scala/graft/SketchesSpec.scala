@@ -136,6 +136,27 @@ class SketchesSpec extends SparkSpec {
       s"overestimate ${est - trueSize} breaks the envelope")
   }
 
+  test("percentile-rank lookup: endpoints, monotonicity, bucket-mass error") {
+    val r = new scala.util.Random(41)
+    val rows = (1 to 10000).map(_ =>
+      math.floor(math.pow(10, 1 + r.nextDouble() * 4)).toLong)
+    val hist = Sketches.histBuild(rows.toDF("v"), "v")
+    val probes = Seq(0L, 5L, 100L, 1000L, 10000L, 100000L, rows.max)
+    val est = Sketches.histPercentileRank(hist, probes.toDF("p"), "p")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(est(0L) === 0.0)
+    assert(est(rows.max) === 1.0)
+    val ordered = probes.sorted.map(est)
+    assert(ordered.zip(ordered.drop(1)).forall { case (a, b) => a <= b })
+    // Error vs the exact CDF is bounded by one bucket's mass.
+    val sorted = rows.sorted
+    probes.filter(_ > 0).foreach { p =>
+      val exact = sorted.count(_ <= p).toDouble / rows.size
+      assert(math.abs(est(p) - exact) <= 0.08,
+        s"p=$p est=${est(p)} exact=$exact")
+    }
+  }
+
   test("grouped hist quantiles match per-group exact within the envelope") {
     val r = new scala.util.Random(23)
     val rows = (1 to 6000).map { _ =>
