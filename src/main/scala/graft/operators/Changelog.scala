@@ -100,4 +100,88 @@ object Changelog {
       snapshot.unionByName(deltaCounted.select(snapshot.columns.map(col): _*)),
       keyCols, ordCols, opCol, tombstoneOp, dropTombstones)
   }
+
+  /** SCD Type 2: turn the mutation log into a VERSION HISTORY table —
+    * one row per non-tombstone mutation, carrying its validity interval
+    * [its ord, next mutation's ord) and a current flag. A winning
+    * tombstone emits no version but CLOSES the previous one (its ord
+    * becomes that version's `valid_to`), so a deleted key ends with a
+    * closed interval and no current row.
+    *
+    * Unlike [[latestState]], history genuinely needs per-key ORDER (each
+    * version's end is its successor's start), so this IS a window — but
+    * the output is the same size as the input and a key's cost is its
+    * own mutation count, not the corpus's: the skew exposure of a window
+    * here is bounded by the hottest key's log length, which a CDC
+    * pipeline already bounds by compaction cadence. At 100 TB the
+    * incremental form ([[scd2Merge]]) is the operating point: only the
+    * OPEN version of a touched key can ever change, so a delta reprices
+    * O(delta + touched open versions) rows and the closed history is
+    * immutable — append-only storage, never rewritten.
+    *
+    * Output: all log columns (ordCols = the version's `valid_from`),
+    * plus `valid_to_<ord1>` (first ord col of the NEXT mutation, null
+    * for open versions), `version` (1-based dense per key over emitted
+    * versions — tombstones do not consume a number, which is what makes
+    * [[scd2Merge]]'s offset arithmetic exact), and `is_current`
+    * (1 when open, else 0). Ties on ord1 between adjacent mutations
+    * yield zero-length versions — kept (they record that the state held,
+    * however briefly); ordCols must still totally order each key's log. */
+  def scd2History(log: DataFrame, keyCols: Seq[String],
+      ordCols: Seq[String], opCol: String, tombstoneOp: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(ordCols.map(col): _*)
+    val toCol = s"valid_to_${ordCols.head}"
+    log
+      .withColumn(toCol, lead(col(ordCols.head), 1).over(w))
+      .filter(col(opCol) =!= lit(tombstoneOp))
+      .withColumn("version", row_number().over(w))
+      .withColumn("is_current",
+        when(col(toCol).isNull, lit(1)).otherwise(lit(0)))
+  }
+
+  /** Incremental SCD2: fold a newer delta log into an existing history
+    * (every ord in `delta` must exceed every ord already in `history`
+    * for its key — the append-only CDC contract). Closed versions are
+    * immutable and pass through untouched; each touched key's OPEN
+    * version is re-opened as a pseudo-log row, re-versioned together
+    * with the delta, and its `version` numbers are offset by the key's
+    * closed-version count — so `scd2Merge(scd2History(a), b) ==
+    * scd2History(a ∪ b)` exactly (ChangelogSpec pins the algebra on
+    * random splits). Cost: O(|delta| + open versions of touched keys);
+    * the history table is read once and never shuffled beyond the
+    * touched-key semi/anti joins. */
+  def scd2Merge(history: DataFrame, delta: DataFrame, keyCols: Seq[String],
+      ordCols: Seq[String], opCol: String, tombstoneOp: String): DataFrame = {
+    val toCol = s"valid_to_${ordCols.head}"
+    val logCols = history.columns
+      .filterNot(c => c == toCol || c == "version" || c == "is_current")
+    val touchedKeys = delta.select(keyCols.map(col): _*).distinct()
+    val touched = history.join(touchedKeys, keyCols, "left_semi")
+    val untouched = history.join(touchedKeys, keyCols, "left_anti")
+    // Closed versions of touched keys are immutable history.
+    val touchedClosed = touched.filter(col(toCol).isNotNull)
+    val reopened = touched.filter(col(toCol).isNull)
+      .select(logCols.map(col): _*)
+    // version offset = closed-version count per key (the reopened row was
+    // version offset+1 and becomes local version 1 in the rebuild).
+    val offsets = touchedClosed
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).cast("int").as("_v_off"))
+    val rebuilt = scd2History(
+      reopened.unionByName(delta.select(logCols.map(col): _*)),
+      keyCols, ordCols, opCol, tombstoneOp)
+      .join(broadcastIfSmall(offsets), keyCols, "left")
+      .withColumn("version",
+        col("version") + coalesce(col("_v_off"), lit(0)))
+      .drop("_v_off")
+    untouched.unionByName(touchedClosed)
+      .unionByName(rebuilt.select(history.columns.map(col): _*))
+  }
+
+  /** Offsets are touched-key-sized (usually delta-sized, tiny next to
+    * history); hint broadcast and let AQE fall back if the delta is
+    * genuinely huge. */
+  private def broadcastIfSmall(df: DataFrame): DataFrame = broadcast(df)
 }

@@ -1622,6 +1622,54 @@ object Relational {
              SELECT pi.v,
                round(coalesce((SELECT max(cum) FROM c
                  WHERE c.idx <= pi.pidx), 0) / tot.n, 6) AS pct_rank
-             FROM pi CROSS JOIN tot ORDER BY pi.v"""))
+             FROM pi CROSS JOIN tot ORDER BY pi.v""")),
+
+    // ---- SCD Type 2 version history (Changelog.scd2History/scd2Merge):
+    // q114 keeps only the LATEST state; a warehouse dimension keeps every
+    // version with its validity interval. 'error' events are the
+    // tombstones — they emit no version but close the previous one. The
+    // QUERY runs the incremental path (history at a mid-month cutoff,
+    // then scd2Merge folds the rest) while the ORACLE builds the whole
+    // history in one lead-window pass — the cross-engine hash is itself
+    // the proof that merge ≡ rebuild (the q114 discipline, pointed at
+    // versioned history instead of latest-wins).
+    Q("q137_scd2_history",
+      (s, d) => {
+        val log = T.events(s, d)
+          .filter(pmod(col("user_id"), lit(50)) === 0)
+          .select(col("user_id"), col("ts_ns"), col("event_id"),
+            col("event_type"), col("value"))
+        val cut = lit(1705363200000000000L) // 2024-01-16T00:00Z as ns
+        val hist = graft.operators.Changelog.scd2History(
+          log.filter(col("ts_ns") < cut),
+          Seq("user_id"), Seq("ts_ns", "event_id"), "event_type", "error")
+        graft.operators.Changelog.scd2Merge(
+          hist, log.filter(col("ts_ns") >= cut),
+          Seq("user_id"), Seq("ts_ns", "event_id"), "event_type", "error")
+          .select(col("user_id"), col("version"), col("event_type"),
+            round(col("value"), 6).as("value"),
+            col("ts_ns").as("valid_from_ns"),
+            col("valid_to_ts_ns").as("valid_to_ns"),
+            col("is_current"))
+          .orderBy(col("user_id"), col("version"))
+      },
+      Some("""WITH log AS (
+               SELECT user_id, epoch_ns(ts) AS ts_ns, event_id,
+                 event_type, value
+               FROM events WHERE user_id % 50 = 0),
+             w AS (
+               SELECT *, lead(ts_ns) OVER (PARTITION BY user_id
+                 ORDER BY ts_ns, event_id) AS valid_to_ns
+               FROM log),
+             f AS (
+               SELECT *, CAST(row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts_ns, event_id) AS INT) AS version
+               FROM w WHERE event_type <> 'error')
+             SELECT user_id, version, event_type,
+               round(value, 6) AS value, ts_ns AS valid_from_ns,
+               valid_to_ns,
+               CASE WHEN valid_to_ns IS NULL THEN 1 ELSE 0 END
+                 AS is_current
+             FROM f ORDER BY user_id, version"""))
   )
 }

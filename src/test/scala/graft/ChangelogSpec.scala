@@ -126,6 +126,77 @@ class ChangelogSpec extends SparkSpec {
       .filter(org.apache.spark.sql.functions.col("k") === 1L).count() === 1L)
   }
 
+  // ---- SCD Type 2 (q137) ------------------------------------------------
+
+  /** Sequential SCD2 reference: per key ordered by (ts, seq), each
+    * non-tombstone emits (version, ts, seq, op, payload, valid_to_ts
+    * = next mutation's ts or None) with versions dense over emitted rows. */
+  private def scd2Reference(rows: Seq[(Long, Long, Long, String, String)])
+      : Set[(Long, Int, Long, Long, String, String, Option[Long], Int)] =
+    rows.groupBy(_._1).toSeq.flatMap { case (k, g) =>
+      val sorted = g.sortBy(r => (r._2, r._3))
+      val emitted = sorted.zipWithIndex.filter(_._1._4 != "del")
+      emitted.zipWithIndex.map { case ((r, pos), v) =>
+        val to = if (pos + 1 < sorted.size) Some(sorted(pos + 1)._2) else None
+        (k, v + 1, r._2, r._3, r._4, r._5, to,
+          if (to.isEmpty) 1 else 0)
+      }
+    }.toSet
+
+  private def collectScd2(h: DataFrame)
+      : Set[(Long, Int, Long, Long, String, String, Option[Long], Int)] =
+    h.select("k", "version", "ts", "seq", "op", "payload", "valid_to_ts",
+        "is_current")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5),
+        if (r.isNullAt(6)) None else Some(r.getLong(6)), r.getInt(7)))
+      .toSet
+
+  test("scd2History matches the sequential version-history reference") {
+    val rows = gen(11, 250)
+    assert(collectScd2(Changelog.scd2History(df(rows), K, O, "op", "del"))
+      === scd2Reference(rows))
+  }
+
+  test("scd2Merge(history, delta) == single-shot history for random ord splits") {
+    for (seed <- 12 to 15) {
+      val rows = gen(seed, 300)
+      val r = new Random(seed * 17)
+      // Split by ORD (ts, seq) threshold — the append-only CDC contract
+      // scd2Merge requires (unlike latestState, history is order-bound).
+      val cutTs = r.nextInt(20).toLong
+      val cutSeq = r.nextInt(300).toLong
+      val (a, b) = rows.partition(x =>
+        x._2 < cutTs || (x._2 == cutTs && x._3 < cutSeq))
+      val hist = Changelog.scd2History(df(a), K, O, "op", "del")
+      val merged = collectScd2(
+        Changelog.scd2Merge(hist, df(b), K, O, "op", "del"))
+      val full = collectScd2(Changelog.scd2History(df(rows), K, O, "op", "del"))
+      assert(merged === full, s"seed=$seed cut=($cutTs,$cutSeq)")
+    }
+  }
+
+  test("scd2: tombstone closes the open version and consumes no number") {
+    val rows = Seq(
+      (1L, 10L, 1L, "put", "v1"),
+      (1L, 20L, 2L, "del", "x"),
+      (1L, 30L, 3L, "put", "v2"))
+    val h = collectScd2(Changelog.scd2History(df(rows), K, O, "op", "del"))
+    assert(h === Set(
+      (1L, 1, 10L, 1L, "put", "v1", Some(20L), 0),
+      (1L, 2, 30L, 3L, "put", "v2", None, 1)))
+    // A delta carrying ONLY a tombstone closes the open version and
+    // emits no new one; an untouched key passes through bit-identically.
+    val base = Seq((1L, 10L, 1L, "put", "v1"), (2L, 10L, 2L, "put", "w1"))
+    val hist = Changelog.scd2History(df(base), K, O, "op", "del")
+    val afterDel = collectScd2(Changelog.scd2Merge(hist,
+      df(Seq((1L, 40L, 4L, "del", "x"))), K, O, "op", "del"))
+    assert(afterDel === Set(
+      (1L, 1, 10L, 1L, "put", "v1", Some(40L), 0),
+      (2L, 1, 10L, 2L, "put", "w1", None, 1)))
+  }
+
   test("n_log_rows accumulates across repeated merges") {
     val rows = gen(7, 120)
     val (a, rest) = rows.splitAt(40)
