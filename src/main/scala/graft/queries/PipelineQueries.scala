@@ -372,8 +372,61 @@ object PipelineQueries {
         graft.operators.LabelPropagation.run(edges, iters = 3)
           .orderBy(col("node_id"))
       },
-      Some(LpaSql(3)))
+      Some(LpaSql(3))),
+
+    // ---- Multi-source BFS hop distances (Bfs.hopDistances) over the q94
+    // co-purchase graph — the fourth graph statistic after centrality
+    // (q94), cohesion (q103), and membership (q123): how FAR everything
+    // is from a seed set, i.e. the k-hop-neighborhood primitive. Seeds =
+    // the customer nodes with key ≤ 5 (present at every SF). Integer
+    // hop state end-to-end; the oracle unrolls one frontier/accumulate
+    // CTE pair per hop (the q94 discipline).
+    Q("q138_bfs_hops",
+      (s, d) => {
+        val pairs = T.orders(s, d)
+          .join(T.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("cust"),
+            (col("l_suppkey") + lit(1000000000L)).as("supp"))
+          .distinct()
+        val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
+          .union(pairs.select(col("supp").as("src"), col("cust").as("dst")))
+        val seeds = T.orders(s, d)
+          .filter(col("o_custkey") <= 5)
+          .select(col("o_custkey").as("node_id")).distinct()
+        graft.operators.Bfs.hopDistances(edges, seeds, maxHops = 4)
+          .orderBy(col("node_id"))
+      },
+      Some(BfsSql(4)))
   )
+
+  /** q138 oracle: the BFS frontier recursion unrolled — per hop a
+    * frontier CTE (expand ∖ visited) and an accumulate CTE. An empty
+    * frontier contributes no rows, so the fixed unroll equals the
+    * operator's early-exit loop. */
+  private def BfsSql(maxHops: Int): String = {
+    val head = """WITH pairs AS (
+        SELECT DISTINCT o_custkey AS cust, l_suppkey + 1000000000 AS supp
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      edges AS (
+        SELECT cust AS src, supp AS dst FROM pairs
+        UNION ALL SELECT supp, cust FROM pairs),
+      d0 AS (
+        SELECT DISTINCT o_custkey AS node_id, 0 AS hops
+        FROM orders WHERE o_custkey <= 5)"""
+    val iterCtes = (1 to maxHops).map { i =>
+      val p = i - 1
+      s"""f$i AS (
+           SELECT DISTINCT e.dst AS node_id
+           FROM edges e JOIN d$p ON e.src = d$p.node_id AND d$p.hops = $p
+           WHERE e.dst NOT IN (SELECT node_id FROM d$p)),
+         d$i AS (
+           SELECT node_id, hops FROM d$p
+           UNION ALL SELECT node_id, $i AS hops FROM f$i)"""
+    }.mkString(",\n")
+    s"""$head,
+      $iterCtes
+      SELECT node_id, hops FROM d$maxHops ORDER BY node_id"""
+  }
 
   /** q123 oracle: the LPA recursion unrolled — per round a neighbor-
     * label count CTE and a row_number argmax CTE (ORDER BY cnt DESC,
