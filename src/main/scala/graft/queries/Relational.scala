@@ -1670,6 +1670,39 @@ object Relational {
                valid_to_ns,
                CASE WHEN valid_to_ns IS NULL THEN 1 ELSE 0 END
                  AS is_current
-             FROM f ORDER BY user_id, version"""))
+             FROM f ORDER BY user_id, version""")),
+
+    // ---- Exponentially-decayed trending totals (Decay.decayedTotals):
+    // per event_type, activity weighted 2^-(age in days) at a fixed
+    // reference instant — the recency-ranked "hot right now" signal next
+    // to q25's raw per-day buckets. Whole-period bucketing + integer
+    // micro round-half-up makes every 2^-p term a pure BIGINT expression
+    // both engines compute bit-identically (no float pow anywhere), and
+    // makes the (key, period) partial table a mergeable, vacuumable,
+    // re-ageable artifact (Decay scaladoc).
+    Q("q139_decayed_trends",
+      (s, d) => graft.operators.Decay.decayedTotals(
+          T.events(s, d), Seq("event_type"), "ts_ns", "value",
+          refTsNs = 1706745600000000000L, // 2024-02-01T00:00Z
+          periodNs = 86400000000000L)     // 1-day half-life
+        .orderBy(col("event_type")),
+      Some("""WITH e AS (
+               SELECT event_type,
+                 greatest(CAST(0 AS BIGINT), least(CAST(62 AS BIGINT),
+                   (1706745600000000000 - epoch_ns(ts))
+                     // 86400000000000)) AS p,
+                 CAST(round(value * 1000000) AS BIGINT) AS v
+               FROM events),
+             b AS (
+               SELECT event_type, p, count(*) AS cnt,
+                 CAST(sum(v) AS BIGINT) AS sv
+               FROM e GROUP BY event_type, p)
+             SELECT event_type,
+               CAST(sum(cnt * ((1000000 + (1 << p) // 2) // (1 << p)))
+                 AS BIGINT) AS decayed_count_u,
+               CAST(sum((sv + (1 << p) // 2) // (1 << p)) AS BIGINT)
+                 AS decayed_value_u,
+               CAST(sum(cnt) AS BIGINT) AS n_rows
+             FROM b GROUP BY event_type ORDER BY event_type"""))
   )
 }
