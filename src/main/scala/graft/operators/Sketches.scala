@@ -225,6 +225,44 @@ object Sketches {
       .select(col("v"), round(col("below") / col("n"), 6).as("pct_rank"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov distance per group, read OFF a
+    * grouped histogram artifact ([[histBuildGrouped]]): each group's CDF
+    * vs the POOLED corpus CDF (the blend, like q116's JS drift — a
+    * group is compared against the whole including itself, so a tiny
+    * outlier group can't drag its own baseline). The sup over two step
+    * functions is attained at a step point, and every group's steps are
+    * a subset of the pooled histogram's `idx` set — so evaluating
+    * |F_g − F_all| on the pooled grid is EXACT for the bucketed
+    * distributions, O(groups · buckets) work off the artifact with no
+    * corpus pass. All comparisons are integer cross-multiplications
+    * (|cum_g·n_all − cum_all·n_g|); the single rounded division happens
+    * once per group at the end. Overflow headroom: n_g·n_all must stay
+    * under 2⁶³ — exact to ~3·10⁹ rows; past that, drop to the double
+    * ratio (the bound is the q135 cross-multiplication discipline's).
+    * Returns groupCols..., n_g, ks (rounded 6). */
+  def histKsGrouped(grouped: DataFrame, groupCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gc = groupCols.map(col)
+    val all = grouped.groupBy(col("idx")).agg(sum(col("cnt")).as("cnt_all"))
+    val allCum = all.withColumn("cum_all", sum(col("cnt_all")).over(
+      Window.orderBy(col("idx"))
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    val nAll = all.agg(sum(col("cnt_all")).as("n_all"))
+    val sizes = grouped.groupBy(gc: _*).agg(sum(col("cnt")).as("n_g"))
+    val wG = Window.partitionBy(gc: _*).orderBy(col("idx"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    sizes
+      .crossJoin(broadcast(allCum))
+      .join(grouped, groupCols :+ "idx", "left")
+      .withColumn("cum_g", sum(coalesce(col("cnt"), lit(0L))).over(wG))
+      .crossJoin(broadcast(nAll))
+      .groupBy(gc :+ col("n_g") :+ col("n_all"): _*)
+      .agg(max(abs(col("cum_g") * col("n_all") -
+        col("cum_all") * col("n_g"))).as("ks_num"))
+      .select(gc :+ col("n_g") :+
+        round(col("ks_num") / (col("n_g") * col("n_all")), 6).as("ks"): _*)
+  }
+
   /** Estimate percentiles (integer pct values, e.g. 25/50/75/90/99) off
     * the artifact: rank ceil(pct·n/100) located in the cumulative bucket
     * walk, decoded to the bucket midpoint. O(buckets) work. Returns

@@ -1703,6 +1703,50 @@ object Relational {
                CAST(sum((sv + (1 << p) // 2) // (1 << p)) AS BIGINT)
                  AS decayed_value_u,
                CAST(sum(cnt) AS BIGINT) AS n_rows
-             FROM b GROUP BY event_type ORDER BY event_type"""))
+             FROM b GROUP BY event_type ORDER BY event_type""")),
+
+    // ---- Two-sample KS drift per language off the q125 grouped
+    // histogram artifact (Sketches.histKsGrouped): sup |F_lang − F_all|
+    // over doc-length CDFs — the distribution-shape drift monitor next
+    // to q116's token-mass JS divergence. Exact for the bucketed
+    // distributions (the sup of two step CDFs is attained on the pooled
+    // idx grid), O(langs · buckets) off the artifact, integer
+    // cross-multiplied comparisons with one rounded division per lang.
+    Q("q140_ks_drift",
+      (s, d) => {
+        val v = T.documents(s, d).select(col("lang"),
+          col("n_chars").cast("long").as("v"))
+        graft.operators.Sketches.histKsGrouped(
+          graft.operators.Sketches.histBuildGrouped(v, "v", Seq("lang")),
+          Seq("lang")).orderBy(col("lang"))
+      },
+      Some("""WITH v AS (
+               SELECT lang, CAST(n_chars AS BIGINT) AS v FROM documents),
+             gh AS (
+               SELECT lang, CASE WHEN v <= 15 THEN v
+                 ELSE 16 + (length(bin(v)) - 5) * 8 +
+                   ((v >> (length(bin(v)) - 4)) - 8) END AS idx,
+                 count(*) AS cnt
+               FROM v GROUP BY 1, 2),
+             ac AS (
+               SELECT idx,
+                 CAST(sum(sum(cnt)) OVER (ORDER BY idx) AS BIGINT)
+                   AS cum_all
+               FROM gh GROUP BY idx),
+             na AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_all FROM gh),
+             gs AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_g
+                    FROM gh GROUP BY lang),
+             gc AS (
+               SELECT gs.lang, gs.n_g, ac.idx, ac.cum_all,
+                 CAST(sum(coalesce(gh.cnt, 0)) OVER (
+                   PARTITION BY gs.lang ORDER BY ac.idx) AS BIGINT)
+                   AS cum_g
+               FROM gs CROSS JOIN ac
+               LEFT JOIN gh ON gh.lang = gs.lang AND gh.idx = ac.idx)
+             SELECT lang, n_g,
+               round(max(abs(cum_g * n_all - cum_all * n_g))
+                 / (n_g * n_all), 6) AS ks
+             FROM gc CROSS JOIN na
+             GROUP BY lang, n_g, n_all ORDER BY lang"""))
   )
 }

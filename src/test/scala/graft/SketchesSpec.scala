@@ -194,4 +194,51 @@ class SketchesSpec extends SparkSpec {
         .union(Sketches.histBuild(b.toDF("v"), "v"))))
     assert(merged === cells(Sketches.histBuild(rows.toDF("v"), "v")))
   }
+
+  test("grouped KS matches the sequential step-CDF sup; single group is 0") {
+    val r = new scala.util.Random(41)
+    val rows = (1 to 4000).map { _ =>
+      val g = s"g${r.nextInt(3)}"
+      // g2 deliberately shifted a decade up — real drift.
+      val base = if (g == "g2") 1000 else 100
+      (g, (base + r.nextInt(base * 9)).toLong)
+    }
+    val df = rows.toDF("g", "v")
+    val got = Sketches.histKsGrouped(
+        Sketches.histBuildGrouped(df, "v", Seq("g")), Seq("g"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+
+    // Sequential reference over the same bucketing.
+    def bucket(v: Long): Long =
+      if (v <= 15) v
+      else {
+        val nbits = 64 - java.lang.Long.numberOfLeadingZeros(v)
+        16 + (nbits - 4) * 8 + ((v >> (nbits - 4)) - 8)
+      }
+    val byBucket = rows.map { case (g, v) => (g, bucket(v)) }
+    val grid = byBucket.map(_._2).distinct.sorted
+    val nAll = rows.size.toLong
+    byBucket.groupBy(_._1).foreach { case (g, grp) =>
+      val nG = grp.size.toLong
+      val ks = grid.map { i =>
+        val cumG = grp.count(_._2 <= i).toLong
+        val cumAll = byBucket.count(_._2 <= i).toLong
+        math.abs(cumG * nAll - cumAll * nG)
+      }.max.toDouble / (nG * nAll)
+      assert(got(g)._1 === nG, s"n_g of $g")
+      assert(math.abs(got(g)._2 - ks) < 1e-6, s"ks of $g")
+    }
+    // With 3 equal groups the blend is ⅓ shifted mass, so the shifted
+    // group sits ~2× as far from the pool as each undrifted one.
+    assert(got("g2")._2 > got("g0")._2 * 1.5,
+      "the shifted group must read as the drifted one")
+
+    // One group == the pool → sup |F_g − F_all| is exactly 0.
+    val solo = rows.map { case (_, v) => ("only", v) }.toDF("g", "v")
+    val soloKs = Sketches.histKsGrouped(
+        Sketches.histBuildGrouped(solo, "v", Seq("g")), Seq("g"))
+      .collect().head.getDouble(2)
+    assert(soloKs === 0.0)
+  }
 }
