@@ -1747,6 +1747,45 @@ object Relational {
                round(max(abs(cum_g * n_all - cum_all * n_g))
                  / (n_g * n_all), 6) AS ks
              FROM gc CROSS JOIN na
-             GROUP BY lang, n_g, n_all ORDER BY lang"""))
+             GROUP BY lang, n_g, n_all ORDER BY lang""")),
+
+    // ---- Grouped OLS trend lines (Regression.olsGrouped): price-per-
+    // quantity slope and intercept per (returnflag, linestatus) from
+    // exact integer moments — the regression face of q88's moment
+    // discipline. The exact BIGINT numerator/denominator pair is part
+    // of the output, so the hash covers the algebra, not just rounded
+    // floats; y is whole dollars to keep n·Σxy inside 2⁶³ (headroom
+    // arithmetic in the scaladoc).
+    Q("q141_grouped_ols",
+      (s, d) => graft.operators.Regression.olsGrouped(
+          T.lineitem(s, d).select(col("l_returnflag"),
+            col("l_linestatus"), col("l_quantity").cast("long").as("x"),
+            round(col("l_extendedprice")).cast("long").as("y")),
+          Seq("l_returnflag", "l_linestatus"), "x", "y")
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some("""WITH v AS (
+               SELECT l_returnflag, l_linestatus,
+                 CAST(l_quantity AS BIGINT) AS x,
+                 CAST(round(l_extendedprice) AS BIGINT) AS y
+               FROM lineitem),
+             m AS (
+               SELECT l_returnflag, l_linestatus,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(x * y) AS BIGINT) AS sxy
+               FROM v GROUP BY l_returnflag, l_linestatus)
+             SELECT l_returnflag, l_linestatus, n,
+               n * sxy - sx * sy AS slope_num,
+               n * sxx - sx * sx AS slope_den,
+               CASE WHEN n * sxx - sx * sx > 0
+                 THEN round((n * sxy - sx * sy)
+                   / (n * sxx - sx * sx), 6) END AS slope,
+               CASE WHEN n * sxx - sx * sx > 0
+                 THEN round(sy / n - ((n * sxy - sx * sy)
+                     / (n * sxx - sx * sx)) * (sx / n), 6)
+                 END AS intercept
+             FROM m ORDER BY l_returnflag, l_linestatus"""))
   )
 }
