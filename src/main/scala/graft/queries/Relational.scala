@@ -1786,6 +1786,32 @@ object Relational {
                  THEN round(sy / n - ((n * sxy - sx * sy)
                      / (n * sxx - sx * sx)) * (sx / n), 6)
                  END AS intercept
-             FROM m ORDER BY l_returnflag, l_linestatus"""))
+             FROM m ORDER BY l_returnflag, l_linestatus""")),
+
+    // ---- Rolling 24 h distinct active users per hourly window start
+    // (Intervals.rollingDistinctActives): the sliding-distinct metric a
+    // per-bucket groupBy (q25) cannot express — partial distinct counts
+    // don't merge. Spark answers it exactly WITHOUT a per-position
+    // distinct via per-user gaps-and-islands coverage intervals; the
+    // oracle is the definitional count(DISTINCT) over a start×activity
+    // range join — the hash proves the interval algebra.
+    Q("q142_rolling_actives",
+      (s, d) => graft.operators.Intervals.rollingDistinctActives(
+          T.events(s, d).select(col("user_id"),
+            expr("ts_ns div 3600000000000").as("h")),
+          "user_id", "h", window = 24)
+        .orderBy(col("window_start")),
+      Some("""WITH uh AS (
+               SELECT DISTINCT user_id,
+                 epoch_ns(ts) // 3600000000000 AS h
+               FROM events),
+             starts AS (
+               SELECT DISTINCT h - off AS s
+               FROM uh CROSS JOIN (
+                 SELECT unnest(generate_series(0, 23)) AS off))
+             SELECT s AS window_start,
+               count(DISTINCT user_id) AS n_active
+             FROM starts JOIN uh ON uh.h BETWEEN s AND s + 23
+             GROUP BY s ORDER BY s"""))
   )
 }
