@@ -1812,6 +1812,52 @@ object Relational {
              SELECT s AS window_start,
                count(DISTINCT user_id) AS n_active
              FROM starts JOIN uh ON uh.h BETWEEN s AND s + 23
-             GROUP BY s ORDER BY s"""))
+             GROUP BY s ORDER BY s""")),
+
+    // ---- Keyed snapshot diff (TableDiff.rowDiff): the per-user current
+    // STATE (q114 latest-wins, tombstones dropped, payload = current
+    // event_type) at Jan 16 vs the full month — which users appeared,
+    // disappeared (tombstone-latest), or changed state. Spark ships only
+    // 16-byte md5 fingerprints through the full-outer join; the oracle
+    // computes the same statuses definitionally (IS DISTINCT FROM on the
+    // payload), so the hash proves the fingerprint semantics.
+    Q("q143_snapshot_diff",
+      (s, d) => {
+        val log = T.events(s, d).select(
+          col("user_id"), col("ts_ns"), col("event_id"), col("event_type"))
+        val cut = lit(1705363200000000000L) // 2024-01-16T00:00Z as ns
+        def snap(l: org.apache.spark.sql.DataFrame) =
+          graft.operators.Changelog.latestState(l,
+              Seq("user_id"), Seq("ts_ns", "event_id"), "event_type",
+              "error")
+            .select(col("user_id"), col("event_type"))
+        graft.operators.TableDiff.rowDiff(
+            snap(log.filter(col("ts_ns") < cut)), snap(log),
+            Seq("user_id"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH log AS (
+               SELECT user_id, epoch_ns(ts) AS ts_ns, event_id, event_type
+               FROM events),
+             sa AS (
+               SELECT user_id, event_type FROM (
+                 SELECT *, row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts_ns DESC, event_id DESC) AS rn
+                 FROM log WHERE ts_ns < 1705363200000000000)
+               WHERE rn = 1 AND event_type <> 'error'),
+             sb AS (
+               SELECT user_id, event_type FROM (
+                 SELECT *, row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts_ns DESC, event_id DESC) AS rn
+                 FROM log)
+               WHERE rn = 1 AND event_type <> 'error')
+             SELECT coalesce(sa.user_id, sb.user_id) AS user_id,
+               CASE WHEN sa.user_id IS NULL THEN 'added'
+                 WHEN sb.user_id IS NULL THEN 'removed'
+                 WHEN sa.event_type IS DISTINCT FROM sb.event_type
+                   THEN 'changed'
+                 ELSE 'unchanged' END AS status
+             FROM sa FULL OUTER JOIN sb ON sa.user_id = sb.user_id
+             ORDER BY user_id"""))
   )
 }
