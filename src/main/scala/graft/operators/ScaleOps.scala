@@ -71,4 +71,48 @@ object ScaleOps {
       .write.mode("overwrite").parquet(outDir)
     n
   }
+
+  /**
+   * Global 1-based row numbers in `sortCols` order WITHOUT the
+   * single-partition global Window (`row_number() OVER (ORDER BY …)`
+   * moves the ENTIRE dataset to one task — the canonical scale-killer,
+   * and exactly what the oracle does, which is the point of the q144
+   * hash compare). The distributed zipWithIndex: range-partition on the
+   * sort key, sort within partitions, count rows per partition (O(P)
+   * driver state, one lightweight job), broadcast the prefix offsets,
+   * and number each partition locally — no row ever leaves its range
+   * partition after the ONE range shuffle. The per-partition numbering
+   * is the one genuinely imperative step, so it is the repo's rare
+   * justified `mapPartitions`-class use (via the RDD zip, keeping the
+   * schema).
+   *
+   * `sortCols` must totally order the rows (add a unique tie-break) —
+   * with ties the numbering among tied rows is a valid but
+   * run-dependent permutation, same as any SQL row_number.
+   */
+  def globalRowNumbers(df: DataFrame, sortCols: Seq[String],
+      numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val p = if (numPartitions > 0) numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sorted = CacheScope.pin(
+      df.repartitionByRange(p, sortCols.map(col): _*)
+        .sortWithinPartitions(sortCols.map(col): _*))
+    val counts = sorted.select(spark_partition_id().as("pid"))
+      .groupBy(col("pid")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until p).scanLeft(0L) {
+      case (acc, i) => acc + counts.getOrElse(i, 0L)
+    }.toArray
+    val bc = spark.sparkContext.broadcast(offsets)
+    val rdd = sorted.rdd.mapPartitionsWithIndex { case (i, it) =>
+      var n = bc.value(i)
+      it.map { r =>
+        n += 1
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ n)
+      }
+    }
+    spark.createDataFrame(rdd, sorted.schema.add("row_num",
+      org.apache.spark.sql.types.LongType, nullable = false))
+  }
 }

@@ -1858,6 +1858,37 @@ object Relational {
                    THEN 'changed'
                  ELSE 'unchanged' END AS status
              FROM sa FULL OUTER JOIN sb ON sa.user_id = sb.user_id
-             ORDER BY user_id"""))
+             ORDER BY user_id""")),
+
+    // ---- Scale-correct global sequence assignment
+    // (ScaleOps.globalRowNumbers): corpus-wide positions in
+    // (l_orderkey, l_linenumber) order via range partitions + O(P)
+    // prefix offsets — the distributed zipWithIndex, where the ORACLE's
+    // row_number() OVER (ORDER BY …) is precisely the single-partition
+    // plan this operator exists to avoid. The per-flag rollup
+    // (n/min/max/sum of assigned numbers) makes any numbering slip
+    // shift a hashed aggregate.
+    Q("q144_global_rownum",
+      (s, d) => graft.operators.ScaleOps.globalRowNumbers(
+          T.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+            col("l_returnflag")),
+          Seq("l_orderkey", "l_linenumber"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          min(col("row_num")).as("first_pos"),
+          max(col("row_num")).as("last_pos"),
+          sum(col("row_num")).as("pos_sum"))
+        .orderBy(col("l_returnflag")),
+      Some("""WITH numbered AS (
+               SELECT l_returnflag,
+                 row_number() OVER (ORDER BY l_orderkey, l_linenumber)
+                   AS row_num
+               FROM lineitem)
+             SELECT l_returnflag, count(*) AS n,
+               CAST(min(row_num) AS BIGINT) AS first_pos,
+               CAST(max(row_num) AS BIGINT) AS last_pos,
+               CAST(sum(row_num) AS BIGINT) AS pos_sum
+             FROM numbered GROUP BY l_returnflag
+             ORDER BY l_returnflag"""))
   )
 }

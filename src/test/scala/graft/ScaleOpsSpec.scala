@@ -62,4 +62,30 @@ class ScaleOpsSpec extends SparkSpec {
     // Content survives the rewrite.
     assert(spark.read.parquet(s"$tmp/out").count() === 20000L)
   }
+
+  test("globalRowNumbers == window row_number, without the global sort") {
+    val r = new scala.util.Random(77)
+    val rows = r.shuffle((1 to 5000).toList).map(i => (i.toLong, i % 7))
+    val df = rows.toDF("id", "grp")
+    val got = ScaleOps.globalRowNumbers(df, Seq("id"), numPartitions = 8)
+    // Numbers are exactly the rank in id-order.
+    val check = got.select("id", "row_num")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(check.size === 5000)
+    (1 to 5000).foreach(i => assert(check(i.toLong) === i.toLong))
+    // The operator's plan must NOT collapse to a single partition the
+    // way the SQL window does.
+    assert(!got.queryExecution.executedPlan.toString
+      .contains("Exchange SinglePartition"))
+    val windowed = df.withColumn("row_num",
+      org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"id")))
+    assert(windowed.queryExecution.executedPlan.toString
+      .contains("Exchange SinglePartition"))
+    // Sparse/empty range partitions keep offsets dense.
+    val tiny = ScaleOps.globalRowNumbers(
+      Seq(5L, 1L, 9L).toDF("id"), Seq("id"), numPartitions = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tiny === Map(1L -> 1L, 5L -> 2L, 9L -> 3L))
+  }
 }
