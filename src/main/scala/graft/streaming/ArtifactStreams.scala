@@ -79,4 +79,25 @@ object ArtifactStreams {
       (s, b) => topK(s.unionByName(
         graft.operators.Curation.aesKeys(b, idCol, weightCol, salt))))(sink)
   }
+
+  /** Streaming decay-artifact maintenance (q139's trending signal over
+    * an unbounded event stream): each trigger folds the batch's
+    * (key, period) integer cells into the carried artifact by cell sum —
+    * the merge DecaySpec proves equal to the single-shot build — so
+    * [[graft.operators.Decay.decayRead]] over the artifact at ANY
+    * trigger is the batch answer over everything delivered. State is
+    * O(keys · 63) regardless of history; advancing the reference
+    * instant is `Decay.ageArtifact` on the carried frame, still with no
+    * corpus replay. */
+  def decayStream(events: DataFrame, keyCols: Seq[String], tsNsCol: String,
+      valueCol: String, refTsNs: Long, periodNs: Long)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    def art(b: DataFrame) = graft.operators.Decay.decayArtifact(
+      b, keyCols, tsNsCol, valueCol, refTsNs, periodNs)
+    foldStream(events)(
+      art,
+      (s, b) => s.unionByName(art(b))
+        .groupBy((keyCols :+ "p").map(col): _*)
+        .agg(sum(col("cnt")).as("cnt"), sum(col("sv")).as("sv")))(sink)
+  }
 }
