@@ -184,4 +184,50 @@ object Changelog {
     * history); hint broadcast and let AQE fall back if the delta is
     * genuinely huge. */
   private def broadcastIfSmall(df: DataFrame): DataFrame = broadcast(df)
+
+  /** Temporal point-in-time lookup: enrich each fact row with the
+    * version of its key that was valid AT the fact's ord — the reason
+    * SCD2 history exists, without materializing it: facts and mutations
+    * union-tag into ONE per-key window (mutations sort before a
+    * same-ord fact via the tag), and `last(version-struct, ignoreNulls)`
+    * hands every fact its governing version. ONE shuffle on the key —
+    * no range join, no per-fact probe; the window's skew bound is a
+    * key's mutations + facts, the same bound any temporal join carries.
+    * A governing TOMBSTONE (or no prior mutation at all) yields NULL
+    * dim columns — deleted state must not enrich (the [[latestState]]
+    * resurrection discipline, applied to reads).
+    *
+    * Output: facts' columns (keys, ords, extras) + `dim_<p>` for each
+    * log payload column except `opCol`. Fact extra columns must not
+    * collide with log payload names. */
+  def temporalLookup(log: DataFrame, facts: DataFrame, keyCols: Seq[String],
+      ordCols: Seq[String], opCol: String, tombstoneOp: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val payload = log.columns.filterNot(c =>
+      keyCols.contains(c) || ordCols.contains(c))
+    val factExtra = facts.columns.filterNot(c =>
+      keyCols.contains(c) || ordCols.contains(c))
+    require(factExtra.intersect(payload).isEmpty,
+      s"fact columns collide with log payload: " +
+        factExtra.intersect(payload).mkString(","))
+    val vStruct = struct(payload.map(col): _*)
+    val vtag = log.select(
+      (keyCols ++ ordCols).map(col) ++ Seq(lit(0).as("_tag"),
+        vStruct.as("_v")) ++
+        factExtra.map(c => lit(null).cast(facts.schema(c).dataType).as(c)): _*)
+    val ftag = facts.select(
+      (keyCols ++ ordCols).map(col) ++ Seq(lit(1).as("_tag"),
+        lit(null).cast(vtag.schema("_v").dataType).as("_v")) ++
+        factExtra.map(col): _*)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy((ordCols :+ "_tag").map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    vtag.unionByName(ftag)
+      .withColumn("_cur", last(col("_v"), ignoreNulls = true).over(w))
+      .filter(col("_tag") === 1)
+      .select((keyCols ++ ordCols ++ factExtra).map(col) ++
+        payload.filterNot(_ == opCol).map(p =>
+          when(col(s"_cur.$opCol") =!= lit(tombstoneOp),
+            col(s"_cur.$p")).as(s"dim_$p")): _*)
+  }
 }

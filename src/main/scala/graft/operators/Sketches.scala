@@ -167,6 +167,21 @@ object Sketches {
   def histMerge(hists: DataFrame): DataFrame =
     hists.groupBy(col("idx")).agg(sum(col("cnt")).as("cnt"))
 
+  /** Weighted histogram: bucket mass = Σ `weightCol` instead of row
+    * count — the "by token mass" / "by byte volume" artifact, answering
+    * budget questions ("half the corpus's TOKENS sit in docs shorter
+    * than X") that a row-count histogram cannot. Every downstream walk
+    * ([[histQuantiles]], [[histPercentileRank]], [[histKsGrouped]],
+    * [[histMerge]]) reads it unchanged — `cnt` is just mass. Weights
+    * must be non-negative integers (a negative mass makes the
+    * cumulative walk non-monotone). */
+  def histBuildWeighted(df: DataFrame, valueCol: String,
+      weightCol: String): DataFrame =
+    df.select(col(valueCol).cast("long").as("v"),
+        col(weightCol).cast("long").as("w"))
+      .select(expr(histIdxSql("v")).as("idx"), col("w"))
+      .groupBy(col("idx")).agg(sum(col("w")).as("cnt"))
+
   /** Per-group histogram artifact: groupCols..., idx, cnt — one
     * map-side-combined groupBy; merges per (group, idx) like
     * [[histMerge]]. */

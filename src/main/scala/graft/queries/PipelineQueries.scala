@@ -396,7 +396,75 @@ object PipelineQueries {
         graft.operators.Bfs.hopDistances(edges, seeds, maxHops = 4)
           .orderBy(col("node_id"))
       },
-      Some(BfsSql(4)))
+      Some(BfsSql(4))),
+
+    // ---- Degree assortativity (the fifth graph statistic: do hubs link
+    // to hubs?) — Pearson correlation of endpoint degrees over every
+    // directed edge of the symmetrized q94 graph. The six moments are
+    // EXACT BIGINTs (one edge-table shuffle + two node-sized degree
+    // broadcasts); r derives in double arithmetic from those exact
+    // integers, the q88/q141 discipline (products go through DOUBLE to
+    // dodge the n·Σxy 2⁶³ ceiling a pure-integer num/den would hit at
+    // graph scale — headroom note in q141's scaladoc).
+    Q("q145_assortativity",
+      (s, d) => {
+        val pairs = T.orders(s, d)
+          .join(T.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("cust"),
+            (col("l_suppkey") + lit(1000000000L)).as("supp"))
+          .distinct()
+        val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
+          .union(pairs.select(col("supp").as("src"), col("cust").as("dst")))
+        val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        val xy = edges
+          .join(broadcast(deg.select(col("src").as("s1"),
+            col("deg").as("x"))), col("src") === col("s1"))
+          .join(broadcast(deg.select(col("src").as("s2"),
+            col("deg").as("y"))), col("dst") === col("s2"))
+        xy.agg(
+            count(lit(1)).as("n"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"),
+            sum(col("x") * col("y")).as("sxy"))
+          .select(col("n"), col("sx"), col("sxy"),
+            round((col("n").cast("double") * col("sxy") -
+              col("sx").cast("double") * col("sy")) /
+              sqrt((col("n").cast("double") * col("sxx") -
+                col("sx").cast("double") * col("sx")) *
+                (col("n").cast("double") * col("syy") -
+                  col("sy").cast("double") * col("sy"))), 6)
+              .as("assortativity"))
+      },
+      Some("""WITH pairs AS (
+               SELECT DISTINCT o_custkey AS cust,
+                 l_suppkey + 1000000000 AS supp
+               FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+             edges AS (
+               SELECT cust AS src, supp AS dst FROM pairs
+               UNION ALL SELECT supp, cust FROM pairs),
+             deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+             xy AS (
+               SELECT dx.deg AS x, dy.deg AS y
+               FROM edges e
+               JOIN deg dx ON e.src = dx.src
+               JOIN deg dy ON e.dst = dy.src),
+             m AS (
+               SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(y * y) AS BIGINT) AS syy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy
+               FROM xy)
+             SELECT n, sx, sxy,
+               round((CAST(n AS DOUBLE) * sxy
+                   - CAST(sx AS DOUBLE) * sy) /
+                 sqrt((CAST(n AS DOUBLE) * sxx
+                     - CAST(sx AS DOUBLE) * sx) *
+                   (CAST(n AS DOUBLE) * syy
+                     - CAST(sy AS DOUBLE) * sy)), 6) AS assortativity
+             FROM m"""))
   )
 
   /** q138 oracle: the BFS frontier recursion unrolled — per hop a

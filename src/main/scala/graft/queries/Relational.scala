@@ -1889,6 +1889,232 @@ object Relational {
                CAST(max(row_num) AS BIGINT) AS last_pos,
                CAST(sum(row_num) AS BIGINT) AS pos_sum
              FROM numbered GROUP BY l_returnflag
-             ORDER BY l_returnflag"""))
+             ORDER BY l_returnflag""")),
+
+    // ---- Field-level survivorship golden record
+    // (Survivorship.goldenRecord): three synthetic source views of the
+    // customer entity with complementary blind spots — billing (pri 3)
+    // has balances but no names, crm (pri 2) has names but drops every
+    // third segment, legacy (pri 1) has everything but stale-cased —
+    // merged so each FIELD independently falls back down the priority
+    // chain. One max(struct) agg per field in a single groupBy; the
+    // oracle mirrors with one per-field window, so the hash proves the
+    // per-field fallback semantics (not just row-level latest-wins).
+    Q("q146_golden_record",
+      (s, d) => {
+        val c = T.customer(s, d)
+        val crm = c.select(col("c_custkey").as("k"), lit(2).as("pri"),
+          col("c_name").as("name"),
+          when(pmod(col("c_custkey"), lit(3)) === 0, lit(null))
+            .otherwise(col("c_mktsegment")).as("segment"),
+          lit(null).cast("long").as("balance_cents"))
+        val billing = c.filter(pmod(col("c_custkey"), lit(2)) === 0)
+          .select(col("c_custkey").as("k"), lit(3).as("pri"),
+            lit(null).cast("string").as("name"),
+            lit(null).cast("string").as("segment"),
+            round(col("c_acctbal") * 100).cast("long").as("balance_cents"))
+        val legacy = c.select(col("c_custkey").as("k"), lit(1).as("pri"),
+          upper(col("c_name")).as("name"),
+          concat(lit("L-"), col("c_mktsegment")).as("segment"),
+          lit(0L).as("balance_cents"))
+        graft.operators.Survivorship.goldenRecord(
+            crm.unionByName(billing).unionByName(legacy),
+            Seq("k"), Seq("pri"), Seq("name", "segment", "balance_cents"),
+            withProvenance = true)
+          .orderBy(col("k"))
+      },
+      Some("""WITH crm AS (
+               SELECT c_custkey AS k, 2 AS pri, c_name AS name,
+                 CASE WHEN c_custkey % 3 = 0 THEN NULL
+                   ELSE c_mktsegment END AS segment,
+                 CAST(NULL AS BIGINT) AS balance_cents
+               FROM customer),
+             billing AS (
+               SELECT c_custkey AS k, 3 AS pri,
+                 CAST(NULL AS VARCHAR) AS name,
+                 CAST(NULL AS VARCHAR) AS segment,
+                 CAST(round(c_acctbal * 100) AS BIGINT) AS balance_cents
+               FROM customer WHERE c_custkey % 2 = 0),
+             legacy AS (
+               SELECT c_custkey AS k, 1 AS pri, upper(c_name) AS name,
+                 'L-' || c_mktsegment AS segment,
+                 CAST(0 AS BIGINT) AS balance_cents
+               FROM customer),
+             src AS (SELECT * FROM crm UNION ALL
+                     SELECT * FROM billing UNION ALL
+                     SELECT * FROM legacy),
+             keys AS (SELECT k, CAST(count(*) AS BIGINT) AS n_source_rows
+                      FROM src GROUP BY k),
+             fname AS (
+               SELECT k, name, pri FROM (
+                 SELECT k, name, pri, row_number() OVER (
+                   PARTITION BY k ORDER BY pri DESC) AS rn
+                 FROM src WHERE name IS NOT NULL) WHERE rn = 1),
+             fseg AS (
+               SELECT k, segment, pri FROM (
+                 SELECT k, segment, pri, row_number() OVER (
+                   PARTITION BY k ORDER BY pri DESC) AS rn
+                 FROM src WHERE segment IS NOT NULL) WHERE rn = 1),
+             fbal AS (
+               SELECT k, balance_cents, pri FROM (
+                 SELECT k, balance_cents, pri, row_number() OVER (
+                   PARTITION BY k ORDER BY pri DESC) AS rn
+                 FROM src WHERE balance_cents IS NOT NULL) WHERE rn = 1)
+             SELECT keys.k, fname.name, fseg.segment, fbal.balance_cents,
+               fname.pri AS name_rank1, fseg.pri AS segment_rank1,
+               fbal.pri AS balance_cents_rank1, keys.n_source_rows
+             FROM keys
+             LEFT JOIN fname ON keys.k = fname.k
+             LEFT JOIN fseg ON keys.k = fseg.k
+             LEFT JOIN fbal ON keys.k = fbal.k
+             ORDER BY keys.k""")),
+
+    // ---- Time-weighted average (the state-metric integral): each
+    // event's value holds until the user's next event, so the mean is
+    // Σ vᵢ·Δtᵢ / ΣΔtᵢ — NOT the row mean, which over-weights bursts.
+    // One lead window + one agg; milli-value × milli-second integer
+    // products keep every term exact and under 2⁶³ (per-user sums; the
+    // q147 choice of units is the headroom arithmetic), and the final
+    // division is integer floor both engines share. Single-event users
+    // have zero span → NULL (integer guard, q141 discipline).
+    Q("q147_time_weighted_avg",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_ns"), col("event_id"))
+        T.events(s, d)
+          .withColumn("next_ts", lead(col("ts_ns"), 1).over(w))
+          .withColumn("dur_ms",
+            expr("(next_ts - ts_ns) div 1000000"))
+          .withColumn("v_milli",
+            expr("CAST(round(value * 1000) AS BIGINT)"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("dur_ms")).as("span_ms"),
+            sum(col("v_milli") * col("dur_ms")).as("twa_num"))
+          .select(col("user_id"), col("n_events"), col("span_ms"),
+            col("twa_num"),
+            when(col("span_ms") > 0,
+              expr("twa_num div span_ms")).as("twa_milli"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH e AS (
+               SELECT user_id, epoch_ns(ts) AS ts_ns, event_id,
+                 CAST(round(value * 1000) AS BIGINT) AS v_milli
+               FROM events),
+             d AS (
+               SELECT user_id, v_milli,
+                 (lead(ts_ns) OVER (PARTITION BY user_id
+                    ORDER BY ts_ns, event_id) - ts_ns) // 1000000
+                   AS dur_ms
+               FROM e),
+             a AS (
+               SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                 CAST(sum(dur_ms) AS BIGINT) AS span_ms,
+                 CAST(sum(v_milli * dur_ms) AS BIGINT) AS twa_num
+               FROM d GROUP BY user_id)
+             SELECT user_id, n_events, span_ms, twa_num,
+               CASE WHEN span_ms > 0 THEN twa_num // span_ms END
+                 AS twa_milli
+             FROM a ORDER BY user_id""")),
+
+    // ---- Temporal point-in-time enrichment (Changelog.temporalLookup):
+    // each purchase tagged with the user's governing browse state
+    // (latest click/view/signup at the purchase instant), where an
+    // intervening 'error' tombstone correctly yields NULLs — deleted
+    // state must not enrich. Union-tag + one per-key window: no range
+    // join, no per-fact probe, ONE shuffle (the q57 as-of trick grown
+    // tombstone semantics and whole-row versions).
+    Q("q148_temporal_lookup",
+      (s, d) => {
+        val e = T.events(s, d)
+        val log = e.filter(col("event_type") =!= "purchase")
+          .select(col("user_id"), col("ts_ns"), col("event_id"),
+            col("event_id").as("src_event_id"), col("event_type"),
+            expr("CAST(round(value * 1000) AS BIGINT)").as("v_milli"))
+        val facts = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts_ns"), col("event_id"))
+        graft.operators.Changelog.temporalLookup(log, facts,
+            Seq("user_id"), Seq("ts_ns", "event_id"), "event_type",
+            "error")
+          .orderBy(col("user_id"), col("ts_ns"), col("event_id"))
+      },
+      Some("""WITH e AS (
+               SELECT user_id, epoch_ns(ts) AS ts_ns, event_id,
+                 event_type,
+                 CAST(round(value * 1000) AS BIGINT) AS v_milli
+               FROM events),
+             u AS (
+               SELECT user_id, ts_ns, event_id,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                   AS tag,
+                 event_type, v_milli
+               FROM e),
+             w AS (
+               SELECT *,
+                 last_value(CASE WHEN tag = 0 THEN event_type END
+                   IGNORE NULLS) OVER pk AS cur_type,
+                 last_value(CASE WHEN tag = 0 THEN event_id END
+                   IGNORE NULLS) OVER pk AS cur_event_id,
+                 last_value(CASE WHEN tag = 0 THEN v_milli END
+                   IGNORE NULLS) OVER pk AS cur_v_milli
+               FROM u
+               WINDOW pk AS (PARTITION BY user_id
+                 ORDER BY ts_ns, event_id, tag
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             SELECT user_id, ts_ns, event_id,
+               CASE WHEN cur_type <> 'error' THEN cur_event_id END
+                 AS dim_src_event_id,
+               CASE WHEN cur_type <> 'error' THEN cur_v_milli END
+                 AS dim_v_milli
+             FROM w WHERE tag = 1
+             ORDER BY user_id, ts_ns, event_id""")),
+
+    // ---- Mass-weighted quantiles off the histogram artifact
+    // (Sketches.histBuildWeighted + the unchanged q119 walk): doc-length
+    // percentiles BY TOKEN MASS — "half the corpus's TOKENS live in docs
+    // shorter than est", the budget/packing question a row-count
+    // histogram answers wrong (long docs carry most of the mass). Same
+    // integer bucket arithmetic, cnt is just Σ weight.
+    Q("q149_weighted_quantiles",
+      (s, d) => {
+        val v = T.documents(s, d).select(
+          col("n_chars").cast("long").as("v"),
+          expr("size(filter(split(text, ' '), t -> t != ''))")
+            .cast("long").as("w"))
+        graft.operators.Sketches.histQuantiles(
+          graft.operators.Sketches.histBuildWeighted(v, "v", "w"),
+          Seq(25, 50, 90, 99)).orderBy(col("pct"))
+      },
+      Some("""WITH v AS (
+               SELECT CAST(n_chars AS BIGINT) AS v,
+                 CAST(len(list_filter(string_split(text, ' '),
+                   t -> t <> '')) AS BIGINT) AS w
+               FROM documents),
+             b AS (
+               SELECT CASE WHEN v <= 15 THEN v
+                 ELSE 16 + (length(bin(v)) - 5) * 8 +
+                   ((v >> (length(bin(v)) - 4)) - 8) END AS idx, w
+               FROM v),
+             h AS (SELECT idx, CAST(sum(w) AS BIGINT) AS cnt
+                   FROM b GROUP BY idx),
+             c AS (
+               SELECT idx,
+                 CAST(sum(cnt) OVER (ORDER BY idx) AS BIGINT) AS cum
+               FROM h),
+             tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM h),
+             p AS (SELECT CAST(unnest([25, 50, 90, 99]) AS INT) AS pct),
+             sel AS (
+               SELECT p.pct, min(c.idx) AS idx
+               FROM p JOIN c ON c.cum >=
+                 (CAST(p.pct AS BIGINT) * (SELECT n FROM tot) + 99) // 100
+               GROUP BY p.pct)
+             SELECT pct,
+               CAST(CASE WHEN idx <= 15 THEN idx
+                 ELSE (((CAST(8 + (idx - 16) % 8 AS BIGINT)
+                          << (1 + (idx - 16) // 8)) +
+                        (CAST(9 + (idx - 16) % 8 AS BIGINT)
+                          << (1 + (idx - 16) // 8)) - 1) >> 1)
+                 END AS BIGINT) AS est
+             FROM sel ORDER BY pct"""))
   )
 }

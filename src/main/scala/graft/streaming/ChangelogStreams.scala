@@ -99,6 +99,39 @@ object ChangelogStreams {
       .start()
   }
 
+  /** Streaming SCD2 maintenance: carry the version-history table and
+    * fold each micro-batch with [[Changelog.scd2Merge]] — only the OPEN
+    * versions of keys the batch touches re-price, so the per-trigger
+    * cost is O(batch + touched opens) and closed history rides along
+    * untouched. Requires the append-only CDC contract ACROSS triggers
+    * (every ord in a later batch exceeds the key's prior ords — the
+    * scd2Merge precondition; a CDC source ordered by commit time
+    * satisfies it). Scd2StreamSpec pins per-trigger history == batch
+    * scd2History of everything delivered. */
+  def scd2Stream(log: DataFrame, keyCols: Seq[String],
+      ordCols: Seq[String], opCol: String, tombstoneOp: String)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    var history: Option[DataFrame] = None
+    var lastFolded = -1L
+    log.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (batchId > lastFolded) {
+          val next0 = history match {
+            case Some(h) => Changelog.scd2Merge(h, batch, keyCols,
+              ordCols, opCol, tombstoneOp)
+            case None => Changelog.scd2History(batch, keyCols, ordCols,
+              opCol, tombstoneOp)
+          }
+          val next = boundedCheckpoint(next0)
+          history.foreach(unpin)
+          history = Some(next)
+          lastFolded = batchId
+        }
+        sink(history.get, batchId)
+      }
+      .start()
+  }
+
   private def unpin(df: DataFrame): Unit = CacheScope.unpinCheckpoint(df)
 
   private def boundedCheckpoint(df: DataFrame): DataFrame = {

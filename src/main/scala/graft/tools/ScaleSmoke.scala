@@ -311,6 +311,65 @@ object ScaleSmoke {
         }
         graft.operators.CacheScope.unpinCheckpoint(emb)
       }
+      // Round-7 eighth pass: history / diff / sequence / reachability /
+      // interval operators (q137–q144).
+      // SCD2 keeps the key space fixed like changelog_merge, so per-key
+      // history length grows with m — the window's skew bound is the
+      // hottest key's log, which this measures directly.
+      runOnce("scd2_history") {
+        val log = df.select(pmod(col("doc_id"), lit(20000L)).as("k"),
+          col("doc_id").as("ts"), col("doc_id").as("seq"),
+          when(pmod(col("doc_id"), lit(10)) < 1, lit("del"))
+            .otherwise(lit("put")).as("op"),
+          col("lang").as("payload"))
+        graft.operators.Changelog.scd2History(log, Seq("k"),
+          Seq("ts", "seq"), "op", "del")
+      }
+      // Snapshot diff ships only digests across the join; should track
+      // key count linearly.
+      runOnce("snapshot_diff") {
+        val a = df.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+          .select(col("doc_id").as("k"), length(col("text")).as("len"),
+            col("lang"))
+        val b = df.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+          .select(col("doc_id").as("k"),
+            (length(col("text")) + pmod(col("doc_id"), lit(3))).as("len"),
+            col("lang"))
+        graft.operators.TableDiff.rowDiff(a, b, Seq("k"))
+      }
+      // Distributed zipWithIndex: one range shuffle + O(P) driver
+      // offsets; linear, no single-partition stage.
+      runOnce("global_rownum") {
+        graft.operators.ScaleOps.globalRowNumbers(
+          df.select(col("doc_id"), length(col("text")).as("len")),
+          Seq("doc_id"))
+      }
+      // Rolling distinct actives: fixed 2000 keys, hour horizon grows
+      // with m — explode fan-out is bounded by key-buckets + islands·W.
+      runOnce("rolling_actives") {
+        val acts = df.select(pmod(col("doc_id"), lit(2000L)).as("u"),
+          pmod(xxhash64(col("doc_id")), lit(720L * m)).as("h"))
+        graft.operators.Intervals.rollingDistinctActives(acts, "u", "h",
+          window = 24)
+      }
+      // Decay: one (key, period) groupBy — linear, map-side combined.
+      runOnce("decayed_trends") {
+        graft.operators.Decay.decayedTotals(
+          df.select(col("lang"), (col("doc_id") * 1000L).as("ts_ns"),
+            length(col("text")).cast("double").as("value")),
+          Seq("lang"), "ts_ns", "value",
+          refTsNs = 10000000000L, periodNs = 200000000L / math.max(m, 1))
+      }
+      // BFS on the same synthetic graph family as triangle_count (fixed
+      // avg degree 20): frontier work tracks edges per hop ~linearly.
+      runOnce("bfs_hops") {
+        val nNodes = 5000L * m
+        val e = spark.range(nNodes * 10)
+          .select(pmod(xxhash64(col("id"), lit(1)), lit(nNodes)).as("src"),
+            pmod(xxhash64(col("id"), lit(2)), lit(nNodes)).as("dst"))
+        graft.operators.Bfs.hopDistances(e,
+          spark.range(5).select(col("id").as("node_id")), maxHops = 4)
+      }
       graft.queries.PipelineQueries.resetCache(spark)
       spark.catalog.clearCache()
     }
