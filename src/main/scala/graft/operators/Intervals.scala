@@ -19,6 +19,16 @@ import org.apache.spark.sql.functions._
  * [h₀−W+1, h₁] emits every (key, start) EXACTLY once and a plain count
  * per start IS the distinct count.
  *
+ * The island summaries (key, h0, h1) are an ASSOCIATIVE artifact: a
+ * summary's endpoints are its first/last ACTIVE buckets and its interior
+ * gaps are ≤ W by construction, so merging two island sets only needs
+ * endpoint gaps — [[mergeIslands]] re-islandizes the union with a
+ * running-max-end sweep, and IntervalsSpec property-tests merge ==
+ * rebuild-from-raw. That makes the state streamable
+ * ([[graft.streaming.ArtifactStreams.activeIntervalsStream]]): O(keys ·
+ * islands) carried state, bounded by horizon/W per key, never the raw
+ * events.
+ *
  * Shape: one shuffle for the (key, bucket) distinct, per-key windows
  * (two over one partitioning — Catalyst reuses the exchange), a narrow
  * explode, one final map-side-combined count. Explode fan-out is
@@ -31,6 +41,48 @@ import org.apache.spark.sql.functions._
  */
 object Intervals {
 
+  /** Gaps-and-islands sweep over (k, h0, h1) summaries: a new island
+    * starts when the next summary's first active bucket is > W past the
+    * running max end. Works for raw buckets too (b ≡ [b, b]). */
+  private def islandize(summaries: DataFrame, window: Int): DataFrame = {
+    val w = Window.partitionBy(col("k")).orderBy(col("h0"), col("h1"))
+    val prevMaxEnd = max(col("h1"))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    summaries
+      .withColumn("newisl",
+        when(prevMaxEnd.isNull || col("h0") - prevMaxEnd > window, 1)
+          .otherwise(0))
+      .withColumn("isl", sum(col("newisl"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("k"), col("isl"))
+      .agg(min(col("h0")).as("h0"), max(col("h1")).as("h1"))
+      .select(col("k"), col("h0"), col("h1"))
+  }
+
+  /** Per-key coverage islands (k, h0, h1) of the activity set — the
+    * mergeable artifact behind [[rollingDistinctActives]]. */
+  def activeIslands(df: DataFrame, keyCol: String, bucketCol: String,
+      window: Int): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    islandize(
+      df.select(col(keyCol).as("k"), col(bucketCol).cast("long").as("h"))
+        .distinct()
+        .select(col("k"), col("h").as("h0"), col("h").as("h1")),
+      window)
+  }
+
+  /** Associative merge of two island artifacts (same key/window). */
+  def mergeIslands(a: DataFrame, b: DataFrame, window: Int): DataFrame =
+    islandize(a.unionByName(b), window)
+
+  /** Read an island artifact into (window_start, n_active). */
+  def startsFromIslands(islands: DataFrame, window: Int): DataFrame =
+    islands
+      .select(explode(sequence(col("h0") - (window - 1), col("h1")))
+        .as("window_start"))
+      .groupBy(col("window_start"))
+      .agg(count(lit(1)).as("n_active"))
+
   /** @param df      frame with `keyCol` and an integral bucket column
     *                `bucketCol` (e.g. floor(ts/1h)); duplicates fine
     * @param window  window length in buckets (W ≥ 1); a window START s
@@ -38,24 +90,6 @@ object Intervals {
     * @return (window_start, n_active) for every start with ≥1 active
     *         key, ordered by nothing (sort downstream) */
   def rollingDistinctActives(df: DataFrame, keyCol: String,
-      bucketCol: String, window: Int): DataFrame = {
-    require(window >= 1, "window must be >= 1")
-    val uh = df.select(col(keyCol).as("k"),
-      col(bucketCol).cast("long").as("h")).distinct()
-    val w = Window.partitionBy(col("k")).orderBy(col("h"))
-    val wCum = w.rowsBetween(Window.unboundedPreceding, 0)
-    uh
-      // New island when the previous active bucket is > W back (ranges
-      // [prev−W+1, prev] and [h−W+1, h] stay contiguous up to gap W).
-      .withColumn("newisl",
-        when(lag(col("h"), 1).over(w).isNull ||
-          col("h") - lag(col("h"), 1).over(w) > window, 1).otherwise(0))
-      .withColumn("isl", sum(col("newisl")).over(wCum))
-      .groupBy(col("k"), col("isl"))
-      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
-      .select(explode(sequence(col("h0") - (window - 1), col("h1")))
-        .as("window_start"))
-      .groupBy(col("window_start"))
-      .agg(count(lit(1)).as("n_active"))
-  }
+      bucketCol: String, window: Int): DataFrame =
+    startsFromIslands(activeIslands(df, keyCol, bucketCol, window), window)
 }

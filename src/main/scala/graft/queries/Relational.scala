@@ -2115,6 +2115,61 @@ object Relational {
                         (CAST(9 + (idx - 16) % 8 AS BIGINT)
                           << (1 + (idx - 16) // 8)) - 1) >> 1)
                  END AS BIGINT) AS est
-             FROM sel ORDER BY pct"""))
+             FROM sel ORDER BY pct""")),
+
+    // ---- Last-touch revenue attribution: each purchase credits its
+    // value to the campaign (`props.k`) of the user's most recent click
+    // within a 24 h lookback — q57's as-of window grown an attribution
+    // WINDOW (stale clicks attribute to campaign NULL = organic) and a
+    // campaign rollup. One user shuffle + one tiny rollup; revenue in
+    // exact milli units.
+    Q("q150_attribution",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_ns"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        T.events(s, d)
+          .withColumn("click_at",
+            last(when(col("event_type") === "click",
+              struct(col("ts_ns"),
+                get_json_object(col("props"), "$.k").cast("long")
+                  .as("campaign"))), ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .withColumn("campaign",
+            when(col("click_at").isNotNull &&
+              col("ts_ns") - col("click_at.ts_ns") <= 86400000000000L,
+              col("click_at.campaign")))
+          .groupBy(col("campaign"))
+          .agg(count(lit(1)).as("n_purchases"),
+            sum(expr("CAST(round(value * 1000) AS BIGINT)"))
+              .as("revenue_milli"))
+          .orderBy(col("campaign").asc_nulls_first)
+      },
+      Some("""WITH e AS (
+               SELECT user_id, epoch_ns(ts) AS ts_ns, event_id,
+                 event_type,
+                 CAST(round(value * 1000) AS BIGINT) AS v_milli,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+               FROM events),
+             w AS (
+               SELECT *,
+                 last_value(CASE WHEN event_type = 'click' THEN ts_ns END
+                   IGNORE NULLS) OVER pk AS click_ts,
+                 last_value(CASE WHEN event_type = 'click' THEN k END
+                   IGNORE NULLS) OVER pk AS click_k
+               FROM e
+               WINDOW pk AS (PARTITION BY user_id
+                 ORDER BY ts_ns, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+             p AS (
+               SELECT CASE WHEN click_ts IS NOT NULL
+                   AND ts_ns - click_ts <= 86400000000000
+                   THEN click_k END AS campaign,
+                 v_milli
+               FROM w WHERE event_type = 'purchase')
+             SELECT campaign, CAST(count(*) AS BIGINT) AS n_purchases,
+               CAST(sum(v_milli) AS BIGINT) AS revenue_milli
+             FROM p GROUP BY campaign
+             ORDER BY campaign NULLS FIRST"""))
   )
 }

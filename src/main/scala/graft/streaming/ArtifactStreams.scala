@@ -100,4 +100,21 @@ object ArtifactStreams {
         .groupBy((keyCols :+ "p").map(col): _*)
         .agg(sum(col("cnt")).as("cnt"), sum(col("sv")).as("sv")))(sink)
   }
+
+  /** Streaming rolling-distinct-actives state (q142 over an unbounded
+    * event stream): the carried artifact is the per-key island summary
+    * table, whose endpoint-gap merge IntervalsSpec proves equal to a
+    * rebuild from raw buckets — so `Intervals.startsFromIslands` over
+    * the artifact at any trigger is the batch answer over everything
+    * delivered. State is O(keys · islands) (bounded by horizon/W per
+    * key), never the raw events. */
+  def activeIntervalsStream(events: DataFrame, keyCol: String,
+      bucketCol: String, window: Int)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
+    foldStream(events)(
+      b => graft.operators.Intervals.activeIslands(b, keyCol, bucketCol,
+        window),
+      (s, b) => graft.operators.Intervals.mergeIslands(s,
+        graft.operators.Intervals.activeIslands(b, keyCol, bucketCol,
+          window), window))(sink)
 }

@@ -50,4 +50,26 @@ class IntervalsSpec extends SparkSpec {
     val split = run(Seq((1L, 10L), (1L, 14L)), w)
     assert(split === ((8L to 10L) ++ (12L to 14L)).map(_ -> 1L).toMap)
   }
+
+  test("island merge is associative: merge of shard islands == rebuild from raw") {
+    import graft.operators.Intervals
+    for (seed <- 1 to 5) {
+      val r = new Random(100 + seed)
+      val w = 1 + r.nextInt(6)
+      val rows = Seq.fill(300)((r.nextInt(6).toLong, r.nextInt(80).toLong))
+      val (a, b) = rows.splitAt(r.nextInt(299) + 1)
+      def isl(rs: Seq[(Long, Long)]) =
+        Intervals.activeIslands(rs.toDF("k", "h"), "k", "h", w)
+      val merged = Intervals.mergeIslands(isl(a), isl(b), w)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val whole = isl(rows)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(merged === whole, s"seed=$seed w=$w")
+      // The read off the merged artifact equals the direct operator.
+      val viaArtifact = Intervals.startsFromIslands(
+          Intervals.mergeIslands(isl(a), isl(b), w), w)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaArtifact === run(rows, w), s"read seed=$seed")
+    }
+  }
 }
