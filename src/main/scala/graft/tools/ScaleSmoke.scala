@@ -360,6 +360,34 @@ object ScaleSmoke {
           Seq("lang"), "ts_ns", "value",
           refTsNs = 10000000000L, periodNs = 200000000L / math.max(m, 1))
       }
+      // Survivorship: 3 source views per key, fixed 20k keys — the
+      // per-field max(struct) aggs must absorb per-key row growth
+      // map-side like changelog_merge.
+      runOnce("golden_record") {
+        val src = df.select(pmod(col("doc_id"), lit(20000L)).as("k"),
+          pmod(col("doc_id"), lit(3)).cast("int").as("pri"),
+          when(pmod(col("doc_id"), lit(4)) === 0, lit(null))
+            .otherwise(col("lang")).as("f1"),
+          when(pmod(col("doc_id"), lit(5)) === 0, lit(null))
+            .otherwise(length(col("text")).cast("long")).as("f2"))
+        graft.operators.Survivorship.goldenRecord(src, Seq("k"),
+          Seq("pri"), Seq("f1", "f2"))
+      }
+      // Temporal lookup: union-tag window — skew bound is per-key
+      // mutations+facts, measured under the fixed-key growth.
+      runOnce("temporal_lookup") {
+        val log = df.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+          .select(pmod(col("doc_id"), lit(20000L)).as("k"),
+            col("doc_id").as("ts"), col("doc_id").as("seq"),
+            when(pmod(col("doc_id"), lit(10)) < 1, lit("del"))
+              .otherwise(lit("put")).as("op"),
+            col("lang").as("payload"))
+        val facts = df.filter(pmod(col("doc_id"), lit(3)) === 0)
+          .select(pmod(col("doc_id"), lit(20000L)).as("k"),
+            col("doc_id").as("ts"), col("doc_id").as("seq"))
+        graft.operators.Changelog.temporalLookup(log, facts, Seq("k"),
+          Seq("ts", "seq"), "op", "del")
+      }
       // BFS on the same synthetic graph family as triangle_count (fixed
       // avg degree 20): frontier work tracks edges per hop ~linearly.
       runOnce("bfs_hops") {
