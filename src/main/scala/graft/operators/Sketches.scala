@@ -278,6 +278,39 @@ object Sketches {
         round(col("ks_num") / (col("n_g") * col("n_all")), 6).as("ks"): _*)
   }
 
+  /** Population Stability Index per group off a grouped histogram
+    * artifact — the model-monitoring companion of [[histKsGrouped]]:
+    * PSI = Σ_buckets (p_g − p_all)·ln(p_g/p_all) over the pooled grid,
+    * with the standard ε-floor (1e-6) on both proportions so empty
+    * cells contribute a finite penalty instead of ∞. KS reads the worst
+    * single point of CDF divergence; PSI integrates mass displacement
+    * across all buckets (the industry alarm thresholds 0.1/0.25 assume
+    * this form). Each bucket term is computed in double from exact
+    * integer counts and nano-quantized before the per-group sum (the
+    * q86/q116 recipe), so accumulation order cannot perturb the result
+    * in either engine. O(groups·buckets) off the artifact. Returns
+    * groupCols..., n_g, psi (rounded 6). */
+  def histPsiGrouped(grouped: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val gc = groupCols.map(col)
+    val all = grouped.groupBy(col("idx")).agg(sum(col("cnt")).as("cnt_all"))
+    val nAll = all.agg(sum(col("cnt_all")).as("n_all"))
+    val sizes = grouped.groupBy(gc: _*).agg(sum(col("cnt")).as("n_g"))
+    sizes
+      .crossJoin(broadcast(all))
+      .join(grouped, groupCols :+ "idx", "left")
+      .crossJoin(broadcast(nAll))
+      .withColumn("pg",
+        greatest(coalesce(col("cnt"), lit(0L)) / col("n_g"), lit(1e-6)))
+      .withColumn("pa", greatest(col("cnt_all") / col("n_all"), lit(1e-6)))
+      .withColumn("term_nano",
+        round((col("pg") - col("pa")) * log(col("pg") / col("pa"))
+          * 1e9).cast("long"))
+      .groupBy(gc :+ col("n_g"): _*)
+      .agg(sum(col("term_nano")).as("psi_nano"))
+      .select(gc :+ col("n_g") :+
+        round(col("psi_nano") / 1e9, 6).as("psi"): _*)
+  }
+
   /** Estimate percentiles (integer pct values, e.g. 25/50/75/90/99) off
     * the artifact: rank ceil(pct·n/100) located in the cumulative bucket
     * walk, decoded to the bucket midpoint. O(buckets) work. Returns

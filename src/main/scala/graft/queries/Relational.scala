@@ -2170,6 +2170,244 @@ object Relational {
              SELECT campaign, CAST(count(*) AS BIGINT) AS n_purchases,
                CAST(sum(v_milli) AS BIGINT) AS revenue_milli
              FROM p GROUP BY campaign
-             ORDER BY campaign NULLS FIRST"""))
+             ORDER BY campaign NULLS FIRST""")),
+
+    // ---- RFM customer scoring: recency / frequency / monetary per
+    // purchasing user, each dimension cut into quintiles (ntile) and
+    // composed into the classic 3-digit segment code. One purchase
+    // rollup + three windows over the O(users) AGGREGATE — they sort
+    // the user dimension, never events; when even the user table is
+    // cluster-scale, the exact ntile cut gives way to score-normalizing
+    // each dimension off its histogram artifact (q136's
+    // histPercentileRank — same 1..5 bucketing, O(buckets) per user,
+    // no global sort). Monetary exact milli; recency exact ns against
+    // a pinned reference instant.
+    Q("q151_rfm_scores",
+      (s, d) => {
+        val ref = lit(1706745600000000000L) // 2024-02-01T00:00Z
+        val base = T.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"))
+          .agg(max(col("ts_ns")).as("last_ts"),
+            count(lit(1)).as("frequency"),
+            sum(expr("CAST(round(value * 1000) AS BIGINT)"))
+              .as("monetary_milli"))
+          .withColumn("recency_ns", ref - col("last_ts"))
+        def quintile(c: String, asc: Boolean) = ntile(5).over(
+          Window.orderBy(
+            (if (asc) col(c).asc else col(c).desc), col("user_id")))
+        base
+          .withColumn("r_score", quintile("recency_ns", asc = true))
+          .withColumn("f_score", quintile("frequency", asc = false))
+          .withColumn("m_score", quintile("monetary_milli", asc = false))
+          .select(col("user_id"), col("recency_ns"), col("frequency"),
+            col("monetary_milli"), col("r_score"), col("f_score"),
+            col("m_score"),
+            (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+              .as("rfm"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH p AS (
+               SELECT user_id,
+                 max(epoch_ns(ts)) AS last_ts,
+                 CAST(count(*) AS BIGINT) AS frequency,
+                 CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT)
+                   AS monetary_milli
+               FROM events WHERE event_type = 'purchase'
+               GROUP BY user_id),
+             sc AS (
+               SELECT user_id,
+                 1706745600000000000 - last_ts AS recency_ns,
+                 frequency, monetary_milli,
+                 CAST(ntile(5) OVER (ORDER BY
+                   1706745600000000000 - last_ts ASC, user_id) AS INT)
+                   AS r_score,
+                 CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id)
+                   AS INT) AS f_score,
+                 CAST(ntile(5) OVER (ORDER BY monetary_milli DESC,
+                   user_id) AS INT) AS m_score
+               FROM p)
+             SELECT user_id, recency_ns, frequency, monetary_milli,
+               r_score, f_score, m_score,
+               r_score * 100 + f_score * 10 + m_score AS rfm
+             FROM sc ORDER BY user_id""")),
+
+    // ---- Association rules over order baskets (market-basket lift):
+    // directed rules a→b with support/confidence/lift, minSup pruned
+    // BEFORE the per-item join-backs (the q105 PMI discipline aimed at
+    // rule mining). Confidence/lift derive from exact integer supports;
+    // the ratios are rounded once for output and the top-20 ordering
+    // ties break on the exact pair keys.
+    Q("q152_association_rules",
+      (s, d) => {
+        val li = T.lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val nOrders = li.select(col("ok")).distinct()
+          .agg(count(lit(1)).as("n_orders"))
+        val itemSup = li.groupBy(col("pk")).agg(count(lit(1)).as("sup"))
+        val pairs = li.as("x").join(li.as("y"),
+            col("x.ok") === col("y.ok") && col("x.pk") =!= col("y.pk"))
+          .select(col("x.pk").as("a"), col("y.pk").as("b"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("sup_ab"))
+          .filter(col("sup_ab") >= 2)
+        pairs
+          .join(broadcast(itemSup.select(col("pk").as("a"),
+            col("sup").as("sup_a"))), "a")
+          .join(broadcast(itemSup.select(col("pk").as("b"),
+            col("sup").as("sup_b"))), "b")
+          .crossJoin(broadcast(nOrders))
+          .select(col("a"), col("b"), col("sup_ab"), col("sup_a"),
+            col("sup_b"),
+            round(col("sup_ab") / col("sup_a"), 6).as("confidence"),
+            round((col("sup_ab") * col("n_orders")) /
+              (col("sup_a") * col("sup_b")), 6).as("lift"))
+          .orderBy(col("lift").desc, col("a"), col("b"))
+          .limit(20)
+      },
+      Some("""WITH li AS (
+               SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+               FROM lineitem),
+             n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders
+                   FROM li),
+             isup AS (SELECT pk, CAST(count(*) AS BIGINT) AS sup
+                      FROM li GROUP BY pk),
+             pairs AS (
+               SELECT x.pk AS a, y.pk AS b,
+                 CAST(count(*) AS BIGINT) AS sup_ab
+               FROM li x JOIN li y ON x.ok = y.ok AND x.pk <> y.pk
+               GROUP BY x.pk, y.pk HAVING count(*) >= 2)
+             SELECT a, b, sup_ab, sa.sup AS sup_a, sb.sup AS sup_b,
+               round(sup_ab / sa.sup, 6) AS confidence,
+               round((sup_ab * n.n_orders) / (sa.sup * sb.sup), 6)
+                 AS lift
+             FROM pairs
+             JOIN isup sa ON pairs.a = sa.pk
+             JOIN isup sb ON pairs.b = sb.pk
+             CROSS JOIN n
+             ORDER BY lift DESC, a, b LIMIT 20""")),
+
+    // ---- Dense gap-filled time series with linear interpolation: the
+    // hourly per-type series as a DOWNSTREAM CONSUMER expects it —
+    // every hour present (sequence-explode grid off a 1-row min/max
+    // agg, zero-filled counts) and the sparse hourly mean linearly
+    // interpolated across observation gaps (carry prev/next via
+    // last/first ignoreNulls frames — two windows per type over the
+    // O(types·hours) GRID, never the events). Interpolation runs in
+    // double from exact integer inputs, rounded once; boundary hours
+    // (before first / after last observation) stay NULL.
+    Q("q153_gap_fill",
+      (s, d) => {
+        val e = T.events(s, d).select(col("event_type"),
+          expr("ts_ns div 3600000000000").as("h"),
+          expr("CAST(round(value * 1000) AS BIGINT)").as("v"))
+        val span = e.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        val grid = e.select(col("event_type")).distinct()
+          .crossJoin(broadcast(span))
+          .select(col("event_type"),
+            explode(sequence(col("h0"), col("h1"))).as("h"))
+        val obs = e.groupBy(col("event_type"), col("h"))
+          .agg(count(lit(1)).as("n_events"),
+            expr("sum(v) div count(1)").as("v_avg"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+        val wPrev = w.rowsBetween(Window.unboundedPreceding, 0)
+        val wNext = w.rowsBetween(0, Window.unboundedFollowing)
+        grid.join(obs, Seq("event_type", "h"), "left")
+          .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
+          .withColumn("pv", last(col("v_avg"), ignoreNulls = true).over(wPrev))
+          .withColumn("ph", last(when(col("v_avg").isNotNull, col("h")),
+            ignoreNulls = true).over(wPrev))
+          .withColumn("nv", first(col("v_avg"), ignoreNulls = true).over(wNext))
+          .withColumn("nh", first(when(col("v_avg").isNotNull, col("h")),
+            ignoreNulls = true).over(wNext))
+          .withColumn("v_interp",
+            when(col("v_avg").isNotNull, col("v_avg").cast("double"))
+              .otherwise(when(col("pv").isNotNull && col("nv").isNotNull,
+                round(col("pv") + (col("nv") - col("pv")) *
+                  (col("h") - col("ph")) / (col("nh") - col("ph")), 6))))
+          .select(col("event_type"), col("h"), col("n_events"),
+            col("v_avg"), col("v_interp"))
+          .orderBy(col("event_type"), col("h"))
+      },
+      Some("""WITH e AS (
+               SELECT event_type, epoch_ns(ts) // 3600000000000 AS h,
+                 CAST(round(value * 1000) AS BIGINT) AS v
+               FROM events),
+             span AS (SELECT min(h) AS h0, max(h) AS h1 FROM e),
+             grid AS (
+               SELECT t.event_type, g.h
+               FROM (SELECT DISTINCT event_type FROM e) t
+               CROSS JOIN (SELECT unnest(generate_series(
+                 (SELECT h0 FROM span), (SELECT h1 FROM span))) AS h) g),
+             obs AS (
+               SELECT event_type, h, CAST(count(*) AS BIGINT) AS n_events,
+                 CAST(sum(v) // count(*) AS BIGINT) AS v_avg
+               FROM e GROUP BY event_type, h),
+             j AS (
+               SELECT grid.event_type, grid.h,
+                 coalesce(obs.n_events, 0) AS n_events, obs.v_avg
+               FROM grid LEFT JOIN obs
+                 ON grid.event_type = obs.event_type AND grid.h = obs.h),
+             x AS (
+               SELECT *,
+                 last_value(v_avg IGNORE NULLS) OVER wp AS pv,
+                 last_value(CASE WHEN v_avg IS NOT NULL THEN h END
+                   IGNORE NULLS) OVER wp AS ph,
+                 first_value(v_avg IGNORE NULLS) OVER wn AS nv,
+                 first_value(CASE WHEN v_avg IS NOT NULL THEN h END
+                   IGNORE NULLS) OVER wn AS nh
+               FROM j
+               WINDOW wp AS (PARTITION BY event_type ORDER BY h
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wn AS (PARTITION BY event_type ORDER BY h
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+             SELECT event_type, h, n_events, v_avg,
+               CASE WHEN v_avg IS NOT NULL THEN CAST(v_avg AS DOUBLE)
+                 WHEN pv IS NOT NULL AND nv IS NOT NULL
+                 THEN round(pv + (nv - pv) * (h - ph)
+                   / CAST(nh - ph AS DOUBLE), 6) END AS v_interp
+             FROM x ORDER BY event_type, h""")),
+
+    // ---- PSI drift per language off the q125 grouped histogram
+    // artifact (Sketches.histPsiGrouped): the model-monitoring
+    // companion of q140's KS — KS reads the worst single CDF point, PSI
+    // integrates mass displacement across every bucket (the 0.1/0.25
+    // alarm thresholds assume this form). ε-floored proportions,
+    // nano-quantized double terms from exact integer counts (q86/q116
+    // recipe) so per-group sums are order-independent in both engines.
+    Q("q154_psi_drift",
+      (s, d) => {
+        val v = T.documents(s, d).select(col("lang"),
+          col("n_chars").cast("long").as("v"))
+        graft.operators.Sketches.histPsiGrouped(
+          graft.operators.Sketches.histBuildGrouped(v, "v", Seq("lang")),
+          Seq("lang")).orderBy(col("lang"))
+      },
+      Some("""WITH v AS (
+               SELECT lang, CAST(n_chars AS BIGINT) AS v FROM documents),
+             gh AS (
+               SELECT lang, CASE WHEN v <= 15 THEN v
+                 ELSE 16 + (length(bin(v)) - 5) * 8 +
+                   ((v >> (length(bin(v)) - 4)) - 8) END AS idx,
+                 CAST(count(*) AS BIGINT) AS cnt
+               FROM v GROUP BY 1, 2),
+             allh AS (
+               SELECT idx, CAST(sum(cnt) AS BIGINT) AS cnt_all
+               FROM gh GROUP BY idx),
+             na AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_all FROM gh),
+             gs AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_g
+                    FROM gh GROUP BY lang),
+             terms AS (
+               SELECT gs.lang, gs.n_g,
+                 CAST(round((greatest(coalesce(gh.cnt, 0) / gs.n_g,
+                     1e-6) - greatest(allh.cnt_all / na.n_all, 1e-6))
+                   * ln(greatest(coalesce(gh.cnt, 0) / gs.n_g, 1e-6)
+                     / greatest(allh.cnt_all / na.n_all, 1e-6))
+                   * 1e9) AS BIGINT) AS term_nano
+               FROM gs CROSS JOIN allh CROSS JOIN na
+               LEFT JOIN gh ON gh.lang = gs.lang AND gh.idx = allh.idx)
+             SELECT lang, n_g,
+               round(CAST(sum(term_nano) AS BIGINT) / 1e9, 6) AS psi
+             FROM terms GROUP BY lang, n_g ORDER BY lang"""))
   )
 }

@@ -241,4 +241,43 @@ class SketchesSpec extends SparkSpec {
       .collect().head.getDouble(2)
     assert(soloKs === 0.0)
   }
+
+  test("grouped PSI matches the sequential nano-term reference; solo is 0") {
+    val r = new scala.util.Random(43)
+    val rows = (1 to 4000).map { _ =>
+      val g = s"g${r.nextInt(3)}"
+      val base = if (g == "g2") 1000 else 100
+      (g, (base + r.nextInt(base * 9)).toLong)
+    }
+    val got = Sketches.histPsiGrouped(
+        Sketches.histBuildGrouped(rows.toDF("g", "v"), "v", Seq("g")),
+        Seq("g"))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+
+    def bucket(v: Long): Long =
+      if (v <= 15) v
+      else {
+        val nbits = 64 - java.lang.Long.numberOfLeadingZeros(v)
+        16 + (nbits - 4) * 8 + ((v >> (nbits - 4)) - 8)
+      }
+    val byBucket = rows.map { case (g, v) => (g, bucket(v)) }
+    val grid = byBucket.map(_._2).distinct
+    val nAll = rows.size.toDouble
+    byBucket.groupBy(_._1).foreach { case (g, grp) =>
+      val nG = grp.size.toDouble
+      val psiNano = grid.map { i =>
+        val pg = math.max(grp.count(_._2 == i) / nG, 1e-6)
+        val pa = math.max(byBucket.count(_._2 == i) / nAll, 1e-6)
+        math.round((pg - pa) * math.log(pg / pa) * 1e9)
+      }.sum
+      assert(math.abs(got(g) - psiNano / 1e9) < 1e-6, s"psi of $g")
+      assert(got(g) >= 0.0, "PSI is non-negative")
+    }
+    // The shifted group integrates far more displaced mass.
+    assert(got("g2") > got("g0") * 1.5)
+    val solo = rows.map { case (_, v) => ("only", v) }.toDF("g", "v")
+    assert(Sketches.histPsiGrouped(
+        Sketches.histBuildGrouped(solo, "v", Seq("g")), Seq("g"))
+      .collect().head.getDouble(2) === 0.0)
+  }
 }
