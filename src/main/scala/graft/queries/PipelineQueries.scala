@@ -464,8 +464,59 @@ object PipelineQueries {
                      - CAST(sx AS DOUBLE) * sx) *
                    (CAST(n AS DOUBLE) * syy
                      - CAST(sy AS DOUBLE) * sy)), 6) AS assortativity
-             FROM m"""))
+             FROM m""")),
+
+    // ---- k-core peel (KCore.peel) over the q94 co-purchase graph —
+    // the densest-substructure screen: customers below 25 co-purchase
+    // partners peel away (suppliers sit near degree 480 and never
+    // peel), and the cascade re-checks survivors each round. Fixed
+    // 4-round unroll keeps it oracle-able; `converged` certifies the
+    // budget reached quiescence, mirrored as a survivor-count compare.
+    Q("q156_kcore",
+      (s, d) => {
+        val pairs = T.orders(s, d)
+          .join(T.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("cust"),
+            (col("l_suppkey") + lit(1000000000L)).as("supp"))
+          .distinct()
+        val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
+          .union(pairs.select(col("supp").as("src"), col("cust").as("dst")))
+        graft.operators.KCore.peel(edges, k = 25, rounds = 4)
+          .orderBy(col("node_id"))
+      },
+      Some(KCoreSql(25, 4)))
   )
+
+  /** q156 oracle: the k-core peel unrolled — per round a surviving-edge
+    * CTE, a degree CTE, and a survivor CTE; `converged` mirrors the
+    * operator's "no node removed in the final round" as a count compare
+    * of the last two survivor sets. */
+  private def KCoreSql(k: Int, rounds: Int): String = {
+    val head = """WITH pairs AS (
+        SELECT DISTINCT o_custkey AS cust, l_suppkey + 1000000000 AS supp
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      edges AS (
+        SELECT cust AS src, supp AS dst FROM pairs
+        UNION ALL SELECT supp, cust FROM pairs),
+      s0 AS (SELECT DISTINCT src AS node_id FROM edges)"""
+    val iterCtes = (1 to rounds).map { i =>
+      val p = i - 1
+      s"""d$i AS (
+           SELECT e.src AS node_id, CAST(count(*) AS BIGINT) AS deg
+           FROM edges e
+           JOIN s$p a ON e.src = a.node_id
+           JOIN s$p b ON e.dst = b.node_id
+           GROUP BY e.src),
+         s$i AS (SELECT node_id, deg FROM d$i WHERE deg >= $k)"""
+    }.mkString(",\n")
+    val p = rounds - 1
+    s"""$head,
+      $iterCtes
+      SELECT node_id, deg,
+        (SELECT count(*) FROM s$rounds) =
+          (SELECT count(*) FROM s$p) AS converged
+      FROM s$rounds ORDER BY node_id"""
+  }
 
   /** q138 oracle: the BFS frontier recursion unrolled — per hop a
     * frontier CTE (expand ∖ visited) and an accumulate CTE. An empty

@@ -2408,6 +2408,52 @@ object Relational {
                LEFT JOIN gh ON gh.lang = gs.lang AND gh.idx = allh.idx)
              SELECT lang, n_g,
                round(CAST(sum(term_nano) AS BIGINT) / 1e9, 6) AS psi
-             FROM terms GROUP BY lang, n_g ORDER BY lang"""))
+             FROM terms GROUP BY lang, n_g ORDER BY lang""")),
+
+    // ---- Benford first-digit audit (fraud/data-quality screen):
+    // observed first-significant-digit counts of order totals vs the
+    // Benford expectation n·log10(1+1/d), with per-digit chi-square
+    // contributions. The digit extracts through the STRING cast of an
+    // exact BIGINT (portable integer-only arithmetic — no float log10
+    // in the bucketing); expectations/contributions are doubles from
+    // exact integers, rounded once. The synthetic near-uniform totals
+    // genuinely FAIL the screen (large chi², as a fraud auditor would
+    // flag them) — which is the detection the query demonstrates.
+    Q("q155_benford",
+      (s, d) => {
+        val digits = T.orders(s, d)
+          .select(expr("CAST(round(o_totalprice) AS BIGINT)").as("x"))
+          .filter(col("x") >= 1)
+          .select(expr("CAST(substring(CAST(x AS STRING), 1, 1) AS INT)")
+            .as("digit"))
+        val n = digits.agg(count(lit(1)).as("n"))
+        digits.groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+          .crossJoin(broadcast(n))
+          .withColumn("expected",
+            round(col("n") * log10(lit(1.0) + lit(1.0) / col("digit")), 6))
+          .withColumn("chi2_contrib",
+            round(pow(col("n_obs") -
+              col("n") * log10(lit(1.0) + lit(1.0) / col("digit")), 2) /
+              (col("n") * log10(lit(1.0) + lit(1.0) / col("digit"))), 6))
+          .select(col("digit"), col("n_obs"), col("expected"),
+            col("chi2_contrib"))
+          .orderBy(col("digit"))
+      },
+      Some("""WITH x AS (
+               SELECT CAST(round(o_totalprice) AS BIGINT) AS x
+               FROM orders
+               WHERE CAST(round(o_totalprice) AS BIGINT) >= 1),
+             dd AS (
+               SELECT CAST(substring(CAST(x AS VARCHAR), 1, 1) AS INT)
+                 AS digit
+               FROM x),
+             n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dd),
+             o AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs
+                   FROM dd GROUP BY digit)
+             SELECT digit, n_obs,
+               round(n.n * log10(1.0 + 1.0 / digit), 6) AS expected,
+               round(pow(n_obs - n.n * log10(1.0 + 1.0 / digit), 2)
+                 / (n.n * log10(1.0 + 1.0 / digit)), 6) AS chi2_contrib
+             FROM o CROSS JOIN n ORDER BY digit"""))
   )
 }
