@@ -84,4 +84,49 @@ object Bfs {
     e.unpersist()
     CacheScope.pinCheckpointed(dist)
   }
+
+  /** Weighted shortest distances by fixed-round relaxation (unrolled
+    * Bellman–Ford): after R rounds, `dist(v)` is the exact shortest
+    * distance over paths of ≤ R edges — the oracle-able form of the
+    * recursion ([[hopDistances]] is the w≡1 special case, but keeps its
+    * frontier optimization; relaxation must re-visit settled nodes
+    * because a longer-hop path can be shorter by weight). Per round:
+    * ONE candidate aggregation (min over incoming relaxations, map-side
+    * combined) + a node-sized full-outer reconcile, edge table never
+    * re-shuffled below `broadcastNodeLimit`. Weights must be
+    * non-negative integers (negative edges would need the full R=V−1
+    * rounds AND a negative-cycle check; integer sums keep every
+    * distance bit-identical cross-engine).
+    *
+    * @param edges (src, dst, w) directed; symmetrize upstream
+    * @return (node_id, dist) for nodes reachable within `rounds` edges */
+  def relaxDistances(edges: DataFrame, seeds: DataFrame, rounds: Int,
+      broadcastNodeLimit: Long = 10000000L): DataFrame = {
+    require(rounds >= 0, "rounds must be >= 0")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
+      col("w").cast("long")).persist(StorageLevel.MEMORY_AND_DISK)
+    val nNodes = e.select(col("src")).union(e.select(col("dst")))
+      .distinct().count()
+    val bcast = nNodes <= broadcastNodeLimit
+    def nodeSized(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
+
+    var dist = seeds.select(col("node_id").cast("long"))
+      .distinct().withColumn("dist", lit(0L)).localCheckpoint()
+    var r = 0
+    while (r < rounds) {
+      val cand = e.join(nodeSized(dist), e("src") === col("node_id"))
+        .select(e("dst").as("node_id"), (col("dist") + col("w")).as("nd"))
+        .groupBy(col("node_id")).agg(min(col("nd")).as("nd"))
+      val next = dist.join(nodeSized(cand), Seq("node_id"), "full_outer")
+        .select(col("node_id"),
+          least(coalesce(col("dist"), col("nd")),
+            coalesce(col("nd"), col("dist"))).as("dist"))
+        .localCheckpoint()
+      CacheScope.unpinCheckpoint(dist)
+      dist = next
+      r += 1
+    }
+    e.unpersist()
+    CacheScope.pinCheckpointed(dist)
+  }
 }

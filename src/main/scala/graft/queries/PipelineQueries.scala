@@ -484,8 +484,74 @@ object PipelineQueries {
         graft.operators.KCore.peel(edges, k = 25, rounds = 4)
           .orderBy(col("node_id"))
       },
-      Some(KCoreSql(25, 4)))
+      Some(KCoreSql(25, 4))),
+
+    // ---- Weighted shortest distances (4-round unrolled Bellman–Ford,
+    // Bfs.relaxDistances) over the co-purchase graph with tie-strength
+    // distances: w = 1000 div (shared orders), so strongly-linked pairs
+    // are CLOSER — the weighted refinement of q138's hop counts (a
+    // 2-hop strong path can beat a 1-hop weak edge, which hop counting
+    // cannot express). Integer weights end-to-end; oracle unrolls one
+    // candidate/reconcile CTE pair per round.
+    Q("q157_weighted_paths",
+      (s, d) => {
+        val w = T.orders(s, d)
+          .join(T.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("cust"),
+            (col("l_suppkey") + lit(1000000000L)).as("supp"),
+            col("o_orderkey").as("ok"))
+          .distinct()
+          .groupBy(col("cust"), col("supp"))
+          .agg(count(lit(1)).as("n_shared"))
+          .select(col("cust"), col("supp"),
+            expr("1000 div n_shared").as("w"))
+        val edges = w.select(col("cust").as("src"), col("supp").as("dst"),
+            col("w"))
+          .union(w.select(col("supp").as("src"), col("cust").as("dst"),
+            col("w")))
+        val seeds = T.orders(s, d)
+          .filter(col("o_custkey") <= 5)
+          .select(col("o_custkey").as("node_id")).distinct()
+        graft.operators.Bfs.relaxDistances(edges, seeds, rounds = 4)
+          .orderBy(col("node_id"))
+      },
+      Some(BellmanSql(4)))
   )
+
+  /** q157 oracle: the relaxation unrolled — per round a min-candidate
+    * CTE and a full-outer reconcile CTE (least over coalesced sides,
+    * mirroring the operator's null handling exactly). */
+  private def BellmanSql(rounds: Int): String = {
+    val head = """WITH trip AS (
+        SELECT DISTINCT o_custkey AS cust,
+          l_suppkey + 1000000000 AS supp, o_orderkey AS ok
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      wt AS (
+        SELECT cust, supp, 1000 // count(*) AS w
+        FROM trip GROUP BY cust, supp),
+      edges AS (
+        SELECT cust AS src, supp AS dst, w FROM wt
+        UNION ALL SELECT supp, cust, w FROM wt),
+      d0 AS (
+        SELECT DISTINCT o_custkey AS node_id, CAST(0 AS BIGINT) AS dist
+        FROM orders WHERE o_custkey <= 5)"""
+    val iterCtes = (1 to rounds).map { i =>
+      val p = i - 1
+      s"""c$i AS (
+           SELECT e.dst AS node_id,
+             CAST(min(d.dist + e.w) AS BIGINT) AS nd
+           FROM edges e JOIN d$p d ON e.src = d.node_id
+           GROUP BY e.dst),
+         d$i AS (
+           SELECT coalesce(d.node_id, c.node_id) AS node_id,
+             least(coalesce(d.dist, c.nd), coalesce(c.nd, d.dist))
+               AS dist
+           FROM d$p d FULL OUTER JOIN c$i c ON d.node_id = c.node_id)"""
+    }.mkString(",\n")
+    s"""$head,
+      $iterCtes
+      SELECT node_id, dist FROM d$rounds ORDER BY node_id"""
+  }
 
   /** q156 oracle: the k-core peel unrolled — per round a surviving-edge
     * CTE, a degree CTE, and a survivor CTE; `converged` mirrors the

@@ -878,7 +878,48 @@ object TextQueries {
              JOIN sizes sa ON a = sa.doc_id
              JOIN sizes sb ON b = sb.doc_id
              WHERE 3 * inter >= sa.sz + sb.sz
-             ORDER BY a, b"""))
+             ORDER BY a, b""")),
+
+    // ---- Readability scoring (Flesch reading ease): words, sentences,
+    // and vowel-group syllable estimates are EXACT integer counts from
+    // the same regex class in both engines (Java and RE2 agree on
+    // simple character-class quantifiers); the score is one double
+    // expression over those integers, rounded once. max(1, ·) guards
+    // keep fragment docs (no terminal punctuation) finite. The quality
+    // signal family's (q33/q51) classical-readability member.
+    Q("q158_readability",
+      (s, d) => T.documents(s, d)
+        .select(col("doc_id"),
+          expr("size(filter(split(text, ' '), t -> t != ''))")
+            .cast("long").as("n_words"),
+          expr("greatest(CAST(1 AS BIGINT), " +
+            "CAST(size(regexp_extract_all(text, '[.!?]+', 0)) AS BIGINT))")
+            .as("n_sentences"),
+          expr("greatest(CAST(1 AS BIGINT), " +
+            "CAST(size(regexp_extract_all(lower(text), '[aeiouy]+', 0)) " +
+            "AS BIGINT))").as("n_syllables"))
+        .withColumn("n_words",
+          greatest(lit(1L), col("n_words")))
+        .withColumn("flesch", round(
+          lit(206.835)
+            - lit(1.015) * (col("n_words") / col("n_sentences"))
+            - lit(84.6) * (col("n_syllables") / col("n_words")), 4))
+        .orderBy(col("doc_id")),
+      Some("""WITH c AS (
+               SELECT doc_id,
+                 greatest(1, CAST(len(list_filter(
+                   string_split(text, ' '), t -> t <> '')) AS BIGINT))
+                   AS n_words,
+                 greatest(1, CAST(len(regexp_extract_all(
+                   text, '[.!?]+')) AS BIGINT)) AS n_sentences,
+                 greatest(1, CAST(len(regexp_extract_all(
+                   lower(text), '[aeiouy]+')) AS BIGINT)) AS n_syllables
+               FROM documents)
+             SELECT doc_id, n_words, n_sentences, n_syllables,
+               round(206.835
+                 - 1.015 * (n_words / n_sentences)
+                 - 84.6 * (n_syllables / n_words), 4) AS flesch
+             FROM c ORDER BY doc_id"""))
   )
 
   /** q110 oracle: the BPE recursion unrolled (shared CTE chain). */

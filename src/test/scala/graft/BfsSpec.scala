@@ -70,4 +70,48 @@ class BfsSpec extends SparkSpec {
     assert(run(edges, Seq(1L, 1L, 2L), 3) ===
       Map(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1))
   }
+
+  private def runW(edges: Seq[(Long, Long, Long)], seeds: Seq[Long],
+      rounds: Int): Map[Long, Long] =
+    Bfs.relaxDistances(edges.toDF("src", "dst", "w"),
+        seeds.toDF("node_id"), rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** Sequential ≤R-edge shortest distances. */
+  private def referenceRelax(edges: Seq[(Long, Long, Long)],
+      seeds: Set[Long], rounds: Int): Map[Long, Long] = {
+    var dist = seeds.map(_ -> 0L).toMap
+    for (_ <- 1 to rounds) {
+      val cand = edges.flatMap { case (u, v, w) =>
+        dist.get(u).map(du => v -> (du + w))
+      }.groupBy(_._1).map { case (v, g) => v -> g.map(_._2).min }
+      dist = (dist.keySet ++ cand.keySet).map { v =>
+        v -> math.min(dist.getOrElse(v, Long.MaxValue),
+          cand.getOrElse(v, Long.MaxValue))
+      }.toMap
+    }
+    dist
+  }
+
+  test("relaxDistances matches sequential Bellman-Ford on random graphs") {
+    for (seed <- 1 to 3) {
+      val r = new Random(10 + seed)
+      val n = 40
+      val edges = Seq.fill(160)((r.nextInt(n).toLong, r.nextInt(n).toLong,
+        (1 + r.nextInt(9)).toLong))
+      val seeds = Seq.fill(2)(r.nextInt(n).toLong).distinct
+      val rounds = 1 + r.nextInt(4)
+      assert(runW(edges, seeds, rounds)
+        === referenceRelax(edges, seeds.toSet, rounds),
+        s"seed=$seed rounds=$rounds")
+    }
+  }
+
+  test("a cheap 2-hop path beats an expensive direct edge") {
+    val edges = Seq((1L, 3L, 10L), (1L, 2L, 1L), (2L, 3L, 1L))
+    // One round can only see the direct edge; two rounds find the
+    // 2-edge path — the case hop-count BFS cannot express.
+    assert(runW(edges, Seq(1L), 1) === Map(1L -> 0L, 2L -> 1L, 3L -> 10L))
+    assert(runW(edges, Seq(1L), 2) === Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
 }
