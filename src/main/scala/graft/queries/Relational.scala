@@ -2454,6 +2454,99 @@ object Relational {
                round(n.n * log10(1.0 + 1.0 / digit), 6) AS expected,
                round(pow(n_obs - n.n * log10(1.0 + 1.0 / digit), 2)
                  / (n.n * log10(1.0 + 1.0 / digit)), 6) AS chi2_contrib
-             FROM o CROSS JOIN n ORDER BY digit"""))
+             FROM o CROSS JOIN n ORDER BY digit""")),
+
+    // ---- Revenue concentration (Gini + Lorenz top-shares) over
+    // per-customer purchase totals — "how unequal is the spend", the
+    // budget-concentration twin of q149's token-mass question. The rank
+    // comes from ScaleOps.globalRowNumbers (q144's distributed
+    // zipWithIndex — NO single-partition window in the Spark plan,
+    // while the ORACLE's row_number over a global sort is exactly that),
+    // and Gini = (2·Σ rank·xᵢ)/(n·Σx) − (n+1)/n evaluates in double
+    // from exact integer sums. Top-1%/10% shares are exact integer
+    // ratios over the same ranks.
+    Q("q159_gini_concentration",
+      (s, d) => {
+        val rev = T.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"))
+          .agg(sum(expr("CAST(round(value * 1000) AS BIGINT)"))
+            .as("rev_milli"))
+        val ranked = graft.operators.ScaleOps.globalRowNumbers(
+          rev, Seq("rev_milli", "user_id"))
+        ranked
+          .crossJoin(broadcast(ranked.agg(
+            count(lit(1)).as("n"), sum(col("rev_milli")).as("total"))))
+          .agg(
+            first(col("n")).as("n_users"),
+            first(col("total")).as("total_milli"),
+            round(
+              (lit(2.0) * sum(col("row_num") * col("rev_milli"))) /
+                (first(col("n")) * first(col("total")))
+                - (first(col("n")) + lit(1.0)) / first(col("n")), 6)
+              .as("gini"),
+            round(sum(when(col("row_num") > col("n") - greatest(lit(1L),
+              expr("n div 100")), col("rev_milli")).otherwise(lit(0L))) /
+              first(col("total")).cast("double"), 6).as("top1pct_share"),
+            round(sum(when(col("row_num") > col("n") - greatest(lit(1L),
+              expr("n div 10")), col("rev_milli")).otherwise(lit(0L))) /
+              first(col("total")).cast("double"), 6).as("top10pct_share"))
+      },
+      Some("""WITH rev AS (
+               SELECT user_id,
+                 CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT)
+                   AS rev_milli
+               FROM events WHERE event_type = 'purchase'
+               GROUP BY user_id),
+             rk AS (
+               SELECT rev_milli,
+                 CAST(row_number() OVER (ORDER BY rev_milli, user_id)
+                   AS BIGINT) AS row_num
+               FROM rev),
+             agg AS (
+               SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(rev_milli) AS BIGINT) AS total,
+                 CAST(sum(row_num * rev_milli) AS BIGINT) AS wsum,
+                 CAST(sum(CASE WHEN row_num > (SELECT count(*) FROM rk)
+                     - greatest(1, (SELECT count(*) FROM rk) // 100)
+                   THEN rev_milli ELSE 0 END) AS BIGINT) AS top1,
+                 CAST(sum(CASE WHEN row_num > (SELECT count(*) FROM rk)
+                     - greatest(1, (SELECT count(*) FROM rk) // 10)
+                   THEN rev_milli ELSE 0 END) AS BIGINT) AS top10
+               FROM rk)
+             SELECT n AS n_users, total AS total_milli,
+               round((2.0 * wsum) / (n * CAST(total AS DOUBLE))
+                 - (n + 1.0) / n, 6) AS gini,
+               round(top1 / CAST(total AS DOUBLE), 6) AS top1pct_share,
+               round(top10 / CAST(total AS DOUBLE), 6) AS top10pct_share
+             FROM agg""")),
+
+    // ---- Join-skew pre-flight report: which keys would DOMINATE the
+    // lineitem part-key self-join — per-key frequency f, its output
+    // contribution f², and f²'s share of the total (the per-key detail
+    // behind q124's aggregate CM bound, and the evidence that picks
+    // between AQE skew-split and explicit salting). One map-side
+    // combined count + a top-20; exact integers, one rounded ratio.
+    Q("q160_join_skew",
+      (s, d) => {
+        val f = T.lineitem(s, d).groupBy(col("l_partkey"))
+          .agg(count(lit(1)).as("f"))
+        f.crossJoin(broadcast(
+            f.agg(sum(col("f") * col("f")).as("total_f2"))))
+          .select(col("l_partkey"), col("f"),
+            (col("f") * col("f")).as("f2"),
+            round((col("f") * col("f")) / col("total_f2"), 6)
+              .as("share"))
+          .orderBy(col("f2").desc, col("l_partkey"))
+          .limit(20)
+      },
+      Some("""WITH f AS (
+               SELECT l_partkey, CAST(count(*) AS BIGINT) AS f
+               FROM lineitem GROUP BY l_partkey),
+             t AS (SELECT CAST(sum(f * f) AS BIGINT) AS total_f2 FROM f)
+             SELECT l_partkey, f, f * f AS f2,
+               round((f * f) / t.total_f2, 6) AS share
+             FROM f CROSS JOIN t
+             ORDER BY f2 DESC, l_partkey LIMIT 20"""))
   )
 }

@@ -919,7 +919,70 @@ object TextQueries {
                round(206.835
                  - 1.015 * (n_words / n_sentences)
                  - 84.6 * (n_syllables / n_words), 4) AS flesch
-             FROM c ORDER BY doc_id"""))
+             FROM c ORDER BY doc_id""")),
+
+    // ---- Out-of-vocabulary rate vs the corpus top-1000 lexicon: the
+    // tokenizer-coverage / domain-shift monitor — a doc full of tokens
+    // the lexicon has never seen is either foreign, garbled, or from a
+    // new domain. Lexicon = top-1000 tokens (count desc, token asc —
+    // deterministic boundary), broadcast into a left join over the
+    // SHARED memoized token table; per-doc OOV ratio in exact micro
+    // units (oov·10⁶ div n), per-lang mean as integer division again.
+    Q("q161_oov_rate",
+      (s, d) => {
+        val toks = tokens(s, d)
+        val lexicon = toks.groupBy(col("tok"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("tok"))
+          .limit(1000)
+          .select(col("tok").as("lex_tok"))
+        val perDoc = toks
+          .join(broadcast(lexicon), col("tok") === col("lex_tok"),
+            "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("lex_tok").isNull, 1L).otherwise(0L))
+              .as("n_oov"))
+          .withColumn("oov_micro",
+            expr("(n_oov * 1000000) div n_tokens"))
+        perDoc
+          .join(T.documents(s, d).select(col("doc_id"), col("lang")),
+            "doc_id")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("n_tokens"),
+            sum(col("n_oov")).as("n_oov"),
+            expr("sum(oov_micro) div count(1)").as("mean_oov_micro"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH toks AS (
+               SELECT doc_id, tok FROM (
+                 SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                 FROM documents)
+               WHERE tok <> ''),
+             lex AS (
+               SELECT tok FROM (
+                 SELECT tok, count(*) AS cnt FROM toks GROUP BY tok)
+               ORDER BY cnt DESC, tok LIMIT 1000),
+             pd AS (
+               SELECT t.doc_id,
+                 CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(sum(CASE WHEN l.tok IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_oov
+               FROM toks t LEFT JOIN lex l ON t.tok = l.tok
+               GROUP BY t.doc_id),
+             pm AS (
+               SELECT doc_id, n_tokens, n_oov,
+                 (n_oov * 1000000) // n_tokens AS oov_micro
+               FROM pd)
+             SELECT d.lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(pm.n_tokens) AS BIGINT) AS n_tokens,
+               CAST(sum(pm.n_oov) AS BIGINT) AS n_oov,
+               CAST(sum(pm.oov_micro) // count(*) AS BIGINT)
+                 AS mean_oov_micro
+             FROM pm JOIN documents d ON pm.doc_id = d.doc_id
+             GROUP BY d.lang ORDER BY d.lang"""))
   )
 
   /** q110 oracle: the BPE recursion unrolled (shared CTE chain). */
