@@ -2054,7 +2054,61 @@ object LlmQueries {
                CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
                coalesce(string_agg(CASE WHEN keep THEN line END,
                  chr(10) ORDER BY i), '') AS text
-             FROM flag GROUP BY id ORDER BY id"""))
+             FROM flag GROUP BY id ORDER BY id""")),
+
+    // ---- Language-ID confusion matrix: q47's marker-token classifier
+    // evaluated against the declared `lang` metadata — (declared,
+    // predicted) counts plus per-cell share of the declared row. The
+    // classifier-evaluation face of the curation stack: before a
+    // lang-id FILTER runs at 100 TB, this is the table that says what
+    // it will throw away per language. One classify pass + one tiny
+    // matrix agg.
+    Q("q164_langid_confusion",
+      (s, d) => {
+        val pred = TextAnalysis.langId(T.documents(s, d), "doc_id",
+            "text")
+          .withColumnRenamed("id", "doc_id")
+          .select(col("doc_id"), col("pred_lang"))
+        val m = T.documents(s, d).select(col("doc_id"), col("lang"))
+          .join(pred, "doc_id")
+          .groupBy(col("lang"), col("pred_lang"))
+          .agg(count(lit(1)).as("n"))
+        val rowTot = m.groupBy(col("lang"))
+          .agg(sum(col("n")).as("n_lang"))
+        m.join(broadcast(rowTot), "lang")
+          .select(col("lang"), col("pred_lang"), col("n"),
+            round(col("n") / col("n_lang"), 6).as("row_share"))
+          .orderBy(col("lang"), col("pred_lang"))
+      },
+      Some("""WITH toks AS (
+               SELECT doc_id,
+                 unnest(string_split_regex(lower(text), '\s+')) AS tok
+               FROM documents),
+             scored AS (
+               SELECT doc_id,
+                 sum(CASE WHEN tok IN ('der','die','das','und','ist','nicht') THEN 1 ELSE 0 END) AS s_de,
+                 sum(CASE WHEN tok IN ('the','and','of','is','to','in') THEN 1 ELSE 0 END) AS s_en,
+                 sum(CASE WHEN tok IN ('el','la','de','que','los','es') THEN 1 ELSE 0 END) AS s_es,
+                 sum(CASE WHEN tok IN ('le','la','les','et','des','est') THEN 1 ELSE 0 END) AS s_fr
+               FROM toks GROUP BY doc_id),
+             pred AS (
+               SELECT doc_id,
+                 CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                      WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                      WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                      WHEN s_es >= s_fr THEN 'es'
+                      ELSE 'fr' END AS pred_lang
+               FROM scored),
+             m AS (
+               SELECT d.lang, p.pred_lang, CAST(count(*) AS BIGINT) AS n
+               FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+               GROUP BY d.lang, p.pred_lang),
+             rt AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_lang
+                    FROM m GROUP BY lang)
+             SELECT m.lang, m.pred_lang, m.n,
+               round(m.n / rt.n_lang, 6) AS row_share
+             FROM m JOIN rt ON m.lang = rt.lang
+             ORDER BY m.lang, m.pred_lang"""))
   )
 
   /** Shared DuckDB CTEs for q77/q78: re-indexed tokens, lead-built

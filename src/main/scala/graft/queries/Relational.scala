@@ -2547,6 +2547,113 @@ object Relational {
              SELECT l_partkey, f, f * f AS f2,
                round((f * f) / t.total_f2, 6) AS share
              FROM f CROSS JOIN t
-             ORDER BY f2 DESC, l_partkey LIMIT 20"""))
+             ORDER BY f2 DESC, l_partkey LIMIT 20""")),
+
+    // ---- Robust scale per language: median + MAD (median absolute
+    // deviation) of doc length, BOTH read off histogram artifacts — two
+    // O(buckets) walks with one corpus re-pass for the deviations (join
+    // against the broadcast per-lang medians). The robust-stats sibling
+    // of q131's winsorized means: MAD survives the heavy tail that
+    // wrecks a stddev, and the artifact path never sorts the corpus.
+    Q("q162_mad_robust",
+      (s, d) => {
+        import graft.operators.Sketches
+        val v = T.documents(s, d).select(col("lang"),
+          col("n_chars").cast("long").as("v"))
+        val med = Sketches.histQuantilesGrouped(
+            Sketches.histBuildGrouped(v, "v", Seq("lang")),
+            Seq("lang"), Seq(50))
+          .select(col("lang"), col("est").as("med_est"))
+        val dev = v.join(broadcast(med), "lang")
+          .select(col("lang"), abs(col("v") - col("med_est")).as("v"))
+        val mad = Sketches.histQuantilesGrouped(
+            Sketches.histBuildGrouped(dev, "v", Seq("lang")),
+            Seq("lang"), Seq(50))
+          .select(col("lang"), col("est").as("mad_est"))
+        med.join(mad, "lang").orderBy(col("lang"))
+      },
+      Some("""WITH v AS (
+               SELECT lang, CAST(n_chars AS BIGINT) AS v FROM documents),
+             b1 AS (
+               SELECT lang, CASE WHEN v <= 15 THEN v
+                 ELSE 16 + (length(bin(v)) - 5) * 8 +
+                   ((v >> (length(bin(v)) - 4)) - 8) END AS idx
+               FROM v),
+             h1 AS (SELECT lang, idx, count(*) AS cnt
+                    FROM b1 GROUP BY lang, idx),
+             c1 AS (
+               SELECT lang, idx,
+                 CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY idx)
+                   AS BIGINT) AS cum,
+                 CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n
+               FROM h1),
+             m1 AS (
+               SELECT lang, min(idx) AS idx FROM c1
+               WHERE cum >= (CAST(50 AS BIGINT) * n + 99) // 100
+               GROUP BY lang),
+             med AS (
+               SELECT lang,
+                 CAST(CASE WHEN idx <= 15 THEN idx
+                   ELSE (((CAST(8 + (idx - 16) % 8 AS BIGINT)
+                            << (1 + (idx - 16) // 8)) +
+                          (CAST(9 + (idx - 16) % 8 AS BIGINT)
+                            << (1 + (idx - 16) // 8)) - 1) >> 1)
+                   END AS BIGINT) AS med_est
+               FROM m1),
+             dv AS (
+               SELECT v.lang, abs(v.v - med.med_est) AS v
+               FROM v JOIN med ON v.lang = med.lang),
+             b2 AS (
+               SELECT lang, CASE WHEN v <= 15 THEN v
+                 ELSE 16 + (length(bin(v)) - 5) * 8 +
+                   ((v >> (length(bin(v)) - 4)) - 8) END AS idx
+               FROM dv),
+             h2 AS (SELECT lang, idx, count(*) AS cnt
+                    FROM b2 GROUP BY lang, idx),
+             c2 AS (
+               SELECT lang, idx,
+                 CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY idx)
+                   AS BIGINT) AS cum,
+                 CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n
+               FROM h2),
+             m2 AS (
+               SELECT lang, min(idx) AS idx FROM c2
+               WHERE cum >= (CAST(50 AS BIGINT) * n + 99) // 100
+               GROUP BY lang),
+             mad AS (
+               SELECT lang,
+                 CAST(CASE WHEN idx <= 15 THEN idx
+                   ELSE (((CAST(8 + (idx - 16) % 8 AS BIGINT)
+                            << (1 + (idx - 16) // 8)) +
+                          (CAST(9 + (idx - 16) % 8 AS BIGINT)
+                            << (1 + (idx - 16) // 8)) - 1) >> 1)
+                   END AS BIGINT) AS mad_est
+               FROM m2)
+             SELECT med.lang, med.med_est, mad.mad_est
+             FROM med JOIN mad ON med.lang = mad.lang
+             ORDER BY med.lang""")),
+
+    // ---- Day-of-week seasonality profile: per (event_type, weekday)
+    // activity and mean value — the periodic-baseline table a drift
+    // alarm (q111/q116) normalizes against. The weekday index is PURE
+    // INTEGER arithmetic from the epoch day ((days+3) mod 7, 0=Monday):
+    // engines disagree on dayofweek() conventions, integers don't.
+    Q("q163_dow_profile",
+      (s, d) => T.events(s, d)
+        .select(col("event_type"),
+          expr("pmod((ts_ns div 86400000000000) + 3, 7)").as("dow0"),
+          expr("CAST(round(value * 1000) AS BIGINT)").as("v"))
+        .groupBy(col("event_type"), col("dow0"))
+        .agg(count(lit(1)).as("n"),
+          expr("sum(v) div count(1)").as("mean_milli"))
+        .orderBy(col("event_type"), col("dow0")),
+      Some("""SELECT event_type,
+               ((epoch_ns(ts) // 86400000000000) + 3) % 7 AS dow0,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(value * 1000) AS BIGINT)) // count(*)
+                 AS BIGINT) AS mean_milli
+             FROM events
+             GROUP BY event_type, dow0
+             ORDER BY event_type, dow0"""))
   )
 }
