@@ -240,6 +240,22 @@ object Sketches {
       .select(col("v"), round(col("below") / col("n"), 6).as("pct_rank"))
   }
 
+  /** Signed histogram diff between two snapshots of a distribution:
+    * per bucket, cnt_b − cnt_a (full outer over idx, absent = 0) — the
+    * DIRECTION detail behind the KS/PSI scalars: which part of the
+    * distribution gained or lost mass between yesterday's artifact and
+    * today's. Completes the artifact algebra (build / merge / weighted /
+    * age / diff); O(buckets), exact integers, no corpus access. */
+  def histDiff(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("idx"), col("cnt").as("cnt_a"))
+      .join(b.select(col("idx"), col("cnt").as("cnt_b")), Seq("idx"),
+        "full_outer")
+      .select(col("idx"),
+        coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"),
+        (coalesce(col("cnt_b"), lit(0L)) -
+          coalesce(col("cnt_a"), lit(0L))).as("delta"))
+
   /** Two-sample Kolmogorov–Smirnov distance per group, read OFF a
     * grouped histogram artifact ([[histBuildGrouped]]): each group's CDF
     * vs the POOLED corpus CDF (the blend, like q116's JS drift — a

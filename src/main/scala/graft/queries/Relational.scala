@@ -2654,6 +2654,48 @@ object Relational {
                  AS BIGINT) AS mean_milli
              FROM events
              GROUP BY event_type, dow0
-             ORDER BY event_type, dow0"""))
+             ORDER BY event_type, dow0""")),
+
+    // ---- Histogram snapshot diff (Sketches.histDiff): which buckets
+    // of the order-value distribution gained/lost mass between the
+    // first and second half of the month — the per-bucket DIRECTION
+    // behind the q140/q154 drift scalars, computed purely on the two
+    // artifacts (full outer over idx, exact signed integers, no corpus
+    // re-read). Completes the artifact algebra: build/merge/weighted/
+    // age/diff.
+    Q("q165_hist_diff",
+      (s, d) => {
+        import graft.operators.Sketches
+        val cut = lit(1705363200000000000L) // 2024-01-16T00:00Z
+        def half(p: org.apache.spark.sql.Column) =
+          Sketches.histBuild(T.events(s, d).filter(p)
+            .select(expr("CAST(round(value * 1000) AS BIGINT)").as("v")),
+            "v")
+        Sketches.histDiff(half(col("ts_ns") < cut),
+            half(col("ts_ns") >= cut))
+          .orderBy(col("idx"))
+      },
+      Some("""WITH e AS (
+               SELECT epoch_ns(ts) AS ts_ns,
+                 CAST(round(value * 1000) AS BIGINT) AS v
+               FROM events),
+             ba AS (
+               SELECT CASE WHEN v <= 15 THEN v
+                 ELSE 16 + (length(bin(v)) - 5) * 8 +
+                   ((v >> (length(bin(v)) - 4)) - 8) END AS idx,
+                 CAST(count(*) AS BIGINT) AS cnt
+               FROM e WHERE ts_ns < 1705363200000000000 GROUP BY idx),
+             bb AS (
+               SELECT CASE WHEN v <= 15 THEN v
+                 ELSE 16 + (length(bin(v)) - 5) * 8 +
+                   ((v >> (length(bin(v)) - 4)) - 8) END AS idx,
+                 CAST(count(*) AS BIGINT) AS cnt
+               FROM e WHERE ts_ns >= 1705363200000000000 GROUP BY idx)
+             SELECT coalesce(ba.idx, bb.idx) AS idx,
+               coalesce(ba.cnt, 0) AS cnt_a,
+               coalesce(bb.cnt, 0) AS cnt_b,
+               coalesce(bb.cnt, 0) - coalesce(ba.cnt, 0) AS delta
+             FROM ba FULL OUTER JOIN bb ON ba.idx = bb.idx
+             ORDER BY idx"""))
   )
 }
