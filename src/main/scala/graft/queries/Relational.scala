@@ -2696,6 +2696,145 @@ object Relational {
                coalesce(bb.cnt, 0) AS cnt_b,
                coalesce(bb.cnt, 0) - coalesce(ba.cnt, 0) AS delta
              FROM ba FULL OUTER JOIN bb ON ba.idx = bb.idx
-             ORDER BY idx"""))
+             ORDER BY idx""")),
+
+    // ---- Delivery-completeness audit (sequence-gap detection): per
+    // user, holes in the event_id sequence they received — lag window,
+    // exact integer gap arithmetic. Global event_ids interleave across
+    // users, so per-user gaps are the norm; the audit shape is what
+    // matters: n_gaps, missing-id mass, largest hole — the "did this
+    // partition lose data" question asked per key.
+    Q("q167_sequence_gaps",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        T.events(s, d)
+          .select(col("user_id"), col("event_id"))
+          .withColumn("prev", lag(col("event_id"), 1).over(w))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(col("event_id") - col("prev") > 1, 1L)
+              .otherwise(0L)).as("n_gaps"),
+            sum(when(col("event_id") - col("prev") > 1,
+              col("event_id") - col("prev") - 1).otherwise(0L))
+              .as("n_missing"),
+            max(coalesce(col("event_id") - col("prev") - 1, lit(0L)))
+              .as("largest_gap"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH g AS (
+               SELECT user_id, event_id,
+                 lag(event_id) OVER (PARTITION BY user_id
+                   ORDER BY event_id) AS prev
+               FROM events)
+             SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CASE WHEN event_id - prev > 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_gaps,
+               CAST(sum(CASE WHEN event_id - prev > 1
+                 THEN event_id - prev - 1 ELSE 0 END) AS BIGINT)
+                 AS n_missing,
+               CAST(max(coalesce(event_id - prev - 1, 0)) AS BIGINT)
+                 AS largest_gap
+             FROM g GROUP BY user_id ORDER BY user_id""")),
+
+    // ---- Week-over-week deltas per event type (the BI
+    // period-over-period table): weekly counts/value, previous-period
+    // lag, absolute delta and rounded pct change — windows over the
+    // O(types·weeks) AGGREGATE. Week index is pure integer epoch-day
+    // arithmetic (the q163 discipline).
+    Q("q168_wow_deltas",
+      (s, d) => {
+        val weekly = T.events(s, d)
+          .select(col("event_type"),
+            expr("(ts_ns div 86400000000000) div 7").as("wk"),
+            expr("CAST(round(value * 1000) AS BIGINT)").as("v"))
+          .groupBy(col("event_type"), col("wk"))
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("v_milli"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("wk"))
+        weekly
+          .withColumn("prev_n", lag(col("n"), 1).over(w))
+          .withColumn("delta_n", col("n") - col("prev_n"))
+          .withColumn("pct_change",
+            when(col("prev_n") > 0,
+              round((col("n") - col("prev_n")) /
+                col("prev_n").cast("double"), 6)))
+          .orderBy(col("event_type"), col("wk"))
+      },
+      Some("""WITH weekly AS (
+               SELECT event_type,
+                 (epoch_ns(ts) // 86400000000000) // 7 AS wk,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(round(value * 1000) AS BIGINT))
+                   AS BIGINT) AS v_milli
+               FROM events GROUP BY event_type, wk)
+             SELECT event_type, wk, n, v_milli,
+               lag(n) OVER w AS prev_n,
+               n - lag(n) OVER w AS delta_n,
+               CASE WHEN lag(n) OVER w > 0
+                 THEN round((n - lag(n) OVER w)
+                   / CAST(lag(n) OVER w AS DOUBLE), 6) END AS pct_change
+             FROM weekly
+             WINDOW w AS (PARTITION BY event_type ORDER BY wk)
+             ORDER BY event_type, wk""")),
+
+    // ---- Conversion-latency distribution: signup→purchase delay per
+    // user (first signup to first LATER purchase) bucketed through the
+    // histogram artifact — the time-to-convert curve behind q100's
+    // funnel counts, reading minutes-scale latency quantiles off
+    // O(buckets). Latency in whole minutes keeps the artifact small
+    // and the integers exact.
+    Q("q169_latency_histogram",
+      (s, d) => {
+        import graft.operators.Sketches
+        val e = T.events(s, d)
+        val su = e.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("ts_ns")).as("su_ts"))
+        val pu = e.filter(col("event_type") === "purchase")
+          .join(broadcast(su), "user_id")
+          .filter(col("ts_ns") >= col("su_ts"))
+          .groupBy(col("user_id"), col("su_ts"))
+          .agg(min(col("ts_ns")).as("pu_ts"))
+        val lat = pu.select(
+          expr("(pu_ts - su_ts) div 60000000000").as("lat_min"))
+        Sketches.histQuantiles(Sketches.histBuild(lat, "lat_min"),
+          Seq(25, 50, 90, 99)).orderBy(col("pct"))
+      },
+      Some("""WITH su AS (
+               SELECT user_id, min(epoch_ns(ts)) AS su_ts
+               FROM events WHERE event_type = 'signup'
+               GROUP BY user_id),
+             pu AS (
+               SELECT e.user_id, su.su_ts,
+                 min(epoch_ns(e.ts)) AS pu_ts
+               FROM events e JOIN su ON e.user_id = su.user_id
+               WHERE e.event_type = 'purchase'
+                 AND epoch_ns(e.ts) >= su.su_ts
+               GROUP BY e.user_id, su.su_ts),
+             lat AS (
+               SELECT (pu_ts - su_ts) // 60000000000 AS v FROM pu),
+             b AS (
+               SELECT CASE WHEN v <= 15 THEN v
+                 ELSE 16 + (length(bin(v)) - 5) * 8 +
+                   ((v >> (length(bin(v)) - 4)) - 8) END AS idx
+               FROM lat),
+             h AS (SELECT idx, count(*) AS cnt FROM b GROUP BY idx),
+             c AS (
+               SELECT idx,
+                 CAST(sum(cnt) OVER (ORDER BY idx) AS BIGINT) AS cum
+               FROM h),
+             tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lat),
+             p AS (SELECT CAST(unnest([25, 50, 90, 99]) AS INT) AS pct),
+             sel AS (
+               SELECT p.pct, min(c.idx) AS idx
+               FROM p JOIN c ON c.cum >=
+                 (CAST(p.pct AS BIGINT) * (SELECT n FROM tot) + 99) // 100
+               GROUP BY p.pct)
+             SELECT pct,
+               CAST(CASE WHEN idx <= 15 THEN idx
+                 ELSE (((CAST(8 + (idx - 16) % 8 AS BIGINT)
+                          << (1 + (idx - 16) // 8)) +
+                        (CAST(9 + (idx - 16) % 8 AS BIGINT)
+                          << (1 + (idx - 16) // 8)) - 1) >> 1)
+                 END AS BIGINT) AS est
+             FROM sel ORDER BY pct"""))
   )
 }

@@ -982,7 +982,69 @@ object TextQueries {
                CAST(sum(pm.oov_micro) // count(*) AS BIGINT)
                  AS mean_oov_micro
              FROM pm JOIN documents d ON pm.doc_id = d.doc_id
-             GROUP BY d.lang ORDER BY d.lang"""))
+             GROUP BY d.lang ORDER BY d.lang""")),
+
+    // ---- Distinctive terms per language (term lift): which tokens are
+    // over-represented in a language vs the corpus blend — the
+    // corpus-exploration face of q60's TF-IDF (which is per-DOC). Lift
+    // = (freq_g/n_g)/(freq/n) as one rounded double from four exact
+    // integers; min-count 20 prunes noise BEFORE the per-group top-10
+    // window, which runs over the O(langs·vocab) aggregate, never
+    // token occurrences.
+    Q("q166_distinctive_terms",
+      (s, d) => {
+        val toks = tokens(s, d)
+          .join(T.documents(s, d).select(col("doc_id"), col("lang")),
+            "doc_id")
+        val byLang = toks.groupBy(col("lang"), col("tok"))
+          .agg(count(lit(1)).as("f_g"))
+        val langTot = byLang.groupBy(col("lang"))
+          .agg(sum(col("f_g")).as("n_g"))
+        val corpus = byLang.groupBy(col("tok"))
+          .agg(sum(col("f_g")).as("f"))
+        val corpusTot = corpus.agg(sum(col("f")).as("n"))
+        val scored = byLang.filter(col("f_g") >= 20)
+          .join(broadcast(langTot), "lang")
+          .join(broadcast(corpus), "tok")
+          .crossJoin(broadcast(corpusTot))
+          .select(col("lang"), col("tok"), col("f_g"),
+            round((col("f_g") * col("n")) /
+              (col("n_g") * col("f")).cast("double"), 6).as("lift"))
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("lift").desc, col("tok"))
+        scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 10).drop("rn")
+          .orderBy(col("lang"), col("lift").desc, col("tok"))
+      },
+      Some("""WITH toks AS (
+               SELECT t.doc_id, d.lang, t.tok FROM (
+                 SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                 FROM documents) t
+               JOIN documents d ON t.doc_id = d.doc_id
+               WHERE t.tok <> ''),
+             bl AS (
+               SELECT lang, tok, CAST(count(*) AS BIGINT) AS f_g
+               FROM toks GROUP BY lang, tok),
+             lt AS (SELECT lang, CAST(sum(f_g) AS BIGINT) AS n_g
+                    FROM bl GROUP BY lang),
+             cp AS (SELECT tok, CAST(sum(f_g) AS BIGINT) AS f
+                    FROM bl GROUP BY tok),
+             ct AS (SELECT CAST(sum(f) AS BIGINT) AS n FROM cp),
+             sc AS (
+               SELECT bl.lang, bl.tok, bl.f_g,
+                 round((bl.f_g * ct.n) /
+                   CAST(lt.n_g * cp.f AS DOUBLE), 6) AS lift
+               FROM bl
+               JOIN lt ON bl.lang = lt.lang
+               JOIN cp ON bl.tok = cp.tok
+               CROSS JOIN ct
+               WHERE bl.f_g >= 20),
+             rk AS (
+               SELECT *, row_number() OVER (PARTITION BY lang
+                 ORDER BY lift DESC, tok) AS rn
+               FROM sc)
+             SELECT lang, tok, f_g, lift FROM rk WHERE rn <= 10
+             ORDER BY lang, lift DESC, tok"""))
   )
 
   /** q110 oracle: the BPE recursion unrolled (shared CTE chain). */
