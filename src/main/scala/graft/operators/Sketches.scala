@@ -327,6 +327,82 @@ object Sketches {
         round(col("psi_nano") / 1e9, 6).as("psi"): _*)
   }
 
+  // --------------------------------------------------------------------
+  // Portable table-form Bloom filter.
+  //
+  // [[graft.operators.Dedup.buildBloomArtifact]] is the FAST face of the
+  // Bloom trade: Spark's native BloomFilterAggregate (xxhash64) collected
+  // to a driver byte array and probed as a codegen'd plan literal — but
+  // xxhash64 has no DuckDB twin, so that face is spec-bound. This is the
+  // ORACLE-CHECKABLE face: the filter is a DATAFRAME of (word, bits) int
+  // rows — it lives in a table, merges with a bit_or groupBy (associative,
+  // so per-shard builds union into a corpus filter without touching raw
+  // data again), and every bit position derives from md5, which both
+  // engines compute identically. Positions use 32-bit words stored in
+  // BIGINT so no shift ever touches the sign bit in either engine.
+  //
+  //   pos_i(key) = hex2int(md5(i ‖ ':' ‖ key)[0,15)) mod mBits,  i < k
+  //   word       = pos div 32,   mask = 1 << (pos mod 32)
+  //
+  // Scale shape: BUILD is one map-side-combined groupBy on `word` over
+  // k·|keys| exploded positions — output ≤ mBits/32 rows no matter the
+  // corpus. PROBE is k broadcast joins of the ≤ mBits/32-row artifact
+  // against the probe side — the probe corpus NEVER shuffles; the only
+  // wide edge is whatever aggregation the caller runs after. That is the
+  // point at 100 TB: a benchmark/blocklist membership test over the whole
+  // corpus costs one narrow pass, vs the exact semi-join's full shuffle.
+
+  /** 15 hex chars of md5 → non-negative 60-bit BIGINT, mod mBits. */
+  private def bloomPosSql(key: String, i: Int, mBits: Int): String =
+    s"""CAST(conv(substr(md5(concat('$i:', CAST($key AS STRING))), 1, 15),
+       |16, 10) AS BIGINT) % $mBits""".stripMargin.replace("\n", " ")
+
+  /** The same position arithmetic in DuckDB SQL, for oracle authors. */
+  def bloomPosDuckSql(key: String, i: Int, mBits: Int): String =
+    s"CAST(concat('0x', substr(md5(concat('$i:', CAST($key AS VARCHAR))), 1, 15)) AS BIGINT) % $mBits"
+
+  /** Build the (word, bits) Bloom artifact over `keyCol`. mBits must be a
+    * multiple of 32. Output ≤ mBits/32 rows (absent words = all-zero). */
+  def bloomTableBuild(keys: DataFrame, keyCol: String,
+      mBits: Int = 16384, k: Int = 4): DataFrame = {
+    require(mBits > 0 && mBits % 32 == 0, s"mBits must be a multiple of 32: $mBits")
+    val pos = keys.select(explode(array(
+      (0 until k).map(i => expr(bloomPosSql(keyCol, i, mBits))): _*)).as("pos"))
+    pos
+      .select(expr("pos div 32").as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").as("mask"))
+      .groupBy(col("word"))
+      .agg(expr("bit_or(mask)").as("bits"))
+  }
+
+  /** Union of two (or more pre-unioned) artifacts built with the same
+    * (mBits, k): one bit_or groupBy over ≤ mBits/32 rows per input. */
+  def bloomTableMerge(artifacts: DataFrame): DataFrame =
+    artifacts.groupBy(col("word")).agg(expr("bit_or(bits)").as("bits"))
+
+  /** Append a boolean `bloom_hit` to `probes`: true ⇔ all k bits set
+    * (might contain); false ⇒ definitely absent. k broadcast joins of the
+    * tiny artifact; the probe side stays narrow — no shuffle. */
+  def bloomTableProbe(bloom: DataFrame, probes: DataFrame, keyCol: String,
+      mBits: Int = 16384, k: Int = 4): DataFrame = {
+    val joined = (0 until k).foldLeft(probes) { (acc, i) =>
+      val b = bloom.select(col("word").as(s"graft_w$i"),
+        col("bits").as(s"graft_b$i"))
+      acc
+        .withColumn(s"graft_pos$i", expr(bloomPosSql(keyCol, i, mBits)))
+        .join(broadcast(b),
+          expr(s"graft_pos$i div 32") === col(s"graft_w$i"), "left")
+        .withColumn(s"graft_hit$i",
+          coalesce(expr(s"(graft_b$i & shiftleft(CAST(1 AS BIGINT), " +
+            s"CAST(graft_pos$i % 32 AS INT))) != 0"), lit(false)))
+    }
+    val allHit = (0 until k).map(i => col(s"graft_hit$i")).reduce(_ && _)
+    joined
+      .withColumn("bloom_hit", allHit)
+      .drop((0 until k).flatMap(i =>
+        Seq(s"graft_pos$i", s"graft_w$i", s"graft_b$i", s"graft_hit$i")): _*)
+  }
+
   /** Estimate percentiles (integer pct values, e.g. 25/50/75/90/99) off
     * the artifact: rank ceil(pct·n/100) located in the cumulative bucket
     * walk, decoded to the bucket midpoint. O(buckets) work. Returns

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables => T}
-import graft.operators.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Multimodal, Similarity, Sketches, TextAnalysis}
 
 /**
  * LLM-training-data pipeline surface: dedup family, similarity search,
@@ -2108,7 +2108,95 @@ object LlmQueries {
              SELECT m.lang, m.pred_lang, m.n,
                round(m.n / rt.n_lang, 6) AS row_share
              FROM m JOIN rt ON m.lang = rt.lang
-             ORDER BY m.lang, m.pred_lang"""))
+             ORDER BY m.lang, m.pred_lang""")),
+
+    // ---- Bloom-filter decontamination (the APPROXIMATE face of q71's
+    // exact shingle semi-join): the benchmark's 4-gram shingles are folded
+    // into a 16384-bit table-form Bloom artifact
+    // (Sketches.bloomTableBuild — portable md5 positions, so the filter is
+    // bit-identical in both engines and the probe is oracle-checkable,
+    // unlike the xxhash64 driver-side bloom in Dedup.buildBloomArtifact);
+    // the corpus probes it with k=4 broadcast joins and NEVER shuffles
+    // against the benchmark. n_hits over-counts n_shared at the documented
+    // fp rate — that asymmetry (no false negatives, bounded false
+    // positives) is exactly the contract a 100 TB pre-filter needs: bloom
+    // first pass prunes, q71's exact join confirms the survivors.
+    Q("q170_bloom_decontaminate",
+      (s, d) => {
+        val docs = T.documents(s, d)
+        val bench = docs.filter(col("source") === "src19")
+        val corpus = docs.filter(col("source") =!= "src19")
+        val evSh = Dedup.shingleStrings(bench, "doc_id", "text", n = 4)
+          .select(col("shingle")).distinct()
+        val bloom = Sketches.bloomTableBuild(evSh, "shingle",
+          mBits = 16384, k = 4)
+        val trSh = Dedup.shingleStrings(corpus, "doc_id", "text", n = 4)
+        val perDoc = Sketches
+          .bloomTableProbe(bloom, trSh, "shingle", mBits = 16384, k = 4)
+          .groupBy(col("id"))
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(col("bloom_hit").cast("long")).as("n_hits"))
+          .withColumnRenamed("id", "doc_id")
+        corpus.select(col("doc_id"))
+          .join(perDoc, Seq("doc_id"), "left")
+          .na.fill(0L, Seq("n_shingles", "n_hits"))
+          .withColumn("flagged", (col("n_hits") > 0).cast("int"))
+      },
+      Some("""WITH toks AS (
+               SELECT doc_id, source, i, tok FROM (
+                 SELECT doc_id, source, unnest(l) AS tok,
+                   unnest(range(len(l))) AS i
+                 FROM (SELECT doc_id, source,
+                         string_split_regex(text, '\s+') AS l
+                       FROM documents))
+               WHERE tok <> ''),
+             seq AS (
+               SELECT doc_id, source, tok,
+                 lead(tok, 1) OVER w AS t1,
+                 lead(tok, 2) OVER w AS t2,
+                 lead(tok, 3) OVER w AS t3
+               FROM toks
+               WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+             sh AS (
+               SELECT DISTINCT doc_id, source,
+                 tok || ' ' || t1 || ' ' || t2 || ' ' || t3 AS shingle
+               FROM seq WHERE t3 IS NOT NULL),
+             ev AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src19'),
+             ks AS (SELECT CAST(unnest([0, 1, 2, 3]) AS INT) AS i),
+             evpos AS (
+               SELECT CAST(concat('0x', substr(md5(concat(
+                   CAST(ks.i AS VARCHAR), ':', ev.shingle)), 1, 15))
+                 AS BIGINT) % 16384 AS pos
+               FROM ev CROSS JOIN ks),
+             bloom AS (
+               SELECT pos // 32 AS word,
+                 bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+               FROM evpos GROUP BY 1),
+             pr AS (SELECT doc_id, shingle FROM sh WHERE source <> 'src19'),
+             prpos AS (
+               SELECT pr.doc_id, pr.shingle,
+                 CAST(concat('0x', substr(md5(concat(
+                     CAST(ks.i AS VARCHAR), ':', pr.shingle)), 1, 15))
+                 AS BIGINT) % 16384 AS pos
+               FROM pr CROSS JOIN ks),
+             hit AS (
+               SELECT p.doc_id, p.shingle,
+                 min(CASE WHEN (b.bits &
+                     (CAST(1 AS BIGINT) << CAST(p.pos % 32 AS INT))) != 0
+                   THEN 1 ELSE 0 END) AS h
+               FROM prpos p LEFT JOIN bloom b ON p.pos // 32 = b.word
+               GROUP BY p.doc_id, p.shingle),
+             agg AS (
+               SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+                 CAST(sum(h) AS BIGINT) AS n_hits
+               FROM hit GROUP BY doc_id)
+             SELECT d.doc_id,
+               coalesce(a.n_shingles, 0) AS n_shingles,
+               coalesce(a.n_hits, 0) AS n_hits,
+               CAST(CASE WHEN coalesce(a.n_hits, 0) > 0 THEN 1 ELSE 0 END
+                 AS INT) AS flagged
+             FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+             WHERE d.source <> 'src19'"""))
   )
 
   /** Shared DuckDB CTEs for q77/q78: re-indexed tokens, lead-built

@@ -2835,6 +2835,70 @@ object Relational {
                         (CAST(9 + (idx - 16) % 8 AS BIGINT)
                           << (1 + (idx - 16) // 8)) - 1) >> 1)
                  END AS BIGINT) AS est
-             FROM sel ORDER BY pct"""))
+             FROM sel ORDER BY pct""")),
+
+    // ---- Largest-remainder proration (the finance/BI allocation
+    // primitive): spread each order's total price, in EXACT integer
+    // cents, across its lineitems proportional to quantity — floor
+    // shares first, then hand the leftover cents to the largest
+    // fractional remainders (ties to the lower line number), so every
+    // order's allocations sum to its total TO THE CENT by construction.
+    // All windows are per-order (narrow, co-partitioned after the one
+    // join shuffle); nothing global. Sampled orders (key % 97) keep the
+    // artifact small — the arithmetic is identical at any scale.
+    Q("q171_proration",
+      (s, d) => {
+        val li = T.lineitem(s, d)
+          .filter(col("l_orderkey") % 97 === 0)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity").cast("long").as("qty"))
+        val o = T.orders(s, d).filter(col("o_orderkey") % 97 === 0)
+          .select(col("o_orderkey").as("l_orderkey"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+              .as("total_cents"))
+        val w = Window.partitionBy(col("l_orderkey"))
+        li.join(o, "l_orderkey")
+          .withColumn("sumq", sum(col("qty")).over(w))
+          .withColumn("base", expr("(total_cents * qty) div sumq"))
+          .withColumn("rem", expr("(total_cents * qty) % sumq"))
+          .withColumn("deficit",
+            col("total_cents") - sum(col("base")).over(w))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("l_orderkey"))
+              .orderBy(col("rem").desc, col("l_linenumber"))))
+          .select(col("l_orderkey"), col("l_linenumber"), col("qty"),
+            (col("base") +
+              when(col("rk") <= col("deficit"), 1L).otherwise(0L))
+              .as("alloc_cents"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""WITH li AS (
+               SELECT l_orderkey, l_linenumber,
+                 CAST(l_quantity AS BIGINT) AS qty
+               FROM lineitem WHERE l_orderkey % 97 = 0),
+             o AS (
+               SELECT o_orderkey,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents
+               FROM orders WHERE o_orderkey % 97 = 0),
+             j AS (
+               SELECT li.l_orderkey, li.l_linenumber, li.qty,
+                 o.total_cents,
+                 sum(li.qty) OVER (PARTITION BY li.l_orderkey) AS sumq
+               FROM li JOIN o ON li.l_orderkey = o.o_orderkey),
+             b AS (
+               SELECT *, (total_cents * qty) // sumq AS base,
+                 (total_cents * qty) % sumq AS rem
+               FROM j),
+             r AS (
+               SELECT *,
+                 total_cents - sum(base) OVER (PARTITION BY l_orderkey)
+                   AS deficit,
+                 row_number() OVER (PARTITION BY l_orderkey
+                   ORDER BY rem DESC, l_linenumber) AS rk
+               FROM b)
+             SELECT l_orderkey, l_linenumber, qty,
+               CAST(base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END
+                 AS BIGINT) AS alloc_cents
+             FROM r ORDER BY l_orderkey, l_linenumber"""))
   )
 }
