@@ -90,6 +90,43 @@ object ScaleOps {
    * with ties the numbering among tied rows is a valid but
    * run-dependent permutation, same as any SQL row_number.
    */
+  /**
+   * Distributed global cumulative SUM of `valueCol` (a LongType column)
+   * in `sortExprs` order — [[globalRowNumbers]] generalized from counts
+   * to value prefix-sums, same shape: ONE range shuffle, O(P) driver
+   * state (per-partition sums, not rows), broadcast offsets, local
+   * accumulation. This is the scale-safe spelling of
+   * `sum(v) OVER (ORDER BY ...)`, which Spark executes on a single
+   * partition. `sortExprs` must totally order the rows.
+   * Output: input columns + `cum` (inclusive running sum).
+   */
+  def globalCumSum(df: DataFrame, sortExprs: Seq[Column],
+      valueCol: String, numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val p = if (numPartitions > 0) numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sorted = CacheScope.pin(
+      df.repartitionByRange(p, sortExprs: _*)
+        .sortWithinPartitions(sortExprs: _*))
+    val sums = sorted.select(spark_partition_id().as("pid"), col(valueCol))
+      .groupBy(col("pid")).agg(sum(col(valueCol)).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until p).scanLeft(0L) {
+      case (acc, i) => acc + sums.getOrElse(i, 0L)
+    }.toArray
+    val bc = spark.sparkContext.broadcast(offsets)
+    val idx = sorted.schema.fieldIndex(valueCol)
+    val rdd = sorted.rdd.mapPartitionsWithIndex { case (i, it) =>
+      var acc = bc.value(i)
+      it.map { r =>
+        acc += r.getLong(idx)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ acc)
+      }
+    }
+    spark.createDataFrame(rdd, sorted.schema.add("cum",
+      org.apache.spark.sql.types.LongType, nullable = false))
+  }
+
   def globalRowNumbers(df: DataFrame, sortCols: Seq[String],
       numPartitions: Int = 0): DataFrame = {
     val spark = df.sparkSession

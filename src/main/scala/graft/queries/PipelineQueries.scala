@@ -515,7 +515,71 @@ object PipelineQueries {
         graft.operators.Bfs.relaxDistances(edges, seeds, rounds = 4)
           .orderBy(col("node_id"))
       },
-      Some(BellmanSql(4)))
+      Some(BellmanSql(4))),
+
+    // ---- Local clustering coefficient (per-node transitivity): how
+    // CLIQUISH each part's co-purchase neighborhood is —
+    // 2·triangles / (deg·(deg−1)) — the per-node refinement of q103's
+    // raw triangle counts (cohesion WHERE, not just how much). Spark
+    // reuses the degree-oriented TriangleCount.perNode (each triangle
+    // once at its min-degree corner, wedge fan-out O(√m)); degrees come
+    // from one symmetric groupBy; the single float division happens at
+    // the end of exact-integer work. Oracle = naive canonical triple
+    // self-join, same triangle set.
+    Q("q174_clustering_coeff",
+      (s, d) => {
+        val li = T.lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val edges = li.as("x").join(li.as("y"),
+            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+          .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+          .distinct()
+        val deg = edges.select(col("src").as("n"))
+          .union(edges.select(col("dst").as("n")))
+          .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+        val tri = graft.operators.TriangleCount.perNode(edges)
+          .select(col("node_id").as("n"), col("n_triangles"))
+        deg.filter(col("deg") >= 2)
+          .join(tri, Seq("n"), "left")
+          .na.fill(0L, Seq("n_triangles"))
+          .select(col("n").as("part_key"), col("deg"), col("n_triangles"),
+            round((col("n_triangles") * 2) /
+              (col("deg") * (col("deg") - 1)).cast("double"), 6)
+              .as("clust_coeff"))
+          .orderBy(col("clust_coeff").desc, col("part_key"))
+          .limit(50)
+      },
+      Some("""WITH li AS (
+               SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+               FROM lineitem),
+             e AS (
+               SELECT DISTINCT x.pk AS a, y.pk AS b
+               FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+             tri AS (
+               SELECT e1.a AS x, e1.b AS y, e2.b AS z
+               FROM e e1
+               JOIN e e2 ON e1.b = e2.a
+               JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+             corners AS (
+               SELECT x AS node FROM tri
+               UNION ALL SELECT y FROM tri
+               UNION ALL SELECT z FROM tri),
+             tcnt AS (
+               SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+               FROM corners GROUP BY node),
+             deg AS (
+               SELECT node, CAST(count(*) AS BIGINT) AS deg
+               FROM (SELECT a AS node FROM e
+                     UNION ALL SELECT b FROM e)
+               GROUP BY node)
+             SELECT d.node AS part_key, d.deg,
+               coalesce(t.n_triangles, 0) AS n_triangles,
+               round(coalesce(t.n_triangles, 0) * 2 /
+                 CAST(d.deg * (d.deg - 1) AS DOUBLE), 6) AS clust_coeff
+             FROM deg d LEFT JOIN tcnt t ON d.node = t.node
+             WHERE d.deg >= 2
+             ORDER BY clust_coeff DESC, part_key LIMIT 50"""))
   )
 
   /** q157 oracle: the relaxation unrolled — per round a min-candidate

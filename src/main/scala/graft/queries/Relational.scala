@@ -2899,6 +2899,129 @@ object Relational {
              SELECT l_orderkey, l_linenumber, qty,
                CAST(base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END
                  AS BIGINT) AS alloc_cents
-             FROM r ORDER BY l_orderkey, l_linenumber"""))
+             FROM r ORDER BY l_orderkey, l_linenumber""")),
+
+    // ---- Lag-1 autocorrelation of the daily count series per event
+    // type — the "is today predicted by yesterday" scalar behind the
+    // q163 seasonality profile and the q111 changepoint alarm. Pairs are
+    // CONSECUTIVE calendar days only (prev_day = day−1; rank-lag over a
+    // gappy series would silently correlate across holes). Pearson r
+    // from six exact integer sums over the O(types·days) aggregate; the
+    // two variance terms are multiplied as doubles (their bigint product
+    // can overflow), guarded > 0 before the sqrt.
+    Q("q172_autocorr",
+      (s, d) => {
+        val daily = T.events(s, d)
+          .select(col("event_type"),
+            expr("ts_ns div 86400000000000").as("day"))
+          .groupBy(col("event_type"), col("day"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        val pairs = daily
+          .withColumn("prev_day", lag(col("day"), 1).over(w))
+          .withColumn("prev_n", lag(col("n"), 1).over(w))
+          .filter(col("prev_day") === col("day") - 1)
+        pairs.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("n")).as("sx"), sum(col("prev_n")).as("sy"),
+            sum(col("n") * col("prev_n")).as("sxy"),
+            sum(col("n") * col("n")).as("sxx"),
+            sum(col("prev_n") * col("prev_n")).as("syy"))
+          .select(col("event_type"), col("n_pairs"),
+            when(
+              (col("n_pairs") * col("sxx") - col("sx") * col("sx")) > 0 &&
+              (col("n_pairs") * col("syy") - col("sy") * col("sy")) > 0,
+              round(
+                (col("n_pairs") * col("sxy") - col("sx") * col("sy")) /
+                  sqrt(
+                    (col("n_pairs") * col("sxx") - col("sx") * col("sx"))
+                      .cast("double") *
+                    (col("n_pairs") * col("syy") - col("sy") * col("sy"))
+                      .cast("double")), 6)).as("r_lag1"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH daily AS (
+               SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+                 CAST(count(*) AS BIGINT) AS n
+               FROM events GROUP BY event_type, day),
+             p AS (
+               SELECT event_type, n,
+                 lag(day, 1) OVER w AS prev_day,
+                 lag(n, 1) OVER w AS prev_n,
+                 day
+               FROM daily
+               WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+             pairs AS (
+               SELECT event_type, n, prev_n FROM p
+               WHERE prev_day = day - 1),
+             a AS (
+               SELECT event_type,
+                 CAST(count(*) AS BIGINT) AS n_pairs,
+                 CAST(sum(n) AS BIGINT) AS sx,
+                 CAST(sum(prev_n) AS BIGINT) AS sy,
+                 CAST(sum(n * prev_n) AS BIGINT) AS sxy,
+                 CAST(sum(n * n) AS BIGINT) AS sxx,
+                 CAST(sum(prev_n * prev_n) AS BIGINT) AS syy
+               FROM pairs GROUP BY event_type)
+             SELECT event_type, n_pairs,
+               CASE WHEN n_pairs * sxx - sx * sx > 0
+                     AND n_pairs * syy - sy * sy > 0
+                 THEN round((n_pairs * sxy - sx * sy) /
+                   sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE) *
+                        CAST(n_pairs * syy - sy * sy AS DOUBLE)), 6)
+               END AS r_lag1
+             FROM a ORDER BY event_type""")),
+
+    // ---- ABC / Pareto classification of parts by revenue (the
+    // inventory-management 80/15/5 cut): class boundaries tested by
+    // exact integer cross-multiplication (cum·5 ≤ total·4 ⇔ cum ≤ 80%)
+    // on a GLOBAL revenue prefix-sum. The cumulative sum runs through
+    // ScaleOps.globalCumSum — one range shuffle + O(P) driver offsets —
+    // never an un-partitioned window, so the same plan stands when the
+    // part dimension itself is billions of rows (q82's histogram-prefix
+    // discipline, generalized to value sums).
+    Q("q173_pareto_abc",
+      (s, d) => {
+        val rev = T.lineitem(s, d)
+          .groupBy(col("l_partkey"))
+          .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+            .as("rev_cents"))
+        val c = graft.operators.ScaleOps.globalCumSum(rev,
+          Seq(col("rev_cents").desc, col("l_partkey")), "rev_cents")
+        c.crossJoin(broadcast(
+            rev.agg(sum(col("rev_cents")).as("total"))))
+          .withColumn("abc_class",
+            when(col("cum") * 5 <= col("total") * 4, "A")
+              .when(col("cum") * 20 <= col("total") * 19, "B")
+              .otherwise("C"))
+          .groupBy(col("abc_class"))
+          .agg(count(lit(1)).as("n_parts"),
+            sum(col("rev_cents")).as("rev_cents"),
+            round(sum(col("rev_cents")) /
+              first(col("total")).cast("double"), 6).as("rev_share"))
+          .orderBy(col("abc_class"))
+      },
+      Some("""WITH rev AS (
+               SELECT l_partkey,
+                 CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                   AS BIGINT) AS rev_cents
+               FROM lineitem GROUP BY l_partkey),
+             c AS (
+               SELECT rev_cents,
+                 CAST(sum(rev_cents) OVER (ORDER BY rev_cents DESC,
+                   l_partkey) AS BIGINT) AS cum,
+                 CAST(sum(rev_cents) OVER () AS BIGINT) AS total
+               FROM rev),
+             k AS (
+               SELECT CASE WHEN cum * 5 <= total * 4 THEN 'A'
+                           WHEN cum * 20 <= total * 19 THEN 'B'
+                           ELSE 'C' END AS abc_class,
+                 rev_cents, total
+               FROM c)
+             SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+               CAST(sum(rev_cents) AS BIGINT) AS rev_cents,
+               round(sum(rev_cents) / CAST(any_value(total) AS DOUBLE), 6)
+                 AS rev_share
+             FROM k GROUP BY abc_class ORDER BY abc_class"""))
   )
 }

@@ -1044,7 +1044,36 @@ object TextQueries {
                  ORDER BY lift DESC, tok) AS rn
                FROM sc)
              SELECT lang, tok, f_g, lift FROM rk WHERE rn <= 10
-             ORDER BY lang, lift DESC, tok"""))
+             ORDER BY lang, lift DESC, tok""")),
+
+    // ---- Token-entropy lexical diversity (the information-theoretic
+    // quality signal next to q33's ratio heuristics and q161's OOV
+    // rate): per-doc Shannon entropy of the token distribution,
+    // H = ln n − (Σ c·ln c)/n from the per-(doc, token) counts — a
+    // repetitive spam page scores near 0, natural prose near ln(n).
+    // Two-level agg over the MEMOIZED token frame (map-side combine on
+    // (doc, tok), then one doc_id shuffle); the only floats are the
+    // final logs over exact integer counts.
+    Q("q175_token_entropy",
+      (s, d) => tokens(s, d)
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_toks"),
+          count(lit(1)).as("n_distinct"),
+          round(log(sum(col("c"))) -
+            sum(col("c") * log(col("c"))) / sum(col("c")), 6)
+            .as("token_entropy")),
+      Some(s"""WITH c AS (
+               SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+               FROM ($TokensSql) WHERE tok <> ''
+               GROUP BY doc_id, tok)
+             SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_toks,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               round(ln(CAST(sum(c) AS DOUBLE)) -
+                 sum(c * ln(CAST(c AS DOUBLE))) / sum(c), 6)
+                 AS token_entropy
+             FROM c GROUP BY doc_id"""))
   )
 
   /** q110 oracle: the BPE recursion unrolled (shared CTE chain). */
