@@ -127,6 +127,47 @@ object ScaleOps {
       org.apache.spark.sql.types.LongType, nullable = false))
   }
 
+  /**
+   * Distributed EXCLUSIVE running max of `valueCol` (LongType) in
+   * `sortExprs` order — the scale-safe `max(v) OVER (ORDER BY … ROWS
+   * BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)`: one range shuffle,
+   * O(P) per-partition maxima on the driver, broadcast exclusive prefix
+   * maxima, local scan. Output: input columns + `run_max` (null for the
+   * globally first row — no predecessor). The skyline/frontier
+   * primitive: a row is non-dominated iff it beats every earlier row's
+   * max. `sortExprs` must totally order the rows.
+   */
+  def globalRunningMax(df: DataFrame, sortExprs: Seq[Column],
+      valueCol: String, numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val p = if (numPartitions > 0) numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sorted = CacheScope.pin(
+      df.repartitionByRange(p, sortExprs: _*)
+        .sortWithinPartitions(sortExprs: _*))
+    val maxes = sorted.select(spark_partition_id().as("pid"), col(valueCol))
+      .groupBy(col("pid")).agg(max(col(valueCol)).as("m"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // prefix(i) = max over partitions < i (None when they are all empty).
+    val prefix = (0 until p).scanLeft(Option.empty[Long]) {
+      case (acc, i) => (acc ++ maxes.get(i)).reduceOption(_ max _)
+    }.toArray
+    val bc = spark.sparkContext.broadcast(prefix)
+    val idx = sorted.schema.fieldIndex(valueCol)
+    val rdd = sorted.rdd.mapPartitionsWithIndex { case (i, it) =>
+      var acc = bc.value(i)
+      it.map { r =>
+        val out = org.apache.spark.sql.Row.fromSeq(
+          r.toSeq :+ acc.map(java.lang.Long.valueOf).orNull)
+        val v = r.getLong(idx)
+        acc = Some(acc.fold(v)(_ max v))
+        out
+      }
+    }
+    spark.createDataFrame(rdd, sorted.schema.add("run_max",
+      org.apache.spark.sql.types.LongType, nullable = true))
+  }
+
   def globalRowNumbers(df: DataFrame, sortCols: Seq[String],
       numPartitions: Int = 0): DataFrame = {
     val spark = df.sparkSession

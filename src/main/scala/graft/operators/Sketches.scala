@@ -403,6 +403,48 @@ object Sketches {
         Seq(s"graft_pos$i", s"graft_w$i", s"graft_b$i", s"graft_hit$i")): _*)
   }
 
+  // --------------------------------------------------------------------
+  // Linear-counting distinct sketch (Whang et al. 1990) — the
+  // ORACLE-CHECKABLE sibling of [[hllBuild]]: a plain m-bit bitmap (one
+  // md5 position per value, the Bloom machinery with k=1) whose
+  // zero-bit count V estimates n̂ = −m·ln(V/m). Bit-exact across engines,
+  // associatively mergeable via bit_or, and accurate while the bitmap
+  // stays unsaturated (choose mBits ≳ n; rel. error ~√m/n·e^{n/2m}).
+  // HLL wins asymptotically — this exists because every bit of it can
+  // sit under a DuckDB hash compare, giving the approximate-distinct
+  // FAMILY an exactly-verified member next to the spec-bound HLL.
+
+  /** Build one (group..., word, bits) bitmap row-set per group over
+    * `valueCol`. ≤ mBits/32 rows per group; map-side combined. */
+  def lcBuild(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      mBits: Int = 65536): DataFrame = {
+    require(mBits > 0 && mBits % 32 == 0, s"mBits must be a multiple of 32: $mBits")
+    val g = groupCols.map(col)
+    df.select(g :+ expr(bloomPosSql(valueCol, 0, mBits)).as("pos"): _*)
+      .select(g ++ Seq(expr("pos div 32").as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))")
+          .as("mask")): _*)
+      .groupBy(g :+ col("word"): _*)
+      .agg(expr("bit_or(mask)").as("bits"))
+  }
+
+  /** Union of same-shaped bitmaps (per-shard builds → corpus sketch). */
+  def lcMerge(sketches: DataFrame, groupCols: Seq[String]): DataFrame =
+    sketches.groupBy(groupCols.map(col) :+ col("word"): _*)
+      .agg(expr("bit_or(bits)").as("bits"))
+
+  /** Read n̂ off the bitmap: per group, V = mBits − Σ bit_count(bits)
+    * (absent words are all-zero), n̂ = round(−m·ln(V/m)); null when the
+    * bitmap saturated (V = 0 — grow mBits). O(artifact) work. */
+  def lcEstimate(sketches: DataFrame, groupCols: Seq[String],
+      mBits: Int = 65536): DataFrame =
+    sketches.groupBy(groupCols.map(col): _*)
+      .agg((lit(mBits) - sum(expr("bit_count(bits)"))).as("v_zero"))
+      .withColumn("lc_est",
+        when(col("v_zero") > 0,
+          round(-lit(mBits.toDouble) *
+            log(col("v_zero") / lit(mBits.toDouble))).cast("long")))
+
   /** Estimate percentiles (integer pct values, e.g. 25/50/75/90/99) off
     * the artifact: rank ceil(pct·n/100) located in the cumulative bucket
     * walk, decoded to the bucket midpoint. O(buckets) work. Returns

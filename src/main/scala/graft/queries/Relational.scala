@@ -3022,6 +3022,93 @@ object Relational {
                CAST(sum(rev_cents) AS BIGINT) AS rev_cents,
                round(sum(rev_cents) / CAST(any_value(total) AS DOUBLE), 6)
                  AS rev_share
-             FROM k GROUP BY abc_class ORDER BY abc_class"""))
+             FROM k GROUP BY abc_class ORDER BY abc_class""")),
+
+    // ---- Skyline / Pareto frontier (min price, max size over parts):
+    // the multi-objective "no part is both cheaper and bigger"
+    // shortlist. Price ties collapse to their best size in one groupBy;
+    // the dominance test is then a single EXCLUSIVE running max over the
+    // price order — ScaleOps.globalRunningMax (range shuffle + O(P)
+    // prefix maxima), never an un-partitioned window and never the
+    // O(n²) dominance self-join. Exact integer cents/sizes throughout.
+    Q("q176_skyline",
+      (s, d) => {
+        val pts = T.part(s, d)
+          .groupBy(expr("CAST(round(p_retailprice * 100) AS BIGINT)")
+            .as("price_cents"))
+          .agg(max(col("p_size").cast("long")).as("best_size"))
+        graft.operators.ScaleOps.globalRunningMax(pts,
+            Seq(col("price_cents")), "best_size")
+          .filter(col("run_max").isNull ||
+            col("best_size") > col("run_max"))
+          .select(col("price_cents"), col("best_size"))
+          .orderBy(col("price_cents"))
+      },
+      Some("""WITH pts AS (
+               SELECT CAST(round(p_retailprice * 100) AS BIGINT)
+                   AS price_cents,
+                 CAST(max(p_size) AS BIGINT) AS best_size
+               FROM part GROUP BY 1),
+             rm AS (
+               SELECT price_cents, best_size,
+                 max(best_size) OVER (ORDER BY price_cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS run_max
+               FROM pts)
+             SELECT price_cents, best_size FROM rm
+             WHERE run_max IS NULL OR best_size > run_max
+             ORDER BY price_cents""")),
+
+    // ---- Chi-square independence test on the lang × source
+    // contingency table (are document languages distributed the same
+    // way across sources?) — the categorical member of the drift/audit
+    // family (q116 JS, q140 KS, q154 PSI are numeric). Observed and
+    // marginal counts are exact integers off ONE groupBy pass; each
+    // cell's (n·obs − r·c)²/(n·r·c) term is evaluated in doubles (the
+    // bigint square would overflow beyond ~10⁹ rows) and summed over
+    // the O(langs·sources) AGGREGATE — the corpus is touched once.
+    Q("q177_chi_square",
+      (s, d) => {
+        val docs = T.documents(s, d)
+        val obs = docs.groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("o"))
+        val rowT = obs.groupBy(col("lang")).agg(sum(col("o")).as("r"))
+        val colT = obs.groupBy(col("source")).agg(sum(col("o")).as("c"))
+        obs.join(broadcast(rowT), "lang")
+          .join(broadcast(colT), "source")
+          .crossJoin(broadcast(docs.agg(count(lit(1)).as("n"))))
+          .agg(
+            first(col("n")).as("n_docs"),
+            countDistinct(col("lang")).as("n_langs"),
+            countDistinct(col("source")).as("n_sources"),
+            round(sum(
+              ((col("n") * col("o") - col("r") * col("c")).cast("double") *
+               (col("n") * col("o") - col("r") * col("c")).cast("double")) /
+              (col("n") * col("r")).cast("double") / col("c").cast("double")
+            ), 6).as("chi2"))
+          .withColumn("dof",
+            (col("n_langs") - 1) * (col("n_sources") - 1))
+          .drop("n_langs", "n_sources")
+      },
+      Some("""WITH obs AS (
+               SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+               FROM documents GROUP BY lang, source),
+             r AS (SELECT lang, CAST(sum(o) AS BIGINT) AS r
+                   FROM obs GROUP BY lang),
+             c AS (SELECT source, CAST(sum(o) AS BIGINT) AS c
+                   FROM obs GROUP BY source),
+             n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+             cells AS (
+               SELECT obs.o, r.r, c.c, n.n
+               FROM obs JOIN r USING (lang) JOIN c USING (source)
+               CROSS JOIN n)
+             SELECT any_value(n) AS n_docs,
+               round(sum(
+                 (CAST(n * o - r * c AS DOUBLE) *
+                  CAST(n * o - r * c AS DOUBLE)) /
+                 CAST(n * r AS DOUBLE) / CAST(c AS DOUBLE)), 6) AS chi2,
+               CAST(((SELECT count(*) FROM r) - 1) *
+                 ((SELECT count(*) FROM c) - 1) AS BIGINT) AS dof
+             FROM cells"""))
   )
 }

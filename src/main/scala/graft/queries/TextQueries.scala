@@ -1073,7 +1073,60 @@ object TextQueries {
                round(ln(CAST(sum(c) AS DOUBLE)) -
                  sum(c * ln(CAST(c AS DOUBLE))) / sum(c), 6)
                  AS token_entropy
-             FROM c GROUP BY doc_id"""))
+             FROM c GROUP BY doc_id""")),
+
+    // ---- Linear-counting distinct sketch (Sketches.lcBuild/lcEstimate):
+    // per-language distinct-token cardinality read off a 65536-bit
+    // md5-position bitmap — the ORACLE-CHECKED member of the
+    // approximate-distinct family (q53's HLL is spec-bound: DuckDB can't
+    // replicate its registers; this bitmap it replicates bit-for-bit).
+    // Build is one map-side-combined groupBy to ≤ 2048 rows per
+    // language, mergeable across shards with bit_or — the exact count
+    // (n_exact, emitted beside the estimate) is the one that re-shuffles
+    // every raw token at 100 TB; the artifact answers repeat questions
+    // for free.
+    Q("q178_linear_counting",
+      (s, d) => {
+        import graft.operators.Sketches
+        val tl = tokens(s, d)
+          .join(broadcast(T.documents(s, d)
+            .select(col("doc_id"), col("lang"))), "doc_id")
+          .select(col("lang"), col("tok"))
+        val exact = tl.groupBy(col("lang"))
+          .agg(countDistinct(col("tok")).as("n_exact"))
+        Sketches.lcEstimate(
+            Sketches.lcBuild(tl, Seq("lang"), "tok", mBits = 65536),
+            Seq("lang"), mBits = 65536)
+          .join(exact, "lang")
+          .select(col("lang"), col("n_exact"), col("v_zero"),
+            col("lc_est"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH tl AS (
+               SELECT d.lang, tk.tok
+               FROM ($TokensSql) tk JOIN documents d USING (doc_id)
+               WHERE tok <> ''),
+             pos AS (
+               SELECT lang,
+                 CAST(concat('0x', substr(md5(concat('0:', tok)), 1, 15))
+                   AS BIGINT) % 65536 AS pos
+               FROM tl),
+             bm AS (
+               SELECT lang, pos // 32 AS word,
+                 bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+               FROM pos GROUP BY lang, word),
+             est AS (
+               SELECT lang,
+                 CAST(65536 - sum(bit_count(bits)) AS BIGINT) AS v_zero
+               FROM bm GROUP BY lang),
+             ex AS (
+               SELECT lang, CAST(count(DISTINCT tok) AS BIGINT) AS n_exact
+               FROM tl GROUP BY lang)
+             SELECT e.lang, x.n_exact, e.v_zero,
+               CASE WHEN e.v_zero > 0 THEN
+                 CAST(round(-65536.0 * ln(e.v_zero / 65536.0)) AS BIGINT)
+               END AS lc_est
+             FROM est e JOIN ex x USING (lang) ORDER BY lang"""))
   )
 
   /** q110 oracle: the BPE recursion unrolled (shared CTE chain). */
