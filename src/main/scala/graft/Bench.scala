@@ -214,10 +214,17 @@ object Bench {
     // The same compact line also lands in a FILE: stdout tail capture has
     // already mis-parsed once (BENCH_r06 "parsed": null — sbt's [success]
     // trailer was the literal last line), so the artifact no longer depends
-    // on it. Full-name line included for complete per-query shuffle bytes.
+    // on it. The FILE's first line additionally carries the COMPLETE
+    // per-query shuffle map (short keys, bytes) — the stdout compact line
+    // keeps only the top-10 to stay inside the driver's 2000-byte tail,
+    // but the file has no such limit, so a reader of line 1 alone gets the
+    // full plan-regression signal (VERDICT r7 #6).
+    val shShort = results.map { case (k, _, b) => "\"" + shortKey(k) + "\":" + b }
+      .mkString("{", ",", "}")
+    val fileLine = compactLine.stripSuffix("}") + s""","shuffle_bytes":$shShort}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_summary.json"),
-      compactLine + "\n" + fullLine + "\n")
+      fileLine + "\n" + fullLine + "\n")
     spark.stop()
   }
 }

@@ -98,6 +98,10 @@ object ScaleOps {
    * accumulation. This is the scale-safe spelling of
    * `sum(v) OVER (ORDER BY ...)`, which Spark executes on a single
    * partition. `sortExprs` must totally order the rows.
+   * `valueCol` must be LongType and NON-NULL — nulls have no defined
+   * prefix-sum semantics here and fail fast with a named error (both in
+   * the O(P) driver pass and at the first null row) rather than a bare
+   * NullPointerException deep in the RDD zip (ADVICE r7).
    * Output: input columns + `cum` (inclusive running sum).
    */
   def globalCumSum(df: DataFrame, sortExprs: Seq[Column],
@@ -110,15 +114,22 @@ object ScaleOps {
         .sortWithinPartitions(sortExprs: _*))
     val sums = sorted.select(spark_partition_id().as("pid"), col(valueCol))
       .groupBy(col("pid")).agg(sum(col(valueCol)).as("s"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      .collect().map { r =>
+        require(!r.isNullAt(1), s"globalCumSum: value column '$valueCol' " +
+          s"is all-null in partition ${r.getInt(0)} — non-null LongType required")
+        r.getInt(0) -> r.getLong(1)
+      }.toMap
     val offsets = (0 until p).scanLeft(0L) {
       case (acc, i) => acc + sums.getOrElse(i, 0L)
     }.toArray
     val bc = spark.sparkContext.broadcast(offsets)
     val idx = sorted.schema.fieldIndex(valueCol)
+    val cumValueCol = valueCol
     val rdd = sorted.rdd.mapPartitionsWithIndex { case (i, it) =>
       var acc = bc.value(i)
       it.map { r =>
+        if (r.isNullAt(idx)) throw new IllegalArgumentException(
+          s"globalCumSum: null in value column '$cumValueCol' — non-null LongType required")
         acc += r.getLong(idx)
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ acc)
       }
@@ -135,7 +146,8 @@ object ScaleOps {
    * maxima, local scan. Output: input columns + `run_max` (null for the
    * globally first row — no predecessor). The skyline/frontier
    * primitive: a row is non-dominated iff it beats every earlier row's
-   * max. `sortExprs` must totally order the rows.
+   * max. `sortExprs` must totally order the rows. `valueCol` must be
+   * LongType and NON-NULL — nulls fail fast with a named error.
    */
   def globalRunningMax(df: DataFrame, sortExprs: Seq[Column],
       valueCol: String, numPartitions: Int = 0): DataFrame = {
@@ -154,9 +166,12 @@ object ScaleOps {
     }.toArray
     val bc = spark.sparkContext.broadcast(prefix)
     val idx = sorted.schema.fieldIndex(valueCol)
+    val maxValueCol = valueCol
     val rdd = sorted.rdd.mapPartitionsWithIndex { case (i, it) =>
       var acc = bc.value(i)
       it.map { r =>
+        if (r.isNullAt(idx)) throw new IllegalArgumentException(
+          s"globalRunningMax: null in value column '$maxValueCol' — non-null LongType required")
         val out = org.apache.spark.sql.Row.fromSeq(
           r.toSeq :+ acc.map(java.lang.Long.valueOf).orNull)
         val v = r.getLong(idx)

@@ -382,9 +382,19 @@ object Sketches {
 
   /** Append a boolean `bloom_hit` to `probes`: true ⇔ all k bits set
     * (might contain); false ⇒ definitely absent. k broadcast joins of the
-    * tiny artifact; the probe side stays narrow — no shuffle. */
+    * tiny artifact; the probe side stays narrow — no shuffle.
+    *
+    * RESERVED COLUMN NAMES: the probe frame must not already contain
+    * `bloom_hit` or any working column `graft_pos<i>`/`graft_w<i>`/
+    * `graft_b<i>`/`graft_hit<i>` for i < k — a collision would silently
+    * corrupt the joins, so the method fails fast instead (ADVICE r7). */
   def bloomTableProbe(bloom: DataFrame, probes: DataFrame, keyCol: String,
       mBits: Int = 16384, k: Int = 4): DataFrame = {
+    val reserved = (0 until k).flatMap(i =>
+      Seq(s"graft_pos$i", s"graft_w$i", s"graft_b$i", s"graft_hit$i")).toSet + "bloom_hit"
+    val clash = probes.columns.toSet.intersect(reserved)
+    require(clash.isEmpty, "bloomTableProbe: probe frame already contains " +
+      s"reserved column(s) ${clash.toSeq.sorted.mkString(", ")}")
     val joined = (0 until k).foldLeft(probes) { (acc, i) =>
       val b = bloom.select(col("word").as(s"graft_w$i"),
         col("bits").as(s"graft_b$i"))

@@ -2974,25 +2974,32 @@ object Relational {
 
     // ---- ABC / Pareto classification of parts by revenue (the
     // inventory-management 80/15/5 cut): class boundaries tested by
-    // exact integer cross-multiplication (cum·5 ≤ total·4 ⇔ cum ≤ 80%)
-    // on a GLOBAL revenue prefix-sum. The cumulative sum runs through
+    // exact cross-multiplication (cum·5 ≤ total·4 ⇔ cum ≤ 80%) carried
+    // out in DECIMAL(38,0) (HUGEINT on the DuckDB side) so the products
+    // stay exact even when total revenue cents reaches the ~2.3e18 a
+    // 100 TB corpus implies — a BIGINT cross-multiply would wrap past
+    // ~4.6e17 (ADVICE r7). The cumulative sum runs through
     // ScaleOps.globalCumSum — one range shuffle + O(P) driver offsets —
     // never an un-partitioned window, so the same plan stands when the
     // part dimension itself is billions of rows (q82's histogram-prefix
-    // discipline, generalized to value sums).
+    // discipline, generalized to value sums). `rev` is pinned so the
+    // grand-total aggregate reuses the same scan that feeds the
+    // prefix-sum instead of re-running the lineitem groupBy.
     Q("q173_pareto_abc",
       (s, d) => {
-        val rev = T.lineitem(s, d)
+        val rev = graft.operators.CacheScope.pin(T.lineitem(s, d)
           .groupBy(col("l_partkey"))
           .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
-            .as("rev_cents"))
+            .as("rev_cents")))
         val c = graft.operators.ScaleOps.globalCumSum(rev,
           Seq(col("rev_cents").desc, col("l_partkey")), "rev_cents")
+        val cumD = col("cum").cast("decimal(38,0)")
+        val totD = col("total").cast("decimal(38,0)")
         c.crossJoin(broadcast(
             rev.agg(sum(col("rev_cents")).as("total"))))
           .withColumn("abc_class",
-            when(col("cum") * 5 <= col("total") * 4, "A")
-              .when(col("cum") * 20 <= col("total") * 19, "B")
+            when(cumD * 5 <= totD * 4, "A")
+              .when(cumD * 20 <= totD * 19, "B")
               .otherwise("C"))
           .groupBy(col("abc_class"))
           .agg(count(lit(1)).as("n_parts"),
@@ -3013,8 +3020,10 @@ object Relational {
                  CAST(sum(rev_cents) OVER () AS BIGINT) AS total
                FROM rev),
              k AS (
-               SELECT CASE WHEN cum * 5 <= total * 4 THEN 'A'
-                           WHEN cum * 20 <= total * 19 THEN 'B'
+               SELECT CASE WHEN CAST(cum AS HUGEINT) * 5
+                              <= CAST(total AS HUGEINT) * 4 THEN 'A'
+                           WHEN CAST(cum AS HUGEINT) * 20
+                              <= CAST(total AS HUGEINT) * 19 THEN 'B'
                            ELSE 'C' END AS abc_class,
                  rev_cents, total
                FROM c)
@@ -3064,8 +3073,11 @@ object Relational {
     // way across sources?) — the categorical member of the drift/audit
     // family (q116 JS, q140 KS, q154 PSI are numeric). Observed and
     // marginal counts are exact integers off ONE groupBy pass; each
-    // cell's (n·obs − r·c)²/(n·r·c) term is evaluated in doubles (the
-    // bigint square would overflow beyond ~10⁹ rows) and summed over
+    // cell's (n·obs − r·c)²/(n·r·c) term is evaluated ENTIRELY in
+    // doubles — n, o, r, c are cast before the inner products, since a
+    // bigint n·o itself wraps once document count passes ~3e9 with a
+    // dominant cell (ADVICE r7); chi-square is a float statistic, and
+    // the products are exact in doubles below 2^53 anyway. Summed over
     // the O(langs·sources) AGGREGATE — the corpus is touched once.
     Q("q177_chi_square",
       (s, d) => {
@@ -3081,11 +3093,13 @@ object Relational {
             first(col("n")).as("n_docs"),
             countDistinct(col("lang")).as("n_langs"),
             countDistinct(col("source")).as("n_sources"),
-            round(sum(
-              ((col("n") * col("o") - col("r") * col("c")).cast("double") *
-               (col("n") * col("o") - col("r") * col("c")).cast("double")) /
-              (col("n") * col("r")).cast("double") / col("c").cast("double")
-            ), 6).as("chi2"))
+            round(sum {
+              val dev = col("n").cast("double") * col("o").cast("double") -
+                col("r").cast("double") * col("c").cast("double")
+              dev * dev /
+                (col("n").cast("double") * col("r").cast("double")) /
+                col("c").cast("double")
+            }, 6).as("chi2"))
           .withColumn("dof",
             (col("n_langs") - 1) * (col("n_sources") - 1))
           .drop("n_langs", "n_sources")
@@ -3104,9 +3118,12 @@ object Relational {
                CROSS JOIN n)
              SELECT any_value(n) AS n_docs,
                round(sum(
-                 (CAST(n * o - r * c AS DOUBLE) *
-                  CAST(n * o - r * c AS DOUBLE)) /
-                 CAST(n * r AS DOUBLE) / CAST(c AS DOUBLE)), 6) AS chi2,
+                 (CAST(n AS DOUBLE) * CAST(o AS DOUBLE) -
+                  CAST(r AS DOUBLE) * CAST(c AS DOUBLE)) *
+                 (CAST(n AS DOUBLE) * CAST(o AS DOUBLE) -
+                  CAST(r AS DOUBLE) * CAST(c AS DOUBLE)) /
+                 (CAST(n AS DOUBLE) * CAST(r AS DOUBLE)) /
+                 CAST(c AS DOUBLE)), 6) AS chi2,
                CAST(((SELECT count(*) FROM r) - 1) *
                  ((SELECT count(*) FROM c) - 1) AS BIGINT) AS dof
              FROM cells"""))
