@@ -78,8 +78,9 @@ object SpanDedup {
   }
 
   /** Gaps-and-islands over flagged window starts: a window starting past
-    * the running max end of everything before it opens a new span. */
-  private def coalesceSpans(flagged: DataFrame, window: Int): DataFrame = {
+    * the running max end of everything before it opens a new span.
+    * Shared with [[SuffixDedup]] (same span convention). */
+  private[operators] def coalesceSpans(flagged: DataFrame, window: Int): DataFrame = {
     val w = Window.partitionBy(col("id")).orderBy(col("ti"))
     flagged
       .withColumn("prev_end",

@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * EXACT cross- and within-document duplicated-substring detection — the
+ * suffix-array-grade form of [[SpanDedup]] (Lee et al. 2022,
+ * "Deduplicating Training Data Makes Language Models Better", whose
+ * suffix-array pipeline finds every substring of ≥ minLen tokens that
+ * occurs more than once in the corpus and marks all its positions).
+ *
+ * Equivalence to the suffix-array + LCP method, exactly: a token
+ * position p lies inside SOME duplicated substring of length ≥ L
+ *   ⇔ there is a start j ≤ p with p < j+L whose L-token window occurs
+ *     ≥ 2 times in the corpus.
+ * (⇐ is immediate; ⇒ because a duplicated substring of length M ≥ L at
+ * start i makes every window start j ∈ [i, i+M−L] duplicated, and those
+ * windows' union covers [i, i+M).) So the union of duplicated L-windows
+ * IS the suffix array's duplicated-position set — and deciding "window
+ * occurs ≥ 2 times" needs suffix comparisons only to depth L, i.e. a
+ * GLOBAL RANGE SORT of the L-truncated suffixes plus an ADJACENT-RUN
+ * scan, which is how this operator computes it:
+ *
+ *  1. re-indexed whitespace tokens (the [[Curation.reindexedTokens]]
+ *     position contract shared with SpanDedup/segmentDedup);
+ *  2. the L-truncated suffix at every position via L−1 codegen'd leads
+ *     over the per-doc (id, ti) window — no extra exchange, and the
+ *     space-joined key is INJECTIVE (whitespace tokens contain no
+ *     spaces), so key equality is true token-sequence equality: no
+ *     hashing anywhere, hence no collision caveat, unlike SpanDedup's
+ *     md5 keys;
+ *  3. ONE range shuffle on (suffix, id, ti) + within-partition sort —
+ *     Spark's normal distributed sort; a pathologically hot suffix
+ *     spreads over many partitions because the tie-break columns are in
+ *     the range key;
+ *  4. a suffix is duplicated iff it equals its sorted NEIGHBOR — lag/
+ *     lead within each partition, and the [[SortedSegments]]-style O(P)
+ *     boundary stitch (each partition's first/last suffix, collected and
+ *     broadcast back) decides the rows that sit on partition edges;
+ *  5. flagged starts shuffle back on doc id and coalesce to maximal
+ *     spans (the same gaps-and-islands as SpanDedup — shared code).
+ *
+ * Semantics vs [[SpanDedup.duplicateSpans]] at equal min-length: STRICT
+ * SUPERSET. SpanDedup counts distinct DOCUMENTS (`minDf ≥ 2`), so a
+ * passage repeated twice inside one document is invisible to it; the
+ * suffix-array contract counts OCCURRENCES, so within-doc repeats are
+ * found too (and cross-doc windows are flagged identically — md5
+ * equality coincides with exact equality in the collision-free case).
+ * SuffixDedupSpec proves both directions: exact equality against a
+ * sequential brute-force reference, and coverage-superset vs SpanDedup
+ * on random corpora.
+ *
+ * Scale shape: the honest cost of exactness is the sort key — O(n·L)
+ * characters move through the one range shuffle, vs SpanDedup's 16-byte
+ * digests (its md5 pass reads the same O(n·L) characters but ships only
+ * digests). At 100 TB the two compose the same way as q126/q43: the
+ * hashed rolling-window pass is the cheap first filter, this operator is
+ * the exact audit tier — run it over the flagged neighborhoods, or over
+ * shards where hash-free verification is required. Nothing here is
+ * pairwise: every stage is linear in token count, and the driver holds
+ * only O(P) boundary rows.
+ */
+object SuffixDedup {
+
+  /**
+   * Exact duplicated spans: (id, span_start, span_end, n_windows) —
+   * token offsets [span_start, span_end) of each maximal region lying
+   * inside a duplicated substring of ≥ `minLen` tokens (occurrence
+   * count ≥ 2 anywhere in the corpus, same doc included), plus the
+   * number of duplicated window starts the span coalesces.
+   */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 10, numPartitions: Int = 0): DataFrame = {
+    require(minLen >= 2, s"minLen >= 2: $minLen")
+    val spark = df.sparkSession
+    val p = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+
+    val toks = Curation.reindexedTokens(df, idCol, textCol)
+    // L-truncated suffix per position (complete windows only).
+    val wdoc = Window.partitionBy(col("id")).orderBy(col("ti"))
+    val withLeads = (1 until minLen).foldLeft(toks) { (acc, k) =>
+      acc.withColumn(s"t$k", lead(col("tok"), k).over(wdoc))
+    }
+    val parts = col("tok") +: (1 until minLen).map(k => col(s"t$k"))
+    val suf = withLeads
+      .filter(parts.last.isNotNull)
+      .select(col("id"), col("ti"), concat_ws(" ", parts: _*).as("sfx"))
+
+    // Global suffix sort: one range shuffle; tie-breaks inside the range
+    // key so equal-suffix runs may span partitions (the stitch covers it).
+    val sorted = CacheScope.pin(suf
+      .repartitionByRange(p, col("sfx"), col("id"), col("ti"))
+      .sortWithinPartitions(col("sfx"), col("id"), col("ti"))
+      .withColumn("pid", spark_partition_id()))
+
+    // Adjacent-run scan within each partition…
+    val wp = Window.partitionBy(col("pid")).orderBy(col("sfx"), col("id"), col("ti"))
+    val scanned = sorted
+      .withColumn("prev_sfx", lag(col("sfx"), 1).over(wp))
+      .withColumn("next_sfx", lead(col("sfx"), 1).over(wp))
+
+    // …and the O(P) boundary stitch: each non-empty partition's first and
+    // last suffix (min/max of sfx under the partition sort — sfx leads the
+    // ordering, so they ARE the edge rows' suffixes), chained across
+    // empty partitions, broadcast back as (pid, prev_last, next_first).
+    val bounds = sorted.groupBy(col("pid"))
+      .agg(min(col("sfx")).as("first_sfx"), max(col("sfx")).as("last_sfx"))
+      .orderBy(col("pid")).collect()
+    val stitch: Seq[(Int, String, String)] = bounds.indices.map { i =>
+      val pid = bounds(i).getInt(0)
+      val prevLast = if (i > 0) bounds(i - 1).getString(2) else null
+      val nextFirst = if (i < bounds.length - 1) bounds(i + 1).getString(1) else null
+      (pid, prevLast, nextFirst)
+    }
+    val stitchDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(stitch.map(t => Row(t._1, t._2, t._3)), 1),
+      new org.apache.spark.sql.types.StructType()
+        .add("pid", org.apache.spark.sql.types.IntegerType, nullable = false)
+        .add("prev_last", org.apache.spark.sql.types.StringType)
+        .add("next_first", org.apache.spark.sql.types.StringType))
+
+    val flagged = scanned.join(broadcast(stitchDf), Seq("pid"), "left")
+      .filter(
+        col("prev_sfx") === col("sfx") || col("next_sfx") === col("sfx") ||
+        (col("prev_sfx").isNull && col("prev_last") === col("sfx")) ||
+        (col("next_sfx").isNull && col("next_first") === col("sfx")))
+      .select(col("id"), col("ti"))
+
+    SpanDedup.coalesceSpans(flagged, minLen)
+  }
+}

@@ -1471,6 +1471,28 @@ object LlmQueries {
           count(*) AS n_windows
         FROM grp GROUP BY id, g""")),
 
+    // ---- EXACT suffix-array-grade duplicated spans (SuffixDedup): the
+    // hash-free, occurrence-counted (within-doc repeats included) form of
+    // q77 — global range sort of the 10-token-truncated suffixes +
+    // adjacent-run scan with the O(P) boundary stitch; the union of
+    // duplicated windows equals the suffix-array + LCP ≥ 10 position set
+    // exactly (lemma in SuffixDedup's scaladoc). Oracle is definitional:
+    // occurrence counts over the raw (unhashed) window strings — the hash
+    // compare proves the distributed sort + stitch against the semantics,
+    // not against another implementation of itself.
+    Q("q179_exact_spans",
+      (s, d) => graft.operators.SuffixDedup.duplicateSpans(
+        T.documents(s, d), "doc_id", "text", minLen = 10)
+        .select(col("id").as("doc_id"),
+          col("span_start").cast("long").as("span_start"),
+          col("span_end").cast("long").as("span_end"),
+          col("n_windows")),
+      Some(ExactSpanSql + """
+        SELECT id AS doc_id, CAST(min(ti) AS BIGINT) AS span_start,
+          CAST(max(ti) + 10 AS BIGINT) AS span_end,
+          count(*) AS n_windows
+        FROM grp GROUP BY id, g""")),
+
     // ---- Duplicate-span REMOVAL, keep-first-occurrence: the canonical
     // holder of each duplicate window (min doc id) keeps its text; every
     // other doc drops the covered tokens and is reassembled in order.
@@ -2228,6 +2250,48 @@ object LlmQueries {
        flag AS (
          SELECT w.id, w.ti FROM wins w
          WHERE EXISTS (SELECT 1 FROM dup d WHERE d.wkey = w.wkey)),
+       isl AS (
+         SELECT id, ti,
+           CASE WHEN prev_end IS NULL OR ti > prev_end THEN 1 ELSE 0 END AS brk
+         FROM (SELECT id, ti,
+                 max(ti + 10) OVER (PARTITION BY id ORDER BY ti
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+               FROM flag)),
+       grp AS (
+         SELECT id, ti,
+           sum(brk) OVER (PARTITION BY id ORDER BY ti
+             ROWS UNBOUNDED PRECEDING) AS g
+         FROM isl)"""
+  }
+
+  /** q179 oracle: SpanSql's shape with the suffix-array semantics —
+    * RAW space-joined window strings (no md5; injective over whitespace
+    * tokens) and OCCURRENCE counts (count(*) ≥ 2, same-doc repeats
+    * included) instead of distinct-document counts. */
+  private lazy val ExactSpanSql: String = {
+    val leads = (1 until 10).map(k => s"lead(tok, $k) OVER w AS t$k").mkString(", ")
+    val parts = "tok" +: (1 until 10).map(k => s"t$k")
+    s"""WITH toks AS (
+         SELECT doc_id AS id, i, tok FROM (
+           SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok,
+                  unnest(range(len(string_split_regex(text, '\\s+')))) AS i
+           FROM documents)
+         WHERE tok <> ''),
+       rtoks AS (
+         SELECT id, tok,
+           row_number() OVER (PARTITION BY id ORDER BY i) - 1 AS ti
+         FROM toks),
+       wins AS (
+         SELECT id, ti, ${parts.mkString(" || ' ' || ")} AS sfx FROM (
+           SELECT id, ti, tok, $leads
+           FROM rtoks WINDOW w AS (PARTITION BY id ORDER BY ti))
+         WHERE t9 IS NOT NULL),
+       dup AS (
+         SELECT sfx FROM wins GROUP BY sfx
+         HAVING count(*) >= 2),
+       flag AS (
+         SELECT w.id, w.ti FROM wins w
+         WHERE EXISTS (SELECT 1 FROM dup d WHERE d.sfx = w.sfx)),
        isl AS (
          SELECT id, ti,
            CASE WHEN prev_end IS NULL OR ti > prev_end THEN 1 ELSE 0 END AS brk
