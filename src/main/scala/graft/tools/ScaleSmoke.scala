@@ -398,6 +398,43 @@ object ScaleSmoke {
         graft.operators.Bfs.hopDistances(e,
           spark.range(5).select(col("id").as("node_id")), maxHops = 4)
       }
+      // Round-8 (VERDICT r7 #3): the remaining graph-iteration family on
+      // the same hash-derived random graph (n = 5000·m nodes, fixed avg
+      // degree): per-round cost must grow ~linearly in edges — each
+      // round is 1-2 map-side-combined edge-sized shuffles plus a
+      // node-sized broadcast, so 10× nodes at fixed degree (10× edges)
+      // should cost well under 10× wall on a single node (per-round
+      // fixed costs amortize) and exactly ~10× shuffle on a cluster.
+      def smokeGraph(avgDeg: Long): DataFrame = {
+        val nNodes = 5000L * m
+        spark.range(nNodes * avgDeg / 2)
+          .select(pmod(xxhash64(col("id"), lit(1)), lit(nNodes)).as("src"),
+            pmod(xxhash64(col("id"), lit(2)), lit(nNodes)).as("dst"))
+      }
+      runOnce("pagerank") {
+        graft.operators.PageRank.run(smokeGraph(20), iterations = 5)
+      }
+      runOnce("lpa_communities") {
+        graft.operators.LabelPropagation.run(smokeGraph(20), iters = 3)
+      }
+      runOnce("kcore") {
+        graft.operators.KCore.peel(smokeGraph(20), k = 12, rounds = 4)
+      }
+      runOnce("bellman_ford") {
+        val e = smokeGraph(20)
+          .withColumn("w", pmod(xxhash64(col("src"), col("dst")), lit(9)) + 1)
+        graft.operators.Bfs.relaxDistances(e,
+          spark.range(5).select(col("id").as("node_id")), rounds = 4)
+      }
+      // Round-8: exact suffix-array-grade substring dedup — O(n·L)
+      // characters through ONE range shuffle; should track token count
+      // near-linearly (the m× corpus makes every original window an
+      // m-occurrence duplicate run, the adversarial shape for the
+      // adjacent-run scan).
+      runOnce("suffix_dedup") {
+        graft.operators.SuffixDedup.duplicateSpans(df, "doc_id", "text",
+          minLen = 10)
+      }
       graft.queries.PipelineQueries.resetCache(spark)
       spark.catalog.clearCache()
     }

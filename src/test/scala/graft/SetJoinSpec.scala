@@ -57,6 +57,26 @@ class SetJoinSpec extends SparkSpec {
     }
   }
 
+  test("matches brute force at seed-drawn random thresholds") {
+    // VERDICT r7 #4: not just the three pinned ratios — the threshold
+    // itself is drawn from the seed (den 2..10, num 1..den, so the sweep
+    // includes near-0.1 loose joins, the num = den exact-duplicate edge,
+    // and everything between; the prefix length, length filter, and
+    // verify inequality all flex with the ratio).
+    for (seed <- 10 to 15) {
+      val r = new Random(seed * 31)
+      val den = 2 + r.nextInt(9)
+      val num = 1 + r.nextInt(den)
+      val rows = gen(seed)
+      val got = SetJoin.prefixJaccardJoin(rows.toDF("doc_id", "text"),
+          "doc_id", "text", n = 3, num = num, den = den)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+      assert(got === reference(rows, num, den), s"seed=$seed t=$num/$den")
+    }
+  }
+
   test("probe matches brute-force cross pairs, incl. unseen-shingle batches") {
     for (seed <- 4 to 5) {
       val rows = gen(seed)
