@@ -579,8 +579,66 @@ object PipelineQueries {
                  CAST(d.deg * (d.deg - 1) AS DOUBLE), 6) AS clust_coeff
              FROM deg d LEFT JOIN tcnt t ON d.node = t.node
              WHERE d.deg >= 2
-             ORDER BY clust_coeff DESC, part_key LIMIT 50"""))
+             ORDER BY clust_coeff DESC, part_key LIMIT 50""")),
+
+    // ---- One-to-one reconciliation matching (Matching.greedyRounds):
+    // customers claim the same-nation supplier with the closest account
+    // balance, each supplier at most once — the assignment step after
+    // ER scoring, run as 3 locally-dominant-edge rounds (per round, two
+    // map-side max(struct) aggs + one node-sized equi-join; NEVER a
+    // window over the pair table). Integer-cent scores keep the match
+    // set bit-identical; the oracle unrolls the identical 3 rounds, so
+    // the hash proves the parallel iteration == the definitional
+    // per-round mutual-best semantics (MatchingSpec separately proves
+    // rounds-to-exhaustion == sequential greedy).
+    Q("q180_greedy_matching",
+      (s, d) => {
+        val c = T.customer(s, d).select(col("c_custkey").as("a"),
+          col("c_nationkey").as("nk"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("ca"))
+        val sp = T.supplier(s, d).select(col("s_suppkey").as("b"),
+          col("s_nationkey").as("nk"),
+          expr("CAST(round(s_acctbal * 100) AS BIGINT)").as("sb"))
+        val pairs = c.join(sp, "nk")
+          .select(col("a"), col("b"), (-abs(col("ca") - col("sb"))).as("sc"))
+        graft.operators.Matching.greedyRounds(pairs, "a", "b", "sc",
+            rounds = 3)
+          .orderBy(col("round"), col("a"))
+      },
+      Some(MatchingSql(3)))
   )
+
+  /** q180 oracle: the locally-dominant rounds unrolled — per round a
+    * left-best and right-best row_number CTE (score desc, partner asc —
+    * the P total order), their equi-join, and a pool shrink. */
+  private def MatchingSql(rounds: Int): String = {
+    val head = """WITH p0 AS (
+        SELECT c_custkey AS a, s_suppkey AS b,
+          -abs(CAST(round(c_acctbal * 100) AS BIGINT)
+               - CAST(round(s_acctbal * 100) AS BIGINT)) AS s
+        FROM customer JOIN supplier ON c_nationkey = s_nationkey)"""
+    val iterCtes = (1 to rounds).map { i =>
+      val p = i - 1
+      s"""ba$i AS (SELECT a, b, s FROM (
+             SELECT a, b, s, row_number() OVER (
+               PARTITION BY a ORDER BY s DESC, b) AS rn FROM p$p)
+           WHERE rn = 1),
+         bb$i AS (SELECT a, b, s FROM (
+             SELECT a, b, s, row_number() OVER (
+               PARTITION BY b ORDER BY s DESC, a) AS rn FROM p$p)
+           WHERE rn = 1),
+         m$i AS (SELECT a, b, s FROM ba$i JOIN bb$i USING (a, b, s)),
+         p$i AS (SELECT * FROM p$p
+           WHERE a NOT IN (SELECT a FROM m$i)
+             AND b NOT IN (SELECT b FROM m$i))"""
+    }.mkString(",\n")
+    val union = (1 to rounds).map(i =>
+      s"SELECT a, b, s, $i AS round FROM m$i").mkString(" UNION ALL ")
+    s"""$head,
+      $iterCtes
+      SELECT a, b, CAST(s AS BIGINT) AS score, CAST(round AS INT) AS round
+      FROM ($union) ORDER BY round, a"""
+  }
 
   /** q157 oracle: the relaxation unrolled — per round a min-candidate
     * CTE and a full-outer reconcile CTE (least over coalesced sides,
