@@ -192,10 +192,30 @@ object Similarity {
       nLists: Int = 16, nProbe: Int = 4,
       seed: Long = 42L, maxIter: Int = 5,
       fixedCentroids: Option[Array[Array[Double]]] = None): DataFrame = {
-    val spark = corpus.sparkSession
+    val (cells, centroids) =
+      cellAssign(corpus, idCol, vecCol, nLists, seed, maxIter, fixedCentroids)
 
+    // nProbe nearest cells per query: tiny broadcast cross join (nLists
+    // rows) + rank by squared L2 to the centroid.
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("cell"))
+    val probed = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("d2", sqL2(col("q_vec"), col("centroid")))
+      .withColumn("cr", row_number().over(wq))
+      .filter(col("cr") <= nProbe)
+      .select(col("q_id"), col("q_vec"), col("cell"))
+
+    probeCells(cells, probed, k)
+  }
+
+  /** Voronoi cell assignment shared by [[ivfTopK]] / [[ivfBeamTopK]]:
+    * returns (cells = (n_id, n_vec, cell), centroids = (cell, centroid)). */
+  private def cellAssign(corpus: DataFrame, idCol: String, vecCol: String,
+      nLists: Int, seed: Long, maxIter: Int,
+      fixedCentroids: Option[Array[Array[Double]]]): (DataFrame, DataFrame) = {
+    val spark = corpus.sparkSession
     val feat0 = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
-    val (cells, centroids) = fixedCentroids match {
+    fixedCentroids match {
       case Some(cents) =>
         require(cents.length > 0, "fixedCentroids must be non-empty")
         val d2s = array(cents.map(c =>
@@ -229,17 +249,13 @@ object Similarity {
           .toDF("cell", "centroid")
         (assigned, centDf)
     }
+  }
 
-    // nProbe nearest cells per query: tiny broadcast cross join (nLists
-    // rows) + rank by squared L2 to the centroid.
-    val wq = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("cell"))
-    val probed = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("d2", sqL2(col("q_vec"), col("centroid")))
-      .withColumn("cr", row_number().over(wq))
-      .filter(col("cr") <= nProbe)
-      .select(col("q_id"), col("q_vec"), col("cell"))
-
+  /** Exact-cosine tail shared by the IVF variants: search the probed
+    * (q_id, q_vec, cell) set, rank, keep k. The probe table is
+    * query-sized — broadcast against the cell-partitioned corpus. */
+  private def probeCells(cells: DataFrame, probed: DataFrame,
+      k: Int): DataFrame = {
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
     cells.join(broadcast(probed), Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
@@ -247,6 +263,81 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("n_id"), col("rank"), col("sim"))
+  }
+
+  /**
+   * HNSW-style BEAM search over the IVF cells — the same exact-cosine
+   * probe tail as [[ivfTopK]], but the probed cells come from graph
+   * NAVIGATION instead of an argmin over every centroid: queries enter
+   * at a fixed subset of `entryCells` cells and take `depth` expansion
+   * rounds over the centroid k-NN graph (each centroid's `degree`
+   * nearest centroids), keeping the `beamWidth` closest cells seen so
+   * far (ties to the smaller cell id).
+   *
+   * Why: [[ivfTopK]]'s probe step scans ALL nLists centroids per query —
+   * fine at 16 lists, a real cost when a 100 TB corpus wants 10⁵–10⁶
+   * cells. Beam navigation touches O(entry + beamWidth·degree·depth)
+   * centroids per query and, with enough depth, converges to the same
+   * nearest-cell set (AnnSpec pins convergence on the fixture and
+   * measures recall vs brute force). The centroid graph is corpus-free
+   * metadata: built here with one nLists² broadcast self-join (fine to
+   * ~10⁴ cells), built offline — possibly itself via ANN — beyond that,
+   * exactly like a real HNSW upper layer.
+   *
+   * Deterministic throughout (fixed entry set, in-order double d2,
+   * integer tie-breaks), so the whole navigation sits under a DuckDB
+   * hash oracle (q181 unrolls the rounds CTE-for-CTE).
+   */
+  def ivfBeamTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nLists: Int = 16, beamWidth: Int = 4, depth: Int = 2,
+      degree: Int = 3, entryCells: Int = 2,
+      seed: Long = 42L, maxIter: Int = 5,
+      fixedCentroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    require(beamWidth >= 1 && depth >= 0 && degree >= 1 && entryCells >= 1,
+      s"bad beam params ($beamWidth, $depth, $degree, $entryCells)")
+    val (cells, centroids0) =
+      cellAssign(corpus, idCol, vecCol, nLists, seed, maxIter, fixedCentroids)
+    val centroids = CacheScope.pin(centroids0)
+
+    // Centroid k-NN graph: nLists² broadcast self-join, degree nearest
+    // per source (d2 asc, dst asc) — tiny, corpus-free.
+    val wn = Window.partitionBy(col("src")).orderBy(col("d2"), col("dst"))
+    val nbr = centroids.select(col("cell").as("src"), col("centroid").as("sv"))
+      .crossJoin(broadcast(
+        centroids.select(col("cell").as("dst"), col("centroid").as("dv"))))
+      .filter(col("src") =!= col("dst"))
+      .withColumn("d2", sqL2(col("sv"), col("dv")))
+      .withColumn("rn", row_number().over(wn))
+      .filter(col("rn") <= degree)
+      .select(col("src"), col("dst"))
+
+    val q = CacheScope.pin(
+      queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")))
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("cell"))
+    def keepBeam(b: DataFrame): DataFrame = b
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= beamWidth)
+      .select(col("q_id"), col("cell"), col("d2"))
+
+    // Entry: d2 to the fixed entry cells only (cell < entryCells).
+    var beam = keepBeam(q
+      .crossJoin(broadcast(centroids.filter(col("cell") < entryCells)))
+      .withColumn("d2", sqL2(col("q_vec"), col("centroid")))
+      .select(col("q_id"), col("cell"), col("d2")))
+    for (_ <- 1 to depth) {
+      val expanded = beam.join(broadcast(nbr), col("cell") === col("src"))
+        .select(col("q_id"), col("dst").as("cell"))
+        .union(beam.select(col("q_id"), col("cell")))
+        .distinct()
+        .join(q, Seq("q_id"))
+        .join(broadcast(centroids), Seq("cell"))
+        .withColumn("d2", sqL2(col("q_vec"), col("centroid")))
+        .select(col("q_id"), col("cell"), col("d2"))
+      beam = keepBeam(expanded)
+    }
+    probeCells(cells, beam.join(q, Seq("q_id"))
+      .select(col("q_id"), col("q_vec"), col("cell")), k)
   }
 
   /**

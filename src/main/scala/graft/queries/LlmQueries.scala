@@ -272,6 +272,114 @@ object LlmQueries {
                    ORDER BY sim DESC, n_id) AS rank
                FROM sims) WHERE rank <= 5""")),
 
+    // ---- HNSW-style beam navigation over the q62 IVF cells
+    // (Similarity.ivfBeamTopK): queries enter at 2 fixed cells and take
+    // 2 expansion rounds over the centroid 3-NN graph, keeping the 4
+    // closest cells seen — O(entry + beam·degree·depth) centroid touches
+    // per query instead of q62's scan of ALL centroids (the difference
+    // that matters when a 100 TB corpus wants 10⁵–10⁶ cells). Every step
+    // is deterministic (in-order double d2, integer tie-breaks), so the
+    // oracle replays the NAVIGATION itself — entry beam, two
+    // expand-and-prune rounds, then the exact-cosine probe — not just
+    // its endpoint.
+    Q("q181_ann_beam",
+      (s, d) => {
+        val e = T.embeddings(s, d)
+        Similarity.ivfBeamTopK(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, nLists = 16, beamWidth = 4,
+          depth = 2, degree = 3, entryCells = 2,
+          fixedCentroids = Some(Similarity.portableCentroids(16, 64)))
+          .select(col("q_id"), col("n_id"), col("rank"))
+      },
+      Some("""WITH cents AS (
+               SELECT c.cell, d.dim,
+                 (CAST('0x' || substr(md5('c|' || CAST(c.cell AS VARCHAR) ||
+                    '|' || CAST(d.dim AS VARCHAR)), 1, 8) AS BIGINT)
+                  / 2147483648.0 - 1.0) * 0.25 AS w
+               FROM range(16) c(cell) CROSS JOIN range(64) d(dim)),
+             clists AS (
+               SELECT cell, list(w ORDER BY dim) AS cvec
+               FROM cents GROUP BY cell),
+             v AS (
+               SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+               FROM embeddings),
+             cd AS (
+               SELECT a.cell AS src, b.cell AS dst,
+                 list_inner_product(
+                   list_transform(range(1, 65), i -> a.cvec[i] - b.cvec[i]),
+                   list_transform(range(1, 65), i -> a.cvec[i] - b.cvec[i]))
+                   AS d2
+               FROM clists a CROSS JOIN clists b WHERE a.cell <> b.cell),
+             nbr AS (
+               SELECT src, dst FROM (
+                 SELECT src, dst, row_number() OVER (PARTITION BY src
+                   ORDER BY d2, dst) AS rn FROM cd) WHERE rn <= 3),
+             qd AS (
+               SELECT v.vec_id AS q_id, c.cell,
+                 list_inner_product(
+                   list_transform(range(1, 65), i -> emb[i] - cvec[i]),
+                   list_transform(range(1, 65), i -> emb[i] - cvec[i]))
+                   AS d2
+               FROM v CROSS JOIN clists c WHERE v.vec_id < 10),
+             b0 AS (
+               SELECT q_id, cell, d2 FROM (
+                 SELECT q_id, cell, d2, row_number() OVER (PARTITION BY q_id
+                   ORDER BY d2, cell) AS rn
+                 FROM qd WHERE cell < 2) WHERE rn <= 4),
+             e1 AS (
+               SELECT DISTINCT q_id, cell FROM (
+                 SELECT b.q_id, n.dst AS cell FROM b0 b
+                 JOIN nbr n ON b.cell = n.src
+                 UNION ALL SELECT q_id, cell FROM b0)),
+             b1 AS (
+               SELECT q_id, cell, d2 FROM (
+                 SELECT e.q_id, e.cell, qd.d2, row_number() OVER (
+                   PARTITION BY e.q_id ORDER BY qd.d2, e.cell) AS rn
+                 FROM e1 e JOIN qd ON qd.q_id = e.q_id AND qd.cell = e.cell)
+               WHERE rn <= 4),
+             e2 AS (
+               SELECT DISTINCT q_id, cell FROM (
+                 SELECT b.q_id, n.dst AS cell FROM b1 b
+                 JOIN nbr n ON b.cell = n.src
+                 UNION ALL SELECT q_id, cell FROM b1)),
+             b2 AS (
+               SELECT q_id, cell, d2 FROM (
+                 SELECT e.q_id, e.cell, qd.d2, row_number() OVER (
+                   PARTITION BY e.q_id ORDER BY qd.d2, e.cell) AS rn
+                 FROM e2 e JOIN qd ON qd.q_id = e.q_id AND qd.cell = e.cell)
+               WHERE rn <= 4),
+             d2s AS (
+               SELECT v.vec_id, c.cell,
+                 list_inner_product(
+                   list_transform(range(1, 65), i -> emb[i] - cvec[i]),
+                   list_transform(range(1, 65), i -> emb[i] - cvec[i]))
+                   AS d2
+               FROM v CROSS JOIN clists c),
+             assign AS (
+               SELECT vec_id AS n_id, cell FROM (
+                 SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY d2, cell) AS rn
+                 FROM d2s) WHERE rn = 1),
+             cand AS (
+               SELECT b.q_id, a.n_id
+               FROM b2 b JOIN assign a ON a.cell = b.cell
+               WHERE a.n_id <> b.q_id),
+             sims AS (
+               SELECT cand.q_id, cand.n_id,
+                 list_inner_product(a.emb, b.emb) /
+                   (sqrt(list_inner_product(a.emb, a.emb)) *
+                    sqrt(list_inner_product(b.emb, b.emb))) AS sim
+               FROM cand
+               JOIN v a ON a.vec_id = cand.q_id
+               JOIN v b ON b.vec_id = cand.n_id)
+             SELECT q_id, n_id, CAST(rank AS INT) AS rank FROM (
+               SELECT q_id, n_id,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY sim DESC, n_id) AS rank
+               FROM sims) WHERE rank <= 5""")),
+
     // ---- Product-quantization ANN (the COMPRESSION scale path next to
     // q45's LSH and q62's IVF pruning): vectors → m=8 codebook indices
     // (4-32 B vs 256 B — the artifact that lets a 100 TB embedding corpus

@@ -663,6 +663,35 @@ class AnnSpec extends SparkSpec {
     assert(recall > 0.3, s"recall $recall")
   }
 
+  test("IVF beam: wide-entry depth-0 == plain IVF; full-degree one hop == plain IVF; sparse navigation keeps recall") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val plain = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5,
+      nLists = 8, nProbe = 4)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    // Entry set = every cell, depth 0: the entry beam IS the nProbe
+    // nearest cells, so beam == plain IVF exactly.
+    val wide = Similarity.ivfBeamTopK(emb, queries, "vec_id", "embedding", 5,
+      nLists = 8, beamWidth = 4, depth = 0, degree = 3, entryCells = 8)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    assert(wide == plain, "depth-0 wide-entry beam must equal plain IVF")
+    // Fully-connected centroid graph, one expansion from a single entry
+    // cell: round 1 sees every cell, so the kept beam is again the 4
+    // nearest cells — navigation converges to the scan's answer.
+    val hop = Similarity.ivfBeamTopK(emb, queries, "vec_id", "embedding", 5,
+      nLists = 8, beamWidth = 4, depth = 1, degree = 7, entryCells = 1)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    assert(hop == plain, "full-degree one-hop beam must equal plain IVF")
+    // Genuinely sparse navigation (degree 3, depth 2, two entry cells):
+    // recall vs brute force must stay useful even on random gaussians.
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id",
+      "embedding", 5).select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val beam = Similarity.ivfBeamTopK(emb, queries, "vec_id", "embedding", 5,
+      nLists = 8, beamWidth = 4, depth = 2, degree = 3, entryCells = 2)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & beam).size.toDouble / brute.size
+    assert(recall > 0.2, s"beam recall $recall")
+  }
+
   test("PQ ANN: planted exact duplicate is always rank 1; codes are the compressed artifact") {
     // ADC distance of q to its identical twin = Σ_s min_c d2(q_s, c) —
     // the minimum any vector can score — so the twin MUST rank first
