@@ -64,15 +64,14 @@ import org.apache.spark.sql.functions._
  */
 object SuffixDedup {
 
-  /**
-   * Exact duplicated spans: (id, span_start, span_end, n_windows) —
-   * token offsets [span_start, span_end) of each maximal region lying
-   * inside a duplicated substring of ≥ `minLen` tokens (occurrence
-   * count ≥ 2 anywhere in the corpus, same doc included), plus the
-   * number of duplicated window starts the span coalesces.
-   */
-  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
-      minLen: Int = 10, numPartitions: Int = 0): DataFrame = {
+  /** The shared machinery: (toks, scanned) where `scanned` carries per
+    * suffix start the booleans `dup_any` (equals SOME other suffix —
+    * sorted neighbor within the partition, or the boundary row of the
+    * adjacent partition via the O(P) stitch) and `dup_nonfirst` (equals
+    * its PREDECESSOR — i.e. not the (id, ti)-minimal occurrence of its
+    * run, since the sort's tie-break is (id, ti)). */
+  private def scanSuffixes(df: DataFrame, idCol: String, textCol: String,
+      minLen: Int, numPartitions: Int): (DataFrame, DataFrame) = {
     require(minLen >= 2, s"minLen >= 2: $minLen")
     val spark = df.sparkSession
     val p = if (numPartitions > 0) numPartitions
@@ -98,7 +97,7 @@ object SuffixDedup {
 
     // Adjacent-run scan within each partition…
     val wp = Window.partitionBy(col("pid")).orderBy(col("sfx"), col("id"), col("ti"))
-    val scanned = sorted
+    val scanned0 = sorted
       .withColumn("prev_sfx", lag(col("sfx"), 1).over(wp))
       .withColumn("next_sfx", lead(col("sfx"), 1).over(wp))
 
@@ -122,13 +121,67 @@ object SuffixDedup {
         .add("prev_last", org.apache.spark.sql.types.StringType)
         .add("next_first", org.apache.spark.sql.types.StringType))
 
-    val flagged = scanned.join(broadcast(stitchDf), Seq("pid"), "left")
-      .filter(
-        col("prev_sfx") === col("sfx") || col("next_sfx") === col("sfx") ||
-        (col("prev_sfx").isNull && col("prev_last") === col("sfx")) ||
-        (col("next_sfx").isNull && col("next_first") === col("sfx")))
-      .select(col("id"), col("ti"))
+    val prevEq = col("prev_sfx") === col("sfx") ||
+      (col("prev_sfx").isNull && col("prev_last") === col("sfx"))
+    val nextEq = col("next_sfx") === col("sfx") ||
+      (col("next_sfx").isNull && col("next_first") === col("sfx"))
+    val scanned = scanned0.join(broadcast(stitchDf), Seq("pid"), "left")
+      .withColumn("dup_nonfirst", coalesce(prevEq, lit(false)))
+      .withColumn("dup_any", coalesce(prevEq || nextEq, lit(false)))
+      .select(col("id"), col("ti"), col("dup_any"), col("dup_nonfirst"))
+    (toks, scanned)
+  }
 
-    SpanDedup.coalesceSpans(flagged, minLen)
+  /**
+   * Exact duplicated spans: (id, span_start, span_end, n_windows) —
+   * token offsets [span_start, span_end) of each maximal region lying
+   * inside a duplicated substring of ≥ `minLen` tokens (occurrence
+   * count ≥ 2 anywhere in the corpus, same doc included), plus the
+   * number of duplicated window starts the span coalesces.
+   */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 10, numPartitions: Int = 0): DataFrame = {
+    val (_, scanned) = scanSuffixes(df, idCol, textCol, minLen, numPartitions)
+    SpanDedup.coalesceSpans(
+      scanned.filter(col("dup_any")).select(col("id"), col("ti")), minLen)
+  }
+
+  /**
+   * Keep-FIRST-occurrence removal (the Lee et al. 2022 dedup action):
+   * for every duplicated `minLen`-token window, its globally (id, ti)-
+   * minimal occurrence survives and every LATER occurrence — later in
+   * the same doc included — drops the tokens it covers. Because the
+   * suffix sort tie-breaks by (id, ti), "later occurrence" is exactly
+   * "equals its sorted predecessor": no per-key canonical join is
+   * needed, the adjacent-run scan already knows. Returns one row per
+   * input doc: (id, clean_text, n_tokens_kept, n_tokens_dropped); the
+   * canonical holder keeps passages other docs lose.
+   *
+   * Cost over [[duplicateSpans]]: the covered-token explode is
+   * O(duplicated occurrences × minLen) — linear in how much duplicated
+   * text exists — plus the per-doc reassembly groupBy.
+   */
+  def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 10, numPartitions: Int = 0): DataFrame = {
+    val (toks0, scanned) =
+      scanSuffixes(df, idCol, textCol, minLen, numPartitions)
+    val toks = CacheScope.pin(toks0)
+    val covered = scanned.filter(col("dup_nonfirst"))
+      .select(col("id"),
+        explode(sequence(col("ti"), col("ti") + lit(minLen - 1))).as("ti"))
+      .distinct()
+    val kept = toks.join(covered, Seq("id", "ti"), "left_anti")
+    val agg = kept.groupBy(col("id"))
+      .agg(array_join(transform(
+          sort_array(collect_list(struct(col("ti"), col("tok")))),
+          x => x.getField("tok")), " ").as("clean_text"),
+        count(lit(1)).as("n_tokens_kept"))
+    val totals = toks.groupBy(col("id")).agg(count(lit(1)).as("n_tokens"))
+    df.select(col(idCol).as("id")).join(totals, Seq("id"), "left")
+      .join(agg, Seq("id"), "left")
+      .na.fill("", Seq("clean_text"))
+      .na.fill(0L, Seq("n_tokens", "n_tokens_kept"))
+      .select(col("id"), col("clean_text"), col("n_tokens_kept"),
+        (col("n_tokens") - col("n_tokens_kept")).as("n_tokens_dropped"))
   }
 }

@@ -1601,6 +1601,47 @@ object LlmQueries {
           count(*) AS n_windows
         FROM grp GROUP BY id, g""")),
 
+    // ---- EXACT keep-first-occurrence removal (SuffixDedup, the Lee et
+    // al. dedup ACTION on top of q179's detection): every duplicated
+    // 10-token window's (id, ti)-minimal occurrence survives; later
+    // occurrences — same-doc repeats included — drop their covered
+    // tokens. On the Spark side "later occurrence" is just "equals its
+    // sorted predecessor" (the suffix sort tie-breaks by (id, ti)); the
+    // oracle computes the canonical occurrence definitionally per window
+    // key, so the hash proves that identification is exact.
+    Q("q182_exact_span_removal",
+      (s, d) => graft.operators.SuffixDedup.removeDuplicateSpans(
+        T.documents(s, d), "doc_id", "text", minLen = 10)
+        .withColumnRenamed("id", "doc_id"),
+      Some(ExactWinsSql + """,
+        dupc AS (
+          SELECT sfx, id AS cid, ti AS cti FROM (
+            SELECT sfx, id, ti,
+              row_number() OVER (PARTITION BY sfx ORDER BY id, ti) AS rn,
+              count(*) OVER (PARTITION BY sfx) AS cnt
+            FROM wins) WHERE rn = 1 AND cnt >= 2),
+        covered AS (
+          SELECT DISTINCT w.id, r.xti AS ti
+          FROM wins w JOIN dupc d USING (sfx),
+               LATERAL (SELECT unnest(range(w.ti, w.ti + 10)) AS xti) r
+          WHERE NOT (w.id = d.cid AND w.ti = d.cti)),
+        kept AS (
+          SELECT t.id, t.ti, t.tok FROM rtoks t
+          WHERE NOT EXISTS (SELECT 1 FROM covered c
+                            WHERE c.id = t.id AND c.ti = t.ti)),
+        cleaned AS (
+          SELECT id, string_agg(tok, ' ' ORDER BY ti) AS clean_text,
+            count(*) AS n_tokens_kept
+          FROM kept GROUP BY id),
+        totals AS (SELECT id, count(*) AS n_tokens FROM rtoks GROUP BY id)
+        SELECT d.doc_id, coalesce(c.clean_text, '') AS clean_text,
+          CAST(coalesce(c.n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept,
+          CAST(coalesce(t.n_tokens, 0) - coalesce(c.n_tokens_kept, 0) AS BIGINT)
+            AS n_tokens_dropped
+        FROM (SELECT doc_id FROM documents) d
+        LEFT JOIN totals t ON t.id = d.doc_id
+        LEFT JOIN cleaned c ON c.id = d.doc_id""")),
+
     // ---- Duplicate-span REMOVAL, keep-first-occurrence: the canonical
     // holder of each duplicate window (min doc id) keeps its text; every
     // other doc drops the covered tokens and is reassembled in order.
@@ -2372,11 +2413,10 @@ object LlmQueries {
          FROM isl)"""
   }
 
-  /** q179 oracle: SpanSql's shape with the suffix-array semantics —
-    * RAW space-joined window strings (no md5; injective over whitespace
-    * tokens) and OCCURRENCE counts (count(*) ≥ 2, same-doc repeats
-    * included) instead of distinct-document counts. */
-  private lazy val ExactSpanSql: String = {
+  /** Shared CTE head for the q179/q182 oracles: re-indexed tokens and
+    * the RAW space-joined 10-token window strings (no md5; injective
+    * over whitespace tokens). */
+  private lazy val ExactWinsSql: String = {
     val leads = (1 until 10).map(k => s"lead(tok, $k) OVER w AS t$k").mkString(", ")
     val parts = "tok" +: (1 until 10).map(k => s"t$k")
     s"""WITH toks AS (
@@ -2393,7 +2433,14 @@ object LlmQueries {
          SELECT id, ti, ${parts.mkString(" || ' ' || ")} AS sfx FROM (
            SELECT id, ti, tok, $leads
            FROM rtoks WINDOW w AS (PARTITION BY id ORDER BY ti))
-         WHERE t9 IS NOT NULL),
+         WHERE t9 IS NOT NULL)"""
+  }
+
+  /** q179 oracle: SpanSql's shape with the suffix-array semantics —
+    * OCCURRENCE counts (count(*) ≥ 2, same-doc repeats included)
+    * instead of distinct-document counts. */
+  private lazy val ExactSpanSql: String =
+    ExactWinsSql + s""",
        dup AS (
          SELECT sfx FROM wins GROUP BY sfx
          HAVING count(*) >= 2),
@@ -2412,7 +2459,6 @@ object LlmQueries {
            sum(brk) OVER (PARTITION BY id ORDER BY ti
              ROWS UNBOUNDED PRECEDING) AS g
          FROM isl)"""
-  }
 
   /** q117 oracle: the farthest-point recursion unrolled — per round a
     * distance CTE (min exact-integer d² to every already-chosen center)

@@ -131,4 +131,48 @@ class SuffixDedupSpec extends SparkSpec {
       3L -> (0 until 2 * W).map(j => s"u$j").mkString(" "))
     assert(runOp(docs) == Map.empty)
   }
+
+  /** Sequential keep-first-occurrence removal reference: per duplicated
+    * window key, the (id, ti)-minimal occurrence survives; every other
+    * occurrence's [ti, ti+W) positions drop. */
+  private def refRemoval(docs: Seq[(Long, String)])
+      : Map[Long, (String, Long, Long)] = {
+    val toks: Map[Long, Vector[String]] = docs.map { case (id, t) =>
+      id -> t.split("\\s+").filter(_.nonEmpty).toVector
+    }.toMap
+    val occ = docs.flatMap { case (id, t) =>
+      toks(id).sliding(W).filter(_.length == W).zipWithIndex
+        .map { case (w, i) => (w.mkString(" "), id, i) }
+    }
+    val byKey = occ.groupBy(_._1).filter(_._2.size >= 2)
+    val covered = byKey.values.flatMap { os =>
+      val canon = os.minBy(o => (o._2, o._3))
+      os.filterNot(_ == canon)
+        .flatMap(o => (o._3 until o._3 + W).map(o._2 -> _))
+    }.toSet
+    docs.map { case (id, _) =>
+      val ts = toks(id)
+      val keptToks = ts.zipWithIndex.collect {
+        case (t, i) if !covered((id, i)) => t
+      }
+      id -> (keptToks.mkString(" "), keptToks.size.toLong,
+        (ts.size - keptToks.size).toLong)
+    }.toMap
+  }
+
+  for (seed <- Seq(21, 22))
+  test(s"removeDuplicateSpans == sequential keep-first reference, seed $seed") {
+    val (docs, self) = gen(seed)
+    val got = SuffixDedup.removeDuplicateSpans(docs.toDF("doc_id", "text"),
+        "doc_id", "text", minLen = W)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got == refRemoval(docs), s"seed $seed removal mismatch")
+    // Within-doc pin: doc 100 keeps its FIRST self-passage occurrence and
+    // loses the second (the case q78's distinct-doc removal cannot act on).
+    val clean = got(100L)._1.split(" ").toVector
+    assert(clean.indexOfSlice(self) >= 0, "first occurrence must survive")
+    assert(clean.indexOfSlice(self, clean.indexOfSlice(self) + 1) < 0,
+      "second occurrence must be removed")
+  }
 }
