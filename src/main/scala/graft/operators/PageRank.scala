@@ -54,7 +54,37 @@ object PageRank {
    */
   def run(edges: DataFrame, iterations: Int = 5,
       scale: Long = 1000000000L, damp: Long = 85L,
-      broadcastNodeLimit: Long = 10000000L): DataFrame = {
+      broadcastNodeLimit: Long = 10000000L): DataFrame =
+    iterate(edges, None, iterations, scale, damp, broadcastNodeLimit)
+
+  /**
+   * PERSONALIZED PageRank: random-walk-with-restart relevance TO a seed
+   * set instead of global centrality — "which nodes matter from HERE",
+   * the recommendation/expansion query over the same entity graphs
+   * (seeded at one customer it ranks the suppliers/customers reachable
+   * through shared purchases). Identical integer fixed-point recursion,
+   * with the teleport and the dangling mass restarting at the SEEDS:
+   *
+   *   rank₀(v)  = scale·1{v ∈ S}
+   *   rank'(v)  = 1{v ∈ S}·(base·scale) div 100
+   *             + (damp·(Σ_{u→v} contrib(u) + 1{v ∈ S}·(dmass div |S|))) div 100
+   *
+   * Non-seed nodes with no inflow stay at rank 0, so the output is
+   * naturally sparse around the seeds. Same per-iteration shuffle shape
+   * as [[run]] (the seed flag joins in as one more node-sized broadcast);
+   * oracle-able for the same reason (q183 unrolls it).
+   *
+   * @param seeds one long column of seed node ids (deduped internally;
+   *              must be non-empty)
+   */
+  def personalized(edges: DataFrame, seeds: DataFrame, iterations: Int = 5,
+      scale: Long = 1000000000L, damp: Long = 85L,
+      broadcastNodeLimit: Long = 10000000L): DataFrame =
+    iterate(edges, Some(seeds), iterations, scale, damp, broadcastNodeLimit)
+
+  private def iterate(edges: DataFrame, seedsOpt: Option[DataFrame],
+      iterations: Int, scale: Long, damp: Long,
+      broadcastNodeLimit: Long): DataFrame = {
     require(iterations >= 0, "iterations must be >= 0")
     require(damp >= 0 && damp <= 100, "damp is a percentage")
     val base = 100L - damp
@@ -70,9 +100,27 @@ object PageRank {
     val nodes = e.select(col("src").as("node_id"))
       .union(e.select(col("dst").as("node_id"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // N as a broadcast 1-row frame: the dangling share needs it inside the
+    // Teleport targets: every node (global PageRank, indicator t = 1) or
+    // the seed set (personalized, t = 1{v ∈ S}). The target count rides
+    // as a broadcast 1-row frame — the dangling share needs it inside the
     // plan, and a driver-side count() here would add an extra job per call.
-    val nRow = nodes.agg(count(lit(1)).as("n_nodes"))
+    val seedFlag = seedsOpt.map { s =>
+      val sf = s.select(col(s.columns.head).cast("long").as("node_id"))
+        .distinct().withColumn("is_seed", lit(1))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      require(sf.limit(1).count() > 0, "personalized: seeds must be non-empty")
+      sf
+    }
+    val tnodes = (seedFlag match {
+      case Some(sf) => nodes.join(broadcast(sf), Seq("node_id"), "left")
+        .withColumn("t", coalesce(col("is_seed"), lit(0)))
+      case None => nodes.withColumn("t", lit(1))
+    }).select(col("node_id"), col("t"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nRow = seedFlag match {
+      case Some(sf) => sf.agg(count(lit(1)).as("n_t"))
+      case None => nodes.agg(count(lit(1)).as("n_t"))
+    }
 
     // Rank/degree/inflow frames are NODE-sized (two longs per row); below
     // `broadcastNodeLimit` nodes (~320 MB) every per-iteration join
@@ -87,7 +135,9 @@ object PageRank {
     val bcast = nodes.count() <= broadcastNodeLimit
     def nodeSized(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
 
-    var ranks = nodes.withColumn("rank", lit(scale)).localCheckpoint()
+    var ranks = tnodes
+      .select(col("node_id"), (col("t").cast("long") * scale).as("rank"))
+      .localCheckpoint()
     var iter = 0
     while (iter < iterations) {
       val withDeg = ranks.join(nodeSized(deg),
@@ -100,20 +150,21 @@ object PageRank {
         .select(e("dst").as("node_id"),
           expr("rank div outdeg").as("contrib"))
         .groupBy(col("node_id")).agg(sum(col("contrib")).as("inflow"))
-      val next = nodes
+      val next = tnodes
         .join(nodeSized(inflow), Seq("node_id"), "left")
         .crossJoin(broadcast(dangling))
         .crossJoin(broadcast(nRow))
         .select(col("node_id"),
-          expr(s"${base * scale} div 100 + " +
-            s"($damp * (coalesce(inflow, CAST(0 AS BIGINT)) + dmass div n_nodes)) div 100")
+          expr(s"t * (${base * scale} div 100) + " +
+            s"($damp * (coalesce(inflow, CAST(0 AS BIGINT)) + t * (dmass div n_t))) div 100")
             .as("rank"))
         .localCheckpoint()
       CacheScope.unpinCheckpoint(ranks)
       ranks = next
       iter += 1
     }
-    e.unpersist(); deg.unpersist(); nodes.unpersist()
+    e.unpersist(); deg.unpersist(); nodes.unpersist(); tnodes.unpersist()
+    seedFlag.foreach(_.unpersist())
     CacheScope.pinCheckpointed(ranks)
   }
 }

@@ -605,8 +605,84 @@ object PipelineQueries {
             rounds = 3)
           .orderBy(col("round"), col("a"))
       },
-      Some(MatchingSql(3)))
+      Some(MatchingSql(3))),
+
+    // ---- Personalized PageRank (random walk with restart) over the q94
+    // co-purchase graph, seeded at customers 1-30: "which suppliers and
+    // customers matter FROM these accounts" — the recommendation/
+    // neighborhood-expansion query, vs q94's global centrality. The
+    // teleport and the dangling mass restart at the SEEDS (integer
+    // fixed-point: t·(base·scale div 100) + damp·(inflow + t·(dmass div
+    // |S|)) div 100), so the whole 5-iteration recursion stays
+    // bit-identical in DuckDB's unrolled CTE mirror. Non-seed nodes
+    // without inflow hold rank 0 — the output is naturally sparse around
+    // the seeds, which is exactly the 100 TB story: mass concentrates on
+    // the seeds' neighborhoods, not on graph size.
+    Q("q183_personalized_pagerank",
+      (s, d) => {
+        val pairs = T.orders(s, d)
+          .join(T.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("cust"),
+            (col("l_suppkey") + lit(1000000000L)).as("supp"))
+          .distinct()
+        val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
+          .union(pairs.select(col("supp").as("src"), col("cust").as("dst")))
+        val seeds = pairs.filter(col("cust") <= 30)
+          .select(col("cust").as("node_id")).distinct()
+        graft.operators.PageRank.personalized(edges, seeds, iterations = 5)
+          .select(col("node_id"), col("rank").as("pr"))
+          .orderBy(col("pr").desc, col("node_id"))
+          .limit(20)
+      },
+      Some(PersonalizedPageRankSql(5)))
   )
+
+  /** q183 oracle: PageRankSql with the teleport restricted to the seed
+    * set — seed-indicator CASE on both the base share and the dangling
+    * share, |S| instead of N in the divisor. */
+  private def PersonalizedPageRankSql(iters: Int): String = {
+    val head = """WITH pairs AS (
+        SELECT DISTINCT o_custkey AS cust, l_suppkey + 1000000000 AS supp
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      edges AS (
+        SELECT cust AS src, supp AS dst FROM pairs
+        UNION ALL SELECT supp, cust FROM pairs),
+      deg AS (SELECT src AS dnode, count(*) AS outdeg FROM edges GROUP BY src),
+      nodes AS (SELECT src AS node_id FROM edges
+                UNION SELECT dst FROM edges),
+      seeds AS (SELECT DISTINCT cust AS node_id FROM pairs WHERE cust <= 30),
+      sv AS (SELECT count(*) AS n_t FROM seeds),
+      r0 AS (SELECT n.node_id,
+               CAST(CASE WHEN s.node_id IS NOT NULL
+                 THEN 1000000000 ELSE 0 END AS BIGINT) AS pr
+             FROM nodes n LEFT JOIN seeds s ON n.node_id = s.node_id)"""
+    val iterCtes = (1 to iters).map { i =>
+      val p = i - 1
+      s"""d$i AS (SELECT CAST(coalesce(sum(r.pr), 0) AS BIGINT) AS dmass
+           FROM r$p r LEFT JOIN deg ON r.node_id = deg.dnode
+           WHERE deg.dnode IS NULL),
+         c$i AS (SELECT e.dst AS node_id,
+             CAST(sum(r.pr // d.outdeg) AS BIGINT) AS inflow
+           FROM edges e
+           JOIN r$p r ON e.src = r.node_id
+           JOIN deg d ON e.src = d.dnode
+           GROUP BY e.dst),
+         r$i AS (SELECT n.node_id,
+             CAST(CASE WHEN s.node_id IS NOT NULL
+                 THEN 15000000000 // 100 ELSE 0 END
+               + (85 * (coalesce(c.inflow, 0)
+                  + CASE WHEN s.node_id IS NOT NULL
+                    THEN (SELECT dmass FROM d$i) // (SELECT n_t FROM sv)
+                    ELSE 0 END)) // 100
+               AS BIGINT) AS pr
+           FROM nodes n
+           LEFT JOIN c$i c ON n.node_id = c.node_id
+           LEFT JOIN seeds s ON n.node_id = s.node_id)"""
+    }.mkString(",\n")
+    s"""$head,
+      $iterCtes
+      SELECT node_id, pr FROM r$iters ORDER BY pr DESC, node_id LIMIT 20"""
+  }
 
   /** q180 oracle: the locally-dominant rounds unrolled — per round a
     * left-best and right-best row_number CTE (score desc, partner asc —

@@ -66,4 +66,33 @@ class PageRankSpec extends SparkSpec {
     assert(once.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq ==
       dup.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq)
   }
+
+  test("personalized: mass stays in the seed component; seeds dominate") {
+    // Two disjoint symmetric triangles {0,1,2} and {10,11,12}; seeds in
+    // the first: every node of the second component must hold rank 0,
+    // and the seed itself must outrank its non-seed neighbors.
+    def tri(base: Long) = Seq((base, base + 1), (base + 1, base + 2),
+      (base, base + 2))
+    val und = tri(0L) ++ tri(10L)
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq(0L).toDF("node_id")
+    val m = PageRank.personalized(edges, seeds, iterations = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(10L, 11L, 12L).forall(m(_) == 0L),
+      s"other component leaked mass: $m")
+    assert(m(0L) > m(1L) && m(1L) == m(2L),
+      s"seed must dominate, symmetric neighbors must tie: $m")
+    assert(Seq(0L, 1L, 2L).map(m).sum > 0)
+  }
+
+  test("personalized with seeds = all nodes equals global PageRank") {
+    val pairs = (1L to 4L).map(l => (0L, l))
+    val edges = (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+    val all = (0L to 4L).toDF("node_id")
+    val g = PageRank.run(edges, iterations = 6).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val p = PageRank.personalized(edges, all, iterations = 6).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p == g, "seeding every node must reduce to global PageRank")
+  }
 }
