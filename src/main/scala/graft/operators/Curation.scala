@@ -762,4 +762,64 @@ object Curation {
       .join(wide, Seq("id"), "left")
       .na.fill(0.0, Seq("dup_bigram_frac", "dup_trigram_frac"))
   }
+
+  /**
+   * Corpus MIXING quotas: allocate a document budget across groups
+   * (languages, domains, sources) toward a UNIFORM target, capped by
+   * availability, with the shortfall redistributed — the "balance
+   * languages but respect what exists" step a multilingual training mix
+   * runs before sampling (the per-group quota then feeds
+   * [[weightedSampleGrouped]] / [[selectByTokenBudget]]).
+   *
+   * Exact integer algorithm, two fixed passes:
+   *  1. uniform target: base = budget div n, the budget mod n leftover
+   *     units go one each to the first groups in group order (uniform
+   *     targets have identical fractional remainders — the tie-break IS
+   *     the largest-remainder rule here); cap at availability;
+   *  2. redistribute min(leftover, total headroom) proportionally to
+   *     remaining headroom by largest remainder (remainders compared
+   *     exactly; ties to group order).
+   *
+   * Cross-multiplications (leftover × headroom) run in DECIMAL(38,0) —
+   * a BIGINT product wraps once budget × max-headroom passes 2⁶³, which
+   * a 100 TB corpus reaches (the q173 lesson). All windows run over the
+   * GROUPS aggregate — O(distinct groups) rows, thousands at most, never
+   * the corpus — so the "no un-partitioned windows" rule is satisfied by
+   * input size, not by partitioning.
+   *
+   * Output: (group, avail, quota) with Σ quota = min(budget, Σ avail).
+   */
+  def mixingQuotas(counts: DataFrame, groupCol: String, availCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0, s"budget >= 0: $budget")
+    val c = counts.select(col(groupCol).as("g"),
+      col(availCol).cast("long").as("avail"))
+    val tot = c.agg(count(lit(1)).as("n"))
+    val wg = Window.orderBy(col("g"))
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val p1 = c.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"$budget div n"))
+      .withColumn("extra",
+        when(row_number().over(wg) <= lit(budget) % col("n"), 1L)
+          .otherwise(0L))
+      .withColumn("alloc1", least(col("base") + col("extra"), col("avail")))
+      .withColumn("h", col("avail") - col("alloc1"))
+      .withColumn("left1", lit(budget) - sum(col("alloc1")).over(all))
+      .withColumn("hsum", sum(col("h")).over(all))
+      .withColumn("l2", least(col("left1"), col("hsum")))
+    val p2 = p1
+      .withColumn("share", when(col("hsum") > 0,
+          expr("CAST((CAST(l2 AS DECIMAL(38,0)) * h) div hsum AS BIGINT)"))
+        .otherwise(0L))
+      .withColumn("fr", when(col("hsum") > 0,
+          expr("CAST(l2 AS DECIMAL(38,0)) * h % hsum"))
+        .otherwise(expr("CAST(0 AS DECIMAL(38,0))")))
+      .withColumn("need", col("l2") - sum(col("share")).over(all))
+      .withColumn("extra2",
+        when(row_number().over(Window.orderBy(col("fr").desc, col("g")))
+          <= col("need"), 1L).otherwise(0L))
+    p2.select(col("g").as(groupCol), col("avail"),
+      (col("alloc1") + col("share") + col("extra2")).as("quota"))
+  }
 }

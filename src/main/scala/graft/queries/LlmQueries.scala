@@ -1579,6 +1579,63 @@ object LlmQueries {
           count(*) AS n_windows
         FROM grp GROUP BY id, g""")),
 
+    // ---- Corpus mixing quotas (Curation.mixingQuotas): allocate a 90%
+    // document budget across languages toward a UNIFORM mix, capped by
+    // availability, shortfall redistributed by exact largest remainder —
+    // the "balance languages but respect what exists" table a
+    // multilingual mix computes before sampling (quotas then feed
+    // q128's grouped sampler). At the 90% operating point the caps
+    // genuinely bind (every minority language saturates; the leftover
+    // flows to the headroom languages), so the oracle exercises both
+    // passes. Cross-multiplies in DECIMAL(38,0)/HUGEINT; all windows
+    // run over the O(languages) aggregate, never the corpus.
+    Q("q184_mixing_quotas",
+      (s, d) => {
+        val docs = T.documents(s, d)
+        val budget = 9L * docs.count() / 10L
+        Curation.mixingQuotas(
+          docs.groupBy(col("lang")).agg(count(lit(1)).as("avail")),
+          "lang", "avail", budget)
+          .orderBy(col("lang"))
+      },
+      Some("""WITH cnt AS (
+               SELECT lang AS g, CAST(count(*) AS BIGINT) AS avail
+               FROM documents GROUP BY lang),
+             b AS (SELECT CAST(9 * count(*) // 10 AS BIGINT) AS budget
+                   FROM documents),
+             nv AS (SELECT count(*) AS n FROM cnt),
+             p1 AS (
+               SELECT g, avail, budget, n, budget // n AS base,
+                 CASE WHEN row_number() OVER (ORDER BY g) <= budget % n
+                   THEN 1 ELSE 0 END AS extra
+               FROM cnt CROSS JOIN b CROSS JOIN nv),
+             p2 AS (
+               SELECT *, least(base + extra, avail) AS alloc1,
+                 avail - least(base + extra, avail) AS h
+               FROM p1),
+             p3 AS (
+               SELECT *, budget - sum(alloc1) OVER () AS left1,
+                 sum(h) OVER () AS hsum
+               FROM p2),
+             p4 AS (SELECT *, least(left1, hsum) AS l2 FROM p3),
+             p5 AS (
+               SELECT *,
+                 CASE WHEN hsum > 0
+                   THEN CAST((CAST(l2 AS HUGEINT) * h) // hsum AS BIGINT)
+                   ELSE 0 END AS share,
+                 CASE WHEN hsum > 0
+                   THEN CAST(l2 AS HUGEINT) * h % hsum
+                   ELSE 0 END AS fr
+               FROM p4),
+             p6 AS (SELECT *, l2 - sum(share) OVER () AS need FROM p5),
+             p7 AS (
+               SELECT *, CASE WHEN row_number() OVER (ORDER BY fr DESC, g)
+                 <= need THEN 1 ELSE 0 END AS extra2
+               FROM p6)
+             SELECT g AS lang, avail,
+               CAST(alloc1 + share + extra2 AS BIGINT) AS quota
+             FROM p7 ORDER BY lang""")),
+
     // ---- EXACT suffix-array-grade duplicated spans (SuffixDedup): the
     // hash-free, occurrence-counted (within-doc repeats included) form of
     // q77 — global range sort of the 10-token-truncated suffixes +
