@@ -2257,6 +2257,68 @@ object LlmQueries {
                FROM v)
              WHERE score >= 0.5 ORDER BY id""")),
 
+    // ---- Calibration audit of the q87 probe classifier (reliability
+    // table + Expected Calibration Error): before a 100 TB corpus is
+    // FILTERED by a classifier score, the score must mean what it says —
+    // per equal-width confidence bin, predicted confidence vs empirical
+    // positive rate (label: declared lang = 'en', the probe's target),
+    // and each bin's weighted |gap| contribution whose sum is the ECE
+    // (Guo et al. 2017). Scores are the round-6 sigmoids q87 already
+    // hash-validates, so micro-units (score·10⁶) are EXACT integers —
+    // sums are order-independent, floats appear only in the final
+    // rounded divisions. One groupBy over the corpus, O(bins) after.
+    Q("q185_probe_calibration",
+      (s, d) => {
+        val scored = Similarity.linearProbeScore(T.embeddings(s, d),
+          "vec_id", "embedding", ProbeWeights)
+        val lbl = T.documents(s, d).select(col("doc_id").as("id"),
+          (col("lang") === "en").cast("long").as("y"))
+        val bins = scored.join(lbl, "id")
+          .withColumn("conf_u",
+            expr("CAST(round(score * 1000000) AS BIGINT)"))
+          .withColumn("bin",
+            least(expr("CAST(conf_u div 100000 AS INT)"), lit(9)))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"),
+            sum(col("conf_u")).as("conf_sum_u"))
+        bins.crossJoin(broadcast(bins.agg(sum(col("n")).as("nt"))))
+          .select(col("bin"), col("n"), col("pos"),
+            round(col("conf_sum_u").cast("double") / 1000000.0 / col("n"), 6)
+              .as("avg_conf"),
+            round(col("pos").cast("double") / col("n"), 6).as("pos_rate"),
+            round(abs(col("conf_sum_u").cast("double") / 1000000.0 / col("n")
+                - col("pos").cast("double") / col("n"))
+              * col("n") / col("nt"), 6).as("ece_term"))
+          .orderBy(col("bin"))
+      },
+      Some(s"""WITH v AS (
+               SELECT vec_id AS id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+               FROM embeddings),
+             sc AS (
+               SELECT id, CAST(round(round(1.0 / (1.0 +
+                 exp(-(list_inner_product(emb, $probeWeightsSql)))), 6)
+                 * 1000000) AS BIGINT) AS conf_u
+               FROM v),
+             lb AS (
+               SELECT doc_id AS id,
+                 CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS y
+               FROM documents),
+             bins AS (
+               SELECT least(CAST(conf_u // 100000 AS INT), 9) AS bin,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(y) AS BIGINT) AS pos,
+                 CAST(sum(conf_u) AS BIGINT) AS conf_sum_u
+               FROM sc JOIN lb USING (id) GROUP BY 1),
+             nt AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM bins)
+             SELECT bin, n, pos,
+               round(CAST(conf_sum_u AS DOUBLE) / 1000000.0 / n, 6)
+                 AS avg_conf,
+               round(CAST(pos AS DOUBLE) / n, 6) AS pos_rate,
+               round(abs(CAST(conf_sum_u AS DOUBLE) / 1000000.0 / n
+                   - CAST(pos AS DOUBLE) / n) * n / nt.nt, 6) AS ece_term
+             FROM bins CROSS JOIN nt ORDER BY bin""")),
+
     // ---- C4-style corpus-level line dedup (Raffel et al. 2020): any
     // non-blank line repeated anywhere in the corpus keeps only its first
     // occurrence (min (doc_id, idx)); docs are reassembled from surviving
