@@ -77,6 +77,44 @@ object SpanDedup {
     coalesceSpans(flagged, window)
   }
 
+  /**
+   * Corpus window-digest ARTIFACT: the distinct md5 keys of every
+   * `window`-token sliding window in the corpus — 16 bytes per distinct
+   * window, a pure function of (corpus, window) that is stored once and
+   * reused per batch (the band-table discipline of
+   * [[Dedup.minhashBandTable]], applied to spans). Mergeable across
+   * shards by plain distinct-union, so it carries a streaming face
+   * through [[graft.streaming.ArtifactStreams.foldStream]] for free.
+   */
+  def corpusWindowDigests(corpus: DataFrame, idCol: String,
+      textCol: String, window: Int = 20): DataFrame = {
+    require(window >= 2, s"window >= 2: $window")
+    windowKeys(tokens(corpus, idCol, textCol), window)
+      .select("wkey").distinct()
+  }
+
+  /**
+   * Incremental/decontamination face of [[duplicateSpans]]: maximal
+   * spans of each BATCH document that duplicate CORPUS text — batch
+   * windows semi-join the [[corpusWindowDigests]] artifact (digests
+   * only, the corpus text never reloads), then coalesce per doc. The
+   * per-batch cost is O(batch tokens) regardless of corpus size; this
+   * is the "does the incoming crawl repeat what we already have" /
+   * "does the training batch contain benchmark text" probe, exact at
+   * the window granularity (md5 keys — same collision caveat as
+   * [[duplicateSpans]]; [[SuffixDedup]] is the hash-free audit tier).
+   * Returns (id, span_start, span_end, n_windows) over batch docs.
+   */
+  def probeSpans(batch: DataFrame, idCol: String, textCol: String,
+      corpusDigests: DataFrame, window: Int = 20): DataFrame = {
+    require(window >= 2, s"window >= 2: $window")
+    val wins = windowKeys(tokens(batch, idCol, textCol), window)
+    val flagged = wins
+      .join(corpusDigests.select(col("wkey")), Seq("wkey"), "left_semi")
+      .select(col("id"), col("ti"))
+    coalesceSpans(flagged, window)
+  }
+
   /** Gaps-and-islands over flagged window starts: a window starting past
     * the running max end of everything before it opens a new span.
     * Shared with [[SuffixDedup]] (same span convention). */

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables => T}
-import graft.operators.{Curation, Dedup, Multimodal, Similarity, Sketches, TextAnalysis}
+import graft.operators.{Curation, Dedup, Multimodal, Similarity, Sketches, SpanDedup, TextAnalysis}
 
 /**
  * LLM-training-data pipeline surface: dedup family, similarity search,
@@ -1699,6 +1699,30 @@ object LlmQueries {
         LEFT JOIN totals t ON t.id = d.doc_id
         LEFT JOIN cleaned c ON c.id = d.doc_id""")),
 
+    // ---- Incremental span probe (SpanDedup.probeSpans): spans of a
+    // BATCH (doc_id % 10 = 7) that duplicate CORPUS text (the rest),
+    // probed against the stored corpus window-digest artifact — 16 B per
+    // distinct window, the band-table discipline applied to spans, so a
+    // new crawl batch costs O(batch tokens) no matter how big the
+    // corpus is. The decontamination-shaped face of q77 (q71/q170 test
+    // membership of whole shingles; this localizes WHERE the overlap
+    // sits inside each batch doc).
+    Q("q186_span_probe",
+      (s, d) => {
+        val docs = T.documents(s, d)
+        val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+        val batch = docs.filter(col("doc_id") % 10 === 7)
+        val art = SpanDedup.corpusWindowDigests(corpus, "doc_id", "text",
+          window = 10)
+        SpanDedup.probeSpans(batch, "doc_id", "text", art, window = 10)
+          .select(col("id").as("doc_id"),
+            col("span_start").cast("long").as("span_start"),
+            col("span_end").cast("long").as("span_end"),
+            col("n_windows"))
+          .orderBy(col("doc_id"), col("span_start"))
+      },
+      Some(ProbeSpanSql)),
+
     // ---- Duplicate-span REMOVAL, keep-first-occurrence: the canonical
     // holder of each duplicate window (min doc id) keeps its text; every
     // other doc drops the covered tokens and is reassembled in order.
@@ -2578,6 +2602,49 @@ object LlmQueries {
            sum(brk) OVER (PARTITION BY id ORDER BY ti
              ROWS UNBOUNDED PRECEDING) AS g
          FROM isl)"""
+
+  /** q186 oracle: SpanSql's window machinery with the batch/corpus
+    * split — batch windows flagged by EXISTS against the corpus digest
+    * set, coalesced with the standard gaps-and-islands. */
+  private lazy val ProbeSpanSql: String = {
+    val leads = (1 until 10).map(k => s"lead(tok, $k) OVER w AS t$k").mkString(", ")
+    val parts = "tok" +: (1 until 10).map(k => s"t$k")
+    s"""WITH toks AS (
+         SELECT doc_id AS id, i, tok FROM (
+           SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok,
+                  unnest(range(len(string_split_regex(text, '\\s+')))) AS i
+           FROM documents)
+         WHERE tok <> ''),
+       rtoks AS (
+         SELECT id, tok,
+           row_number() OVER (PARTITION BY id ORDER BY i) - 1 AS ti
+         FROM toks),
+       wins AS (
+         SELECT id, ti, md5(${parts.mkString(" || ' ' || ")}) AS wkey FROM (
+           SELECT id, ti, tok, $leads
+           FROM rtoks WINDOW w AS (PARTITION BY id ORDER BY ti))
+         WHERE t9 IS NOT NULL),
+       cw AS (SELECT DISTINCT wkey FROM wins WHERE id % 10 <> 7),
+       bw AS (SELECT id, ti, wkey FROM wins WHERE id % 10 = 7),
+       flag AS (
+         SELECT b.id, b.ti FROM bw b
+         WHERE EXISTS (SELECT 1 FROM cw c WHERE c.wkey = b.wkey)),
+       isl AS (
+         SELECT id, ti,
+           CASE WHEN prev_end IS NULL OR ti > prev_end THEN 1 ELSE 0 END AS brk
+         FROM (SELECT id, ti,
+                 max(ti + 10) OVER (PARTITION BY id ORDER BY ti
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+               FROM flag)),
+       grp AS (
+         SELECT id, ti,
+           sum(brk) OVER (PARTITION BY id ORDER BY ti
+             ROWS UNBOUNDED PRECEDING) AS g
+         FROM isl)
+       SELECT id AS doc_id, CAST(min(ti) AS BIGINT) AS span_start,
+         CAST(max(ti) + 10 AS BIGINT) AS span_end, count(*) AS n_windows
+       FROM grp GROUP BY id, g ORDER BY doc_id, span_start"""
+  }
 
   /** q117 oracle: the farthest-point recursion unrolled — per round a
     * distance CTE (min exact-integer d² to every already-chosen center)

@@ -102,4 +102,66 @@ class SpanDedupPropertySpec extends SparkSpec {
         s"passage kept by ${holders.length} docs: ${holders.mkString(",")}")
     }
   }
+
+  /** probeSpans: batch windows flagged iff their text occurs in the
+    * CORPUS — batch-internal repeats are invisible by design (that is
+    * duplicateSpans' job), corpus passages are localized exactly. */
+  for (seed <- Seq(17, 18))
+  test(s"probeSpans == corpus-membership reference; batch-only repeats ignored, seed $seed") {
+    val (docs, _) = gen(seed)
+    val (batch0, corpus) = docs.partition(_._1 % 3 == 0)
+    // One batch doc with a batch-only passage repeated TWICE (must not
+    // be flagged) spliced after a known corpus passage (must be).
+    val corpusPassage = corpus.head._2.split(" ").take(W + 2)
+    val batchOnly = (0 until W + 1).map(j => s"bo${seed}x$j")
+    val planted = 9999L -> (Seq.fill(3)(s"pre$seed") ++ corpusPassage ++
+      Seq.fill(W)(s"mid$seed") ++ batchOnly ++
+      Seq.fill(W)(s"gap$seed") ++ batchOnly).mkString(" ")
+    val batch = batch0 :+ (planted._1 -> planted._2)
+
+    val corpusWins = corpus.flatMap { case (_, t) =>
+      t.split("\\s+").filter(_.nonEmpty).sliding(W).filter(_.length == W)
+        .map(_.mkString(" "))
+    }.toSet
+    val want = batch.map { case (id, t) =>
+      val ws = t.split("\\s+").filter(_.nonEmpty).sliding(W)
+        .filter(_.length == W).map(_.mkString(" ")).toVector
+      val starts = ws.zipWithIndex.collect { case (w, i) if corpusWins(w) => i }
+      val spans = scala.collection.mutable.ListBuffer.empty[(Int, Int)]
+      starts.foreach { i =>
+        spans.lastOption match {
+          case Some((s, e)) if i <= e => spans(spans.length - 1) = (s, i + W)
+          case _ => spans += ((i, i + W))
+        }
+      }
+      id -> spans.toSet
+    }.filter(_._2.nonEmpty).toMap
+
+    val art = SpanDedup.corpusWindowDigests(corpus.toDF("doc_id", "text"),
+      "doc_id", "text", window = W)
+    val got = SpanDedup.probeSpans(batch.toDF("doc_id", "text"),
+      "doc_id", "text", art, window = W)
+      .as[(Long, Int, Int, Long)].collect()
+      .groupBy(_._1).map { case (id, rs) => id -> rs.map(r => (r._2, r._3)).toSet }
+    assert(got == want, s"seed $seed probe mismatch")
+    // The corpus passage IS found in the planted doc; the batch-only
+    // repeats are NOT (their windows never occur in the corpus).
+    assert(got.contains(9999L))
+    val toks = planted._2.split(" ").toVector
+    val boAt = toks.indexOfSlice(batchOnly)
+    assert(!got(9999L).exists { case (s, e) => s <= boAt && boAt < e },
+      "batch-only repeat wrongly flagged")
+  }
+
+  test("corpusWindowDigests: shard union == whole-corpus artifact") {
+    val (docs, _) = gen(19)
+    val (a, b) = docs.partition(_._1 % 2 == 0)
+    def dig(rows: Seq[(Long, String)]) =
+      SpanDedup.corpusWindowDigests(rows.toDF("doc_id", "text"),
+        "doc_id", "text", window = W)
+    val whole = dig(docs).as[String].collect().toSet
+    val merged = dig(a).unionByName(dig(b)).distinct()
+      .as[String].collect().toSet
+    assert(merged == whole)
+  }
 }
