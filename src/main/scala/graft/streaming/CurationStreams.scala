@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, SpanDedup}
 
 /**
  * Streaming ingestion curation: documents arrive as a stream and each
@@ -490,6 +490,48 @@ object CurationStreams {
             }
           } finally unpin(survivors)
         } finally unpin(keyed)
+      }
+      .start()
+  }
+
+  /**
+   * Streaming span-level decontamination: each micro-batch is probed
+   * for spans duplicating PREVIOUSLY-INGESTED text (the carried
+   * [[SpanDedup.corpusWindowDigests]] artifact — 16 B per distinct
+   * window), `sink` receives the batch's (id, span_start, span_end,
+   * n_windows), and only then do the batch's own digests fold in
+   * (sink-then-fold: a failed trigger retries against the pre-fold
+   * artifact; re-delivered batches re-emit, never re-fold). Within-batch
+   * duplication is deliberately NOT flagged — that is [[SpanDedup
+   * .duplicateSpans]]'s job; this stream answers "does the incoming
+   * batch repeat the corpus so far", the q186 probe run continuously.
+   *
+   * `seenDigests`: optional bootstrap (a stored corpus artifact's
+   * single `wkey` column). Per-trigger cost is O(batch tokens) + one
+   * semi-join against the artifact, independent of corpus size.
+   */
+  def spanProbeStream(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 20, seenDigests: Option[DataFrame] = None)(
+      sink: DataFrame => Unit): StreamingQuery = {
+    val spark = docs.sparkSession
+    var artifact = seenDigests
+      .map(_.select(col("wkey")).distinct())
+      .getOrElse(spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(Seq(StructField("wkey", StringType)))))
+      .localCheckpoint(true)
+    var lastFolded = -1L
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(SpanDedup.probeSpans(batch, idCol, textCol, artifact, window))
+        if (batchId > lastFolded) {
+          val folded = boundedCheckpoint(
+            artifact.unionByName(SpanDedup.corpusWindowDigests(
+              batch, idCol, textCol, window)).distinct())
+          unpin(artifact)
+          artifact = folded
+          lastFolded = batchId
+        }
       }
       .start()
   }
