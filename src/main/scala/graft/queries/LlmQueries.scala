@@ -1636,6 +1636,58 @@ object LlmQueries {
                CAST(alloc1 + share + extra2 AS BIGINT) AS quota
              FROM p7 ORDER BY lang""")),
 
+    // ---- Deterministic training-order shuffle: every epoch's document
+    // order is a pure function of (epoch seed, doc_id) — md5 position
+    // keys + ScaleOps.globalRowNumbers (ONE range shuffle + O(P) prefix
+    // offsets, the distributed zipWithIndex), so the order is
+    // reproducible on any cluster size, resumable mid-epoch, and needs
+    // no RNG state (the q70 content-split discipline applied to
+    // ordering). The oracle IS the single-partition row_number window —
+    // the q144 compare, on the hashed order — with the same per-lang
+    // position rollup pinning the whole permutation.
+    Q("q187_training_shuffle",
+      (s, d) => {
+        val keyed = T.documents(s, d).select(col("doc_id"), col("lang"),
+          md5(concat(lit("ep1|"), col("doc_id").cast("string"))).as("k"))
+        graft.operators.ScaleOps.globalRowNumbers(keyed, Seq("k", "doc_id"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"),
+            min(col("row_num")).as("first_pos"),
+            max(col("row_num")).as("last_pos"),
+            sum(col("row_num")).as("pos_sum"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH numbered AS (
+               SELECT lang, row_number() OVER (
+                 ORDER BY md5('ep1|' || CAST(doc_id AS VARCHAR)), doc_id)
+                 AS row_num
+               FROM documents)
+             SELECT lang, count(*) AS n,
+               CAST(min(row_num) AS BIGINT) AS first_pos,
+               CAST(max(row_num) AS BIGINT) AS last_pos,
+               CAST(sum(row_num) AS BIGINT) AS pos_sum
+             FROM numbered GROUP BY lang ORDER BY lang""")),
+
+    // ---- k-anonymity audit over quasi-identifiers (lang, source,
+    // length bucket): combinations supported by fewer than k documents
+    // are re-identification risks — the privacy screen a dataset release
+    // runs next to q61's PII scrub. One map-side-combined groupBy over
+    // the corpus; risky combos are a tiny residue by construction.
+    Q("q189_k_anonymity",
+      (s, d) => T.documents(s, d)
+        .select(col("lang"), col("source"),
+          expr("length(text) div 200").as("len_bucket"))
+        .groupBy(col("lang"), col("source"), col("len_bucket"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") < 5)
+        .orderBy(col("lang"), col("source"), col("len_bucket")),
+      Some("""SELECT lang, source,
+               CAST(length(text) // 200 AS BIGINT) AS len_bucket,
+               count(*) AS support
+             FROM documents GROUP BY 1, 2, 3
+             HAVING count(*) < 5
+             ORDER BY lang, source, len_bucket""")),
+
     // ---- EXACT suffix-array-grade duplicated spans (SuffixDedup): the
     // hash-free, occurrence-counted (within-doc repeats included) form of
     // q77 — global range sort of the 10-token-truncated suffixes +

@@ -634,7 +634,35 @@ object PipelineQueries {
           .orderBy(col("pr").desc, col("node_id"))
           .limit(20)
       },
-      Some(PersonalizedPageRankSql(5)))
+      Some(PersonalizedPageRankSql(5))),
+
+    // ---- Seed-set reachability profile: how much of the graph the
+    // seed accounts reach per hop, plus the exact-integer harmonic
+    // centrality mass of the seed SET (Σ 10⁶ div hops over reached
+    // nodes — the closeness statistic influence analyses quote). A
+    // per-hop rollup of q138's multi-source BFS: same frontier
+    // expansion, O(hops) shuffles, node-sized state; the profile is an
+    // O(maxHops) frame.
+    Q("q188_reachability_profile",
+      (s, d) => {
+        val pairs = T.orders(s, d)
+          .join(T.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("cust"),
+            (col("l_suppkey") + lit(1000000000L)).as("supp"))
+          .distinct()
+        val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
+          .union(pairs.select(col("supp").as("src"), col("cust").as("dst")))
+        val seeds = T.orders(s, d)
+          .filter(col("o_custkey") <= 5)
+          .select(col("o_custkey").as("node_id")).distinct()
+        graft.operators.Bfs.hopDistances(edges, seeds, maxHops = 4)
+          .groupBy(col("hops"))
+          .agg(count(lit(1)).as("n_nodes"),
+            sum(when(col("hops") > 0, expr("1000000 div hops"))
+              .otherwise(0L)).as("harmonic_u"))
+          .orderBy(col("hops"))
+      },
+      Some(ReachProfileSql(4)))
   )
 
   /** q183 oracle: PageRankSql with the teleport restricted to the seed
@@ -786,7 +814,7 @@ object PipelineQueries {
     * frontier CTE (expand ∖ visited) and an accumulate CTE. An empty
     * frontier contributes no rows, so the fixed unroll equals the
     * operator's early-exit loop. */
-  private def BfsSql(maxHops: Int): String = {
+  private def BfsCtes(maxHops: Int): String = {
     val head = """WITH pairs AS (
         SELECT DISTINCT o_custkey AS cust, l_suppkey + 1000000000 AS supp
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
@@ -807,9 +835,21 @@ object PipelineQueries {
            UNION ALL SELECT node_id, $i AS hops FROM f$i)"""
     }.mkString(",\n")
     s"""$head,
-      $iterCtes
-      SELECT node_id, hops FROM d$maxHops ORDER BY node_id"""
+      $iterCtes"""
   }
+
+  private def BfsSql(maxHops: Int): String =
+    s"""${BfsCtes(maxHops)}
+      SELECT node_id, hops FROM d$maxHops ORDER BY node_id"""
+
+  /** q188 oracle: the q138 frontier CTEs rolled up per hop — node count
+    * and the exact micro-unit harmonic mass (10⁶ div hops). */
+  private def ReachProfileSql(maxHops: Int): String =
+    s"""${BfsCtes(maxHops)}
+      SELECT hops, CAST(count(*) AS BIGINT) AS n_nodes,
+        CAST(sum(CASE WHEN hops > 0 THEN 1000000 // hops ELSE 0 END)
+          AS BIGINT) AS harmonic_u
+      FROM d$maxHops GROUP BY hops ORDER BY hops"""
 
   /** q123 oracle: the LPA recursion unrolled — per round a neighbor-
     * label count CTE and a row_number argmax CTE (ORDER BY cnt DESC,
