@@ -1688,6 +1688,50 @@ object LlmQueries {
              HAVING count(*) < 5
              ORDER BY lang, source, len_bucket""")),
 
+    // ---- Length-distribution matching weights: per (lang, length
+    // bucket) resampling weight that reshapes every language's length
+    // distribution onto ENGLISH's — the length-bias correction a
+    // multilingual mix applies so a length-quality confound doesn't
+    // masquerade as a language signal (the DSIR/importance-weighting
+    // idea at the cheap, auditable bucket grain). w = target share /
+    // current share; buckets English lacks get weight 0. Exact integer
+    // counts off ONE groupBy; the weight is the only float, computed
+    // once per O(langs·buckets) cell.
+    Q("q193_length_match_weights",
+      (s, d) => {
+        val b = T.documents(s, d).select(col("lang"),
+          expr("length(text) div 200").as("lb"))
+        val cell = b.groupBy(col("lang"), col("lb"))
+          .agg(count(lit(1)).as("n"))
+        val langTot = cell.groupBy(col("lang")).agg(sum(col("n")).as("lt"))
+        val en = cell.filter(col("lang") === "en")
+          .select(col("lb"), col("n").as("en_b"))
+        val enTot = en.agg(sum(col("en_b")).as("et"))
+        cell.join(broadcast(langTot), "lang")
+          .join(broadcast(en), Seq("lb"), "left")
+          .crossJoin(broadcast(enTot))
+          .withColumn("weight", round(
+            (coalesce(col("en_b"), lit(0L)).cast("double") / col("et")) /
+            (col("n").cast("double") / col("lt")), 6))
+          .select(col("lang"), col("lb"), col("n"), col("weight"))
+          .orderBy(col("lang"), col("lb"))
+      },
+      Some("""WITH cell AS (
+               SELECT lang, length(text) // 200 AS lb,
+                 CAST(count(*) AS BIGINT) AS n
+               FROM documents GROUP BY 1, 2),
+             lt AS (SELECT lang, CAST(sum(n) AS BIGINT) AS lt
+                    FROM cell GROUP BY lang),
+             en AS (SELECT lb, n AS en_b FROM cell WHERE lang = 'en'),
+             et AS (SELECT CAST(sum(en_b) AS BIGINT) AS et FROM en)
+             SELECT cell.lang, cell.lb, cell.n,
+               round((CAST(coalesce(en.en_b, 0) AS DOUBLE) / et.et) /
+                 (CAST(cell.n AS DOUBLE) / lt.lt), 6) AS weight
+             FROM cell JOIN lt USING (lang)
+             LEFT JOIN en ON cell.lb = en.lb
+             CROSS JOIN et
+             ORDER BY cell.lang, cell.lb""")),
+
     // ---- EXACT suffix-array-grade duplicated spans (SuffixDedup): the
     // hash-free, occurrence-counted (within-doc repeats included) form of
     // q77 — global range sort of the 10-token-truncated suffixes +

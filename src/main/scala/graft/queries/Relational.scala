@@ -3126,6 +3126,159 @@ object Relational {
                  CAST(c AS DOUBLE)), 6) AS chi2,
                CAST(((SELECT count(*) FROM r) - 1) *
                  ((SELECT count(*) FROM c) - 1) AS BIGINT) AS dof
-             FROM cells"""))
+             FROM cells""")),
+
+    // ---- Mutual information between language and document length (the
+    // information-theoretic sibling of q177's chi-square on the same
+    // contingency discipline): MI = Σ (n_ij/n)·ln(n_ij·n/(n_i·n_j))
+    // over the lang × length-bucket table. Counts are exact integers
+    // off ONE groupBy; each cell's float term is NANO-QUANTIZED
+    // (round·1e9 → BIGINT) before summation so aggregation order can't
+    // perturb the hash (the q154 PSI discipline); products evaluate in
+    // doubles (exact below 2^53, no bigint wrap at 10⁹⁺ docs).
+    Q("q190_mutual_information",
+      (s, d) => {
+        val docs = T.documents(s, d)
+          .select(col("lang"), expr("length(text) div 200").as("lb"))
+        val obs = docs.groupBy(col("lang"), col("lb"))
+          .agg(count(lit(1)).as("o"))
+        val rowT = obs.groupBy(col("lang")).agg(sum(col("o")).as("r"))
+        val colT = obs.groupBy(col("lb")).agg(sum(col("o")).as("c"))
+        obs.join(broadcast(rowT), "lang")
+          .join(broadcast(colT), "lb")
+          .crossJoin(broadcast(docs.agg(count(lit(1)).as("n"))))
+          .withColumn("term_n", expr(
+            """CAST(round((CAST(o AS DOUBLE) / n) *
+               ln(CAST(o AS DOUBLE) * n / (CAST(r AS DOUBLE) * c))
+               * 1000000000) AS BIGINT)"""))
+          .agg(first(col("n")).as("n_docs"),
+            count(lit(1)).as("n_cells"),
+            round(sum(col("term_n")).cast("double") / 1e9, 6).as("mi_nats"))
+      },
+      Some("""WITH obs AS (
+               SELECT lang, length(text) // 200 AS lb,
+                 CAST(count(*) AS BIGINT) AS o
+               FROM documents GROUP BY 1, 2),
+             r AS (SELECT lang, CAST(sum(o) AS BIGINT) AS r
+                   FROM obs GROUP BY lang),
+             c AS (SELECT lb, CAST(sum(o) AS BIGINT) AS c
+                   FROM obs GROUP BY lb),
+             n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+             cells AS (
+               SELECT CAST(round((CAST(o AS DOUBLE) / n.n) *
+                   ln(CAST(o AS DOUBLE) * n.n /
+                      (CAST(r.r AS DOUBLE) * c.c))
+                   * 1000000000) AS BIGINT) AS term_n, n.n
+               FROM obs JOIN r USING (lang) JOIN c USING (lb)
+               CROSS JOIN n)
+             SELECT any_value(n) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_cells,
+               round(CAST(sum(term_n) AS DOUBLE) / 1e9, 6) AS mi_nats
+             FROM cells""")),
+
+    // ---- Theil index of customer-revenue concentration, decomposed
+    // between/within nations (the decomposable complement of q159's
+    // Gini): T = T_between + T_within, with per-customer entropy terms
+    // Σ (x/X)·ln(x/μ) nano-quantized to exact integers before any
+    // aggregation — a float sum over millions of customers would be
+    // aggregation-order-dependent; the quantized terms are not (q154
+    // discipline). One rollup pass over the O(customers) revenue
+    // aggregate, output one row per nation plus exact grand terms.
+    Q("q191_theil_decomposition",
+      (s, d) => {
+        val rev = T.orders(s, d)
+          .groupBy(col("o_custkey"))
+          .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .as("x"))
+          .filter(col("x") > 0)
+        val cust = T.customer(s, d)
+          .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))
+        val tot = rev.agg(sum(col("x")).as("xt"), count(lit(1)).as("nt"))
+        val terms = rev.join(broadcast(cust), "o_custkey")
+          .crossJoin(broadcast(tot))
+          .withColumn("t_n", expr(
+            """CAST(round((CAST(x AS DOUBLE) / xt) *
+               ln(CAST(x AS DOUBLE) * nt / xt) * 1000000000) AS BIGINT)"""))
+        terms.groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("n_cust"),
+            sum(col("x")).as("rev_cents"),
+            round(sum(col("t_n")).cast("double") / 1e9, 6).as("theil_part"))
+          .orderBy(col("c_nationkey"))
+      },
+      Some("""WITH rev AS (
+               SELECT o_custkey,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                   AS BIGINT) AS x
+               FROM orders GROUP BY o_custkey
+               HAVING sum(CAST(round(o_totalprice * 100) AS BIGINT)) > 0),
+             tot AS (SELECT CAST(sum(x) AS BIGINT) AS xt,
+                       CAST(count(*) AS BIGINT) AS nt FROM rev),
+             terms AS (
+               SELECT c.c_nationkey, rev.x,
+                 CAST(round((CAST(x AS DOUBLE) / xt) *
+                   ln(CAST(x AS DOUBLE) * nt / xt) * 1000000000) AS BIGINT)
+                   AS t_n
+               FROM rev JOIN customer c ON rev.o_custkey = c.c_custkey
+               CROSS JOIN tot)
+             SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust,
+               CAST(sum(x) AS BIGINT) AS rev_cents,
+               round(CAST(sum(t_n) AS DOUBLE) / 1e9, 6) AS theil_part
+             FROM terms GROUP BY c_nationkey ORDER BY c_nationkey""")),
+
+    // ---- Abuse/bot screen over the event stream: per-user exact
+    // integer behavior stats — event count, active-minute count, PEAK
+    // events in any single minute (per-minute buckets — the exact
+    // max-burst at minute granularity), dominant-event-type permille —
+    // ranked by (burst, dominance), top 25 emitted. The ranked form
+    // (rather than a fixed threshold residue) keeps the screen
+    // data-independent: production sets the cut, the engine's job is
+    // the exact ordering. One user shuffle + one minute-bucket
+    // aggregate; integer cross-multiplied permille, no floats.
+    Q("q192_bot_screen",
+      (s, d) => {
+        val ev = T.events(s, d)
+          .select(col("user_id"), col("event_type"),
+            expr("ts_ns div 60000000000").as("minute"))
+        val perMin = ev.groupBy(col("user_id"), col("minute"))
+          .agg(count(lit(1)).as("mcnt"))
+          .groupBy(col("user_id"))
+          .agg(max(col("mcnt")).as("peak_per_min"),
+            count(lit(1)).as("active_minutes"))
+        val perType = ev.groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("tcnt"))
+          .groupBy(col("user_id"))
+          .agg(sum(col("tcnt")).as("n_events"),
+            max(col("tcnt")).as("top_type_cnt"))
+        perMin.join(perType, "user_id")
+          .withColumn("dominance_pm",
+            expr("top_type_cnt * 1000 div n_events"))
+          .select(col("user_id"), col("n_events"), col("active_minutes"),
+            col("peak_per_min"), col("dominance_pm"))
+          .orderBy(col("peak_per_min").desc, col("dominance_pm").desc,
+            col("user_id"))
+          .limit(25)
+      },
+      Some("""WITH ev AS (
+               SELECT user_id, event_type,
+                 epoch_ns(ts) // 60000000000 AS minute
+               FROM events),
+             pm AS (
+               SELECT user_id, CAST(max(mcnt) AS BIGINT) AS peak_per_min,
+                 CAST(count(*) AS BIGINT) AS active_minutes
+               FROM (SELECT user_id, minute, count(*) AS mcnt
+                     FROM ev GROUP BY 1, 2)
+               GROUP BY user_id),
+             pt AS (
+               SELECT user_id, CAST(sum(tcnt) AS BIGINT) AS n_events,
+                 CAST(max(tcnt) AS BIGINT) AS top_type_cnt
+               FROM (SELECT user_id, event_type, count(*) AS tcnt
+                     FROM ev GROUP BY 1, 2)
+               GROUP BY user_id)
+             SELECT user_id, n_events, active_minutes, peak_per_min,
+               CAST(top_type_cnt * 1000 // n_events AS BIGINT)
+                 AS dominance_pm
+             FROM pm JOIN pt USING (user_id)
+             ORDER BY peak_per_min DESC, dominance_pm DESC, user_id
+             LIMIT 25"""))
   )
 }

@@ -435,6 +435,36 @@ object ScaleSmoke {
         graft.operators.SuffixDedup.duplicateSpans(df, "doc_id", "text",
           minLen = 10)
       }
+      // Round-8: greedy bipartite matching on a hash-synthesized pair
+      // table (20k·m left × 2k·m right, ~8 candidates per left node,
+      // integer scores): per-round cost is two map-side max(struct)
+      // aggs + anti-joins — should track pair count near-linearly; a
+      // window-over-pairs formulation would sort the whole pool per
+      // round instead.
+      runOnce("greedy_matching") {
+        val nl = 20000L * m
+        val pairs = spark.range(nl * 8)
+          .select(pmod(xxhash64(col("id"), lit(1)), lit(nl)).as("a"),
+            pmod(xxhash64(col("id"), lit(2)), lit(nl / 10)).as("b"),
+            pmod(xxhash64(col("id"), lit(3)), lit(1000L)).as("sc"))
+        graft.operators.Matching.greedyRounds(pairs, "a", "b", "sc",
+          rounds = 3)
+      }
+      // Round-8: incremental span probe — corpus digest artifact built
+      // OUTSIDE the timed region (production stores it); the probe is
+      // O(batch tokens) + one semi-join, so it should track the batch
+      // size, not the corpus.
+      if (wanted("span_probe")) {
+        val corpusSide = df.filter(pmod(col("doc_id"), lit(5)) =!= 4)
+        val batchSide = df.filter(pmod(col("doc_id"), lit(5)) === 4)
+        val art = graft.operators.SpanDedup.corpusWindowDigests(
+          corpusSide, "doc_id", "text", window = 10).localCheckpoint(true)
+        runOnce("span_probe") {
+          graft.operators.SpanDedup.probeSpans(batchSide, "doc_id", "text",
+            art, window = 10)
+        }
+        graft.operators.CacheScope.unpinCheckpoint(art)
+      }
       graft.queries.PipelineQueries.resetCache(spark)
       spark.catalog.clearCache()
     }
