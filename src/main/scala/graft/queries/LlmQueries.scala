@@ -1688,6 +1688,59 @@ object LlmQueries {
              HAVING count(*) < 5
              ORDER BY lang, source, len_bucket""")),
 
+    // ---- Bitext mining by MUTUAL nearest neighbors (the CCMatrix/
+    // LASER-style parallel-corpus step): English docs paired with
+    // non-English docs when each is the other's top-1 embedding
+    // neighbor — mutual-NN kills the hubness false positives a one-way
+    // top-1 accepts. Exact brute top-1 here (the baseline the q181 beam
+    // navigation replaces at 10⁵⁺ cells per side — at scale each side
+    // probes the other's IVF cells and the mutual join runs on the
+    // candidate pairs); in-order double cosines, round-6 only in the
+    // output, ties to the smaller id on both directions.
+    Q("q195_bitext_mining",
+      (s, d) => {
+        val emb = T.embeddings(s, d).join(
+          T.documents(s, d).select(col("doc_id"), col("lang")),
+          col("vec_id") === col("doc_id"))
+        val en = emb.filter(col("lang") === "en")
+          .select(col("vec_id"), col("embedding"))
+        val xx = emb.filter(col("lang") =!= "en")
+          .select(col("vec_id"), col("embedding"))
+        val e2x = Similarity.bruteForceTopK(xx, en, "vec_id", "embedding", 1)
+          .select(col("q_id").as("en_id"), col("n_id").as("xx_id"),
+            col("sim"))
+        val x2e = Similarity.bruteForceTopK(en, xx, "vec_id", "embedding", 1)
+          .select(col("q_id").as("xx_id"), col("n_id").as("en_id"))
+        e2x.join(x2e, Seq("en_id", "xx_id"))
+          .select(col("en_id"), col("xx_id"), round(col("sim"), 6).as("cos"))
+          .orderBy(col("en_id"))
+      },
+      Some("""WITH v AS (
+               SELECT vec_id, lang,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+               FROM embeddings JOIN documents ON vec_id = doc_id),
+             en AS (SELECT vec_id, emb FROM v WHERE lang = 'en'),
+             xx AS (SELECT vec_id, emb FROM v WHERE lang <> 'en'),
+             sims AS (
+               SELECT en.vec_id AS en_id, xx.vec_id AS xx_id,
+                 list_inner_product(en.emb, xx.emb) /
+                   (sqrt(list_inner_product(en.emb, en.emb)) *
+                    sqrt(list_inner_product(xx.emb, xx.emb))) AS sim
+               FROM en CROSS JOIN xx),
+             e2x AS (
+               SELECT en_id, xx_id, sim FROM (
+                 SELECT en_id, xx_id, sim, row_number() OVER (
+                   PARTITION BY en_id ORDER BY sim DESC, xx_id) AS rn
+                 FROM sims) WHERE rn = 1),
+             x2e AS (
+               SELECT en_id, xx_id FROM (
+                 SELECT en_id, xx_id, row_number() OVER (
+                   PARTITION BY xx_id ORDER BY sim DESC, en_id) AS rn
+                 FROM sims) WHERE rn = 1)
+             SELECT e.en_id, e.xx_id, round(e.sim, 6) AS cos
+             FROM e2x e JOIN x2e USING (en_id, xx_id)
+             ORDER BY en_id""")),
+
     // ---- Length-distribution matching weights: per (lang, length
     // bucket) resampling weight that reshapes every language's length
     // distribution onto ENGLISH's — the length-bias correction a
@@ -1818,6 +1871,61 @@ object LlmQueries {
           .orderBy(col("doc_id"), col("span_start"))
       },
       Some(ProbeSpanSql)),
+
+    // ---- Per-document contamination score (the q186 spans rolled up to
+    // the filtering decision): for every BATCH doc, covered-token count,
+    // contamination permille, and longest overlapping run — the exact
+    // per-doc statistic a "drop if > x% benchmark overlap" gate consumes
+    // (WIMBD-style overlap accounting). Spans are disjoint maximal by
+    // construction, so Σ(span_end − span_start) IS the covered-token
+    // count; integer permille, no floats.
+    Q("q194_contamination_score",
+      (s, d) => {
+        val docs = T.documents(s, d)
+        val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+        val batch = docs.filter(col("doc_id") % 10 === 7)
+        val art = SpanDedup.corpusWindowDigests(corpus, "doc_id", "text",
+          window = 10)
+        val spans = SpanDedup.probeSpans(batch, "doc_id", "text", art,
+            window = 10)
+          .groupBy(col("id"))
+          .agg(sum(col("span_end") - col("span_start")).as("covered"),
+            max(col("span_end") - col("span_start")).as("max_span"),
+            count(lit(1)).as("n_spans"))
+        batch.select(col("doc_id"),
+            size(filter(split(col("text"), "\\s+"), t => t =!= lit("")))
+              .cast("long").as("n_tokens"))
+          .join(spans.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+          .na.fill(0L, Seq("covered", "max_span", "n_spans"))
+          .withColumn("contamination_pm",
+            expr("CASE WHEN n_tokens > 0 THEN covered * 1000 div n_tokens " +
+              "ELSE CAST(0 AS BIGINT) END"))
+          .select(col("doc_id"), col("n_tokens"), col("covered"),
+            col("max_span"), col("n_spans"), col("contamination_pm"))
+          .orderBy(col("doc_id"))
+      },
+      Some(ProbeSpanCtes + """,
+        spans AS (
+          SELECT id, CAST(min(ti) AS BIGINT) AS span_start,
+            CAST(max(ti) + 10 AS BIGINT) AS span_end
+          FROM grp GROUP BY id, g),
+        per_doc AS (
+          SELECT id, CAST(sum(span_end - span_start) AS BIGINT) AS covered,
+            CAST(max(span_end - span_start) AS BIGINT) AS max_span,
+            CAST(count(*) AS BIGINT) AS n_spans
+          FROM spans GROUP BY id),
+        totals AS (
+          SELECT id, CAST(count(*) AS BIGINT) AS n_tokens
+          FROM rtoks WHERE id % 10 = 7 GROUP BY id)
+        SELECT t.id AS doc_id, t.n_tokens,
+          coalesce(p.covered, 0) AS covered,
+          coalesce(p.max_span, 0) AS max_span,
+          coalesce(p.n_spans, 0) AS n_spans,
+          CAST(CASE WHEN t.n_tokens > 0
+            THEN coalesce(p.covered, 0) * 1000 // t.n_tokens
+            ELSE 0 END AS BIGINT) AS contamination_pm
+        FROM totals t LEFT JOIN per_doc p ON t.id = p.id
+        ORDER BY doc_id""")),
 
     // ---- Duplicate-span REMOVAL, keep-first-occurrence: the canonical
     // holder of each duplicate window (min doc id) keeps its text; every
@@ -2699,10 +2807,11 @@ object LlmQueries {
              ROWS UNBOUNDED PRECEDING) AS g
          FROM isl)"""
 
-  /** q186 oracle: SpanSql's window machinery with the batch/corpus
-    * split — batch windows flagged by EXISTS against the corpus digest
-    * set, coalesced with the standard gaps-and-islands. */
-  private lazy val ProbeSpanSql: String = {
+  /** q186/q194 oracle CTEs: SpanSql's window machinery with the
+    * batch/corpus split — batch windows flagged by EXISTS against the
+    * corpus digest set, coalesced with the standard gaps-and-islands
+    * (through the `grp` CTE; q186 emits spans, q194 rolls them up). */
+  private lazy val ProbeSpanCtes: String = {
     val leads = (1 until 10).map(k => s"lead(tok, $k) OVER w AS t$k").mkString(", ")
     val parts = "tok" +: (1 until 10).map(k => s"t$k")
     s"""WITH toks AS (
@@ -2736,11 +2845,14 @@ object LlmQueries {
          SELECT id, ti,
            sum(brk) OVER (PARTITION BY id ORDER BY ti
              ROWS UNBOUNDED PRECEDING) AS g
-         FROM isl)
+         FROM isl)"""
+  }
+
+  private lazy val ProbeSpanSql: String =
+    ProbeSpanCtes + """
        SELECT id AS doc_id, CAST(min(ti) AS BIGINT) AS span_start,
          CAST(max(ti) + 10 AS BIGINT) AS span_end, count(*) AS n_windows
        FROM grp GROUP BY id, g ORDER BY doc_id, span_start"""
-  }
 
   /** q117 oracle: the farthest-point recursion unrolled — per round a
     * distance CTE (min exact-integer d² to every already-chosen center)
