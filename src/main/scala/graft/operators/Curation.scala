@@ -357,17 +357,42 @@ object Curation {
       weightCol: String, strataCol: String, k: Int,
       salt: String = ""): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
-    val keyed = df.select(col(strataCol).as("stratum"),
+    aesKeyed(df, idCol, weightCol, strataCol, salt)
+      .filter(col("rk") <= k)
+  }
+
+  /** Per-stratum A-ES ranking shared by [[weightedSampleGrouped]] and
+    * [[weightedSampleByQuota]]: (stratum, id, weight, skey, rk). */
+  private def aesKeyed(df: DataFrame, idCol: String, weightCol: String,
+      strataCol: String, salt: String): DataFrame =
+    df.select(col(strataCol).as("stratum"),
         col(idCol).as("id"), col(weightCol).cast("long").as("weight"))
       .filter(col("weight") > 0)
       .withColumn("skey",
         round(log((conv(substring(md5(concat(lit(salt), lit("|"),
             col("id").cast("string"))), 1, 8), 16, 10).cast("long") + 1)
           / lit(4294967296.0)) / col("weight") * lit(1e9)).cast("long"))
-    keyed.withColumn("rk", row_number().over(
+      .withColumn("rk", row_number().over(
         Window.partitionBy(col("stratum"))
           .orderBy(col("skey").desc, col("id"))))
-      .filter(col("rk") <= k)
+
+  /**
+   * [[weightedSampleGrouped]] with PER-STRATUM budgets: `quotas` is a
+   * frame whose FIRST column is the stratum key and which carries a
+   * `quota` column — [[mixingQuotas]]' output verbatim — and each
+   * stratum keeps its own top-`quota` A-ES draw. The quota frame is
+   * O(strata) and broadcasts; the corpus pays the same one ranking
+   * window per stratum as the fixed-k form.
+   */
+  def weightedSampleByQuota(df: DataFrame, idCol: String,
+      weightCol: String, strataCol: String, quotas: DataFrame,
+      salt: String = ""): DataFrame = {
+    val q = quotas.select(col(quotas.columns.head).as("stratum"),
+      col("quota").cast("long").as("quota"))
+    aesKeyed(df, idCol, weightCol, strataCol, salt)
+      .join(broadcast(q), Seq("stratum"))
+      .filter(col("rk") <= col("quota"))
+      .drop("quota")
   }
 
   /** The per-stratum rate frame behind [[temperatureSample]] — (stratum,

@@ -1688,6 +1688,39 @@ object LlmQueries {
              HAVING count(*) < 5
              ORDER BY lang, source, len_bucket""")),
 
+    // ---- Training-data RELEASE pipeline (the round-8 composition
+    // flagship, q73's discipline applied to the mix-and-ship stage):
+    // language mixing quotas (q184's capped largest remainder at a 4/5
+    // budget) → per-language weighted A-ES draws UNDER those quotas
+    // (weightedSampleByQuota — the q128 sampler with an O(langs)
+    // broadcast budget frame) → deterministic epoch ORDER over the
+    // selected set (q187's md5 keys + distributed zipWithIndex) →
+    // per-language position rollup. Three operators composed end to
+    // end, every stage mirrored in ONE DuckDB oracle, all arithmetic
+    // integer or hash-derived — the pipeline a 100 TB multilingual
+    // release actually runs, with no RNG state anywhere.
+    Q("q196_release_pipeline",
+      (s, d) => {
+        val docs = T.documents(s, d)
+        val budget = 4L * docs.count() / 5L
+        val quotas = Curation.mixingQuotas(
+          docs.groupBy(col("lang")).agg(count(lit(1)).as("avail")),
+          "lang", "avail", budget)
+        val sel = Curation.weightedSampleByQuota(docs, "doc_id",
+          "n_chars", "lang", quotas, salt = "rel8")
+        graft.operators.ScaleOps.globalRowNumbers(
+            sel.select(col("id").as("doc_id"), col("stratum").as("lang"),
+              md5(concat(lit("rel8|"), col("id").cast("string"))).as("k")),
+            Seq("k", "doc_id"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_selected"),
+            min(col("row_num")).as("first_pos"),
+            max(col("row_num")).as("last_pos"),
+            sum(col("row_num")).as("pos_sum"))
+          .orderBy(col("lang"))
+      },
+      Some(ReleasePipelineSql)),
+
     // ---- Bitext mining by MUTUAL nearest neighbors (the CCMatrix/
     // LASER-style parallel-corpus step): English docs paired with
     // non-English docs when each is the other's top-1 embedding
@@ -2853,6 +2886,70 @@ object LlmQueries {
        SELECT id AS doc_id, CAST(min(ti) AS BIGINT) AS span_start,
          CAST(max(ti) + 10 AS BIGINT) AS span_end, count(*) AS n_windows
        FROM grp GROUP BY id, g ORDER BY doc_id, span_start"""
+
+  /** q196 oracle: the q184 quota CTEs (4/5 budget) + the q128 A-ES
+    * ranking joined against the quota per stratum + the q187 hashed
+    * global order over the selected set, rolled up per language. */
+  private lazy val ReleasePipelineSql: String =
+    """WITH cnt AS (
+         SELECT lang AS g, CAST(count(*) AS BIGINT) AS avail
+         FROM documents GROUP BY lang),
+       b AS (SELECT CAST(4 * count(*) // 5 AS BIGINT) AS budget
+             FROM documents),
+       nv AS (SELECT count(*) AS n FROM cnt),
+       p1 AS (
+         SELECT g, avail, budget, n, budget // n AS base,
+           CASE WHEN row_number() OVER (ORDER BY g) <= budget % n
+             THEN 1 ELSE 0 END AS extra
+         FROM cnt CROSS JOIN b CROSS JOIN nv),
+       p2 AS (
+         SELECT *, least(base + extra, avail) AS alloc1,
+           avail - least(base + extra, avail) AS h
+         FROM p1),
+       p3 AS (
+         SELECT *, budget - sum(alloc1) OVER () AS left1,
+           sum(h) OVER () AS hsum
+         FROM p2),
+       p4 AS (SELECT *, least(left1, hsum) AS l2 FROM p3),
+       p5 AS (
+         SELECT *,
+           CASE WHEN hsum > 0
+             THEN CAST((CAST(l2 AS HUGEINT) * h) // hsum AS BIGINT)
+             ELSE 0 END AS share,
+           CASE WHEN hsum > 0 THEN CAST(l2 AS HUGEINT) * h % hsum
+             ELSE 0 END AS fr
+         FROM p4),
+       p6 AS (SELECT *, l2 - sum(share) OVER () AS need FROM p5),
+       quota AS (
+         SELECT g AS stratum,
+           CAST(alloc1 + share +
+             CASE WHEN row_number() OVER (ORDER BY fr DESC, g) <= need
+               THEN 1 ELSE 0 END AS BIGINT) AS quota
+         FROM p6),
+       keyed AS (
+         SELECT lang AS stratum, doc_id AS id,
+           CAST(round(ln((CAST('0x' ||
+               substr(md5('rel8|' || CAST(doc_id AS VARCHAR)), 1, 8)
+               AS BIGINT) + 1) / 4294967296.0)
+             / CAST(n_chars AS BIGINT) * 1e9) AS BIGINT) AS skey
+         FROM documents WHERE n_chars > 0),
+       ranked AS (
+         SELECT stratum, id, row_number() OVER (PARTITION BY stratum
+           ORDER BY skey DESC, id) AS rk
+         FROM keyed),
+       sel AS (
+         SELECT r.stratum, r.id FROM ranked r
+         JOIN quota q ON r.stratum = q.stratum
+         WHERE r.rk <= q.quota),
+       numbered AS (
+         SELECT stratum AS lang, row_number() OVER (
+           ORDER BY md5('rel8|' || CAST(id AS VARCHAR)), id) AS row_num
+         FROM sel)
+       SELECT lang, count(*) AS n_selected,
+         CAST(min(row_num) AS BIGINT) AS first_pos,
+         CAST(max(row_num) AS BIGINT) AS last_pos,
+         CAST(sum(row_num) AS BIGINT) AS pos_sum
+       FROM numbered GROUP BY lang ORDER BY lang"""
 
   /** q117 oracle: the farthest-point recursion unrolled — per round a
     * distance CTE (min exact-integer d² to every already-chosen center)

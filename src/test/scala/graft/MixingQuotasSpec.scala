@@ -71,4 +71,22 @@ class MixingQuotasSpec extends SparkSpec {
     val got = run(Seq("b" -> 10L, "a" -> 10L, "c" -> 10L), 7L)
     assert(got == Map("a" -> 3L, "b" -> 2L, "c" -> 2L))
   }
+
+  test("weightedSampleByQuota == fixed-k sampler when every quota is k; quotas bind per stratum") {
+    val docs = (0L until 60L).map(i =>
+      (i, s"g${i % 3}", (i % 7 + 1) * 10)).toDF("id", "grp", "w")
+    val qk = Seq(("g0", 4L), ("g1", 4L), ("g2", 4L)).toDF("grp", "quota")
+    val byQuota = Curation.weightedSampleByQuota(docs, "id", "w", "grp",
+      qk, salt = "t").select("stratum", "id")
+      .as[(String, Long)].collect().toSet
+    val fixed = Curation.weightedSampleGrouped(docs, "id", "w", "grp",
+      k = 4, salt = "t").select("stratum", "id")
+      .as[(String, Long)].collect().toSet
+    assert(byQuota == fixed)
+    val uneven = Seq(("g0", 1L), ("g1", 6L), ("g2", 0L)).toDF("grp", "quota")
+    val got = Curation.weightedSampleByQuota(docs, "id", "w", "grp",
+      uneven, salt = "t").groupBy("stratum").count()
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("g0" -> 1L, "g1" -> 6L), s"quotas not honored: $got")
+  }
 }
