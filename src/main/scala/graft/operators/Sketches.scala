@@ -473,4 +473,108 @@ object Sketches {
       .groupBy(col("pct")).agg(min(col("idx")).as("idx"))
       .select(col("pct"), expr(histMidSql("idx")).as("est"))
   }
+
+  // --------------------------------------------------------------------
+  // KMV (k-minimum-values) distinct sketch (Bar-Yossef et al. 2002,
+  // Beyer et al. 2007) — the third ORACLE-EXACT member of the
+  // approximate-distinct family, and the only one with a SET ALGEBRA:
+  // the artifact is the k smallest 60-bit md5 hashes of the distinct
+  // values, so it is (a) bit-identical on any engine (the k minima are
+  // a deterministic function of the value set — no registers, no
+  // probabilistic state), (b) mergeable by union-then-rerank, and
+  // (c) composable: the k minima of A ∪ B with membership flags give
+  // unbiased Jaccard/intersection estimates BETWEEN groups — the
+  // "how much vocabulary do these two corpora share" question neither
+  // the HLL nor the bitmap can answer from their artifacts.
+  //
+  // Scale shape: the build's one wide edge is the (group, h) DISTINCT —
+  // an 8-byte-hash shuffle that partial-aggregates map-side (same cost
+  // class as an exact count-distinct) — paid ONCE; every later merge,
+  // estimate, or pairwise-Jaccard question reads k-row artifacts. That
+  // trade (one exact-cost build, then free reuse and algebra) is the
+  // point: an HLL answers repeats cheaply too but cannot be
+  // hash-verified or intersected.
+
+  /** 60-bit portable value hash shared by the KMV family. */
+  private def kmvHashSql(valueCol: String): String =
+    s"CAST(conv(substr(md5(CAST($valueCol AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+
+  /** The same hash in DuckDB SQL, for oracle authors. */
+  def kmvHashDuckSql(valueCol: String): String =
+    s"CAST(concat('0x', substr(md5(CAST($valueCol AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+  /** Build the per-group KMV artifact over `valueCol`: (group..., h) —
+    * the ≤ k smallest distinct hashes per group. */
+  def kmvBuild(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      k: Int = 64): DataFrame = {
+    require(k >= 2, s"k >= 2: $k")
+    val g = groupCols.map(col)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(g: _*).orderBy(col("h"))
+    df.select(g :+ expr(kmvHashSql(valueCol)).as("h"): _*)
+      .distinct()
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(g :+ col("h"): _*)
+  }
+
+  /** Merge same-k artifacts (shard builds → corpus sketch): distinct
+    * union of minima, re-ranked to k. O(shards·k) rows per group. */
+  def kmvMerge(sketches: DataFrame, groupCols: Seq[String],
+      k: Int = 64): DataFrame = {
+    val g = groupCols.map(col)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(g: _*).orderBy(col("h"))
+    sketches.select(g :+ col("h"): _*).distinct()
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(g :+ col("h"): _*)
+  }
+
+  /** Read n̂ off the artifact: exact (= row count) while the group holds
+    * fewer than k distinct values; (k−1)·2⁶⁰/h_k once saturated. The
+    * division runs in doubles — identical constant, identical fold, on
+    * any engine. Returns (group..., kmv_n, kmv_est). */
+  def kmvEstimate(sketches: DataFrame, groupCols: Seq[String],
+      k: Int = 64): DataFrame = {
+    val g = groupCols.map(col)
+    sketches.groupBy(g: _*)
+      .agg(count(lit(1)).as("kmv_n"), max(col("h")).as("hk"))
+      .withColumn("kmv_est",
+        when(col("kmv_n") < k, col("kmv_n"))
+          .otherwise(expr(
+            s"CAST(round(${k - 1} * 1152921504606846976.0 / hk) AS BIGINT)")))
+      .drop("hk")
+  }
+
+  /** Pairwise Jaccard estimates BETWEEN groups, straight off one KMV
+    * artifact: for each group pair (ga < gb), pool both minima sets,
+    * keep the k smallest of the union with membership flags, and count
+    * how many sit in both — ρ = both/k estimates J(A,B) (Beyer 2007).
+    * O(pairs·k) work, artifacts only — the corpus never re-enters.
+    * Returns (ga, gb, k_used, n_both, jaccard_est). */
+  def kmvJaccardPairs(sketches: DataFrame, groupCol: String,
+      k: Int = 64): DataFrame = {
+    val rows = sketches.select(col(groupCol).as("g"), col("h"))
+    val groups = rows.select(col("g")).distinct()
+    val pairs = groups.select(col("g").as("ga"))
+      .join(groups.select(col("g").as("gb")), col("ga") < col("gb"))
+    val pooled = pairs.join(rows, col("g") === col("ga"))
+      .select(col("ga"), col("gb"), col("h"),
+        lit(1L).as("ina"), lit(0L).as("inb"))
+      .unionByName(pairs.join(rows, col("g") === col("gb"))
+        .select(col("ga"), col("gb"), col("h"),
+          lit(0L).as("ina"), lit(1L).as("inb")))
+      .groupBy(col("ga"), col("gb"), col("h"))
+      .agg(max(col("ina")).as("ina"), max(col("inb")).as("inb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ga"), col("gb")).orderBy(col("h"))
+    pooled.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .groupBy(col("ga"), col("gb"))
+      .agg(count(lit(1)).as("k_used"),
+        sum(col("ina") * col("inb")).as("n_both"))
+      .withColumn("jaccard_est",
+        round(col("n_both").cast("double") / col("k_used"), 6))
+  }
 }

@@ -1126,7 +1126,111 @@ object TextQueries {
                CASE WHEN e.v_zero > 0 THEN
                  CAST(round(-65536.0 * ln(e.v_zero / 65536.0)) AS BIGINT)
                END AS lc_est
-             FROM est e JOIN ex x USING (lang) ORDER BY lang"""))
+             FROM est e JOIN ex x USING (lang) ORDER BY lang""")),
+
+    // ---- KMV distinct sketch (Sketches.kmvBuild/kmvEstimate): the
+    // third ORACLE-EXACT approximate-distinct member (q178's bitmap,
+    // q53's spec-bound HLL) and the only one with a set algebra — its
+    // artifact is the k smallest md5 hashes of the distinct tokens per
+    // language, a deterministic function of the value set, so DuckDB
+    // reproduces it hash-for-hash. Build pays ONE (lang, hash) distinct
+    // shuffle (exact-count cost class) ONCE; every later estimate,
+    // merge, or q198 cross-language question reads k-row artifacts.
+    Q("q197_kmv_distinct",
+      (s, d) => {
+        import graft.operators.Sketches
+        val tl = tokens(s, d)
+          .join(broadcast(T.documents(s, d)
+            .select(col("doc_id"), col("lang"))), "doc_id")
+          .select(col("lang"), col("tok"))
+        val exact = tl.groupBy(col("lang"))
+          .agg(countDistinct(col("tok")).as("n_exact"))
+        Sketches.kmvEstimate(
+            Sketches.kmvBuild(tl, Seq("lang"), "tok", k = 64),
+            Seq("lang"), k = 64)
+          .join(exact, "lang")
+          .select(col("lang"), col("n_exact"), col("kmv_n"), col("kmv_est"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH tl AS (
+               SELECT d.lang, tk.tok
+               FROM ($TokensSql) tk JOIN documents d USING (doc_id)
+               WHERE tok <> ''),
+             hs AS (
+               SELECT DISTINCT lang,
+                 ${graft.operators.Sketches.kmvHashDuckSql("tok")} AS h
+               FROM tl),
+             art AS (
+               SELECT lang, h FROM (
+                 SELECT lang, h, row_number() OVER (PARTITION BY lang
+                   ORDER BY h) AS rk
+                 FROM hs) WHERE rk <= 64),
+             est AS (
+               SELECT lang, CAST(count(*) AS BIGINT) AS kmv_n,
+                 CAST(max(h) AS BIGINT) AS hk
+               FROM art GROUP BY lang),
+             ex AS (
+               SELECT lang, CAST(count(DISTINCT tok) AS BIGINT) AS n_exact
+               FROM tl GROUP BY lang)
+             SELECT e.lang, x.n_exact, e.kmv_n,
+               CASE WHEN e.kmv_n < 64 THEN e.kmv_n
+                 ELSE CAST(round(63 * 1152921504606846976.0 / e.hk)
+                   AS BIGINT) END AS kmv_est
+             FROM est e JOIN ex x USING (lang) ORDER BY lang""")),
+
+    // ---- Cross-language vocabulary overlap off the SAME q197 artifact
+    // (Sketches.kmvJaccardPairs): per language pair, pool both minima
+    // sets, keep the k smallest of the union, count co-members —
+    // ρ = both/k estimates Jaccard (Beyer 2007). O(pairs·k) work over
+    // artifacts only; the corpus never re-enters — the question HLL and
+    // the bitmap fundamentally cannot answer from their state.
+    Q("q198_kmv_vocab_overlap",
+      (s, d) => {
+        import graft.operators.Sketches
+        val tl = tokens(s, d)
+          .join(broadcast(T.documents(s, d)
+            .select(col("doc_id"), col("lang"))), "doc_id")
+          .select(col("lang"), col("tok"))
+        Sketches.kmvJaccardPairs(
+            Sketches.kmvBuild(tl, Seq("lang"), "tok", k = 64),
+            "lang", k = 64)
+          .orderBy(col("ga"), col("gb"))
+      },
+      Some(s"""WITH tl AS (
+               SELECT d.lang, tk.tok
+               FROM ($TokensSql) tk JOIN documents d USING (doc_id)
+               WHERE tok <> ''),
+             hs AS (
+               SELECT DISTINCT lang,
+                 ${graft.operators.Sketches.kmvHashDuckSql("tok")} AS h
+               FROM tl),
+             art AS (
+               SELECT lang, h FROM (
+                 SELECT lang, h, row_number() OVER (PARTITION BY lang
+                   ORDER BY h) AS rk
+                 FROM hs) WHERE rk <= 64),
+             pairs AS (
+               SELECT a.lang AS ga, b.lang AS gb
+               FROM (SELECT DISTINCT lang FROM art) a
+               JOIN (SELECT DISTINCT lang FROM art) b ON a.lang < b.lang),
+             pooled AS (
+               SELECT ga, gb, h, max(ina) AS ina, max(inb) AS inb FROM (
+                 SELECT p.ga, p.gb, r.h, 1 AS ina, 0 AS inb
+                 FROM pairs p JOIN art r ON r.lang = p.ga
+                 UNION ALL
+                 SELECT p.ga, p.gb, r.h, 0, 1
+                 FROM pairs p JOIN art r ON r.lang = p.gb)
+               GROUP BY ga, gb, h),
+             kept AS (
+               SELECT ga, gb, ina, inb FROM (
+                 SELECT *, row_number() OVER (PARTITION BY ga, gb
+                   ORDER BY h) AS rk
+                 FROM pooled) WHERE rk <= 64)
+             SELECT ga, gb, CAST(count(*) AS BIGINT) AS k_used,
+               CAST(sum(ina * inb) AS BIGINT) AS n_both,
+               round(CAST(sum(ina * inb) AS DOUBLE) / count(*), 6)
+                 AS jaccard_est
+             FROM kept GROUP BY ga, gb ORDER BY ga, gb"""))
   )
 
   /** q110 oracle: the BPE recursion unrolled (shared CTE chain). */

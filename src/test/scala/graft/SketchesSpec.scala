@@ -280,4 +280,54 @@ class SketchesSpec extends SparkSpec {
         Sketches.histBuildGrouped(solo, "v", Seq("g")), Seq("g"))
       .collect().head.getDouble(2) === 0.0)
   }
+
+  // ------------------------------------------------------------------
+  // KMV battery (same discipline as CMS/LC/hist): shard merge ==
+  // single-shot bit-for-bit, exact below k, estimate envelope above,
+  // and the Jaccard algebra vs exact truth on planted overlaps.
+
+  test("kmv: shard merge == single-shot artifact, hash for hash") {
+    val all = (0 until 3000).map(i => ("g", s"v$i")).toDF("g", "v")
+    val shards = Seq(0 until 1200, 1200 until 1900, 1900 until 3000)
+      .map(r => r.map(i => ("g", s"v$i")).toDF("g", "v"))
+    val single = Sketches.kmvBuild(all, Seq("g"), "v", k = 32)
+      .collect().map(_.getLong(1)).toSet
+    val merged = Sketches.kmvMerge(
+      shards.map(s => Sketches.kmvBuild(s, Seq("g"), "v", k = 32))
+        .reduce(_ unionByName _), Seq("g"), k = 32)
+      .collect().map(_.getLong(1)).toSet
+    assert(merged == single)
+    assert(single.size == 32)
+  }
+
+  test("kmv: exact below k, estimate within envelope above") {
+    val small = (0 until 40).map(i => ("s", s"a$i"))
+    val big = (0 until 5000).map(i => ("b", s"b$i"))
+    val est = Sketches.kmvEstimate(
+      Sketches.kmvBuild((small ++ big).toDF("g", "v"), Seq("g"), "v",
+        k = 64), Seq("g"), k = 64)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(est("s") == (40L, 40L), "below k the sketch IS the exact count")
+    val (kn, e) = est("b")
+    assert(kn == 64L)
+    // rel. error ~1/sqrt(k-2) ≈ 13%; 3x headroom kills hash-luck flake
+    assert(math.abs(e - 5000.0) / 5000.0 < 0.4, s"estimate $e vs 5000")
+  }
+
+  test("kmv: pairwise Jaccard estimates track planted overlap ordering") {
+    // A∩B = 50% of each, A∩C = 0, B∩C = 0.
+    val a = (0 until 2000).map(i => ("A", s"ab$i"))
+    val b = (0 until 1000).map(i => ("B", s"ab$i")) ++
+      (0 until 1000).map(i => ("B", s"bb$i"))
+    val c = (0 until 2000).map(i => ("C", s"cc$i"))
+    val art = Sketches.kmvBuild((a ++ b ++ c).toDF("g", "v"),
+      Seq("g"), "v", k = 64)
+    val j = Sketches.kmvJaccardPairs(art, "g", k = 64)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(4))
+      .toMap
+    // true J(A,B) = 1000/3000 ≈ 0.333; J with C = 0 exactly (disjoint
+    // value sets share no hashes).
+    assert(j(("A", "B")) > 0.15 && j(("A", "B")) < 0.55, j.toString)
+    assert(j(("A", "C")) == 0.0 && j(("B", "C")) == 0.0, j.toString)
+  }
 }
