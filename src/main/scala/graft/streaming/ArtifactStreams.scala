@@ -64,6 +64,20 @@ object ArtifactStreams {
       b => Pca.momentsMicro(b, vecCol, dim),
       (s, b) => Pca.mergeMoments(s, Pca.momentsMicro(b, vecCol, dim)))(sink)
 
+  /** Streaming KMV distinct-sketch maintenance: per trigger the batch's
+    * own k-minima build merges into the carried artifact (union-rerank —
+    * associative and idempotent, so stream == batch exactly, which
+    * KmvStreamSpec pins). O(groups·k) carried state; the estimate and
+    * the cross-group Jaccard algebra read the artifact at any trigger. */
+  def kmvStream(rows: DataFrame, groupCols: Seq[String], valueCol: String,
+      k: Int = 64)(sink: (DataFrame, Long) => Unit): StreamingQuery =
+    foldStream(rows)(
+      b => graft.operators.Sketches.kmvBuild(b, groupCols, valueCol, k),
+      (s, b) => graft.operators.Sketches.kmvMerge(
+        s.unionByName(
+          graft.operators.Sketches.kmvBuild(b, groupCols, valueCol, k)),
+        groupCols, k))(sink)
+
   /** Streaming weighted reservoir (A-ES over an unbounded stream): the
     * carried artifact is the current top-k by the q120 nano-key, and
     * because the key is a pure row property, "top-k of (carried top-k ∪
