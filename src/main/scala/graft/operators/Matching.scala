@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -81,6 +82,92 @@ object Matching {
       r += 1
     }
     CacheScope.unpinCheckpoint(pool)
+    acc.get.select(col("a"), col("b"), col("s").as("score"), col("round"))
+  }
+
+  /**
+   * CAPACITATED greedy matching (b-matching): each left node may hold up
+   * to capA(a) partners and each right node up to capB(b) — the real
+   * reconciliation shape (one master record absorbs many source rows,
+   * one supplier serves many customers). The b-suitor generalization of
+   * [[greedyRounds]] (Khan et al. 2016, Manne–Halappanavar): per round,
+   * rank each node's REMAINING candidate list under P = (score desc,
+   * partner asc) and accept every pair that sits within BOTH endpoints'
+   * remaining capacity; decrement capacities by what was accepted, drop
+   * saturated nodes' edges, repeat. Run to exhaustion this reproduces
+   * the sequential capacity-greedy edge-for-edge (MatchingSpec proves it
+   * on random capacitated tables with ties — the rank recomputation per
+   * round is what makes the late "b was still free" greedy accepts come
+   * back, so simultaneous acceptance stays exact).
+   *
+   * Per-round shape: two row_number windows PARTITIONED BY NODE over the
+   * remaining pool (narrow — fan-in is a node's candidate-list length,
+   * bounded by whatever blocking produced the pairs; cap hub lists
+   * upstream if blocking can't), two node-sized capacity joins, one
+   * anti-join shrink, lineage truncated per round.
+   *
+   * @param capA (node, cap) for the left side — first column is the
+   *             node key, `cap` the capacity; missing nodes default 1
+   * @param capB same for the right side
+   * @return (a, b, score, round)
+   */
+  def greedyRoundsCapacitated(pairs: DataFrame, aCol: String, bCol: String,
+      scoreCol: String, capA: DataFrame, capB: DataFrame,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds >= 1: $rounds")
+    def capFrame(c: DataFrame, node: String): DataFrame =
+      c.select(col(c.columns.head).as(node),
+        col("cap").cast("long").as(s"cap_$node"))
+    var pool = pairs.select(col(aCol).as("a"), col(bCol).as("b"),
+      col(scoreCol).cast("long").as("s")).localCheckpoint(true)
+    // Complete per-node capacity state up front (pool nodes absent from
+    // the cap frames default to 1) — the per-round decrements must reach
+    // EVERY node, a coalesce-at-join default would silently refill.
+    var remA = pool.select(col("a")).distinct()
+      .join(capFrame(capA, "a"), Seq("a"), "left")
+      .na.fill(1L, Seq("cap_a")).localCheckpoint(true)
+    var remB = pool.select(col("b")).distinct()
+      .join(capFrame(capB, "b"), Seq("b"), "left")
+      .na.fill(1L, Seq("cap_b")).localCheckpoint(true)
+    var acc: Option[DataFrame] = None
+    var r = 1
+    while (r <= rounds) {
+      val wa = Window.partitionBy(col("a")).orderBy(col("s").desc, col("b"))
+      val wb = Window.partitionBy(col("b")).orderBy(col("s").desc, col("a"))
+      val ranked = pool
+        .join(remA, Seq("a"))
+        .join(remB, Seq("b"))
+        .filter(col("cap_a") > 0 && col("cap_b") > 0)
+        .withColumn("rna", row_number().over(wa))
+        .withColumn("rnb", row_number().over(wb))
+      val matched = ranked
+        .filter(col("rna") <= col("cap_a") && col("rnb") <= col("cap_b"))
+        .select(col("a"), col("b"), col("s"))
+        .withColumn("round", lit(r))
+        .localCheckpoint(true)
+      acc = Some(acc.fold(matched)(_ unionByName matched))
+      val usedA = matched.groupBy(col("a")).agg(count(lit(1)).as("used"))
+      val nextA = remA.join(usedA, Seq("a"), "left")
+        .select(col("a"),
+          (col("cap_a") - coalesce(col("used"), lit(0L))).as("cap_a"))
+        .localCheckpoint(true)
+      val usedB = matched.groupBy(col("b")).agg(count(lit(1)).as("used"))
+      val nextB = remB.join(usedB, Seq("b"), "left")
+        .select(col("b"),
+          (col("cap_b") - coalesce(col("used"), lit(0L))).as("cap_b"))
+        .localCheckpoint(true)
+      val nextPool = pool
+        .join(matched.select(col("a"), col("b")), Seq("a", "b"), "left_anti")
+        .localCheckpoint(true)
+      CacheScope.unpinCheckpoint(pool)
+      CacheScope.unpinCheckpoint(remA)
+      CacheScope.unpinCheckpoint(remB)
+      pool = nextPool; remA = nextA; remB = nextB
+      r += 1
+    }
+    CacheScope.unpinCheckpoint(pool)
+    CacheScope.unpinCheckpoint(remA)
+    CacheScope.unpinCheckpoint(remB)
     acc.get.select(col("a"), col("b"), col("s").as("score"), col("round"))
   }
 }

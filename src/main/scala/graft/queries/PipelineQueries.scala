@@ -662,8 +662,86 @@ object PipelineQueries {
               .otherwise(0L)).as("harmonic_u"))
           .orderBy(col("hops"))
       },
-      Some(ReachProfileSql(4)))
+      Some(ReachProfileSql(4))),
+
+    // ---- CAPACITATED reconciliation (q180's b-matching form): each
+    // supplier absorbs up to THREE same-nation customers (the
+    // master-record-absorbs-many-sources shape), customers stay
+    // one-to-one — 3 b-suitor rounds (per round: two per-node rank
+    // windows over the remaining pool + node-sized capacity joins;
+    // rounds-to-exhaustion == sequential capacity greedy, proven in
+    // MatchingSpec). The oracle unrolls rounds AND capacity state
+    // CTE-for-CTE, so the hash pins the whole capacity bookkeeping.
+    Q("q199_capacitated_matching",
+      (s, d) => {
+        val c = T.customer(s, d).select(col("c_custkey").as("a"),
+          col("c_nationkey").as("nk"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("ca"))
+        val sp = T.supplier(s, d).select(col("s_suppkey").as("b"),
+          col("s_nationkey").as("nk"),
+          expr("CAST(round(s_acctbal * 100) AS BIGINT)").as("sb"))
+        val pairs = c.join(sp, "nk")
+          .select(col("a"), col("b"), (-abs(col("ca") - col("sb"))).as("sc"))
+        val capA = T.customer(s, d)
+          .select(col("c_custkey").as("a"), lit(1L).as("cap"))
+        val capB = T.supplier(s, d)
+          .select(col("s_suppkey").as("b"), lit(3L).as("cap"))
+        graft.operators.Matching.greedyRoundsCapacitated(pairs, "a", "b",
+            "sc", capA, capB, rounds = 3)
+          .orderBy(col("round"), col("a"))
+      },
+      Some(CapMatchingSql(3)))
   )
+
+  /** q199 oracle: the b-suitor rounds unrolled with explicit capacity
+    * CTEs — per round two rank windows over the live pool, the
+    * double-rank acceptance, two capacity decrements, a pool shrink. */
+  private def CapMatchingSql(rounds: Int): String = {
+    val head = """WITH p0 AS (
+        SELECT c_custkey AS a, s_suppkey AS b,
+          -abs(CAST(round(c_acctbal * 100) AS BIGINT)
+               - CAST(round(s_acctbal * 100) AS BIGINT)) AS s
+        FROM customer JOIN supplier ON c_nationkey = s_nationkey),
+      ca0 AS (SELECT c_custkey AS a, CAST(1 AS BIGINT) AS cap_a
+              FROM customer),
+      cb0 AS (SELECT s_suppkey AS b, CAST(3 AS BIGINT) AS cap_b
+              FROM supplier)"""
+    val iterCtes = (1 to rounds).map { i =>
+      val p = i - 1
+      s"""rk$i AS (
+           SELECT p.a, p.b, p.s, ca.cap_a, cb.cap_b,
+             row_number() OVER (PARTITION BY p.a
+               ORDER BY p.s DESC, p.b) AS rna,
+             row_number() OVER (PARTITION BY p.b
+               ORDER BY p.s DESC, p.a) AS rnb
+           FROM p$p p JOIN ca$p ca ON p.a = ca.a
+           JOIN cb$p cb ON p.b = cb.b
+           WHERE ca.cap_a > 0 AND cb.cap_b > 0),
+         m$i AS (
+           SELECT a, b, s FROM rk$i
+           WHERE rna <= cap_a AND rnb <= cap_b),
+         ca$i AS (
+           SELECT c.a, c.cap_a - coalesce(u.used, 0) AS cap_a
+           FROM ca$p c LEFT JOIN (
+             SELECT a, count(*) AS used FROM m$i GROUP BY a) u
+           ON c.a = u.a),
+         cb$i AS (
+           SELECT c.b, c.cap_b - coalesce(u.used, 0) AS cap_b
+           FROM cb$p c LEFT JOIN (
+             SELECT b, count(*) AS used FROM m$i GROUP BY b) u
+           ON c.b = u.b),
+         p$i AS (
+           SELECT p.* FROM p$p p
+           WHERE NOT EXISTS (SELECT 1 FROM m$i m
+             WHERE m.a = p.a AND m.b = p.b))"""
+    }.mkString(",\n")
+    val union = (1 to rounds).map(i =>
+      s"SELECT a, b, s, $i AS round FROM m$i").mkString(" UNION ALL ")
+    s"""$head,
+      $iterCtes
+      SELECT a, b, CAST(s AS BIGINT) AS score, CAST(round AS INT) AS round
+      FROM ($union) ORDER BY round, a"""
+  }
 
   /** q183 oracle: PageRankSql with the teleport restricted to the seed
     * set — seed-indicator CASE on both the base share and the dangling

@@ -72,4 +72,68 @@ class MatchingSpec extends SparkSpec {
     // all-tied greedy under P is the diagonal
     assert(got == (0L until 6L).map(i => (i, 50L + i, 3L)).toSet)
   }
+
+  /** Sequential capacity-greedy under P: sort, accept while both
+    * endpoints hold remaining capacity. */
+  private def refGreedyCap(pairs: Seq[(Long, Long, Long)],
+      capA: Map[Long, Long], capB: Map[Long, Long])
+      : Set[(Long, Long, Long)] = {
+    val ra = scala.collection.mutable.Map[Long, Long]()
+      .withDefault(capA.getOrElse(_, 1L))
+    val rb = scala.collection.mutable.Map[Long, Long]()
+      .withDefault(capB.getOrElse(_, 1L))
+    pairs.sortBy { case (a, b, s) => (-s, a, b) }
+      .flatMap { case (a, b, s) =>
+        if (ra(a) > 0 && rb(b) > 0) {
+          ra(a) = ra(a) - 1; rb(b) = rb(b) - 1; Some((a, b, s))
+        } else None
+      }.toSet
+  }
+
+  private def runCap(pairs: Seq[(Long, Long, Long)],
+      capA: Map[Long, Long], capB: Map[Long, Long], rounds: Int)
+      : Set[(Long, Long, Long)] =
+    Matching.greedyRoundsCapacitated(pairs.toDF("a", "b", "s"), "a", "b",
+        "s", capA.toSeq.toDF("a", "cap"), capB.toSeq.toDF("b", "cap"),
+        rounds)
+      .select("a", "b", "score").as[(Long, Long, Long)].collect().toSet
+
+  for (seed <- Seq(51, 52))
+  test(s"capacitated rounds-to-exhaustion == sequential capacity greedy, seed $seed") {
+    val r = new Random(seed)
+    val pairs = (for {
+      a <- 0L until 6L; b <- 100L until 106L if r.nextInt(10) < 6
+    } yield (a, b, r.nextInt(4).toLong)).toSeq
+    val capA = (0L until 6L).map(a => a -> (1L + r.nextInt(2))).toMap
+    val capB = (100L until 106L).map(b => b -> (1L + r.nextInt(3))).toMap
+    assert(runCap(pairs, capA, capB, rounds = 12) ==
+      refGreedyCap(pairs, capA, capB), s"seed $seed")
+  }
+
+  test("capacitated: the late 'partner was still free' greedy accept comes back") {
+    // h=(4,105,30) takes a4; g=(4,101,20) then dies on a4's capacity,
+    // NOT on b101's — so greedy still accepts e1=(1,101,10) later. The
+    // per-round rank recomputation must reproduce that: e1 is rnb=2 in
+    // round 1 (behind g) and only clears after g leaves with a4.
+    val pairs = Seq((4L, 105L, 30L), (4L, 101L, 20L), (1L, 101L, 10L))
+    val caps = Map(4L -> 1L, 1L -> 1L)
+    val capB = Map(105L -> 1L, 101L -> 1L)
+    val byRound = Matching.greedyRoundsCapacitated(
+        pairs.toDF("a", "b", "s"), "a", "b", "s",
+        caps.toSeq.toDF("a", "cap"), capB.toSeq.toDF("b", "cap"),
+        rounds = 3)
+      .select("a", "b", "round").as[(Long, Long, Int)].collect().toSet
+    assert(byRound == Set((4L, 105L, 1), (1L, 101L, 2)))
+  }
+
+  test("capacitated with all capacities 1 == the one-to-one matcher") {
+    val r = new Random(53)
+    val pairs = (for {
+      a <- 0L until 7L; b <- 50L until 57L if r.nextInt(10) < 5
+    } yield (a, b, r.nextInt(5).toLong)).toSeq
+    val ones = (0L until 7L).map(_ -> 1L).toMap
+    val onesB = (50L until 57L).map(_ -> 1L).toMap
+    assert(runCap(pairs, ones, onesB, rounds = 7) ==
+      run(pairs, rounds = 7))
+  }
 }
