@@ -3279,6 +3279,95 @@ object Relational {
                  AS dominance_pm
              FROM pm JOIN pt USING (user_id)
              ORDER BY peak_per_min DESC, dominance_pm DESC, user_id
-             LIMIT 25"""))
+             LIMIT 25""")),
+
+    // ---- CUPED experiment readout (Deng et al. 2013): variant means of
+    // post-period revenue, variance-reduced by the pre-period activity
+    // covariate — θ = cov(x,y)/var(x) POOLED across variants, adjusted
+    // mean = ȳ_v − θ·(x̄_v − x̄). Assignment is an md5 bit of the user id
+    // (portable hash — deterministic, uniform, reproducible on both
+    // engines); the pre/post cut is the corpus midpoint timestamp from a
+    // 1-row aggregate. Every moment (Σx, Σy, Σxy, Σx²) is an EXACT
+    // integer over per-user integer counts/cents; θ and the adjusted
+    // means are the only float steps, computed once from those sums
+    // (products in doubles — the q177 overflow lesson). One user-grain
+    // shuffle; everything after is O(variants).
+    Q("q200_cuped",
+      (s, d) => {
+        val ev = T.events(s, d).select(col("user_id"), col("ts_ns"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        val cut = ev.agg(min(col("ts_ns")).as("mn"), max(col("ts_ns")).as("mx"))
+          .select(expr("(mn + mx) div 2").as("t0"))
+        val user = ev.crossJoin(broadcast(cut))
+          .groupBy(col("user_id"))
+          .agg(sum(when(col("ts_ns") < col("t0"), 1L).otherwise(0L)).as("x"),
+            sum(when(col("ts_ns") >= col("t0"), col("cents"))
+              .otherwise(0L)).as("y"))
+          .withColumn("variant",
+            expr("CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 1), " +
+              "16, 10) AS BIGINT) % 2"))
+        val g = user.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"))
+        user.groupBy(col("variant"))
+          .agg(count(lit(1)).as("n_users"), sum(col("x")).as("vx"),
+            sum(col("y")).as("vy"))
+          .crossJoin(broadcast(g))
+          .withColumn("theta", expr(
+            """(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+               (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"""))
+          .select(col("variant"), col("n_users"),
+            round(col("vy").cast("double") / col("n_users") / 100.0, 6)
+              .as("mean_rev"),
+            round(col("vx").cast("double") / col("n_users"), 6)
+              .as("mean_pre"),
+            round((col("vy").cast("double") / col("n_users") -
+              col("theta") * (col("vx").cast("double") / col("n_users") -
+                col("sx").cast("double") / col("n"))) / 100.0, 6)
+              .as("adj_mean_rev"),
+            round(col("theta"), 6).as("theta"))
+          .orderBy(col("variant"))
+      },
+      Some("""WITH ev AS (
+               SELECT user_id, epoch_ns(ts) AS ts_ns,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+               FROM events),
+             cut AS (
+               SELECT CAST((min(ts_ns) + max(ts_ns)) // 2 AS BIGINT) AS t0
+               FROM ev),
+             u AS (
+               SELECT user_id,
+                 CAST(sum(CASE WHEN ts_ns < t0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS x,
+                 CAST(sum(CASE WHEN ts_ns >= t0 THEN cents ELSE 0 END)
+                   AS BIGINT) AS y,
+                 CAST(concat('0x',
+                   substr(md5(CAST(user_id AS VARCHAR)), 1, 1))
+                   AS BIGINT) % 2 AS variant
+               FROM ev CROSS JOIN cut GROUP BY user_id),
+             g AS (
+               SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(x * y) AS BIGINT) AS sxy
+               FROM u),
+             v AS (
+               SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
+                 CAST(sum(x) AS BIGINT) AS vx, CAST(sum(y) AS BIGINT) AS vy
+               FROM u GROUP BY variant),
+             th AS (
+               SELECT (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+                 (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                 AS theta, n, sx
+               FROM g)
+             SELECT variant, n_users,
+               round(CAST(vy AS DOUBLE) / n_users / 100.0, 6) AS mean_rev,
+               round(CAST(vx AS DOUBLE) / n_users, 6) AS mean_pre,
+               round((CAST(vy AS DOUBLE) / n_users -
+                 theta * (CAST(vx AS DOUBLE) / n_users -
+                   CAST(sx AS DOUBLE) / n)) / 100.0, 6) AS adj_mean_rev,
+               round(theta, 6) AS theta
+             FROM v CROSS JOIN th ORDER BY variant"""))
   )
 }
