@@ -66,4 +66,37 @@ object Profiler {
       .select(col("column"), col("dtype"), col("n_rows"), col("n_nulls"),
         col("n_distinct"), col("min_num"), col("max_num"), col("avg_len"))
   }
+
+  /**
+   * Snapshot-to-snapshot PROFILE DRIFT — the schema-evolution and
+   * fill-rate monitor the scaladoc above promises: profile both frames
+   * (one aggregation pass each), full-outer join per column, and emit
+   * status (added / dropped / type_changed / kept), both dtypes, both
+   * fill rates (1 − nulls/rows, round-6), the fill delta, and both
+   * distinct counts. O(columns) output; the only corpus work is the two
+   * profile passes (swap in approxDistinct at 100 TB, same as
+   * [[profile]]).
+   */
+  def profileDrift(a: DataFrame, b: DataFrame,
+      approxDistinct: Boolean = false): DataFrame = {
+    def side(df: DataFrame, sfx: String): DataFrame =
+      profile(df, approxDistinct).select(col("column"),
+        col("dtype").as(s"dtype_$sfx"),
+        when(col("n_rows") > 0,
+          round(lit(1.0) - col("n_nulls").cast("double") / col("n_rows"), 6))
+          .as(s"fill_$sfx"),
+        col("n_distinct").as(s"dist_$sfx"))
+    side(a, "a").join(side(b, "b"), Seq("column"), "full_outer")
+      .withColumn("status",
+        when(col("dtype_a").isNull, "added")
+          .when(col("dtype_b").isNull, "dropped")
+          .when(col("dtype_a") =!= col("dtype_b"), "type_changed")
+          .otherwise("kept"))
+      .withColumn("fill_delta",
+        when(col("fill_a").isNotNull && col("fill_b").isNotNull,
+          round(col("fill_b") - col("fill_a"), 6)))
+      .select(col("column"), col("status"), col("dtype_a"), col("dtype_b"),
+        col("fill_a"), col("fill_b"), col("fill_delta"),
+        col("dist_a"), col("dist_b"))
+  }
 }

@@ -3281,6 +3281,146 @@ object Relational {
              ORDER BY peak_per_min DESC, dominance_pm DESC, user_id
              LIMIT 25""")),
 
+    // ---- Profile drift between two snapshots (Profiler.profileDrift —
+    // the monitor its scaladoc promises): snapshot B of the documents
+    // table drops `source`, adds `lang_upper`, retypes `n_chars` to
+    // double, and nulls `text` for every fifth doc — the drift table
+    // must catch all four (status per column, fill-rate deltas, distinct
+    // counts both sides). Two one-pass profiles + an O(columns) join;
+    // the oracle recomputes every cell definitionally from one aggregate
+    // over the table.
+    Q("q202_profile_drift",
+      (s, d) => {
+        val docs = T.documents(s, d)
+        val b = docs.select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, lit(null).cast("string"))
+            .otherwise(col("text")).as("text"),
+          col("lang"),
+          col("n_chars").cast("double").as("n_chars"),
+          upper(col("lang")).as("lang_upper"))
+        graft.operators.Profiler.profileDrift(docs, b)
+          .orderBy(col("column"))
+      },
+      Some("""WITH s AS (
+               SELECT CAST(count(*) AS BIGINT) AS nr,
+                 count(doc_id) AS c_doc, count(DISTINCT doc_id) AS d_doc,
+                 count(text) AS c_text, count(DISTINCT text) AS d_text,
+                 count(CASE WHEN doc_id % 5 = 0 THEN NULL ELSE text END)
+                   AS c_tb,
+                 count(DISTINCT CASE WHEN doc_id % 5 = 0 THEN NULL
+                   ELSE text END) AS d_tb,
+                 count(lang) AS c_lang, count(DISTINCT lang) AS d_lang,
+                 count(source) AS c_src, count(DISTINCT source) AS d_src,
+                 count(n_chars) AS c_nch, count(DISTINCT n_chars) AS d_nch,
+                 count(upper(lang)) AS c_lu,
+                 count(DISTINCT upper(lang)) AS d_lu
+               FROM documents)
+             SELECT * FROM (
+               SELECT 'doc_id' AS "column", 'kept' AS status,
+                 'bigint' AS dtype_a, 'bigint' AS dtype_b,
+                 round(1.0 - CAST(nr - c_doc AS DOUBLE) / nr, 6) AS fill_a,
+                 round(1.0 - CAST(nr - c_doc AS DOUBLE) / nr, 6) AS fill_b,
+                 round(round(1.0 - CAST(nr - c_doc AS DOUBLE) / nr, 6)
+                   - round(1.0 - CAST(nr - c_doc AS DOUBLE) / nr, 6), 6)
+                   AS fill_delta,
+                 CAST(d_doc AS BIGINT) AS dist_a,
+                 CAST(d_doc AS BIGINT) AS dist_b
+               FROM s
+               UNION ALL
+               SELECT 'lang', 'kept', 'string', 'string',
+                 round(1.0 - CAST(nr - c_lang AS DOUBLE) / nr, 6),
+                 round(1.0 - CAST(nr - c_lang AS DOUBLE) / nr, 6),
+                 round(round(1.0 - CAST(nr - c_lang AS DOUBLE) / nr, 6)
+                   - round(1.0 - CAST(nr - c_lang AS DOUBLE) / nr, 6), 6),
+                 CAST(d_lang AS BIGINT), CAST(d_lang AS BIGINT)
+               FROM s
+               UNION ALL
+               SELECT 'lang_upper', 'added', NULL, 'string',
+                 NULL,
+                 round(1.0 - CAST(nr - c_lu AS DOUBLE) / nr, 6),
+                 NULL, NULL, CAST(d_lu AS BIGINT)
+               FROM s
+               UNION ALL
+               SELECT 'n_chars', 'type_changed', 'bigint', 'double',
+                 round(1.0 - CAST(nr - c_nch AS DOUBLE) / nr, 6),
+                 round(1.0 - CAST(nr - c_nch AS DOUBLE) / nr, 6),
+                 round(round(1.0 - CAST(nr - c_nch AS DOUBLE) / nr, 6)
+                   - round(1.0 - CAST(nr - c_nch AS DOUBLE) / nr, 6), 6),
+                 CAST(d_nch AS BIGINT), CAST(d_nch AS BIGINT)
+               FROM s
+               UNION ALL
+               SELECT 'source', 'dropped', 'string', NULL,
+                 round(1.0 - CAST(nr - c_src AS DOUBLE) / nr, 6),
+                 NULL, NULL, CAST(d_src AS BIGINT), NULL
+               FROM s
+               UNION ALL
+               SELECT 'text', 'kept', 'string', 'string',
+                 round(1.0 - CAST(nr - c_text AS DOUBLE) / nr, 6),
+                 round(1.0 - CAST(nr - c_tb AS DOUBLE) / nr, 6),
+                 round(round(1.0 - CAST(nr - c_tb AS DOUBLE) / nr, 6)
+                   - round(1.0 - CAST(nr - c_text AS DOUBLE) / nr, 6), 6),
+                 CAST(d_text AS BIGINT), CAST(d_tb AS BIGINT)
+               FROM s)
+             ORDER BY "column"""")),
+
+    // ---- Theil–Sen robust trend per event type (the breakdown-robust
+    // sibling of q141's OLS — one outlier day skews a least-squares
+    // slope; the MEDIAN of pairwise slopes shrugs off up to ~29%
+    // contamination): every day pair (d1 < d2) of the per-type daily
+    // series contributes slope (n2−n1)/(d2−d1); the LOWER MEDIAN by
+    // (slope, d1, d2) order is the estimate — a total order, so both
+    // engines pick the identical pair. The series is O(days) per type,
+    // the pair fan-out O(days²) per type — bounded by the calendar, not
+    // the corpus (at decade scale, grid-sample the days first; the
+    // estimator tolerates it). Slopes are the only floats; identical
+    // single divisions on both engines.
+    Q("q201_theil_sen",
+      (s, d) => {
+        val daily = T.events(s, d)
+          .select(col("event_type"),
+            expr("ts_ns div 86400000000000").as("day"))
+          .groupBy(col("event_type"), col("day"))
+          .agg(count(lit(1)).as("n"))
+        val a = daily.select(col("event_type"), col("day").as("d1"),
+          col("n").as("n1"))
+        val b = daily.select(col("event_type"), col("day").as("d2"),
+          col("n").as("n2"))
+        val slopes = a.join(b, Seq("event_type"))
+          .filter(col("d1") < col("d2"))
+          .withColumn("slope",
+            (col("n2") - col("n1")).cast("double") / (col("d2") - col("d1")))
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("slope"), col("d1"), col("d2"))
+        slopes
+          .withColumn("rk", row_number().over(w))
+          .withColumn("n_pairs",
+            count(lit(1)).over(Window.partitionBy(col("event_type"))))
+          .filter(col("rk") === expr("(n_pairs + 1) div 2"))
+          .select(col("event_type"), col("n_pairs"),
+            round(col("slope"), 6).as("ts_slope"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH daily AS (
+               SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+                 CAST(count(*) AS BIGINT) AS n
+               FROM events GROUP BY 1, 2),
+             slopes AS (
+               SELECT a.event_type,
+                 CAST(b.n - a.n AS DOUBLE) / (b.day - a.day) AS slope,
+                 a.day AS d1, b.day AS d2
+               FROM daily a JOIN daily b
+                 ON a.event_type = b.event_type AND a.day < b.day),
+             ranked AS (
+               SELECT event_type, slope,
+                 row_number() OVER (PARTITION BY event_type
+                   ORDER BY slope, d1, d2) AS rk,
+                 count(*) OVER (PARTITION BY event_type) AS n_pairs
+               FROM slopes)
+             SELECT event_type, CAST(n_pairs AS BIGINT) AS n_pairs,
+               round(slope, 6) AS ts_slope
+             FROM ranked WHERE rk = (n_pairs + 1) // 2
+             ORDER BY event_type""")),
+
     // ---- CUPED experiment readout (Deng et al. 2013): variant means of
     // post-period revenue, variance-reduced by the pre-period activity
     // covariate — θ = cov(x,y)/var(x) POOLED across variants, adjusted
