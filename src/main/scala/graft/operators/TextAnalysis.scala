@@ -191,6 +191,69 @@ object TextAnalysis {
   }
 
   /**
+   * BIGRAM cross-entropy under an add-one reference model — the
+   * context-aware upgrade of [[lmCrossEntropy]] (a unigram model scores
+   * "rare words"; the bigram scores "unlikely TRANSITIONS", which is
+   * what separates shuffled-word spam from prose with the same
+   * vocabulary — the CCNet/KenLM idea one order up).
+   *
+   * Model, over the reference's adjacent whitespace-token pairs:
+   *   p(w₂|w₁) = (c₂(w₁,w₂) + 1) / (c₁(w₁) + V + 1)
+   * with V = reference vocab size (+1 reserves the unseen class; an
+   * unseen context w₁ scores 1/(V+1)). Per scored doc, over ITS
+   * adjacent pairs: bigram_ce = −avg ln p, with each pair's ln term
+   * NANO-QUANTIZED to an exact integer before the per-doc sum —
+   * aggregation order cannot move the hash (the q154/q190 discipline;
+   * the unigram operator predates it and survives on rounding).
+   *
+   * Scale shape: the bigram table is a reference-sized aggregate
+   * broadcast into the pair join (with c₁ and the 1-row V folded in);
+   * the scored corpus shuffles once on doc id for the pair window and
+   * once for the rollup. Docs with < 2 tokens score (0, 0.0).
+   */
+  def bigramCrossEntropy(docs: DataFrame, idCol: String, textCol: String,
+      reference: DataFrame, refIdCol: String,
+      refTextCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // Pairs are formed WITHIN each document (reference docs included —
+    // a constant reference id would fabricate bigrams across document
+    // boundaries in a nondeterministic order).
+    def pairs(df: DataFrame, id: Column, text: Column): DataFrame = {
+      val t = df.select(id.as("id"),
+          posexplode(split(text, "\\s+")).as(Seq("i", "tok")))
+        .filter(col("tok") =!= "")
+      val w = Window.partitionBy(col("id")).orderBy(col("i"))
+      t.withColumn("w2", lead(col("tok"), 1).over(w))
+        .filter(col("w2").isNotNull)
+        .select(col("id"), col("tok").as("w1"), col("w2"))
+    }
+    val refPairs = pairs(reference, col(refIdCol), col(refTextCol))
+    val c2 = refPairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = refPairs.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vRow = reference
+      .select(explode(split(col(refTextCol), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "").agg(countDistinct(col("tok")).as("v_ref"))
+    val scored = pairs(docs, col(idCol), col(textCol))
+      .join(broadcast(c2), Seq("w1", "w2"), "left")
+      .join(broadcast(c1), Seq("w1"), "left")
+      .crossJoin(broadcast(vRow))
+      .withColumn("term_n", expr(
+        """CAST(round(ln((coalesce(c2, 0) + 1) /
+           (CAST(coalesce(c1, 0) + v_ref + 1 AS DOUBLE))) * 1000000000)
+           AS BIGINT)"""))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("term_n")).as("sum_n"))
+      .select(col("id"), col("n_pairs"),
+        round(-(col("sum_n").cast("double") / 1e9) / col("n_pairs"), 6)
+          .as("bigram_ce"))
+    docs.select(col(idCol).as("id"))
+      .join(scored.withColumnRenamed("n_pairs", "np"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("np"), lit(0L)).as("n_pairs"),
+        when(col("np").isNull, 0.0d).otherwise(col("bigram_ce"))
+          .as("bigram_ce"))
+  }
+
+  /**
    * Corpus vocabulary with coverage statistics — the frequency-cutoff
    * step before tokenizer/vocab training: the `topK` most frequent
    * whitespace tokens (ties broken by token asc, deterministic on any

@@ -1721,6 +1721,69 @@ object LlmQueries {
       },
       Some(ReleasePipelineSql)),
 
+    // ---- Bigram LM scoring (TextAnalysis.bigramCrossEntropy): docs
+    // scored under an add-one bigram model trained on the doc_id % 4
+    // reference quarter — the context-aware upgrade of q80's unigram
+    // (rare TRANSITIONS, not just rare words, are what separate
+    // shuffled-token spam from prose). Per-pair ln terms nano-quantized
+    // before the per-doc sum (the q190 discipline), reference tables
+    // broadcast, corpus shuffled once for the pair window + once for
+    // the rollup.
+    Q("q204_bigram_lm",
+      (s, d) => {
+        val docs = T.documents(s, d)
+        TextAnalysis.bigramCrossEntropy(
+            docs.filter(col("doc_id") % 4 =!= 0), "doc_id", "text",
+            docs.filter(col("doc_id") % 4 === 0), "doc_id", "text")
+          .withColumnRenamed("id", "doc_id")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (
+               SELECT doc_id AS id, i, tok FROM (
+                 SELECT doc_id,
+                   unnest(string_split_regex(text, '\s+')) AS tok,
+                   unnest(range(len(string_split_regex(text, '\s+')))) AS i
+                 FROM documents)
+               WHERE tok <> ''),
+             rp AS (
+               SELECT w1, w2 FROM (
+                 SELECT id, tok AS w1,
+                   lead(tok) OVER (PARTITION BY id ORDER BY i) AS w2
+                 FROM toks WHERE id % 4 = 0)
+               WHERE w2 IS NOT NULL),
+             c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+                    FROM rp GROUP BY w1, w2),
+             c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1
+                    FROM rp GROUP BY w1),
+             vr AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v_ref
+                    FROM toks WHERE id % 4 = 0),
+             sp AS (
+               SELECT id, w1, w2 FROM (
+                 SELECT id, tok AS w1,
+                   lead(tok) OVER (PARTITION BY id ORDER BY i) AS w2
+                 FROM toks WHERE id % 4 <> 0)
+               WHERE w2 IS NOT NULL),
+             terms AS (
+               SELECT sp.id,
+                 CAST(round(ln((coalesce(c2.c2, 0) + 1) /
+                   CAST(coalesce(c1.c1, 0) + vr.v_ref + 1 AS DOUBLE))
+                   * 1000000000) AS BIGINT) AS term_n
+               FROM sp
+               LEFT JOIN c2 ON sp.w1 = c2.w1 AND sp.w2 = c2.w2
+               LEFT JOIN c1 ON sp.w1 = c1.w1
+               CROSS JOIN vr),
+             agg AS (
+               SELECT id, CAST(count(*) AS BIGINT) AS n_pairs,
+                 CAST(sum(term_n) AS BIGINT) AS sum_n
+               FROM terms GROUP BY id)
+             SELECT d.doc_id, coalesce(a.n_pairs, 0) AS n_pairs,
+               CASE WHEN a.id IS NULL THEN 0.0
+                 ELSE round(-(CAST(a.sum_n AS DOUBLE) / 1e9) / a.n_pairs, 6)
+               END AS bigram_ce
+             FROM (SELECT doc_id FROM documents WHERE doc_id % 4 <> 0) d
+             LEFT JOIN agg a ON a.id = d.doc_id
+             ORDER BY d.doc_id""")),
+
     // ---- Bitext mining by MUTUAL nearest neighbors (the CCMatrix/
     // LASER-style parallel-corpus step): English docs paired with
     // non-English docs when each is the other's top-1 embedding

@@ -3281,6 +3281,62 @@ object Relational {
              ORDER BY peak_per_min DESC, dominance_pm DESC, user_id
              LIMIT 25""")),
 
+    // ---- Referential-integrity audit across the warehouse's FK edges
+    // (the cross-TABLE member of the q121/q135 data-quality family):
+    // orphan counts for every declared foreign key, each one LEFT ANTI
+    // join + count — at 100 TB each check is one co-partitioned join
+    // against a dimension (broadcast where the dimension is small), and
+    // the output is O(edges). The synthetic warehouse is clean, so the
+    // value of the hash is the ZERO row set — the audit proves absence.
+    Q("q203_fk_integrity",
+      (s, d) => {
+        def orphans(name: String, fact: DataFrame, key: String,
+            dim: DataFrame, dimKey: String) =
+          fact.select(col(key).as("k")).filter(col("k").isNotNull)
+            .join(dim.select(col(dimKey).as("k")), Seq("k"), "left_anti")
+            .agg(count(lit(1)).as("n_orphans"))
+            .select(lit(name).as("fk"), col("n_orphans"))
+        orphans("customer->nation", T.customer(s, d), "c_nationkey",
+            T.nation(s, d), "n_nationkey")
+          .unionByName(orphans("lineitem->orders", T.lineitem(s, d),
+            "l_orderkey", T.orders(s, d), "o_orderkey"))
+          .unionByName(orphans("lineitem->part", T.lineitem(s, d),
+            "l_partkey", T.part(s, d), "p_partkey"))
+          .unionByName(orphans("lineitem->supplier", T.lineitem(s, d),
+            "l_suppkey", T.supplier(s, d), "s_suppkey"))
+          .unionByName(orphans("orders->customer", T.orders(s, d),
+            "o_custkey", T.customer(s, d), "c_custkey"))
+          .unionByName(orphans("supplier->nation", T.supplier(s, d),
+            "s_nationkey", T.nation(s, d), "n_nationkey"))
+          .orderBy(col("fk"))
+      },
+      Some("""SELECT * FROM (
+               SELECT 'customer->nation' AS fk, CAST(count(*) AS BIGINT)
+                 AS n_orphans
+               FROM customer WHERE c_nationkey IS NOT NULL
+                 AND c_nationkey NOT IN (SELECT n_nationkey FROM nation)
+               UNION ALL
+               SELECT 'lineitem->orders', CAST(count(*) AS BIGINT)
+               FROM lineitem WHERE l_orderkey IS NOT NULL
+                 AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+               UNION ALL
+               SELECT 'lineitem->part', CAST(count(*) AS BIGINT)
+               FROM lineitem WHERE l_partkey IS NOT NULL
+                 AND l_partkey NOT IN (SELECT p_partkey FROM part)
+               UNION ALL
+               SELECT 'lineitem->supplier', CAST(count(*) AS BIGINT)
+               FROM lineitem WHERE l_suppkey IS NOT NULL
+                 AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier)
+               UNION ALL
+               SELECT 'orders->customer', CAST(count(*) AS BIGINT)
+               FROM orders WHERE o_custkey IS NOT NULL
+                 AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+               UNION ALL
+               SELECT 'supplier->nation', CAST(count(*) AS BIGINT)
+               FROM supplier WHERE s_nationkey IS NOT NULL
+                 AND s_nationkey NOT IN (SELECT n_nationkey FROM nation))
+             ORDER BY fk""")),
+
     // ---- Profile drift between two snapshots (Profiler.profileDrift —
     // the monitor its scaladoc promises): snapshot B of the documents
     // table drops `source`, adds `lang_upper`, retypes `n_chars` to
