@@ -1,0 +1,67 @@
+package graft
+
+import graft.sinks.Manifest
+
+/**
+ * Write-audit-publish manifest sink: round-trip verifies, the hash is
+ * row-order/file-layout independent, and every tamper class (dropped
+ * row, altered cell, appended file) flips the verification.
+ */
+class ManifestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("manifest").toString
+
+  private val rows = (0L until 500L).map(i => (i, s"v$i", i % 7))
+
+  test("round-trip verifies; hash independent of layout and row order") {
+    val d1 = tmp()
+    val (n1, x1) = Manifest.writeWithManifest(
+      rows.toDF("id", "v", "g"), d1)
+    assert(n1 == 500)
+    val (ok, exp, act) = Manifest.verify(spark, d1)
+    assert(ok, s"fresh release must verify: $exp vs $act")
+    // Same rows, shuffled order, different partitioning → same hash.
+    val d2 = tmp()
+    val (n2, x2) = Manifest.writeWithManifest(
+      scala.util.Random.shuffle(rows).toDF("id", "v", "g").repartition(7), d2)
+    assert((n1, x1) == (n2, x2),
+      "content hash must not depend on row order or file layout")
+  }
+
+  test("tampering flips verification: dropped row, altered cell, appended data") {
+    val base = tmp()
+    Manifest.writeWithManifest(rows.toDF("id", "v", "g"), base)
+
+    def tamper(mut: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Boolean = {
+      val d = tmp()
+      Manifest.writeWithManifest(rows.toDF("id", "v", "g"), d)
+      // overwrite the data dir behind the manifest's back
+      mut(spark.read.parquet(s"$d/data"))
+        .write.mode("overwrite").parquet(s"$d/data2")
+      val fs = new org.apache.hadoop.fs.Path(d)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$d/data"), true)
+      fs.rename(new org.apache.hadoop.fs.Path(s"$d/data2"),
+        new org.apache.hadoop.fs.Path(s"$d/data"))
+      Manifest.verify(spark, d)._1
+    }
+    import org.apache.spark.sql.functions._
+    assert(!tamper(_.filter(col("id") =!= 42L)), "dropped row must fail")
+    assert(!tamper(_.withColumn("v",
+      when(col("id") === 7L, lit("EVIL")).otherwise(col("v")))),
+      "altered cell must fail")
+    assert(!tamper(df => df.unionByName(df.limit(1))),
+      "duplicated row must fail")
+  }
+
+  test("missing manifest is a refused read, not a silent pass") {
+    val d = tmp()
+    rows.toDF("id", "v", "g").write.parquet(s"$d/data")
+    val e = intercept[IllegalArgumentException] {
+      Manifest.verify(spark, d)
+    }
+    assert(e.getMessage.contains("never committed"))
+  }
+}
