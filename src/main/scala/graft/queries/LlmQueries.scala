@@ -1721,6 +1721,40 @@ object LlmQueries {
       },
       Some(ReleasePipelineSql)),
 
+    // ---- Dedup yield forecast: before running a corpus-wide dedup,
+    // what will it actually save? Exact-duplicate clusters (text
+    // equality — the md5 pre-collapse every dedup pass here starts
+    // with) bucketed by cluster size, with documents, kept
+    // representatives, and the token mass a keep-one policy drops per
+    // bucket — the capacity-planning table that decides whether the
+    // full near-dup pass is worth scheduling. One groupBy(text) pass +
+    // an O(clusters) rollup; exact integers throughout.
+    Q("q205_dedup_yield",
+      (s, d) => {
+        val cl = T.documents(s, d)
+          .select(col("text"),
+            size(filter(split(col("text"), "\\s+"), t => t =!= lit("")))
+              .cast("long").as("n_toks"))
+          .groupBy(col("text"))
+          .agg(count(lit(1)).as("csize"), first(col("n_toks")).as("n_toks"))
+        cl.groupBy(col("csize"))
+          .agg(count(lit(1)).as("n_clusters"),
+            sum(col("n_toks") * (col("csize") - 1)).as("tokens_dropped"))
+          .select(col("csize"), col("n_clusters"),
+            (col("n_clusters") * col("csize")).as("n_docs"),
+            col("tokens_dropped"))
+          .orderBy(col("csize"))
+      },
+      Some("""WITH cl AS (
+               SELECT text, CAST(count(*) AS BIGINT) AS csize,
+                 CAST(len(list_filter(string_split_regex(text, '\s+'),
+                   t -> t <> '')) AS BIGINT) AS n_toks
+               FROM documents GROUP BY text)
+             SELECT csize, CAST(count(*) AS BIGINT) AS n_clusters,
+               CAST(count(*) * csize AS BIGINT) AS n_docs,
+               CAST(sum(n_toks * (csize - 1)) AS BIGINT) AS tokens_dropped
+             FROM cl GROUP BY csize ORDER BY csize""")),
+
     // ---- Bigram LM scoring (TextAnalysis.bigramCrossEntropy): docs
     // scored under an add-one bigram model trained on the doc_id % 4
     // reference quarter — the context-aware upgrade of q80's unigram
