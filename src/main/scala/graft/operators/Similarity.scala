@@ -341,6 +341,117 @@ object Similarity {
   }
 
   /**
+   * MUTUAL top-1 neighbors between two embedding tables via shared IVF
+   * cells — the ANN-backed bitext-mining composition (the CCMatrix/
+   * LASER parallel-corpus step at scale): a (left, right) pair is
+   * emitted when each side is the other's best candidate. Unlike
+   * [[ivfTopK]] — whose query side broadcasts — BOTH sides here are
+   * corpus-sized, so the brute-force form ([[bruteForceTopK]] per
+   * direction, q195) is a cross product per direction; this operator
+   * replaces it with cell-bounded candidate generation:
+   *
+   *  1. ONE shared centroid set (caller-fixed, e.g.
+   *     [[portableCentroids]], or k-means over the union of both sides);
+   *  2. each side gets its cell assignment and its probe set — the
+   *     `nProbe` nearest cells per vector — in a single NARROW pass:
+   *     the per-centroid squared-L2 array is `array_sort`ed in codegen
+   *     (struct order (d2, cell) = first-min ties to the smaller cell,
+   *     the [[ivfTopK]] convention) and sliced, no shuffle, no
+   *     centroid-table join;
+   *  3. candidate pairs = (left probes right's cells) UNION (right
+   *     probes left's cells), each an equi-join on `cell`. At 100 TB
+   *     both sides' assignments are written bucketed by `cell`, so
+   *     these are co-located joins — and nLists scales with corpus
+   *     size (10⁵–10⁶ cells at CCMatrix scale), so `cell` is not a
+   *     low-cardinality join key at scale;
+   *  4. exact cosine ONCE per distinct candidate pair, then per-side
+   *     argmax via map-side-combined min(struct(-sim, partner))
+   *     aggregates (ties to the smaller partner id — negating only the
+   *     double, so any orderable id type works) and the mutual
+   *     equi-join of the two node-sized best tables.
+   *
+   * Cost: O(n·nLists) narrow assignment work plus candidate-pair-
+   * proportional joins — never |left|×|right|. Recall < 1 by
+   * construction (a true mutual pair whose sides straddle mutually
+   * unprobed cells is missed); MutualNnSpec pins full-probe
+   * (nProbe = nLists) equality with the brute mutual join and measures
+   * recall at the pruned operating point. Deterministic with fixed
+   * centroids (in-order double folds, integer tie-breaks) — q206
+   * replays the whole pipeline CTE-for-CTE in DuckDB. Sides are
+   * assumed to be distinct corpora: no l_id = r_id exclusion is
+   * applied (ids from different tables may legitimately collide).
+   *
+   * @return (l_id, r_id, sim) — the mutual pairs with exact cosine
+   */
+  def ivfMutualTop1(left: DataFrame, right: DataFrame,
+      idCol: String, vecCol: String,
+      nLists: Int = 16, nProbe: Int = 4,
+      seed: Long = 42L, maxIter: Int = 5,
+      fixedCentroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nLists,
+      s"1 <= nProbe ($nProbe) <= nLists ($nLists)")
+    val l = left.select(col(idCol).as("l_id"), col(vecCol).as("l_vec"))
+    val r = right.select(col(idCol).as("r_id"), col(vecCol).as("r_vec"))
+    val cents = fixedCentroids.getOrElse(trainCentroids(
+      l.select(col("l_vec").as("v")).unionByName(r.select(col("r_vec").as("v"))),
+      nLists, seed, maxIter))
+
+    // Narrow assign+probe pass: top-nProbe cells per vector via a codegen
+    // array sort of (d2, cell) structs; element 1 is the cell assignment.
+    def assignAndProbe(side: DataFrame, id: String, vec: String)
+        : (DataFrame, DataFrame) = {
+      val pairs = array(cents.zipWithIndex.map { case (c, i) =>
+        struct(sqL2(col(vec), array(c.map(lit): _*)).as("d2"),
+          lit(i).as("cell"))
+      }: _*)
+      val withTop = CacheScope.pin(side.withColumn("topc",
+        slice(array_sort(pairs), 1, nProbe)))
+      val assigned = withTop.select(col(id),
+        element_at(col("topc"), 1).getField("cell").as("cell"))
+      val probed = withTop.select(col(id),
+        explode(transform(col("topc"), p => p.getField("cell"))).as("cell"))
+      (assigned, probed)
+    }
+    val (assignL, probeL) = assignAndProbe(l, "l_id", "l_vec")
+    val (assignR, probeR) = assignAndProbe(r, "r_id", "r_vec")
+
+    val cand = probeL.join(assignR, Seq("cell"))
+      .select(col("l_id"), col("r_id"))
+      .unionByName(probeR.join(assignL, Seq("cell"))
+        .select(col("l_id"), col("r_id")))
+      .distinct()
+    val sims = CacheScope.pin(cand
+      .join(l, Seq("l_id")).join(r, Seq("r_id"))
+      .withColumn("sim", cosine(col("l_vec"), col("r_vec")))
+      .select(col("l_id"), col("r_id"), col("sim")))
+
+    val bestL = sims.groupBy(col("l_id"))
+      .agg(min(struct((-col("sim")).as("ns"), col("r_id"))).as("m"))
+      .select(col("l_id"), col("m.r_id").as("r_id"), (-col("m.ns")).as("sim"))
+    val bestR = sims.groupBy(col("r_id"))
+      .agg(min(struct((-col("sim")).as("ns"), col("l_id"))).as("m"))
+      .select(col("r_id"), col("m.l_id").as("l_id"))
+    bestL.join(bestR, Seq("l_id", "r_id"))
+      .select(col("l_id"), col("r_id"), col("sim"))
+  }
+
+  /** K-means centroids over a single `v` vector column — the trained-
+    * centroid path shared by [[ivfMutualTop1]] (production default;
+    * engine-specific, so oracle queries pass fixedCentroids instead). */
+  private def trainCentroids(vecs: DataFrame, nLists: Int, seed: Long,
+      maxIter: Int): Array[Array[Double]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val n = vecs.limit(nLists).count()
+    require(n > 0, "trainCentroids: empty input")
+    val kEff = math.min(nLists.toLong, n).toInt
+    val feat = vecs.select(array_to_vector(col("v")).as("features"))
+    new KMeans().setK(kEff).setSeed(seed).setMaxIter(maxIter)
+      .setFeaturesCol("features").setPredictionCol("cell")
+      .fit(feat).clusterCenters.map(_.toArray)
+  }
+
+  /**
    * SemDeDup-style semantic dedup (Abbas et al. 2023): embedding-cosine
    * near-dup pairs found WITHIN Voronoi cells — assign every vector to its
    * nearest centroid (argmin in-order squared-L2, first-min ties to the

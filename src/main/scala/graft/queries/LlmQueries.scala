@@ -1822,11 +1822,12 @@ object LlmQueries {
     // LASER-style parallel-corpus step): English docs paired with
     // non-English docs when each is the other's top-1 embedding
     // neighbor — mutual-NN kills the hubness false positives a one-way
-    // top-1 accepts. Exact brute top-1 here (the baseline the q181 beam
-    // navigation replaces at 10⁵⁺ cells per side — at scale each side
-    // probes the other's IVF cells and the mutual join runs on the
-    // candidate pairs); in-order double cosines, round-6 only in the
-    // output, ties to the smaller id on both directions.
+    // top-1 accepts. Exact brute top-1 here — the SPEC REFERENCE tier:
+    // the scale path is Similarity.ivfMutualTop1 (q206), which draws
+    // each direction's candidates from shared IVF cells and runs the
+    // mutual join on candidate pairs instead of two cross products.
+    // In-order double cosines, round-6 only in the output, ties to the
+    // smaller id on both directions.
     Q("q195_bitext_mining",
       (s, d) => {
         val emb = T.embeddings(s, d).join(
@@ -1869,6 +1870,103 @@ object LlmQueries {
                  FROM sims) WHERE rn = 1)
              SELECT e.en_id, e.xx_id, round(e.sim, 6) AS cos
              FROM e2x e JOIN x2e USING (en_id, xx_id)
+             ORDER BY en_id""")),
+
+    // ---- ANN-backed bitext mining (Similarity.ivfMutualTop1): q195's
+    // mutual-top-1 semantics with candidates drawn from shared IVF
+    // cells instead of two |en|×|xx| cross products — each side probes
+    // its 4 nearest of the 16 portable cells, candidate pairs are the
+    // union of (en probes xx's cells) and (xx probes en's cells), the
+    // exact cosine runs ONCE per candidate pair, and the mutual join
+    // runs on node-sized argmax tables. The one plan in the r8 battery
+    // that was still cartesian-at-scale, replaced; recall vs the brute
+    // tier is measured in MutualNnSpec (full-probe == q195 exactly).
+    // Fixed hash-derived centroids make the whole pipeline — cell
+    // sort, probe sets, candidate union, mutual argmax — replayable
+    // CTE-for-CTE in DuckDB.
+    Q("q206_bitext_ann",
+      (s, d) => {
+        val emb = T.embeddings(s, d).join(
+          T.documents(s, d).select(col("doc_id"), col("lang")),
+          col("vec_id") === col("doc_id"))
+        val en = emb.filter(col("lang") === "en")
+          .select(col("vec_id"), col("embedding"))
+        val xx = emb.filter(col("lang") =!= "en")
+          .select(col("vec_id"), col("embedding"))
+        Similarity.ivfMutualTop1(en, xx, "vec_id", "embedding",
+          nLists = 16, nProbe = 4,
+          fixedCentroids = Some(Similarity.portableCentroids(16, 64)))
+          .select(col("l_id").as("en_id"), col("r_id").as("xx_id"),
+            round(col("sim"), 6).as("cos"))
+          .orderBy(col("en_id"))
+      },
+      Some("""WITH cents AS (
+               SELECT c.cell, d.dim,
+                 (CAST('0x' || substr(md5('c|' || CAST(c.cell AS VARCHAR) ||
+                    '|' || CAST(d.dim AS VARCHAR)), 1, 8) AS BIGINT)
+                  / 2147483648.0 - 1.0) * 0.25 AS w
+               FROM range(16) c(cell) CROSS JOIN range(64) d(dim)),
+             clists AS (
+               SELECT cell, list(w ORDER BY dim) AS cvec
+               FROM cents GROUP BY cell),
+             v AS (
+               SELECT vec_id, lang,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+               FROM embeddings JOIN documents ON vec_id = doc_id),
+             en AS (SELECT vec_id, emb FROM v WHERE lang = 'en'),
+             xx AS (SELECT vec_id, emb FROM v WHERE lang <> 'en'),
+             end2 AS (
+               SELECT e.vec_id, c.cell,
+                 list_inner_product(
+                   list_transform(range(1, 65), i -> emb[i] - cvec[i]),
+                   list_transform(range(1, 65), i -> emb[i] - cvec[i])) AS d2
+               FROM en e CROSS JOIN clists c),
+             xxd2 AS (
+               SELECT x.vec_id, c.cell,
+                 list_inner_product(
+                   list_transform(range(1, 65), i -> emb[i] - cvec[i]),
+                   list_transform(range(1, 65), i -> emb[i] - cvec[i])) AS d2
+               FROM xx x CROSS JOIN clists c),
+             enp AS (
+               SELECT vec_id, cell, rn FROM (
+                 SELECT vec_id, cell, row_number() OVER (
+                   PARTITION BY vec_id ORDER BY d2, cell) AS rn
+                 FROM end2) WHERE rn <= 4),
+             xxp AS (
+               SELECT vec_id, cell, rn FROM (
+                 SELECT vec_id, cell, row_number() OVER (
+                   PARTITION BY vec_id ORDER BY d2, cell) AS rn
+                 FROM xxd2) WHERE rn <= 4),
+             ena AS (SELECT vec_id, cell FROM enp WHERE rn = 1),
+             xxa AS (SELECT vec_id, cell FROM xxp WHERE rn = 1),
+             cand AS (
+               SELECT DISTINCT l_id, r_id FROM (
+                 SELECT p.vec_id AS l_id, a.vec_id AS r_id
+                 FROM enp p JOIN xxa a USING (cell)
+                 UNION ALL
+                 SELECT a.vec_id AS l_id, p.vec_id AS r_id
+                 FROM xxp p JOIN ena a USING (cell))),
+             sims AS (
+               SELECT cand.l_id, cand.r_id,
+                 list_inner_product(a.emb, b.emb) /
+                   (sqrt(list_inner_product(a.emb, a.emb)) *
+                    sqrt(list_inner_product(b.emb, b.emb))) AS sim
+               FROM cand
+               JOIN en a ON a.vec_id = cand.l_id
+               JOIN xx b ON b.vec_id = cand.r_id),
+             l2r AS (
+               SELECT l_id, r_id, sim FROM (
+                 SELECT l_id, r_id, sim, row_number() OVER (
+                   PARTITION BY l_id ORDER BY sim DESC, r_id) AS rn
+                 FROM sims) WHERE rn = 1),
+             r2l AS (
+               SELECT l_id, r_id FROM (
+                 SELECT l_id, r_id, row_number() OVER (
+                   PARTITION BY r_id ORDER BY sim DESC, l_id) AS rn
+                 FROM sims) WHERE rn = 1)
+             SELECT l.l_id AS en_id, l.r_id AS xx_id,
+               round(l.sim, 6) AS cos
+             FROM l2r l JOIN r2l USING (l_id, r_id)
              ORDER BY en_id""")),
 
     // ---- Length-distribution matching weights: per (lang, length

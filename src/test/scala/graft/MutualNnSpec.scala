@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/**
+ * Similarity.ivfMutualTop1 — the ANN-backed bitext-mining composition
+ * (q206) — against the brute-force mutual join it replaces (q195's
+ * shape):
+ *
+ *  - FULL probe (nProbe = nLists) makes the candidate set the complete
+ *    bipartite graph, so the result must equal the brute mutual join
+ *    EXACTLY — pairs and cosines — for any centroid set (hash-derived
+ *    or k-means-trained);
+ *  - at the pruned operating point recall is < 1 by construction;
+ *    measured here on a clustered fixture (the regime IVF is for) with
+ *    the true cluster centers as centroids.
+ */
+class MutualNnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dim = 16
+  private val nClu = 8
+
+  // Deterministic clustered fixture: cluster c = a two-dim bump at
+  // (c, c+1); members perturb each coordinate by a small hash-derived
+  // offset. Left/right members of the same cluster are near-parallel,
+  // cross-cluster cosines are far lower.
+  private def vec(c: Int, m: Int): Seq[Float] =
+    (0 until dim).map { j =>
+      val base = if (j == c || j == (c + 1) % dim) 1.0f else 0.0f
+      base + ((m * 31 + j * 7 + c * 13) % 11 - 5) / 50.0f
+    }
+
+  private lazy val left = (0 until 40).map(i => (i.toLong, vec(i % nClu, i)))
+    .toDF("vec_id", "embedding")
+  private lazy val right = (0 until 40).map(i => ((100 + i).toLong, vec(i % nClu, i + 1000)))
+    .toDF("vec_id", "embedding")
+
+  private def collectPairs(df: DataFrame): Set[(Long, Long, Double)] =
+    df.select(col("l_id"), col("r_id"), round(col("sim"), 6).as("sim"))
+      .as[(Long, Long, Double)].collect().toSet
+
+  private lazy val bruteMutual: Set[(Long, Long, Double)] = {
+    val l2r = Similarity.bruteForceTopK(right, left, "vec_id", "embedding", 1)
+      .select(col("q_id").as("l_id"), col("n_id").as("r_id"), col("sim"))
+    val r2l = Similarity.bruteForceTopK(left, right, "vec_id", "embedding", 1)
+      .select(col("q_id").as("r_id"), col("n_id").as("l_id"))
+    collectPairs(l2r.join(r2l, Seq("l_id", "r_id")))
+  }
+
+  test("full probe (nProbe = nLists) equals the brute mutual join exactly") {
+    val full = Similarity.ivfMutualTop1(left, right, "vec_id", "embedding",
+      nLists = 8, nProbe = 8,
+      fixedCentroids = Some(Similarity.portableCentroids(8, dim)))
+    assert(bruteMutual.nonEmpty, "fixture must produce mutual pairs")
+    assert(collectPairs(full) === bruteMutual)
+  }
+
+  test("trained-centroid path at full probe also equals the brute mutual join") {
+    val full = Similarity.ivfMutualTop1(left, right, "vec_id", "embedding",
+      nLists = 4, nProbe = 4)
+    assert(collectPairs(full) === bruteMutual)
+  }
+
+  test("pruned probe recall on clustered embeddings with the true centers") {
+    val centers = Array.tabulate(nClu, dim) { (c, j) =>
+      if (j == c || j == (c + 1) % dim) 1.0 else 0.0
+    }
+    val approx = collectPairs(Similarity.ivfMutualTop1(
+      left, right, "vec_id", "embedding", nLists = nClu, nProbe = 2,
+      fixedCentroids = Some(centers)))
+    val recall = (approx & bruteMutual).size.toDouble / bruteMutual.size
+    assert(recall >= 0.8, s"recall $recall vs brute mutual (${bruteMutual.size} pairs)")
+  }
+
+  test("mutual pairs are one-to-one (each id appears at most once per side)") {
+    val pairs = collectPairs(Similarity.ivfMutualTop1(
+      left, right, "vec_id", "embedding", nLists = 8, nProbe = 3,
+      fixedCentroids = Some(Similarity.portableCentroids(8, dim))))
+    assert(pairs.map(_._1).size == pairs.size)
+    assert(pairs.map(_._2).size == pairs.size)
+  }
+}

@@ -38,6 +38,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Exchange SinglePartition"))
   }
 
+  test("ivfMutualTop1: no cross product anywhere — candidate generation is cell-bounded") {
+    val l = (0L until 30L).map(i =>
+      i -> (0 until 8).map(j => ((i * 7 + j) % 13).toFloat / 13f)).toDF(
+      "vec_id", "embedding")
+    val r = (0L until 30L).map(i =>
+      (100 + i) -> (0 until 8).map(j => ((i * 11 + j) % 13).toFloat / 13f)).toDF(
+      "vec_id", "embedding")
+    val plan = planOf(graft.operators.Similarity.ivfMutualTop1(
+      l, r, "vec_id", "embedding", nLists = 4, nProbe = 2,
+      fixedCentroids = Some(
+        graft.operators.Similarity.portableCentroids(4, 8))))
+    assert(!plan.contains("CartesianProduct"),
+      "mutual-NN must never run a cartesian pass (the q195 brute form it replaces)")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "assignment/probing is a narrow array_sort — no nested-loop join at all")
+    assert(!plan.contains("Exchange SinglePartition"))
+  }
+
   test("ivfBeamTopK: navigation joins broadcast, no single-partition exchange") {
     val emb = (0L until 60L).map(i =>
       i -> (0 until 8).map(j => ((i * 7 + j) % 13).toFloat / 13f)).toDF(
