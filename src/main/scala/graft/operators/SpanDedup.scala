@@ -44,8 +44,10 @@ object SpanDedup {
     Curation.reindexedTokens(df, idCol, textCol)
 
   /** (id, ti, wkey): one row per window start, wkey = md5 of the
-    * space-joined `window` tokens starting at ti. */
-  private def windowKeys(toks: DataFrame, window: Int): DataFrame = {
+    * space-joined `window` tokens starting at ti. Shared with
+    * [[SuffixDedup.tieredDuplicateSpans]] (the hashed first pass of the
+    * two-tier composition). */
+  private[operators] def windowKeys(toks: DataFrame, window: Int): DataFrame = {
     val w = Window.partitionBy(col("id")).orderBy(col("ti"))
     val withLeads = (1 until window).foldLeft(toks) { (acc, k) =>
       acc.withColumn(s"t$k", lead(col("tok"), k).over(w))

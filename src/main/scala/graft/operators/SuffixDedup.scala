@@ -71,7 +71,8 @@ object SuffixDedup {
     * its PREDECESSOR — i.e. not the (id, ti)-minimal occurrence of its
     * run, since the sort's tie-break is (id, ti)). */
   private def scanSuffixes(df: DataFrame, idCol: String, textCol: String,
-      minLen: Int, numPartitions: Int): (DataFrame, DataFrame) = {
+      minLen: Int, numPartitions: Int,
+      restrictTo: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     require(minLen >= 2, s"minLen >= 2: $minLen")
     val spark = df.sparkSession
     val p = if (numPartitions > 0) numPartitions
@@ -84,9 +85,13 @@ object SuffixDedup {
       acc.withColumn(s"t$k", lead(col("tok"), k).over(wdoc))
     }
     val parts = col("tok") +: (1 until minLen).map(k => col(s"t$k"))
-    val suf = withLeads
+    val suf0 = withLeads
       .filter(parts.last.isNotNull)
       .select(col("id"), col("ti"), concat_ws(" ", parts: _*).as("sfx"))
+    // Tiered mode: only candidate starts enter the range sort — the
+    // expensive O(n·L)-character shuffle shrinks to the flagged set.
+    val suf = restrictTo.fold(suf0)(f =>
+      suf0.join(f.select(col("id"), col("ti")), Seq("id", "ti"), "left_semi"))
 
     // Global suffix sort: one range shuffle; tie-breaks inside the range
     // key so equal-suffix runs may span partitions (the stitch covers it).
@@ -142,6 +147,53 @@ object SuffixDedup {
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
       minLen: Int = 10, numPartitions: Int = 0): DataFrame = {
     val (_, scanned) = scanSuffixes(df, idCol, textCol, minLen, numPartitions)
+    SpanDedup.coalesceSpans(
+      scanned.filter(col("dup_any")).select(col("id"), col("ti")), minLen)
+  }
+
+  /**
+   * TWO-TIER exact duplicated spans — the composition the scaladoc's
+   * scale contract names as THE 100 TB shape, executed: [[SpanDedup]]'s
+   * hashed rolling-window pass flags candidate window starts (16-byte
+   * md5 digests through the document-frequency shuffle, here counted by
+   * OCCURRENCE to match the suffix-array contract), and the exact
+   * suffix sort runs ONLY over the flagged starts — the O(n·L)-character
+   * range shuffle of [[duplicateSpans]] shrinks to the duplicated
+   * neighborhoods, which on a lightly-duplicated crawl is a small
+   * fraction of the corpus.
+   *
+   * EXACTLY equal to [[duplicateSpans]], hash collisions included — the
+   * composition is collision-PROOF even though a hash runs inside it:
+   *
+   *  - no false negatives: equal windows have equal md5 keys, so every
+   *    occurrence of a truly-duplicated window is flagged — each
+   *    equal-suffix run enters the restricted sort INTACT, and the
+   *    adjacent-run scan finds exactly the duplicates it finds on the
+   *    full corpus;
+   *  - false positives self-destruct: a collision-flagged singleton
+   *    reaches the exact tier, finds no equal neighbor in the sort, and
+   *    is dropped.
+   *
+   * SuffixDedupSpec pins the equality on random corpora (forced
+   * partition counts included); the q207 oracle verifies it against the
+   * DEFINITIONAL occurrence-count semantics in DuckDB — the same mirror
+   * shape as q179, proving composed == exact-over-corpus.
+   */
+  def tieredDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 10, numPartitions: Int = 0): DataFrame = {
+    require(minLen >= 2, s"minLen >= 2: $minLen")
+    // Tier 1 (hashed): occurrence-counted duplicate window starts.
+    val wins = CacheScope.pin(SpanDedup.windowKeys(
+      Curation.reindexedTokens(df, idCol, textCol), minLen))
+    val dupKeys = wins.groupBy(col("wkey"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2)
+      .select("wkey")
+    val flagged = wins.join(dupKeys, Seq("wkey"), "left_semi")
+      .select(col("id"), col("ti"))
+    // Tier 2 (exact): suffix sort + adjacent-run scan over flagged only.
+    val (_, scanned) = scanSuffixes(df, idCol, textCol, minLen,
+      numPartitions, restrictTo = Some(flagged))
     SpanDedup.coalesceSpans(
       scanned.filter(col("dup_any")).select(col("id"), col("ti")), minLen)
   }

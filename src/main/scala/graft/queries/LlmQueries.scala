@@ -2076,6 +2076,30 @@ object LlmQueries {
         LEFT JOIN totals t ON t.id = d.doc_id
         LEFT JOIN cleaned c ON c.id = d.doc_id""")),
 
+    // ---- TWO-TIER exact span dedup (SuffixDedup.tieredDuplicateSpans):
+    // the composed 100 TB shape q179's scaladoc promises, executed —
+    // SpanDedup's hashed rolling-window pass (md5 digests, occurrence-
+    // counted) flags candidate starts, and the exact suffix sort runs
+    // ONLY over the flagged neighborhoods. The oracle is the same
+    // DEFINITIONAL occurrence-count semantics as q179 (at minLen = 8
+    // here): hashing inside the composition is collision-PROOF — md5
+    // equality never misses a true duplicate (every equal-suffix run
+    // enters the exact tier intact) and collision false-positives find
+    // no equal neighbor in the sort — so composed == exact-over-corpus,
+    // which is precisely what this hash compare proves.
+    Q("q207_tiered_spans",
+      (s, d) => graft.operators.SuffixDedup.tieredDuplicateSpans(
+        T.documents(s, d), "doc_id", "text", minLen = 8)
+        .select(col("id").as("doc_id"),
+          col("span_start").cast("long").as("span_start"),
+          col("span_end").cast("long").as("span_end"),
+          col("n_windows")),
+      Some(exactSpanSql(8) + """
+        SELECT id AS doc_id, CAST(min(ti) AS BIGINT) AS span_start,
+          CAST(max(ti) + 8 AS BIGINT) AS span_end,
+          count(*) AS n_windows
+        FROM grp GROUP BY id, g""")),
+
     // ---- Incremental span probe (SpanDedup.probeSpans): spans of a
     // BATCH (doc_id % 10 = 7) that duplicate CORPUS text (the rest),
     // probed against the stored corpus window-digest artifact — 16 B per
@@ -2988,12 +3012,12 @@ object LlmQueries {
          FROM isl)"""
   }
 
-  /** Shared CTE head for the q179/q182 oracles: re-indexed tokens and
-    * the RAW space-joined 10-token window strings (no md5; injective
-    * over whitespace tokens). */
-  private lazy val ExactWinsSql: String = {
-    val leads = (1 until 10).map(k => s"lead(tok, $k) OVER w AS t$k").mkString(", ")
-    val parts = "tok" +: (1 until 10).map(k => s"t$k")
+  /** Shared CTE head for the q179/q182/q207 oracles: re-indexed tokens
+    * and the RAW space-joined `l`-token window strings (no md5;
+    * injective over whitespace tokens). */
+  private def exactWinsSql(l: Int): String = {
+    val leads = (1 until l).map(k => s"lead(tok, $k) OVER w AS t$k").mkString(", ")
+    val parts = "tok" +: (1 until l).map(k => s"t$k")
     s"""WITH toks AS (
          SELECT doc_id AS id, i, tok FROM (
            SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok,
@@ -3008,14 +3032,15 @@ object LlmQueries {
          SELECT id, ti, ${parts.mkString(" || ' ' || ")} AS sfx FROM (
            SELECT id, ti, tok, $leads
            FROM rtoks WINDOW w AS (PARTITION BY id ORDER BY ti))
-         WHERE t9 IS NOT NULL)"""
+         WHERE t${l - 1} IS NOT NULL)"""
   }
+  private lazy val ExactWinsSql: String = exactWinsSql(10)
 
-  /** q179 oracle: SpanSql's shape with the suffix-array semantics —
+  /** q179/q207 oracle: SpanSql's shape with the suffix-array semantics —
     * OCCURRENCE counts (count(*) ≥ 2, same-doc repeats included)
     * instead of distinct-document counts. */
-  private lazy val ExactSpanSql: String =
-    ExactWinsSql + s""",
+  private def exactSpanSql(l: Int): String =
+    exactWinsSql(l) + s""",
        dup AS (
          SELECT sfx FROM wins GROUP BY sfx
          HAVING count(*) >= 2),
@@ -3026,7 +3051,7 @@ object LlmQueries {
          SELECT id, ti,
            CASE WHEN prev_end IS NULL OR ti > prev_end THEN 1 ELSE 0 END AS brk
          FROM (SELECT id, ti,
-                 max(ti + 10) OVER (PARTITION BY id ORDER BY ti
+                 max(ti + $l) OVER (PARTITION BY id ORDER BY ti
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
                FROM flag)),
        grp AS (
@@ -3034,6 +3059,7 @@ object LlmQueries {
            sum(brk) OVER (PARTITION BY id ORDER BY ti
              ROWS UNBOUNDED PRECEDING) AS g
          FROM isl)"""
+  private lazy val ExactSpanSql: String = exactSpanSql(10)
 
   /** q186/q194 oracle CTEs: SpanSql's window machinery with the
     * batch/corpus split — batch windows flagged by EXISTS against the

@@ -115,6 +115,30 @@ class SuffixDedupSpec extends SparkSpec {
       "SpanDedup unexpectedly covered the within-doc repeat")
   }
 
+  for (seed <- Seq(21, 22, 23))
+  test(s"tieredDuplicateSpans == duplicateSpans (two-tier composition is exact), seed $seed") {
+    val (docs, _) = gen(seed)
+    val tiered = SuffixDedup.tieredDuplicateSpans(docs.toDF("doc_id", "text"),
+        "doc_id", "text", minLen = W)
+      .as[(Long, Int, Int, Long)].collect()
+      .groupBy(_._1).map { case (id, rs) =>
+        id -> rs.map(r => (r._2, r._3, r._4)).toSet
+      }
+    assert(tiered == refSpans(docs), s"seed $seed tiered mismatch")
+  }
+
+  test("tiered composition under a forced high partition count (stitch on the restricted sort)") {
+    val text = (0 until 2 * W).map(j => s"same$j").mkString(" ")
+    val docs = (0L until 6L).map(_ -> text)
+    val tiered = SuffixDedup.tieredDuplicateSpans(docs.toDF("doc_id", "text"),
+        "doc_id", "text", minLen = W, numPartitions = 16)
+      .as[(Long, Int, Int, Long)].collect()
+      .groupBy(_._1).map { case (id, rs) =>
+        id -> rs.map(r => (r._2, r._3, r._4)).toSet
+      }
+    assert(tiered == refSpans(docs))
+  }
+
   test("boundary stitch: identical docs under a forced high partition count") {
     // 6 byte-identical docs of 2W tokens: every window occurs 6 times, the
     // equal-suffix runs MUST straddle range partitions at 16 partitions
