@@ -59,15 +59,18 @@ object Matching {
     var acc: Option[DataFrame] = None
     var r = 1
     while (r <= rounds) {
-      // Left/right best under P = (score desc, partner asc): max(struct)
+      // Left/right best under P = (score desc, partner asc): min(struct)
       // partial-aggregates map-side — a hot node ships one candidate per
-      // partition, never its full pair list.
+      // partition, never its full pair list. Only the LONG score is
+      // negated (min -s = max s, then min partner) — the partner column
+      // is compared as-is, so string/any-orderable ids tie-break
+      // correctly, matching greedyRoundsCapacitated's window ordering.
       val bestA = pool.groupBy(col("a"))
-        .agg(max(struct(col("s"), (-col("b")).as("nb"))).as("m"))
-        .select(col("a"), col("m.s").as("s"), (-col("m.nb")).as("b"))
+        .agg(min(struct((-col("s")).as("ns"), col("b"))).as("m"))
+        .select(col("a"), (-col("m.ns")).as("s"), col("m.b").as("b"))
       val bestB = pool.groupBy(col("b"))
-        .agg(max(struct(col("s"), (-col("a")).as("na"))).as("m"))
-        .select(col("b"), col("m.s").as("s"), (-col("m.na")).as("a"))
+        .agg(min(struct((-col("s")).as("ns"), col("a"))).as("m"))
+        .select(col("b"), (-col("m.ns")).as("s"), col("m.a").as("a"))
       val matched = bestA.join(bestB, Seq("a", "b", "s"))
         .withColumn("round", lit(r))
         .localCheckpoint(true)

@@ -75,7 +75,11 @@ object PageRank {
    * oracle-able for the same reason (q183 unrolls it).
    *
    * @param seeds one long column of seed node ids (deduped internally;
-   *              must be non-empty)
+   *              ids absent from the edge-derived node set are ignored —
+   *              they could never receive rank or restart mass, so
+   *              counting them into the teleport divisor would silently
+   *              leak their share of the dangling mass; the surviving
+   *              set must be non-empty)
    */
   def personalized(edges: DataFrame, seeds: DataFrame, iterations: Int = 5,
       scale: Long = 1000000000L, damp: Long = 85L,
@@ -105,10 +109,15 @@ object PageRank {
     // as a broadcast 1-row frame — the dangling share needs it inside the
     // plan, and a driver-side count() here would add an extra job per call.
     val seedFlag = seedsOpt.map { s =>
+      // Semi-join to the node set FIRST: an out-of-graph seed has no row
+      // anywhere in the recursion, so it must not count into n_t either.
       val sf = s.select(col(s.columns.head).cast("long").as("node_id"))
-        .distinct().withColumn("is_seed", lit(1))
+        .distinct()
+        .join(nodes, Seq("node_id"), "left_semi")
+        .withColumn("is_seed", lit(1))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      require(sf.limit(1).count() > 0, "personalized: seeds must be non-empty")
+      require(sf.limit(1).count() > 0,
+        "personalized: seeds must be non-empty and intersect the graph")
       sf
     }
     val tnodes = (seedFlag match {

@@ -509,6 +509,15 @@ object CurationStreams {
    * `seenDigests`: optional bootstrap (a stored corpus artifact's
    * single `wkey` column). Per-trigger cost is O(batch tokens) + one
    * semi-join against the artifact, independent of corpus size.
+   *
+   * CONTRACT: `sink` must materialize its frame synchronously (write /
+   * collect before returning). The frame lazily references the CURRENT
+   * carried digest artifact, which is released right after the batch's
+   * own digests fold in — once `sink` returns — so a sink that defers
+   * execution past the foreachBatch body would act on a released
+   * localCheckpoint. (The same synchronous-sink contract as the other
+   * foreachBatch streams in this file, e.g. lineDedupStream's survivor
+   * frame, whose pins release in the trigger's `finally`.)
    */
   def spanProbeStream(docs: DataFrame, idCol: String, textCol: String,
       window: Int = 20, seenDigests: Option[DataFrame] = None)(

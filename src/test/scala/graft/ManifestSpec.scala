@@ -54,6 +54,42 @@ class ManifestSpec extends SparkSpec {
       "altered cell must fail")
     assert(!tamper(df => df.unionByName(df.limit(1))),
       "duplicated row must fail")
+    assert(!tamper(_.withColumnRenamed("v", "w")),
+      "schema-preserving column rename must fail via the recorded columns")
+  }
+
+  test("sum fold catches the XOR-blind even-multiplicity swap") {
+    import org.apache.spark.sql.functions._
+    // Base data contains a row of multiplicity 2. Replacing both copies
+    // with two copies of a DIFFERENT row keeps n_rows AND the XOR (each
+    // pair XORs to 0) — only the modular sum fold flips.
+    val d = tmp()
+    val dup = Seq((1000L, "dup", 0L), (1000L, "dup", 0L))
+    Manifest.writeWithManifest((rows ++ dup).toDF("id", "v", "g"), d)
+    val swapped = spark.read.parquet(s"$d/data")
+      .filter(!(col("id") === 1000L))
+      .unionByName(Seq((2000L, "dup2", 1L), (2000L, "dup2", 1L))
+        .toDF("id", "v", "g"))
+    swapped.write.mode("overwrite").parquet(s"$d/data2")
+    val fs = new org.apache.hadoop.fs.Path(d)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$d/data"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$d/data2"),
+      new org.apache.hadoop.fs.Path(s"$d/data"))
+    val (ok, exp, act) = Manifest.verify(spark, d)
+    assert(exp == act,
+      s"count and XOR must BOTH collide for this tamper class: $exp vs $act")
+    assert(!ok, "the sum fold must still flip verification")
+  }
+
+  test("null markers: moving a null between columns flips the hash") {
+    val d1 = tmp(); val d2 = tmp()
+    val (n1, x1) = Manifest.writeWithManifest(
+      Seq((Option("x"), Option.empty[String])).toDF("a", "b"), d1)
+    val (n2, x2) = Manifest.writeWithManifest(
+      Seq((Option.empty[String], Option("x"))).toDF("a", "b"), d2)
+    assert(n1 == n2 && x1 != x2,
+      "(x, null) and (null, x) must hash differently")
   }
 
   test("missing manifest is a refused read, not a silent pass") {

@@ -126,6 +126,47 @@ class MatchingSpec extends SparkSpec {
     assert(byRound == Set((4L, 105L, 1), (1L, 101L, 2)))
   }
 
+  test("string ids: tie-breaks order lexicographically, no silent null degrade") {
+    // Pre-fix, the (-col) tie-break cast string ids to null and the
+    // "smaller partner" guarantee silently vanished. All scores tied →
+    // the match IS the tie-break.
+    val pairs = Seq(("ax", "bz", 3L), ("ax", "by", 3L),
+      ("aw", "by", 3L), ("aw", "bx", 3L))
+    val got = Matching.greedyRounds(pairs.toDF("a", "b", "s"),
+        "a", "b", "s", rounds = 4)
+      .select("a", "b", "score").as[(String, String, Long)].collect().toSet
+    // Sequential greedy under (score desc, a asc, b asc):
+    // (aw,bx) first, then (ax,by).
+    assert(got == Set(("aw", "bx", 3L), ("ax", "by", 3L)))
+  }
+
+  for (seed <- Seq(61, 62, 63))
+  test(s"capacitated fixed rounds are a prefix of the exhaustion matching, seed $seed") {
+    // The scaladoc's claim: stopping at r rounds yields exactly the
+    // pairs the exhaustion run accepts in its first r rounds.
+    val r = new Random(seed)
+    val pairs = (for {
+      a <- 0L until 6L; b <- 100L until 106L if r.nextInt(10) < 6
+    } yield (a, b, r.nextInt(4).toLong)).toSeq
+    val capA = (0L until 6L).map(a => a -> (1L + r.nextInt(2))).toMap
+    val capB = (100L until 106L).map(b => b -> (1L + r.nextInt(3))).toMap
+    def capDf = (capA.toSeq.toDF("a", "cap"), capB.toSeq.toDF("b", "cap"))
+    val exhaustion = Matching.greedyRoundsCapacitated(
+        pairs.toDF("a", "b", "s"), "a", "b", "s",
+        capDf._1, capDf._2, rounds = 12)
+      .select("a", "b", "score", "round")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    for (rr <- 1 to 3) {
+      val fixed = Matching.greedyRoundsCapacitated(
+          pairs.toDF("a", "b", "s"), "a", "b", "s",
+          capDf._1, capDf._2, rounds = rr)
+        .select("a", "b", "score", "round")
+        .as[(Long, Long, Long, Int)].collect().toSet
+      assert(fixed == exhaustion.filter(_._4 <= rr),
+        s"seed $seed rounds $rr: fixed-round output must be the exhaustion prefix")
+    }
+  }
+
   test("capacitated with all capacities 1 == the one-to-one matcher") {
     val r = new Random(53)
     val pairs = (for {

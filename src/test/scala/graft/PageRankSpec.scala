@@ -95,4 +95,21 @@ class PageRankSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(p == g, "seeding every node must reduce to global PageRank")
   }
+
+  test("personalized ignores out-of-graph seeds (teleport divisor unchanged)") {
+    val pairs = (1L to 4L).map(l => (0L, l))
+    val edges = (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+    val in = PageRank.personalized(edges, Seq(0L).toDF("node_id"),
+      iterations = 6).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mixed = PageRank.personalized(edges,
+      Seq(0L, 99999L, -7L).toDF("node_id"), iterations = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mixed == in,
+      "seeds absent from the node set must not dilute the restart mass")
+    val e = intercept[IllegalArgumentException] {
+      PageRank.personalized(edges, Seq(77777L).toDF("node_id"),
+        iterations = 2).collect()
+    }
+    assert(e.getMessage.contains("intersect the graph"))
+  }
 }
