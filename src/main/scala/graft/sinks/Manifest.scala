@@ -45,21 +45,45 @@ object Manifest {
 
   private final case class Audit(n: Long, xor: Long, sum: BigInt)
 
-  private def audit(df: DataFrame): Audit = {
+  /**
+   * The 1-row audit ARTIFACT of a frame: (n, x, s) = row count, XOR of
+   * per-row xxhash64, and the raw (un-modded) sum of those hashes as
+   * decimal(38,0). Every component is a commutative-associative fold,
+   * so shard audits merge with [[mergeAudits]] and the audit carries a
+   * streaming face for free
+   * ([[graft.streaming.ArtifactStreams.manifestAuditStream]]): audit
+   * once per increment, never rescan the release.
+   */
+  def auditFrame(df: DataFrame): DataFrame = {
     // Interleaved null markers: xxhash64 skips null arguments, so the
     // boolean isnull(c) after each column pins both the null-ness and
     // (by shifting what the hash consumes) the position of every value.
     val hashArgs = df.columns.toSeq.flatMap(c => Seq(col(c), isnull(col(c))))
-    val r = df
-      .select(xxhash64(hashArgs: _*).as("h"))
+    df.select(xxhash64(hashArgs: _*).as("h"))
       .agg(count(lit(1)).as("n"),
         coalesce(expr("bit_xor(h)"), lit(0L)).as("x"),
         coalesce(sum(col("h").cast("decimal(38,0)")),
-          lit(java.math.BigDecimal.ZERO)).as("s"))
-      .collect()(0)
+          lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")).as("s"))
+  }
+
+  /** Merge audit artifacts: count and sum add, XORs fold — exactly the
+    * audit of the concatenated data (ManifestSpec pins shard-merge ==
+    * single-shot). decimal(38,0) holds ~10³⁷ ≈ 2⁶³·10¹⁸ rows of raw
+    * sum headroom; the mod-2⁶⁴ reduction happens only at read. */
+  def mergeAudits(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .agg(sum(col("n")).as("n"),
+        coalesce(expr("bit_xor(x)"), lit(0L)).as("x"),
+        coalesce(sum(col("s")), lit(java.math.BigDecimal.ZERO)
+          .cast("decimal(38,0)")).as("s"))
+
+  private def readAudit(frame: DataFrame): Audit = {
+    val r = frame.collect()(0)
     val raw = BigInt(r.getDecimal(2).toBigInteger)
     Audit(r.getLong(0), r.getLong(1), ((raw % Mod64) + Mod64) % Mod64)
   }
+
+  private def audit(df: DataFrame): Audit = readAudit(auditFrame(df))
 
   /** Write `df` under `dir/data`, audit what landed, publish
     * `dir/MANIFEST.json`. Returns (n_rows, content_hash). */

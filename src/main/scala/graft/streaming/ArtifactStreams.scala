@@ -78,6 +78,23 @@ object ArtifactStreams {
           graft.operators.Sketches.kmvBuild(b, groupCols, valueCol, k)),
         groupCols, k))(sink)
 
+  /** Streaming release-audit maintenance (the write-audit-publish
+    * manifest's incremental face): the carried artifact is the 1-row
+    * [[graft.sinks.Manifest.auditFrame]] (count, XOR fold, raw hash
+    * sum) of everything delivered so far — each trigger audits only its
+    * own batch and merges, so a continuously-appended release can
+    * publish a fresh manifest at ANY trigger without rescanning the
+    * data. ManifestStreamSpec pins stream == single-shot audit across
+    * trigger splits (the merge is commutative-associative, so split
+    * points are invisible). `sink` must materialize synchronously (the
+    * [[CurationStreams.spanProbeStream]] contract). */
+  def manifestAuditStream(rows: DataFrame)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
+    foldStream(rows)(
+      b => graft.sinks.Manifest.auditFrame(b),
+      (s, b) => graft.sinks.Manifest.mergeAudits(
+        s, graft.sinks.Manifest.auditFrame(b)))(sink)
+
   /** Streaming weighted reservoir (A-ES over an unbounded stream): the
     * carried artifact is the current top-k by the q120 nano-key, and
     * because the key is a pure row property, "top-k of (carried top-k ∪

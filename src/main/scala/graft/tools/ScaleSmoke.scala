@@ -465,6 +465,64 @@ object ScaleSmoke {
         }
         graft.operators.CacheScope.unpinCheckpoint(art)
       }
+      // Round-9 (VERDICT r8 #4): the q182 removal action — detection's
+      // range shuffle plus the covered-token explode (linear in
+      // duplicated text; the m× corpus maximizes it: every token of
+      // every non-first copy drops) and the per-doc reassembly groupBy.
+      runOnce("suffix_removal") {
+        graft.operators.SuffixDedup.removeDuplicateSpans(df, "doc_id",
+          "text", minLen = 10)
+      }
+      // Round-9: the two-tier composition (q207) on the SAME corpus and
+      // minLen as suffix_dedup — the delta between the two rows is the
+      // measured value of restricting the exact sort to flagged
+      // neighborhoods. NOTE the m× corpus is tiered dedup's WORST case
+      // (nearly every window is flagged, so tier 2 re-sorts almost the
+      // full corpus ON TOP of tier 1's digest pass); the win appears on
+      // lightly-duplicated corpora, which is exactly what the row
+      // documents.
+      runOnce("tiered_spans") {
+        graft.operators.SuffixDedup.tieredDuplicateSpans(df, "doc_id",
+          "text", minLen = 10)
+      }
+      // Round-9: capacitated b-matching on the greedy_matching pair
+      // family (caps 1-3 per node): per-round rank windows are bounded
+      // by per-node candidate-list length (~8 left / ~80 right here).
+      runOnce("capacitated_matching") {
+        val nl = 20000L * m
+        val pairs = spark.range(nl * 8)
+          .select(pmod(xxhash64(col("id"), lit(1)), lit(nl)).as("a"),
+            pmod(xxhash64(col("id"), lit(2)), lit(nl / 10)).as("b"),
+            pmod(xxhash64(col("id"), lit(3)), lit(1000L)).as("sc"))
+        val capA = spark.range(nl).select(col("id").as("a"),
+          (pmod(xxhash64(col("id"), lit(4)), lit(2)) + 1).as("cap"))
+        val capB = spark.range(nl / 10).select(col("id").as("b"),
+          (pmod(xxhash64(col("id"), lit(5)), lit(3)) + 1).as("cap"))
+        graft.operators.Matching.greedyRoundsCapacitated(pairs, "a", "b",
+          "sc", capA, capB, rounds = 3)
+      }
+      // Round-9: ANN-backed mutual-NN (q206) on hash-synthesized 64-dim
+      // embeddings split into two disjoint sides — candidate volume is
+      // probe-bounded, so growth should track side size, never the
+      // |L|×|R| product the brute mutual join pays.
+      if (wanted("mutual_nn")) {
+        val emb = df.select(col("doc_id").as("vec_id"),
+          expr("""transform(sequence(1, 64), i ->
+            CAST(CAST(pmod(conv(substring(md5(concat(
+              CAST(doc_id AS STRING), '|', CAST(i AS STRING))), 1, 6),
+              16, 10), 1000) AS DOUBLE) / 1000.0 - 0.5 AS FLOAT))""")
+            .as("embedding"))
+          .localCheckpoint(true)
+        runOnce("mutual_nn") {
+          graft.operators.Similarity.ivfMutualTop1(
+            emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+            emb.filter(pmod(col("vec_id"), lit(2)) === 1),
+            "vec_id", "embedding", nLists = 16, nProbe = 4,
+            fixedCentroids = Some(
+              graft.operators.Similarity.portableCentroids(16, 64)))
+        }
+        graft.operators.CacheScope.unpinCheckpoint(emb)
+      }
       graft.queries.PipelineQueries.resetCache(spark)
       spark.catalog.clearCache()
     }
