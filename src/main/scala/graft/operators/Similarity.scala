@@ -390,6 +390,28 @@ object Similarity {
       fixedCentroids: Option[Array[Array[Double]]] = None): DataFrame = {
     require(nProbe >= 1 && nProbe <= nLists,
       s"1 <= nProbe ($nProbe) <= nLists ($nLists)")
+    val sims = mutualCandidateSims(left, right, idCol, vecCol,
+      nLists, nProbe, seed, maxIter, fixedCentroids)
+    val bestL = sims.groupBy(col("l_id"))
+      .agg(min(struct((-col("sim")).as("ns"), col("r_id"))).as("m"))
+      .select(col("l_id"), col("m.r_id").as("r_id"), (-col("m.ns")).as("sim"))
+    val bestR = sims.groupBy(col("r_id"))
+      .agg(min(struct((-col("sim")).as("ns"), col("l_id"))).as("m"))
+      .select(col("r_id"), col("m.l_id").as("l_id"))
+    bestL.join(bestR, Seq("l_id", "r_id"))
+      .select(col("l_id"), col("r_id"), col("sim"))
+  }
+
+  /** Shared candidate machinery of [[ivfMutualTop1]] /
+    * [[marginMutualTop1]]: scored candidate pairs (l_id, r_id, sim) —
+    * cell-bounded, pinned (both consumers aggregate it twice). Steps
+    * 1-3 of the ivfMutualTop1 scaladoc. */
+  private def mutualCandidateSims(left: DataFrame, right: DataFrame,
+      idCol: String, vecCol: String, nLists: Int, nProbe: Int,
+      seed: Long, maxIter: Int,
+      fixedCentroids: Option[Array[Array[Double]]]): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nLists,
+      s"1 <= nProbe ($nProbe) <= nLists ($nLists)")
     val l = left.select(col(idCol).as("l_id"), col(vecCol).as("l_vec"))
     val r = right.select(col(idCol).as("r_id"), col(vecCol).as("r_vec"))
     val cents = fixedCentroids.getOrElse(trainCentroids(
@@ -420,19 +442,116 @@ object Similarity {
       .unionByName(probeR.join(assignL, Seq("cell"))
         .select(col("l_id"), col("r_id")))
       .distinct()
-    val sims = CacheScope.pin(cand
+    CacheScope.pin(cand
       .join(l, Seq("l_id")).join(r, Seq("r_id"))
       .withColumn("sim", cosine(col("l_vec"), col("r_vec")))
       .select(col("l_id"), col("r_id"), col("sim")))
+  }
 
-    val bestL = sims.groupBy(col("l_id"))
-      .agg(min(struct((-col("sim")).as("ns"), col("r_id"))).as("m"))
-      .select(col("l_id"), col("m.r_id").as("r_id"), (-col("m.ns")).as("sim"))
-    val bestR = sims.groupBy(col("r_id"))
-      .agg(min(struct((-col("sim")).as("ns"), col("l_id"))).as("m"))
+  /**
+   * MARGIN-scored mutual bitext mining (Artetxe & Schwenk 2019, the
+   * CCMatrix/LASER selection criterion): raw cosine over-accepts pairs
+   * involving HUB vectors (dense regions where everything is similar);
+   * the margin renormalizes each pair's cosine by its endpoints'
+   * neighborhood density —
+   *
+   *   margin(x, y) = cos(x, y) / (avgₖ(x)/2 + avgₖ(y)/2)
+   *
+   * where avgₖ(v) is the mean cosine of v's k nearest candidates. A
+   * pair scores high only if the two are closer to EACH OTHER than to
+   * their respective neighborhoods. Runs on the SAME cell-bounded
+   * candidate pairs as [[ivfMutualTop1]] (avgₖ over candidate
+   * neighbors — the operating approximation at scale, where the true
+   * k-NN is itself IVF-probed), then mutual-argmaxes by margin.
+   *
+   * Determinism for the oracle (q209): per-pair cosines are
+   * nano-quantized to integers (the q204 trick), the top-k sums are
+   * exact integer folds, and the margin is ONE IEEE division of two
+   * exact int64 cross-products — identical on any engine — with ties
+   * to the smaller partner id. The per-side rank windows partition by
+   * node; fan-in is the candidate-list length, probe-bounded.
+   *
+   * @return (l_id, r_id, margin) — mutual-by-margin pairs, margin
+   *         rounded to 6
+   */
+  def marginMutualTop1(left: DataFrame, right: DataFrame,
+      idCol: String, vecCol: String, k: Int = 4,
+      nLists: Int = 16, nProbe: Int = 4,
+      seed: Long = 42L, maxIter: Int = 5,
+      fixedCentroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    require(k >= 1, s"k >= 1: $k")
+    val sims = mutualCandidateSims(left, right, idCol, vecCol,
+      nLists, nProbe, seed, maxIter, fixedCentroids)
+      .withColumn("sim_n", round(col("sim") * 1e9).cast("long"))
+    // Per-side neighborhood density: exact integer sum + count of the
+    // k highest candidate cosines (rank ties to the smaller partner).
+    val wl = Window.partitionBy(col("l_id"))
+      .orderBy(col("sim_n").desc, col("r_id"))
+    val wr = Window.partitionBy(col("r_id"))
+      .orderBy(col("sim_n").desc, col("l_id"))
+    val ranked = CacheScope.pin(sims
+      .withColumn("rkl", row_number().over(wl))
+      .withColumn("rkr", row_number().over(wr)))
+    val avgL = ranked.filter(col("rkl") <= k).groupBy(col("l_id"))
+      .agg(sum(col("sim_n")).as("suml"), count(lit(1)).as("cl"))
+    val avgR = ranked.filter(col("rkr") <= k).groupBy(col("r_id"))
+      .agg(sum(col("sim_n")).as("sumr"), count(lit(1)).as("cr"))
+    // margin = sim / (suml/(2·cl) + sumr/(2·cr))
+    //        = (sim_n · 2 · cl · cr) / (suml·cr + sumr·cl) — one IEEE
+    // division of exact int64s (|values| ≤ 2·k²·1e9, far inside 2⁶³).
+    val margins = CacheScope.pin(ranked
+      .join(avgL, Seq("l_id")).join(avgR, Seq("r_id"))
+      .withColumn("margin",
+        (col("sim_n") * 2 * col("cl") * col("cr")).cast("double") /
+          (col("suml") * col("cr") + col("sumr") * col("cl")).cast("double"))
+      .select(col("l_id"), col("r_id"), col("margin")))
+    val bestL = margins.groupBy(col("l_id"))
+      .agg(min(struct((-col("margin")).as("nm"), col("r_id"))).as("m"))
+      .select(col("l_id"), col("m.r_id").as("r_id"),
+        (-col("m.nm")).as("margin"))
+    val bestR = margins.groupBy(col("r_id"))
+      .agg(min(struct((-col("margin")).as("nm"), col("l_id"))).as("m"))
       .select(col("r_id"), col("m.l_id").as("l_id"))
     bestL.join(bestR, Seq("l_id", "r_id"))
-      .select(col("l_id"), col("r_id"), col("sim"))
+      .select(col("l_id"), col("r_id"), round(col("margin"), 6).as("margin"))
+  }
+
+  /**
+   * IVF cell-balance diagnostics: the per-cell population of a corpus
+   * under a centroid set — the operational report behind
+   * nProbe/beamWidth tuning and the re-train trigger. A cell holding
+   * far more than corpus/nLists vectors makes every probe touching it
+   * candidate-cost-expensive (and under [[semanticDedup]]'s `maxCell`
+   * guard loses pair coverage outright); empty cells waste navigation
+   * fan-out in [[ivfBeamTopK]]'s centroid graph. The skew the report
+   * surfaces means the centroids under-fit that region — re-train with
+   * more lists rather than pay per-probe quadratic cost (the
+   * [[Dedup.bucketOverflowStats]] discipline, applied to Voronoi
+   * cells).
+   *
+   * Cost: one NARROW argmin assignment pass + one map-side-combined
+   * groupBy of cell ids; the total rides as a broadcast 1-row frame.
+   * Returns (cell, n_vectors, share_permille) for EVERY cell
+   * 0..nLists−1 — empty cells included at 0, absence being the
+   * diagnostic — with exact integer permille (n·1000 div total), so
+   * the whole report sits under a hash oracle (q208).
+   */
+  def cellStats(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]]): DataFrame = {
+    require(centroids.nonEmpty, "centroids must be non-empty")
+    val spark = corpus.sparkSession
+    val d2s = array(centroids.map(c =>
+      sqL2(col(vecCol), array(c.map(lit): _*))): _*)
+    val counts = corpus
+      .select((array_position(d2s, array_min(d2s)) - 1).cast("int").as("cell"))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("tot"))
+    spark.range(centroids.length).select(col("id").cast("int").as("cell"))
+      .join(counts, Seq("cell"), "left")
+      .na.fill(0L, Seq("n"))
+      .crossJoin(broadcast(total))
+      .select(col("cell"), col("n").as("n_vectors"),
+        expr("(n * 1000) div tot").as("share_permille"))
   }
 
   /** K-means centroids over a single `v` vector column — the trained-

@@ -1969,6 +1969,166 @@ object LlmQueries {
              FROM l2r l JOIN r2l USING (l_id, r_id)
              ORDER BY en_id""")),
 
+    // ---- IVF cell-balance diagnostics (Similarity.cellStats): per-cell
+    // population of the embedding corpus under the q62 portable
+    // centroids — the operational report that tunes nProbe/beamWidth
+    // and triggers centroid re-training (a hot cell = per-probe
+    // candidate blowup; an empty cell = wasted beam fan-out). One
+    // narrow argmin pass + one map-side-combined groupBy; every cell
+    // 0..15 present (empties at 0), exact integer permille.
+    Q("q208_cell_balance",
+      (s, d) => Similarity.cellStats(T.embeddings(s, d), "vec_id",
+        "embedding", Similarity.portableCentroids(16, 64))
+        .orderBy(col("cell")),
+      Some("""WITH cents AS (
+               SELECT c.cell, d.dim,
+                 (CAST('0x' || substr(md5('c|' || CAST(c.cell AS VARCHAR) ||
+                    '|' || CAST(d.dim AS VARCHAR)), 1, 8) AS BIGINT)
+                  / 2147483648.0 - 1.0) * 0.25 AS w
+               FROM range(16) c(cell) CROSS JOIN range(64) d(dim)),
+             clists AS (
+               SELECT cell, list(w ORDER BY dim) AS cvec
+               FROM cents GROUP BY cell),
+             v AS (
+               SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+               FROM embeddings),
+             d2s AS (
+               SELECT v.vec_id, c.cell,
+                 list_inner_product(
+                   list_transform(range(1, 65), i -> emb[i] - cvec[i]),
+                   list_transform(range(1, 65), i -> emb[i] - cvec[i])) AS d2
+               FROM v CROSS JOIN clists c),
+             assign AS (
+               SELECT vec_id, cell FROM (
+                 SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY d2, cell) AS rn
+                 FROM d2s) WHERE rn = 1),
+             counts AS (
+               SELECT cell, CAST(count(*) AS BIGINT) AS n
+               FROM assign GROUP BY cell),
+             tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM counts)
+             SELECT r.cell, coalesce(c.n, 0) AS n_vectors,
+               (coalesce(c.n, 0) * 1000) // tot.tot AS share_permille
+             FROM (SELECT CAST(cell AS INT) AS cell
+                   FROM range(16) t(cell)) r
+             LEFT JOIN counts c USING (cell)
+             CROSS JOIN tot
+             ORDER BY r.cell""")),
+
+    // ---- MARGIN-scored bitext mining (Similarity.marginMutualTop1;
+    // Artetxe & Schwenk 2019 — the actual CCMatrix/LASER selection
+    // criterion): q206's candidate pairs rescored by the margin
+    // cos/(avg_k/2 + avg_k/2), killing the hub false-positives raw
+    // cosine over-accepts, then mutual-argmax BY MARGIN. Exactness
+    // plumbing for the hash compare: nano-quantized cosines, integer
+    // top-k sums, one IEEE division of int64 cross-products per pair.
+    Q("q209_bitext_margin",
+      (s, d) => {
+        val emb = T.embeddings(s, d).join(
+          T.documents(s, d).select(col("doc_id"), col("lang")),
+          col("vec_id") === col("doc_id"))
+        val en = emb.filter(col("lang") === "en")
+          .select(col("vec_id"), col("embedding"))
+        val xx = emb.filter(col("lang") =!= "en")
+          .select(col("vec_id"), col("embedding"))
+        Similarity.marginMutualTop1(en, xx, "vec_id", "embedding",
+          k = 4, nLists = 16, nProbe = 4,
+          fixedCentroids = Some(Similarity.portableCentroids(16, 64)))
+          .select(col("l_id").as("en_id"), col("r_id").as("xx_id"),
+            col("margin"))
+          .orderBy(col("en_id"))
+      },
+      Some("""WITH cents AS (
+               SELECT c.cell, d.dim,
+                 (CAST('0x' || substr(md5('c|' || CAST(c.cell AS VARCHAR) ||
+                    '|' || CAST(d.dim AS VARCHAR)), 1, 8) AS BIGINT)
+                  / 2147483648.0 - 1.0) * 0.25 AS w
+               FROM range(16) c(cell) CROSS JOIN range(64) d(dim)),
+             clists AS (
+               SELECT cell, list(w ORDER BY dim) AS cvec
+               FROM cents GROUP BY cell),
+             v AS (
+               SELECT vec_id, lang,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+               FROM embeddings JOIN documents ON vec_id = doc_id),
+             en AS (SELECT vec_id, emb FROM v WHERE lang = 'en'),
+             xx AS (SELECT vec_id, emb FROM v WHERE lang <> 'en'),
+             end2 AS (
+               SELECT e.vec_id, c.cell,
+                 list_inner_product(
+                   list_transform(range(1, 65), i -> emb[i] - cvec[i]),
+                   list_transform(range(1, 65), i -> emb[i] - cvec[i])) AS d2
+               FROM en e CROSS JOIN clists c),
+             xxd2 AS (
+               SELECT x.vec_id, c.cell,
+                 list_inner_product(
+                   list_transform(range(1, 65), i -> emb[i] - cvec[i]),
+                   list_transform(range(1, 65), i -> emb[i] - cvec[i])) AS d2
+               FROM xx x CROSS JOIN clists c),
+             enp AS (
+               SELECT vec_id, cell, rn FROM (
+                 SELECT vec_id, cell, row_number() OVER (
+                   PARTITION BY vec_id ORDER BY d2, cell) AS rn
+                 FROM end2) WHERE rn <= 4),
+             xxp AS (
+               SELECT vec_id, cell, rn FROM (
+                 SELECT vec_id, cell, row_number() OVER (
+                   PARTITION BY vec_id ORDER BY d2, cell) AS rn
+                 FROM xxd2) WHERE rn <= 4),
+             ena AS (SELECT vec_id, cell FROM enp WHERE rn = 1),
+             xxa AS (SELECT vec_id, cell FROM xxp WHERE rn = 1),
+             cand AS (
+               SELECT DISTINCT l_id, r_id FROM (
+                 SELECT p.vec_id AS l_id, a.vec_id AS r_id
+                 FROM enp p JOIN xxa a USING (cell)
+                 UNION ALL
+                 SELECT a.vec_id AS l_id, p.vec_id AS r_id
+                 FROM xxp p JOIN ena a USING (cell))),
+             sims AS (
+               SELECT cand.l_id, cand.r_id,
+                 CAST(round(1000000000 * list_inner_product(a.emb, b.emb) /
+                   (sqrt(list_inner_product(a.emb, a.emb)) *
+                    sqrt(list_inner_product(b.emb, b.emb)))) AS BIGINT)
+                   AS sim_n
+               FROM cand
+               JOIN en a ON a.vec_id = cand.l_id
+               JOIN xx b ON b.vec_id = cand.r_id),
+             rk AS (
+               SELECT l_id, r_id, sim_n,
+                 row_number() OVER (PARTITION BY l_id
+                   ORDER BY sim_n DESC, r_id) AS rkl,
+                 row_number() OVER (PARTITION BY r_id
+                   ORDER BY sim_n DESC, l_id) AS rkr
+               FROM sims),
+             al AS (SELECT l_id, CAST(sum(sim_n) AS BIGINT) AS suml,
+                      CAST(count(*) AS BIGINT) AS cl
+                    FROM rk WHERE rkl <= 4 GROUP BY l_id),
+             ar AS (SELECT r_id, CAST(sum(sim_n) AS BIGINT) AS sumr,
+                      CAST(count(*) AS BIGINT) AS cr
+                    FROM rk WHERE rkr <= 4 GROUP BY r_id),
+             mg AS (
+               SELECT rk.l_id, rk.r_id,
+                 CAST(rk.sim_n * 2 * al.cl * ar.cr AS DOUBLE) /
+                   CAST(al.suml * ar.cr + ar.sumr * al.cl AS DOUBLE)
+                   AS margin
+               FROM rk JOIN al USING (l_id) JOIN ar USING (r_id)),
+             l2m AS (
+               SELECT l_id, r_id, margin FROM (
+                 SELECT l_id, r_id, margin, row_number() OVER (
+                   PARTITION BY l_id ORDER BY margin DESC, r_id) AS rn
+                 FROM mg) WHERE rn = 1),
+             r2m AS (
+               SELECT l_id, r_id FROM (
+                 SELECT l_id, r_id, row_number() OVER (
+                   PARTITION BY r_id ORDER BY margin DESC, l_id) AS rn
+                 FROM mg) WHERE rn = 1)
+             SELECT l.l_id AS en_id, l.r_id AS xx_id,
+               round(l.margin, 6) AS margin
+             FROM l2m l JOIN r2m USING (l_id, r_id)
+             ORDER BY en_id""")),
+
     // ---- Length-distribution matching weights: per (lang, length
     // bucket) resampling weight that reshapes every language's length
     // distribution onto ENGLISH's — the length-bias correction a

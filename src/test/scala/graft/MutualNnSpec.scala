@@ -76,6 +76,59 @@ class MutualNnSpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall vs brute mutual (${bruteMutual.size} pairs)")
   }
 
+  /** Sequential margin reference (Artetxe & Schwenk) over the complete
+    * candidate set: same arithmetic as the operator — in-order double
+    * cosine, HALF_UP nano-quantization, integer top-k sums, one double
+    * division of int64 cross-products. */
+  private def refMargin(ls: Seq[(Long, Seq[Float])],
+      rs: Seq[(Long, Seq[Float])], k: Int): Set[(Long, Long, Double)] = {
+    def dot(a: Seq[Float], b: Seq[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val sims = for ((li, lv) <- ls; (ri, rv) <- rs) yield {
+      val c = dot(lv, rv) / (math.sqrt(dot(lv, lv)) * math.sqrt(dot(rv, rv)))
+      (li, ri, BigDecimal(c * 1e9)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    }
+    val topL = sims.groupBy(_._1).map { case (li, ps) =>
+      val top = ps.sortBy(p => (-p._3, p._2)).take(k)
+      li -> (top.map(_._3).sum, top.size.toLong)
+    }
+    val topR = sims.groupBy(_._2).map { case (ri, ps) =>
+      val top = ps.sortBy(p => (-p._3, p._1)).take(k)
+      ri -> (top.map(_._3).sum, top.size.toLong)
+    }
+    val margins = sims.map { case (li, ri, sn) =>
+      val (suml, cl) = topL(li); val (sumr, cr) = topR(ri)
+      (li, ri, (sn * 2 * cl * cr).toDouble / (suml * cr + sumr * cl).toDouble)
+    }
+    val bestL = margins.groupBy(_._1).map { case (li, ps) =>
+      li -> ps.minBy(p => (-p._3, p._2)) }
+    val bestR = margins.groupBy(_._2).map { case (ri, ps) =>
+      ri -> ps.minBy(p => (-p._3, p._1)) }
+    margins.filter(p => bestL(p._1) == p && bestR(p._2) == p)
+      .map(p => (p._1, p._2,
+        BigDecimal(p._3).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble))
+      .toSet
+  }
+
+  test("marginMutualTop1 at full probe == sequential margin reference") {
+    val got = Similarity.marginMutualTop1(left, right, "vec_id", "embedding",
+      k = 4, nLists = 8, nProbe = 8,
+      fixedCentroids = Some(Similarity.portableCentroids(8, dim)))
+      .select(col("l_id"), col("r_id"), col("margin"))
+      .as[(Long, Long, Double)].collect().toSet
+    val want = refMargin(
+      (0 until 40).map(i => (i.toLong, vec(i % nClu, i))),
+      (0 until 40).map(i => ((100 + i).toLong, vec(i % nClu, i + 1000))),
+      k = 4)
+    assert(want.nonEmpty)
+    assert(got === want)
+  }
+
   test("mutual pairs are one-to-one (each id appears at most once per side)") {
     val pairs = collectPairs(Similarity.ivfMutualTop1(
       left, right, "vec_id", "embedding", nLists = 8, nProbe = 3,
