@@ -46,7 +46,14 @@ object Matching {
    * @param pairs    candidate pairs with columns `aCol`, `bCol`,
    *                 `scoreCol` (LongType score — integer scores keep the
    *                 match set bit-identical across engines); duplicate
-   *                 (a,b) rows must be pre-deduped by the caller
+   *                 (a,b) rows must be pre-deduped by the caller. Rows
+   *                 whose score is null (or casts to null) are DROPPED
+   *                 up front: a null score has no place in the total
+   *                 edge order P, and under the min(struct(-s, …))
+   *                 rewrite it would otherwise sort FIRST and beat every
+   *                 real candidate (ADVICE r9). Long.MinValue scores are
+   *                 rejected too — negation can't represent them
+   *                 (non-ANSI mode would silently wrap the sign)
    * @return (a, b, score, round) — the matched pairs, tagged with the
    *         1-based round that accepted them
    */
@@ -55,7 +62,9 @@ object Matching {
     require(rounds >= 1, s"rounds >= 1: $rounds")
     val spark = pairs.sparkSession
     var pool = pairs.select(col(aCol).as("a"), col(bCol).as("b"),
-      col(scoreCol).cast("long").as("s")).localCheckpoint(true)
+      col(scoreCol).cast("long").as("s"))
+      .filter(col("s").isNotNull && col("s") =!= Long.MinValue)
+      .localCheckpoint(true)
     var acc: Option[DataFrame] = None
     var r = 1
     while (r <= rounds) {
@@ -121,8 +130,14 @@ object Matching {
     def capFrame(c: DataFrame, node: String): DataFrame =
       c.select(col(c.columns.head).as(node),
         col("cap").cast("long").as(s"cap_$node"))
+    // Null-score rows dropped for the same reason as [[greedyRounds]]
+    // (here the rank windows would sort them LAST, not first — but a
+    // pair with no score is not a candidate under either formulation,
+    // and the two operators must agree on the pool).
     var pool = pairs.select(col(aCol).as("a"), col(bCol).as("b"),
-      col(scoreCol).cast("long").as("s")).localCheckpoint(true)
+      col(scoreCol).cast("long").as("s"))
+      .filter(col("s").isNotNull && col("s") =!= Long.MinValue)
+      .localCheckpoint(true)
     // Complete per-node capacity state up front (pool nodes absent from
     // the cap frames default to 1) — the per-round decrements must reach
     // EVERY node, a coalesce-at-join default would silently refill.

@@ -390,8 +390,58 @@ object Similarity {
       fixedCentroids: Option[Array[Array[Double]]] = None): DataFrame = {
     require(nProbe >= 1 && nProbe <= nLists,
       s"1 <= nProbe ($nProbe) <= nLists ($nLists)")
-    val sims = mutualCandidateSims(left, right, idCol, vecCol,
-      nLists, nProbe, seed, maxIter, fixedCentroids)
+    mutualTop1From(mutualCandidateSims(left, right, idCol, vecCol,
+      nLists, nProbe, seed, maxIter, fixedCentroids))
+  }
+
+  /**
+   * BEAM-navigated [[ivfMutualTop1]] — the same mutual-top-1 semantics
+   * and candidate/argmax machinery, but each side's cell assignment and
+   * probe set come from the [[ivfBeamTopK]] centroid-graph walk instead
+   * of the dense argmin over ALL nLists centroids. This is the variant
+   * that exists for the PRODUCTION cell count: at the CCMatrix operating
+   * point nLists ∝ corpus (10⁵–10⁶ cells), so the dense per-vector
+   * d2-to-every-centroid pass of [[ivfMutualTop1]] is O(n·nLists) ≈
+   * quadratic — the one superlinear term left in the bitext composition
+   * (VERDICT r9 #1). The walk touches O(entryCells + beamWidth·degree·
+   * depth) centroids per vector, independent of nLists.
+   *
+   * Per-vector beam state rides WITH the vector (id, vec, cell, d2
+   * rows): every join in the walk is then a broadcast of corpus-free,
+   * cell-count-sized metadata — the centroid frame and its degree-NN
+   * graph — and the per-round cost is one dedup + one row_number window
+   * per vector over ≤ beamWidth·(degree+1) rows, never a corpus-side
+   * shuffle join. The navigation metadata is built on the DRIVER from
+   * the driver-held centroid array (O(nLists²·dim) flops — fine to
+   * ~10⁴ cells; beyond that the centroid graph is built offline,
+   * possibly itself via ANN, exactly like a real HNSW upper layer).
+   *
+   * Approximation contract: the walk's final beam may miss a true
+   * nearest cell (recall < 1 even at nProbe = nLists — the beam is the
+   * candidate set). With degree ≥ nLists−1 and depth ≥ 1 every cell
+   * enters the beam ranking, so the assignment and probe sets equal the
+   * dense path's EXACTLY and the whole operator coincides with
+   * [[ivfMutualTop1]] (MutualNnSpec pins it); at pruned settings recall
+   * vs the dense path is measured on the clustered fixture.
+   * Deterministic with fixed centroids (in-order double folds, integer
+   * tie-breaks) — q210 replays the per-side navigation CTE-for-CTE in
+   * DuckDB.
+   */
+  def ivfMutualTop1Beam(left: DataFrame, right: DataFrame,
+      idCol: String, vecCol: String,
+      nLists: Int = 16, nProbe: Int = 4,
+      beamWidth: Int = 4, depth: Int = 2, degree: Int = 3,
+      entryCells: Int = 2,
+      seed: Long = 42L, maxIter: Int = 5,
+      fixedCentroids: Option[Array[Array[Double]]] = None): DataFrame =
+    mutualTop1From(mutualCandidateSimsBeam(left, right, idCol, vecCol,
+      nLists, nProbe, beamWidth, depth, degree, entryCells, seed, maxIter,
+      fixedCentroids))
+
+  /** Mutual-argmax tail shared by the mutual-top-1 variants (step 4 of
+    * the [[ivfMutualTop1]] scaladoc): per-side map-side-combined
+    * min(struct) argmax + one equi-join of the node-sized best tables. */
+  private def mutualTop1From(sims: DataFrame): DataFrame = {
     val bestL = sims.groupBy(col("l_id"))
       .agg(min(struct((-col("sim")).as("ns"), col("r_id"))).as("m"))
       .select(col("l_id"), col("m.r_id").as("r_id"), (-col("m.ns")).as("sim"))
@@ -448,6 +498,98 @@ object Similarity {
       .select(col("l_id"), col("r_id"), col("sim")))
   }
 
+  /** Beam-navigated sibling of [[mutualCandidateSims]]: identical
+    * candidate-union / exact-cosine contract, but assignment and probe
+    * sets come from the centroid-graph walk (see [[ivfMutualTop1Beam]]
+    * for the full scale story). */
+  private def mutualCandidateSimsBeam(left: DataFrame, right: DataFrame,
+      idCol: String, vecCol: String, nLists: Int, nProbe: Int,
+      beamWidth: Int, depth: Int, degree: Int, entryCells: Int,
+      seed: Long, maxIter: Int,
+      fixedCentroids: Option[Array[Array[Double]]]): DataFrame = {
+    require(beamWidth >= 1 && depth >= 0 && degree >= 1 && entryCells >= 1,
+      s"bad beam params ($beamWidth, $depth, $degree, $entryCells)")
+    require(nProbe >= 1 && nProbe <= beamWidth,
+      s"1 <= nProbe ($nProbe) <= beamWidth ($beamWidth)")
+    val spark = left.sparkSession
+    val l = left.select(col(idCol).as("l_id"), col(vecCol).as("l_vec"))
+    val r = right.select(col(idCol).as("r_id"), col(vecCol).as("r_vec"))
+    val cents = fixedCentroids.getOrElse(trainCentroids(
+      l.select(col("l_vec").as("v")).unionByName(r.select(col("r_vec").as("v"))),
+      nLists, seed, maxIter))
+    require(entryCells <= cents.length,
+      s"entryCells ($entryCells) > cells (${cents.length})")
+
+    // Driver-built, corpus-free navigation metadata (the centroid array
+    // is driver-held either way): the centroid frame and its degree-NN
+    // graph under (d2, dst) order — in-order double accumulation, same
+    // convention as sqL2, so the q210 oracle's list_inner_product
+    // mirror reproduces the graph bit-for-bit.
+    val centDf = spark.createDataFrame(
+      cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) })
+      .toDF("cell", "centroid")
+    val nbrPairs: Seq[(Int, Int)] = cents.indices.flatMap { i =>
+      cents.indices.filter(_ != i).map { j =>
+        val a = cents(i); val b = cents(j)
+        var s = 0.0; var k = 0
+        while (k < a.length) { val d = a(k) - b(k); s += d * d; k += 1 }
+        (s, j)
+      }.sorted.take(degree).map { case (_, j) => (i, j) }
+    }
+    val nbrDf = spark.createDataFrame(nbrPairs).toDF("src", "dst")
+
+    // Per-side walk: beam rows (id, vec, cell, d2) carry the vector, so
+    // the expansion joins are all broadcast (neighbor graph, centroid
+    // frame) and the per-round shuffles — one (id, cell) dedup + one
+    // per-id row_number window — move only beam-bounded rows
+    // (≤ beamWidth·(degree+1) per vector), never touching nLists.
+    def assignAndProbe(side: DataFrame, id: String, vec: String)
+        : (DataFrame, DataFrame) = {
+      val wq = Window.partitionBy(col(id)).orderBy(col("d2"), col("cell"))
+      def keepBeam(b: DataFrame): DataFrame = b
+        .withColumn("rn", row_number().over(wq))
+        .filter(col("rn") <= beamWidth)
+        .select(col(id), col(vec), col("cell"), col("d2"))
+      // Entry: d2 to the fixed entry cells as a NARROW literal-array
+      // explode — entryCells is small by construction, so unlike the
+      // dense path's all-centroid literals this stays tiny at any
+      // nLists, and the walk has no nested-loop join at all.
+      val entry = array((0 until entryCells).map { c =>
+        struct(sqL2(col(vec), array(cents(c).map(lit): _*)).as("d2"),
+          lit(c).as("cell"))
+      }: _*)
+      var beam = keepBeam(side
+        .select(col(id), col(vec), explode(entry).as("e"))
+        .select(col(id), col(vec), col("e.cell").as("cell"),
+          col("e.d2").as("d2")))
+      for (_ <- 1 to depth) {
+        val expanded = beam
+          .join(broadcast(nbrDf), col("cell") === col("src"))
+          .select(col(id), col(vec), col("dst").as("cell"))
+          .unionByName(beam.select(col(id), col(vec), col("cell")))
+          .dropDuplicates(id, "cell")
+          .join(broadcast(centDf), Seq("cell"))
+          .withColumn("d2", sqL2(col(vec), col("centroid")))
+        beam = keepBeam(expanded)
+      }
+      val fin = CacheScope.pin(beam.withColumn("rn", row_number().over(wq)))
+      (fin.filter(col("rn") === 1).select(col(id), col("cell")),
+        fin.filter(col("rn") <= nProbe).select(col(id), col("cell")))
+    }
+    val (assignL, probeL) = assignAndProbe(l, "l_id", "l_vec")
+    val (assignR, probeR) = assignAndProbe(r, "r_id", "r_vec")
+
+    val cand = probeL.join(assignR, Seq("cell"))
+      .select(col("l_id"), col("r_id"))
+      .unionByName(probeR.join(assignL, Seq("cell"))
+        .select(col("l_id"), col("r_id")))
+      .distinct()
+    CacheScope.pin(cand
+      .join(l, Seq("l_id")).join(r, Seq("r_id"))
+      .withColumn("sim", cosine(col("l_vec"), col("r_vec")))
+      .select(col("l_id"), col("r_id"), col("sim")))
+  }
+
   /**
    * MARGIN-scored mutual bitext mining (Artetxe & Schwenk 2019, the
    * CCMatrix/LASER selection criterion): raw cosine over-accepts pairs
@@ -478,10 +620,31 @@ object Similarity {
       idCol: String, vecCol: String, k: Int = 4,
       nLists: Int = 16, nProbe: Int = 4,
       seed: Long = 42L, maxIter: Int = 5,
-      fixedCentroids: Option[Array[Array[Double]]] = None): DataFrame = {
+      fixedCentroids: Option[Array[Array[Double]]] = None): DataFrame =
+    marginFromSims(mutualCandidateSims(left, right, idCol, vecCol,
+      nLists, nProbe, seed, maxIter, fixedCentroids), k)
+
+  /** [[marginMutualTop1]] with beam-navigated candidate generation —
+    * the production-cell-count pairing, same as [[ivfMutualTop1Beam]]
+    * vs [[ivfMutualTop1]]: identical margin/argmax tail, candidates
+    * from the centroid-graph walk. */
+  def marginMutualTop1Beam(left: DataFrame, right: DataFrame,
+      idCol: String, vecCol: String, k: Int = 4,
+      nLists: Int = 16, nProbe: Int = 4,
+      beamWidth: Int = 4, depth: Int = 2, degree: Int = 3,
+      entryCells: Int = 2,
+      seed: Long = 42L, maxIter: Int = 5,
+      fixedCentroids: Option[Array[Array[Double]]] = None): DataFrame =
+    marginFromSims(mutualCandidateSimsBeam(left, right, idCol, vecCol,
+      nLists, nProbe, beamWidth, depth, degree, entryCells, seed, maxIter,
+      fixedCentroids), k)
+
+  /** Margin-scoring + mutual-argmax tail shared by the margin variants
+    * (the [[marginMutualTop1]] scaladoc's contract, including the
+    * positive-denominator guard). */
+  private def marginFromSims(simsIn: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k >= 1: $k")
-    val sims = mutualCandidateSims(left, right, idCol, vecCol,
-      nLists, nProbe, seed, maxIter, fixedCentroids)
+    val sims = simsIn
       .withColumn("sim_n", round(col("sim") * 1e9).cast("long"))
     // Per-side neighborhood density: exact integer sum + count of the
     // k highest candidate cosines (rank ties to the smaller partner).
@@ -499,11 +662,22 @@ object Similarity {
     // margin = sim / (suml/(2·cl) + sumr/(2·cr))
     //        = (sim_n · 2 · cl · cr) / (suml·cr + sumr·cl) — one IEEE
     // division of exact int64s (|values| ≤ 2·k²·1e9, far inside 2⁶³).
+    // Pairs whose combined neighborhood sum is ≤ 0 are DROPPED (ADVICE
+    // r9): in a near-orthogonal/antipodal region the denominator can hit
+    // zero or flip sign, turning the margin into ±Inf or inverting its
+    // ranking — and since both engines would compute the same garbage,
+    // the oracle alone can't catch it. The margin criterion is only
+    // meaningful where the neighborhood has net positive cosine mass
+    // (Artetxe & Schwenk's corpora guarantee it; arbitrary inputs
+    // don't), so the guard is part of the operator's contract and the
+    // q209 mirror carries the identical predicate.
     val margins = CacheScope.pin(ranked
       .join(avgL, Seq("l_id")).join(avgR, Seq("r_id"))
+      .withColumn("den", col("suml") * col("cr") + col("sumr") * col("cl"))
+      .filter(col("den") > 0)
       .withColumn("margin",
         (col("sim_n") * 2 * col("cl") * col("cr")).cast("double") /
-          (col("suml") * col("cr") + col("sumr") * col("cl")).cast("double"))
+          col("den").cast("double"))
       .select(col("l_id"), col("r_id"), col("margin")))
     val bestL = margins.groupBy(col("l_id"))
       .agg(min(struct((-col("margin")).as("nm"), col("r_id"))).as("m"))

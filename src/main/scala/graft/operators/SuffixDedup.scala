@@ -64,6 +64,23 @@ import org.apache.spark.sql.functions._
  */
 object SuffixDedup {
 
+  /** (id, ti, sfx): the L-truncated suffix — the space-joined complete
+    * `minLen`-token window — at every window start. ONE lead pass over
+    * the per-doc (id, ti) window, shared by both tiers of
+    * [[tieredDuplicateSpans]] (tier 1 hashes `sfx`, tier 2 sorts it —
+    * VERDICT r9 #7: the pass used to run twice). */
+  private def joinedWindows(toks: DataFrame, minLen: Int): DataFrame = {
+    require(minLen >= 2, s"minLen >= 2: $minLen")
+    val wdoc = Window.partitionBy(col("id")).orderBy(col("ti"))
+    val withLeads = (1 until minLen).foldLeft(toks) { (acc, k) =>
+      acc.withColumn(s"t$k", lead(col("tok"), k).over(wdoc))
+    }
+    val parts = col("tok") +: (1 until minLen).map(k => col(s"t$k"))
+    withLeads
+      .filter(parts.last.isNotNull)
+      .select(col("id"), col("ti"), concat_ws(" ", parts: _*).as("sfx"))
+  }
+
   /** The shared machinery: (toks, scanned) where `scanned` carries per
     * suffix start the booleans `dup_any` (equals SOME other suffix —
     * sorted neighbor within the partition, or the boundary row of the
@@ -71,27 +88,17 @@ object SuffixDedup {
     * its PREDECESSOR — i.e. not the (id, ti)-minimal occurrence of its
     * run, since the sort's tie-break is (id, ti)). */
   private def scanSuffixes(df: DataFrame, idCol: String, textCol: String,
-      minLen: Int, numPartitions: Int,
-      restrictTo: Option[DataFrame] = None): (DataFrame, DataFrame) = {
-    require(minLen >= 2, s"minLen >= 2: $minLen")
-    val spark = df.sparkSession
+      minLen: Int, numPartitions: Int): (DataFrame, DataFrame) = {
+    val toks = Curation.reindexedTokens(df, idCol, textCol)
+    (toks, scanSorted(joinedWindows(toks, minLen), numPartitions))
+  }
+
+  /** Range sort + adjacent-run scan + O(P) boundary stitch over a
+    * prebuilt (id, ti, sfx) suffix frame (steps 3-4 of the scaladoc). */
+  private def scanSorted(suf: DataFrame, numPartitions: Int): DataFrame = {
+    val spark = suf.sparkSession
     val p = if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
-
-    val toks = Curation.reindexedTokens(df, idCol, textCol)
-    // L-truncated suffix per position (complete windows only).
-    val wdoc = Window.partitionBy(col("id")).orderBy(col("ti"))
-    val withLeads = (1 until minLen).foldLeft(toks) { (acc, k) =>
-      acc.withColumn(s"t$k", lead(col("tok"), k).over(wdoc))
-    }
-    val parts = col("tok") +: (1 until minLen).map(k => col(s"t$k"))
-    val suf0 = withLeads
-      .filter(parts.last.isNotNull)
-      .select(col("id"), col("ti"), concat_ws(" ", parts: _*).as("sfx"))
-    // Tiered mode: only candidate starts enter the range sort — the
-    // expensive O(n·L)-character shuffle shrinks to the flagged set.
-    val suf = restrictTo.fold(suf0)(f =>
-      suf0.join(f.select(col("id"), col("ti")), Seq("id", "ti"), "left_semi"))
 
     // Global suffix sort: one range shuffle; tie-breaks inside the range
     // key so equal-suffix runs may span partitions (the stitch covers it).
@@ -130,11 +137,10 @@ object SuffixDedup {
       (col("prev_sfx").isNull && col("prev_last") === col("sfx"))
     val nextEq = col("next_sfx") === col("sfx") ||
       (col("next_sfx").isNull && col("next_first") === col("sfx"))
-    val scanned = scanned0.join(broadcast(stitchDf), Seq("pid"), "left")
+    scanned0.join(broadcast(stitchDf), Seq("pid"), "left")
       .withColumn("dup_nonfirst", coalesce(prevEq, lit(false)))
       .withColumn("dup_any", coalesce(prevEq || nextEq, lit(false)))
       .select(col("id"), col("ti"), col("dup_any"), col("dup_nonfirst"))
-    (toks, scanned)
   }
 
   /**
@@ -181,19 +187,25 @@ object SuffixDedup {
    */
   def tieredDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
       minLen: Int = 10, numPartitions: Int = 0): DataFrame = {
-    require(minLen >= 2, s"minLen >= 2: $minLen")
-    // Tier 1 (hashed): occurrence-counted duplicate window starts.
-    val wins = CacheScope.pin(SpanDedup.windowKeys(
-      Curation.reindexedTokens(df, idCol, textCol), minLen))
+    // ONE token + lead pass feeds both tiers: tier 1's window key is
+    // md5(sfx) (byte-identical to SpanDedup.windowKeys' md5 of the
+    // space-joined window — the shared contract), tier 2 range-sorts
+    // the same sfx strings, restricted to the flagged starts.
+    val joined = CacheScope.pin(
+      joinedWindows(Curation.reindexedTokens(df, idCol, textCol), minLen))
+    // Tier 1 (hashed): occurrence-counted duplicate window starts —
+    // 16-byte digests through the count shuffle, never window text.
+    val wins = joined.select(col("id"), col("ti"), md5(col("sfx")).as("wkey"))
     val dupKeys = wins.groupBy(col("wkey"))
       .agg(count(lit(1)).as("occ"))
       .filter(col("occ") >= 2)
       .select("wkey")
     val flagged = wins.join(dupKeys, Seq("wkey"), "left_semi")
       .select(col("id"), col("ti"))
-    // Tier 2 (exact): suffix sort + adjacent-run scan over flagged only.
-    val (_, scanned) = scanSuffixes(df, idCol, textCol, minLen,
-      numPartitions, restrictTo = Some(flagged))
+    // Tier 2 (exact): suffix sort + adjacent-run scan over flagged only —
+    // the O(n·L)-character range shuffle shrinks to the flagged set.
+    val scanned = scanSorted(
+      joined.join(flagged, Seq("id", "ti"), "left_semi"), numPartitions)
     SpanDedup.coalesceSpans(
       scanned.filter(col("dup_any")).select(col("id"), col("ti")), minLen)
   }

@@ -1833,6 +1833,18 @@ object LlmQueries {
         val emb = T.embeddings(s, d).join(
           T.documents(s, d).select(col("doc_id"), col("lang")),
           col("vec_id") === col("doc_id"))
+        // SIZE GUARD (VERDICT r9 #4, the globalCumSum fail-fast
+        // pattern): both sides here are corpus-sized, so the two
+        // bruteForceTopK passes are deliberate cross products —
+        // acceptable ONLY at validation scale, where this query is the
+        // spec-reference tier the ANN paths (q206/q209/q210) are pinned
+        // against. Above the bound the right answer is those operators,
+        // never a bigger cross product; fail fast with the redirect.
+        val nVec = emb.count()
+        require(nVec <= 100000L,
+          s"q195 brute-force bitext mining is the validation-scale " +
+            s"reference tier ($nVec vectors > 100000); at scale use " +
+            s"ivfMutualTop1 (q206) / marginMutualTop1 (q209)")
         val en = emb.filter(col("lang") === "en")
           .select(col("vec_id"), col("embedding"))
         val xx = emb.filter(col("lang") =!= "en")
@@ -2113,7 +2125,8 @@ object LlmQueries {
                  CAST(rk.sim_n * 2 * al.cl * ar.cr AS DOUBLE) /
                    CAST(al.suml * ar.cr + ar.sumr * al.cl AS DOUBLE)
                    AS margin
-               FROM rk JOIN al USING (l_id) JOIN ar USING (r_id)),
+               FROM rk JOIN al USING (l_id) JOIN ar USING (r_id)
+               WHERE al.suml * ar.cr + ar.sumr * al.cl > 0),
              l2m AS (
                SELECT l_id, r_id, margin FROM (
                  SELECT l_id, r_id, margin, row_number() OVER (
@@ -2127,6 +2140,175 @@ object LlmQueries {
              SELECT l.l_id AS en_id, l.r_id AS xx_id,
                round(l.margin, 6) AS margin
              FROM l2m l JOIN r2m USING (l_id, r_id)
+             ORDER BY en_id""")),
+
+    // ---- BEAM-navigated bitext mining (Similarity.ivfMutualTop1Beam):
+    // q206's mutual-top-1 with assignment and probing from the q181
+    // centroid-graph walk instead of the dense d2-to-every-centroid
+    // pass — the variant that exists for PRODUCTION cell counts
+    // (nLists ∝ corpus at the CCMatrix operating point, where the dense
+    // assignment is O(n·nLists) ≈ quadratic; the walk touches
+    // O(entry + beam·degree·depth) centroids per vector, independent of
+    // nLists). Every step deterministic (fixed entry cells, in-order
+    // double d2, integer tie-breaks), so the oracle replays BOTH sides'
+    // navigation — entry beam, two expand-and-prune rounds, final
+    // probe/assign ranking — plus the candidate union and mutual argmax,
+    // CTE-for-CTE. Recall vs the dense path is pinned in MutualNnSpec
+    // (full-connectivity == dense exactly; pruned recall on the
+    // clustered fixture).
+    Q("q210_bitext_beam",
+      (s, d) => {
+        val emb = T.embeddings(s, d).join(
+          T.documents(s, d).select(col("doc_id"), col("lang")),
+          col("vec_id") === col("doc_id"))
+        val en = emb.filter(col("lang") === "en")
+          .select(col("vec_id"), col("embedding"))
+        val xx = emb.filter(col("lang") =!= "en")
+          .select(col("vec_id"), col("embedding"))
+        Similarity.ivfMutualTop1Beam(en, xx, "vec_id", "embedding",
+          nLists = 16, nProbe = 4, beamWidth = 4, depth = 2, degree = 3,
+          entryCells = 2,
+          fixedCentroids = Some(Similarity.portableCentroids(16, 64)))
+          .select(col("l_id").as("en_id"), col("r_id").as("xx_id"),
+            round(col("sim"), 6).as("cos"))
+          .orderBy(col("en_id"))
+      },
+      Some("""WITH cents AS (
+               SELECT c.cell, d.dim,
+                 (CAST('0x' || substr(md5('c|' || CAST(c.cell AS VARCHAR) ||
+                    '|' || CAST(d.dim AS VARCHAR)), 1, 8) AS BIGINT)
+                  / 2147483648.0 - 1.0) * 0.25 AS w
+               FROM range(16) c(cell) CROSS JOIN range(64) d(dim)),
+             clists AS (
+               SELECT cell, list(w ORDER BY dim) AS cvec
+               FROM cents GROUP BY cell),
+             v AS (
+               SELECT vec_id, lang,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+               FROM embeddings JOIN documents ON vec_id = doc_id),
+             en AS (SELECT vec_id, emb FROM v WHERE lang = 'en'),
+             xx AS (SELECT vec_id, emb FROM v WHERE lang <> 'en'),
+             cd AS (
+               SELECT a.cell AS src, b.cell AS dst,
+                 list_inner_product(
+                   list_transform(range(1, 65), i -> a.cvec[i] - b.cvec[i]),
+                   list_transform(range(1, 65), i -> a.cvec[i] - b.cvec[i]))
+                   AS d2
+               FROM clists a CROSS JOIN clists b WHERE a.cell <> b.cell),
+             nbr AS (
+               SELECT src, dst FROM (
+                 SELECT src, dst, row_number() OVER (PARTITION BY src
+                   ORDER BY d2, dst) AS rn FROM cd) WHERE rn <= 3),
+             end2 AS (
+               SELECT e.vec_id, c.cell,
+                 list_inner_product(
+                   list_transform(range(1, 65), i -> emb[i] - cvec[i]),
+                   list_transform(range(1, 65), i -> emb[i] - cvec[i])) AS d2
+               FROM en e CROSS JOIN clists c),
+             xxd2 AS (
+               SELECT x.vec_id, c.cell,
+                 list_inner_product(
+                   list_transform(range(1, 65), i -> emb[i] - cvec[i]),
+                   list_transform(range(1, 65), i -> emb[i] - cvec[i])) AS d2
+               FROM xx x CROSS JOIN clists c),
+             eb0 AS (
+               SELECT vec_id, cell, d2 FROM (
+                 SELECT vec_id, cell, d2, row_number() OVER (
+                   PARTITION BY vec_id ORDER BY d2, cell) AS rn
+                 FROM end2 WHERE cell < 2) WHERE rn <= 4),
+             ee1 AS (
+               SELECT DISTINCT vec_id, cell FROM (
+                 SELECT b.vec_id, n.dst AS cell FROM eb0 b
+                 JOIN nbr n ON b.cell = n.src
+                 UNION ALL SELECT vec_id, cell FROM eb0)),
+             eb1 AS (
+               SELECT vec_id, cell, d2 FROM (
+                 SELECT e.vec_id, e.cell, end2.d2, row_number() OVER (
+                   PARTITION BY e.vec_id ORDER BY end2.d2, e.cell) AS rn
+                 FROM ee1 e JOIN end2 ON end2.vec_id = e.vec_id
+                   AND end2.cell = e.cell)
+               WHERE rn <= 4),
+             ee2 AS (
+               SELECT DISTINCT vec_id, cell FROM (
+                 SELECT b.vec_id, n.dst AS cell FROM eb1 b
+                 JOIN nbr n ON b.cell = n.src
+                 UNION ALL SELECT vec_id, cell FROM eb1)),
+             eb2 AS (
+               SELECT vec_id, cell, d2 FROM (
+                 SELECT e.vec_id, e.cell, end2.d2, row_number() OVER (
+                   PARTITION BY e.vec_id ORDER BY end2.d2, e.cell) AS rn
+                 FROM ee2 e JOIN end2 ON end2.vec_id = e.vec_id
+                   AND end2.cell = e.cell)
+               WHERE rn <= 4),
+             enp AS (
+               SELECT vec_id, cell, row_number() OVER (
+                 PARTITION BY vec_id ORDER BY d2, cell) AS rn
+               FROM eb2),
+             ena AS (SELECT vec_id, cell FROM enp WHERE rn = 1),
+             xb0 AS (
+               SELECT vec_id, cell, d2 FROM (
+                 SELECT vec_id, cell, d2, row_number() OVER (
+                   PARTITION BY vec_id ORDER BY d2, cell) AS rn
+                 FROM xxd2 WHERE cell < 2) WHERE rn <= 4),
+             xe1 AS (
+               SELECT DISTINCT vec_id, cell FROM (
+                 SELECT b.vec_id, n.dst AS cell FROM xb0 b
+                 JOIN nbr n ON b.cell = n.src
+                 UNION ALL SELECT vec_id, cell FROM xb0)),
+             xb1 AS (
+               SELECT vec_id, cell, d2 FROM (
+                 SELECT e.vec_id, e.cell, xxd2.d2, row_number() OVER (
+                   PARTITION BY e.vec_id ORDER BY xxd2.d2, e.cell) AS rn
+                 FROM xe1 e JOIN xxd2 ON xxd2.vec_id = e.vec_id
+                   AND xxd2.cell = e.cell)
+               WHERE rn <= 4),
+             xe2 AS (
+               SELECT DISTINCT vec_id, cell FROM (
+                 SELECT b.vec_id, n.dst AS cell FROM xb1 b
+                 JOIN nbr n ON b.cell = n.src
+                 UNION ALL SELECT vec_id, cell FROM xb1)),
+             xb2 AS (
+               SELECT vec_id, cell, d2 FROM (
+                 SELECT e.vec_id, e.cell, xxd2.d2, row_number() OVER (
+                   PARTITION BY e.vec_id ORDER BY xxd2.d2, e.cell) AS rn
+                 FROM xe2 e JOIN xxd2 ON xxd2.vec_id = e.vec_id
+                   AND xxd2.cell = e.cell)
+               WHERE rn <= 4),
+             xxp AS (
+               SELECT vec_id, cell, row_number() OVER (
+                 PARTITION BY vec_id ORDER BY d2, cell) AS rn
+               FROM xb2),
+             xxa AS (SELECT vec_id, cell FROM xxp WHERE rn = 1),
+             cand AS (
+               SELECT DISTINCT l_id, r_id FROM (
+                 SELECT p.vec_id AS l_id, a.vec_id AS r_id
+                 FROM (SELECT vec_id, cell FROM enp WHERE rn <= 4) p
+                 JOIN xxa a USING (cell)
+                 UNION ALL
+                 SELECT a.vec_id AS l_id, p.vec_id AS r_id
+                 FROM (SELECT vec_id, cell FROM xxp WHERE rn <= 4) p
+                 JOIN ena a USING (cell))),
+             sims AS (
+               SELECT cand.l_id, cand.r_id,
+                 list_inner_product(a.emb, b.emb) /
+                   (sqrt(list_inner_product(a.emb, a.emb)) *
+                    sqrt(list_inner_product(b.emb, b.emb))) AS sim
+               FROM cand
+               JOIN en a ON a.vec_id = cand.l_id
+               JOIN xx b ON b.vec_id = cand.r_id),
+             l2r AS (
+               SELECT l_id, r_id, sim FROM (
+                 SELECT l_id, r_id, sim, row_number() OVER (
+                   PARTITION BY l_id ORDER BY sim DESC, r_id) AS rn
+                 FROM sims) WHERE rn = 1),
+             r2l AS (
+               SELECT l_id, r_id FROM (
+                 SELECT l_id, r_id, row_number() OVER (
+                   PARTITION BY r_id ORDER BY sim DESC, l_id) AS rn
+                 FROM sims) WHERE rn = 1)
+             SELECT l.l_id AS en_id, l.r_id AS xx_id,
+               round(l.sim, 6) AS cos
+             FROM l2r l JOIN r2l USING (l_id, r_id)
              ORDER BY en_id""")),
 
     // ---- Length-distribution matching weights: per (lang, length

@@ -85,18 +85,49 @@ object Manifest {
 
   private def audit(df: DataFrame): Audit = readAudit(auditFrame(df))
 
+  /** Manifest format written by this version. History:
+    *  1 (r7, implicit — no `format` field): n_rows + content_hash (XOR
+    *    fold of xxhash64 over the bare columns, no null markers).
+    *  2 (r9+): adds `format`, the decimal sum fold (`sum_hash`), the
+    *    audited `columns` list, and interleaves per-column null markers
+    *    into the row hash — which REDEFINES content_hash, so v1 and v2
+    *    hashes are not comparable. [[verify]] dispatches on `format`
+    *    (absent ⇒ 1) and checks a v1 manifest with the v1 row hash:
+    *    legacy releases stay verifiable, not indistinguishable from
+    *    tampered ones (ADVICE r9). */
+  val FormatVersion = 2
+
+  /** v1 row-hash audit (no null markers) — kept solely so [[verify]]
+    * can check releases published before the format-2 change. */
+  private def auditV1(df: DataFrame): Audit = {
+    val frame = df.select(xxhash64(df.columns.toSeq.map(col): _*).as("h"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(expr("bit_xor(h)"), lit(0L)).as("x"),
+        coalesce(sum(col("h").cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")).as("s"))
+    readAudit(frame)
+  }
+
+  private def mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
   /** Write `df` under `dir/data`, audit what landed, publish
-    * `dir/MANIFEST.json`. Returns (n_rows, content_hash). */
+    * `dir/MANIFEST.json` (format 2; column names JSON-escaped by a real
+    * writer, so quotes/commas/brackets in names round-trip — ADVICE r9).
+    * Returns (n_rows, content_hash). */
   def writeWithManifest(df: DataFrame, dir: String): (Long, Long) = {
     val spark = df.sparkSession
     df.write.mode("overwrite").parquet(s"$dir/data")
     val landed = spark.read.parquet(s"$dir/data")
     val a = audit(landed)
-    val cols = landed.columns
-      .map(c => "\"" + c + "\"").mkString("[", ",", "]")
-    val json =
-      s"""{"n_rows":${a.n},"content_hash":${a.xor},""" +
-        s""""sum_hash":"${a.sum}","columns":$cols}"""
+    val m = mapper
+    val root = m.createObjectNode()
+    root.put("format", FormatVersion)
+    root.put("n_rows", a.n)
+    root.put("content_hash", a.xor)
+    root.put("sum_hash", a.sum.toString)
+    val colsNode = root.putArray("columns")
+    landed.columns.foreach(colsNode.add)
+    val json = m.writeValueAsString(root)
     val path = new org.apache.hadoop.fs.Path(s"$dir/MANIFEST.json")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(path, true)
@@ -104,10 +135,13 @@ object Manifest {
     (a.n, a.xor)
   }
 
-  /** Consumer-side audit: recompute count, both content folds, and the
-    * column list of `dir/data` and compare all four with the manifest.
-    * Returns (ok, manifest (n, xor), recomputed (n, xor)) — `ok` also
-    * covers the sum fold and the recorded columns. Missing manifest =
+  /** Consumer-side audit: recompute the manifest's format of the content
+    * audit over `dir/data` and compare every field the manifest carries.
+    * Format 2 checks count, BOTH folds, and the column list; a format-1
+    * manifest (no `format` field — pre-r9 releases) is checked with the
+    * v1 row hash on count + XOR (+ sum/columns only if present: each
+    * absent field simply isn't checked, it does NOT fail). Returns
+    * (ok, manifest (n, xor), recomputed (n, xor)). Missing manifest =
     * not committed → throws. */
   def verify(spark: SparkSession, dir: String)
       : (Boolean, (Long, Long), (Long, Long)) = {
@@ -117,24 +151,25 @@ object Manifest {
     val in = fs.open(path)
     val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-    def field(name: String): Long =
-      s""""$name":(-?\\d+)""".r.findFirstMatchIn(json)
-        .map(_.group(1).toLong)
-        .getOrElse(throw new IllegalStateException(s"manifest lacks $name"))
-    def strField(name: String): String =
-      s""""$name":"([^"]*)"""".r.findFirstMatchIn(json)
-        .map(_.group(1))
-        .getOrElse(throw new IllegalStateException(s"manifest lacks $name"))
-    val expCols = s""""columns":\\[([^\\]]*)\\]""".r.findFirstMatchIn(json)
-      .map(_.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
-        .filter(_.nonEmpty).toSeq)
-      .getOrElse(throw new IllegalStateException("manifest lacks columns"))
-    val expected = (field("n_rows"), field("content_hash"))
-    val expSum = BigInt(strField("sum_hash"))
+    val node = mapper.readTree(json)
+    def need(name: String): com.fasterxml.jackson.databind.JsonNode = {
+      val n = node.get(name)
+      if (n == null) throw new IllegalStateException(s"manifest lacks $name")
+      n
+    }
+    val format = Option(node.get("format")).map(_.asInt).getOrElse(1)
+    require(format <= FormatVersion,
+      s"manifest format $format is newer than this reader ($FormatVersion)")
+    val expected = (need("n_rows").asLong, need("content_hash").asLong)
     val data = spark.read.parquet(s"$dir/data")
-    val a = audit(data)
-    val ok = expected == ((a.n, a.xor)) && expSum == a.sum &&
-      expCols == data.columns.toSeq
+    val a = if (format >= 2) audit(data) else auditV1(data)
+    val sumOk = Option(node.get("sum_hash"))
+      .forall(s => BigInt(s.asText) == a.sum)
+    val colsOk = Option(node.get("columns")).forall { c =>
+      import scala.jdk.CollectionConverters._
+      c.elements.asScala.map(_.asText).toSeq == data.columns.toSeq
+    }
+    val ok = expected == ((a.n, a.xor)) && sumOk && colsOk
     (ok, expected, (a.n, a.xor))
   }
 }

@@ -100,4 +100,63 @@ class ManifestSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("never committed"))
   }
+
+  test("column names with quotes/commas/brackets round-trip (real JSON writer)") {
+    val d = tmp()
+    val df = rows.toDF("id", """v"quoted""", "g,comma]bracket")
+    Manifest.writeWithManifest(df, d)
+    val (ok, exp, act) = Manifest.verify(spark, d)
+    assert(ok, s"hostile column names must verify: $exp vs $act")
+    // …and the rename tamper is still caught through the escaping.
+    val renamed = spark.read.parquet(s"$d/data")
+      .withColumnRenamed("""v"quoted""", """v"evil""")
+    renamed.write.mode("overwrite").parquet(s"$d/data2")
+    val fs = new org.apache.hadoop.fs.Path(d)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$d/data"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$d/data2"),
+      new org.apache.hadoop.fs.Path(s"$d/data"))
+    assert(!Manifest.verify(spark, d)._1)
+  }
+
+  test("format-1 manifest (pre-r9 release) verifies via the legacy fallback") {
+    import org.apache.spark.sql.functions._
+    // A v1 release: data + a hand-built v1 manifest (no format field, no
+    // sum_hash, no columns; content_hash = XOR of the NO-null-marker row
+    // hash — exactly what the r7 writer emitted).
+    val d = tmp()
+    val df = rows.toDF("id", "v", "g")
+    df.write.parquet(s"$d/data")
+    val landed = spark.read.parquet(s"$d/data")
+    val r = landed
+      .select(xxhash64(landed.columns.toSeq.map(col): _*).as("h"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("x")).collect()(0)
+    val legacyJson =
+      s"""{"n_rows":${r.getLong(0)},"content_hash":${r.getLong(1)}}"""
+    val path = new org.apache.hadoop.fs.Path(s"$d/MANIFEST.json")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(path, true)
+    try out.write(legacyJson.getBytes("UTF-8")) finally out.close()
+    val (ok, exp, act) = Manifest.verify(spark, d)
+    assert(ok, s"legacy release must verify with the v1 row hash: $exp vs $act")
+    // A v1 manifest still catches v1-visible tampering…
+    val tampered = spark.read.parquet(s"$d/data").filter(col("id") =!= 3L)
+    tampered.write.mode("overwrite").parquet(s"$d/data2")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$d/data"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$d/data2"),
+      new org.apache.hadoop.fs.Path(s"$d/data"))
+    assert(!Manifest.verify(spark, d)._1, "legacy manifest must still catch a dropped row")
+  }
+
+  test("a manifest from a NEWER format than the reader is refused") {
+    val d = tmp()
+    rows.toDF("id", "v", "g").write.parquet(s"$d/data")
+    val json = s"""{"format":${Manifest.FormatVersion + 1},"n_rows":1,"content_hash":0}"""
+    val path = new org.apache.hadoop.fs.Path(s"$d/MANIFEST.json")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(path, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+    val e = intercept[IllegalArgumentException] { Manifest.verify(spark, d) }
+    assert(e.getMessage.contains("newer"))
+  }
 }

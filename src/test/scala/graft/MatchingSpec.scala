@@ -73,6 +73,24 @@ class MatchingSpec extends SparkSpec {
     assert(got == (0L until 6L).map(i => (i, 50L + i, 3L)).toSet)
   }
 
+  test("null scores are dropped from the pool, never winning as 'best' (ADVICE r9)") {
+    // Under the min(struct(-s, b)) rewrite a null score would sort FIRST
+    // and beat every real candidate; the pool filter must drop it in
+    // BOTH matchers instead.
+    val pairs = Seq((1L, Some(10L), 11L), (1L, None, 12L), (2L, None, 12L))
+      .map { case (a, s, b) => (a, b, s) }
+      .toDF("a", "b", "s")
+    val got = Matching.greedyRounds(pairs, "a", "b", "s", rounds = 2)
+      .select("a", "b", "score").as[(Long, Long, Long)].collect().toSet
+    // node 1's only real candidate wins; node 2 (null-only) matches nothing
+    assert(got == Set((1L, 11L, 10L)))
+    val gotCap = Matching.greedyRoundsCapacitated(pairs, "a", "b", "s",
+        Seq((1L, 1L)).toDF("a", "cap"), Seq((11L, 1L)).toDF("b", "cap"),
+        rounds = 2)
+      .select("a", "b", "score").as[(Long, Long, Long)].collect().toSet
+    assert(gotCap == Set((1L, 11L, 10L)))
+  }
+
   /** Sequential capacity-greedy under P: sort, accept while both
     * endpoints hold remaining capacity. */
   private def refGreedyCap(pairs: Seq[(Long, Long, Long)],

@@ -129,6 +129,52 @@ class MutualNnSpec extends SparkSpec {
     assert(got === want)
   }
 
+  // ---- beam-navigated variant (q210): the production-cell-count path.
+
+  test("beam at full connectivity == dense ivfMutualTop1 exactly") {
+    // degree = nLists−1 and depth ≥ 1 put EVERY cell into the beam
+    // ranking; with beamWidth = nLists the final beam IS the dense
+    // (d2, cell) ranking, so assignment and probe sets — and hence the
+    // whole mutual result — coincide with the dense path's.
+    val dense = collectPairs(Similarity.ivfMutualTop1(
+      left, right, "vec_id", "embedding", nLists = 8, nProbe = 4,
+      fixedCentroids = Some(Similarity.portableCentroids(8, dim))))
+    val beam = collectPairs(Similarity.ivfMutualTop1Beam(
+      left, right, "vec_id", "embedding", nLists = 8, nProbe = 4,
+      beamWidth = 8, depth = 1, degree = 7, entryCells = 1,
+      fixedCentroids = Some(Similarity.portableCentroids(8, dim))))
+    assert(dense.nonEmpty)
+    assert(beam === dense)
+  }
+
+  test("beam at pruned settings: recall vs brute mutual on the clustered fixture") {
+    val centers = Array.tabulate(nClu, dim) { (c, j) =>
+      if (j == c || j == (c + 1) % dim) 1.0 else 0.0
+    }
+    val approx = collectPairs(Similarity.ivfMutualTop1Beam(
+      left, right, "vec_id", "embedding", nLists = nClu, nProbe = 2,
+      beamWidth = 4, depth = 2, degree = 3, entryCells = 2,
+      fixedCentroids = Some(centers)))
+    val recall = (approx & bruteMutual).size.toDouble / bruteMutual.size
+    assert(recall >= 0.8, s"beam recall $recall vs brute mutual (${bruteMutual.size} pairs)")
+  }
+
+  test("marginMutualTop1Beam at full connectivity == dense marginMutualTop1") {
+    val dense = Similarity.marginMutualTop1(left, right, "vec_id",
+      "embedding", k = 4, nLists = 8, nProbe = 4,
+      fixedCentroids = Some(Similarity.portableCentroids(8, dim)))
+      .select(col("l_id"), col("r_id"), col("margin"))
+      .as[(Long, Long, Double)].collect().toSet
+    val beam = Similarity.marginMutualTop1Beam(left, right, "vec_id",
+      "embedding", k = 4, nLists = 8, nProbe = 4,
+      beamWidth = 8, depth = 1, degree = 7, entryCells = 1,
+      fixedCentroids = Some(Similarity.portableCentroids(8, dim)))
+      .select(col("l_id"), col("r_id"), col("margin"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(dense.nonEmpty)
+    assert(beam === dense)
+  }
+
   test("mutual pairs are one-to-one (each id appears at most once per side)") {
     val pairs = collectPairs(Similarity.ivfMutualTop1(
       left, right, "vec_id", "embedding", nLists = 8, nProbe = 3,

@@ -56,6 +56,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Exchange SinglePartition"))
   }
 
+  test("ivfMutualTop1Beam: no cross product, navigation joins broadcast") {
+    val l = (0L until 30L).map(i =>
+      i -> (0 until 8).map(j => ((i * 7 + j) % 13).toFloat / 13f)).toDF(
+      "vec_id", "embedding")
+    val r = (0L until 30L).map(i =>
+      (100 + i) -> (0 until 8).map(j => ((i * 11 + j) % 13).toFloat / 13f)).toDF(
+      "vec_id", "embedding")
+    val plan = planOf(graft.operators.Similarity.ivfMutualTop1Beam(
+      l, r, "vec_id", "embedding", nLists = 4, nProbe = 2,
+      beamWidth = 2, depth = 1, degree = 2, entryCells = 1,
+      fixedCentroids = Some(
+        graft.operators.Similarity.portableCentroids(4, 8))))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "entry is a literal-array explode, walk joins are equi-broadcasts")
+    assert(!plan.contains("Exchange SinglePartition"))
+    assert(plan.contains("BroadcastExchange"),
+      "centroid frame and neighbor graph must broadcast")
+  }
+
   test("ivfBeamTopK: navigation joins broadcast, no single-partition exchange") {
     val emb = (0L until 60L).map(i =>
       i -> (0 until 8).map(j => ((i * 7 + j) % 13).toFloat / 13f)).toDF(
