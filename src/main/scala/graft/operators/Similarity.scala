@@ -426,6 +426,19 @@ object Similarity {
    * Deterministic with fixed centroids (in-order double folds, integer
    * tie-breaks) — q210 replays the per-side navigation CTE-for-CTE in
    * DuckDB.
+   *
+   * PROVISION THE NAVIGATION FOR THE CELL COUNT: entryCells, degree,
+   * and depth must grow (logarithmically) with nLists — an
+   * under-provisioned walk (e.g. 2 entry cells + degree 4 into a
+   * 160-cell graph) can't reach most vectors' true cells, and the
+   * misassignments CONCENTRATE near the entry region, so the candidate
+   * equi-join on `cell` inherits a hot-cell skew on top of the recall
+   * loss (measured in ScaleSmoke's mutual_nn_beam rows; [[cellStats]]
+   * over the beam assignment is the pre-flight diagnostic). The flop
+   * win over the dense path only materializes once nLists far exceeds
+   * the walk's touch count (≈ entryCells + depth·beamWidth·(degree+1)),
+   * i.e. at 10⁴⁺ cells — below that the dense argmin is the cheaper
+   * AND exact choice.
    */
   def ivfMutualTop1Beam(left: DataFrame, right: DataFrame,
       idCol: String, vecCol: String,
@@ -498,6 +511,103 @@ object Similarity {
       .select(col("l_id"), col("r_id"), col("sim")))
   }
 
+  /** Driver-built, corpus-free navigation metadata shared by the beam
+    * consumers (the centroid array is driver-held either way): the
+    * centroid frame and its degree-NN graph under (d2, dst) order —
+    * in-order double accumulation, same convention as [[sqL2]], so the
+    * q210 oracle's list_inner_product mirror reproduces the graph
+    * bit-for-bit. O(nLists²·dim) driver flops — fine to ~10⁴ cells;
+    * beyond that the graph is built offline (possibly itself via ANN),
+    * exactly like a real HNSW upper layer. */
+  private def navFrames(spark: org.apache.spark.sql.SparkSession,
+      cents: Array[Array[Double]], degree: Int): (DataFrame, DataFrame) = {
+    val centDf = spark.createDataFrame(
+      cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) })
+      .toDF("cell", "centroid")
+    val nbrPairs: Seq[(Int, Int)] = cents.indices.flatMap { i =>
+      cents.indices.filter(_ != i).map { j =>
+        val a = cents(i); val b = cents(j)
+        var s = 0.0; var k = 0
+        while (k < a.length) { val d = a(k) - b(k); s += d * d; k += 1 }
+        (s, j)
+      }.sorted.take(degree).map { case (_, j) => (i, j) }
+    }
+    (centDf, spark.createDataFrame(nbrPairs).toDF("src", "dst"))
+  }
+
+  /** The per-vector centroid-graph walk: returns the final beam with
+    * its (d2, cell) rank — rn 1 is the cell assignment, rn ≤ nProbe the
+    * probe set. Beam rows (id, vec, cell, d2) carry the vector, so the
+    * expansion joins are all broadcast (neighbor graph, centroid frame)
+    * and the per-round shuffles — one (id, cell) dedup + one per-id
+    * row_number window — move only beam-bounded rows
+    * (≤ beamWidth·(degree+1) per vector), never touching nLists. */
+  private def beamWalk(side: DataFrame, id: String, vec: String,
+      cents: Array[Array[Double]], centDf: DataFrame, nbrDf: DataFrame,
+      beamWidth: Int, depth: Int, entryCells: Int): DataFrame = {
+    val wq = Window.partitionBy(col(id)).orderBy(col("d2"), col("cell"))
+    def keepBeam(b: DataFrame): DataFrame = b
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= beamWidth)
+      .select(col(id), col(vec), col("cell"), col("d2"))
+    // Entry: d2 to the fixed entry cells as a NARROW literal-array
+    // explode — entryCells is small by construction, so unlike the
+    // dense path's all-centroid literals this stays tiny at any
+    // nLists, and the walk has no nested-loop join at all.
+    val entry = array((0 until entryCells).map { c =>
+      struct(sqL2(col(vec), array(cents(c).map(lit): _*)).as("d2"),
+        lit(c).as("cell"))
+    }: _*)
+    // Each round's beam is PINNED: the expansion references it twice
+    // (neighbor join + union), and without the pin the lineage doubles
+    // per round — 2^depth re-executions of the entry subtree when
+    // exchange reuse fails to collapse the two references. The pin is
+    // beam-bounded (n·beamWidth slim rows) and released by the caller's
+    // CacheScope.
+    var beam = CacheScope.pin(keepBeam(side
+      .select(col(id), col(vec), explode(entry).as("e"))
+      .select(col(id), col(vec), col("e.cell").as("cell"),
+        col("e.d2").as("d2"))))
+    for (_ <- 1 to depth) {
+      val expanded = beam
+        .join(broadcast(nbrDf), col("cell") === col("src"))
+        .select(col(id), col(vec), col("dst").as("cell"))
+        .unionByName(beam.select(col(id), col(vec), col("cell")))
+        .dropDuplicates(id, "cell")
+        .join(broadcast(centDf), Seq("cell"))
+        .withColumn("d2", sqL2(col(vec), col("centroid")))
+      beam = CacheScope.pin(keepBeam(expanded))
+    }
+    CacheScope.pin(beam.withColumn("rn", row_number().over(wq)))
+  }
+
+  /**
+   * Beam-navigated cell ASSIGNMENT: (id, cell) for every vector — the
+   * artifact-build step of the IVF scale story ("assignment is computed
+   * once and the corpus written bucketed by cell") at production cell
+   * counts, where the dense argmin's n·nLists term is the cost
+   * [[ivfMutualTop1Beam]]'s scaladoc describes. Per-vector work is
+   * O(entryCells + beamWidth·degree·depth) centroid touches,
+   * independent of nLists. Approximate like every beam walk (a vector
+   * whose true cell the walk never reaches is assigned its nearest
+   * REACHED cell); with degree ≥ nLists−1 and depth ≥ 1 it equals the
+   * dense argmin exactly (AnnSpec-style pin in MutualNnSpec).
+   */
+  def beamAssign(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], beamWidth: Int = 8, depth: Int = 3,
+      degree: Int = 4, entryCells: Int = 2): DataFrame = {
+    require(centroids.nonEmpty, "centroids must be non-empty")
+    require(beamWidth >= 1 && depth >= 0 && degree >= 1 && entryCells >= 1,
+      s"bad beam params ($beamWidth, $depth, $degree, $entryCells)")
+    require(entryCells <= centroids.length,
+      s"entryCells ($entryCells) > cells (${centroids.length})")
+    val (centDf, nbrDf) = navFrames(df.sparkSession, centroids, degree)
+    beamWalk(df.select(col(idCol).as("id"), col(vecCol).as("vec")),
+      "id", "vec", centroids, centDf, nbrDf, beamWidth, depth, entryCells)
+      .filter(col("rn") === 1)
+      .select(col("id"), col("cell"))
+  }
+
   /** Beam-navigated sibling of [[mutualCandidateSims]]: identical
     * candidate-union / exact-cosine contract, but assignment and probe
     * sets come from the centroid-graph walk (see [[ivfMutualTop1Beam]]
@@ -519,60 +629,12 @@ object Similarity {
       nLists, seed, maxIter))
     require(entryCells <= cents.length,
       s"entryCells ($entryCells) > cells (${cents.length})")
+    val (centDf, nbrDf) = navFrames(spark, cents, degree)
 
-    // Driver-built, corpus-free navigation metadata (the centroid array
-    // is driver-held either way): the centroid frame and its degree-NN
-    // graph under (d2, dst) order — in-order double accumulation, same
-    // convention as sqL2, so the q210 oracle's list_inner_product
-    // mirror reproduces the graph bit-for-bit.
-    val centDf = spark.createDataFrame(
-      cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) })
-      .toDF("cell", "centroid")
-    val nbrPairs: Seq[(Int, Int)] = cents.indices.flatMap { i =>
-      cents.indices.filter(_ != i).map { j =>
-        val a = cents(i); val b = cents(j)
-        var s = 0.0; var k = 0
-        while (k < a.length) { val d = a(k) - b(k); s += d * d; k += 1 }
-        (s, j)
-      }.sorted.take(degree).map { case (_, j) => (i, j) }
-    }
-    val nbrDf = spark.createDataFrame(nbrPairs).toDF("src", "dst")
-
-    // Per-side walk: beam rows (id, vec, cell, d2) carry the vector, so
-    // the expansion joins are all broadcast (neighbor graph, centroid
-    // frame) and the per-round shuffles — one (id, cell) dedup + one
-    // per-id row_number window — move only beam-bounded rows
-    // (≤ beamWidth·(degree+1) per vector), never touching nLists.
     def assignAndProbe(side: DataFrame, id: String, vec: String)
         : (DataFrame, DataFrame) = {
-      val wq = Window.partitionBy(col(id)).orderBy(col("d2"), col("cell"))
-      def keepBeam(b: DataFrame): DataFrame = b
-        .withColumn("rn", row_number().over(wq))
-        .filter(col("rn") <= beamWidth)
-        .select(col(id), col(vec), col("cell"), col("d2"))
-      // Entry: d2 to the fixed entry cells as a NARROW literal-array
-      // explode — entryCells is small by construction, so unlike the
-      // dense path's all-centroid literals this stays tiny at any
-      // nLists, and the walk has no nested-loop join at all.
-      val entry = array((0 until entryCells).map { c =>
-        struct(sqL2(col(vec), array(cents(c).map(lit): _*)).as("d2"),
-          lit(c).as("cell"))
-      }: _*)
-      var beam = keepBeam(side
-        .select(col(id), col(vec), explode(entry).as("e"))
-        .select(col(id), col(vec), col("e.cell").as("cell"),
-          col("e.d2").as("d2")))
-      for (_ <- 1 to depth) {
-        val expanded = beam
-          .join(broadcast(nbrDf), col("cell") === col("src"))
-          .select(col(id), col(vec), col("dst").as("cell"))
-          .unionByName(beam.select(col(id), col(vec), col("cell")))
-          .dropDuplicates(id, "cell")
-          .join(broadcast(centDf), Seq("cell"))
-          .withColumn("d2", sqL2(col(vec), col("centroid")))
-        beam = keepBeam(expanded)
-      }
-      val fin = CacheScope.pin(beam.withColumn("rn", row_number().over(wq)))
+      val fin = beamWalk(side, id, vec, cents, centDf, nbrDf,
+        beamWidth, depth, entryCells)
       (fin.filter(col("rn") === 1).select(col(id), col("cell")),
         fin.filter(col("rn") <= nProbe).select(col(id), col("cell")))
     }
@@ -639,10 +701,54 @@ object Similarity {
       nLists, nProbe, beamWidth, depth, degree, entryCells, seed, maxIter,
       fixedCentroids), k)
 
+  /**
+   * Margin-RANKED candidate pairs — the thresholded-mining face of the
+   * margin criterion (CCMatrix keeps every pair above a margin cut,
+   * not only mutual argmaxes; ranked lists also feed human review and
+   * threshold calibration): every cell-bounded candidate pair scored
+   * by the [[marginMutualTop1]] margin, ranked per LEFT node
+   * (margin desc, ties to the smaller r_id), top `topK` kept.
+   * Same candidate machinery, same nano-quantized integer folds and
+   * positive-denominator guard; one extra rank window (partitioned by
+   * l_id, fan-in probe-bounded) instead of the mutual argmax join.
+   * Returns (l_id, r_id, rank, margin), margin rounded to 6 (q211).
+   */
+  def marginTopK(left: DataFrame, right: DataFrame,
+      idCol: String, vecCol: String, k: Int = 4, topK: Int = 3,
+      nLists: Int = 16, nProbe: Int = 4,
+      seed: Long = 42L, maxIter: Int = 5,
+      fixedCentroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    require(topK >= 1, s"topK >= 1: $topK")
+    val margins = marginScores(mutualCandidateSims(left, right, idCol,
+      vecCol, nLists, nProbe, seed, maxIter, fixedCentroids), k)
+    val w = Window.partitionBy(col("l_id"))
+      .orderBy(col("margin").desc, col("r_id"))
+    margins
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("l_id"), col("r_id"), col("rank"),
+        round(col("margin"), 6).as("margin"))
+  }
+
   /** Margin-scoring + mutual-argmax tail shared by the margin variants
     * (the [[marginMutualTop1]] scaladoc's contract, including the
     * positive-denominator guard). */
   private def marginFromSims(simsIn: DataFrame, k: Int): DataFrame = {
+    val margins = marginScores(simsIn, k)
+    val bestL = margins.groupBy(col("l_id"))
+      .agg(min(struct((-col("margin")).as("nm"), col("r_id"))).as("m"))
+      .select(col("l_id"), col("m.r_id").as("r_id"),
+        (-col("m.nm")).as("margin"))
+    val bestR = margins.groupBy(col("r_id"))
+      .agg(min(struct((-col("margin")).as("nm"), col("l_id"))).as("m"))
+      .select(col("r_id"), col("m.l_id").as("l_id"))
+    bestL.join(bestR, Seq("l_id", "r_id"))
+      .select(col("l_id"), col("r_id"), round(col("margin"), 6).as("margin"))
+  }
+
+  /** Margin scoring over candidate sims: (l_id, r_id, margin), pinned —
+    * the shared core of [[marginFromSims]] and [[marginTopK]]. */
+  private def marginScores(simsIn: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k >= 1: $k")
     val sims = simsIn
       .withColumn("sim_n", round(col("sim") * 1e9).cast("long"))
@@ -671,7 +777,7 @@ object Similarity {
     // (Artetxe & Schwenk's corpora guarantee it; arbitrary inputs
     // don't), so the guard is part of the operator's contract and the
     // q209 mirror carries the identical predicate.
-    val margins = CacheScope.pin(ranked
+    CacheScope.pin(ranked
       .join(avgL, Seq("l_id")).join(avgR, Seq("r_id"))
       .withColumn("den", col("suml") * col("cr") + col("sumr") * col("cl"))
       .filter(col("den") > 0)
@@ -679,15 +785,6 @@ object Similarity {
         (col("sim_n") * 2 * col("cl") * col("cr")).cast("double") /
           col("den").cast("double"))
       .select(col("l_id"), col("r_id"), col("margin")))
-    val bestL = margins.groupBy(col("l_id"))
-      .agg(min(struct((-col("margin")).as("nm"), col("r_id"))).as("m"))
-      .select(col("l_id"), col("m.r_id").as("r_id"),
-        (-col("m.nm")).as("margin"))
-    val bestR = margins.groupBy(col("r_id"))
-      .agg(min(struct((-col("margin")).as("nm"), col("l_id"))).as("m"))
-      .select(col("r_id"), col("m.l_id").as("l_id"))
-    bestL.join(bestR, Seq("l_id", "r_id"))
-      .select(col("l_id"), col("r_id"), round(col("margin"), 6).as("margin"))
   }
 
   /**
@@ -711,21 +808,43 @@ object Similarity {
    * the whole report sits under a hash oracle (q208).
    */
   def cellStats(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]]): DataFrame =
+    cellStatsFromCounts(corpus.sparkSession,
+      cellCounts(corpus, vecCol, centroids), centroids.length)
+
+  /** The foldable half of [[cellStats]]: (cell, n) occupied-cell counts
+    * of a frame — an associative per-cell sum, which is what gives the
+    * report a streaming face for free
+    * ([[graft.streaming.ArtifactStreams.cellStatsStream]]): audit each
+    * increment, fold by cell, never rescan the corpus. */
+  def cellCounts(corpus: DataFrame, vecCol: String,
       centroids: Array[Array[Double]]): DataFrame = {
     require(centroids.nonEmpty, "centroids must be non-empty")
-    val spark = corpus.sparkSession
     val d2s = array(centroids.map(c =>
       sqL2(col(vecCol), array(c.map(lit): _*))): _*)
-    val counts = corpus
+    corpus
       .select((array_position(d2s, array_min(d2s)) - 1).cast("int").as("cell"))
       .groupBy(col("cell")).agg(count(lit(1)).as("n"))
-    val total = counts.agg(sum(col("n")).as("tot"))
-    spark.range(centroids.length).select(col("id").cast("int").as("cell"))
+  }
+
+  /** The report half of [[cellStats]]: complete a (cell, n) count table
+    * to every cell 0..nCells−1 (empties at 0 — absence being the
+    * diagnostic) with exact integer permille shares. */
+  def cellStatsFromCounts(spark: org.apache.spark.sql.SparkSession,
+      counts: DataFrame, nCells: Int): DataFrame = {
+    require(nCells >= 1, s"nCells >= 1: $nCells")
+    val total = counts.agg(
+      coalesce(sum(col("n")), lit(0L)).as("tot"))
+    spark.range(nCells.toLong).select(col("id").cast("int").as("cell"))
       .join(counts, Seq("cell"), "left")
       .na.fill(0L, Seq("n"))
       .crossJoin(broadcast(total))
       .select(col("cell"), col("n").as("n_vectors"),
-        expr("(n * 1000) div tot").as("share_permille"))
+        // greatest(tot, 1): an EMPTY count table (possible for a
+        // stream's first read) reports all-zero shares instead of a
+        // division-by-zero error; for any non-empty corpus tot ≥ 1 and
+        // the guard is inert.
+        expr("(n * 1000) div greatest(tot, 1)").as("share_permille"))
   }
 
   /** K-means centroids over a single `v` vector column — the trained-

@@ -2311,6 +2311,115 @@ object LlmQueries {
              FROM l2r l JOIN r2l USING (l_id, r_id)
              ORDER BY en_id""")),
 
+
+    // ---- Margin-RANKED bitext candidates (Similarity.marginTopK):
+    // the thresholded-mining face of q209's margin criterion — CCMatrix
+    // keeps every pair above a margin cut, not only mutual argmaxes,
+    // and ranked per-source lists feed threshold calibration and human
+    // review. Same cell-bounded candidates, same nano-quantized margin
+    // arithmetic and denominator guard; ONE rank window (partitioned by
+    // the English side, fan-in probe-bounded) replaces the mutual
+    // argmax join. Top-3 per English doc.
+    Q("q211_bitext_rank",
+      (s, d) => {
+        val emb = T.embeddings(s, d).join(
+          T.documents(s, d).select(col("doc_id"), col("lang")),
+          col("vec_id") === col("doc_id"))
+        val en = emb.filter(col("lang") === "en")
+          .select(col("vec_id"), col("embedding"))
+        val xx = emb.filter(col("lang") =!= "en")
+          .select(col("vec_id"), col("embedding"))
+        Similarity.marginTopK(en, xx, "vec_id", "embedding",
+          k = 4, topK = 3, nLists = 16, nProbe = 4,
+          fixedCentroids = Some(Similarity.portableCentroids(16, 64)))
+          .select(col("l_id").as("en_id"), col("r_id").as("xx_id"),
+            col("rank"), col("margin"))
+          .orderBy(col("en_id"), col("rank"))
+      },
+      Some("""WITH cents AS (
+               SELECT c.cell, d.dim,
+                 (CAST('0x' || substr(md5('c|' || CAST(c.cell AS VARCHAR) ||
+                    '|' || CAST(d.dim AS VARCHAR)), 1, 8) AS BIGINT)
+                  / 2147483648.0 - 1.0) * 0.25 AS w
+               FROM range(16) c(cell) CROSS JOIN range(64) d(dim)),
+             clists AS (
+               SELECT cell, list(w ORDER BY dim) AS cvec
+               FROM cents GROUP BY cell),
+             v AS (
+               SELECT vec_id, lang,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+               FROM embeddings JOIN documents ON vec_id = doc_id),
+             en AS (SELECT vec_id, emb FROM v WHERE lang = 'en'),
+             xx AS (SELECT vec_id, emb FROM v WHERE lang <> 'en'),
+             end2 AS (
+               SELECT e.vec_id, c.cell,
+                 list_inner_product(
+                   list_transform(range(1, 65), i -> emb[i] - cvec[i]),
+                   list_transform(range(1, 65), i -> emb[i] - cvec[i])) AS d2
+               FROM en e CROSS JOIN clists c),
+             xxd2 AS (
+               SELECT x.vec_id, c.cell,
+                 list_inner_product(
+                   list_transform(range(1, 65), i -> emb[i] - cvec[i]),
+                   list_transform(range(1, 65), i -> emb[i] - cvec[i])) AS d2
+               FROM xx x CROSS JOIN clists c),
+             enp AS (
+               SELECT vec_id, cell, rn FROM (
+                 SELECT vec_id, cell, row_number() OVER (
+                   PARTITION BY vec_id ORDER BY d2, cell) AS rn
+                 FROM end2) WHERE rn <= 4),
+             xxp AS (
+               SELECT vec_id, cell, rn FROM (
+                 SELECT vec_id, cell, row_number() OVER (
+                   PARTITION BY vec_id ORDER BY d2, cell) AS rn
+                 FROM xxd2) WHERE rn <= 4),
+             ena AS (SELECT vec_id, cell FROM enp WHERE rn = 1),
+             xxa AS (SELECT vec_id, cell FROM xxp WHERE rn = 1),
+             cand AS (
+               SELECT DISTINCT l_id, r_id FROM (
+                 SELECT p.vec_id AS l_id, a.vec_id AS r_id
+                 FROM enp p JOIN xxa a USING (cell)
+                 UNION ALL
+                 SELECT a.vec_id AS l_id, p.vec_id AS r_id
+                 FROM xxp p JOIN ena a USING (cell))),
+             sims AS (
+               SELECT cand.l_id, cand.r_id,
+                 CAST(round(1000000000 * list_inner_product(a.emb, b.emb) /
+                   (sqrt(list_inner_product(a.emb, a.emb)) *
+                    sqrt(list_inner_product(b.emb, b.emb)))) AS BIGINT)
+                   AS sim_n
+               FROM cand
+               JOIN en a ON a.vec_id = cand.l_id
+               JOIN xx b ON b.vec_id = cand.r_id),
+             rk AS (
+               SELECT l_id, r_id, sim_n,
+                 row_number() OVER (PARTITION BY l_id
+                   ORDER BY sim_n DESC, r_id) AS rkl,
+                 row_number() OVER (PARTITION BY r_id
+                   ORDER BY sim_n DESC, l_id) AS rkr
+               FROM sims),
+             al AS (SELECT l_id, CAST(sum(sim_n) AS BIGINT) AS suml,
+                      CAST(count(*) AS BIGINT) AS cl
+                    FROM rk WHERE rkl <= 4 GROUP BY l_id),
+             ar AS (SELECT r_id, CAST(sum(sim_n) AS BIGINT) AS sumr,
+                      CAST(count(*) AS BIGINT) AS cr
+                    FROM rk WHERE rkr <= 4 GROUP BY r_id),
+             mg AS (
+               SELECT rk.l_id, rk.r_id,
+                 CAST(rk.sim_n * 2 * al.cl * ar.cr AS DOUBLE) /
+                   CAST(al.suml * ar.cr + ar.sumr * al.cl AS DOUBLE)
+                   AS margin
+               FROM rk JOIN al USING (l_id) JOIN ar USING (r_id)
+               WHERE al.suml * ar.cr + ar.sumr * al.cl > 0)
+             SELECT l_id AS en_id, r_id AS xx_id, CAST(rank AS INT) AS rank,
+               round(margin, 6) AS margin
+             FROM (
+               SELECT l_id, r_id, margin, row_number() OVER (
+                 PARTITION BY l_id ORDER BY margin DESC, r_id) AS rank
+               FROM mg)
+             WHERE rank <= 3
+             ORDER BY en_id, rank""")),
+
     // ---- Length-distribution matching weights: per (lang, length
     // bucket) resampling weight that reshapes every language's length
     // distribution onto ENGLISH's — the length-bias correction a

@@ -95,6 +95,25 @@ object ArtifactStreams {
       (s, b) => graft.sinks.Manifest.mergeAudits(
         s, graft.sinks.Manifest.auditFrame(b)))(sink)
 
+  /** Streaming IVF cell-balance maintenance (q208's report over an
+    * unbounded vector stream): the carried artifact is the per-cell
+    * count table — each trigger dense-assigns ONLY its own batch and
+    * folds by cell sum (associative, so stream == batch exactly —
+    * CellStatsStreamSpec pins it), keeping the skew report that tunes
+    * nProbe/beamWidth and triggers centroid re-training current as the
+    * corpus grows, with no rescan. Read the full report (empty cells,
+    * permille) at any trigger via
+    * [[graft.operators.Similarity.cellStatsFromCounts]] over the
+    * carried artifact. */
+  def cellStatsStream(vecs: DataFrame, vecCol: String,
+      centroids: Array[Array[Double]])(
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
+    foldStream(vecs)(
+      b => graft.operators.Similarity.cellCounts(b, vecCol, centroids),
+      (s, b) => s.unionByName(
+        graft.operators.Similarity.cellCounts(b, vecCol, centroids))
+        .groupBy(col("cell")).agg(sum(col("n")).as("n")))(sink)
+
   /** Streaming weighted reservoir (A-ES over an unbounded stream): the
     * carried artifact is the current top-k by the q120 nano-key, and
     * because the key is a pure row property, "top-k of (carried top-k ∪

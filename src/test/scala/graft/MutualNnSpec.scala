@@ -175,6 +175,25 @@ class MutualNnSpec extends SparkSpec {
     assert(beam === dense)
   }
 
+  test("beamAssign at full connectivity == dense argmin assignment") {
+    val cents = Similarity.portableCentroids(8, dim)
+    // beamWidth 1 suffices: degree = nLists−1 puts every cell into the
+    // round-1 ranking, whose top-1 IS the global argmin.
+    val got = Similarity.beamAssign(left, "vec_id", "embedding", cents,
+      beamWidth = 1, depth = 1, degree = 7, entryCells = 1)
+      .as[(Long, Int)].collect().toMap
+    val want = (0 until 40).map { i =>
+      val v = vec(i % nClu, i)
+      val d2s = cents.map { c =>
+        var s = 0.0; var k = 0
+        while (k < c.length) { val d = v(k).toDouble - c(k); s += d * d; k += 1 }
+        s
+      }
+      i.toLong -> d2s.zipWithIndex.minBy { case (d, idx) => (d, idx) }._2
+    }.toMap
+    assert(got === want)
+  }
+
   test("mutual pairs are one-to-one (each id appears at most once per side)") {
     val pairs = collectPairs(Similarity.ivfMutualTop1(
       left, right, "vec_id", "embedding", nLists = 8, nProbe = 3,
