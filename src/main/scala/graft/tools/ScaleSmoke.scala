@@ -510,9 +510,10 @@ object ScaleSmoke {
       // n²/nLists — quadratic by construction, measured once at 89 s
       // for m=5 vs 7 s at constant occupancy — which is the
       // operator's documented anti-pattern, not its operating point.
-      // (The n·nLists argmin assignment is the remaining m² term —
-      // tight codegen flops; at 10⁵⁺ cells production assigns via the
-      // ivfBeamTopK navigation instead.)
+      // The n·nLists argmin assignment is the remaining m² term; the
+      // beam-walk assignment (mutual_nn_beam row below, and the
+      // assign_dense/assign_beam isolation pair) is the code path that
+      // removes it — flat per-vector cost as nLists grows.
       if (wanted("mutual_nn") && m <= 10) {
         val emb = df.select(col("doc_id").as("vec_id"),
           expr("""transform(sequence(1, 64), i ->
@@ -529,7 +530,127 @@ object ScaleSmoke {
             fixedCentroids = Some(
               graft.operators.Similarity.portableCentroids(16 * m, 64)))
         }
+        // Round-10 (VERDICT r9 #1): the SAME operating point with
+        // beam-navigated assignment (q210). The navigation is
+        // PROVISIONED for the cell count (entry 8, degree 8, depth 4 —
+        // see the ivfMutualTop1Beam scaladoc: an under-provisioned walk
+        // mis-assigns toward the entry region and the candidate join
+        // inherits hot-cell skew; first measured here at (2, 4, 3) on
+        // 160 cells — 167 s vs dense 21 s at m=10, the failure-mode row
+        // SCALE.md reports). At these cell counts the walk touches
+        // ≈ 300 cells ≥ nLists, so it can't beat the dense argmin on
+        // flops — the pair measures the walk's per-round machinery
+        // overhead staying FLAT in nLists while the dense term grows.
+        runOnce("mutual_nn_beam") {
+          graft.operators.Similarity.ivfMutualTop1Beam(
+            emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+            emb.filter(pmod(col("vec_id"), lit(2)) === 1),
+            "vec_id", "embedding", nLists = 16 * m, nProbe = 4,
+            beamWidth = 8, depth = 4, degree = 8, entryCells = 8,
+            fixedCentroids = Some(
+              graft.operators.Similarity.portableCentroids(16 * m, 64)))
+        }
         graft.operators.CacheScope.unpinCheckpoint(emb)
+      }
+      // Round-10: ASSIGNMENT-cost isolation — the exact term VERDICT r9
+      // #1 names. nLists = 64·m, so the dense argmin does 64·m d2
+      // evaluations per vector while the beam walk touches a constant
+      // ≈ 2 + 3·8·5 centroids regardless; both rows end in a
+      // cell-count-sized rollup so the materialized output is
+      // comparable. The dense row's per-vector work grows with m ON TOP
+      // of the corpus growth (n·nLists ∝ m²); the beam row's is ∝ m.
+      if ((wanted("assign") || wanted("beam_skew")) && m <= 10) {
+        val emb = df.select(col("doc_id").as("vec_id"),
+          expr("""transform(sequence(1, 64), i ->
+            CAST(CAST(pmod(conv(substring(md5(concat(
+              CAST(doc_id AS STRING), '|', CAST(i AS STRING))), 1, 6),
+              16, 10), 1000) AS DOUBLE) / 1000.0 - 0.5 AS FLOAT))""")
+            .as("embedding"))
+          .localCheckpoint(true)
+        val cents = graft.operators.Similarity.portableCentroids(64 * m, 64)
+        runOnce("assign_dense") {
+          graft.operators.Similarity.cellStats(emb, "vec_id", "embedding",
+            cents)
+        }
+        runOnce("assign_beam") {
+          graft.operators.Similarity.beamAssign(emb, "vec_id", "embedding",
+            cents)
+            .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+        }
+        // Occupancy-skew diagnostic (not a timing row): top-cell permille
+        // under dense vs beam assignment — the cellStats readout that
+        // explains why the BEAM mutual candidate join blows up at small
+        // nLists (mis-assignments concentrate; candidates per probe ∝
+        // occupancy) while the walk itself stays cheap.
+        if (wanted("beam_skew")) {
+          val ((dmax, bmax), caches) = graft.operators.CacheScope.tracking {
+            def maxShare(counts: DataFrame): Long =
+              graft.operators.Similarity
+                .cellStatsFromCounts(spark, counts, cents.length)
+                .agg(max(col("share_permille"))).collect()(0).getLong(0)
+            (maxShare(graft.operators.Similarity.cellCounts(
+                emb, "embedding", cents)),
+              maxShare(graft.operators.Similarity.beamAssign(
+                  emb, "vec_id", "embedding", cents)
+                .groupBy(col("cell")).agg(count(lit(1)).as("n"))))
+          }
+          caches.release()
+          println(s"$m,$n,beam_skew,dense_top_permille=$dmax,beam_top_permille=$bmax")
+        }
+        graft.operators.CacheScope.unpinCheckpoint(emb)
+      }
+      // Round-10 (VERDICT r9 #3): tiered vs full exact span dedup on a
+      // LIGHTLY-duplicated corpus — the regime the composition exists
+      // for. Every copy's tokens are uniquified (no cross-copy window
+      // repeats), then a fixed 30-token passage is planted in 2% of
+      // docs: tier 1 flags only those neighborhoods, so tier 2's
+      // O(n·L)-character range sort touches a small fraction of the
+      // corpus. The tiered_spans row above runs the SAME pair on the
+      // m× near-dup corpus — the composition's worst case (nearly every
+      // window flagged) — so the four rows bracket both regimes.
+      if (wanted("light_spans")) {
+        val passage = (0 until 30).map(j => s"plantedtok$j").mkString(" ")
+        val uniq = (0 until m).map { i =>
+          base.select(
+            (col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+            regexp_replace(col("text"), "(\\S+)", s"$$1c$i").as("text"))
+        }.reduce(_ unionByName _)
+        val planted = uniq.select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(50)) === 0,
+            concat(col("text"), lit(" " + passage)))
+            .otherwise(col("text")).as("text"))
+          .localCheckpoint(true)
+        runOnce("light_spans_full") {
+          graft.operators.SuffixDedup.duplicateSpans(planted, "doc_id",
+            "text", minLen = 10)
+        }
+        runOnce("light_spans_tiered") {
+          graft.operators.SuffixDedup.tieredDuplicateSpans(planted, "doc_id",
+            "text", minLen = 10)
+        }
+        // At minLen=10 with short synthetic tokens the suffix sort key
+        // (~65 B) is only ~2× tier 1's 16-byte digest, so the tier's win
+        // is mostly hidden at local scale; minLen=50 widens the key to
+        // ~300 B/position — the regime where shipping digests and
+        // sorting only flagged neighborhoods visibly beats sorting the
+        // corpus (the 30-token passage is below 50, so a longer one is
+        // planted for this pair).
+        val passage50 = (0 until 70).map(j => s"longplant$j").mkString(" ")
+        val planted50 = uniq.select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(50)) === 0,
+            concat(col("text"), lit(" " + passage50)))
+            .otherwise(col("text")).as("text"))
+          .localCheckpoint(true)
+        runOnce("light50_spans_full") {
+          graft.operators.SuffixDedup.duplicateSpans(planted50, "doc_id",
+            "text", minLen = 50)
+        }
+        runOnce("light50_spans_tiered") {
+          graft.operators.SuffixDedup.tieredDuplicateSpans(planted50,
+            "doc_id", "text", minLen = 50)
+        }
+        graft.operators.CacheScope.unpinCheckpoint(planted)
+        graft.operators.CacheScope.unpinCheckpoint(planted50)
       }
       graft.queries.PipelineQueries.resetCache(spark)
       spark.catalog.clearCache()
