@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Motif finding over a plain (src, dst) edge frame — a GraphFrames-style
+ * structural-pattern surface (the public `graphframes.GraphFrame.find`
+ * grammar, reduced to its node-variable core) compiled STRAIGHT to
+ * Catalyst joins: no graph runtime, no custom execution, every term is
+ * an equi-join (or anti-join) the optimizer plans like any other.
+ *
+ * Pattern grammar (terms separated by `;`):
+ *  - positive term `(a)-[]->(b)`: an edge from `a` to `b`. Named vars
+ *    bind across terms (`(a)-[]->(b); (b)-[]->(c)` chains); a repeated
+ *    pair adds a constraint (`(a)-[]->(b); (b)-[]->(a)` = reciprocal);
+ *    `(a)-[]->(a)` matches self-loops. `()` is anonymous: matched,
+ *    never returned, each occurrence distinct.
+ *  - negated term `!(a)-[]->(b)`: no such edge exists — compiled to a
+ *    LEFT ANTI join. An anonymous end is unconstrained:
+ *    `!(b)-[]->()` keeps rows whose `b` has NO out-edge at all.
+ *  - edge-variable bindings (`-[e]->`) are NOT supported — join edge
+ *    attributes onto the result by (src, dst) afterwards; a silent
+ *    ignore would be worse than the restriction.
+ *
+ * Semantics: one output row per assignment of the named node variables
+ * (times anonymous-variable multiplicity — `distinct()` the result if
+ * instances are wanted set-wise); columns are the named variables in
+ * first-appearance order. Matches GraphFrames' join semantics over a
+ * deduplicated edge list.
+ *
+ * Scale shape: k positive terms compile to k−1 equi-joins keyed on the
+ * shared variables and each negation to one anti-join — all
+ * broadcastable/AQE-planned like any join in this library. Disconnected
+ * patterns (a term sharing no variable with what's already bound) are
+ * REJECTED rather than planned as cross products — run separate finds
+ * and combine deliberately if a cartesian is truly meant. Negations are
+ * applied after all positive terms (pure filters — order-independent),
+ * so every anti-join probes the full bound frame once.
+ */
+object Motifs {
+
+  private val Term = """^(!?)\((\w*)\)-\[(\w*)\]->\((\w*)\)$""".r
+
+  def find(edges: DataFrame, pattern: String,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val terms: Seq[(Boolean, String, String)] =
+      pattern.split(";").map(_.trim).filter(_.nonEmpty).toSeq.map {
+        case Term(neg, a, e, b) =>
+          require(e.isEmpty,
+            s"edge variable [$e] unsupported — join edge attributes by (src, dst) after find()")
+          (neg == "!", a, b)
+        case t => throw new IllegalArgumentException(
+          s"bad motif term '$t' — expected (a)-[]->(b) or !(a)-[]->(b)")
+      }
+    require(terms.nonEmpty, "empty motif pattern")
+    val (negs, poss) = terms.partition(_._1)
+    require(poss.nonEmpty, "motif needs at least one positive term")
+
+    val e = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
+    var fresh = 0
+    def anon(): String = { fresh += 1; s"__anon$fresh" }
+    var order = Vector.empty[String]
+    def note(v: String): Unit =
+      if (!v.startsWith("__anon") && !order.contains(v)) order :+= v
+
+    var cur: Option[DataFrame] = None
+    poss.foreach { case (_, a0, b0) =>
+      val a = if (a0.isEmpty) anon() else a0
+      val b = if (b0.isEmpty) anon() else b0
+      val tf =
+        if (a == b) e.filter(col("__s") === col("__d"))
+          .select(col("__s").as(a))
+        else e.select(col("__s").as(a), col("__d").as(b))
+      cur = cur match {
+        case None => Some(tf)
+        case Some(c) =>
+          val overlap = tf.columns.toSeq.filter(c.columns.contains)
+          require(overlap.nonEmpty,
+            s"disconnected motif term ($a0)-[]->($b0) — would be a cross " +
+              "product; run separate find() calls and combine deliberately")
+          Some(c.join(tf, overlap))
+      }
+      note(a); note(b)
+    }
+    var out = cur.get
+    negs.foreach { case (_, a0, b0) =>
+      require(a0.nonEmpty || b0.nonEmpty,
+        "negated term needs at least one named variable")
+      Seq(a0, b0).filter(_.nonEmpty).foreach { v =>
+        require(out.columns.contains(v),
+          s"negated term references unbound variable '$v' — negations " +
+            "constrain variables introduced by positive terms")
+      }
+      val conds = Seq(
+        if (a0.nonEmpty) Some(out(a0) === e("__s")) else None,
+        if (b0.nonEmpty) Some(out(b0) === e("__d")) else None).flatten
+      out = out.join(e, conds.reduce(_ && _), "left_anti")
+    }
+    out.select(order.map(col): _*)
+  }
+}

@@ -690,7 +690,130 @@ object PipelineQueries {
             "sc", capA, capB, rounds = 3)
           .orderBy(col("round"), col("a"))
       },
-      Some(CapMatchingSql(3)))
+      Some(CapMatchingSql(3))),
+
+    // ---- Motif finding (Motifs.find — the GraphFrames-style pattern
+    // surface compiled straight to Catalyst joins): OPEN trade wedges
+    // on the nation-level trade graph — nation a's customers buy from
+    // b, b's from c, but a's never buy from c ("unclosed intermediary"
+    // triads, the negative-space complement of q103's triangles). The
+    // edge list is thinned to rare high-quantity/discount returns so
+    // the 25-node graph is sparse enough to HAVE open wedges; the
+    // pattern's two equi-joins + one anti-join mirror 1:1 into the
+    // oracle's join + NOT EXISTS.
+    Q("q212_motif_open_wedge",
+      (s, d) => {
+        val e = T.lineitem(s, d)
+          .filter(col("l_quantity") >= 48 && col("l_discount") >= 0.09 &&
+            col("l_returnflag") === "R")
+          .join(T.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(T.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(T.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+          .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+          .distinct()
+        graft.operators.Motifs
+          .find(e, "(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)")
+          .filter(col("a") =!= col("b") && col("b") =!= col("c") &&
+            col("a") =!= col("c"))
+          .groupBy(col("a"))
+          .agg(count(lit(1)).as("n_open"))
+          .orderBy(col("a"))
+      },
+      Some("""WITH e AS (
+               SELECT DISTINCT c.c_nationkey AS s, su.s_nationkey AS d
+               FROM lineitem l
+               JOIN orders o ON l.l_orderkey = o.o_orderkey
+               JOIN customer c ON o.o_custkey = c.c_custkey
+               JOIN supplier su ON l.l_suppkey = su.s_suppkey
+               WHERE l.l_quantity >= 48 AND l.l_discount >= 0.09
+                 AND l.l_returnflag = 'R'),
+             w AS (
+               SELECT e1.s AS a, e1.d AS b, e2.d AS c
+               FROM e e1 JOIN e e2 ON e1.d = e2.s
+               WHERE NOT EXISTS (
+                   SELECT 1 FROM e e3 WHERE e3.s = e1.s AND e3.d = e2.d)
+                 AND e1.s <> e1.d AND e1.d <> e2.d AND e1.s <> e2.d)
+             SELECT a, count(*) AS n_open
+             FROM w GROUP BY a ORDER BY a""")),
+
+    // ---- Hybrid retrieval (Retrieval.rrfFuse): reciprocal-rank fusion
+    // of a lexical BM25 top-20 (q102's scorer, terms fixed) with a
+    // semantic cosine top-20 (vec 0 as the embedded query, q195's brute
+    // scorer — the spec-reference tier is fine at k·|corpus| = 20·500).
+    // Ids share a space (doc_id == vec_id where both exist); each
+    // system contributes the exact integer 1e6 div (60 + rank), so the
+    // fused score is int64-reproducible in any engine. Both rank lists
+    // are ≤ 20 rows — the single-partition rank windows are bounded.
+    Q("q213_hybrid_rrf",
+      (s, d) => {
+        val lexW = org.apache.spark.sql.expressions.Window
+          .orderBy(col("score_micro").desc, col("doc_id"))
+        val lex = graft.sinks.SearchIndex
+          .bm25(TextQueries.tokens(s, d),
+            Seq("query", "window", "stream"), topK = 20)
+          .select(col("doc_id").as("id"), row_number().over(lexW).as("rank"))
+        val e = T.embeddings(s, d)
+        val sem = graft.operators.Similarity
+          .bruteForceTopK(e, e.filter(col("vec_id") === 0),
+            "vec_id", "embedding", k = 20)
+          .select(col("n_id").as("id"), col("rank"))
+        graft.operators.Retrieval
+          .rrfFuse(Seq("lex" -> lex, "sem" -> sem), idCols = Seq("id"))
+          .orderBy(col("rrf_micro").desc, col("id"))
+          .limit(15)
+      },
+      Some("""WITH t AS (
+               SELECT doc_id, tok FROM (
+                 SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                 FROM documents) WHERE tok <> ''),
+             dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+             tot AS (SELECT count(*) AS n_docs,
+               CAST(sum(dl) AS BIGINT) AS total_toks FROM dl),
+             cand AS (
+               SELECT doc_id, tok, count(*) AS tf FROM t
+               WHERE tok IN ('query', 'window', 'stream')
+               GROUP BY doc_id, tok),
+             dfs AS (SELECT tok, count(DISTINCT doc_id) AS df
+               FROM cand GROUP BY tok),
+             scored AS (
+               SELECT c.doc_id,
+                 CAST(round(ln((CAST(n_docs - df AS DOUBLE) + 0.5)
+                   / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+                   * (CAST(tf AS DOUBLE) * 2.2)
+                   / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+                      * CAST(n_docs AS DOUBLE) / CAST(total_toks AS DOUBLE)))
+                   * 1000000) AS BIGINT) AS score_micro
+               FROM cand c JOIN dfs USING (tok) JOIN dl USING (doc_id)
+               CROSS JOIN tot),
+             lex_top AS (
+               SELECT doc_id, CAST(sum(score_micro) AS BIGINT) AS s
+               FROM scored GROUP BY doc_id
+               ORDER BY s DESC, doc_id LIMIT 20),
+             lexr AS (
+               SELECT doc_id AS id,
+                 row_number() OVER (ORDER BY s DESC, doc_id) AS rank
+               FROM lex_top),
+             v AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+               FROM embeddings),
+             q AS (SELECT emb AS q_emb FROM v WHERE vec_id = 0),
+             sims AS (
+               SELECT c.vec_id,
+                 list_inner_product(c.emb, q_emb) /
+                   (sqrt(list_inner_product(c.emb, c.emb)) *
+                    sqrt(list_inner_product(q_emb, q_emb))) AS sim
+               FROM v c CROSS JOIN q WHERE c.vec_id <> 0),
+             semr AS (
+               SELECT id, rank FROM (
+                 SELECT vec_id AS id,
+                   row_number() OVER (ORDER BY sim DESC, vec_id) AS rank
+                 FROM sims) WHERE rank <= 20),
+             u AS (SELECT id, rank FROM lexr
+               UNION ALL SELECT id, rank FROM semr)
+             SELECT id, count(*) AS n_systems, CAST(min(rank) AS INT) AS best_rank,
+               CAST(sum(1000000 // (60 + rank)) AS BIGINT) AS rrf_micro
+             FROM u GROUP BY id
+             ORDER BY rrf_micro DESC, id LIMIT 15"""))
   )
 
   /** q199 oracle: the b-suitor rounds unrolled with explicit capacity

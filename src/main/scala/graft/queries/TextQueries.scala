@@ -109,7 +109,7 @@ object TextQueries {
       (shared, sizes)
     })
 
-  private val TokensSql =
+  private[queries] val TokensSql =
     "SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents"
 
   val all: Seq[Q] = Seq(

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Motifs
+
+/**
+ * Motifs.find vs a nested-loop sequential reference on random directed
+ * graphs: chains, triangles, reciprocal pairs, self-loops, negated
+ * closures, existential negation ("no out-edge at all"), plus the
+ * pattern-compiler's refusal cases (cross products, unbound negation
+ * vars, edge bindings).
+ */
+class MotifsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Deterministic random-ish digraph, self-loops included.
+  private def graph(seed: Int, n: Int = 11): Seq[(Long, Long)] =
+    (for { a <- 0 until n; b <- 0 until n }
+      yield (a.toLong, b.toLong))
+      .filter { case (a, b) => (a * 31 + b * 17 + seed * 7) % 10 < 3 }
+
+  private def df(es: Seq[(Long, Long)]) = es.toDF("src", "dst")
+
+  for (seed <- Seq(1, 2)) {
+    test(s"3-chain, triangle, reciprocal == nested-loop reference, seed $seed") {
+      val es = graph(seed)
+      val set = es.toSet
+      val chain = Motifs.find(df(es), "(a)-[]->(b); (b)-[]->(c)")
+        .as[(Long, Long, Long)].collect().toSet
+      val refChain = (for { (a, b) <- es; (b2, c) <- es if b2 == b }
+        yield (a, b, c)).toSet
+      assert(chain === refChain)
+
+      val tri = Motifs.find(df(es), "(a)-[]->(b); (b)-[]->(c); (c)-[]->(a)")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(tri === refChain.filter { case (a, _, c) => set((c, a)) }
+        .map { case (a, b, c) => (a, b, c) })
+
+      val recip = Motifs.find(df(es), "(a)-[]->(b); (b)-[]->(a)")
+        .as[(Long, Long)].collect().toSet
+      assert(recip === es.filter { case (a, b) => set((b, a)) }.toSet)
+    }
+
+    test(s"negated closure and existential negation == reference, seed $seed") {
+      val es = graph(seed)
+      val set = es.toSet
+      val open = Motifs.find(df(es), "(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)")
+        .as[(Long, Long, Long)].collect().toSet
+      val refOpen = (for { (a, b) <- es; (b2, c) <- es if b2 == b }
+        yield (a, b, c)).filter { case (a, _, c) => !set((a, c)) }.toSet
+      assert(open === refOpen)
+
+      // edges into sinks: dst has no out-edge at all
+      val toSink = Motifs.find(df(es), "(a)-[]->(b); !(b)-[]->()")
+        .as[(Long, Long)].collect().toSet
+      val outs = es.map(_._1).toSet
+      assert(toSink === es.filter { case (_, b) => !outs(b) }.toSet)
+    }
+  }
+
+  test("self-loop variable and anonymous multiplicity") {
+    val es = Seq((1L, 1L), (1L, 2L), (2L, 3L), (2L, 4L))
+    val loops = Motifs.find(df(es), "(a)-[]->(a)")
+      .as[Long].collect().toSeq
+    assert(loops == Seq(1L))
+    // (a)-[]->(): one row per out-edge (anonymous multiplicity kept)
+    val fanout = Motifs.find(df(es), "(a)-[]->()")
+      .as[Long].collect().toSeq.sorted
+    assert(fanout == Seq(1L, 1L, 2L, 2L))
+  }
+
+  test("compiler refusals: cross product, unbound negation, edge binding, junk") {
+    val es = df(Seq((1L, 2L)))
+    val cross = intercept[IllegalArgumentException] {
+      Motifs.find(es, "(a)-[]->(b); (c)-[]->(d)")
+    }
+    assert(cross.getMessage.contains("cross product"))
+    val unbound = intercept[IllegalArgumentException] {
+      Motifs.find(es, "(a)-[]->(b); !(a)-[]->(z)")
+    }
+    assert(unbound.getMessage.contains("unbound"))
+    val ev = intercept[IllegalArgumentException] {
+      Motifs.find(es, "(a)-[e]->(b)")
+    }
+    assert(ev.getMessage.contains("edge variable"))
+    val junk = intercept[IllegalArgumentException] {
+      Motifs.find(es, "(a)->(b)")
+    }
+    assert(junk.getMessage.contains("bad motif term"))
+  }
+
+  test("motif compiles to joins only — no cartesian in the plan") {
+    val es = df(graph(3))
+    val plan = Motifs.find(es, "(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+}
