@@ -49,6 +49,9 @@ object Motifs {
         case Term(neg, a, e, b) =>
           require(e.isEmpty,
             s"edge variable [$e] unsupported — join edge attributes by (src, dst) after find()")
+          Seq(a, b).foreach(v => require(!v.startsWith("__"),
+            s"variable '$v' — names starting with __ are reserved " +
+              "(internal anonymous/edge columns)"))
           (neg == "!", a, b)
         case t => throw new IllegalArgumentException(
           s"bad motif term '$t' — expected (a)-[]->(b) or !(a)-[]->(b)")

@@ -31,8 +31,10 @@ import org.apache.spark.sql.functions._
  *
  * @param ranked  (systemName, frame) pairs; each frame carries `idCols`
  *                and `rankCol` (1-based int rank within that system's
- *                list for the identity's query). Names must be distinct —
- *                a system fusing twice would double-count.
+ *                list for the identity's query), ONE row per identity —
+ *                rank lists are unique by construction, and a duplicated
+ *                identity would contribute twice. Names must be
+ *                distinct — a system fusing twice would double-count.
  * @param idCols  the fused identity (e.g. `Seq("q_id", "doc_id")`;
  *                `Seq("doc_id")` for a single query)
  * @return one row per identity: idCols…, `n_systems` (how many systems

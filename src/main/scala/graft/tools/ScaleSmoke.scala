@@ -426,6 +426,17 @@ object ScaleSmoke {
         graft.operators.Bfs.relaxDistances(e,
           spark.range(5).select(col("id").as("node_id")), rounds = 4)
       }
+      // Round-10: motif pattern matching — the 3-term open-wedge pattern
+      // (two equi-joins + one anti-join). At fixed average degree the
+      // wedge frame is Σ in(b)·out(b) ≈ nodes·deg² — linear in m — and
+      // every join is a plain shuffled/AQE-planned equi-join, so wall
+      // should track edges near-linearly (no pattern-runtime overhead to
+      // amortize; this IS just Catalyst joins).
+      runOnce("motif_open_wedge") {
+        graft.operators.Motifs.find(smokeGraph(20).distinct(),
+          "(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)")
+          .groupBy(col("a")).agg(count(lit(1)).as("n_open"))
+      }
       // Round-8: exact suffix-array-grade substring dedup — O(n·L)
       // characters through ONE range shuffle; should track token count
       // near-linearly (the m× corpus makes every original window an

@@ -88,6 +88,10 @@ class MotifsSpec extends SparkSpec {
       Motifs.find(es, "(a)->(b)")
     }
     assert(junk.getMessage.contains("bad motif term"))
+    val reserved = intercept[IllegalArgumentException] {
+      Motifs.find(es, "(__anon1)-[]->(b)")
+    }
+    assert(reserved.getMessage.contains("reserved"))
   }
 
   test("motif compiles to joins only — no cartesian in the plan") {
