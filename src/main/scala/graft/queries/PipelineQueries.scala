@@ -813,7 +813,59 @@ object PipelineQueries {
              SELECT id, count(*) AS n_systems, CAST(min(rank) AS INT) AS best_rank,
                CAST(sum(1000000 // (60 + rank)) AS BIGINT) AS rrf_micro
              FROM u GROUP BY id
-             ORDER BY rrf_micro DESC, id LIMIT 15"""))
+             ORDER BY rrf_micro DESC, id LIMIT 15""")),
+
+    // ---- Motifs on the reference's own graph: BROKER entities in the
+    // q41 co-occurrence network — b co-occurs with both a and c, but a
+    // and c never co-occur directly, so b is the only path between them
+    // (Burt's structural holes; in VizLinc terms, the person linking two
+    // otherwise-separate circles — see SURVEY §0's analyst workflow).
+    // The thresholded edge set is symmetrized (the network is
+    // undirected) and the open-wedge pattern counts distinct brokered
+    // (a, c) pairs per b; a < c dedupes the unordered pair.
+    Q("q214_motif_brokers",
+      (s, d) => {
+        val (mentions, entities, assign) = corefPipeline(s, d)
+        val edges = SocialNetwork.cooccurrenceEdges(
+          assign, mentions.select("mention_id", "doc_id"), entities,
+          maxEntitiesPerDoc = SocialNetwork.DefaultMaxEntitiesPerDoc)
+        val (_, kept) = SocialNetwork.thresholded(entities, edges)
+        val names = entities.select(col("entity_id"), col("entity_text"))
+        val und = kept
+          .join(names.withColumnRenamed("entity_id", "src_entity_id")
+            .withColumnRenamed("entity_text", "src_name"), Seq("src_entity_id"))
+          .join(names.withColumnRenamed("entity_id", "dst_entity_id")
+            .withColumnRenamed("entity_text", "dst_name"), Seq("dst_entity_id"))
+          .select(least(col("src_name"), col("dst_name")).as("s"),
+            greatest(col("src_name"), col("dst_name")).as("d"))
+          .distinct()
+        val sym = und.union(und.select(col("d").as("s"), col("s").as("d")))
+        graft.operators.Motifs
+          .find(sym, "(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)",
+            srcCol = "s", dstCol = "d")
+          .filter(col("a") < col("c"))
+          .groupBy(col("b")).agg(count(lit(1)).as("n_brokered"))
+          .select(col("b").as("broker"), col("n_brokered"))
+          .orderBy(col("broker"))
+      },
+      Some(CorefSql + """,
+        net AS (
+          SELECT DISTINCT doc_id, entity_text
+          FROM wd_final WHERE created_by = 'across_doc_person_coref'),
+        e0 AS (
+          SELECT a.entity_text AS s, b.entity_text AS d
+          FROM net a JOIN net b
+            ON a.doc_id = b.doc_id AND a.entity_text < b.entity_text
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+        e AS (SELECT s, d FROM e0 UNION ALL SELECT d AS s, s AS d FROM e0),
+        w AS (
+          SELECT e1.s AS a, e1.d AS b, e2.d AS c
+          FROM e e1 JOIN e e2 ON e1.d = e2.s
+          WHERE e1.s < e2.d
+            AND NOT EXISTS (
+              SELECT 1 FROM e e3 WHERE e3.s = e1.s AND e3.d = e2.d))
+        SELECT b AS broker, count(*) AS n_brokered
+        FROM w GROUP BY b ORDER BY broker"""))
   )
 
   /** q199 oracle: the b-suitor rounds unrolled with explicit capacity
