@@ -222,9 +222,13 @@ object Bench {
     val shShort = results.map { case (k, _, b) => "\"" + shortKey(k) + "\":" + b }
       .mkString("{", ",", "}")
     val fileLine = compactLine.stripSuffix("}") + s""","shuffle_bytes":$shShort}"""
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_summary.json"),
-      fileLine + "\n" + fullLine + "\n")
+    // Only a FULL run may replace the artifact: a regex-filtered
+    // iteration run would otherwise clobber the committed battery-wide
+    // summary with a one-query file.
+    if (nameFilter.isEmpty)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("bench_summary.json"),
+        fileLine + "\n" + fullLine + "\n")
     spark.stop()
   }
 }

@@ -823,6 +823,16 @@ object PipelineQueries {
     // The thresholded edge set is symmetrized (the network is
     // undirected) and the open-wedge pattern counts distinct brokered
     // (a, c) pairs per b; a < c dedupes the unordered pair.
+    //
+    // HUB GUARD: wedges per node are C(deg, 2) — a few hub entities
+    // (very common names co-occurring with everything) inflate the
+    // wedge frame quadratically in THEIR degree (first bench of the
+    // uncapped query: 6.5 GB shuffle, 60 s, vs 77 MB for the next
+    // heaviest graph query). Brokerage is computed on the induced
+    // subgraph of nodes with degree ≤ 32: hubs connect everything and
+    // broker nothing meaningful, and the cap bounds the wedge frame by
+    // nodes·C(32,2) — linear in the graph. Same guard class as q103's
+    // triangle join; the oracle mirrors the degree CTE + induced edges.
     Q("q214_motif_brokers",
       (s, d) => {
         val (mentions, entities, assign) = corefPipeline(s, d)
@@ -840,8 +850,13 @@ object PipelineQueries {
             greatest(col("src_name"), col("dst_name")).as("d"))
           .distinct()
         val sym = und.union(und.select(col("d").as("s"), col("s").as("d")))
+        val keepNodes = sym.groupBy(col("s")).agg(count(lit(1)).as("deg"))
+          .filter(col("deg") <= 32).select(col("s").as("n"))
+        val induced = sym
+          .join(keepNodes.select(col("n").as("s")), Seq("s"), "left_semi")
+          .join(keepNodes.select(col("n").as("d")), Seq("d"), "left_semi")
         graft.operators.Motifs
-          .find(sym, "(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)",
+          .find(induced, "(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)",
             srcCol = "s", dstCol = "d")
           .filter(col("a") < col("c"))
           .groupBy(col("b")).agg(count(lit(1)).as("n_brokered"))
@@ -858,12 +873,17 @@ object PipelineQueries {
             ON a.doc_id = b.doc_id AND a.entity_text < b.entity_text
           GROUP BY 1, 2 HAVING count(*) >= 2),
         e AS (SELECT s, d FROM e0 UNION ALL SELECT d AS s, s AS d FROM e0),
+        deg AS (SELECT s, count(*) AS deg FROM e GROUP BY s),
+        keep AS (SELECT s AS n FROM deg WHERE deg <= 32),
+        ei AS (
+          SELECT e.s, e.d FROM e
+          JOIN keep k1 ON e.s = k1.n JOIN keep k2 ON e.d = k2.n),
         w AS (
           SELECT e1.s AS a, e1.d AS b, e2.d AS c
-          FROM e e1 JOIN e e2 ON e1.d = e2.s
+          FROM ei e1 JOIN ei e2 ON e1.d = e2.s
           WHERE e1.s < e2.d
             AND NOT EXISTS (
-              SELECT 1 FROM e e3 WHERE e3.s = e1.s AND e3.d = e2.d))
+              SELECT 1 FROM ei e3 WHERE e3.s = e1.s AND e3.d = e2.d))
         SELECT b AS broker, count(*) AS n_brokered
         FROM w GROUP BY b ORDER BY broker"""))
   )
