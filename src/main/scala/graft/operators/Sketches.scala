@@ -552,13 +552,18 @@ object Sketches {
     * keep the k smallest of the union with membership flags, and count
     * how many sit in both — ρ = both/k estimates J(A,B) (Beyer 2007).
     * O(pairs·k) work, artifacts only — the corpus never re-enters.
+    * The group list is sketch-HOLDERS (languages, domains, snapshots) —
+    * bounded by contract, so its self pair enumeration broadcasts one
+    * side (a bounded-build nested loop, never an unbroadcast cartesian;
+    * BatteryPlanSpec sweeps the whole battery for exactly that).
     * Returns (ga, gb, k_used, n_both, jaccard_est). */
   def kmvJaccardPairs(sketches: DataFrame, groupCol: String,
       k: Int = 64): DataFrame = {
     val rows = sketches.select(col(groupCol).as("g"), col("h"))
     val groups = rows.select(col("g")).distinct()
     val pairs = groups.select(col("g").as("ga"))
-      .join(groups.select(col("g").as("gb")), col("ga") < col("gb"))
+      .join(broadcast(groups.select(col("g").as("gb"))),
+        col("ga") < col("gb"))
     val pooled = pairs.join(rows, col("g") === col("ga"))
       .select(col("ga"), col("gb"), col("h"),
         lit(1L).as("ina"), lit(0L).as("inb"))
