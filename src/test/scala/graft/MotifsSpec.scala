@@ -70,7 +70,32 @@ class MotifsSpec extends SparkSpec {
     assert(fanout == Seq(1L, 1L, 2L, 2L))
   }
 
-  test("compiler refusals: cross product, unbound negation, edge binding, junk") {
+  test("edge variables bind the full edge row as a struct") {
+    val es = Seq((1L, 2L, 10L), (2L, 3L, 20L), (3L, 4L, 30L), (1L, 3L, 99L))
+      .toDF("src", "dst", "w")
+    // chain with both edges bound: weights ride along without a re-join
+    val got = Motifs.find(es, "(a)-[e1]->(b); (b)-[e2]->(c)")
+      .select(col("a"), col("b"), col("c"),
+        col("e1.w").as("w1"), col("e2.w").as("w2"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val ref = Set(
+      (1L, 2L, 3L, 10L, 20L), (2L, 3L, 4L, 20L, 30L),
+      (1L, 3L, 4L, 99L, 30L))
+    assert(got === ref)
+    // struct carries ALL edge columns, src/dst included
+    val one = Motifs.find(es, "(a)-[e]->(b)")
+      .select(col("e.src"), col("e.dst"), col("e.w"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(one === es.as[(Long, Long, Long)].collect().toSet)
+    // self-loop with an edge binding
+    val loops = Motifs.find(
+      df(Seq((5L, 5L), (5L, 6L))).withColumn("tag", col("src") * 2),
+      "(a)-[e]->(a)").select(col("a"), col("e.tag"))
+      .as[(Long, Long)].collect().toSeq
+    assert(loops == Seq((5L, 10L)))
+  }
+
+  test("compiler refusals: cross product, unbound/edge-bound negation, junk") {
     val es = df(Seq((1L, 2L)))
     val cross = intercept[IllegalArgumentException] {
       Motifs.find(es, "(a)-[]->(b); (c)-[]->(d)")
@@ -80,10 +105,18 @@ class MotifsSpec extends SparkSpec {
       Motifs.find(es, "(a)-[]->(b); !(a)-[]->(z)")
     }
     assert(unbound.getMessage.contains("unbound"))
-    val ev = intercept[IllegalArgumentException] {
-      Motifs.find(es, "(a)-[e]->(b)")
+    val negEv = intercept[IllegalArgumentException] {
+      Motifs.find(es, "(a)-[]->(b); !(a)-[e]->(b)")
     }
-    assert(ev.getMessage.contains("edge variable"))
+    assert(negEv.getMessage.contains("negated term"))
+    val dupEv = intercept[IllegalArgumentException] {
+      Motifs.find(es, "(a)-[e]->(b); (b)-[e]->(c)")
+    }
+    assert(dupEv.getMessage.contains("duplicate edge variable"))
+    val clashEv = intercept[IllegalArgumentException] {
+      Motifs.find(es, "(a)-[b]->(b)")
+    }
+    assert(clashEv.getMessage.contains("both node and edge"))
     val junk = intercept[IllegalArgumentException] {
       Motifs.find(es, "(a)->(b)")
     }
