@@ -885,7 +885,64 @@ object PipelineQueries {
             AND NOT EXISTS (
               SELECT 1 FROM ei e3 WHERE e3.s = e1.s AND e3.d = e2.d))
         SELECT b AS broker, count(*) AS n_brokered
-        FROM w GROUP BY b ORDER BY broker"""))
+        FROM w GROUP BY b ORDER BY broker""")),
+
+    // ---- Edge-variable motifs: MAX-BOTTLENECK 2-hop routes between
+    // non-partner nations. q212's thinned trade edges gain an integer
+    // weight (qualifying-lineitem count); the pattern binds both hop
+    // edges as structs — `(a)-[e1]->(b); (b)-[e2]->(c); !(a)-[]->(c)` —
+    // so the route capacity min(w1, w2) is computed straight off the
+    // bindings, no re-join. Best intermediary per unlinked (a, c) pair
+    // via the library's map-side-combined min(struct(-cap, via)) argmax
+    // (exact integers; smallest via on ties); the oracle mirrors with a
+    // rank window over the same join + NOT EXISTS frame.
+    Q("q215_motif_bottleneck",
+      (s, d) => {
+        val e = T.lineitem(s, d)
+          .filter(col("l_quantity") >= 48 && col("l_discount") >= 0.09 &&
+            col("l_returnflag") === "R")
+          .join(T.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(T.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(T.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+          .agg(count(lit(1)).as("w"))
+        graft.operators.Motifs
+          .find(e, "(a)-[e1]->(b); (b)-[e2]->(c); !(a)-[]->(c)")
+          .filter(col("a") =!= col("b") && col("b") =!= col("c") &&
+            col("a") =!= col("c"))
+          .select(col("a"), col("c"),
+            least(col("e1.w"), col("e2.w")).as("cap"), col("b"))
+          .groupBy(col("a"), col("c"))
+          .agg(min(struct((-col("cap")).as("ncap"), col("b").as("via")))
+            .as("m"))
+          .select(col("a"), col("c"), (-col("m.ncap")).as("bottleneck"),
+            col("m.via").as("via"))
+          .orderBy(col("a"), col("c"))
+      },
+      Some("""WITH e AS (
+               SELECT c.c_nationkey AS s, su.s_nationkey AS d,
+                 count(*) AS w
+               FROM lineitem l
+               JOIN orders o ON l.l_orderkey = o.o_orderkey
+               JOIN customer c ON o.o_custkey = c.c_custkey
+               JOIN supplier su ON l.l_suppkey = su.s_suppkey
+               WHERE l.l_quantity >= 48 AND l.l_discount >= 0.09
+                 AND l.l_returnflag = 'R'
+               GROUP BY 1, 2),
+             w AS (
+               SELECT e1.s AS a, e2.d AS c, e1.d AS b,
+                 least(e1.w, e2.w) AS cap
+               FROM e e1 JOIN e e2 ON e1.d = e2.s
+               WHERE NOT EXISTS (
+                   SELECT 1 FROM e e3 WHERE e3.s = e1.s AND e3.d = e2.d)
+                 AND e1.s <> e1.d AND e1.d <> e2.d AND e1.s <> e2.d),
+             r AS (
+               SELECT a, c, b AS via, cap,
+                 row_number() OVER (PARTITION BY a, c
+                   ORDER BY cap DESC, b) AS rk
+               FROM w)
+             SELECT a, c, CAST(cap AS BIGINT) AS bottleneck, via
+             FROM r WHERE rk = 1 ORDER BY a, c"""))
   )
 
   /** q199 oracle: the b-suitor rounds unrolled with explicit capacity
