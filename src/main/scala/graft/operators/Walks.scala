@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic random walks over an edge list — the DeepWalk /
+ * node2vec corpus-generation step (Perozzi et al. 2014): every node
+ * starts `walksPerNode` walkers, each walker takes `walkLength` uniform
+ * steps along out-edges, and the emitted node sequences become
+ * skip-gram training pairs. The reference's graph surface stops at
+ * direct co-occurrence links (/root/reference/src/SocialNetworkDCO
+ * .groovy:53-84); walk corpora are the standard next step when the
+ * entity network feeds a representation-learning pipeline.
+ *
+ * DETERMINISM: the walker at node u (walk w, step t) moves to the
+ * out-neighbor v minimizing md5(seed|w|t|u|v). A min-hash draw over the
+ * neighborhood is an exact uniform choice in distribution (every
+ * neighbor is the argmin with equal probability, by symmetry of the
+ * hash), yet the whole corpus is a pure function of (graph, seed) — no
+ * RNG state to ship to executors, bit-identical on re-run/retry, and
+ * REPLAYABLE in plain SQL, so the full recursion sits under an exact
+ * DuckDB hash oracle (q216) with one unrolled CTE pair per step.
+ *
+ * Per step this is ONE equi-join (frontier × edges on the current
+ * node) and ONE map-side-combined min(struct) aggregate — the
+ * [[Bfs]] discipline. Frontier size is exactly
+ * |startNodes|·walksPerNode rows (minus dead-ended walkers) at EVERY
+ * step — it never grows — and the edge table is never mutated: bucket
+ * it by `src` once at 100 TB and every step reuses the layout. Walkers
+ * at a node with no out-edge stop (inner join drops them), matching
+ * the DeepWalk convention of truncated walks. Lineage is cut per step
+ * with an eager localCheckpoint (single-JVM harness; a cluster
+ * deployment keeps persist/checkpoint — see PipelineQueries' note).
+ */
+object Walks {
+
+  /**
+   * @param edges directed edge list with string columns `src`, `dst`
+   *              (symmetrize upstream for an undirected graph);
+   *              duplicate edges are deduped so multi-edges don't bias
+   *              the draw
+   * @param walksPerNode walkers started per distinct source node
+   * @param walkLength steps per walker (output has ≤ walkLength+1
+   *              positions per walk, including the start)
+   * @param seed any string; same (graph, seed) → identical corpus
+   * @return (walk_id, step, node) — step 0 is the start node; a walk
+   *         that dead-ends at step t has no rows past t
+   */
+  def deterministicWalks(edges: DataFrame, walksPerNode: Int,
+      walkLength: Int, seed: String): DataFrame = {
+    require(walksPerNode >= 1, "walksPerNode must be >= 1")
+    require(walkLength >= 0, "walkLength must be >= 0")
+    val e = edges.select(col("src").cast("string").as("src"),
+      col("dst").cast("string").as("dst")).distinct()
+    val reps = (0 until walksPerNode).map(lit(_))
+    var frontier = e.select(col("src").as("start")).distinct()
+      .select(explode(array(reps: _*)).as("rep"), col("start"))
+      .select(concat_ws("#", col("start"), col("rep")).as("walk_id"),
+        col("start").as("node"))
+      .localCheckpoint(true)
+    var corpus = frontier.select(col("walk_id"), lit(0).as("step"),
+      col("node"))
+    for (t <- 1 to walkLength) {
+      // min-hash draw: the struct min is computed map-side per
+      // (walk_id), so the shuffle carries one row per live walker
+      frontier = frontier
+        .join(e, frontier("node") === e("src"))
+        .select(col("walk_id"), col("dst"),
+          md5(concat_ws("|", lit(seed), col("walk_id"),
+            lit(t), col("node"), col("dst")).cast("binary")).as("h"))
+        .groupBy(col("walk_id"))
+        .agg(min(struct(col("h"), col("dst"))).as("m"))
+        .select(col("walk_id"), col("m.dst").as("node"))
+        .localCheckpoint(true)
+      corpus = corpus.union(
+        frontier.select(col("walk_id"), lit(t).as("step"), col("node")))
+    }
+    corpus
+  }
+
+  /**
+   * Skip-gram context pairs from a walk corpus (the training-pair
+   * extraction of word2vec/DeepWalk): for every walk position, each of
+   * the next `window` positions contributes one directed
+   * (center, context) pair. ONE self-join partitioned by walk_id with
+   * a bounded step-band (fan-out ≤ window per row, never quadratic in
+   * walk length) + ONE map-side-combined count.
+   *
+   * @param walks (walk_id, step, node) as produced by
+   *              [[deterministicWalks]]
+   * @return (center, context, pairs) — co-visit counts, the skip-gram
+   *         corpus in aggregated form
+   */
+  def skipgramPairs(walks: DataFrame, window: Int): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val a = walks.select(col("walk_id"), col("step").as("s1"),
+      col("node").as("center"))
+    val b = walks.select(col("walk_id"), col("step").as("s2"),
+      col("node").as("context"))
+    a.join(b, Seq("walk_id"))
+      .filter(col("s2") > col("s1") && col("s2") <= col("s1") + window)
+      .groupBy(col("center"), col("context"))
+      .agg(count(lit(1)).as("pairs"))
+  }
+}

@@ -942,7 +942,90 @@ object PipelineQueries {
                    ORDER BY cap DESC, b) AS rk
                FROM w)
              SELECT a, c, CAST(cap AS BIGINT) AS bottleneck, via
-             FROM r WHERE rk = 1 ORDER BY a, c"""))
+             FROM r WHERE rk = 1 ORDER BY a, c""")),
+
+    // ---- DeepWalk corpus over the trade network (Walks): every nation
+    // starts 2 hash-seeded walkers on q212's thinned edge set (self
+    // loops dropped so walks move), 3 uniform steps each — the draw is
+    // the argmin of md5(seed|walk|step|u|v) over the out-neighborhood,
+    // so the whole recursion replays in SQL: one (candidates, rank-1
+    // pick) CTE pair per step, then the skip-gram window-2 self-join
+    // that turns the corpus into training pairs. Per step the Spark
+    // side is one frontier×edges equi-join + a map-side-combined
+    // min(struct) — frontier size NEVER grows (|nodes|·2 rows); at
+    // 100 TB the edge table is bucketed by src once and every step
+    // reuses the layout (scaladoc in operators/Walks.scala).
+    Q("q216_walk_corpus",
+      (s, d) => {
+        val e = T.lineitem(s, d)
+          .filter(col("l_quantity") >= 48 && col("l_discount") >= 0.09 &&
+            col("l_returnflag") === "R")
+          .join(T.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(T.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(T.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+          .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+          .filter(col("src") =!= col("dst"))
+          .distinct()
+        val walks = graft.operators.Walks
+          .deterministicWalks(e, walksPerNode = 2, walkLength = 3,
+            seed = "w2v")
+        graft.operators.Walks.skipgramPairs(walks, window = 2)
+          .orderBy(col("center"), col("context"))
+      },
+      Some("""WITH e AS (
+               SELECT DISTINCT CAST(c.c_nationkey AS VARCHAR) AS src,
+                 CAST(su.s_nationkey AS VARCHAR) AS dst
+               FROM lineitem l
+               JOIN orders o ON l.l_orderkey = o.o_orderkey
+               JOIN customer c ON o.o_custkey = c.c_custkey
+               JOIN supplier su ON l.l_suppkey = su.s_suppkey
+               WHERE l.l_quantity >= 48 AND l.l_discount >= 0.09
+                 AND l.l_returnflag = 'R' AND c.c_nationkey <> su.s_nationkey),
+             w0 AS (
+               SELECT s.src || '#' || r.r AS walk_id, s.src AS node
+               FROM (SELECT DISTINCT src FROM e) s
+               CROSS JOIN (SELECT unnest([0, 1]) AS r) r),
+             c1 AS (
+               SELECT w.walk_id, e.dst,
+                 md5('w2v|' || w.walk_id || '|1|' || w.node || '|' || e.dst)
+                   AS h
+               FROM w0 w JOIN e ON w.node = e.src),
+             w1 AS (
+               SELECT walk_id, dst AS node FROM (
+                 SELECT walk_id, dst, row_number() OVER (
+                   PARTITION BY walk_id ORDER BY h, dst) AS rk FROM c1)
+               WHERE rk = 1),
+             c2 AS (
+               SELECT w.walk_id, e.dst,
+                 md5('w2v|' || w.walk_id || '|2|' || w.node || '|' || e.dst)
+                   AS h
+               FROM w1 w JOIN e ON w.node = e.src),
+             w2 AS (
+               SELECT walk_id, dst AS node FROM (
+                 SELECT walk_id, dst, row_number() OVER (
+                   PARTITION BY walk_id ORDER BY h, dst) AS rk FROM c2)
+               WHERE rk = 1),
+             c3 AS (
+               SELECT w.walk_id, e.dst,
+                 md5('w2v|' || w.walk_id || '|3|' || w.node || '|' || e.dst)
+                   AS h
+               FROM w2 w JOIN e ON w.node = e.src),
+             w3 AS (
+               SELECT walk_id, dst AS node FROM (
+                 SELECT walk_id, dst, row_number() OVER (
+                   PARTITION BY walk_id ORDER BY h, dst) AS rk FROM c3)
+               WHERE rk = 1),
+             corpus AS (
+               SELECT walk_id, 0 AS step, node FROM w0
+               UNION ALL SELECT walk_id, 1, node FROM w1
+               UNION ALL SELECT walk_id, 2, node FROM w2
+               UNION ALL SELECT walk_id, 3, node FROM w3)
+             SELECT a.node AS center, b.node AS context,
+               count(*) AS pairs
+             FROM corpus a JOIN corpus b
+               ON a.walk_id = b.walk_id
+              AND b.step > a.step AND b.step <= a.step + 2
+             GROUP BY 1, 2 ORDER BY center, context"""))
   )
 
   /** q199 oracle: the b-suitor rounds unrolled with explicit capacity

@@ -1,0 +1,126 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Walks
+
+/**
+ * Deterministic random walks (q216) vs a sequential reference on random
+ * directed graphs: exact corpus equality (the md5 min-hash draw replayed
+ * step by step), walker count, edge validity of every transition,
+ * dead-end truncation, seed sensitivity, and skip-gram pair extraction
+ * against a brute-force window scan.
+ */
+class WalksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+  /** Sequential replay of the operator's contract. */
+  private def referenceWalks(edges: Seq[(String, String)],
+      walksPerNode: Int, walkLength: Int,
+      seed: String): Seq[(String, Int, String)] = {
+    val adj = edges.distinct.groupBy(_._1)
+      .map { case (s, g) => s -> g.map(_._2).distinct }
+    val starts = edges.map(_._1).distinct
+    starts.flatMap { start =>
+      (0 until walksPerNode).flatMap { rep =>
+        val wid = s"$start#$rep"
+        var cur = start
+        var out = List((wid, 0, cur))
+        var t = 1
+        var alive = true
+        while (t <= walkLength && alive) {
+          adj.get(cur) match {
+            case Some(nbrs) =>
+              cur = nbrs.minBy(v => (md5hex(s"$seed|$wid|$t|$cur|$v"), v))
+              out ::= ((wid, t, cur))
+            case None => alive = false
+          }
+          t += 1
+        }
+        out.reverse
+      }
+    }
+  }
+
+  private def randomGraph(rng: Random, n: Int, m: Int): Seq[(String, String)] =
+    (1 to m).map(_ => (s"n${rng.nextInt(n)}", s"n${rng.nextInt(n)}"))
+      .filter(e => e._1 != e._2)
+
+  test("matches the sequential md5 replay exactly on random graphs") {
+    for (gseed <- 1 to 3) {
+      val rng = new Random(gseed)
+      val edges = randomGraph(rng, 12, 40)
+      val got = Walks
+        .deterministicWalks(edges.toDF("src", "dst"), 2, 4, s"s$gseed")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+        .toSet
+      assert(got === referenceWalks(edges, 2, 4, s"s$gseed").toSet)
+    }
+  }
+
+  test("every transition is an edge and walker count is exact") {
+    val rng = new Random(7)
+    val edges = randomGraph(rng, 20, 60)
+    val walks = Walks
+      .deterministicWalks(edges.toDF("src", "dst"), 3, 5, "t")
+      .cache()
+    val starts = edges.map(_._1).distinct.size
+    assert(walks.filter(col("step") === 0).count() === starts * 3L)
+    // consecutive (node@t, node@t+1) must be a real edge
+    val a = walks.select(col("walk_id"), col("step"), col("node").as("u"))
+    val b = walks.select(col("walk_id"),
+      (col("step") - 1).as("step"), col("node").as("v"))
+    val trans = a.join(b, Seq("walk_id", "step"))
+      .select(col("u"), col("v")).distinct()
+    val bad = trans.join(edges.toDF("u", "v"), Seq("u", "v"), "left_anti")
+    assert(bad.count() === 0L)
+    walks.unpersist()
+  }
+
+  test("dead ends truncate; different seeds give different corpora") {
+    val edges = Seq(("a", "b"), ("a", "c")) // b, c have no out-edges
+    val walks = Walks
+      .deterministicWalks(edges.toDF("src", "dst"), 1, 5, "x")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+    // only `a` starts a walk; it takes exactly one step then stops
+    assert(walks.map(_._1).distinct.toSeq === Seq("a#0"))
+    assert(walks.map(_._2).sorted.toSeq === Seq(0, 1))
+    // a diamond where the draw can differ: check some seed pair differs
+    val g2 = Seq(("a", "b"), ("a", "c"), ("b", "a"), ("c", "a"))
+    val corpora = Seq("s1", "s2", "s3", "s4").map { sd =>
+      Walks.deterministicWalks(g2.toDF("src", "dst"), 1, 6, sd)
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+        .toSet
+    }
+    assert(corpora.distinct.size > 1)
+  }
+
+  test("skipgramPairs matches a brute-force window scan") {
+    val rng = new Random(11)
+    val edges = randomGraph(rng, 10, 30)
+    val ref = referenceWalks(edges, 2, 5, "sg")
+    val expected = ref.groupBy(_._1).values.flatMap { walk =>
+      val byStep = walk.sortBy(_._2)
+      for {
+        (_, s1, u) <- byStep
+        (_, s2, v) <- byStep
+        if s2 > s1 && s2 <= s1 + 2
+      } yield (u, v)
+    }.groupBy(identity).map { case (k, g) => (k._1, k._2, g.size.toLong) }
+    val got = Walks.skipgramPairs(
+      Walks.deterministicWalks(edges.toDF("src", "dst"), 2, 5, "sg"), 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === expected.toSet)
+  }
+}
