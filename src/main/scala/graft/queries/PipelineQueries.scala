@@ -1025,7 +1025,82 @@ object PipelineQueries {
              FROM corpus a JOIN corpus b
                ON a.walk_id = b.walk_id
               AND b.step > a.step AND b.step <= a.step + 2
-             GROUP BY 1, 2 ORDER BY center, context"""))
+             GROUP BY 1, 2 ORDER BY center, context""")),
+
+    // ---- 4-truss of the trade network (KTruss): the edge-level
+    // cohesion screen — an edge survives only while it closes >= 2
+    // triangles among survivors, so hub spokes peel and the clique-ish
+    // trade blocs remain (Cohen 2008). Fixed 3-round peel, the
+    // q94/q110/q156 unrolling discipline: each round is one oriented
+    // wedge join closed by a LEFT SEMI probe, a 3-way union charging
+    // each triangle to its edges, one map-side-combined count, one
+    // left-join score + filter; the oracle replays all three rounds
+    // CTE-for-CTE (a converged early exit is idempotent under the
+    // extra unrolled round).
+    Q("q217_ktruss",
+      (s, d) => {
+        val e = T.lineitem(s, d)
+          .filter(col("l_quantity") >= 48 && col("l_discount") >= 0.09 &&
+            col("l_returnflag") === "R")
+          .join(T.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(T.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(T.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+          .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+          .filter(col("src") =!= col("dst"))
+          .distinct()
+        graft.operators.KTruss.peel(e, k = 4, rounds = 3)
+          .select(col("s"), col("d"), col("support"))
+          .orderBy(col("s"), col("d"))
+      },
+      Some("""WITH raw AS (
+               SELECT DISTINCT c.c_nationkey AS x, su.s_nationkey AS y
+               FROM lineitem l
+               JOIN orders o ON l.l_orderkey = o.o_orderkey
+               JOIN customer c ON o.o_custkey = c.c_custkey
+               JOIN supplier su ON l.l_suppkey = su.s_suppkey
+               WHERE l.l_quantity >= 48 AND l.l_discount >= 0.09
+                 AND l.l_returnflag = 'R' AND c.c_nationkey <> su.s_nationkey),
+             e0 AS (SELECT DISTINCT least(x, y) AS s, greatest(x, y) AS d
+               FROM raw),
+             t1 AS (SELECT e1.s AS a, e1.d AS b, e2.d AS c
+               FROM e0 e1 JOIN e0 e2 ON e1.s = e2.s AND e1.d < e2.d
+               WHERE EXISTS (SELECT 1 FROM e0 e3
+                 WHERE e3.s = e1.d AND e3.d = e2.d)),
+             s1 AS (SELECT s, d, count(*) AS sup FROM (
+                 SELECT a AS s, b AS d FROM t1
+                 UNION ALL SELECT a AS s, c AS d FROM t1
+                 UNION ALL SELECT b AS s, c AS d FROM t1)
+               GROUP BY 1, 2),
+             e1 AS (SELECT e.s, e.d, coalesce(s1.sup, 0) AS sup
+               FROM e0 e LEFT JOIN s1 ON e.s = s1.s AND e.d = s1.d
+               WHERE coalesce(s1.sup, 0) >= 2),
+             t2 AS (SELECT x1.s AS a, x1.d AS b, x2.d AS c
+               FROM e1 x1 JOIN e1 x2 ON x1.s = x2.s AND x1.d < x2.d
+               WHERE EXISTS (SELECT 1 FROM e1 x3
+                 WHERE x3.s = x1.d AND x3.d = x2.d)),
+             s2 AS (SELECT s, d, count(*) AS sup FROM (
+                 SELECT a AS s, b AS d FROM t2
+                 UNION ALL SELECT a AS s, c AS d FROM t2
+                 UNION ALL SELECT b AS s, c AS d FROM t2)
+               GROUP BY 1, 2),
+             e2 AS (SELECT e.s, e.d, coalesce(s2.sup, 0) AS sup
+               FROM e1 e LEFT JOIN s2 ON e.s = s2.s AND e.d = s2.d
+               WHERE coalesce(s2.sup, 0) >= 2),
+             t3 AS (SELECT x1.s AS a, x1.d AS b, x2.d AS c
+               FROM e2 x1 JOIN e2 x2 ON x1.s = x2.s AND x1.d < x2.d
+               WHERE EXISTS (SELECT 1 FROM e2 x3
+                 WHERE x3.s = x1.d AND x3.d = x2.d)),
+             s3 AS (SELECT s, d, count(*) AS sup FROM (
+                 SELECT a AS s, b AS d FROM t3
+                 UNION ALL SELECT a AS s, c AS d FROM t3
+                 UNION ALL SELECT b AS s, c AS d FROM t3)
+               GROUP BY 1, 2),
+             e3 AS (SELECT e.s, e.d, coalesce(s3.sup, 0) AS sup
+               FROM e2 e LEFT JOIN s3 ON e.s = s3.s AND e.d = s3.d
+               WHERE coalesce(s3.sup, 0) >= 2)
+             SELECT CAST(s AS BIGINT) AS s, CAST(d AS BIGINT) AS d,
+               CAST(sup AS BIGINT) AS support
+             FROM e3 ORDER BY s, d"""))
   )
 
   /** q199 oracle: the b-suitor rounds unrolled with explicit capacity
