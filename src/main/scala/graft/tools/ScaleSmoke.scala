@@ -437,6 +437,24 @@ object ScaleSmoke {
           "(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)")
           .groupBy(col("a")).agg(count(lit(1)).as("n_open"))
       }
+      // Round-10: deterministic random walks — the frontier is exactly
+      // |startNodes|·walksPerNode rows at EVERY step (it never grows),
+      // each step one frontier×edges equi-join + a map-side-combined
+      // min(struct) argmin, so wall should track nodes near-linearly at
+      // fixed degree/length; the skip-gram self-join fan-out is bounded
+      // by the window.
+      runOnce("walk_corpus") {
+        val e = smokeGraph(20).filter(col("src") =!= col("dst"))
+        graft.operators.Walks.skipgramPairs(
+          graft.operators.Walks.deterministicWalks(e, walksPerNode = 2,
+            walkLength = 4, seed = "smoke"), window = 2)
+      }
+      // Round-10: k-truss peel — per round the oriented wedge frame is
+      // the q103 bound (Σ C(oriented-deg, 2)), linear in nodes at fixed
+      // degree, so the 3-round peel should track edges near-linearly.
+      runOnce("ktruss") {
+        graft.operators.KTruss.peel(smokeGraph(20), k = 4, rounds = 3)
+      }
       // Round-8: exact suffix-array-grade substring dedup — O(n·L)
       // characters through ONE range shuffle; should track token count
       // near-linearly (the m× corpus makes every original window an
