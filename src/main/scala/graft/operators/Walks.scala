@@ -80,6 +80,80 @@ object Walks {
   }
 
   /**
+   * Second-order biased walks — the node2vec sampler (Grover &
+   * Leskovec 2016): the draw at node u depends on the PREVIOUS node t,
+   * weighting a return to t (`wReturn` ∝ 1/p), a move to a common
+   * neighbor of t and u (`wCommon`, distance 1 from t), and an
+   * outward move (`wOut` ∝ 1/q) differently, interpolating BFS-ish and
+   * DFS-ish exploration. Weights are INTEGER TICKET COUNTS: candidate
+   * v holds w lottery tickets, the draw is the argmin of
+   * md5(seed|walk|step|u|v|i) over every (candidate, ticket i) — an
+   * exact w-proportional choice in distribution, RNG-free and
+   * replayable in SQL (q218 unrolls it: candidates × a ticket list,
+   * WHERE i < w, rank-1 pick). A 0-weight class excludes its
+   * candidates outright (wReturn = 0 gives non-backtracking walks);
+   * weights are capped at 8 to keep the fan-out (and the oracle's
+   * ticket list) bounded. The first step has no previous node and
+   * draws uniformly (one ticket each).
+   *
+   * Same per-step shape as [[deterministicWalks]] plus one broadcast-
+   * friendly probe: candidates left-join the edge set on
+   * (prev, dst) to classify "common neighbor of the previous node",
+   * then explode ≤ max-weight tickets. Frontier stays
+   * |startNodes|·walksPerNode rows carrying (node, prev).
+   */
+  def node2vecWalks(edges: DataFrame, walksPerNode: Int, walkLength: Int,
+      seed: String, wReturn: Int, wCommon: Int, wOut: Int): DataFrame = {
+    require(walksPerNode >= 1, "walksPerNode must be >= 1")
+    require(walkLength >= 0, "walkLength must be >= 0")
+    require(Seq(wReturn, wCommon, wOut).forall(w => w >= 0 && w <= 8),
+      "ticket weights must be in [0, 8]")
+    require(wCommon + wOut > 0,
+      "wCommon and wOut cannot both be 0 — every non-return move would be excluded")
+    val e = edges.select(col("src").cast("string").as("src"),
+      col("dst").cast("string").as("dst")).distinct()
+    val adj = e.select(col("src").as("prev"), col("dst").as("dst"),
+      lit(true).as("adj"))
+    val reps = (0 until walksPerNode).map(lit(_))
+    var frontier = e.select(col("src").as("start")).distinct()
+      .select(explode(array(reps: _*)).as("rep"), col("start"))
+      .select(concat_ws("#", col("start"), col("rep")).as("walk_id"),
+        col("start").as("node"), lit(null).cast("string").as("prev"))
+      .localCheckpoint(true)
+    var corpus = frontier.select(col("walk_id"), lit(0).as("step"),
+      col("node"))
+    for (t <- 1 to walkLength) {
+      val weight =
+        if (t == 1) lit(1) // no previous node yet: uniform draw
+        else when(e("dst") === frontier("prev"), lit(wReturn))
+          .when(col("adj").isNotNull, lit(wCommon))
+          .otherwise(lit(wOut))
+      val cand = frontier
+        .join(e, frontier("node") === e("src"))
+        .join(adj, frontier("prev") <=> adj("prev") &&
+          e("dst") === adj("dst"), "left")
+        .select(col("walk_id"), frontier("node"), frontier("prev"),
+          e("dst"), weight.as("w"))
+      frontier = cand
+        .filter(col("w") > 0)
+        .select(col("walk_id"), col("node"), col("dst"),
+          explode(sequence(lit(0), col("w") - 1)).as("i"))
+        .select(col("walk_id"), col("dst"),
+          md5(concat_ws("|", lit(seed), col("walk_id"), lit(t),
+            col("node"), col("dst"), col("i")).cast("binary")).as("h"),
+          col("node"))
+        .groupBy(col("walk_id"))
+        .agg(min(struct(col("h"), col("dst"), col("node"))).as("m"))
+        .select(col("walk_id"), col("m.dst").as("node"),
+          col("m.node").as("prev"))
+        .localCheckpoint(true)
+      corpus = corpus.union(
+        frontier.select(col("walk_id"), lit(t).as("step"), col("node")))
+    }
+    corpus
+  }
+
+  /**
    * Skip-gram context pairs from a walk corpus (the training-pair
    * extraction of word2vec/DeepWalk): for every walk position, each of
    * the next `window` positions contributes one directed

@@ -1100,7 +1100,113 @@ object PipelineQueries {
                WHERE coalesce(s3.sup, 0) >= 2)
              SELECT CAST(s AS BIGINT) AS s, CAST(d AS BIGINT) AS d,
                CAST(sup AS BIGINT) AS support
-             FROM e3 ORDER BY s, d"""))
+             FROM e3 ORDER BY s, d""")),
+
+    // ---- node2vec corpus on the SYMMETRIZED trade network
+    // (Walks.node2vecWalks): the second-order draw weights a return to
+    // the previous node (1 ticket), a common neighbor of prev and cur
+    // (2), and an outward move (4 — DFS-leaning, q < 1 in node2vec
+    // terms); candidate v holds w lottery tickets and the draw is the
+    // md5 argmin over (candidate, ticket), so the biased recursion
+    // replays exactly: per step a candidates CTE (weight CASE + the
+    // prev-adjacency EXISTS probe), a ticket expansion (fixed 8-slot
+    // list, WHERE i < w), and the rank-1 pick. Spark side: frontier
+    // carries (node, prev), one equi-join + one left adjacency probe +
+    // a bounded explode + min(struct) per step — frontier never grows.
+    Q("q218_node2vec_corpus",
+      (s, d) => {
+        val und = T.lineitem(s, d)
+          .filter(col("l_quantity") >= 48 && col("l_discount") >= 0.09 &&
+            col("l_returnflag") === "R")
+          .join(T.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(T.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(T.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+          .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+          .filter(col("src") =!= col("dst"))
+          .distinct()
+        val sym = und.union(und.select(col("dst").as("src"),
+          col("src").as("dst")))
+        val walks = graft.operators.Walks
+          .node2vecWalks(sym, walksPerNode = 2, walkLength = 3,
+            seed = "n2v", wReturn = 1, wCommon = 2, wOut = 4)
+        graft.operators.Walks.skipgramPairs(walks, window = 2)
+          .orderBy(col("center"), col("context"))
+      },
+      Some("""WITH raw AS (
+               SELECT DISTINCT CAST(c.c_nationkey AS VARCHAR) AS x,
+                 CAST(su.s_nationkey AS VARCHAR) AS y
+               FROM lineitem l
+               JOIN orders o ON l.l_orderkey = o.o_orderkey
+               JOIN customer c ON o.o_custkey = c.c_custkey
+               JOIN supplier su ON l.l_suppkey = su.s_suppkey
+               WHERE l.l_quantity >= 48 AND l.l_discount >= 0.09
+                 AND l.l_returnflag = 'R' AND c.c_nationkey <> su.s_nationkey),
+             e AS (SELECT x AS src, y AS dst FROM raw
+                   UNION SELECT y AS src, x AS dst FROM raw),
+             tick AS (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS i),
+             w0 AS (
+               SELECT s.src || '#' || r.r AS walk_id, s.src AS node,
+                 CAST(NULL AS VARCHAR) AS prev
+               FROM (SELECT DISTINCT src FROM e) s
+               CROSS JOIN (SELECT unnest([0, 1]) AS r) r),
+             c1 AS (
+               SELECT w.walk_id, w.node, e.dst, 1 AS tw
+               FROM w0 w JOIN e ON w.node = e.src),
+             x1 AS (
+               SELECT c.walk_id, c.node, c.dst,
+                 md5('n2v|' || c.walk_id || '|1|' || c.node || '|'
+                   || c.dst || '|' || t.i) AS h
+               FROM c1 c CROSS JOIN tick t WHERE t.i < c.tw),
+             w1 AS (
+               SELECT walk_id, dst AS node, node AS prev FROM (
+                 SELECT walk_id, node, dst, row_number() OVER (
+                   PARTITION BY walk_id ORDER BY h, dst) AS rk FROM x1)
+               WHERE rk = 1),
+             c2 AS (
+               SELECT w.walk_id, w.node, e.dst,
+                 CASE WHEN e.dst = w.prev THEN 1
+                   WHEN EXISTS (SELECT 1 FROM e e2
+                     WHERE e2.src = w.prev AND e2.dst = e.dst) THEN 2
+                   ELSE 4 END AS tw
+               FROM w1 w JOIN e ON w.node = e.src),
+             x2 AS (
+               SELECT c.walk_id, c.node, c.dst,
+                 md5('n2v|' || c.walk_id || '|2|' || c.node || '|'
+                   || c.dst || '|' || t.i) AS h
+               FROM c2 c CROSS JOIN tick t WHERE t.i < c.tw),
+             w2 AS (
+               SELECT walk_id, dst AS node, node AS prev FROM (
+                 SELECT walk_id, node, dst, row_number() OVER (
+                   PARTITION BY walk_id ORDER BY h, dst) AS rk FROM x2)
+               WHERE rk = 1),
+             c3 AS (
+               SELECT w.walk_id, w.node, e.dst,
+                 CASE WHEN e.dst = w.prev THEN 1
+                   WHEN EXISTS (SELECT 1 FROM e e2
+                     WHERE e2.src = w.prev AND e2.dst = e.dst) THEN 2
+                   ELSE 4 END AS tw
+               FROM w2 w JOIN e ON w.node = e.src),
+             x3 AS (
+               SELECT c.walk_id, c.node, c.dst,
+                 md5('n2v|' || c.walk_id || '|3|' || c.node || '|'
+                   || c.dst || '|' || t.i) AS h
+               FROM c3 c CROSS JOIN tick t WHERE t.i < c.tw),
+             w3 AS (
+               SELECT walk_id, dst AS node, node AS prev FROM (
+                 SELECT walk_id, node, dst, row_number() OVER (
+                   PARTITION BY walk_id ORDER BY h, dst) AS rk FROM x3)
+               WHERE rk = 1),
+             corpus AS (
+               SELECT walk_id, 0 AS step, node FROM w0
+               UNION ALL SELECT walk_id, 1, node FROM w1
+               UNION ALL SELECT walk_id, 2, node FROM w2
+               UNION ALL SELECT walk_id, 3, node FROM w3)
+             SELECT a.node AS center, b.node AS context,
+               count(*) AS pairs
+             FROM corpus a JOIN corpus b
+               ON a.walk_id = b.walk_id
+              AND b.step > a.step AND b.step <= a.step + 2
+             GROUP BY 1, 2 ORDER BY center, context"""))
   )
 
   /** q199 oracle: the b-suitor rounds unrolled with explicit capacity

@@ -105,6 +105,81 @@ class WalksSpec extends SparkSpec {
     assert(corpora.distinct.size > 1)
   }
 
+  /** Sequential replay of the node2vec ticket-draw contract. */
+  private def referenceNode2vec(edges: Seq[(String, String)],
+      walksPerNode: Int, walkLength: Int, seed: String,
+      wReturn: Int, wCommon: Int, wOut: Int): Seq[(String, Int, String)] = {
+    val es = edges.distinct.toSet
+    val adj = edges.distinct.groupBy(_._1)
+      .map { case (s, g) => s -> g.map(_._2).distinct }
+    val starts = edges.map(_._1).distinct
+    starts.flatMap { start =>
+      (0 until walksPerNode).flatMap { rep =>
+        val wid = s"$start#$rep"
+        var cur = start
+        var prev: String = null
+        var out = List((wid, 0, cur))
+        var t = 1
+        var alive = true
+        while (t <= walkLength && alive) {
+          adj.get(cur) match {
+            case Some(nbrs) =>
+              val ticketed = nbrs.flatMap { v =>
+                val w =
+                  if (t == 1) 1
+                  else if (v == prev) wReturn
+                  else if (es.contains((prev, v))) wCommon
+                  else wOut
+                (0 until w).map(i => (v, i))
+              }
+              if (ticketed.isEmpty) alive = false
+              else {
+                val pick = ticketed.minBy { case (v, i) =>
+                  (md5hex(s"$seed|$wid|$t|$cur|$v|$i"), v)
+                }._1
+                prev = cur; cur = pick
+                out ::= ((wid, t, cur))
+              }
+            case None => alive = false
+          }
+          t += 1
+        }
+        out.reverse
+      }
+    }
+  }
+
+  test("node2vec walks match the sequential ticket replay") {
+    for ((wr, wc, wo) <- Seq((1, 2, 4), (0, 1, 3), (4, 1, 1), (2, 0, 1))) {
+      val rng = new Random(31 * wr + 7 * wc + wo)
+      val dir = randomGraph(rng, 10, 35)
+      val edges = (dir ++ dir.map(_.swap)).distinct // symmetric, node2vec's home turf
+      val got = Walks
+        .node2vecWalks(edges.toDF("src", "dst"), 2, 4, "n2v",
+          wReturn = wr, wCommon = wc, wOut = wo)
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+        .toSet
+      val ref = referenceNode2vec(edges, 2, 4, "n2v", wr, wc, wo).toSet
+      assert(got === ref, s"weights ($wr, $wc, $wo)")
+    }
+  }
+
+  test("node2vec wReturn=0 never backtracks") {
+    val rng = new Random(5)
+    val dir = randomGraph(rng, 8, 30)
+    val edges = (dir ++ dir.map(_.swap)).distinct
+    val walks = Walks.node2vecWalks(edges.toDF("src", "dst"), 2, 6,
+      "nb", wReturn = 0, wCommon = 1, wOut = 1)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+    val byWalk = walks.groupBy(_._1).values
+    for (w <- byWalk) {
+      val seq = w.sortBy(_._2).map(_._3)
+      for (i <- 2 until seq.length)
+        assert(seq(i) !== seq(i - 2),
+          s"backtracked at step $i in ${seq.mkString("->")}")
+    }
+  }
+
   test("skipgramPairs matches a brute-force window scan") {
     val rng = new Random(11)
     val edges = randomGraph(rng, 10, 30)
