@@ -1206,7 +1206,90 @@ object PipelineQueries {
              FROM corpus a JOIN corpus b
                ON a.walk_id = b.walk_id
               AND b.step > a.step AND b.step <= a.step + 2
-             GROUP BY 1, 2 ORDER BY center, context"""))
+             GROUP BY 1, 2 ORDER BY center, context""")),
+
+    // ---- Walk corpus on the REFERENCE'S OWN graph: entity-embedding
+    // training pairs for q41's thresholded co-occurrence network (the
+    // VizLinc analyst graph — SURVEY §0 step 8). One hash-seeded walker
+    // per entity, 3 uniform steps on the symmetrized network, window-2
+    // skip-gram pairs: the DeepWalk input that turns the entity graph
+    // into embeddings for "who moves in the same circles" similarity.
+    // No hub cap needed — the walk frontier is |nodes| rows regardless
+    // of degree (hubs change WHERE walkers go, not how many there are).
+    // Oracle: q214's coref + network CTEs, then the q216 unrolling.
+    Q("q219_entity_walks",
+      (s, d) => {
+        val (mentions, entities, assign) = corefPipeline(s, d)
+        val edges = SocialNetwork.cooccurrenceEdges(
+          assign, mentions.select("mention_id", "doc_id"), entities,
+          maxEntitiesPerDoc = SocialNetwork.DefaultMaxEntitiesPerDoc)
+        val (_, kept) = SocialNetwork.thresholded(entities, edges)
+        val names = entities.select(col("entity_id"), col("entity_text"))
+        val und = kept
+          .join(names.withColumnRenamed("entity_id", "src_entity_id")
+            .withColumnRenamed("entity_text", "src_name"), Seq("src_entity_id"))
+          .join(names.withColumnRenamed("entity_id", "dst_entity_id")
+            .withColumnRenamed("entity_text", "dst_name"), Seq("dst_entity_id"))
+          .select(least(col("src_name"), col("dst_name")).as("s"),
+            greatest(col("src_name"), col("dst_name")).as("d"))
+          .distinct()
+        val sym = und.union(und.select(col("d").as("s"), col("s").as("d")))
+        val walks = graft.operators.Walks.deterministicWalks(
+          sym.select(col("s").as("src"), col("d").as("dst")),
+          walksPerNode = 1, walkLength = 3, seed = "ent")
+        graft.operators.Walks.skipgramPairs(walks, window = 2)
+          .orderBy(col("center"), col("context"))
+      },
+      Some(CorefSql + """,
+        net AS (
+          SELECT DISTINCT doc_id, entity_text
+          FROM wd_final WHERE created_by = 'across_doc_person_coref'),
+        e0 AS (
+          SELECT a.entity_text AS s, b.entity_text AS d
+          FROM net a JOIN net b
+            ON a.doc_id = b.doc_id AND a.entity_text < b.entity_text
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+        e AS (SELECT s, d FROM e0 UNION ALL SELECT d AS s, s AS d FROM e0),
+        w0 AS (
+          SELECT s || '#0' AS walk_id, s AS node
+          FROM (SELECT DISTINCT s FROM e)),
+        c1 AS (
+          SELECT w.walk_id, e.d AS dst,
+            md5('ent|' || w.walk_id || '|1|' || w.node || '|' || e.d) AS h
+          FROM w0 w JOIN e ON w.node = e.s),
+        w1 AS (
+          SELECT walk_id, dst AS node FROM (
+            SELECT walk_id, dst, row_number() OVER (
+              PARTITION BY walk_id ORDER BY h, dst) AS rk FROM c1)
+          WHERE rk = 1),
+        c2 AS (
+          SELECT w.walk_id, e.d AS dst,
+            md5('ent|' || w.walk_id || '|2|' || w.node || '|' || e.d) AS h
+          FROM w1 w JOIN e ON w.node = e.s),
+        w2 AS (
+          SELECT walk_id, dst AS node FROM (
+            SELECT walk_id, dst, row_number() OVER (
+              PARTITION BY walk_id ORDER BY h, dst) AS rk FROM c2)
+          WHERE rk = 1),
+        c3 AS (
+          SELECT w.walk_id, e.d AS dst,
+            md5('ent|' || w.walk_id || '|3|' || w.node || '|' || e.d) AS h
+          FROM w2 w JOIN e ON w.node = e.s),
+        w3 AS (
+          SELECT walk_id, dst AS node FROM (
+            SELECT walk_id, dst, row_number() OVER (
+              PARTITION BY walk_id ORDER BY h, dst) AS rk FROM c3)
+          WHERE rk = 1),
+        corpus AS (
+          SELECT walk_id, 0 AS step, node FROM w0
+          UNION ALL SELECT walk_id, 1, node FROM w1
+          UNION ALL SELECT walk_id, 2, node FROM w2
+          UNION ALL SELECT walk_id, 3, node FROM w3)
+        SELECT a.node AS center, b.node AS context, count(*) AS pairs
+        FROM corpus a JOIN corpus b
+          ON a.walk_id = b.walk_id
+         AND b.step > a.step AND b.step <= a.step + 2
+        GROUP BY 1, 2 ORDER BY center, context"""))
   )
 
   /** q199 oracle: the b-suitor rounds unrolled with explicit capacity
