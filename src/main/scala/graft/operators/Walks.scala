@@ -51,8 +51,15 @@ object Walks {
       walkLength: Int, seed: String): DataFrame = {
     require(walksPerNode >= 1, "walksPerNode must be >= 1")
     require(walkLength >= 0, "walkLength must be >= 0")
+    // Pin the resolved edge set ONCE: every step (and the start-node
+    // scan) probes it, and when the caller hands us a derived graph
+    // (q219: the whole coref -> co-occurrence -> threshold lineage)
+    // re-evaluating that per step multiplies the dominant cost by
+    // walkLength. The 100 TB shape is the same: materialize/bucket the
+    // edge table once, every step reuses the layout.
     val e = edges.select(col("src").cast("string").as("src"),
       col("dst").cast("string").as("dst")).distinct()
+      .localCheckpoint(true)
     val reps = (0 until walksPerNode).map(lit(_))
     var frontier = e.select(col("src").as("start")).distinct()
       .select(explode(array(reps: _*)).as("rep"), col("start"))
@@ -110,8 +117,11 @@ object Walks {
       "ticket weights must be in [0, 8]")
     require(wCommon + wOut > 0,
       "wCommon and wOut cannot both be 0 — every non-return move would be excluded")
+    // Pinned once for the same reason as in deterministicWalks — here
+    // the edge set is probed TWICE per step (candidates + adjacency).
     val e = edges.select(col("src").cast("string").as("src"),
       col("dst").cast("string").as("dst")).distinct()
+      .localCheckpoint(true)
     val adj = e.select(col("src").as("prev"), col("dst").as("dst"),
       lit(true).as("adj"))
     val reps = (0 until walksPerNode).map(lit(_))
