@@ -164,6 +164,66 @@ object Walks {
   }
 
   /**
+   * Edge-weight-biased walks — the weighted-graph member of the
+   * family (DeepWalk on a co-occurrence/trade graph wants transition
+   * probability ∝ edge strength, not uniform): candidate v holds
+   * min(weight, cap) lottery tickets and the draw is the same
+   * md5(seed|walk|step|u|v|i) argmin as [[node2vecWalks]], so the
+   * choice is exactly weight-proportional (after capping) yet
+   * RNG-free and SQL-replayable (q220). Edges with weight < 1 are
+   * treated as ABSENT (filtered out — a 0-weight edge is no edge);
+   * the cap bounds the ticket fan-out (≤ cap per candidate) AND is
+   * the standard heavy-edge clamp: one dominant edge must not make
+   * the walk deterministic-in-practice.
+   *
+   * Same per-step shape and costs as [[deterministicWalks]]; the
+   * ticket explode multiplies the candidate frame by ≤ cap before the
+   * map-side-combined argmin.
+   *
+   * @param edges string/castable columns `src`, `dst` plus an integer
+   *              weight column `w`. ONE row per (src, dst) — aggregate
+   *              weights upstream; a duplicate key would hold two
+   *              ticket blocks and over-weight its destination (only
+   *              exact full-row duplicates are deduped here)
+   */
+  def weightedWalks(edges: DataFrame, walksPerNode: Int, walkLength: Int,
+      seed: String, cap: Int = 8): DataFrame = {
+    require(walksPerNode >= 1, "walksPerNode must be >= 1")
+    require(walkLength >= 0, "walkLength must be >= 0")
+    require(cap >= 1 && cap <= 8, "cap must be in [1, 8]")
+    val e = edges.select(col("src").cast("string").as("src"),
+      col("dst").cast("string").as("dst"),
+      least(col("w").cast("int"), lit(cap)).as("w"))
+      .filter(col("w") >= 1)
+      .distinct()
+      .localCheckpoint(true)
+    val reps = (0 until walksPerNode).map(lit(_))
+    var frontier = e.select(col("src").as("start")).distinct()
+      .select(explode(array(reps: _*)).as("rep"), col("start"))
+      .select(concat_ws("#", col("start"), col("rep")).as("walk_id"),
+        col("start").as("node"))
+      .localCheckpoint(true)
+    var corpus = frontier.select(col("walk_id"), lit(0).as("step"),
+      col("node"))
+    for (t <- 1 to walkLength) {
+      frontier = frontier
+        .join(e, frontier("node") === e("src"))
+        .select(col("walk_id"), col("dst"), col("node"),
+          explode(sequence(lit(0), col("w") - 1)).as("i"))
+        .select(col("walk_id"), col("dst"),
+          md5(concat_ws("|", lit(seed), col("walk_id"), lit(t),
+            col("node"), col("dst"), col("i")).cast("binary")).as("h"))
+        .groupBy(col("walk_id"))
+        .agg(min(struct(col("h"), col("dst"))).as("m"))
+        .select(col("walk_id"), col("m.dst").as("node"))
+        .localCheckpoint(true)
+      corpus = corpus.union(
+        frontier.select(col("walk_id"), lit(t).as("step"), col("node")))
+    }
+    corpus
+  }
+
+  /**
    * Skip-gram context pairs from a walk corpus (the training-pair
    * extraction of word2vec/DeepWalk): for every walk position, each of
    * the next `window` positions contributes one directed

@@ -1289,7 +1289,91 @@ object PipelineQueries {
         FROM corpus a JOIN corpus b
           ON a.walk_id = b.walk_id
          AND b.step > a.step AND b.step <= a.step + 2
-        GROUP BY 1, 2 ORDER BY center, context"""))
+        GROUP BY 1, 2 ORDER BY center, context""")),
+
+    // ---- Weighted walks on the WEIGHTED trade graph (q215's edge
+    // weights = qualifying-lineitem counts): transition probability ∝
+    // min(weight, 8) via the ticket draw, so heavily-traded routes
+    // dominate the corpus — DeepWalk's weighted-graph form. Oracle:
+    // the q218 ticket expansion with the weight coming off the edge
+    // CTE instead of a CASE.
+    Q("q220_weighted_walks",
+      (s, d) => {
+        val e = T.lineitem(s, d)
+          .filter(col("l_quantity") >= 48 && col("l_discount") >= 0.09 &&
+            col("l_returnflag") === "R")
+          .join(T.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(T.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(T.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+          .filter(col("c_nationkey") =!= col("s_nationkey"))
+          .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+          .agg(count(lit(1)).as("w"))
+        val walks = graft.operators.Walks
+          .weightedWalks(e, walksPerNode = 2, walkLength = 3,
+            seed = "wts", cap = 8)
+        graft.operators.Walks.skipgramPairs(walks, window = 2)
+          .orderBy(col("center"), col("context"))
+      },
+      Some("""WITH e AS (
+               SELECT CAST(c.c_nationkey AS VARCHAR) AS src,
+                 CAST(su.s_nationkey AS VARCHAR) AS dst,
+                 least(count(*), 8) AS w
+               FROM lineitem l
+               JOIN orders o ON l.l_orderkey = o.o_orderkey
+               JOIN customer c ON o.o_custkey = c.c_custkey
+               JOIN supplier su ON l.l_suppkey = su.s_suppkey
+               WHERE l.l_quantity >= 48 AND l.l_discount >= 0.09
+                 AND l.l_returnflag = 'R' AND c.c_nationkey <> su.s_nationkey
+               GROUP BY 1, 2),
+             tick AS (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS i),
+             w0 AS (
+               SELECT s.src || '#' || r.r AS walk_id, s.src AS node
+               FROM (SELECT DISTINCT src FROM e) s
+               CROSS JOIN (SELECT unnest([0, 1]) AS r) r),
+             x1 AS (
+               SELECT w.walk_id, e.dst,
+                 md5('wts|' || w.walk_id || '|1|' || w.node || '|'
+                   || e.dst || '|' || t.i) AS h
+               FROM w0 w JOIN e ON w.node = e.src
+               CROSS JOIN tick t WHERE t.i < e.w),
+             w1 AS (
+               SELECT walk_id, dst AS node FROM (
+                 SELECT walk_id, dst, row_number() OVER (
+                   PARTITION BY walk_id ORDER BY h, dst) AS rk FROM x1)
+               WHERE rk = 1),
+             x2 AS (
+               SELECT w.walk_id, e.dst,
+                 md5('wts|' || w.walk_id || '|2|' || w.node || '|'
+                   || e.dst || '|' || t.i) AS h
+               FROM w1 w JOIN e ON w.node = e.src
+               CROSS JOIN tick t WHERE t.i < e.w),
+             w2 AS (
+               SELECT walk_id, dst AS node FROM (
+                 SELECT walk_id, dst, row_number() OVER (
+                   PARTITION BY walk_id ORDER BY h, dst) AS rk FROM x2)
+               WHERE rk = 1),
+             x3 AS (
+               SELECT w.walk_id, e.dst,
+                 md5('wts|' || w.walk_id || '|3|' || w.node || '|'
+                   || e.dst || '|' || t.i) AS h
+               FROM w2 w JOIN e ON w.node = e.src
+               CROSS JOIN tick t WHERE t.i < e.w),
+             w3 AS (
+               SELECT walk_id, dst AS node FROM (
+                 SELECT walk_id, dst, row_number() OVER (
+                   PARTITION BY walk_id ORDER BY h, dst) AS rk FROM x3)
+               WHERE rk = 1),
+             corpus AS (
+               SELECT walk_id, 0 AS step, node FROM w0
+               UNION ALL SELECT walk_id, 1, node FROM w1
+               UNION ALL SELECT walk_id, 2, node FROM w2
+               UNION ALL SELECT walk_id, 3, node FROM w3)
+             SELECT a.node AS center, b.node AS context,
+               count(*) AS pairs
+             FROM corpus a JOIN corpus b
+               ON a.walk_id = b.walk_id
+              AND b.step > a.step AND b.step <= a.step + 2
+             GROUP BY 1, 2 ORDER BY center, context"""))
   )
 
   /** q199 oracle: the b-suitor rounds unrolled with explicit capacity

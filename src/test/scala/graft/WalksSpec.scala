@@ -180,6 +180,78 @@ class WalksSpec extends SparkSpec {
     }
   }
 
+  /** Sequential replay of the weighted ticket-draw contract. */
+  private def referenceWeighted(edges: Seq[(String, String, Int)],
+      walksPerNode: Int, walkLength: Int, seed: String,
+      cap: Int): Seq[(String, Int, String)] = {
+    val live = edges.map { case (s, d, w) => (s, d, math.min(w, cap)) }
+      .filter(_._3 >= 1).distinct
+    val adj = live.groupBy(_._1)
+      .map { case (s, g) => s -> g.map(e => (e._2, e._3)) }
+    val starts = live.map(_._1).distinct
+    starts.flatMap { start =>
+      (0 until walksPerNode).flatMap { rep =>
+        val wid = s"$start#$rep"
+        var cur = start
+        var out = List((wid, 0, cur))
+        var t = 1
+        var alive = true
+        while (t <= walkLength && alive) {
+          adj.get(cur) match {
+            case Some(nbrs) =>
+              cur = nbrs.flatMap { case (v, w) =>
+                (0 until w).map(i => (v, i))
+              }.minBy { case (v, i) =>
+                (md5hex(s"$seed|$wid|$t|$cur|$v|$i"), v)
+              }._1
+              out ::= ((wid, t, cur))
+            case None => alive = false
+          }
+          t += 1
+        }
+        out.reverse
+      }
+    }
+  }
+
+  test("weighted walks match the sequential ticket replay; weight-1 == uniform-with-ticket") {
+    for (gseed <- 1 to 3) {
+      val rng = new Random(100 + gseed)
+      val edges = randomGraph(rng, 10, 40).distinct
+        .map { case (s, d) => (s, d, 1 + rng.nextInt(10)) } // some past cap
+      val got = Walks
+        .weightedWalks(edges.toDF("src", "dst", "w"), 2, 4, s"wt$gseed")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+        .toSet
+      assert(got === referenceWeighted(edges, 2, 4, s"wt$gseed", 8).toSet)
+    }
+    // all-weight-1 weighted walk == the ticketed-uniform reference
+    val rng = new Random(200)
+    val flat = randomGraph(rng, 8, 25).distinct.map { case (s, d) => (s, d, 1) }
+    val got1 = Walks.weightedWalks(flat.toDF("src", "dst", "w"), 1, 3, "u1")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    assert(got1 === referenceWeighted(flat, 1, 3, "u1", 8).toSet)
+  }
+
+  test("weighted walks never traverse weight<1 edges; heavy edges dominate") {
+    // u has a w=0 edge to x (absent) and a w=8 edge to y vs w=1 to z:
+    // y must win far more often across seeds than z
+    val edges = Seq(("u", "x", 0), ("u", "y", 8), ("u", "z", 1),
+      ("y", "u", 1), ("z", "u", 1))
+    var yWins = 0
+    for (sd <- 1 to 12) {
+      val first = Walks
+        .weightedWalks(edges.toDF("src", "dst", "w"), 1, 1, s"h$sd")
+        .collect().collectFirst {
+          case r if r.getString(0) == "u#0" && r.getInt(1) == 1 =>
+            r.getString(2)
+        }.get
+      assert(first !== "x")
+      if (first == "y") yWins += 1
+    }
+    assert(yWins >= 8, s"w=8 edge won only $yWins/12 draws vs w=1")
+  }
+
   test("skipgramPairs matches a brute-force window scan") {
     val rng = new Random(11)
     val edges = randomGraph(rng, 10, 30)
