@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Partition-quality metrics for a node membership over an undirected
+ * graph — modularity (Newman & Girvan 2004) and conductance, the
+ * standard "did the clustering find real structure" checks after
+ * q123's label propagation / q76's near-dup components / any
+ * domain-given partition. Computed in EXACT INTEGERS so the whole
+ * scorecard sits under a cross-engine hash oracle: with m total
+ * edges, m_c internal edges and d_c summed degree per community,
+ * modularity is Q = Σ_c (m_c/m − (d_c/2m)²), and its numerator over
+ * the common denominator 4m² is the exact integer
+ * 4·m·m_c − d_c² per community — no floating point anywhere.
+ * Conductance per community is the exact pair (cut_c, vol_c) with
+ * cut_c = d_c − 2·m_c and vol_c = d_c.
+ *
+ * Cost shape: ONE distinct canonicalization of the edge list, two
+ * membership equi-joins (membership is node-sized — broadcast under
+ * AQE, or co-partitioned with bucketed edges at 100 TB), and two
+ * map-side-combined aggregates (internal edges per community, degree
+ * per community). No iteration, no windows.
+ *
+ * @param edges undirected edge list in either orientation (internally
+ *              canonicalized to s < d, deduped; self-loops dropped —
+ *              they are neither internal edges nor degree in the
+ *              Newman convention used here)
+ * @param membership (node_id, community); must cover every endpoint —
+ *              edges with an unmapped endpoint are REJECTED (a partial
+ *              partition silently skews Q toward its covered part)
+ * @return one row per NON-EMPTY community:
+ *         (community, n_nodes, internal_edges, degree_sum, cut,
+ *          q_num) with q_num = 4·m·internal_edges − degree_sum² over
+ *         the implicit denominator 4m²; communities whose nodes touch
+ *         no edge still appear (all-zero stats) via the membership
+ *         side of the final outer join
+ */
+object Modularity {
+
+  def communityStats(edges: DataFrame, membership: DataFrame): DataFrame = {
+    // Pinned: reused by the count, the tagging joins, and (through
+    // them) both aggregates.
+    val e = edges
+      .select(least(col("src"), col("dst")).cast("long").as("s"),
+        greatest(col("src"), col("dst")).cast("long").as("d"))
+      .filter(col("s") < col("d"))
+      .distinct()
+      .localCheckpoint(true)
+    val mem = membership.select(col("node_id").cast("long").as("node_id"),
+      col("community").cast("string").as("community"))
+    val tagged = e
+      .join(mem.select(col("node_id").as("s"), col("community").as("cs")),
+        Seq("s"), "left")
+      .join(mem.select(col("node_id").as("d"), col("community").as("cd")),
+        Seq("d"), "left")
+    // Coverage gate (one extra node-join pass, early-out): a partial
+    // partition silently skews Q toward its covered part, so refuse it.
+    require(tagged.filter(col("cs").isNull || col("cd").isNull).isEmpty,
+      "membership must cover every edge endpoint — found edges with unmapped nodes")
+    val m = e.count()
+    // internal edges per community (both endpoints inside)
+    val internal = tagged.filter(col("cs") === col("cd"))
+      .groupBy(col("cs").as("community"))
+      .agg(count(lit(1)).as("internal_edges"))
+    // degree per community: each canonical edge contributes 1 to both
+    // endpoints' communities (2 to its own when internal)
+    val degree = tagged.select(col("cs").as("community"))
+      .union(tagged.select(col("cd").as("community")))
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("degree_sum"))
+    val nodes = mem.groupBy(col("community"))
+      .agg(count(lit(1)).as("n_nodes"))
+    nodes
+      .join(internal, Seq("community"), "left")
+      .join(degree, Seq("community"), "left")
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("internal_edges"), lit(0L)).as("internal_edges"),
+        coalesce(col("degree_sum"), lit(0L)).as("degree_sum"))
+      .withColumn("cut", col("degree_sum") - lit(2L) * col("internal_edges"))
+      .withColumn("q_num",
+        lit(4L) * lit(m) * col("internal_edges")
+          - col("degree_sum") * col("degree_sum"))
+  }
+}

@@ -1373,7 +1373,70 @@ object PipelineQueries {
              FROM corpus a JOIN corpus b
                ON a.walk_id = b.walk_id
               AND b.step > a.step AND b.step <= a.step + 2
-             GROUP BY 1, 2 ORDER BY center, context"""))
+             GROUP BY 1, 2 ORDER BY center, context""")),
+
+    // ---- Is trade regionalized? Modularity of the REGION partition
+    // over the trade network (Modularity.communityStats): per region
+    // the exact-integer scorecard (internal edges, degree sum, cut,
+    // q_num = 4·m·internal − degree²) whose sum over 4m² is Newman's
+    // Q — no floats anywhere, so the whole thing hash-compares. Two
+    // node-sized membership joins + two map-side-combined aggregates;
+    // the oracle mirrors join-for-join.
+    Q("q221_region_modularity",
+      (s, d) => {
+        val e = T.lineitem(s, d)
+          .filter(col("l_quantity") >= 48 && col("l_discount") >= 0.09 &&
+            col("l_returnflag") === "R")
+          .join(T.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(T.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(T.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+          .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+          .filter(col("src") =!= col("dst"))
+          .distinct()
+        val mem = T.nation(s, d).select(col("n_nationkey").as("node_id"),
+          col("n_regionkey").as("community"))
+        graft.operators.Modularity.communityStats(e, mem)
+          .orderBy(col("community"))
+      },
+      Some("""WITH raw AS (
+               SELECT DISTINCT c.c_nationkey AS x, su.s_nationkey AS y
+               FROM lineitem l
+               JOIN orders o ON l.l_orderkey = o.o_orderkey
+               JOIN customer c ON o.o_custkey = c.c_custkey
+               JOIN supplier su ON l.l_suppkey = su.s_suppkey
+               WHERE l.l_quantity >= 48 AND l.l_discount >= 0.09
+                 AND l.l_returnflag = 'R' AND c.c_nationkey <> su.s_nationkey),
+             e AS (SELECT DISTINCT least(x, y) AS s, greatest(x, y) AS d
+               FROM raw),
+             mtot AS (SELECT count(*) AS m FROM e),
+             mem AS (SELECT n_nationkey AS node_id,
+               CAST(n_regionkey AS VARCHAR) AS community FROM nation),
+             tagged AS (
+               SELECT e.s, e.d, ms.community AS cs, md.community AS cd
+               FROM e JOIN mem ms ON e.s = ms.node_id
+                      JOIN mem md ON e.d = md.node_id),
+             internal AS (
+               SELECT cs AS community, count(*) AS internal_edges
+               FROM tagged WHERE cs = cd GROUP BY 1),
+             degree AS (
+               SELECT community, count(*) AS degree_sum FROM (
+                 SELECT cs AS community FROM tagged
+                 UNION ALL SELECT cd AS community FROM tagged)
+               GROUP BY 1),
+             nodes AS (
+               SELECT community, count(*) AS n_nodes FROM mem GROUP BY 1)
+             SELECT n.community, n.n_nodes,
+               coalesce(i.internal_edges, 0) AS internal_edges,
+               coalesce(g.degree_sum, 0) AS degree_sum,
+               CAST(coalesce(g.degree_sum, 0)
+                 - 2 * coalesce(i.internal_edges, 0) AS BIGINT) AS cut,
+               CAST(4 * mtot.m * coalesce(i.internal_edges, 0)
+                 - coalesce(g.degree_sum, 0) * coalesce(g.degree_sum, 0)
+                 AS BIGINT) AS q_num
+             FROM nodes n CROSS JOIN mtot
+             LEFT JOIN internal i ON n.community = i.community
+             LEFT JOIN degree g ON n.community = g.community
+             ORDER BY n.community"""))
   )
 
   /** q199 oracle: the b-suitor rounds unrolled with explicit capacity

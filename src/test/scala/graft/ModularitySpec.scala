@@ -1,0 +1,90 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Modularity
+
+/**
+ * Partition-quality stats (q221) vs a sequential reference on random
+ * graphs with random partitions: exact integer (internal, degree, cut,
+ * q_num) per community, the Σq_num/4m² == float-modularity identity,
+ * the all-in-one-community and singleton extremes, zero-edge
+ * communities, and the unmapped-endpoint refusal.
+ */
+class ModularitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def reference(edges: Seq[(Long, Long)],
+      mem: Map[Long, String]): Map[String, (Long, Long, Long, Long, Long)] = {
+    val e = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter(x => x._1 < x._2).distinct
+    val m = e.size.toLong
+    val comms = mem.values.toSeq.distinct
+    comms.map { c =>
+      val nodes = mem.filter(_._2 == c).keySet
+      val internal = e.count(x => nodes(x._1) && nodes(x._2)).toLong
+      val degree = e.count(x => nodes(x._1)).toLong + e.count(x => nodes(x._2)).toLong
+      val cut = degree - 2 * internal
+      val qNum = 4 * m * internal - degree * degree
+      c -> ((mem.count(_._2 == c).toLong, internal, degree, cut, qNum))
+    }.toMap
+  }
+
+  private def run(edges: Seq[(Long, Long)],
+      mem: Map[Long, String]): Map[String, (Long, Long, Long, Long, Long)] =
+    Modularity.communityStats(edges.toDF("src", "dst"),
+        mem.toSeq.toDF("node_id", "community"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))))
+      .toMap
+
+  test("matches the sequential reference; q_num sums to float modularity") {
+    for (seed <- 1 to 3) {
+      val rng = new Random(seed)
+      val n = 12
+      val edges = (1 to 50).map(_ =>
+        (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+      val mem = (0L until n).map(v => v -> s"c${rng.nextInt(3)}").toMap
+      val got = run(edges, mem)
+      val ref = reference(edges, mem)
+      assert(got === ref, s"seed=$seed")
+      // exact-integer identity: Q = sum(q_num) / (4 m^2)
+      val e = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .filter(x => x._1 < x._2).distinct
+      val m = e.size.toDouble
+      val float = mem.values.toSeq.distinct.map { c =>
+        val nodes = mem.filter(_._2 == c).keySet
+        val mc = e.count(x => nodes(x._1) && nodes(x._2))
+        val dc = e.count(x => nodes(x._1)) + e.count(x => nodes(x._2))
+        mc / m - math.pow(dc / (2 * m), 2)
+      }.sum
+      val intQ = got.values.map(_._5).sum / (4.0 * m * m)
+      assert(math.abs(float - intQ) < 1e-12)
+    }
+  }
+
+  test("extremes: one community has Q=0; per-node singletons score negatively") {
+    val rng = new Random(7)
+    val edges = (1 to 30).map(_ =>
+      (rng.nextInt(8).toLong, rng.nextInt(8).toLong))
+    val allOne = (0L until 8L).map(_ -> "all").toMap
+    assert(run(edges, allOne).values.map(_._5).sum === 0L)
+    val singletons = (0L until 8L).map(v => v -> s"s$v").toMap
+    assert(run(edges, singletons).values.map(_._5).sum < 0L)
+  }
+
+  test("zero-edge communities appear with all-zero stats; unmapped endpoints refuse") {
+    val edges = Seq((0L, 1L))
+    val mem = Map(0L -> "a", 1L -> "a", 99L -> "island")
+    val got = run(edges, mem)
+    assert(got("island") === ((1L, 0L, 0L, 0L, 0L)))
+    assert(got("a") === ((2L, 1L, 2L, 0L, 0L))) // m=1: 4*1*1 - 4 = 0
+    intercept[IllegalArgumentException] {
+      run(Seq((0L, 1L), (1L, 2L)), Map(0L -> "a", 1L -> "a"))
+    }
+  }
+}
