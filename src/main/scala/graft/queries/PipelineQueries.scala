@@ -1436,7 +1436,61 @@ object PipelineQueries {
              FROM nodes n CROSS JOIN mtot
              LEFT JOIN internal i ON n.community = i.community
              LEFT JOIN degree g ON n.community = g.community
-             ORDER BY n.community"""))
+             ORDER BY n.community""")),
+
+    // ---- Did LPA find real structure? q123's detected communities
+    // scored by q221's exact-integer modularity over the SAME
+    // co-purchase graph — the detect→validate composition every
+    // community pipeline needs (a high Σq_num/4m² says the labels cut
+    // along sparse boundaries; singletons and giant blobs both score
+    // near 0). The oracle stacks the unrolled 3-round LPA CTEs under
+    // the q221 scorecard mirror. Top-20 communities by size keep the
+    // output stable and review-sized; ties pinned by community id.
+    Q("q222_lpa_modularity",
+      (s, d) => {
+        val pairs = T.orders(s, d)
+          .join(T.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("cust"),
+            (col("l_suppkey") + lit(1000000000L)).as("supp"))
+          .distinct()
+        val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
+        val mem = graft.operators.LabelPropagation.run(edges, iters = 3)
+          .select(col("node_id"), col("label").as("community"))
+        graft.operators.Modularity.communityStats(edges, mem)
+          .orderBy(col("n_nodes").desc, col("community"))
+          .limit(20)
+      },
+      Some(LpaCtes(3) + """,
+             mem AS (SELECT node_id,
+               CAST(label AS VARCHAR) AS community FROM l3),
+             e2 AS (SELECT cust AS s, supp AS d FROM pairs),
+             mtot AS (SELECT count(*) AS m FROM e2),
+             tagged AS (
+               SELECT e2.s, e2.d, ms.community AS cs, md.community AS cd
+               FROM e2 JOIN mem ms ON e2.s = ms.node_id
+                       JOIN mem md ON e2.d = md.node_id),
+             internal AS (
+               SELECT cs AS community, count(*) AS internal_edges
+               FROM tagged WHERE cs = cd GROUP BY 1),
+             degree AS (
+               SELECT community, count(*) AS degree_sum FROM (
+                 SELECT cs AS community FROM tagged
+                 UNION ALL SELECT cd AS community FROM tagged)
+               GROUP BY 1),
+             nodes AS (
+               SELECT community, count(*) AS n_nodes FROM mem GROUP BY 1)
+             SELECT n.community, n.n_nodes,
+               coalesce(i.internal_edges, 0) AS internal_edges,
+               coalesce(g.degree_sum, 0) AS degree_sum,
+               CAST(coalesce(g.degree_sum, 0)
+                 - 2 * coalesce(i.internal_edges, 0) AS BIGINT) AS cut,
+               CAST(4 * mtot.m * coalesce(i.internal_edges, 0)
+                 - coalesce(g.degree_sum, 0) * coalesce(g.degree_sum, 0)
+                 AS BIGINT) AS q_num
+             FROM nodes n CROSS JOIN mtot
+             LEFT JOIN internal i ON n.community = i.community
+             LEFT JOIN degree g ON n.community = g.community
+             ORDER BY n.n_nodes DESC, n.community LIMIT 20"""))
   )
 
   /** q199 oracle: the b-suitor rounds unrolled with explicit capacity
@@ -1679,7 +1733,7 @@ object PipelineQueries {
     * label count CTE and a row_number argmax CTE (ORDER BY cnt DESC,
     * label — the min-label tie-break), isolated nodes kept by the left
     * join. The q94/q104/q117 unrolling discipline. */
-  private def LpaSql(iters: Int): String = {
+  private def LpaCtes(iters: Int): String = {
     val head = """WITH pairs AS (
         SELECT DISTINCT o_custkey AS cust, l_suppkey + 1000000000 AS supp
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
@@ -1705,9 +1759,12 @@ object PipelineQueries {
            FROM l$p l LEFT JOIN w$i w USING (node_id))"""
     }.mkString(",\n")
     s"""$head,
-      $iterCtes
-      SELECT node_id, label FROM l$iters ORDER BY node_id"""
+      $iterCtes"""
   }
+
+  private def LpaSql(iters: Int): String =
+    s"""${LpaCtes(iters)}
+      SELECT node_id, label FROM l$iters ORDER BY node_id"""
 
   /** q104 oracle: the Lloyd recursion unrolled — per iteration an
     * assignment CTE (argmin |v−c| with ties to the lower centroid index,
