@@ -48,6 +48,7 @@ object Modularity {
       .filter(col("s") < col("d"))
       .distinct()
       .localCheckpoint(true)
+      .transform(CacheScope.pinCheckpointed) // backs the returned plan
     val mem = membership.select(col("node_id").cast("long").as("node_id"),
       col("community").cast("string").as("community"))
     val tagged = e

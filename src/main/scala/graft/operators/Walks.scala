@@ -35,6 +35,16 @@ import org.apache.spark.sql.functions._
  */
 object Walks {
 
+  /** Eager localCheckpoint registered with the active [[CacheScope]]:
+    * every pinned frame backs the returned corpus plan (the union of
+    * all step frontiers), so release must wait for the caller's
+    * tracking scope — raw checkpoints here would strand RDD blocks no
+    * catalog-level release can reach. */
+  private implicit class Pinned(private val df: DataFrame) {
+    def pinned: DataFrame =
+      CacheScope.pinCheckpointed(df.localCheckpoint(true))
+  }
+
   /**
    * @param edges directed edge list with string columns `src`, `dst`
    *              (symmetrize upstream for an undirected graph);
@@ -59,13 +69,13 @@ object Walks {
     // edge table once, every step reuses the layout.
     val e = edges.select(col("src").cast("string").as("src"),
       col("dst").cast("string").as("dst")).distinct()
-      .localCheckpoint(true)
+      .pinned
     val reps = (0 until walksPerNode).map(lit(_))
     var frontier = e.select(col("src").as("start")).distinct()
       .select(explode(array(reps: _*)).as("rep"), col("start"))
       .select(concat_ws("#", col("start"), col("rep")).as("walk_id"),
         col("start").as("node"))
-      .localCheckpoint(true)
+      .pinned
     var corpus = frontier.select(col("walk_id"), lit(0).as("step"),
       col("node"))
     for (t <- 1 to walkLength) {
@@ -79,7 +89,7 @@ object Walks {
         .groupBy(col("walk_id"))
         .agg(min(struct(col("h"), col("dst"))).as("m"))
         .select(col("walk_id"), col("m.dst").as("node"))
-        .localCheckpoint(true)
+        .pinned
       corpus = corpus.union(
         frontier.select(col("walk_id"), lit(t).as("step"), col("node")))
     }
@@ -121,7 +131,7 @@ object Walks {
     // the edge set is probed TWICE per step (candidates + adjacency).
     val e = edges.select(col("src").cast("string").as("src"),
       col("dst").cast("string").as("dst")).distinct()
-      .localCheckpoint(true)
+      .pinned
     val adj = e.select(col("src").as("prev"), col("dst").as("dst"),
       lit(true).as("adj"))
     val reps = (0 until walksPerNode).map(lit(_))
@@ -129,7 +139,7 @@ object Walks {
       .select(explode(array(reps: _*)).as("rep"), col("start"))
       .select(concat_ws("#", col("start"), col("rep")).as("walk_id"),
         col("start").as("node"), lit(null).cast("string").as("prev"))
-      .localCheckpoint(true)
+      .pinned
     var corpus = frontier.select(col("walk_id"), lit(0).as("step"),
       col("node"))
     for (t <- 1 to walkLength) {
@@ -156,7 +166,7 @@ object Walks {
         .agg(min(struct(col("h"), col("dst"), col("node"))).as("m"))
         .select(col("walk_id"), col("m.dst").as("node"),
           col("m.node").as("prev"))
-        .localCheckpoint(true)
+        .pinned
       corpus = corpus.union(
         frontier.select(col("walk_id"), lit(t).as("step"), col("node")))
     }
@@ -196,13 +206,13 @@ object Walks {
       least(col("w").cast("int"), lit(cap)).as("w"))
       .filter(col("w") >= 1)
       .distinct()
-      .localCheckpoint(true)
+      .pinned
     val reps = (0 until walksPerNode).map(lit(_))
     var frontier = e.select(col("src").as("start")).distinct()
       .select(explode(array(reps: _*)).as("rep"), col("start"))
       .select(concat_ws("#", col("start"), col("rep")).as("walk_id"),
         col("start").as("node"))
-      .localCheckpoint(true)
+      .pinned
     var corpus = frontier.select(col("walk_id"), lit(0).as("step"),
       col("node"))
     for (t <- 1 to walkLength) {
@@ -216,7 +226,7 @@ object Walks {
         .groupBy(col("walk_id"))
         .agg(min(struct(col("h"), col("dst"))).as("m"))
         .select(col("walk_id"), col("m.dst").as("node"))
-        .localCheckpoint(true)
+        .pinned
       corpus = corpus.union(
         frontier.select(col("walk_id"), lit(t).as("step"), col("node")))
     }
