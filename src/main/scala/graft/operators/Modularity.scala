@@ -40,8 +40,8 @@ import org.apache.spark.sql.functions._
 object Modularity {
 
   def communityStats(edges: DataFrame, membership: DataFrame): DataFrame = {
-    // Pinned: reused by the count, the tagging joins, and (through
-    // them) both aggregates.
+    // Pinned: reused by the tagging joins and (through them) both
+    // aggregates of partialStats.
     val e = edges
       .select(least(col("src"), col("dst")).cast("long").as("s"),
         greatest(col("src"), col("dst")).cast("long").as("d"))
@@ -49,6 +49,28 @@ object Modularity {
       .distinct()
       .localCheckpoint(true)
       .transform(CacheScope.pinCheckpointed) // backs the returned plan
+    finalizeStats(
+      partialStats(e.select(col("s").as("src"), col("d").as("dst")),
+        membership),
+      membership)
+  }
+
+  /**
+   * Associative per-batch contribution — the streaming face's fold unit
+   * (see [[graft.streaming.ArtifactStreams.modularityStream]]): per
+   * community, (internal_edges, degree_sum) over THIS batch's edges.
+   * Rows are canonicalized and self-loops dropped, but deduplication is
+   * the CALLER's contract: feed unique undirected edges (the batch path
+   * distincts; a stream dedupes upstream or accepts multigraph
+   * semantics, where a repeated edge weights its endpoints' degree and
+   * internal counts — a defensible convention, stated, not silent).
+   * Unmapped endpoints are refused, as in the batch form.
+   */
+  def partialStats(edges: DataFrame, membership: DataFrame): DataFrame = {
+    val e = edges
+      .select(least(col("src"), col("dst")).cast("long").as("s"),
+        greatest(col("src"), col("dst")).cast("long").as("d"))
+      .filter(col("s") < col("d"))
     val mem = membership.select(col("node_id").cast("long").as("node_id"),
       col("community").cast("string").as("community"))
     val tagged = e
@@ -60,28 +82,46 @@ object Modularity {
     // partition silently skews Q toward its covered part, so refuse it.
     require(tagged.filter(col("cs").isNull || col("cd").isNull).isEmpty,
       "membership must cover every edge endpoint — found edges with unmapped nodes")
-    val m = e.count()
-    // internal edges per community (both endpoints inside)
+    // internal edges per community (both endpoints inside); degree per
+    // community: each canonical edge contributes 1 to both endpoints'
+    // communities (2 to its own when internal)
     val internal = tagged.filter(col("cs") === col("cd"))
       .groupBy(col("cs").as("community"))
       .agg(count(lit(1)).as("internal_edges"))
-    // degree per community: each canonical edge contributes 1 to both
-    // endpoints' communities (2 to its own when internal)
     val degree = tagged.select(col("cs").as("community"))
       .union(tagged.select(col("cd").as("community")))
       .groupBy(col("community"))
       .agg(count(lit(1)).as("degree_sum"))
+    degree.join(internal, Seq("community"), "left")
+      .select(col("community"),
+        coalesce(col("internal_edges"), lit(0L)).as("internal_edges"),
+        col("degree_sum"))
+  }
+
+  /**
+   * Turn a folded (community, internal_edges, degree_sum) artifact into
+   * the full scorecard. The total edge count is DERIVED from the
+   * artifact itself — Σ degree_sum = 2m exactly — so the fold carries
+   * no global row and the 1-row total joins back as a broadcast, never
+   * a driver-side count.
+   */
+  def finalizeStats(partial: DataFrame, membership: DataFrame): DataFrame = {
+    val mem = membership.select(col("node_id").cast("long").as("node_id"),
+      col("community").cast("string").as("community"))
+    val mTot = partial
+      .agg(coalesce(sum(col("degree_sum")), lit(0L)).as("deg2"))
+      .select((col("deg2") / lit(2L)).cast("long").as("m_tot"))
     val nodes = mem.groupBy(col("community"))
       .agg(count(lit(1)).as("n_nodes"))
+    val internal0 = coalesce(col("internal_edges"), lit(0L))
+    val degree0 = coalesce(col("degree_sum"), lit(0L))
     nodes
-      .join(internal, Seq("community"), "left")
-      .join(degree, Seq("community"), "left")
+      .join(partial, Seq("community"), "left")
+      .crossJoin(broadcast(mTot))
       .select(col("community"), col("n_nodes"),
-        coalesce(col("internal_edges"), lit(0L)).as("internal_edges"),
-        coalesce(col("degree_sum"), lit(0L)).as("degree_sum"))
-      .withColumn("cut", col("degree_sum") - lit(2L) * col("internal_edges"))
-      .withColumn("q_num",
-        lit(4L) * lit(m) * col("internal_edges")
-          - col("degree_sum") * col("degree_sum"))
+        internal0.as("internal_edges"), degree0.as("degree_sum"),
+        (degree0 - lit(2L) * internal0).as("cut"),
+        (lit(4L) * col("m_tot") * internal0 - degree0 * degree0)
+          .as("q_num"))
   }
 }

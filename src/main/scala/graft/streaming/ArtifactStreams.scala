@@ -114,6 +114,25 @@ object ArtifactStreams {
         graft.operators.Similarity.cellCounts(b, vecCol, centroids))
         .groupBy(col("cell")).agg(sum(col("n")).as("n")))(sink)
 
+  /** Streaming partition quality: the per-community
+    * (internal_edges, degree_sum) counters fold by associative sum —
+    * the total edge count is Σ degree_sum / 2, so the artifact carries
+    * no global row — and each trigger finalizes against the static
+    * membership into q221's exact-integer scorecard. Contract: an
+    * append stream of UNIQUE undirected edges (dedupe upstream;
+    * repeats mean multigraph semantics, see Modularity.partialStats). */
+  def modularityStream(edges: DataFrame, membership: DataFrame)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
+    foldStream(edges)(
+      b => graft.operators.Modularity.partialStats(b, membership),
+      (s, b) => s.unionByName(
+        graft.operators.Modularity.partialStats(b, membership))
+        .groupBy(col("community"))
+        .agg(sum(col("internal_edges")).as("internal_edges"),
+          sum(col("degree_sum")).as("degree_sum")))(
+      (art, id) => sink(
+        graft.operators.Modularity.finalizeStats(art, membership), id))
+
   /** Streaming weighted reservoir (A-ES over an unbounded stream): the
     * carried artifact is the current top-k by the q120 nano-key, and
     * because the key is a pure row property, "top-k of (carried top-k ∪

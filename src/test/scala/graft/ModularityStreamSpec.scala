@@ -1,0 +1,91 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+import graft.operators.Modularity
+import graft.streaming.ArtifactStreams
+
+/**
+ * modularityStream == batch communityStats over everything delivered,
+ * at every trigger: the per-community counters fold by associative
+ * sum and m derives from the artifact (Σ degree = 2m), so trigger
+ * split points are invisible and the partition scorecard stays
+ * current as unique edges stream in. Also pins the batch refactor:
+ * communityStats == finalizeStats ∘ partialStats on the deduped
+ * canonical edge set.
+ */
+class ModularityStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("src", LongType), StructField("dst", LongType)))
+
+  private def scorecard(edges: Seq[(Long, Long)],
+      mem: Map[Long, String]): Set[(String, Long, Long, Long, Long, Long)] =
+    Modularity.communityStats(edges.toDF("src", "dst"),
+        mem.toSeq.toDF("node_id", "community"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .toSet
+
+  test("per-trigger scorecard reads as the batch stats of all edges delivered") {
+    val rng = new Random(17)
+    val n = 14L
+    val edges = (1 to 120)
+      .map(_ => (rng.nextInt(n.toInt).toLong, rng.nextInt(n.toInt).toLong))
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter(e => e._1 < e._2).distinct // the unique-edge stream contract
+    val mem = (0L until n).map(v => v -> s"c${v % 4}").toMap
+    val memDf = mem.toSeq.toDF("node_id", "community")
+    val splits = Seq(edges.slice(0, 25), edges.slice(25, 26),
+      edges.slice(26, edges.size))
+    val tmp = java.nio.file.Files.createTempDirectory("mod_stream").toString
+    splits.zipWithIndex.foreach { case (part, i) =>
+      if (i > 0) Thread.sleep(1100)
+      part.toDF("src", "dst").coalesce(1)
+        .write.mode("append").parquet(s"$tmp/in")
+    }
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).option("latestFirst", "false")
+      .parquet(s"$tmp/in")
+    val perTrigger = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Set[(String, Long, Long, Long, Long, Long)])]
+    val q = ArtifactStreams.modularityStream(stream, memDf) { (card, id) =>
+      perTrigger += (id -> card.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSet)
+    }
+    q.processAllAvailable()
+    q.stop()
+    assert(perTrigger.size == 3)
+    perTrigger.foreach { case (id, got) =>
+      val want = scorecard(splits.take(id.toInt + 1).flatten, mem)
+      assert(got == want, s"trigger $id diverges from batch communityStats")
+    }
+  }
+
+  test("batch identity: communityStats == finalize(partial) and shard-merge associativity") {
+    val rng = new Random(23)
+    val edges = (1 to 60)
+      .map(_ => (rng.nextInt(10).toLong, rng.nextInt(10).toLong))
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter(e => e._1 < e._2).distinct
+    val mem = (0L until 10L).map(v => v -> s"g${v % 3}").toMap
+    val memDf = mem.toSeq.toDF("node_id", "community")
+    val (l, r) = edges.splitAt(edges.size / 2)
+    val merged = Modularity.partialStats(l.toDF("src", "dst"), memDf)
+      .unionByName(Modularity.partialStats(r.toDF("src", "dst"), memDf))
+      .groupBy(col("community"))
+      .agg(sum(col("internal_edges")).as("internal_edges"),
+        sum(col("degree_sum")).as("degree_sum"))
+    val viaShards = Modularity.finalizeStats(merged, memDf)
+      .collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getLong(5))).toSet
+    assert(viaShards === scorecard(edges, mem))
+  }
+}
