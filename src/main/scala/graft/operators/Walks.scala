@@ -113,9 +113,10 @@ object Walks {
    * ticket list) bounded. The first step has no previous node and
    * draws uniformly (one ticket each).
    *
-   * Same per-step shape as [[deterministicWalks]] plus one broadcast-
-   * friendly probe: candidates left-join the edge set on
-   * (prev, dst) to classify "common neighbor of the previous node",
+   * Same per-step shape as [[deterministicWalks]] plus one more
+   * edge-sized equi-join: candidates left-join the edge set keyed on
+   * (prev, dst) to classify "common neighbor of the previous node" —
+   * co-partitionable with the same bucketing as the candidate join —
    * then explode ≤ max-weight tickets. Frontier stays
    * |startNodes|·walksPerNode rows carrying (node, prev).
    */
@@ -237,9 +238,12 @@ object Walks {
    * Skip-gram context pairs from a walk corpus (the training-pair
    * extraction of word2vec/DeepWalk): for every walk position, each of
    * the next `window` positions contributes one directed
-   * (center, context) pair. ONE self-join partitioned by walk_id with
-   * a bounded step-band (fan-out ≤ window per row, never quadratic in
-   * walk length) + ONE map-side-combined count.
+   * (center, context) pair. The band is materialized as an EXACT
+   * equi-join — each position explodes its ≤ window forward offsets
+   * and joins on (walk_id, step) — so fan-out is ≤ window per row by
+   * plan shape (no residual band filter over a per-walk quadratic
+   * candidate set), followed by ONE map-side-combined count. Missing
+   * steps (dead-ended walks) simply find no match.
    *
    * @param walks (walk_id, step, node) as produced by
    *              [[deterministicWalks]]
@@ -248,12 +252,15 @@ object Walks {
    */
   def skipgramPairs(walks: DataFrame, window: Int): DataFrame = {
     require(window >= 1, "window must be >= 1")
-    val a = walks.select(col("walk_id"), col("step").as("s1"),
-      col("node").as("center"))
-    val b = walks.select(col("walk_id"), col("step").as("s2"),
+    val offsets = (1 to window).map(lit(_))
+    val a = walks
+      .select(col("walk_id"), col("step"), col("node").as("center"),
+        explode(array(offsets: _*)).as("k"))
+      .select(col("walk_id"), (col("step") + col("k")).as("step"),
+        col("center"))
+    val b = walks.select(col("walk_id"), col("step"),
       col("node").as("context"))
-    a.join(b, Seq("walk_id"))
-      .filter(col("s2") > col("s1") && col("s2") <= col("s1") + window)
+    a.join(b, Seq("walk_id", "step"))
       .groupBy(col("center"), col("context"))
       .agg(count(lit(1)).as("pairs"))
   }
