@@ -64,12 +64,41 @@ object PipelineQueries {
 
   /** Drop memoized pipelines for `s` (bench passes re-run from cold) and
     * free their checkpoint blocks. */
-  def resetCache(s: SparkSession): Unit =
+  def resetCache(s: SparkSession): Unit = {
     cache.keys.filter(_._1 eq s).foreach { k =>
       cache.remove(k).foreach { case (a, b, c) =>
         Seq(a, b, c).foreach(graft.operators.CacheScope.unpinCheckpoint)
       }
     }
+    lpaCache.keys.filter(_._1 eq s).foreach { k =>
+      lpaCache.remove(k).foreach(graft.operators.CacheScope.unpinCheckpoint)
+    }
+  }
+
+  private val lpaCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** The directed co-purchase edge list q123/q222 share (q94/q138/q188
+    * build its symmetrized variant inline). */
+  private def copurchaseEdges(s: SparkSession, d: String): DataFrame =
+    T.orders(s, d)
+      .join(T.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"),
+        (col("l_suppkey") + lit(1000000000L)).as("supp"))
+      .distinct()
+      .select(col("cust").as("src"), col("supp").as("dst"))
+
+  /** q123's 3-round LPA membership, memoized per (session, dir) like
+    * [[corefPipeline]] so the battery pays the propagation once (q123
+    * runs first in declaration order; q222 reuses the labels for its
+    * modularity scorecard). Eagerly checkpointed inside the memo so
+    * the releasing of the FIRST caller's tracking scope cannot strand
+    * the shared frame. */
+  private def copurchaseLpa(s: SparkSession, d: String): DataFrame =
+    lpaCache.getOrElseUpdate((s, d), {
+      graft.operators.LabelPropagation.run(copurchaseEdges(s, d), iters = 3)
+        .localCheckpoint(true)
+    })
 
   private def corefPipeline(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) =
     cache.getOrElseUpdate((s, d), {
@@ -362,16 +391,7 @@ object PipelineQueries {
     // recursion is bit-identical cross-engine; the oracle unrolls all 3
     // rounds CTE-for-CTE (row_number mirror of the argmax).
     Q("q123_lpa_communities",
-      (s, d) => {
-        val pairs = T.orders(s, d)
-          .join(T.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
-          .select(col("o_custkey").as("cust"),
-            (col("l_suppkey") + lit(1000000000L)).as("supp"))
-          .distinct()
-        val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
-        graft.operators.LabelPropagation.run(edges, iters = 3)
-          .orderBy(col("node_id"))
-      },
+      (s, d) => copurchaseLpa(s, d).orderBy(col("node_id")),
       Some(LpaSql(3))),
 
     // ---- Multi-source BFS hop distances (Bfs.hopDistances) over the q94
@@ -1448,13 +1468,8 @@ object PipelineQueries {
     // output stable and review-sized; ties pinned by community id.
     Q("q222_lpa_modularity",
       (s, d) => {
-        val pairs = T.orders(s, d)
-          .join(T.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
-          .select(col("o_custkey").as("cust"),
-            (col("l_suppkey") + lit(1000000000L)).as("supp"))
-          .distinct()
-        val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
-        val mem = graft.operators.LabelPropagation.run(edges, iters = 3)
+        val edges = copurchaseEdges(s, d)
+        val mem = copurchaseLpa(s, d)
           .select(col("node_id"), col("label").as("community"))
         graft.operators.Modularity.communityStats(edges, mem)
           .orderBy(col("n_nodes").desc, col("community"))
