@@ -1505,7 +1505,38 @@ object PipelineQueries {
              FROM nodes n CROSS JOIN mtot
              LEFT JOIN internal i ON n.community = i.community
              LEFT JOIN degree g ON n.community = g.community
-             ORDER BY n.n_nodes DESC, n.community LIMIT 20"""))
+             ORDER BY n.n_nodes DESC, n.community LIMIT 20""")),
+
+    // ---- Butterflies on the co-purchase BIPARTITE graph
+    // (Butterflies.pairCounts): customer pairs sharing ≥ 2 qualifying
+    // suppliers form 2×2 bicliques — the bipartite cohesion motif
+    // (triangles cannot exist here), the co-engagement signal behind
+    // "customers like you". Thinned to quantity ≥ 40 interactions
+    // (12k edges / 536k wedge pairs at sf0.01 — the wedge frame is the
+    // q103 bound on supplier degree; hub mitigations per the operator
+    // scaladoc). Top-20 pairs by butterfly count, ties by pair id.
+    Q("q223_butterflies",
+      (s, d) => {
+        val e = T.orders(s, d)
+          .join(T.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+          .filter(col("l_quantity") >= 40)
+          .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+        graft.operators.Butterflies.pairCounts(e)
+          .orderBy(col("butterflies").desc, col("a"), col("b"))
+          .limit(20)
+      },
+      Some("""WITH e AS (
+               SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+               FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+               WHERE l_quantity >= 40),
+             w AS (
+               SELECT x.c AS a, y.c AS b, count(*) AS shared
+               FROM e x JOIN e y ON x.s = y.s AND x.c < y.c
+               GROUP BY 1, 2)
+             SELECT a, b, shared,
+               CAST(shared * (shared - 1) // 2 AS BIGINT) AS butterflies
+             FROM w
+             ORDER BY butterflies DESC, a, b LIMIT 20"""))
   )
 
   /** q199 oracle: the b-suitor rounds unrolled with explicit capacity
