@@ -455,6 +455,20 @@ object ScaleSmoke {
       runOnce("ktruss") {
         graft.operators.KTruss.peel(smokeGraph(20), k = 4, rounds = 3)
       }
+      // Round-10: butterflies — wedge frame is Σ_r C(deg r, 2) on the
+      // RIGHT side; at fixed right degree (100 here) that is linear in
+      // m (≈ 2.5M·m wedge rows), isolating the linear regime from
+      // q223's SF sweep where supplier degree itself grows with scale
+      // (the documented hub exposure — thin/cap upstream).
+      runOnce("butterflies") {
+        val nLeft = 5000L * m
+        val nRight = 500L * m
+        val e = spark.range(nLeft * 10)
+          .select(pmod(xxhash64(col("id"), lit(1)), lit(nLeft)).as("src"),
+            (pmod(xxhash64(col("id"), lit(2)), lit(nRight))
+              + lit(2000000000L)).as("dst"))
+        graft.operators.Butterflies.pairCounts(e)
+      }
       // Round-8: exact suffix-array-grade substring dedup — O(n·L)
       // characters through ONE range shuffle; should track token count
       // near-linearly (the m× corpus makes every original window an
