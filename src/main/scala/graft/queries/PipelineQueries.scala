@@ -1536,7 +1536,61 @@ object PipelineQueries {
              SELECT a, b, shared,
                CAST(shared * (shared - 1) // 2 AS BIGINT) AS butterflies
              FROM w
-             ORDER BY butterflies DESC, a, b LIMIT 20"""))
+             ORDER BY butterflies DESC, a, b LIMIT 20""")),
+
+    // ---- Do the trade hubs interconnect? Rich-club coefficients
+    // (RichClub.coefficients) over the undirected trade network at a
+    // k-ladder: per threshold the exact integer pair (2·E_k, N_k·(N_k−1))
+    // whose ratio is φ(k) — no floats, 0/0 rows kept for empty clubs.
+    // One degree pass + two node-sized joins + a |ks| explode + two
+    // map-side-combined counts; the oracle mirrors with an unnest
+    // ladder cross join.
+    Q("q224_rich_club",
+      (s, d) => {
+        val e = T.lineitem(s, d)
+          .filter(col("l_quantity") >= 48 && col("l_discount") >= 0.09 &&
+            col("l_returnflag") === "R")
+          .join(T.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(T.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(T.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+          .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+          .filter(col("src") =!= col("dst"))
+          .distinct()
+        graft.operators.RichClub
+          .coefficients(e, Seq(0, 2, 4, 8, 12, 16, 20))
+          .orderBy(col("k"))
+      },
+      Some("""WITH raw AS (
+               SELECT DISTINCT c.c_nationkey AS x, su.s_nationkey AS y
+               FROM lineitem l
+               JOIN orders o ON l.l_orderkey = o.o_orderkey
+               JOIN customer c ON o.o_custkey = c.c_custkey
+               JOIN supplier su ON l.l_suppkey = su.s_suppkey
+               WHERE l.l_quantity >= 48 AND l.l_discount >= 0.09
+                 AND l.l_returnflag = 'R' AND c.c_nationkey <> su.s_nationkey),
+             e AS (SELECT DISTINCT least(x, y) AS s, greatest(x, y) AS d
+               FROM raw),
+             deg AS (
+               SELECT node, count(*) AS deg FROM (
+                 SELECT s AS node FROM e UNION ALL SELECT d AS node FROM e)
+               GROUP BY node),
+             tagged AS (
+               SELECT least(ds.deg, dd.deg) AS mindeg
+               FROM e JOIN deg ds ON e.s = ds.node
+                      JOIN deg dd ON e.d = dd.node),
+             ks AS (SELECT unnest([0, 2, 4, 8, 12, 16, 20]) AS k),
+             nk AS (
+               SELECT k, count(*) AS n_k FROM ks CROSS JOIN deg
+               WHERE deg > k GROUP BY k),
+             ek AS (
+               SELECT k, count(*) AS e_k FROM ks CROSS JOIN tagged
+               WHERE mindeg > k GROUP BY k)
+             SELECT ks.k, coalesce(n_k, 0) AS n_k, coalesce(e_k, 0) AS e_k,
+               CAST(2 * coalesce(e_k, 0) AS BIGINT) AS phi_num,
+               CAST(coalesce(n_k, 0) * (coalesce(n_k, 0) - 1) AS BIGINT)
+                 AS phi_den
+             FROM ks LEFT JOIN nk ON ks.k = nk.k LEFT JOIN ek ON ks.k = ek.k
+             ORDER BY ks.k"""))
   )
 
   /** q199 oracle: the b-suitor rounds unrolled with explicit capacity
