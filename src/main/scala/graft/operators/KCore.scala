@@ -55,7 +55,9 @@ object KCore {
       round += 1
     }
     e.unpersist()
-    CacheScope.pinCheckpointed(
-      survivors.withColumn("converged", lit(converged)))
+    // Bare checkpointed frame registered, Project applied outside —
+    // unpinCheckpoint only matches a LogicalRDD leaf (ADVICE r10).
+    CacheScope.pinCheckpointed(survivors)
+      .withColumn("converged", lit(converged))
   }
 }

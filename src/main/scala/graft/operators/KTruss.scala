@@ -78,7 +78,9 @@ object KTruss {
       converged = removed == 0L
       round += 1
     }
-    CacheScope.pinCheckpointed(
-      cur.withColumn("converged", lit(converged)))
+    // Register the bare checkpointed frame — unpinCheckpoint matches a
+    // LogicalRDD leaf, so the Project the withColumn adds must sit
+    // OUTSIDE the registration or the release is a no-op (ADVICE r10).
+    CacheScope.pinCheckpointed(cur).withColumn("converged", lit(converged))
   }
 }

@@ -64,7 +64,12 @@ object Modularity {
    * distincts; a stream dedupes upstream or accepts multigraph
    * semantics, where a repeated edge weights its endpoints' degree and
    * internal counts — a defensible convention, stated, not silent).
-   * Unmapped endpoints are refused, as in the batch form.
+   * Unmapped endpoints are NOT refused here — they fold into a
+   * NULL-community row (its degree_sum counts the unmapped endpoint
+   * slots), which [[finalizeStats]] refuses at execution time. Carrying
+   * the violation in the artifact keeps the fold a single aggregate
+   * (the old eager `require(….isEmpty)` cost one extra node-join
+   * action per call — per BATCH in the streaming face, ADVICE r10).
    */
   def partialStats(edges: DataFrame, membership: DataFrame): DataFrame = {
     val e = edges
@@ -78,13 +83,11 @@ object Modularity {
         Seq("s"), "left")
       .join(mem.select(col("node_id").as("d"), col("community").as("cd")),
         Seq("d"), "left")
-    // Coverage gate (one extra node-join pass, early-out): a partial
-    // partition silently skews Q toward its covered part, so refuse it.
-    require(tagged.filter(col("cs").isNull || col("cd").isNull).isEmpty,
-      "membership must cover every edge endpoint — found edges with unmapped nodes")
-    // internal edges per community (both endpoints inside); degree per
+    // internal edges per community (both endpoints inside — the
+    // null-unsafe === keeps unmapped endpoints out); degree per
     // community: each canonical edge contributes 1 to both endpoints'
-    // communities (2 to its own when internal)
+    // communities (2 to its own when internal). Unmapped endpoints
+    // group under community NULL — the carried coverage violation.
     val internal = tagged.filter(col("cs") === col("cd"))
       .groupBy(col("cs").as("community"))
       .agg(count(lit(1)).as("internal_edges"))
@@ -103,14 +106,24 @@ object Modularity {
    * the full scorecard. The total edge count is DERIVED from the
    * artifact itself — Σ degree_sum = 2m exactly — so the fold carries
    * no global row and the 1-row total joins back as a broadcast, never
-   * a driver-side count.
+   * a driver-side count. The coverage gate rides the SAME 1-row
+   * aggregate: a NULL-community row in the artifact (unmapped edge
+   * endpoints, see [[partialStats]]) raises when the consuming action
+   * runs — a partial partition silently skews Q toward its covered
+   * part, so refuse it — at zero extra jobs.
    */
   def finalizeStats(partial: DataFrame, membership: DataFrame): DataFrame = {
     val mem = membership.select(col("node_id").cast("long").as("node_id"),
       col("community").cast("string").as("community"))
     val mTot = partial
-      .agg(coalesce(sum(col("degree_sum")), lit(0L)).as("deg2"))
-      .select((col("deg2") / lit(2L)).cast("long").as("m_tot"))
+      .agg(coalesce(sum(col("degree_sum")), lit(0L)).as("deg2"),
+        coalesce(sum(when(col("community").isNull, col("degree_sum"))),
+          lit(0L)).as("unmapped"))
+      .select(when(col("unmapped") > 0, raise_error(concat(
+          lit("membership must cover every edge endpoint — "),
+          col("unmapped").cast("string"),
+          lit(" unmapped endpoint slot(s) in the folded artifact"))))
+        .otherwise((col("deg2") / lit(2L)).cast("long")).as("m_tot"))
     val nodes = mem.groupBy(col("community"))
       .agg(count(lit(1)).as("n_nodes"))
     val internal0 = coalesce(col("internal_edges"), lit(0L))

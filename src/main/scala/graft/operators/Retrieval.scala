@@ -53,7 +53,20 @@ object Retrieval {
     val slim = ranked.map { case (_, df) =>
       df.select((idCols.map(col) :+ col(rankCol).cast("int").as("__rank")): _*)
     }
-    slim.reduce(_ union _)
+    // Contract gate (ADVICE r10): a null (or null-casting) rank would
+    // still bump n_systems while sum() skipped it, silently corrupting
+    // the fused score; a rank < 1 breaks the 1-based contract (and with
+    // k = 0 a rank-0 row nulls the division). Raise at execution time —
+    // codegen'd conditional on the already-materialized column, no extra
+    // pass.
+    val checked = slim.reduce(_ union _)
+      .withColumn("__rank",
+        when(col("__rank").isNull || col("__rank") < 1,
+          raise_error(concat(
+            lit("rrfFuse: rank must be a 1-based positive int, got "),
+            coalesce(col("__rank").cast("string"), lit("NULL")))))
+        .otherwise(col("__rank")))
+    checked
       .groupBy(idCols.map(col): _*)
       .agg(
         count(lit(1)).as("n_systems"),

@@ -1840,10 +1840,15 @@ object LlmQueries {
         // spec-reference tier the ANN paths (q206/q209/q210) are pinned
         // against. Above the bound the right answer is those operators,
         // never a bigger cross product; fail fast with the redirect.
-        val nVec = emb.count()
+        // Guard proxy (ADVICE r10): count the bare embeddings scan with
+        // an early-stopping limit — an UPPER bound on the joined emb
+        // (the doc join only drops rows) — instead of the old eager
+        // emb.count(), which re-ran the 3-way join on every
+        // construction, including plan-only paths.
+        val nVec = T.embeddings(s, d).limit(100001).count()
         require(nVec <= 100000L,
           s"q195 brute-force bitext mining is the validation-scale " +
-            s"reference tier ($nVec vectors > 100000); at scale use " +
+            s"reference tier (> 100000 vectors); at scale use " +
             s"ivfMutualTop1 (q206) / marginMutualTop1 (q209)")
         val en = emb.filter(col("lang") === "en")
           .select(col("vec_id"), col("embedding"))

@@ -88,13 +88,17 @@ object Manifest {
   /** Manifest format written by this version. History:
     *  1 (r7, implicit — no `format` field): n_rows + content_hash (XOR
     *    fold of xxhash64 over the bare columns, no null markers).
-    *  2 (r9+): adds `format`, the decimal sum fold (`sum_hash`), the
-    *    audited `columns` list, and interleaves per-column null markers
-    *    into the row hash — which REDEFINES content_hash, so v1 and v2
-    *    hashes are not comparable. [[verify]] dispatches on `format`
-    *    (absent ⇒ 1) and checks a v1 manifest with the v1 row hash:
-    *    legacy releases stay verifiable, not indistinguishable from
-    *    tampered ones (ADVICE r9). */
+    *  2 (r9+): adds the decimal sum fold (`sum_hash`), the audited
+    *    `columns` list, and interleaves per-column null markers into
+    *    the row hash — which REDEFINES content_hash, so v1 and v2
+    *    hashes are not comparable. NOTE an r9 window (the first v2
+    *    audit commit) wrote sum_hash/columns and the null-marker hash
+    *    WITHOUT a `format` field; the explicit field arrived with the
+    *    r10 Jackson writer. [[verify]] therefore dispatches a
+    *    format-less manifest on the fields only v2 writes
+    *    (sum_hash/columns present ⇒ 2, else 1) — both legacy
+    *    generations stay verifiable, not indistinguishable from
+    *    tampered ones (ADVICE r9/r10). */
   val FormatVersion = 2
 
   /** v1 row-hash audit (no null markers) — kept solely so [[verify]]
@@ -138,9 +142,11 @@ object Manifest {
   /** Consumer-side audit: recompute the manifest's format of the content
     * audit over `dir/data` and compare every field the manifest carries.
     * Format 2 checks count, BOTH folds, and the column list; a format-1
-    * manifest (no `format` field — pre-r9 releases) is checked with the
-    * v1 row hash on count + XOR (+ sum/columns only if present: each
-    * absent field simply isn't checked, it does NOT fail). Returns
+    * manifest (no `format` field AND no sum_hash/columns — pre-r9
+    * releases) is checked with the v1 row hash on count + XOR (each
+    * absent field simply isn't checked, it does NOT fail); a format-less
+    * manifest CARRYING sum_hash/columns (the r9 window) is checked as
+    * format 2. Returns
     * (ok, manifest (n, xor), recomputed (n, xor)). Missing manifest =
     * not committed → throws. */
   def verify(spark: SparkSession, dir: String)
@@ -157,7 +163,12 @@ object Manifest {
       if (n == null) throw new IllegalStateException(s"manifest lacks $name")
       n
     }
-    val format = Option(node.get("format")).map(_.asInt).getOrElse(1)
+    // Format-less dispatch: the r9 window wrote the v2 audit without a
+    // `format` field (see FormatVersion history) — sum_hash/columns are
+    // the fields only v2 writes, so their presence selects the v2 row
+    // hash; a plain (n_rows, content_hash) manifest is v1.
+    val format = Option(node.get("format")).map(_.asInt).getOrElse(
+      if (node.has("sum_hash") || node.has("columns")) 2 else 1)
     require(format <= FormatVersion,
       s"manifest format $format is newer than this reader ($FormatVersion)")
     val expected = (need("n_rows").asLong, need("content_hash").asLong)

@@ -119,6 +119,39 @@ class ManifestSpec extends SparkSpec {
     assert(!Manifest.verify(spark, d)._1)
   }
 
+  test("format-less manifest CARRYING sum_hash/columns (the r9 window) " +
+      "verifies with the v2 audit, not a false tamper alarm") {
+    // The first v2-audit writer emitted null markers + sum_hash/columns
+    // but no `format` field; dispatching such a manifest to the v1 row
+    // hash would fail content_hash AND sum_hash on a legitimate release
+    // (ADVICE r10). Rebuild one of those manifests by hand.
+    val d = tmp()
+    val df = rows.toDF("id", "v", "g")
+    df.write.parquet(s"$d/data")
+    val landed = spark.read.parquet(s"$d/data")
+    val r = Manifest.auditFrame(landed).collect()(0)
+    val windowJson =
+      s"""{"n_rows":${r.getLong(0)},"content_hash":${r.getLong(1)},""" +
+        s""""sum_hash":"${BigInt(r.getDecimal(2).toBigInteger)
+          .mod(BigInt(1) << 64)}",""" +
+        s""""columns":["id","v","g"]}"""
+    val path = new org.apache.hadoop.fs.Path(s"$d/MANIFEST.json")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(path, true)
+    try out.write(windowJson.getBytes("UTF-8")) finally out.close()
+    val (ok, exp, act) = Manifest.verify(spark, d)
+    assert(ok, s"r9-window release must verify with the v2 audit: $exp vs $act")
+    // …and it still catches real tampering.
+    import org.apache.spark.sql.functions._
+    val tampered = spark.read.parquet(s"$d/data").filter(col("id") =!= 3L)
+    tampered.write.mode("overwrite").parquet(s"$d/data2")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$d/data"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$d/data2"),
+      new org.apache.hadoop.fs.Path(s"$d/data"))
+    assert(!Manifest.verify(spark, d)._1,
+      "window manifest must still catch a dropped row")
+  }
+
   test("format-1 manifest (pre-r9 release) verifies via the legacy fallback") {
     import org.apache.spark.sql.functions._
     // A v1 release: data + a hand-built v1 manifest (no format field, no

@@ -83,8 +83,16 @@ class ModularitySpec extends SparkSpec {
     val got = run(edges, mem)
     assert(got("island") === ((1L, 0L, 0L, 0L, 0L)))
     assert(got("a") === ((2L, 1L, 2L, 0L, 0L))) // m=1: 4*1*1 - 4 = 0
-    intercept[IllegalArgumentException] {
+    // The coverage gate now rides the artifact's 1-row aggregate and
+    // raises when the consuming action executes (no extra eager job),
+    // so the refusal surfaces as a Spark execution error whose cause
+    // chain carries the raise_error message.
+    val e = intercept[Exception] {
       run(Seq((0L, 1L), (1L, 2L)), Map(0L -> "a", 1L -> "a"))
     }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("cover every edge endpoint")),
+      s"unexpected failure: $e")
   }
 }

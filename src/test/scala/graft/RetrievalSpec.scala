@@ -66,6 +66,30 @@ class RetrievalSpec extends SparkSpec {
     assert(dup.getMessage.contains("duplicate system names"))
   }
 
+  test("a null or sub-1 rank raises instead of skewing the fusion") {
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    // null rank: would bump n_systems while sum() skipped it
+    val withNull = Seq((1L, Some(1)), (2L, None)).toDF("id", "rank")
+    val e1 = intercept[Exception] {
+      Retrieval.rrfFuse(Seq("a" -> withNull), idCols = Seq("id")).collect()
+    }
+    assert(messages(e1).exists(_.contains("1-based")), s"got $e1")
+    // rank 0 with k = 0: would null the division
+    val zero = Seq((1L, 0)).toDF("id", "rank")
+    val e2 = intercept[Exception] {
+      Retrieval.rrfFuse(Seq("a" -> zero), idCols = Seq("id"), k = 0).collect()
+    }
+    assert(messages(e2).exists(_.contains("1-based")), s"got $e2")
+    // a non-int-castable rank string nulls through the cast — caught too
+    val bad = Seq((1L, "not-a-rank")).toDF("id", "rank")
+    val e3 = intercept[Exception] {
+      Retrieval.rrfFuse(Seq("a" -> bad), idCols = Seq("id")).collect()
+    }
+    assert(messages(e3).exists(m =>
+      m.contains("1-based") || m.contains("CAST_INVALID_INPUT")), s"got $e3")
+  }
+
   test("fusion is one union + one aggregate — no join, no cartesian") {
     val a = Seq((1L, 1)).toDF("id", "rank")
     val b = Seq((2L, 1)).toDF("id", "rank")
