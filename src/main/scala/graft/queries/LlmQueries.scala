@@ -2425,6 +2425,100 @@ object LlmQueries {
              WHERE rank <= 3
              ORDER BY en_id, rank""")),
 
+    // ---- Distributed navigation-graph build + table-metadata beam
+    // assignment (Similarity.buildNavGraph / beamAssignWithGraph — the
+    // VERDICT r10 #1 closure): the centroid nav graph is built IN-ENGINE
+    // (exact pair-join tier + the Kleinberg rank ladder: out-links at
+    // ranks 1..3 plus 6 and 12 of the per-src (d2, dst) ranking), then
+    // the embeddings table is beam-assigned over that graph with the
+    // driver holding only the 2 entry vectors — nothing driver-side
+    // scales with the cell count. Output is the per-cell occupancy (the
+    // cellStats pre-flight face). The oracle replays the ENTIRE thing
+    // CTE-for-CTE: md5 centroid synthesis, the cross-join ranking with
+    // the ladder filter, the 2-round walk, the final assignment, the
+    // rollup.
+    Q("q225_nav_graph_assign",
+      (s, d) => {
+        val cents = Similarity.portableCentroids(24, 64)
+        val centDf = s.createDataFrame(
+          cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) })
+          .toDF("cell", "centroid")
+        val nav = Similarity.buildNavGraph(centDf, degree = 3,
+          longLinks = 2)
+        Similarity.beamAssignWithGraph(T.embeddings(s, d), "vec_id",
+          "embedding", centDf, nav, beamWidth = 4, depth = 2,
+          entryCells = 2)
+          .groupBy(col("cell")).agg(count(lit(1)).as("n_vectors"))
+          .orderBy(col("cell"))
+      },
+      Some("""WITH cents AS (
+               SELECT c.cell, d.dim,
+                 (CAST('0x' || substr(md5('c|' || CAST(c.cell AS VARCHAR) ||
+                    '|' || CAST(d.dim AS VARCHAR)), 1, 8) AS BIGINT)
+                  / 2147483648.0 - 1.0) * 0.25 AS w
+               FROM range(24) c(cell) CROSS JOIN range(64) d(dim)),
+             clists AS (
+               SELECT cell, list(w ORDER BY dim) AS cvec
+               FROM cents GROUP BY cell),
+             v AS (
+               SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+               FROM embeddings),
+             cd AS (
+               SELECT a.cell AS src, b.cell AS dst,
+                 list_inner_product(
+                   list_transform(range(1, 65), i -> a.cvec[i] - b.cvec[i]),
+                   list_transform(range(1, 65), i -> a.cvec[i] - b.cvec[i]))
+                   AS d2
+               FROM clists a CROSS JOIN clists b WHERE a.cell <> b.cell),
+             nbr AS (
+               SELECT src, dst FROM (
+                 SELECT src, dst, row_number() OVER (PARTITION BY src
+                   ORDER BY d2, dst) AS rn FROM cd)
+               WHERE rn <= 3 OR rn IN (6, 12)),
+             vd2 AS (
+               SELECT v.vec_id, c.cell,
+                 list_inner_product(
+                   list_transform(range(1, 65), i -> emb[i] - cvec[i]),
+                   list_transform(range(1, 65), i -> emb[i] - cvec[i])) AS d2
+               FROM v CROSS JOIN clists c),
+             b0 AS (
+               SELECT vec_id, cell, d2 FROM (
+                 SELECT vec_id, cell, d2, row_number() OVER (
+                   PARTITION BY vec_id ORDER BY d2, cell) AS rn
+                 FROM vd2 WHERE cell < 2) WHERE rn <= 4),
+             e1 AS (
+               SELECT DISTINCT vec_id, cell FROM (
+                 SELECT b.vec_id, n.dst AS cell FROM b0 b
+                 JOIN nbr n ON b.cell = n.src
+                 UNION ALL SELECT vec_id, cell FROM b0)),
+             b1 AS (
+               SELECT vec_id, cell, d2 FROM (
+                 SELECT e.vec_id, e.cell, vd2.d2, row_number() OVER (
+                   PARTITION BY e.vec_id ORDER BY vd2.d2, e.cell) AS rn
+                 FROM e1 e JOIN vd2 ON vd2.vec_id = e.vec_id
+                   AND vd2.cell = e.cell)
+               WHERE rn <= 4),
+             e2 AS (
+               SELECT DISTINCT vec_id, cell FROM (
+                 SELECT b.vec_id, n.dst AS cell FROM b1 b
+                 JOIN nbr n ON b.cell = n.src
+                 UNION ALL SELECT vec_id, cell FROM b1)),
+             b2 AS (
+               SELECT vec_id, cell, d2 FROM (
+                 SELECT e.vec_id, e.cell, vd2.d2, row_number() OVER (
+                   PARTITION BY e.vec_id ORDER BY vd2.d2, e.cell) AS rn
+                 FROM e2 e JOIN vd2 ON vd2.vec_id = e.vec_id
+                   AND vd2.cell = e.cell)
+               WHERE rn <= 4),
+             asg AS (
+               SELECT vec_id, cell FROM (
+                 SELECT vec_id, cell, row_number() OVER (
+                   PARTITION BY vec_id ORDER BY d2, cell) AS rn
+                 FROM b2) WHERE rn = 1)
+             SELECT cell, count(*) AS n_vectors
+             FROM asg GROUP BY cell ORDER BY cell""")),
+
     // ---- Length-distribution matching weights: per (lang, length
     // bucket) resampling weight that reshapes every language's length
     // distribution onto ENGLISH's — the length-bias correction a
