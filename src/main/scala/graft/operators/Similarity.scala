@@ -961,6 +961,20 @@ object Similarity {
       .groupBy(col("cell")).agg(count(lit(1)).as("n"))
   }
 
+  /** Dense argmin cell assignment per vector — (id, cell), the exact
+    * counterpart of [[beamAssign]]: O(nLists) d2 evaluations per vector
+    * (the term the beam walk exists to remove), so the cheaper AND
+    * exact choice below ~10³ cells. Same argmin convention as
+    * [[cellCounts]] (first-min ties to the smaller cell id). */
+  def denseAssign(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]]): DataFrame = {
+    require(centroids.nonEmpty, "centroids must be non-empty")
+    val d2s = array(centroids.map(c =>
+      sqL2(col(vecCol), array(c.map(lit): _*))): _*)
+    df.select(col(idCol).as("id"),
+      (array_position(d2s, array_min(d2s)) - 1).cast("int").as("cell"))
+  }
+
   /** The report half of [[cellStats]]: complete a (cell, n) count table
     * to every cell 0..nCells−1 (empties at 0 — absence being the
     * diagnostic) with exact integer permille shares. */

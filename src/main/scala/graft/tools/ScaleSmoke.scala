@@ -602,7 +602,8 @@ object ScaleSmoke {
       // cell-count-sized rollup so the materialized output is
       // comparable. The dense row's per-vector work grows with m ON TOP
       // of the corpus growth (n·nLists ∝ m²); the beam row's is ∝ m.
-      if ((wanted("assign") || wanted("beam_skew")) && m <= 10) {
+      if ((wanted("assign") || wanted("beam_skew") || wanted("beam_nav"))
+          && m <= 10) {
         val emb = df.select(col("doc_id").as("vec_id"),
           expr("""transform(sequence(1, 64), i ->
             CAST(CAST(pmod(conv(substring(md5(concat(
@@ -639,6 +640,52 @@ object ScaleSmoke {
           }
           caches.release()
           println(s"$m,$n,beam_skew,dense_top_permille=$dmax,beam_top_permille=$bmax")
+        }
+        // Round-11 (VERDICT r10 #1): NAVIGABILITY of the (now
+        // distributed) centroid graph. An UNDER-PROVISIONED walk
+        // (entry 2, degree 4, beam 4, depth 4 into 64·m cells — the
+        // r9-measured failure mode) is run on the bare NN graph vs the
+        // same graph + Kleinberg ladder links (longLinks = 4: extra
+        // out-links at ranks 8/16/32/64 of the distance ranking).
+        // Reported: wall time AND agreement-with-dense permille — the
+        // long links buy reach (agreement) at ~2× out-degree, which is
+        // the HNSW upper-layer trade. The timing rows share the walk
+        // machinery, so their delta is the broadcast-graph size only.
+        if (wanted("beam_nav")) {
+          runOnce("beam_nav_plain") {
+            graft.operators.Similarity.beamAssign(emb, "vec_id",
+              "embedding", cents, beamWidth = 4, depth = 4, degree = 4,
+              entryCells = 2, longLinks = 0)
+              .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+          }
+          runOnce("beam_nav_ladder") {
+            graft.operators.Similarity.beamAssign(emb, "vec_id",
+              "embedding", cents, beamWidth = 4, depth = 4, degree = 4,
+              entryCells = 2, longLinks = 4)
+              .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+          }
+          val ((a0, a4, tot), caches) = graft.operators.CacheScope.tracking {
+            val dense = graft.operators.Similarity.denseAssign(
+              emb, "vec_id", "embedding", cents)
+              .select(col("id").as("did"), col("cell").as("dense_cell"))
+              .localCheckpoint(true)
+            def agreePermille(longLinks: Int): Long = {
+              val beam = graft.operators.Similarity.beamAssign(emb,
+                "vec_id", "embedding", cents, beamWidth = 4, depth = 4,
+                degree = 4, entryCells = 2, longLinks = longLinks)
+              beam.join(dense, col("id") === col("did"))
+                .agg(expr(
+                  "sum(CASE WHEN cell = dense_cell THEN 1000 ELSE 0 END)" +
+                    " div count(1)").as("p"))
+                .collect()(0).getLong(0)
+            }
+            val r = (agreePermille(0), agreePermille(4), dense.count())
+            graft.operators.CacheScope.unpinCheckpoint(dense)
+            r
+          }
+          caches.release()
+          println(s"$m,$n,beam_nav_agree,plain_permille=$a0," +
+            s"ladder_permille=$a4,vectors=$tot")
         }
         graft.operators.CacheScope.unpinCheckpoint(emb)
       }
