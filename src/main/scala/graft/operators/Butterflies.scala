@@ -18,11 +18,15 @@ import org.apache.spark.sql.functions._
  * (integer DIV — shared·(shared−1) is always even). The wedge frame
  * is Σ_r C(deg r, 2) — the q103 bound on the RIGHT-side degree:
  * linear in edges at bounded degree, quadratic in a hub's own degree.
- * The standard mitigations apply upstream (thin the edge set to the
- * qualifying interactions, cap/salt hub right-nodes — q214's guard
- * class); the vertex-priority orientation of the literature is the
- * same degree-cap idea expressed per node. At 100 TB, bucket the
- * edge list by the right key once; the self-join reuses the layout.
+ * The standard mitigations apply upstream: thin the edge set to the
+ * qualifying interactions and cap hub right-nodes — for unipartite
+ * graphs that guard is the shared [[GraphOps.degreeCapped]]; here the
+ * same idea is a right-degree filter (groupBy dst + semi-join) since
+ * only the dst side wedges. The vertex-priority orientation of the
+ * literature is the same degree-cap idea expressed per node. At
+ * 100 TB, bucket the edge list by the right key once; the self-join
+ * reuses the layout. ScaleSmoke's butterflies_hub rows measure the
+ * blow-up and the cap's effect on a planted hub supplier.
  *
  * @param edges bipartite edge list (`src` = left, `dst` = right, any
  *              castable type; duplicates deduped so multi-edges don't

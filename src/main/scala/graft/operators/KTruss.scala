@@ -27,7 +27,8 @@ import org.apache.spark.sql.functions._
  * edges via a 3-way union + map-side-combined count, and a left join
  * scores every edge (0 when it closes nothing). The wedge frame is the
  * q103 bound (Σ_a C(deg a, 2) on the ORIENTED degree, which the a<b<c
- * orientation keeps near-linear on power-law graphs); at 100 TB the
+ * orientation keeps near-linear on power-law graphs; residual hubs →
+ * [[GraphOps.degreeCapped]] upstream, the shared guard); at 100 TB the
  * canonical edge set is bucketed on `s` once and every round's wedge
  * build and semi-probe reuse the layout. Lineage truncates per round
  * (localCheckpoint, the [[PageRank]] discipline).

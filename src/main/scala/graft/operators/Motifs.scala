@@ -41,7 +41,10 @@ import org.apache.spark.sql.functions._
  * and combine deliberately if a cartesian is truly meant. Negations are
  * applied after all positive terms (pure filters — order-independent),
  * so every anti-join probes the full bound frame once; anti-join probes
- * carry only (src, dst), never edge payloads.
+ * carry only (src, dst), never edge payloads. Hub nodes inflate
+ * multi-term matches as C(deg, k−1); the shared guard is
+ * [[GraphOps.degreeCapped]] applied to the edge frame first (q214's
+ * measured 6.5 GB → 111 MB).
  */
 object Motifs {
 

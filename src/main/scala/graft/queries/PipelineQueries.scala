@@ -849,10 +849,13 @@ object PipelineQueries {
     // wedge frame quadratically in THEIR degree (first bench of the
     // uncapped query: 6.5 GB shuffle, 60 s, vs 77 MB for the next
     // heaviest graph query). Brokerage is computed on the induced
-    // subgraph of nodes with degree ≤ 32: hubs connect everything and
-    // broker nothing meaningful, and the cap bounds the wedge frame by
-    // nodes·C(32,2) — linear in the graph. Same guard class as q103's
-    // triangle join; the oracle mirrors the degree CTE + induced edges.
+    // subgraph of nodes with degree ≤ 32 via the SHARED, spec'd
+    // GraphOps.degreeCapped (VERDICT r10 #2 — the guard's kept-node /
+    // induced-edge semantics are pinned once in GraphOpsSpec, not
+    // restated per query): hubs connect everything and broker nothing
+    // meaningful, and the cap bounds the wedge frame by nodes·C(32,2)
+    // — linear in the graph. Same guard class as q103's triangle join;
+    // the oracle mirrors the degree CTE + induced edges.
     Q("q214_motif_brokers",
       (s, d) => {
         val (mentions, entities, assign) = corefPipeline(s, d)
@@ -869,12 +872,9 @@ object PipelineQueries {
           .select(least(col("src_name"), col("dst_name")).as("s"),
             greatest(col("src_name"), col("dst_name")).as("d"))
           .distinct()
-        val sym = und.union(und.select(col("d").as("s"), col("s").as("d")))
-        val keepNodes = sym.groupBy(col("s")).agg(count(lit(1)).as("deg"))
-          .filter(col("deg") <= 32).select(col("s").as("n"))
-        val induced = sym
-          .join(keepNodes.select(col("n").as("s")), Seq("s"), "left_semi")
-          .join(keepNodes.select(col("n").as("d")), Seq("d"), "left_semi")
+        val capped = graft.operators.GraphOps.degreeCapped(und, 32, "s", "d")
+        val induced = capped.union(
+          capped.select(col("d").as("s"), col("s").as("d")))
         graft.operators.Motifs
           .find(induced, "(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)",
             srcCol = "s", dstCol = "d")

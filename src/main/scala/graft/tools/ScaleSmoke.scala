@@ -469,6 +469,39 @@ object ScaleSmoke {
               + lit(2000000000L)).as("dst"))
         graft.operators.Butterflies.pairCounts(e)
       }
+      // Round-11 (VERDICT r10 #5): butterflies at ADVERSARIAL right
+      // degree — the q126-style planted-worst-case discipline. One hub
+      // right-node connected to 40% of the left side is added to the
+      // same bipartite graph: its wedge contribution alone is
+      // C(0.4·nLeft, 2) ≈ 2M·m² rows — the quadratic term the
+      // operator's scaladoc names. The capped row applies the
+      // right-degree guard (the bipartite face of GraphOps.degreeCapped:
+      // groupBy dst + semi-join, cap 150 > the background degree ~100,
+      // so ONLY the planted hub is dropped) and should land back on the
+      // linear butterflies row above.
+      if (wanted("butterflies_hub") && m <= 5) {
+        val nLeft = 5000L * m
+        val nRight = 500L * m
+        val bg = spark.range(nLeft * 10)
+          .select(pmod(xxhash64(col("id"), lit(1)), lit(nLeft)).as("src"),
+            (pmod(xxhash64(col("id"), lit(2)), lit(nRight))
+              + lit(2000000000L)).as("dst"))
+        val hub = spark.range(nLeft)
+          .filter(pmod(col("id"), lit(5)) < 2) // 40% of left nodes
+          .select(col("id").as("src"), lit(2100000000L).as("dst"))
+        val e = bg.unionByName(hub).localCheckpoint(true)
+        runOnce("butterflies_hub_uncapped") {
+          graft.operators.Butterflies.pairCounts(e)
+        }
+        runOnce("butterflies_hub_capped") {
+          val rdeg = e.select(col("src"), col("dst")).distinct()
+            .groupBy(col("dst")).agg(count(lit(1)).as("deg"))
+            .filter(col("deg") <= 150).select(col("dst"))
+          graft.operators.Butterflies.pairCounts(
+            e.join(rdeg, Seq("dst"), "left_semi"))
+        }
+        graft.operators.CacheScope.unpinCheckpoint(e)
+      }
       // Round-8: exact suffix-array-grade substring dedup — O(n·L)
       // characters through ONE range shuffle; should track token count
       // near-linearly (the m× corpus makes every original window an
