@@ -1469,13 +1469,23 @@ object PipelineQueries {
     Q("q222_lpa_modularity",
       (s, d) => {
         val edges = copurchaseEdges(s, d)
-        val mem = copurchaseLpa(s, d)
-          .select(col("node_id"), col("label").as("community"))
+        val lpa = copurchaseLpa(s, d)
+        val mem = lpa.select(col("node_id"), col("label").as("community"))
+        // Honesty column (VERDICT r10 #4): whether the membership being
+        // scored is an LPA fixed point or a budget truncation. Constant
+        // per run — one broadcast 1-row aggregate, mirrored by the
+        // oracle's conv CTE.
+        val flag = lpa.agg(max(col("converged")).as("lpa_converged"))
         graft.operators.Modularity.communityStats(edges, mem)
+          .crossJoin(broadcast(flag))
           .orderBy(col("n_nodes").desc, col("community"))
           .limit(20)
       },
       Some(LpaCtes(3) + """,
+             conv AS (
+               SELECT count(*) FILTER (WHERE a.label <> b.label) = 0
+                 AS lpa_converged
+               FROM l3 a JOIN l2 b ON a.node_id = b.node_id),
              mem AS (SELECT node_id,
                CAST(label AS VARCHAR) AS community FROM l3),
              e2 AS (SELECT cust AS s, supp AS d FROM pairs),
@@ -1501,8 +1511,9 @@ object PipelineQueries {
                  - 2 * coalesce(i.internal_edges, 0) AS BIGINT) AS cut,
                CAST(4 * mtot.m * coalesce(i.internal_edges, 0)
                  - coalesce(g.degree_sum, 0) * coalesce(g.degree_sum, 0)
-                 AS BIGINT) AS q_num
-             FROM nodes n CROSS JOIN mtot
+                 AS BIGINT) AS q_num,
+               conv.lpa_converged
+             FROM nodes n CROSS JOIN mtot CROSS JOIN conv
              LEFT JOIN internal i ON n.community = i.community
              LEFT JOIN degree g ON n.community = g.community
              ORDER BY n.n_nodes DESC, n.community LIMIT 20""")),
@@ -1862,9 +1873,17 @@ object PipelineQueries {
       $iterCtes"""
   }
 
+  /** Full LPA frame incl. the converged flag: a synchronous-LPA fixed
+    * point persists, so "some round changed nothing" ⟺ the last two
+    * label frames are identical — one FILTERed join mirrors the
+    * operator's early-exit flag exactly (iters ≥ 1). */
   private def LpaSql(iters: Int): String =
-    s"""${LpaCtes(iters)}
-      SELECT node_id, label FROM l$iters ORDER BY node_id"""
+    s"""${LpaCtes(iters)},
+      conv AS (
+        SELECT count(*) FILTER (WHERE a.label <> b.label) = 0 AS converged
+        FROM l$iters a JOIN l${iters - 1} b ON a.node_id = b.node_id)
+      SELECT node_id, label, converged
+      FROM l$iters CROSS JOIN conv ORDER BY node_id"""
 
   /** q104 oracle: the Lloyd recursion unrolled — per iteration an
     * assignment CTE (argmin |v−c| with ties to the lower centroid index,

@@ -31,9 +31,14 @@ class LabelPropagationSpec extends SparkSpec {
     labels
   }
 
+  private def runFull(edges: Seq[(Long, Long)], iters: Int): (Map[Long, Long], Boolean) = {
+    val rows = LabelPropagation.run(edges.toDF("src", "dst"), iters).collect()
+    (rows.map(r => r.getLong(0) -> r.getLong(1)).toMap,
+      rows.headOption.forall(_.getBoolean(2)) && rows.nonEmpty)
+  }
+
   private def run(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
-    LabelPropagation.run(edges.toDF("src", "dst"), iters)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    runFull(edges, iters)._1
 
   test("two cliques bridged by one edge resolve to two communities") {
     val cliqueA = for (a <- 0L to 4L; b <- 0L to 4L if a < b) yield (a, b)
@@ -56,8 +61,45 @@ class LabelPropagationSpec extends SparkSpec {
     }
   }
 
-  test("zero iterations returns identity labels") {
-    val got = run(Seq((1L, 2L), (2L, 3L)), 0)
+  test("zero iterations returns identity labels, flagged unconverged") {
+    val (got, conv) = runFull(Seq((1L, 2L), (2L, 3L)), 0)
     assert(got === Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+    assert(!conv) // nothing was verified — a budget of 0 can't attest
+  }
+
+  test("converged flag == (labels stop changing within the budget)") {
+    // The flag must agree with the sequential reference's fixed-point
+    // test labels(iters) == labels(iters-1) — the oracle's mirror.
+    for (seed <- 1 to 3; iters <- Seq(1, 3, 6)) {
+      val r = new Random(100 + seed)
+      val edges = (1 to 80).map(_ =>
+        (r.nextInt(20).toLong, r.nextInt(20).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val (got, conv) = runFull(edges, iters)
+      val want = reference(edges, iters)
+      assert(got === want, s"seed=$seed iters=$iters")
+      assert(conv === (want === reference(edges, iters - 1)),
+        s"flag seed=$seed iters=$iters")
+    }
+  }
+
+  test("early exit: a generous budget returns the fixed point, converged") {
+    // Two bridged cliques stabilize in ~2 rounds; a 25-round budget
+    // must early-exit to the SAME output the full unroll would give.
+    val cliqueA = for (a <- 0L to 4L; b <- 0L to 4L if a < b) yield (a, b)
+    val cliqueB = for (a <- 10L to 14L; b <- 10L to 14L if a < b) yield (a, b)
+    val edges = cliqueA ++ cliqueB :+ (4L -> 10L)
+    val (got, conv) = runFull(edges, 25)
+    assert(conv)
+    assert(got === reference(edges, 25))
+  }
+
+  test("truncated budget on a drifting path graph flags unconverged") {
+    // On a path, synchronous min-label voting keeps shifting labels for
+    // several rounds — one round cannot be a fixed point.
+    val path = (0L until 9L).map(i => (i, i + 1))
+    val (got, conv) = runFull(path, 1)
+    assert(!conv)
+    assert(got === reference(path, 1))
   }
 }
