@@ -45,13 +45,46 @@ object Butterflies {
       .distinct()
       .localCheckpoint(true)
       .transform(CacheScope.pinCheckpointed)
+    fromShared(wedgeShared(e))
+  }
+
+  /**
+   * Associative partial for the streaming face
+   * ([[graft.streaming.ArtifactStreams.butterflyStream]]): per left
+   * pair (a < b), the shared-right-neighbor count contributed by THIS
+   * batch's edges. Shared counts SUM across batches exactly when the
+   * batches partition the edge set BY RIGHT NODE (each right node's
+   * full edge list arrives within one batch, right nodes never split
+   * or repeat — the wedge (a, b, r) lives entirely where r lives);
+   * that is the stream contract, and it is the natural one: a new
+   * supplier/document/cell arrives WITH its member list. Under it,
+   * butterflies = C(Σ shared, 2) at finalize — [[fromShared]] —
+   * because the pair's common right neighbors are counted once each
+   * across disjoint right-node sets. No per-batch pin: the micro-batch
+   * is already materialized, and the two scans are batch-sized.
+   */
+  def sharedCounts(edges: DataFrame): DataFrame =
+    wedgeShared(edges
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .distinct())
+
+  /** Finalize a (merged) shared-count artifact into the q223 frame:
+    * re-aggregate by pair (a no-op on an already-merged artifact — no
+    * exchange is added when the child is partitioned on (a, b)) and
+    * apply the exact C(shared, 2). */
+  def fromShared(partial: DataFrame): DataFrame =
+    partial.groupBy(col("a"), col("b"))
+      .agg(sum(col("shared")).as("shared"))
+      .withColumn("butterflies",
+        expr("shared * (shared - 1) DIV 2"))
+
+  private def wedgeShared(e: DataFrame): DataFrame = {
     val l = e.select(col("src").as("a"), col("dst"))
     val r = e.select(col("src").as("b"), col("dst"))
     l.join(r, Seq("dst"))
       .filter(col("a") < col("b"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("shared"))
-      .withColumn("butterflies",
-        expr("shared * (shared - 1) DIV 2"))
   }
 }

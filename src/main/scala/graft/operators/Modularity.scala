@@ -39,19 +39,38 @@ import org.apache.spark.sql.functions._
  */
 object Modularity {
 
-  def communityStats(edges: DataFrame, membership: DataFrame): DataFrame = {
+  /**
+   * Unweighted (`weightCol = None`): edges canonicalized and DEDUPED.
+   * Weighted (`weightCol = Some(c)` — Newman 2004's weighted
+   * generalization): integer weights SUM per canonical undirected pair
+   * (both orientations and repeats merge — the multigraph-correct
+   * rule), and every count in the scorecard becomes a weight sum: with
+   * W total weight, w_c internal weight and S_c summed weighted
+   * degree, q_num = 4·W·w_c − S_c² over the implicit 4W² — still exact
+   * integers, still the same [[finalizeStats]] (W derives as
+   * Σ degree_sum / 2 exactly like m does).
+   */
+  def communityStats(edges: DataFrame, membership: DataFrame,
+      weightCol: Option[String] = None): DataFrame = {
+    val canon = edges
+      .select(least(col("src"), col("dst")).cast("long").as("s"),
+        greatest(col("src"), col("dst")).cast("long").as("d"),
+        weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
+          .as("w0"))
+      .filter(col("s") < col("d"))
+      .groupBy(col("s"), col("d"))
+      // unweighted: repeats dedup to ONE edge; weighted: repeats and
+      // orientations sum (multigraph-correct)
+      .agg((if (weightCol.isDefined) sum(col("w0")) else min(col("w0")))
+        .as("w"))
     // Pinned: reused by the tagging joins and (through them) both
     // aggregates of partialStats.
-    val e = edges
-      .select(least(col("src"), col("dst")).cast("long").as("s"),
-        greatest(col("src"), col("dst")).cast("long").as("d"))
-      .filter(col("s") < col("d"))
-      .distinct()
+    val e = canon
       .localCheckpoint(true)
       .transform(CacheScope.pinCheckpointed) // backs the returned plan
     finalizeStats(
-      partialStats(e.select(col("s").as("src"), col("d").as("dst")),
-        membership),
+      partialStats(e.select(col("s").as("src"), col("d").as("dst"),
+        col("w")), membership, Some("w")),
       membership)
   }
 
@@ -61,9 +80,13 @@ object Modularity {
    * community, (internal_edges, degree_sum) over THIS batch's edges.
    * Rows are canonicalized and self-loops dropped, but deduplication is
    * the CALLER's contract: feed unique undirected edges (the batch path
-   * distincts; a stream dedupes upstream or accepts multigraph
+   * dedupes/merges; a stream dedupes upstream or accepts multigraph
    * semantics, where a repeated edge weights its endpoints' degree and
    * internal counts — a defensible convention, stated, not silent).
+   * With `weightCol` set, every count becomes an integer weight sum
+   * (the Newman 2004 weighted generalization — see [[communityStats]]);
+   * the unweighted fold is exactly the w ≡ 1 instance, so the two faces
+   * share one code path and one [[finalizeStats]].
    * Unmapped endpoints are NOT refused here — they fold into a
    * NULL-community row (its degree_sum counts the unmapped endpoint
    * slots), which [[finalizeStats]] refuses at execution time. Carrying
@@ -71,10 +94,13 @@ object Modularity {
    * (the old eager `require(….isEmpty)` cost one extra node-join
    * action per call — per BATCH in the streaming face, ADVICE r10).
    */
-  def partialStats(edges: DataFrame, membership: DataFrame): DataFrame = {
+  def partialStats(edges: DataFrame, membership: DataFrame,
+      weightCol: Option[String] = None): DataFrame = {
     val e = edges
       .select(least(col("src"), col("dst")).cast("long").as("s"),
-        greatest(col("src"), col("dst")).cast("long").as("d"))
+        greatest(col("src"), col("dst")).cast("long").as("d"),
+        weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
+          .as("w"))
       .filter(col("s") < col("d"))
     val mem = membership.select(col("node_id").cast("long").as("node_id"),
       col("community").cast("string").as("community"))
@@ -83,18 +109,19 @@ object Modularity {
         Seq("s"), "left")
       .join(mem.select(col("node_id").as("d"), col("community").as("cd")),
         Seq("d"), "left")
-    // internal edges per community (both endpoints inside — the
+    // internal edge weight per community (both endpoints inside — the
     // null-unsafe === keeps unmapped endpoints out); degree per
-    // community: each canonical edge contributes 1 to both endpoints'
-    // communities (2 to its own when internal). Unmapped endpoints
+    // community: each canonical edge contributes its weight to both
+    // endpoints' communities (2w to its own when internal). Unweighted
+    // is the w ≡ 1 instance — sums ARE the counts. Unmapped endpoints
     // group under community NULL — the carried coverage violation.
     val internal = tagged.filter(col("cs") === col("cd"))
       .groupBy(col("cs").as("community"))
-      .agg(count(lit(1)).as("internal_edges"))
-    val degree = tagged.select(col("cs").as("community"))
-      .union(tagged.select(col("cd").as("community")))
+      .agg(sum(col("w")).as("internal_edges"))
+    val degree = tagged.select(col("cs").as("community"), col("w"))
+      .union(tagged.select(col("cd").as("community"), col("w")))
       .groupBy(col("community"))
-      .agg(count(lit(1)).as("degree_sum"))
+      .agg(sum(col("w")).as("degree_sum"))
     degree.join(internal, Seq("community"), "left")
       .select(col("community"),
         coalesce(col("internal_edges"), lit(0L)).as("internal_edges"),

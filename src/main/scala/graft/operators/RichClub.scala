@@ -40,9 +40,11 @@ object RichClub {
       .distinct()
       .localCheckpoint(true)
       .transform(CacheScope.pinCheckpointed)
-    val deg = e.select(col("s").as("node"))
+    // Pinned: three consumers (both tagging joins + the n_k ladder)
+    // would otherwise each re-run the degree aggregate (VERDICT r10).
+    val deg = CacheScope.pin(e.select(col("s").as("node"))
       .union(e.select(col("d").as("node")))
-      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg")))
     val tagged = e
       .join(deg.select(col("node").as("s"), col("deg").as("ds")), Seq("s"))
       .join(deg.select(col("node").as("d"), col("deg").as("dd")), Seq("d"))

@@ -1601,7 +1601,136 @@ object PipelineQueries {
                CAST(coalesce(n_k, 0) * (coalesce(n_k, 0) - 1) AS BIGINT)
                  AS phi_den
              FROM ks LEFT JOIN nk ON ks.k = nk.k LEFT JOIN ek ON ks.k = ek.k
-             ORDER BY ks.k"""))
+             ORDER BY ks.k""")),
+
+    // ---- TEMPORAL motifs: the Motifs edge-variable feature applied to
+    // a timestamped graph with a SEQUENCE constraint — relay trade
+    // `a → b at t₁, then b → c within (t₁, t₁ + 2 months]`, the
+    // time-respecting 2-path that plain structural motifs (q212) cannot
+    // see. The edge frame is the monthly nation-trade graph — counts
+    // aggregated per (src, dst, month), thinned to w ≥ 2 — so it is
+    // bounded by |nations|²·months: DIMENSION-sized, independent of
+    // corpus rows, which is what makes the b-keyed 2-hop join safe at
+    // any SF (the temporal band then filters the bound frame; per-hub
+    // fan-in/out is ≤ |nations|·months by construction). Both hop edges
+    // ride as struct bindings, so month and weight come straight off
+    // the match — no re-join; relay capacity = min(w₁, w₂), the q215
+    // bottleneck idea under a time constraint. Oracle: same aggregate +
+    // self-join + interval band, CTE for CTE.
+    Q("q226_temporal_relay",
+      (s, d) => {
+        val e = T.lineitem(s, d)
+          .join(T.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(T.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(T.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+          .filter(col("l_quantity") >= 45 &&
+            col("c_nationkey") =!= col("s_nationkey"))
+          .groupBy(col("c_nationkey").as("src"),
+            col("s_nationkey").as("dst"),
+            date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+          .agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 2)
+        graft.operators.Motifs.find(e, "(a)-[e1]->(b); (b)-[e2]->(c)")
+          .filter(col("a") =!= col("c") &&
+            col("e1.month") < col("e2.month") &&
+            col("e2.month") <= add_months(col("e1.month"), 2))
+          .groupBy(col("b"))
+          .agg(count(lit(1)).as("n_relays"),
+            sum(least(col("e1.w"), col("e2.w"))).as("relay_capacity"))
+          .select(col("b").as("transit"), col("n_relays"),
+            col("relay_capacity"))
+          .orderBy(col("transit"))
+      },
+      Some("""WITH base AS (
+               SELECT c.c_nationkey AS src, su.s_nationkey AS dst,
+                 date_trunc('month', o.o_orderdate) AS month,
+                 count(*) AS w
+               FROM lineitem l
+               JOIN orders o ON l.l_orderkey = o.o_orderkey
+               JOIN customer c ON o.o_custkey = c.c_custkey
+               JOIN supplier su ON l.l_suppkey = su.s_suppkey
+               WHERE l.l_quantity >= 45
+                 AND c.c_nationkey <> su.s_nationkey
+               GROUP BY 1, 2, 3 HAVING count(*) >= 2),
+             r AS (
+               SELECT e1.dst AS b, least(e1.w, e2.w) AS cap
+               FROM base e1 JOIN base e2 ON e1.dst = e2.src
+               WHERE e1.src <> e2.dst
+                 AND e1.month < e2.month
+                 AND e2.month <= e1.month + INTERVAL 2 MONTH)
+             SELECT b AS transit, count(*) AS n_relays,
+               CAST(sum(cap) AS BIGINT) AS relay_capacity
+             FROM r GROUP BY b ORDER BY transit""")),
+
+    // ---- WEIGHTED modularity (Newman 2004's weighted generalization,
+    // Modularity weightCol face): the q221 region scorecard re-scored
+    // with edge weight = qualifying-lineitem count, so heavily-traded
+    // lanes dominate Q instead of each lane counting once — the right
+    // scoring when edge multiplicity is signal (it is: a 100-shipment
+    // lane is not a 1-shipment lane). Still exact integers end-to-end:
+    // q_num = 4·W·w_c − S_c² with W = Σ degree_sum / 2 derived from the
+    // artifact itself; same finalizeStats, same oracle shape as q221
+    // with every count become a weight sum.
+    Q("q227_weighted_modularity",
+      (s, d) => {
+        val e = T.lineitem(s, d)
+          .join(T.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(T.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(T.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+          .filter(col("l_quantity") >= 40 &&
+            col("c_nationkey") =!= col("s_nationkey"))
+          .groupBy(col("c_nationkey").as("src"),
+            col("s_nationkey").as("dst"))
+          .agg(count(lit(1)).as("w"))
+        val mem = T.nation(s, d).select(col("n_nationkey").as("node_id"),
+          col("n_regionkey").as("community"))
+        graft.operators.Modularity.communityStats(e, mem, Some("w"))
+          .orderBy(col("community"))
+      },
+      Some("""WITH raw AS (
+               SELECT c.c_nationkey AS x, su.s_nationkey AS y,
+                 count(*) AS w
+               FROM lineitem l
+               JOIN orders o ON l.l_orderkey = o.o_orderkey
+               JOIN customer c ON o.o_custkey = c.c_custkey
+               JOIN supplier su ON l.l_suppkey = su.s_suppkey
+               WHERE l.l_quantity >= 40
+                 AND c.c_nationkey <> su.s_nationkey
+               GROUP BY 1, 2),
+             e AS (SELECT least(x, y) AS s, greatest(x, y) AS d,
+                 CAST(sum(w) AS BIGINT) AS w
+               FROM raw GROUP BY 1, 2),
+             wtot AS (SELECT CAST(sum(w) AS BIGINT) AS m FROM e),
+             mem AS (SELECT n_nationkey AS node_id,
+               CAST(n_regionkey AS VARCHAR) AS community FROM nation),
+             tagged AS (
+               SELECT e.s, e.d, e.w, ms.community AS cs, md.community AS cd
+               FROM e JOIN mem ms ON e.s = ms.node_id
+                      JOIN mem md ON e.d = md.node_id),
+             internal AS (
+               SELECT cs AS community, CAST(sum(w) AS BIGINT)
+                 AS internal_edges
+               FROM tagged WHERE cs = cd GROUP BY 1),
+             degree AS (
+               SELECT community, CAST(sum(w) AS BIGINT) AS degree_sum
+               FROM (
+                 SELECT cs AS community, w FROM tagged
+                 UNION ALL SELECT cd AS community, w FROM tagged)
+               GROUP BY 1),
+             nodes AS (
+               SELECT community, count(*) AS n_nodes FROM mem GROUP BY 1)
+             SELECT n.community, n.n_nodes,
+               coalesce(i.internal_edges, 0) AS internal_edges,
+               coalesce(g.degree_sum, 0) AS degree_sum,
+               CAST(coalesce(g.degree_sum, 0)
+                 - 2 * coalesce(i.internal_edges, 0) AS BIGINT) AS cut,
+               CAST(4 * wtot.m * coalesce(i.internal_edges, 0)
+                 - coalesce(g.degree_sum, 0) * coalesce(g.degree_sum, 0)
+                 AS BIGINT) AS q_num
+             FROM nodes n CROSS JOIN wtot
+             LEFT JOIN internal i ON n.community = i.community
+             LEFT JOIN degree g ON n.community = g.community
+             ORDER BY n.community"""))
   )
 
   /** q199 oracle: the b-suitor rounds unrolled with explicit capacity

@@ -133,6 +133,28 @@ object ArtifactStreams {
       (art, id) => sink(
         graft.operators.Modularity.finalizeStats(art, membership), id))
 
+  /** Streaming butterfly counting (q223's bipartite cohesion motif over
+    * an edge stream): the carried artifact is the per-left-pair shared
+    * right-neighbor count, which folds by associative sum under the
+    * right-node-complete batch contract (each right node's full edge
+    * list arrives in ONE batch — see
+    * [[graft.operators.Butterflies.sharedCounts]]); each trigger
+    * finalizes C(shared, 2) without touching earlier batches.
+    * ButterflyStreamSpec pins stream == batch across right-node splits.
+    * Rich-club does NOT get this face: an edge arrival changes its
+    * endpoints' degrees and thereby OTHER edges' min-degree tags, so
+    * the per-k counters are not a per-batch fold — the streaming path
+    * there is dedupe-fold the canonical edge set and re-derive the
+    * ladder (one pass over graph-sized, not corpus-sized, state). */
+  def butterflyStream(edges: DataFrame)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
+    foldStream(edges)(
+      b => graft.operators.Butterflies.sharedCounts(b),
+      (s, b) => s.unionByName(graft.operators.Butterflies.sharedCounts(b))
+        .groupBy(col("a"), col("b"))
+        .agg(sum(col("shared")).as("shared")))(
+      (art, id) => sink(graft.operators.Butterflies.fromShared(art), id))
+
   /** Streaming weighted reservoir (A-ES over an unbounded stream): the
     * carried artifact is the current top-k by the q120 nano-key, and
     * because the key is a pure row property, "top-k of (carried top-k ∪

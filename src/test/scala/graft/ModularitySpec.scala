@@ -95,4 +95,64 @@ class ModularitySpec extends SparkSpec {
     assert(messages(e).exists(_.contains("cover every edge endpoint")),
       s"unexpected failure: $e")
   }
+
+  // ---- weighted face (q227): Newman 2004's weighted generalization.
+
+  private def referenceW(edges: Seq[(Long, Long, Long)],
+      mem: Map[Long, String]): Map[String, (Long, Long, Long, Long, Long)] = {
+    // canonical pair -> summed weight (orientations and repeats merge)
+    val e = edges.groupBy { case (a, b, _) => (math.min(a, b), math.max(a, b)) }
+      .collect { case (k @ (s, d), g) if s < d => k -> g.map(_._3).sum }
+    val W = e.values.sum
+    mem.values.toSeq.distinct.map { c =>
+      val nodes = mem.filter(_._2 == c).keySet
+      val internal = e.collect {
+        case ((s, d), w) if nodes(s) && nodes(d) => w }.sum
+      val degree = e.collect { case ((s, _), w) if nodes(s) => w }.sum +
+        e.collect { case ((_, d), w) if nodes(d) => w }.sum
+      c -> ((mem.count(_._2 == c).toLong, internal, degree,
+        degree - 2 * internal, 4 * W * internal - degree * degree))
+    }.toMap
+  }
+
+  private def runW(edges: Seq[(Long, Long, Long)],
+      mem: Map[Long, String]): Map[String, (Long, Long, Long, Long, Long)] =
+    Modularity.communityStats(edges.toDF("src", "dst", "w"),
+        mem.toSeq.toDF("node_id", "community"), Some("w"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))))
+      .toMap
+
+  test("weighted matches the sequential reference; orientations and repeats merge") {
+    for (seed <- 1 to 3) {
+      val rng = new Random(40 + seed)
+      val n = 10
+      val edges = (1 to 60).map(_ => (rng.nextInt(n).toLong,
+        rng.nextInt(n).toLong, (rng.nextInt(5) + 1).toLong))
+      val mem = (0L until n).map(v => v -> s"c${rng.nextInt(3)}").toMap
+      assert(runW(edges, mem) === referenceW(edges, mem), s"seed=$seed")
+    }
+  }
+
+  test("weighted with w == 1 on unique edges equals the unweighted scorecard") {
+    val rng = new Random(51)
+    val edges = (1 to 40)
+      .map(_ => (rng.nextInt(9).toLong, rng.nextInt(9).toLong))
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter(x => x._1 < x._2).distinct
+    val mem = (0L until 9L).map(v => v -> s"g${v % 2}").toMap
+    assert(runW(edges.map(e => (e._1, e._2, 1L)), mem) === run(edges, mem))
+  }
+
+  test("a doubled lane doubles its contribution exactly") {
+    // two communities joined by one lane; weighting that lane w=2 must
+    // equal listing the edge twice in the weighted multigraph sense
+    val base = Seq((0L, 1L, 4L), (2L, 3L, 4L), (1L, 2L, 1L))
+    val mem = Map(0L -> "x", 1L -> "x", 2L -> "y", 3L -> "y")
+    val doubled = runW(Seq((0L, 1L, 4L), (2L, 3L, 4L), (1L, 2L, 2L)), mem)
+    val viaRepeat = runW(base :+ ((1L, 2L, 1L)), mem)
+    assert(doubled === viaRepeat)
+  }
 }
