@@ -455,6 +455,53 @@ object ScaleSmoke {
       runOnce("ktruss") {
         graft.operators.KTruss.peel(smokeGraph(20), k = 4, rounds = 3)
       }
+      // Round-11: temporal relay motifs (q226's shape). Two separate
+      // growth axes, measured separately because their cost laws differ:
+      //  - temporal_relay: CORPUS grows m× at fixed dimensions (nodes,
+      //    month range). The interaction log aggregates to a
+      //    (src, dst, month) frame bounded by nodes²·months regardless
+      //    of m, so the motif term is CONSTANT and total wall should be
+      //    the aggregation scan — near-flat after the linear pre-pass.
+      //    This is the TPC-H/production case: more data per month, not
+      //    more months.
+      //  - temporal_relay_months: the month RANGE grows m× at fixed
+      //    density. The b-keyed 2-hop join's intermediate is quadratic
+      //    in per-node edge count (the temporal band filters AFTER the
+      //    equi-join), so wall grows ~m² — the documented exposure for
+      //    long histories; the mitigation is band-keying the join on
+      //    (b, month DIV band) upstream, same guard class as the hub
+      //    cap.
+      if (wanted("temporal_relay")) {
+        val nodes = 30L
+        val relay: DataFrame => DataFrame = e =>
+          graft.operators.Motifs.find(e, "(a)-[e1]->(b); (b)-[e2]->(c)")
+            .filter(col("a") =!= col("c") &&
+              col("e1.month") < col("e2.month") &&
+              col("e2.month") <= col("e1.month") + lit(2L))
+            .groupBy(col("b"))
+            .agg(count(lit(1)).as("n_relays"),
+              sum(least(col("e1.w"), col("e2.w"))).as("cap"))
+        runOnce("temporal_relay") {
+          val months = 12L
+          val log = spark.range(50000L * m).select(
+            pmod(xxhash64(col("id"), lit(11)), lit(nodes)).as("src"),
+            pmod(xxhash64(col("id"), lit(12)), lit(nodes)).as("dst"),
+            pmod(xxhash64(col("id"), lit(13)), lit(months)).as("month"))
+            .filter(col("src") =!= col("dst"))
+          relay(log.groupBy(col("src"), col("dst"), col("month"))
+            .agg(count(lit(1)).as("w")))
+        }
+        if (m <= 10) runOnce("temporal_relay_months") {
+          val months = 12L * m
+          val log = spark.range(50000L * m).select(
+            pmod(xxhash64(col("id"), lit(11)), lit(nodes)).as("src"),
+            pmod(xxhash64(col("id"), lit(12)), lit(nodes)).as("dst"),
+            pmod(xxhash64(col("id"), lit(13)), lit(months)).as("month"))
+            .filter(col("src") =!= col("dst"))
+          relay(log.groupBy(col("src"), col("dst"), col("month"))
+            .agg(count(lit(1)).as("w")))
+        }
+      }
       // Round-10: butterflies — wedge frame is Σ_r C(deg r, 2) on the
       // RIGHT side; at fixed right degree (100 here) that is linear in
       // m (≈ 2.5M·m wedge rows), isolating the linear regime from
