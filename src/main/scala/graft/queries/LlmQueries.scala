@@ -1688,6 +1688,42 @@ object LlmQueries {
              HAVING count(*) < 5
              ORDER BY lang, source, len_bucket""")),
 
+    // ---- Entropy ℓ-diversity (Machanavajjhala et al. 2007) — the
+    // companion audit to q189's k-anonymity: a quasi-identifier group
+    // can clear k-anonymity with 1000 rows yet leak everything if all
+    // 1000 share one sensitive value. Per (lang, length bucket) group
+    // over `source` as the sensitive attribute: group size, distinct
+    // sources (distinct-ℓ), and the EFFECTIVE source count
+    // exp(−Σ p ln p) = exp(ln n − (Σ c·ln c)/n) (entropy-ℓ — the group
+    // passes ℓ iff this ≥ ℓ; the q175 entropy identity keeps it one
+    // two-level map-side-combined aggregate, no per-row log of ratios).
+    Q("q229_l_diversity",
+      (s, d) => T.documents(s, d)
+        .select(col("lang"),
+          expr("length(text) div 500").as("len_bucket"), col("source"))
+        .groupBy(col("lang"), col("len_bucket"), col("source"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("lang"), col("len_bucket"))
+        .agg(sum(col("c")).as("n"), count(lit(1)).as("l_distinct"),
+          sum(col("c").cast("double") * log(col("c").cast("double")))
+            .as("sclogc"))
+        .select(col("lang"), col("len_bucket"), col("n"),
+          col("l_distinct"),
+          round(exp(log(col("n").cast("double"))
+            - col("sclogc") / col("n")), 4).as("eff_sources"))
+        .orderBy(col("lang"), col("len_bucket")),
+      Some("""WITH g AS (
+               SELECT lang, CAST(length(text) // 500 AS BIGINT)
+                   AS len_bucket,
+                 source, count(*) AS c
+               FROM documents GROUP BY 1, 2, 3)
+             SELECT lang, len_bucket, CAST(sum(c) AS BIGINT) AS n,
+               count(*) AS l_distinct,
+               round(exp(ln(CAST(sum(c) AS DOUBLE))
+                 - sum(c * ln(c)) / CAST(sum(c) AS DOUBLE)), 4)
+                 AS eff_sources
+             FROM g GROUP BY 1, 2 ORDER BY lang, len_bucket""")),
+
     // ---- Training-data RELEASE pipeline (the round-8 composition
     // flagship, q73's discipline applied to the mix-and-ship stage):
     // language mixing quotas (q184's capped largest remainder at a 4/5

@@ -3564,6 +3564,84 @@ object Relational {
                  theta * (CAST(vx AS DOUBLE) / n_users -
                    CAST(sx AS DOUBLE) / n)) / 100.0, 6) AS adj_mean_rev,
                round(theta, 6) AS theta
-             FROM v CROSS JOIN th ORDER BY variant"""))
+             FROM v CROSS JOIN th ORDER BY variant""")),
+
+    // ---- Interval-overlap join between two LARGE derived interval
+    // sets (operators/IntervalJoin.overlapJoin — the S4 join-family
+    // member where neither side broadcasts and the predicate is a
+    // range overlap): 5-minute-gap user sessions (q26's sessionization
+    // reduced to [min, max] ns intervals) overlapped against incident
+    // windows (high-value error events ± 10 minutes). The fixed grid
+    // (1 h buckets) turns the range predicate into ONE shuffle
+    // equi-join — no BroadcastNestedLoopJoin, no cartesian — and pairs
+    // sharing several buckets dedup by the first-shared-bucket
+    // arithmetic rule (no distinct shuffle). Per incident: overlapping
+    // sessions + distinct users, top-20 by pressure, ties pinned.
+    // Oracle: DuckDB's native range join (IEJoin) over the same
+    // session/incident CTEs — a DIFFERENT physical strategy arriving
+    // at the same pairs, which is the point of the check.
+    Q("q228_interval_overlap",
+      (s, d) => {
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_ns"), col("event_id"))
+        val sess = T.events(s, d)
+          .withColumn("gap_ns",
+            col("ts_ns") - lag(col("ts_ns"), 1).over(byUser))
+          .withColumn("new_session",
+            when(col("gap_ns").isNull || col("gap_ns") > 300000000000L, 1)
+              .otherwise(0))
+          .withColumn("session_id", sum(col("new_session"))
+            .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(min(col("ts_ns")).as("s_start"),
+            max(col("ts_ns")).as("s_end"))
+          .select(col("user_id"), col("s_start"), col("s_end"))
+        val inc = T.events(s, d)
+          .filter(col("event_type") === "error" && col("value") >= 100)
+          .select(col("event_id").as("incident_id"),
+            (col("ts_ns") - lit(600000000000L)).as("i_start"),
+            (col("ts_ns") + lit(600000000000L)).as("i_end"))
+        graft.operators.IntervalJoin.overlapJoin(
+            sess, inc, "s_start", "s_end", "i_start", "i_end",
+            bucket = 3600000000000L)
+          .groupBy(col("incident_id"))
+          .agg(count(lit(1)).as("n_sessions"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("n_sessions").desc, col("incident_id"))
+          .limit(20)
+      },
+      Some("""WITH e AS (
+               SELECT user_id, event_id, epoch_ns(ts) AS ts_ns,
+                 event_type, value
+               FROM events),
+             flagged AS (
+               SELECT user_id, event_id, ts_ns,
+                 CASE WHEN ts_ns - lag(ts_ns, 1) OVER w IS NULL
+                       OR ts_ns - lag(ts_ns, 1) OVER w > 300000000000
+                      THEN 1 ELSE 0 END AS new_session
+               FROM e WINDOW w AS (PARTITION BY user_id
+                 ORDER BY ts_ns, event_id)),
+             sess0 AS (
+               SELECT user_id, ts_ns,
+                 sum(new_session) OVER (PARTITION BY user_id
+                   ORDER BY ts_ns, event_id ROWS UNBOUNDED PRECEDING)
+                   AS session_id
+               FROM flagged),
+             sess AS (
+               SELECT user_id, min(ts_ns) AS s_start, max(ts_ns) AS s_end
+               FROM sess0 GROUP BY user_id, session_id),
+             inc AS (
+               SELECT event_id AS incident_id,
+                 ts_ns - 600000000000 AS i_start,
+                 ts_ns + 600000000000 AS i_end
+               FROM e WHERE event_type = 'error' AND value >= 100),
+             ov AS (
+               SELECT i.incident_id, s.user_id
+               FROM sess s JOIN inc i
+                 ON s.s_start <= i.i_end AND i.i_start <= s.s_end)
+             SELECT incident_id, count(*) AS n_sessions,
+               count(DISTINCT user_id) AS n_users
+             FROM ov GROUP BY incident_id
+             ORDER BY n_sessions DESC, incident_id LIMIT 20"""))
   )
 }

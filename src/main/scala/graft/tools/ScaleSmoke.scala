@@ -471,6 +471,57 @@ object ScaleSmoke {
       //    long histories; the mitigation is band-keying the join on
       //    (b, month DIV band) upstream, same guard class as the hub
       //    cap.
+      // Round-11: bucketed interval-overlap join (q228's operator). Two
+      // axes, like temporal_relay: interval_overlap grows BOTH sides m×
+      // over an m×-longer time range (per-bucket density FIXED), so the
+      // per-bucket join mass is constant and total wall should track m
+      // linearly; interval_overlap_hot plants both sides into ONE
+      // bucket (the documented hot-bucket exposure) where the join mass
+      // is |L|·|R| ∝ m² — the mitigation (narrow sides / salt the hot
+      // key) lives upstream, this row just prices the failure mode the
+      // scaladoc names.
+      if (wanted("interval_overlap")) {
+        val bucket = 1000L
+        runOnce("interval_overlap") {
+          val span = 20000L * m // buckets in range: 20k·m
+          val ls = spark.range(50000L * m).select(col("id").as("lid"),
+            pmod(xxhash64(col("id"), lit(21)), lit(span * bucket)).as("ls"))
+            .select(col("lid"), col("ls"),
+              (col("ls") + pmod(xxhash64(col("lid"), lit(22)), lit(3000L)))
+                .as("le"))
+          val rs = spark.range(50000L * m).select(col("id").as("rid"),
+            pmod(xxhash64(col("id"), lit(23)), lit(span * bucket)).as("rs"))
+            .select(col("rid"), col("rs"),
+              (col("rs") + pmod(xxhash64(col("rid"), lit(24)), lit(3000L)))
+                .as("re"))
+          graft.operators.IntervalJoin.overlapJoin(ls, rs,
+              "ls", "le", "rs", "re", bucket, maxSpan = 16)
+            .groupBy(col("lid")).agg(count(lit(1)).as("n"))
+        }
+        // At broadcastable sizes a hot bucket is HARMLESS (the planner
+        // broadcasts the small side and the probe side keeps its
+        // parallelism — measured: flat). The real exposure is a hot
+        // bucket under a SHUFFLE join, where one reducer owns the key;
+        // force that plan (broadcast off) to price it, and let AQE's
+        // skew-join handling do whatever it does — the row reports the
+        // net effect either way.
+        if (m <= 5) {
+          val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          runOnce("interval_overlap_hot") {
+            val ls = spark.range(2000L * m).select(col("id").as("lid"),
+              pmod(xxhash64(col("id"), lit(25)), lit(500L)).as("ls"))
+              .select(col("lid"), col("ls"), (col("ls") + lit(100L)).as("le"))
+            val rs = spark.range(2000L * m).select(col("id").as("rid"),
+              pmod(xxhash64(col("id"), lit(26)), lit(500L)).as("rs"))
+              .select(col("rid"), col("rs"), (col("rs") + lit(100L)).as("re"))
+            graft.operators.IntervalJoin.overlapJoin(ls, rs,
+                "ls", "le", "rs", "re", bucket, maxSpan = 16)
+              .groupBy(col("lid")).agg(count(lit(1)).as("n"))
+          }
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        }
+      }
       if (wanted("temporal_relay")) {
         val nodes = 30L
         val relay: DataFrame => DataFrame = e =>

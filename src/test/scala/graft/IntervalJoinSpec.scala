@@ -1,0 +1,88 @@
+package graft
+
+import scala.util.Random
+
+import graft.operators.IntervalJoin
+
+/**
+ * Bucketed interval-overlap join vs a sequential nested-loop reference
+ * on random interval sets: exact pair set (closed-interval semantics,
+ * touching endpoints overlap), each pair exactly ONCE regardless of how
+ * many grid buckets it shares, bucket-width invariance, negative
+ * coordinates, and the malformed-interval / span-guard refusals.
+ */
+class IntervalJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def reference(ls: Seq[(Long, Long, Long)],
+      rs: Seq[(Long, Long, Long)]): Set[(Long, Long)] =
+    (for {
+      (lid, s1, e1) <- ls
+      (rid, s2, e2) <- rs
+      if s1 <= e2 && s2 <= e1
+    } yield (lid, rid)).toSet
+
+  private def run(ls: Seq[(Long, Long, Long)], rs: Seq[(Long, Long, Long)],
+      bucket: Long, maxSpan: Int = 1024): Seq[(Long, Long)] =
+    IntervalJoin.overlapJoin(
+        ls.toDF("lid", "ls", "le"), rs.toDF("rid", "rs", "re"),
+        "ls", "le", "rs", "re", bucket, maxSpan)
+      .select("lid", "rid").as[(Long, Long)].collect().toSeq
+
+  private def randomIntervals(rnd: Random, n: Int, base: Long,
+      span: Int, maxLen: Int): Seq[(Long, Long, Long)] =
+    (1 to n).map { i =>
+      val s = rnd.nextInt(span).toLong
+      (base + i, s, s + rnd.nextInt(maxLen))
+    }
+
+  test("random sets x bucket widths == nested-loop reference, each pair once") {
+    val rnd = new Random(5)
+    for (trial <- 1 to 3; bucket <- Seq(7L, 50L, 1000L)) {
+      val ls = randomIntervals(rnd, 60, 1000, 500, 80)
+      val rs = randomIntervals(rnd, 60, 2000, 500, 80)
+      val got = run(ls, rs, bucket)
+      assert(got.size === got.distinct.size,
+        s"trial $trial bucket $bucket emitted duplicates")
+      assert(got.toSet === reference(ls, rs), s"trial $trial bucket $bucket")
+    }
+  }
+
+  test("closed semantics: touching endpoints overlap, one-off gaps don't") {
+    val ls = Seq((1L, 0L, 10L))
+    assert(run(ls, Seq((2L, 10L, 20L)), 4L) === Seq((1L, 2L))) // touch
+    assert(run(ls, Seq((2L, 11L, 20L)), 4L) === Seq.empty)     // gap of 1
+    assert(run(ls, Seq((2L, -5L, 0L)), 4L) === Seq((1L, 2L)))  // touch at 0
+  }
+
+  test("negative coordinates: floor-division bucketing stays exact") {
+    val rnd = new Random(9)
+    val ls = randomIntervals(rnd, 40, 100, 300, 50)
+      .map { case (i, s, e) => (i, s - 200L, e - 200L) }
+    val rs = randomIntervals(rnd, 40, 500, 300, 50)
+      .map { case (i, s, e) => (i, s - 200L, e - 200L) }
+    assert(run(ls, rs, 30L).toSet === reference(ls, rs))
+  }
+
+  test("refusals: start > end raises; over-span interval names the fix") {
+    val e1 = intercept[Exception] {
+      run(Seq((1L, 10L, 5L)), Seq((2L, 0L, 1L)), 10L)
+    }
+    assert(chain(e1).exists(_.contains("start <= end")), s"got $e1")
+    val e2 = intercept[Exception] {
+      run(Seq((1L, 0L, 10000L)), Seq((2L, 0L, 1L)), 10L, maxSpan = 16)
+    }
+    assert(chain(e2).exists(_.contains("coarser bucket")), s"got $e2")
+    val e3 = intercept[IllegalArgumentException] {
+      IntervalJoin.overlapJoin(
+        Seq((1L, 0L, 1L)).toDF("id", "s", "e"),
+        Seq((2L, 0L, 1L)).toDF("id", "s2", "e2"),
+        "s", "e", "s2", "e2", 10L)
+    }
+    assert(e3.getMessage.contains("disjoint"))
+  }
+
+  private def chain(t: Throwable): Seq[String] =
+    if (t == null) Nil
+    else Option(t.getMessage).toSeq ++ chain(t.getCause)
+}

@@ -69,8 +69,22 @@ class PlanShapeSpec extends SparkSpec {
       fixedCentroids = Some(
         graft.operators.Similarity.portableCentroids(4, 8))))
     assert(!plan.contains("CartesianProduct"))
-    assert(!plan.contains("BroadcastNestedLoopJoin"),
-      "entry is a literal-array explode, walk joins are equi-broadcasts")
+    // Since the distributed nav-graph build (r10 #1), the beam path
+    // legitimately contains ONE BroadcastNestedLoopJoin: the exact-tier
+    // all-pairs centroid ranking inside buildNavGraph — metadata-sized
+    // (nLists rows broadcast against nLists rows), the same accepted
+    // shape as every broadcast crossJoin in the library. Its printed
+    // tree recurs wherever the cached nav frame is consumed, so assert
+    // on the node SIGNATURE, not the occurrence count: every nested
+    // loop must be the centroid pair join (src ≠ dst condition over the
+    // centroid frame) — one over any OTHER columns means the per-vector
+    // corpus path leaked into a nested loop.
+    val bnljLines = plan.linesIterator
+      .filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnljLines.nonEmpty &&
+        bnljLines.forall(_.contains("NOT (src#")),
+      s"every nested loop must be the nav-build centroid pair join; " +
+        s"got:\n${bnljLines.mkString("\n")}")
     assert(!plan.contains("Exchange SinglePartition"))
     assert(plan.contains("BroadcastExchange"),
       "centroid frame and neighbor graph must broadcast")
