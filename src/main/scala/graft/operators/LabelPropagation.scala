@@ -44,24 +44,44 @@ object LabelPropagation {
     * checkpoint blocks; the final frame registers with the caller's
     * [[CacheScope]] scope, flag Project OUTSIDE the registration so
     * release still matches the LogicalRDD leaf (ADVICE r10). */
-  def run(edges: DataFrame, iters: Int): DataFrame = {
+  def run(edges: DataFrame, iters: Int): DataFrame =
+    run(edges, iters, None)
+
+  /** Weighted variant (`weightCol = Some(c)`): each neighbor's vote
+    * counts its integer edge weight — the standard form on interaction
+    * graphs where a 100-purchase lane should outvote a 1-purchase lane.
+    * Repeated (src, dst) rows SUM (the [[Modularity]] multigraph
+    * convention; a self-loop's weight counts twice, once per
+    * orientation — pass loop-free edges if that matters). Ties still
+    * break to the SMALLEST label on equal weighted counts, so the
+    * recursion stays bit-reproducible and SQL-unrollable (the q230
+    * oracle); unweighted is the w ≡ 1 instance of the same code path
+    * (min-merge == the old distinct). */
+  def run(edges: DataFrame, iters: Int,
+      weightCol: Option[String]): DataFrame = {
     require(iters >= 0, s"iters must be >= 0: $iters")
-    val sym = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
+    val w0 = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
+    val dir = edges.select(col("src"), col("dst"), w0.as("w"))
+    val sym = dir
+      .union(dir.select(col("dst").as("src"), col("src").as("dst"),
+        col("w")))
+      .groupBy(col("src"), col("dst"))
+      .agg((if (weightCol.isDefined) sum(col("w")) else min(col("w")))
+        .as("w"))
     val nodes = sym.select(col("src").as("node_id")).distinct()
     var labels = nodes.select(col("node_id"), col("node_id").as("label"))
       .localCheckpoint(true)
     var converged = false
     var round = 0
     while (round < iters && !converged) {
-      // Neighbor label counts: relabel each edge's src by its current
-      // label, count per (dst, label), argmax with ties to min label.
+      // Weighted neighbor label votes: relabel each edge's src by its
+      // current label, sum weight per (dst, label), argmax with ties
+      // to min label.
       val counts = sym
         .join(labels.select(col("node_id").as("src"), col("label")),
           Seq("src"))
         .groupBy(col("dst"), col("label"))
-        .agg(count(lit(1)).as("cnt"))
+        .agg(sum(col("w")).as("cnt"))
       val winner = counts
         .groupBy(col("dst"))
         .agg(max(struct(col("cnt"), (-col("label")).as("neg"))).as("w"))

@@ -1730,7 +1730,29 @@ object PipelineQueries {
              FROM nodes n CROSS JOIN wtot
              LEFT JOIN internal i ON n.community = i.community
              LEFT JOIN degree g ON n.community = g.community
-             ORDER BY n.community"""))
+             ORDER BY n.community""")),
+
+    // ---- WEIGHTED label propagation (LabelPropagation weightCol
+    // face): q123's deterministic LPA where each neighbor's vote
+    // counts its lane weight (qualifying-lineitem count per
+    // (cust, supp) pair) — the standard form on interaction graphs,
+    // where a 100-purchase lane should outvote a 1-purchase lane and
+    // the unweighted result can genuinely differ (hub labels win by
+    // VOLUME, not by lane count). Same min-label tie-break, same
+    // early-exit convergence flag, same unrolled-CTE oracle with
+    // count(*) become sum(w) — the weighted recursion stays exactly
+    // SQL-replayable because the weights are integers.
+    Q("q230_weighted_lpa",
+      (s, d) => {
+        val e = T.orders(s, d)
+          .join(T.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_custkey").as("src"),
+            (col("l_suppkey") + lit(1000000000L)).as("dst"))
+          .agg(count(lit(1)).as("w"))
+        graft.operators.LabelPropagation.run(e, iters = 3, Some("w"))
+          .orderBy(col("node_id"))
+      },
+      Some(LpaSql(3, weighted = true)))
   )
 
   /** q199 oracle: the b-suitor rounds unrolled with explicit capacity
@@ -1973,19 +1995,31 @@ object PipelineQueries {
     * label count CTE and a row_number argmax CTE (ORDER BY cnt DESC,
     * label — the min-label tie-break), isolated nodes kept by the left
     * join. The q94/q104/q117 unrolling discipline. */
-  private def LpaCtes(iters: Int): String = {
-    val head = """WITH pairs AS (
+  private def LpaCtes(iters: Int, weighted: Boolean = false): String = {
+    val head =
+      if (!weighted) """WITH pairs AS (
         SELECT DISTINCT o_custkey AS cust, l_suppkey + 1000000000 AS supp
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
       edges AS (
-        SELECT DISTINCT src, dst FROM (
+        SELECT DISTINCT src, dst, 1 AS w FROM (
           SELECT cust AS src, supp AS dst FROM pairs
           UNION ALL SELECT supp, cust FROM pairs)),
+      l0 AS (SELECT DISTINCT src AS node_id, src AS label FROM edges)"""
+      else """WITH pairs AS (
+        SELECT o_custkey AS cust, l_suppkey + 1000000000 AS supp,
+          count(*) AS w
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY 1, 2),
+      edges AS (
+        SELECT src, dst, CAST(sum(w) AS BIGINT) AS w FROM (
+          SELECT cust AS src, supp AS dst, w FROM pairs
+          UNION ALL SELECT supp, cust, w FROM pairs)
+        GROUP BY 1, 2),
       l0 AS (SELECT DISTINCT src AS node_id, src AS label FROM edges)"""
     val iterCtes = (1 to iters).map { i =>
       val p = i - 1
       s"""c$i AS (
-           SELECT e.dst, l.label, count(*) AS cnt
+           SELECT e.dst, l.label, CAST(sum(e.w) AS BIGINT) AS cnt
            FROM edges e JOIN l$p l ON e.src = l.node_id
            GROUP BY e.dst, l.label),
          w$i AS (
@@ -2006,8 +2040,8 @@ object PipelineQueries {
     * point persists, so "some round changed nothing" ⟺ the last two
     * label frames are identical — one FILTERed join mirrors the
     * operator's early-exit flag exactly (iters ≥ 1). */
-  private def LpaSql(iters: Int): String =
-    s"""${LpaCtes(iters)},
+  private def LpaSql(iters: Int, weighted: Boolean = false): String =
+    s"""${LpaCtes(iters, weighted)},
       conv AS (
         SELECT count(*) FILTER (WHERE a.label <> b.label) = 0 AS converged
         FROM l$iters a JOIN l${iters - 1} b ON a.node_id = b.node_id)

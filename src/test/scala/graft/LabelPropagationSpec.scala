@@ -94,6 +94,70 @@ class LabelPropagationSpec extends SparkSpec {
     assert(got === reference(edges, 25))
   }
 
+  // ---- weighted face (q230): votes weighted by summed edge weight.
+
+  private def referenceW(edges: Seq[(Long, Long, Long)],
+      iters: Int): Map[Long, Long] = {
+    // symmetrize + sum weight per directed pair, then weighted votes
+    val sym = edges.flatMap { case (a, b, w) => Seq((a, b) -> w, (b, a) -> w) }
+      .groupBy(_._1).map { case (k, g) => k -> g.map(_._2).sum }
+    val nbrs = sym.keys.toSeq.groupBy(_._2)
+      .map { case (d, g) => d -> g.map(_._1) }
+    var labels = sym.keys.flatMap(k => Seq(k._1, k._2)).toSeq.distinct
+      .map(n => n -> n).toMap
+    for (_ <- 1 to iters) {
+      labels = labels.map { case (n, l) =>
+        nbrs.get(n) match {
+          case Some(ns) if ns.nonEmpty =>
+            val votes = ns.groupBy(labels).map { case (lab, g) =>
+              lab -> g.map(u => sym((u, n))).sum }
+            n -> votes.toSeq.minBy { case (lab, c) => (-c, lab) }._1
+          case _ => n -> l
+        }
+      }
+    }
+    labels
+  }
+
+  private def runW(edges: Seq[(Long, Long, Long)], iters: Int): Map[Long, Long] =
+    LabelPropagation.run(edges.toDF("src", "dst", "w"), iters, Some("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("weighted matches the sequential weighted reference") {
+    for (seed <- 1 to 3) {
+      val r = new Random(200 + seed)
+      val edges = (1 to 90).map(_ => (r.nextInt(18).toLong,
+        r.nextInt(18).toLong, (r.nextInt(6) + 1).toLong))
+        .filter { case (a, b, _) => a != b }
+      assert(runW(edges, 3) === referenceW(edges, 3), s"seed=$seed")
+    }
+  }
+
+  test("weighted with w == 1 on canonical unique edges equals unweighted") {
+    // canonical (a < b, one orientation) — under the weighted sum-merge
+    // convention an edge listed in BOTH orientations is a repeat and
+    // doubles its weight, so only the canonical form is the identity.
+    val r = new Random(77)
+    val edges = (1 to 60)
+      .map(_ => (r.nextInt(15).toLong, r.nextInt(15).toLong))
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a != b }.distinct
+    assert(runW(edges.map(e => (e._1, e._2, 1L)), 3) === run(edges, 3))
+  }
+
+  test("a heavy lane outvotes more numerous light lanes") {
+    // node 9 has light edges to clique {0..2} (labels converge to 0)
+    // and ONE heavy edge to node 5: unweighted joins the clique (3
+    // votes vs 1), weighted follows the heavy lane (3 vs 10).
+    val light = Seq((9L, 0L, 1L), (9L, 1L, 1L), (9L, 2L, 1L))
+    val clique = Seq((0L, 1L, 1L), (0L, 2L, 1L), (1L, 2L, 1L))
+    val heavy = Seq((9L, 5L, 10L), (5L, 6L, 10L), (6L, 5L, 10L))
+    val got = runW(light ++ clique ++ heavy, 1)
+    assert(got(9L) === 5L) // weighted: the 10-weight lane wins
+    val unw = run((light ++ clique ++ heavy).map(e => (e._1, e._2)), 1)
+    assert(unw(9L) === 0L) // unweighted: three light votes win
+  }
+
   test("truncated budget on a drifting path graph flags unconverged") {
     // On a path, synchronous min-label voting keeps shifting labels for
     // several rounds — one round cannot be a fixed point.
