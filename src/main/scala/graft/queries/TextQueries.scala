@@ -1230,7 +1230,51 @@ object TextQueries {
                CAST(sum(ina * inb) AS BIGINT) AS n_both,
                round(CAST(sum(ina * inb) AS DOUBLE) / count(*), 6)
                  AS jaccard_est
-             FROM kept GROUP BY ga, gb ORDER BY ga, gb"""))
+             FROM kept GROUP BY ga, gb ORDER BY ga, gb""")),
+
+    // ---- Phrase / ordered-proximity search over positional postings
+    // (Lucene PhraseQuery semantics — the reference's index IS Lucene,
+    // whose standard postings carry positions; the artifact face is
+    // SearchIndex.buildPositional/searchPhrase, spec'd with bucket
+    // pruning in IngesterSpec). Per document: exact-phrase count
+    // ("table hash", adjacent) and the ordered within-gap-2 proximity
+    // count. The position chain is an equi-join on doc_id + a range
+    // filter — the relational form of Lucene's postings merge, bounded
+    // by occurrences-per-document; positions are 0-based here and
+    // 1-based in the oracle's list-subscript mirror, which cancels in
+    // the relative arithmetic.
+    Q("q231_phrase_search",
+      (s, d) => {
+        val t = tokensPos(s, d)
+        val a = t.filter(col("tok") === "table")
+          .select(col("doc_id"), col("pos").as("p1"))
+        val b = t.filter(col("tok") === "hash")
+          .select(col("doc_id"), col("pos").as("p2"))
+        a.join(b, Seq("doc_id"))
+          .filter(col("p2") > col("p1") && col("p2") <= col("p1") + 2)
+          .groupBy(col("doc_id"))
+          .agg(sum(when(col("p2") === col("p1") + 1, 1L).otherwise(0L))
+            .as("n_phrase"),
+            count(lit(1)).as("n_prox"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (
+               SELECT doc_id, i AS pos, toks[i] AS tok
+               FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                     FROM documents),
+                    LATERAL (SELECT unnest(generate_series(1, len(toks)))
+                      AS i)
+               WHERE toks[i] <> ''),
+             a AS (SELECT doc_id, pos AS p1 FROM t WHERE tok = 'table'),
+             b AS (SELECT doc_id, pos AS p2 FROM t WHERE tok = 'hash'),
+             m AS (
+               SELECT a.doc_id, p1, p2 FROM a JOIN b USING (doc_id)
+               WHERE p2 > p1 AND p2 <= p1 + 2)
+             SELECT doc_id,
+               CAST(count(*) FILTER (WHERE p2 = p1 + 1) AS BIGINT)
+                 AS n_phrase,
+               count(*) AS n_prox
+             FROM m GROUP BY doc_id ORDER BY doc_id"""))
   )
 
   /** q110 oracle: the BPE recursion unrolled (shared CTE chain). */

@@ -117,4 +117,60 @@ object SearchIndex {
       .orderBy(col("score_micro").desc, col("doc_id"))
       .limit(topK)
   }
+
+  /**
+   * POSITIONAL posting lists — the index face behind phrase and
+   * proximity queries (Lucene's PhraseQuery family; the reference's
+   * index is Lucene, whose standard postings carry positions). One
+   * row per term: df, per-doc sorted position lists, and the same
+   * term-hash bucket partition key as [[build]], so [[lookup]]'s
+   * pruned scan serves both artifact shapes.
+   */
+  def buildPositional(docs: DataFrame, idCol: String, textCol: String,
+      minTokenLen: Int = 2, nBuckets: Int = 64): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), "\\s+")).as(Seq("pos", "tok")))
+      .filter(col("tok") =!= "" && length(col("tok")) >= minTokenLen)
+      .groupBy(col("tok"), col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+      .groupBy(col("tok")).agg(
+        count(lit(1)).as("df"),
+        sort_array(collect_list(struct(col("doc_id"), col("positions"))))
+          .as("postings"))
+      .withColumn("bucket",
+        pmod(xxhash64(col("tok")), lit(nBuckets)).cast("int"))
+  }
+
+  /**
+   * Phrase / ordered-proximity search served from a [[buildPositional]]
+   * artifact: per document, the number of occurrences of `terms` in
+   * order with each adjacent gap in [1, 1 + slop] — slop 0 is the exact
+   * phrase. (A per-gap bound is a deliberate simplification of Lucene's
+   * total-movement slop; stated, not silent.) The terms' postings load
+   * through the SAME bucket-pruned scan as [[searchConjunctive]], so
+   * the corpus-sized index contributes only the queried terms' rows;
+   * the position-chain joins are keyed on doc_id and bounded by
+   * occurrences-per-document (a merge in Lucene, an equi-join + range
+   * filter here — the relational form of the same intersection).
+   */
+  def searchPhrase(spark: SparkSession, path: String, terms: Seq[String],
+      slop: Int = 0, nBuckets: Int = 64): DataFrame = {
+    require(terms.size >= 2, s"phrase needs >= 2 terms: $terms")
+    require(slop >= 0, s"slop >= 0: $slop")
+    val post = lookup(spark, path, terms.distinct, nBuckets)
+      .select(col("tok"), explode(col("postings")).as("p"))
+      .select(col("tok"), col("p.doc_id").as("doc_id"),
+        explode(col("p.positions")).as("pos"))
+    def term(i: Int): DataFrame = post
+      .filter(col("tok") === terms(i))
+      .select(col("doc_id"), col("pos").as(s"p$i"))
+    var cur = term(0)
+    for (i <- 1 until terms.size) {
+      cur = cur.join(term(i), Seq("doc_id"))
+        .filter(col(s"p$i") > col(s"p${i - 1}") &&
+          col(s"p$i") <= col(s"p${i - 1}") + lit(1 + slop))
+    }
+    cur.groupBy(col("doc_id")).agg(count(lit(1)).as("n_matches"))
+  }
 }

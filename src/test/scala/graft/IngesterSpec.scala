@@ -189,6 +189,31 @@ class IngesterSpec extends SparkSpec {
     assert(sparkRow == ((3L, 5L)), "spark: df=3 docs, tf_total=5 occurrences")
   }
 
+  test("positional index artifact: phrase and proximity search, pruned scan") {
+    import graft.sinks.SearchIndex
+    val docs = Seq(
+      (1L, "big data big data big"), // "big data" at 0-1 and 2-3
+      (2L, "big query data"),        // ordered within slop 1, not adjacent
+      (3L, "data big"))              // reversed only — never matches
+      .toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-pindex").toString + "/pos_index"
+    SearchIndex.write(SearchIndex.buildPositional(docs, "doc_id", "text"), dir)
+    val exact = SearchIndex.searchPhrase(spark, dir, Seq("big", "data"))
+      .as[(Long, Long)].collect().toMap
+    assert(exact === Map(1L -> 2L), "slop 0 = exact adjacent phrase")
+    val prox = SearchIndex.searchPhrase(spark, dir, Seq("big", "data"), slop = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(prox === Map(1L -> 2L, 2L -> 1L), "per-gap slop 1 admits one skip")
+    val tri = SearchIndex.searchPhrase(spark, dir, Seq("big", "data", "big"))
+      .as[(Long, Long)].collect().toMap
+    assert(tri === Map(1L -> 2L), "3-term chain incl. a repeated term")
+    // The positional artifact shares build()'s bucket layout, so the
+    // pruned-scan story holds for phrase queries too.
+    val plan = SearchIndex.lookup(spark, dir, Seq("big"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("bucket"))
+  }
+
   test("mention CSV round-trip preserves the reference schema") {
     val docs = Seq((1L, "Ana Diaz met Bob Roe.")).toDF("doc_id", "text")
     val mentions = DocumentSource.extractMentions(docs)
