@@ -1724,6 +1724,97 @@ object LlmQueries {
                  AS eff_sources
              FROM g GROUP BY 1, 2 ORDER BY lang, len_bucket""")),
 
+    // ---- INT8 scalar quantization of the embedding corpus (the FAISS
+    // SQ8 workhorse: 4× smaller vectors, integer SIMD dot products) with
+    // an EXACT quality readout. Per-dim global min/max (one map-side
+    // agg), q = floor((v − min)·255/(max − min)) clamped to 255 —
+    // identical IEEE-double arithmetic on both engines, so the
+    // quantized vectors hash-match. Per query vector: top-5 corpus
+    // neighbors by EXACT INTEGER quantized dot product, each row
+    // carrying the per-query overlap with the fixed-point float
+    // baseline's top-5 (floor(v·10⁶) BIGINT dots — the ground truth is
+    // integer too, so recall@5 is hash-exact, no float ordering
+    // anywhere). The dim-keyed join form (3·N·64 rows) avoids array
+    // reassembly; at 100 TB the quantized corpus is the artifact and
+    // the per-dim stats frame is a 64-row broadcast.
+    Q("q232_scalar_quantization",
+      (s, d) => {
+        val ev = T.embeddings(s, d)
+          .select(col("vec_id"), posexplode(col("embedding"))
+            .as(Seq("dim", "v")))
+          .select(col("vec_id"), col("dim"), col("v").cast("double").as("v"))
+        val stats = ev.groupBy(col("dim"))
+          .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+        val qv = ev.join(broadcast(stats), Seq("dim"))
+          .withColumn("q", when(col("mx") > col("mn"),
+            least(lit(255L), floor((col("v") - col("mn")) * 255.0
+              / (col("mx") - col("mn"))).cast("long"))).otherwise(0L))
+          .select(col("vec_id"), col("dim"), col("q"),
+            floor(col("v") * 1000000.0).cast("long").as("f"))
+        val queries = qv.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("qid"), col("dim"),
+            col("q").as("qq"), col("f").as("qf"))
+        val dots = queries.join(qv.filter(col("vec_id") >= 3), Seq("dim"))
+          .groupBy(col("qid"), col("vec_id"))
+          .agg(sum(col("qq") * col("q")).as("q_dot"),
+            sum(col("qf") * col("f")).as("f_dot"))
+        val wq = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid"))
+          .orderBy(col("q_dot").desc, col("vec_id"))
+        val wf = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid"))
+          .orderBy(col("f_dot").desc, col("vec_id"))
+        val ranked = dots
+          .withColumn("rank", row_number().over(wq))
+          .withColumn("f_rank", row_number().over(wf))
+        val overlap = ranked
+          .filter(col("rank") <= 5 && col("f_rank") <= 5)
+          .groupBy(col("qid"))
+          .agg(count(lit(1)).as("n_in_exact_top5"))
+        ranked.filter(col("rank") <= 5)
+          .join(overlap, Seq("qid"))
+          .select(col("qid").as("query_id"), col("rank"), col("vec_id"),
+            col("q_dot"), col("n_in_exact_top5"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH ev AS (
+               SELECT vec_id, i - 1 AS dim,
+                 CAST(embedding[i] AS DOUBLE) AS v
+               FROM (SELECT vec_id, embedding FROM embeddings),
+                    LATERAL (SELECT unnest(generate_series(1,
+                      len(embedding))) AS i)),
+             stats AS (
+               SELECT dim, min(v) AS mn, max(v) AS mx FROM ev GROUP BY dim),
+             qv AS (
+               SELECT vec_id, ev.dim,
+                 CASE WHEN mx > mn THEN least(CAST(255 AS BIGINT),
+                   CAST(floor((v - mn) * 255.0 / (mx - mn)) AS BIGINT))
+                 ELSE 0 END AS q,
+                 CAST(floor(v * 1000000.0) AS BIGINT) AS f
+               FROM ev JOIN stats ON ev.dim = stats.dim),
+             dots AS (
+               SELECT a.vec_id AS qid, b.vec_id,
+                 CAST(sum(a.q * b.q) AS BIGINT) AS q_dot,
+                 CAST(sum(a.f * b.f) AS BIGINT) AS f_dot
+               FROM qv a JOIN qv b ON a.dim = b.dim
+               WHERE a.vec_id < 3 AND b.vec_id >= 3
+               GROUP BY 1, 2),
+             ranked AS (
+               SELECT qid, vec_id, q_dot,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY q_dot DESC, vec_id) AS rank,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY f_dot DESC, vec_id) AS f_rank
+               FROM dots),
+             ov AS (
+               SELECT qid, count(*) AS n_in_exact_top5
+               FROM ranked WHERE rank <= 5 AND f_rank <= 5 GROUP BY qid)
+             SELECT r.qid AS query_id, r.rank, r.vec_id, r.q_dot,
+               ov.n_in_exact_top5
+             FROM ranked r JOIN ov USING (qid)
+             WHERE r.rank <= 5
+             ORDER BY query_id, rank""")),
+
     // ---- Training-data RELEASE pipeline (the round-8 composition
     // flagship, q73's discipline applied to the mix-and-ship stage):
     // language mixing quotas (q184's capped largest remainder at a 4/5
