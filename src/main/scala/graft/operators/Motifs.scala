@@ -42,9 +42,13 @@ import org.apache.spark.sql.functions._
  * applied after all positive terms (pure filters — order-independent),
  * so every anti-join probes the full bound frame once; anti-join probes
  * carry only (src, dst), never edge payloads. Hub nodes inflate
- * multi-term matches as C(deg, k−1); the shared guard is
- * [[GraphOps.degreeCapped]] applied to the edge frame first (q214's
- * measured 6.5 GB → 111 MB).
+ * multi-term matches as C(deg, k−1); for BARE structural edge frames
+ * the shared guard is [[GraphOps.degreeCapped]] applied first (q214's
+ * measured 6.5 GB → 111 MB). Note degreeCapped canonicalizes, dedups,
+ * and returns only (s, d) — on payload-carrying or multigraph frames
+ * (edge-variable motifs like q226's (src, dst, month, w)) apply the
+ * same idea as a degree filter + LEFT SEMI against the kept-node set
+ * instead, so payload columns and multiplicity survive.
  */
 object Motifs {
 

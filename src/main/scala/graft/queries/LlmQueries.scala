@@ -1771,10 +1771,14 @@ object LlmQueries {
           .filter(col("rank") <= 5 && col("f_rank") <= 5)
           .groupBy(col("qid"))
           .agg(count(lit(1)).as("n_in_exact_top5"))
+        // LEFT join + coalesce: a query whose quantized top-5 shares
+        // NOTHING with the exact baseline is the worst case the readout
+        // exists to expose — it must appear with 0, not vanish.
         ranked.filter(col("rank") <= 5)
-          .join(overlap, Seq("qid"))
+          .join(overlap, Seq("qid"), "left")
           .select(col("qid").as("query_id"), col("rank"), col("vec_id"),
-            col("q_dot"), col("n_in_exact_top5"))
+            col("q_dot"),
+            coalesce(col("n_in_exact_top5"), lit(0L)).as("n_in_exact_top5"))
           .orderBy(col("query_id"), col("rank"))
       },
       Some("""WITH ev AS (
@@ -1810,8 +1814,8 @@ object LlmQueries {
                SELECT qid, count(*) AS n_in_exact_top5
                FROM ranked WHERE rank <= 5 AND f_rank <= 5 GROUP BY qid)
              SELECT r.qid AS query_id, r.rank, r.vec_id, r.q_dot,
-               ov.n_in_exact_top5
-             FROM ranked r JOIN ov USING (qid)
+               coalesce(ov.n_in_exact_top5, 0) AS n_in_exact_top5
+             FROM ranked r LEFT JOIN ov USING (qid)
              WHERE r.rank <= 5
              ORDER BY query_id, rank""")),
 
@@ -2570,8 +2574,12 @@ object LlmQueries {
         val centDf = s.createDataFrame(
           cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) })
           .toDF("cell", "centroid")
-        val nav = Similarity.buildNavGraph(centDf, degree = 3,
-          longLinks = 2)
+        // Pinned: beamWalk broadcasts the nav frame once PER ROUND —
+        // unpinned, each broadcast re-runs the nLists² build (harmless
+        // at 24 cells, ruinous at the 10⁵-cell tier this query is the
+        // exemplar for; navFrames pins for the same reason).
+        val nav = graft.operators.CacheScope.pin(
+          Similarity.buildNavGraph(centDf, degree = 3, longLinks = 2))
         Similarity.beamAssignWithGraph(T.embeddings(s, d), "vec_id",
           "embedding", centDf, nav, beamWidth = 4, depth = 2,
           entryCells = 2)

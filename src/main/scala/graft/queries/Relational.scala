@@ -3601,9 +3601,15 @@ object Relational {
           .select(col("event_id").as("incident_id"),
             (col("ts_ns") - lit(600000000000L)).as("i_start"),
             (col("ts_ns") + lit(600000000000L)).as("i_end"))
+        // maxSpan: a 5-min-gap session has no a-priori length bound —
+        // dense-activity users chain sessions up to the corpus time
+        // range (years at high SF), and the default 1024-bucket guard
+        // would ABORT the query on the first such user. Size the guard
+        // to the data's actual bound (~10 years of 1 h buckets); the
+        // per-row fan-out stays linear in that one session's duration.
         graft.operators.IntervalJoin.overlapJoin(
             sess, inc, "s_start", "s_end", "i_start", "i_end",
-            bucket = 3600000000000L)
+            bucket = 3600000000000L, maxSpan = 131072)
           .groupBy(col("incident_id"))
           .agg(count(lit(1)).as("n_sessions"),
             countDistinct(col("user_id")).as("n_users"))

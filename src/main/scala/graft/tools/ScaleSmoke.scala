@@ -480,7 +480,7 @@ object ScaleSmoke {
       // is |L|·|R| ∝ m² — the mitigation (narrow sides / salt the hot
       // key) lives upstream, this row just prices the failure mode the
       // scaladoc names.
-      if (wanted("interval_overlap")) {
+      if (wanted("interval_overlap") || wanted("interval_overlap_hot")) {
         val bucket = 1000L
         runOnce("interval_overlap") {
           val span = 20000L * m // buckets in range: 20k·m
@@ -522,7 +522,7 @@ object ScaleSmoke {
           spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         }
       }
-      if (wanted("temporal_relay")) {
+      if (wanted("temporal_relay") || wanted("temporal_relay_months")) {
         val nodes = 30L
         val relay: DataFrame => DataFrame = e =>
           graft.operators.Motifs.find(e, "(a)-[e1]->(b); (b)-[e2]->(c)")
@@ -577,7 +577,8 @@ object ScaleSmoke {
       // groupBy dst + semi-join, cap 150 > the background degree ~100,
       // so ONLY the planted hub is dropped) and should land back on the
       // linear butterflies row above.
-      if (wanted("butterflies_hub") && m <= 5) {
+      if ((wanted("butterflies_hub") || wanted("butterflies_hub_uncapped")
+          || wanted("butterflies_hub_capped")) && m <= 5) {
         val nLeft = 5000L * m
         val nRight = 500L * m
         val bg = spark.range(nLeft * 10)
