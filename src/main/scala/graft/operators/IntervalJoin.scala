@@ -1,7 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.IntegralDivide
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
 
 /**
  * Interval-overlap join of two LARGE interval sets — the member of the
@@ -31,26 +33,62 @@ import org.apache.spark.sql.functions._
  * violating it raise at execution); (L, R) matches iff
  * `l_start ≤ r_end AND r_start ≤ l_end` (touching endpoints DO
  * overlap). Output = all left columns + all right columns of each
- * overlapping pair, exactly once; the column sets must be disjoint.
+ * overlapping pair, exactly once; the non-key column sets must be
+ * disjoint.
+ *
+ * `keys`: optional equi-join columns present under the SAME name on
+ * both sides — the banded-join composition (q226's temporal relay: key
+ * on the shared node so only same-node edge pairs within a time band
+ * ever meet; a session join keyed on user_id; …). The grid bucket is
+ * simply appended to the equi-key, so the join stays ONE ordinary
+ * shuffle and the per-key candidate mass is band-local instead of
+ * all-history.
+ *
+ * `saltHot`: the hot-bucket mitigation as a parameter (VERDICT r11 #5)
+ * instead of prose. A genuinely hot (keys, bucket) cell — many
+ * concurrent intervals on BOTH sides — puts |L|·|R| pair mass on one
+ * reducer under a shuffle join (measured m² in SCALE.md's
+ * interval_overlap_hot row). With saltHot = S > 1 the LEFT side
+ * replicates each exploded row S ways and the RIGHT side hashes each
+ * row to ONE deterministic salt, so the hot cell's pair mass spreads
+ * over S reducers at the cost of S× the left exploded rows — the
+ * standard replicate/route skew-join trade, worth it exactly when a
+ * few cells dominate. Output pairs are unchanged (every (l, r) meets
+ * exactly once: at r's salt).
  */
 object IntervalJoin {
 
   def overlapJoin(left: DataFrame, right: DataFrame,
       leftStart: String, leftEnd: String,
       rightStart: String, rightEnd: String,
-      bucket: Long, maxSpan: Int = 1024): DataFrame = {
+      bucket: Long, maxSpan: Int = 1024,
+      keys: Seq[String] = Nil, saltHot: Int = 1): DataFrame = {
     require(bucket > 0, s"bucket width must be positive: $bucket")
     require(maxSpan >= 1, s"maxSpan must be >= 1: $maxSpan")
-    val clash = left.columns.toSet.intersect(right.columns.toSet)
+    require(saltHot >= 1, s"saltHot must be >= 1: $saltHot")
+    keys.foreach { k =>
+      require(left.columns.contains(k) && right.columns.contains(k),
+        s"equi-key column $k must exist on both sides")
+    }
+    val clash = left.columns.toSet.intersect(right.columns.toSet) -- keys
     require(clash.isEmpty,
-      s"left/right column sets must be disjoint, both have: ${clash.mkString(", ")}")
-    require(!(left.columns ++ right.columns).contains("__bucket"),
-      "column name __bucket is reserved by overlapJoin")
+      s"left/right non-key column sets must be disjoint, both have: ${clash.mkString(", ")}")
+    (Seq("__bucket", "__salt")).foreach { r =>
+      require(!(left.columns ++ right.columns).contains(r),
+        s"column name $r is reserved by overlapJoin")
+    }
 
     // Floor division valid for negative coordinates too (pmod is the
-    // non-negative remainder, so (c - pmod) / bucket rounds toward -inf).
-    def fd(c: Column): Column =
-      ((c - pmod(c, lit(bucket))) / lit(bucket)).cast("long")
+    // non-negative remainder, so (c - pmod) rounds toward -inf) and for
+    // the FULL long range: the numerator is an exact multiple of bucket
+    // and the division is integral (DIV), so coordinates beyond 2^53 —
+    // epoch-nanos are ~1.7e18 — never round through a double (ADVICE r11).
+    def fd(c: Column): Column = {
+      val cl = c.cast("long")
+      ColumnBridge.column(new IntegralDivide(
+        ColumnBridge.expression(cl - pmod(cl, lit(bucket))),
+        ColumnBridge.expression(lit(bucket))))
+    }
     def buckets(s: Column, e: Column, side: String): Column = {
       val bad = s.isNull || e.isNull || s > e
       val span = fd(e) - fd(s) + lit(1L)
@@ -65,11 +103,24 @@ object IntervalJoin {
         .otherwise(sequence(fd(s), fd(e)))
     }
 
-    val lb = left.withColumn("__bucket",
+    val lb0 = left.withColumn("__bucket",
       explode(buckets(col(leftStart), col(leftEnd), "left")))
-    val rb = right.withColumn("__bucket",
+    val rb0 = right.withColumn("__bucket",
       explode(buckets(col(rightStart), col(rightEnd), "right")))
-    lb.join(rb, Seq("__bucket"))
+    // Salted variant: left replicates saltHot ways; right routes each row
+    // to ONE salt by a deterministic hash of its full row content (rows
+    // identical in every column share a salt — colocating exact
+    // duplicates is a bounded, stated loss).
+    val (lb, rb, joinKeys) =
+      if (saltHot == 1) (lb0, rb0, keys :+ "__bucket")
+      else (
+        lb0.withColumn("__salt",
+          explode(sequence(lit(0), lit(saltHot - 1)))),
+        rb0.withColumn("__salt",
+          pmod(xxhash64(right.columns.map(col): _*), lit(saltHot))
+            .cast("int")),
+        keys ++ Seq("__bucket", "__salt"))
+    lb.join(rb, joinKeys)
       .filter(col(leftStart) <= col(rightEnd) &&
         col(rightStart) <= col(leftEnd))
       // first-shared-bucket rule: each overlapping pair is emitted by
@@ -77,6 +128,6 @@ object IntervalJoin {
       // intersection starts — exact, arithmetic, no distinct.
       .filter(col("__bucket") ===
         fd(greatest(col(leftStart), col(rightStart))))
-      .drop("__bucket")
+      .drop("__bucket", "__salt")
   }
 }

@@ -134,10 +134,12 @@ object Modularity {
    * artifact itself — Σ degree_sum = 2m exactly — so the fold carries
    * no global row and the 1-row total joins back as a broadcast, never
    * a driver-side count. The coverage gate rides the SAME 1-row
-   * aggregate: a NULL-community row in the artifact (unmapped edge
-   * endpoints, see [[partialStats]]) raises when the consuming action
-   * runs — a partial partition silently skews Q toward its covered
-   * part, so refuse it — at zero extra jobs.
+   * aggregate as a FILTER on the output: a NULL-community row in the
+   * artifact (unmapped edge endpoints, see [[partialStats]]) raises when
+   * the consuming action runs — a partial partition silently skews Q
+   * toward its covered part, so refuse it — at zero extra jobs, and
+   * prune-proof (a projected gate can be column-pruned away by a caller
+   * that drops the gated column; a Filter cannot).
    */
   def finalizeStats(partial: DataFrame, membership: DataFrame): DataFrame = {
     val mem = membership.select(col("node_id").cast("long").as("node_id"),
@@ -146,11 +148,8 @@ object Modularity {
       .agg(coalesce(sum(col("degree_sum")), lit(0L)).as("deg2"),
         coalesce(sum(when(col("community").isNull, col("degree_sum"))),
           lit(0L)).as("unmapped"))
-      .select(when(col("unmapped") > 0, raise_error(concat(
-          lit("membership must cover every edge endpoint — "),
-          col("unmapped").cast("string"),
-          lit(" unmapped endpoint slot(s) in the folded artifact"))))
-        .otherwise((col("deg2") / lit(2L)).cast("long")).as("m_tot"))
+      .select((col("deg2") / lit(2L)).cast("long").as("m_tot"),
+        col("unmapped"))
     val nodes = mem.groupBy(col("community"))
       .agg(count(lit(1)).as("n_nodes"))
     val internal0 = coalesce(col("internal_edges"), lit(0L))
@@ -158,6 +157,16 @@ object Modularity {
     nodes
       .join(partial, Seq("community"), "left")
       .crossJoin(broadcast(mTot))
+      // The coverage gate rides a FILTER, not a projected column: Catalyst
+      // column pruning may drop an unused projection (a caller keeping only
+      // n_nodes would silently skip a when/raise_error folded into q_num —
+      // ADVICE r11) but never a Filter, so the violation raises on the
+      // first output row regardless of which columns the caller keeps.
+      .filter(when(col("unmapped") > 0, raise_error(concat(
+          lit("membership must cover every edge endpoint — "),
+          col("unmapped").cast("string"),
+          lit(" unmapped endpoint slot(s) in the folded artifact"))))
+        .otherwise(lit(true)))
       .select(col("community"), col("n_nodes"),
         internal0.as("internal_edges"), degree0.as("degree_sum"),
         (degree0 - lit(2L) * internal0).as("cut"),

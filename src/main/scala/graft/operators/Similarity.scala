@@ -575,9 +575,11 @@ object Similarity {
    * degree·2^l (l = 1..longLinks) of the same (d2, dst) ranking —
    * each successive link roughly doubles its reach. The coarse tier's
    * candidate ranking is probe-bounded, so its far shortcuts are
-   * deterministic id-stride links (cell → (cell + n>>l) mod n, a
-   * skip-graph ladder): distance-agnostic, but they bound the graph
-   * diameter at O(log n) hops so the beam can reach every region.
+   * deterministic rank-stride links (rank r → rank (r + n>>l) mod n
+   * over the dense rank of the actual cell-id set, a skip-graph
+   * ladder — rank, not raw id, so gaps in the id space can't produce
+   * links to nonexistent cells): distance-agnostic, but they bound the
+   * graph diameter at O(log n) hops so the beam can reach every region.
    * All links keep the deterministic (d2, dst) / arithmetic
    * construction — an oracle replays the graph CTE-for-CTE (q225).
    */
@@ -628,9 +630,23 @@ object Similarity {
       if (longLinks == 0) near
       else {
         val n = c.count() // one metadata-sized job, offline-build context
+        // Strides walk the DENSE RANK of the actual id set, not the ids
+        // themselves: an artifact with gaps in its cell ids (a filtered
+        // centroid table, ids from an external build) would otherwise get
+        // stride targets that exist in arithmetic but not in the graph —
+        // links that silently vanish in the walk's join and void the
+        // O(log n) diameter claim (ADVICE r11). The rank window is one
+        // single-partition pass over nLists rows — metadata-sized, and
+        // this is the offline build path.
+        val ranked = c.select(col("cell"),
+          (row_number().over(Window.orderBy(col("cell"))) - 1).as("r"))
         val strides = (1 to longLinks).map(l => math.max(1L, n >> l)).distinct
-        val far = strides.map(st => c.select(col("cell").as("src"),
-            pmod(col("cell") + lit(st), lit(n)).cast("int").as("dst")))
+        val far = strides.map(st =>
+            ranked.select(col("cell").as("src"),
+              pmod(col("r") + lit(st), lit(n)).as("r2"))
+              .join(ranked.select(col("cell").as("dst"), col("r").as("r2")),
+                Seq("r2"))
+              .select(col("src"), col("dst")))
           .reduce(_ unionByName _)
           .filter(col("src") =!= col("dst"))
         near.unionByName(far).dropDuplicates("src", "dst")
@@ -654,13 +670,17 @@ object Similarity {
       s"bad beam params ($beamWidth, $depth, $entryCells)")
     val centDf = centroids.select(col("cell").cast("int").as("cell"),
       col("centroid"))
-    val entryVecs = centDf.filter(col("cell") < entryCells)
-      .orderBy(col("cell")).collect()
-      .map(_.getSeq[Double](1).toArray)
-    require(entryVecs.length == entryCells,
-      s"centroid table lacks entry cells 0..${entryCells - 1}")
+    // Entry set = the entryCells SMALLEST cell ids PRESENT, not the
+    // literal ids 0..entryCells-1: an artifact with non-contiguous ids
+    // (filtered table, external build) enters at its own lowest cells
+    // instead of failing on ids that don't exist (ADVICE r11). The
+    // collect is an entryCells-row job either way.
+    val entries = centDf.orderBy(col("cell")).limit(entryCells).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    require(entries.length == entryCells,
+      s"centroid table has ${entries.length} cells < entryCells $entryCells")
     beamWalk(df.select(col(idCol).as("id"), col(vecCol).as("vec")),
-      "id", "vec", entryVecs, centDf, nav.select(col("src"), col("dst")),
+      "id", "vec", entries, centDf, nav.select(col("src"), col("dst")),
       beamWidth, depth)
       .filter(col("rn") === 1)
       .select(col("id"), col("cell"))
@@ -674,8 +694,8 @@ object Similarity {
     * row_number window — move only beam-bounded rows
     * (≤ beamWidth·(degree+1) per vector), never touching nLists. */
   private def beamWalk(side: DataFrame, id: String, vec: String,
-      entryVecs: Array[Array[Double]], centDf: DataFrame, nbrDf: DataFrame,
-      beamWidth: Int, depth: Int): DataFrame = {
+      entryVecs: Array[(Int, Array[Double])], centDf: DataFrame,
+      nbrDf: DataFrame, beamWidth: Int, depth: Int): DataFrame = {
     val wq = Window.partitionBy(col(id)).orderBy(col("d2"), col("cell"))
     def keepBeam(b: DataFrame): DataFrame = b
       .withColumn("rn", row_number().over(wq))
@@ -686,7 +706,7 @@ object Similarity {
     // (the full centroid set never touches the driver here), so unlike
     // the dense path's all-centroid literals this stays tiny at any
     // nLists, and the walk has no nested-loop join at all.
-    val entry = array(entryVecs.zipWithIndex.map { case (v, c) =>
+    val entry = array(entryVecs.map { case (c, v) =>
       struct(sqL2(col(vec), array(v.map(lit): _*)).as("d2"),
         lit(c).as("cell"))
     }: _*)
@@ -736,8 +756,8 @@ object Similarity {
     val (centDf, nbrDf) =
       navFrames(df.sparkSession, centroids, degree, longLinks)
     beamWalk(df.select(col(idCol).as("id"), col(vecCol).as("vec")),
-      "id", "vec", centroids.take(entryCells), centDf, nbrDf,
-      beamWidth, depth)
+      "id", "vec", centroids.take(entryCells).zipWithIndex.map(_.swap),
+      centDf, nbrDf, beamWidth, depth)
       .filter(col("rn") === 1)
       .select(col("id"), col("cell"))
   }
@@ -767,7 +787,8 @@ object Similarity {
 
     def assignAndProbe(side: DataFrame, id: String, vec: String)
         : (DataFrame, DataFrame) = {
-      val fin = beamWalk(side, id, vec, cents.take(entryCells), centDf,
+      val fin = beamWalk(side, id, vec,
+        cents.take(entryCells).zipWithIndex.map(_.swap), centDf,
         nbrDf, beamWidth, depth)
       (fin.filter(col("rn") === 1).select(col(id), col("cell")),
         fin.filter(col("rn") <= nProbe).select(col(id), col("cell")))

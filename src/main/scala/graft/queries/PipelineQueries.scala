@@ -1603,22 +1603,27 @@ object PipelineQueries {
              FROM ks LEFT JOIN nk ON ks.k = nk.k LEFT JOIN ek ON ks.k = ek.k
              ORDER BY ks.k""")),
 
-    // ---- TEMPORAL motifs: the Motifs edge-variable feature applied to
-    // a timestamped graph with a SEQUENCE constraint — relay trade
+    // ---- TEMPORAL relay motifs with a BANDED 2-hop join — relay trade
     // `a → b at t₁, then b → c within (t₁, t₁ + 2 months]`, the
     // time-respecting 2-path that plain structural motifs (q212) cannot
     // see. The edge frame is the monthly nation-trade graph — counts
-    // aggregated per (src, dst, month), thinned to w ≥ 2 — so it is
-    // bounded by |nations|²·months: DIMENSION-sized, independent of
-    // corpus rows, which is what makes the b-keyed 2-hop join safe at
-    // any SF (the temporal band then filters the bound frame; per-hub
-    // fan-in/out is ≤ |nations|·months by construction). Both hop edges
-    // ride as struct bindings, so month and weight come straight off
-    // the match — no re-join; relay capacity = min(w₁, w₂), the q215
+    // aggregated per (src, dst, month), thinned to w ≥ 2 — bounded by
+    // |nations|²·months: DIMENSION-sized, independent of corpus rows.
+    // The 2-hop join is keyed on (b, month-band) through
+    // IntervalJoin.overlapJoin (keys = the shared node, grid = month
+    // index / 2): hop 1's admissible window [m₁+1, m₁+2] meets hop 2's
+    // point month in a shared grid cell, so the b-keyed intermediate is
+    // BAND-LOCAL instead of all-history — the r11-measured ~m² months-
+    // axis regime (2× months → ~2.9× wall, SCALE.md) flattens to ~m
+    // (VERDICT r11 #2; the unbanded join paid |per-node history|² and
+    // filtered the band AFTER). Relay capacity = min(w₁, w₂), the q215
     // bottleneck idea under a time constraint. Oracle: same aggregate +
-    // self-join + interval band, CTE for CTE.
+    // self-join + interval band, CTE for CTE (DuckDB plans the band
+    // predicate its own way; the pair set is identical).
     Q("q226_temporal_relay",
       (s, d) => {
+        val mo = (year(col("month")) * 12 + month(col("month")))
+          .cast("long")
         val e = T.lineitem(s, d)
           .join(T.orders(s, d), col("l_orderkey") === col("o_orderkey"))
           .join(T.customer(s, d), col("o_custkey") === col("c_custkey"))
@@ -1630,13 +1635,17 @@ object PipelineQueries {
             date_trunc("month", col("o_orderdate")).cast("date").as("month"))
           .agg(count(lit(1)).as("w"))
           .filter(col("w") >= 2)
-        graft.operators.Motifs.find(e, "(a)-[e1]->(b); (b)-[e2]->(c)")
-          .filter(col("a") =!= col("c") &&
-            col("e1.month") < col("e2.month") &&
-            col("e2.month") <= add_months(col("e1.month"), 2))
+        val hop1 = e.select(col("src").as("a"), col("dst").as("b"),
+          (mo + 1).as("lo1"), (mo + 2).as("hi1"), col("w").as("w1"))
+        val hop2 = e.select(col("src").as("b"), col("dst").as("c"),
+          mo.as("lo2"), mo.as("hi2"), col("w").as("w2"))
+        graft.operators.IntervalJoin.overlapJoin(hop1, hop2,
+            "lo1", "hi1", "lo2", "hi2", bucket = 2L, maxSpan = 2,
+            keys = Seq("b"))
+          .filter(col("a") =!= col("c"))
           .groupBy(col("b"))
           .agg(count(lit(1)).as("n_relays"),
-            sum(least(col("e1.w"), col("e2.w"))).as("relay_capacity"))
+            sum(least(col("w1"), col("w2"))).as("relay_capacity"))
           .select(col("b").as("transit"), col("n_relays"),
             col("relay_capacity"))
           .orderBy(col("transit"))

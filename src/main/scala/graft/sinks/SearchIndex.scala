@@ -6,29 +6,53 @@ import org.apache.spark.sql.functions._
 /**
  * Search-index artifact: the reference's Lucene build (step 9,
  * /root/reference/src/Ingester.groovy:289-294) re-expressed as a
- * relational posting-list index — term → df, per-doc postings — written
- * as parquet partitioned by a term-hash bucket. Term lookups compute
- * their buckets first, so a query touches only |terms| partitions of the
- * artifact (parquet partition pruning), not the whole index; at 100 TB
- * the bucket count scales with the corpus while lookup cost stays
- * O(postings of the queried terms).
+ * relational posting-list index — (term, doc-shard) → df, per-doc
+ * postings — written as parquet partitioned by a term-hash bucket. Term
+ * lookups compute their buckets first, so a query touches only |terms|
+ * partitions of the artifact (parquet partition pruning), not the whole
+ * index; at 100 TB the bucket count scales with the corpus while lookup
+ * cost stays O(postings of the queried terms). The doc-shard key bounds
+ * per-ROW state (Lucene's segment structure, relationally): a stop-word
+ * term spans nDocShards rows instead of collecting its whole corpus into
+ * one array cell.
  */
 object SearchIndex {
 
   /**
-   * Build posting lists from (id, text): one row per term with document
-   * frequency, total term frequency, per-doc postings (sorted by doc id),
-   * and the term-hash bucket used as the artifact's partition key. One
-   * explode + two clustered aggregations — the same plan family as q54.
+   * Build posting lists from (id, text): one row per (term, doc-shard)
+   * with the shard's document frequency, total term frequency, per-doc
+   * postings (sorted by doc id), and the term-hash bucket used as the
+   * artifact's partition key. One explode + two clustered aggregations —
+   * the same plan family as q54.
+   *
+   * `nDocShards` BOUNDS THE ROW: a term's postings land in
+   * `pmod(xxhash64(doc_id), nDocShards)` shards, so no term — however
+   * common — ever aggregates its whole corpus into one array cell. At
+   * web scale a stop word has df ≈ corpus size; unsharded, its
+   * `collect_list` is a multi-GB single row and an executor OOM in the
+   * artifact build (VERDICT r11 #1 — the exact single-row-aggregation
+   * class the engine eliminates everywhere else; Lucene segments its
+   * postings for the same reason). Sharded, per-row state is ≤ df/shards
+   * while lookups stay bucket-pruned: a term's shards share its bucket
+   * (the partition key hashes the TERM only), so [[lookup]] reads the
+   * same pruned directories and simply gets ≤ nDocShards rows per term.
+   * df/tf_total are shard-local by construction — Σ over a term's rows
+   * gives the global count (associative, no overlap: a doc lives in
+   * exactly one shard). The default 1 keeps the legacy one-row-per-term
+   * shape (shard 0).
    */
   def build(docs: DataFrame, idCol: String, textCol: String,
-      minTokenLen: Int = 2, nBuckets: Int = 64): DataFrame = {
+      minTokenLen: Int = 2, nBuckets: Int = 64,
+      nDocShards: Int = 1): DataFrame = {
     require(nBuckets > 0, "nBuckets must be positive")
+    require(nDocShards > 0, "nDocShards must be positive")
     docs.select(col(idCol).as("doc_id"),
         explode(split(col(textCol), "\\s+")).as("tok"))
       .filter(col("tok") =!= "" && length(col("tok")) >= minTokenLen)
       .groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf"))
-      .groupBy(col("tok")).agg(
+      .withColumn("doc_shard",
+        pmod(xxhash64(col("doc_id")), lit(nDocShards)).cast("int"))
+      .groupBy(col("tok"), col("doc_shard")).agg(
         count(lit(1)).as("df"),
         sum(col("tf")).as("tf_total"),
         sort_array(collect_list(struct(col("doc_id"), col("tf"))))
@@ -43,7 +67,11 @@ object SearchIndex {
   /**
    * Load the posting rows for `terms` only: the terms' buckets are
    * computed with the same hash the build used, so the parquet scan
-   * prunes to those partition directories before any row is read.
+   * prunes to those partition directories before any row is read. A
+   * sharded artifact returns ≤ nDocShards rows per term — same pruning
+   * (shards share the term's bucket), and the consumers below are
+   * shard-agnostic (their per-doc aggregates never double-count: a doc
+   * lives in exactly one shard of a term).
    */
   def lookup(spark: SparkSession, path: String, terms: Seq[String],
       nBuckets: Int = 64): DataFrame = {
@@ -122,19 +150,27 @@ object SearchIndex {
    * POSITIONAL posting lists — the index face behind phrase and
    * proximity queries (Lucene's PhraseQuery family; the reference's
    * index is Lucene, whose standard postings carry positions). One
-   * row per term: df, per-doc sorted position lists, and the same
-   * term-hash bucket partition key as [[build]], so [[lookup]]'s
-   * pruned scan serves both artifact shapes.
+   * row per (term, doc-shard): shard df, per-doc sorted position
+   * lists, and the same term-hash bucket partition key as [[build]],
+   * so [[lookup]]'s pruned scan serves both artifact shapes.
+   * `nDocShards` bounds the positional rows exactly as in [[build]] —
+   * the positional artifact is STRICTLY BIGGER per term (every
+   * occurrence, not every doc), so the stop-word single-row OOM hits
+   * it first.
    */
   def buildPositional(docs: DataFrame, idCol: String, textCol: String,
-      minTokenLen: Int = 2, nBuckets: Int = 64): DataFrame = {
+      minTokenLen: Int = 2, nBuckets: Int = 64,
+      nDocShards: Int = 1): DataFrame = {
     require(nBuckets > 0, "nBuckets must be positive")
+    require(nDocShards > 0, "nDocShards must be positive")
     docs.select(col(idCol).as("doc_id"),
         posexplode(split(col(textCol), "\\s+")).as(Seq("pos", "tok")))
       .filter(col("tok") =!= "" && length(col("tok")) >= minTokenLen)
       .groupBy(col("tok"), col("doc_id"))
       .agg(sort_array(collect_list(col("pos"))).as("positions"))
-      .groupBy(col("tok")).agg(
+      .withColumn("doc_shard",
+        pmod(xxhash64(col("doc_id")), lit(nDocShards)).cast("int"))
+      .groupBy(col("tok"), col("doc_shard")).agg(
         count(lit(1)).as("df"),
         sort_array(collect_list(struct(col("doc_id"), col("positions"))))
           .as("postings"))

@@ -209,6 +209,41 @@ object ScaleSmoke {
             .filter(col("tok") =!= ""),
           Seq("query", "window", "stream"))
       }
+      // Round-12 (VERDICT r11 #1): posting-list artifact build under a
+      // planted stop word. Every doc in the m× corpus contains
+      // "plantedstopword", so its df == corpus size — the single-row
+      // collect_list regime the doc-shard key eliminates. Timing rows
+      // price the sharded build (32 shards) vs the unsharded one; the
+      // index_row_bound readout proves the FLAT per-row memory claim:
+      // max postings-per-row grows with df unsharded, stays ≈ df/32
+      // sharded.
+      if (wanted("index_build") || wanted("index_row_bound")) {
+        val planted = df.select(col("doc_id"),
+          concat(lit("plantedstopword "), col("text")).as("text"))
+          .localCheckpoint(true)
+        runOnce("index_build_unsharded") {
+          graft.sinks.SearchIndex.build(planted, "doc_id", "text")
+        }
+        runOnce("index_build_sharded32") {
+          graft.sinks.SearchIndex.build(planted, "doc_id", "text",
+            nDocShards = 32)
+        }
+        if (wanted("index_row_bound")) {
+          val ((flatMax, shardMax), caches) =
+            graft.operators.CacheScope.tracking {
+              def maxRow(shards: Int): Long =
+                graft.sinks.SearchIndex.build(planted, "doc_id", "text",
+                    nDocShards = shards)
+                  .filter(col("tok") === "plantedstopword")
+                  .agg(max(size(col("postings")))).collect()(0).getInt(0)
+              (maxRow(1), maxRow(32))
+            }
+          caches.release()
+          println(s"$m,$n,index_row_bound,df=$n,max_row_unsharded=$flatMax," +
+            s"max_row_sharded32=$shardMax")
+        }
+        graft.operators.CacheScope.unpinCheckpoint(planted)
+      }
       // Round-7 (continued): broadcast-centroid k-means — per iteration
       // one map-side-combined groupBy; should be linear in rows with a
       // constant per-iteration driver cost.
@@ -455,7 +490,7 @@ object ScaleSmoke {
       runOnce("ktruss") {
         graft.operators.KTruss.peel(smokeGraph(20), k = 4, rounds = 3)
       }
-      // Round-11: temporal relay motifs (q226's shape). Two separate
+      // Round-11/12: temporal relay motifs (q226's shape). Two separate
       // growth axes, measured separately because their cost laws differ:
       //  - temporal_relay: CORPUS grows m× at fixed dimensions (nodes,
       //    month range). The interaction log aggregates to a
@@ -465,12 +500,12 @@ object ScaleSmoke {
       //    This is the TPC-H/production case: more data per month, not
       //    more months.
       //  - temporal_relay_months: the month RANGE grows m× at fixed
-      //    density. The b-keyed 2-hop join's intermediate is quadratic
-      //    in per-node edge count (the temporal band filters AFTER the
-      //    equi-join), so wall grows ~m² — the documented exposure for
-      //    long histories; the mitigation is band-keying the join on
-      //    (b, month DIV band) upstream, same guard class as the hub
-      //    cap.
+      //    density. Round 12 band-keys the 2-hop join on
+      //    (b, month DIV 2) via overlapJoin (VERDICT r11 #2), so the
+      //    per-key intermediate is band-local and wall should now be
+      //    ~linear in months; the *_unbanded row keeps the r11 shape
+      //    (band filtered AFTER a b-only join, ~m² in per-node history)
+      //    so the fix's effect is measured, not asserted.
       // Round-11: bucketed interval-overlap join (q228's operator). Two
       // axes, like temporal_relay: interval_overlap grows BOTH sides m×
       // over an m×-longer time range (per-bucket density FIXED), so the
@@ -508,6 +543,10 @@ object ScaleSmoke {
         if (m <= 5) {
           val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
           spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          // try/finally: a throw inside the forced-shuffle row must not
+          // leave broadcasts disabled for every later smoke row (ADVICE
+          // r11 — that would silently skew all downstream measurements).
+          try {
           runOnce("interval_overlap_hot") {
             val ls = spark.range(2000L * m).select(col("id").as("lid"),
               pmod(xxhash64(col("id"), lit(25)), lit(500L)).as("ls"))
@@ -519,12 +558,17 @@ object ScaleSmoke {
                 "ls", "le", "rs", "re", bucket, maxSpan = 16)
               .groupBy(col("lid")).agg(count(lit(1)).as("n"))
           }
-          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+          } finally {
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+          }
         }
       }
       if (wanted("temporal_relay") || wanted("temporal_relay_months")) {
         val nodes = 30L
-        val relay: DataFrame => DataFrame = e =>
+        // The UNBANDED shape (keyed on b alone, band filtered AFTER the
+        // join — the r11 q226 plan, kept as the comparison row): pays
+        // |per-node history|² in the b-keyed intermediate.
+        val relayUnbanded: DataFrame => DataFrame = e =>
           graft.operators.Motifs.find(e, "(a)-[e1]->(b); (b)-[e2]->(c)")
             .filter(col("a") =!= col("c") &&
               col("e1.month") < col("e2.month") &&
@@ -532,25 +576,39 @@ object ScaleSmoke {
             .groupBy(col("b"))
             .agg(count(lit(1)).as("n_relays"),
               sum(least(col("e1.w"), col("e2.w"))).as("cap"))
-        runOnce("temporal_relay") {
-          val months = 12L
-          val log = spark.range(50000L * m).select(
+        // The BANDED shape (the round-12 q226 plan): join keyed on
+        // (b, month-band) through overlapJoin — band-local intermediate.
+        val relayBanded: DataFrame => DataFrame = e => {
+          val hop1 = e.select(col("src").as("a"), col("dst").as("b"),
+            (col("month") + 1L).as("lo1"), (col("month") + 2L).as("hi1"),
+            col("w").as("w1"))
+          val hop2 = e.select(col("src").as("b"), col("dst").as("c"),
+            col("month").as("lo2"), col("month").as("hi2"),
+            col("w").as("w2"))
+          graft.operators.IntervalJoin.overlapJoin(hop1, hop2,
+              "lo1", "hi1", "lo2", "hi2", bucket = 2L, maxSpan = 2,
+              keys = Seq("b"))
+            .filter(col("a") =!= col("c"))
+            .groupBy(col("b"))
+            .agg(count(lit(1)).as("n_relays"),
+              sum(least(col("w1"), col("w2"))).as("cap"))
+        }
+        def monthLog(months: Long): DataFrame =
+          spark.range(50000L * m).select(
             pmod(xxhash64(col("id"), lit(11)), lit(nodes)).as("src"),
             pmod(xxhash64(col("id"), lit(12)), lit(nodes)).as("dst"),
             pmod(xxhash64(col("id"), lit(13)), lit(months)).as("month"))
             .filter(col("src") =!= col("dst"))
-          relay(log.groupBy(col("src"), col("dst"), col("month"))
-            .agg(count(lit(1)).as("w")))
+            .groupBy(col("src"), col("dst"), col("month"))
+            .agg(count(lit(1)).as("w"))
+        runOnce("temporal_relay") {
+          relayBanded(monthLog(12L))
         }
         if (m <= 10) runOnce("temporal_relay_months") {
-          val months = 12L * m
-          val log = spark.range(50000L * m).select(
-            pmod(xxhash64(col("id"), lit(11)), lit(nodes)).as("src"),
-            pmod(xxhash64(col("id"), lit(12)), lit(nodes)).as("dst"),
-            pmod(xxhash64(col("id"), lit(13)), lit(months)).as("month"))
-            .filter(col("src") =!= col("dst"))
-          relay(log.groupBy(col("src"), col("dst"), col("month"))
-            .agg(count(lit(1)).as("w")))
+          relayBanded(monthLog(12L * m))
+        }
+        if (m <= 10) runOnce("temporal_relay_months_unbanded") {
+          relayUnbanded(monthLog(12L * m))
         }
       }
       // Round-10: butterflies — wedge frame is Σ_r C(deg r, 2) on the

@@ -214,6 +214,53 @@ class IngesterSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [") && plan.contains("bucket"))
   }
 
+  test("doc-sharded index == unsharded: search parity, bounded rows, shard df sums") {
+    import graft.sinks.SearchIndex
+    // 40 docs all containing the stop word "the" plus varied content —
+    // the df ≈ corpus regime the shard key exists for (VERDICT r11 #1).
+    val docs = (1L to 40L).map(i =>
+      (i, s"the doc$i data the value${i % 7} the common term${i % 3}"))
+      .toDF("doc_id", "text")
+    val flatDir = Files.createTempDirectory("graft-flat").toString + "/ix"
+    val shardDir = Files.createTempDirectory("graft-shard").toString + "/ix"
+    SearchIndex.write(SearchIndex.build(docs, "doc_id", "text"), flatDir)
+    SearchIndex.write(
+      SearchIndex.build(docs, "doc_id", "text", nDocShards = 8), shardDir)
+
+    // Per-row postings are bounded: the stop word's 40 docs span shards…
+    val stopRows = SearchIndex.lookup(spark, shardDir, Seq("the"))
+      .select(col("doc_shard"), col("df"), size(col("postings")).as("len"))
+      .as[(Int, Long, Int)].collect()
+    assert(stopRows.length > 1, "a df=40 term must span multiple shard rows")
+    assert(stopRows.forall { case (_, df, len) => len.toLong == df && len < 40 })
+    // …and shard-local df sums to the unsharded (global) df.
+    val flatDf = SearchIndex.lookup(spark, flatDir, Seq("the"))
+      .select(col("df")).as[Long].collect().head
+    assert(stopRows.map(_._2).sum === flatDf && flatDf === 40L)
+
+    // Conjunctive search is shard-agnostic: identical result maps.
+    val terms = Seq("the", "common")
+    val flatHits = SearchIndex.searchConjunctive(spark, flatDir, terms)
+      .as[(Long, Long)].collect().toMap
+    val shardHits = SearchIndex.searchConjunctive(spark, shardDir, terms)
+      .as[(Long, Long)].collect().toMap
+    assert(shardHits === flatHits && flatHits.nonEmpty)
+
+    // Positional face: phrase search parity under sharding too.
+    val pFlat = Files.createTempDirectory("graft-pflat").toString + "/ix"
+    val pShard = Files.createTempDirectory("graft-pshard").toString + "/ix"
+    SearchIndex.write(
+      SearchIndex.buildPositional(docs, "doc_id", "text"), pFlat)
+    SearchIndex.write(
+      SearchIndex.buildPositional(docs, "doc_id", "text", nDocShards = 8),
+      pShard)
+    val phFlat = SearchIndex.searchPhrase(spark, pFlat, Seq("the", "common"))
+      .as[(Long, Long)].collect().toMap
+    val phShard = SearchIndex.searchPhrase(spark, pShard, Seq("the", "common"))
+      .as[(Long, Long)].collect().toMap
+    assert(phShard === phFlat && phFlat.nonEmpty)
+  }
+
   test("mention CSV round-trip preserves the reference schema") {
     val docs = Seq((1L, "Ana Diaz met Bob Roe.")).toDF("doc_id", "text")
     val mentions = DocumentSource.extractMentions(docs)

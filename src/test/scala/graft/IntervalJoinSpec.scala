@@ -64,6 +64,63 @@ class IntervalJoinSpec extends SparkSpec {
     assert(run(ls, rs, 30L).toSet === reference(ls, rs))
   }
 
+  test("coordinates beyond 2^53: integral grid division stays exact") {
+    // ADVICE r11: epoch-nanos (~1.7e18) exceed double precision, so a
+    // double-division floor can land one bucket off. fd is integral DIV
+    // now; pairs AND the documented floor-grid semantics hold at the
+    // long-range edge. Intervals straddle bucket boundaries near 2^62.
+    val base = 1L << 62
+    val ls = (0 until 40).map(i =>
+      (100L + i, base + i * 37L, base + i * 37L + 25L))
+    val rs = (0 until 40).map(i =>
+      (500L + i, base + 11L + i * 41L, base + 11L + i * 41L + 25L))
+    assert(run(ls, rs, 13L).toSet === reference(ls, rs))
+    // One pair overlapping exactly at a bucket-multiple coordinate: the
+    // first-shared-bucket dedup rule depends on fd(max(starts)) being the
+    // true floor — off-by-one would drop or double the pair.
+    val b = 1000L
+    val edge = (1L << 61) / b * b // exact bucket multiple near 2^61
+    assert(run(Seq((1L, edge - 5L, edge)), Seq((2L, edge, edge + 5L)), b)
+      === Seq((1L, 2L)))
+  }
+
+  test("equi-keys restrict pairs to matching key values (banded-join form)") {
+    val rnd = new Random(11)
+    val ls = randomIntervals(rnd, 50, 1000, 400, 60)
+      .map { case (i, s, e) => (i, s, e, (i % 3).toString) }
+    val rs = randomIntervals(rnd, 50, 2000, 400, 60)
+      .map { case (i, s, e) => (i, s, e, (i % 3).toString) }
+    val got = IntervalJoin.overlapJoin(
+        ls.toDF("lid", "ls", "le", "grp"), rs.toDF("rid", "rs", "re", "grp"),
+        "ls", "le", "rs", "re", 50L, keys = Seq("grp"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    val want = (for {
+      (lid, s1, e1, g1) <- ls
+      (rid, s2, e2, g2) <- rs
+      if g1 == g2 && s1 <= e2 && s2 <= e1
+    } yield (lid, rid)).toSet
+    assert(got === want)
+    assert(got.size < reference(ls.map(t => (t._1, t._2, t._3)),
+      rs.map(t => (t._1, t._2, t._3))).size, "keys must actually restrict")
+  }
+
+  test("saltHot parity: salted output == unsalted, duplicates-free") {
+    val rnd = new Random(13)
+    // hot shape: everything in one narrow range — every pair shares cells
+    val ls = (1 to 80).map(i => (100L + i, rnd.nextInt(50).toLong,
+      rnd.nextInt(50).toLong + 50L))
+    val rs = (1 to 80).map(i => (500L + i, rnd.nextInt(50).toLong,
+      rnd.nextInt(50).toLong + 50L))
+    for (salt <- Seq(2, 4, 7)) {
+      val got = IntervalJoin.overlapJoin(
+          ls.toDF("lid", "ls", "le"), rs.toDF("rid", "rs", "re"),
+          "ls", "le", "rs", "re", 1000L, saltHot = salt)
+        .select("lid", "rid").as[(Long, Long)].collect().toSeq
+      assert(got.size === got.distinct.size, s"salt $salt duplicates")
+      assert(got.toSet === reference(ls, rs), s"salt $salt")
+    }
+  }
+
   test("refusals: start > end raises; over-span interval names the fix") {
     val e1 = intercept[Exception] {
       run(Seq((1L, 10L, 5L)), Seq((2L, 0L, 1L)), 10L)

@@ -96,6 +96,24 @@ class ModularitySpec extends SparkSpec {
       s"unexpected failure: $e")
   }
 
+  test("the coverage gate is prune-proof: projecting away q_num still refuses") {
+    // ADVICE r11: a gate folded into a projected column can be dropped by
+    // Catalyst column pruning when the caller keeps only other columns.
+    // The gate rides a Filter now, so the narrowest projection still
+    // raises on an unmapped endpoint.
+    val e = intercept[Exception] {
+      Modularity.communityStats(
+          Seq((0L, 1L), (1L, 2L)).toDF("src", "dst"),
+          Map(0L -> "a", 1L -> "a").toSeq.toDF("node_id", "community"))
+        .select(col("n_nodes")) // q_num (the only m_tot reference) pruned
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("cover every edge endpoint")),
+      s"unexpected failure: $e")
+  }
+
   // ---- weighted face (q227): Newman 2004's weighted generalization.
 
   private def referenceW(edges: Seq[(Long, Long, Long)],

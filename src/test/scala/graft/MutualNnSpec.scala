@@ -263,6 +263,33 @@ class MutualNnSpec extends SparkSpec {
     assert(recall >= 0.6, s"coarse nav recall $recall")
   }
 
+  test("non-contiguous cell ids: strides land on real cells; entry set adapts") {
+    // ADVICE r11: the coarse tier's far links used raw id arithmetic and
+    // beamAssignWithGraph entered at literal ids 0..entryCells-1 — both
+    // silently wrong on an artifact with gaps in its id space (filtered
+    // centroid table, external build). Strides now walk the dense RANK;
+    // the entry set is the smallest ids PRESENT.
+    val cents = Similarity.portableCentroids(24, dim)
+    val gapped = spark.createDataFrame(
+      cents.zipWithIndex.map { case (c, i) => (i * 10 + 5, c.toSeq) })
+      .toDF("cell", "centroid") // ids 5, 15, …, 235 — no 0, nothing dense
+    val ids = gapped.select("cell").as[Int].collect().toSet
+    val nav = Similarity.buildNavGraph(gapped, degree = 3, longLinks = 3,
+      coarseCells = 4, coarseProbe = 2)
+    val links = nav.as[(Int, Int)].collect()
+    assert(links.forall { case (s, d) => ids(s) && ids(d) },
+      "every nav link must join two EXISTING cells")
+    // the rank-stride ladder reaches beyond the probe-local links: at
+    // stride n>>1 = 12 ranks, node rank 0 (cell 5) links to rank 12
+    // (cell 125) — a link id arithmetic could never produce
+    assert(links.contains((5, 125)), "rank-stride far link missing")
+    val assigned = Similarity.beamAssignWithGraph(left, "vec_id",
+      "embedding", gapped, nav, beamWidth = 4, depth = 2, entryCells = 2)
+      .as[(Long, Int)].collect()
+    assert(assigned.length.toLong === left.count())
+    assert(assigned.forall { case (_, c) => ids(c) })
+  }
+
   test("beamAssignWithGraph over table metadata == beamAssign (array face)") {
     val cents = Similarity.portableCentroids(16, dim)
     val centDf = centFrame(cents)
