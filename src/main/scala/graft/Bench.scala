@@ -57,9 +57,12 @@ private object Q75Bench {
  * computed (count() would let Catalyst prune the work).
  *
  * Output contract: the LAST stdout line is a compact single-line JSON
- * (short "qNN" keys, 3-decimal seconds, ~1.2 KB) sized to survive the
- * driver's 2000-byte stdout tail whole; the full-name per-query line is
- * printed immediately before it for human readers.
+ * (short "qNN" keys, 3-decimal seconds) BYTE-BUDGETED to survive the
+ * driver's 2000-byte stdout tail whole — it keeps the slowest queries
+ * that fit 1.4 KB plus a "queries_elided" count (everything elided is
+ * faster than everything kept); the full-name per-query line is printed
+ * immediately before it, and bench_summary.json line 1 carries the
+ * complete short-key query + shuffle maps.
  */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -193,8 +196,27 @@ object Bench {
       .mkString("{", ",", "}")
     val shFull = results.map { case (k, _, b) => "\"" + k + "\":" + b }
       .mkString("{", ",", "}")
-    val qsShort = results.map { case (k, v, _) => "\"" + shortKey(k) + "\":" + v }
-      .mkString("{", ",", "}")
+    // The compact stdout line must survive the driver's 2000-byte tail
+    // WHOLE — at 233 queries even the short-key map alone is ~2.8 KB
+    // (BENCH_r11 "parsed": null was exactly this), so the compact map
+    // carries the SLOWEST queries that fit a 1.4 KB byte budget plus an
+    // explicit elision count (everything elided is faster than everything
+    // kept — the regression signal survives; the COMPLETE map is the
+    // file's line 1 and the full-name stdout line above).
+    val qBudget = 1400
+    val keptShort = {
+      val buf = scala.collection.mutable.ListBuffer[String]()
+      var used = 0
+      for ((k, v, _) <- results.sortBy(-_._2)) {
+        val entry = "\"" + shortKey(k) + "\":" + v
+        if (used + entry.length + 1 <= qBudget) {
+          buf += entry; used += entry.length + 1
+        }
+      }
+      buf.toList
+    }
+    val qsShort = keptShort.mkString("{", ",", "}")
+    val qsElided = results.size - keptShort.size
     // Top-10 shuffle writers, short keys, MEGABYTES (keeps the compact
     // line inside the driver's 2000-byte stdout tail): the plan-regression
     // signal survives in the harness artifact even when the full-name line
@@ -205,23 +227,27 @@ object Bench {
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"shuffle_bytes":$shFull,"failed":$failed,"sf":"$sfDir"}"""
     val compactLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsShort,"shuffle_mb_top":$shTop,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsShort,"queries_elided":$qsElided,"shuffle_mb_top":$shTop,"failed":$failed,"sf":"$sfDir"}"""
     // Full-name line first (for humans / complete logs), with the
     // shuffle-bytes map for plan-regression tracking…
     println(fullLine)
     // …compact line LAST so a bounded stdout tail always captures it whole.
     println(compactLine)
-    // The same compact line also lands in a FILE: stdout tail capture has
+    // A same-shape line also lands in a FILE: stdout tail capture has
     // already mis-parsed once (BENCH_r06 "parsed": null — sbt's [success]
     // trailer was the literal last line), so the artifact no longer depends
-    // on it. The FILE's first line additionally carries the COMPLETE
-    // per-query shuffle map (short keys, bytes) — the stdout compact line
-    // keeps only the top-10 to stay inside the driver's 2000-byte tail,
-    // but the file has no such limit, so a reader of line 1 alone gets the
-    // full plan-regression signal (VERDICT r7 #6).
+    // on it. The FILE's first line carries the COMPLETE short-key query map
+    // and the COMPLETE per-query shuffle map (short keys, bytes) — the
+    // stdout compact line byte-budgets both to stay inside the driver's
+    // 2000-byte tail, but the file has no such limit, so a reader of line 1
+    // alone gets the full plan-regression signal (VERDICT r7 #6 / r11 #6).
+    val qsShortFull = results
+      .map { case (k, v, _) => "\"" + shortKey(k) + "\":" + v }
+      .mkString("{", ",", "}")
     val shShort = results.map { case (k, _, b) => "\"" + shortKey(k) + "\":" + b }
       .mkString("{", ",", "}")
-    val fileLine = compactLine.stripSuffix("}") + s""","shuffle_bytes":$shShort}"""
+    val fileLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsShortFull,"shuffle_bytes":$shShort,"failed":$failed,"sf":"$sfDir"}"""
     // Only a FULL run may replace the artifact: a regex-filtered
     // iteration run would otherwise clobber the committed battery-wide
     // summary with a one-query file.

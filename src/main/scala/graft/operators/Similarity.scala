@@ -266,6 +266,98 @@ object Similarity {
   }
 
   /**
+   * IVF top-k served with INT8 scalar-quantized integer dot products —
+   * the FAISS SQ8 composition (VERDICT r11 #4). q232 proves the
+   * quantization quality standalone; here the quantized codes score
+   * the IVF candidates, so at 100 TB the candidate I/O is the int8
+   * artifact — 1 byte/dim instead of 8 (measured as parquet bytes in
+   * SCALE.md's sq8_bytes row).
+   *
+   * Shape: cell assignment and probing are [[ivfTopK]]'s, unchanged
+   * (float centroids — FAISS SQ quantizes the codes, not the coarse
+   * quantizer). Per-dim min/max fold to ONE broadcast row of arrays;
+   * each vector carries its code array q ∈ [0,255]^dim built by a
+   * single `transform` over the array — no per-dim row explosion in
+   * the serving path. Candidate score = exact BIGINT Σ q_q·q_n
+   * (first-shared-cell impossible: a corpus vector lives in exactly
+   * one cell, so no dedup). Similarity is DOT PRODUCT (embeddings
+   * normalized upstream make it cosine); ties (score desc, n_id).
+   *
+   * The recall diagnostic rides along: every output row carries
+   * `n_in_float_topk`, the per-query overlap between the quantized
+   * top-k and the fixed-point float top-k (floor(v·10⁶) BIGINT dots —
+   * q232's recipe) over the SAME candidates, so the quantization loss
+   * is a column, not a separate job — and both orderings are integer,
+   * putting the whole readout under a cross-engine hash oracle (q233).
+   */
+  def ivfTopKQuantized(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nLists: Int = 16, nProbe: Int = 4,
+      seed: Long = 42L, maxIter: Int = 5,
+      fixedCentroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    val (cells, centroids) =
+      cellAssign(corpus, idCol, vecCol, nLists, seed, maxIter, fixedCentroids)
+    // Per-dim min/max over the CORPUS, folded to one broadcast row of
+    // dim-length arrays (map-side-combined agg + a 1-row rollup).
+    val stats = corpus
+      .select(posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .select(col("dim"), col("v").cast("double").as("v"))
+      .groupBy(col("dim"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("mn"), col("mx"))))
+        .as("s"))
+      .select(transform(col("s"), x => x.getField("mn")).as("mn_arr"),
+        transform(col("s"), x => x.getField("mx")).as("mx_arr"))
+    // q232's quantizer: floor((v − mn)·255/(mx − mn)) clamped to 255,
+    // degenerate dims (mx == mn) → 0. Identical IEEE-double arithmetic
+    // on any engine, so codes hash-match cross-engine.
+    def quant(vec: Column): Column = transform(vec, (v, i) => {
+      val mn = element_at(col("mn_arr"), i + 1)
+      val mx = element_at(col("mx_arr"), i + 1)
+      when(mx > mn, least(lit(255L),
+          floor((v.cast("double") - mn) * 255.0 / (mx - mn)).cast("long")))
+        .otherwise(0L)
+    })
+    def fixp(vec: Column): Column =
+      transform(vec, v => floor(v.cast("double") * 1000000.0).cast("long"))
+    def idot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, _ * _), lit(0L), _ + _)
+
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("cell"))
+    val probed = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .crossJoin(broadcast(stats))
+      .select(col("q_id"), quant(col("q_vec")).as("q_code"),
+        fixp(col("q_vec")).as("q_fix"), col("q_vec"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("d2", sqL2(col("q_vec"), col("centroid")))
+      .withColumn("cr", row_number().over(wq))
+      .filter(col("cr") <= nProbe)
+      .select(col("q_id"), col("q_code"), col("q_fix"), col("cell"))
+    val coded = cells.crossJoin(broadcast(stats))
+      .select(col("n_id"), col("cell"), quant(col("n_vec")).as("n_code"),
+        fixp(col("n_vec")).as("n_fix"))
+    val wS = Window.partitionBy(col("q_id"))
+      .orderBy(col("q_dot").desc, col("n_id"))
+    val wF = Window.partitionBy(col("q_id"))
+      .orderBy(col("f_dot").desc, col("n_id"))
+    val ranked = coded.join(broadcast(probed), Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("q_dot", idot(col("q_code"), col("n_code")))
+      .withColumn("f_dot", idot(col("q_fix"), col("n_fix")))
+      .withColumn("rank", row_number().over(wS))
+      .withColumn("f_rank", row_number().over(wF))
+    val overlap = ranked.filter(col("rank") <= k && col("f_rank") <= k)
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_in_float_topk"))
+    // LEFT join + coalesce (q232's self-review rule): a query whose
+    // quantized top-k shares NOTHING with the float baseline must
+    // appear with 0, not vanish.
+    ranked.filter(col("rank") <= k)
+      .join(overlap, Seq("q_id"), "left")
+      .select(col("q_id"), col("rank"), col("n_id"), col("q_dot"),
+        coalesce(col("n_in_float_topk"), lit(0L)).as("n_in_float_topk"))
+  }
+
+  /**
    * HNSW-style BEAM search over the IVF cells — the same exact-cosine
    * probe tail as [[ivfTopK]], but the probed cells come from graph
    * NAVIGATION instead of an argmin over every centroid: queries enter

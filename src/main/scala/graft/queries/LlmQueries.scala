@@ -1819,6 +1819,95 @@ object LlmQueries {
              WHERE r.rank <= 5
              ORDER BY query_id, rank""")),
 
+    // ---- SQ8 composed into the ANN SERVING path (VERDICT r11 #4):
+    // q62's IVF candidate generation (portable centroids, 4/16 probe)
+    // scored with q232's int8 quantized integer dots instead of float
+    // cosine — the production FAISS shape, where the candidate I/O is
+    // the 1-byte/dim code artifact (SCALE.md sq8_bytes measures the
+    // parquet-byte reduction). Every output row carries the per-query
+    // overlap between the quantized and fixed-point-float top-5 over
+    // the SAME candidates, so quantization loss is a hash-checked
+    // column. Oracle: q62's assignment/probe CTEs + q232's code CTEs,
+    // composed CTE-for-CTE.
+    Q("q233_ivf_quantized",
+      (s, d) => {
+        val e = T.embeddings(s, d)
+        Similarity.ivfTopKQuantized(e, e.filter(col("vec_id") < 10),
+            "vec_id", "embedding", k = 5, nLists = 16, nProbe = 4,
+            fixedCentroids = Some(Similarity.portableCentroids(16, 64)))
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some("""WITH cents AS (
+               SELECT c.cell, d.dim,
+                 (CAST('0x' || substr(md5('c|' || CAST(c.cell AS VARCHAR) ||
+                    '|' || CAST(d.dim AS VARCHAR)), 1, 8) AS BIGINT)
+                  / 2147483648.0 - 1.0) * 0.25 AS w
+               FROM range(16) c(cell) CROSS JOIN range(64) d(dim)),
+             clists AS (
+               SELECT cell, list(w ORDER BY dim) AS cvec
+               FROM cents GROUP BY cell),
+             v AS (
+               SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+               FROM embeddings),
+             ev AS (
+               SELECT vec_id, i AS di, emb[i] AS val
+               FROM v, LATERAL (SELECT unnest(generate_series(1, 64)) AS i)),
+             stats AS (
+               SELECT di, min(val) AS mn, max(val) AS mx FROM ev GROUP BY di),
+             codes AS (
+               SELECT vec_id, ev.di,
+                 CASE WHEN mx > mn THEN least(CAST(255 AS BIGINT),
+                   CAST(floor((val - mn) * 255.0 / (mx - mn)) AS BIGINT))
+                 ELSE 0 END AS q,
+                 CAST(floor(val * 1000000.0) AS BIGINT) AS f
+               FROM ev JOIN stats ON ev.di = stats.di),
+             d2s AS (
+               SELECT v.vec_id, c.cell,
+                 list_inner_product(
+                   list_transform(range(1, 65), i -> emb[i] - cvec[i]),
+                   list_transform(range(1, 65), i -> emb[i] - cvec[i])) AS d2
+               FROM v CROSS JOIN clists c),
+             assign AS (
+               SELECT vec_id AS n_id, cell FROM (
+                 SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY d2, cell) AS rn
+                 FROM d2s) WHERE rn = 1),
+             probed AS (
+               SELECT vec_id AS q_id, cell FROM (
+                 SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY d2, cell) AS cr
+                 FROM d2s WHERE vec_id < 10) WHERE cr <= 4),
+             cand AS (
+               SELECT p.q_id, a.n_id
+               FROM probed p JOIN assign a ON a.cell = p.cell
+               WHERE a.n_id <> p.q_id),
+             dots AS (
+               SELECT c.q_id, c.n_id,
+                 CAST(sum(qa.q * qb.q) AS BIGINT) AS q_dot,
+                 CAST(sum(qa.f * qb.f) AS BIGINT) AS f_dot
+               FROM cand c
+               JOIN codes qa ON qa.vec_id = c.q_id
+               JOIN codes qb ON qb.vec_id = c.n_id AND qb.di = qa.di
+               GROUP BY 1, 2),
+             ranked AS (
+               SELECT q_id, n_id, q_dot,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY q_dot DESC, n_id) AS rank,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY f_dot DESC, n_id) AS f_rank
+               FROM dots),
+             ov AS (
+               SELECT q_id, count(*) AS n_in_float_topk
+               FROM ranked WHERE rank <= 5 AND f_rank <= 5 GROUP BY q_id)
+             SELECT r.q_id, CAST(r.rank AS INT) AS rank, r.n_id, r.q_dot,
+               coalesce(ov.n_in_float_topk, 0) AS n_in_float_topk
+             FROM ranked r LEFT JOIN ov USING (q_id)
+             WHERE r.rank <= 5
+             ORDER BY q_id, rank""")),
+
     // ---- Training-data RELEASE pipeline (the round-8 composition
     // flagship, q73's discipline applied to the mix-and-ship stage):
     // language mixing quotas (q184's capped largest remainder at a 4/5

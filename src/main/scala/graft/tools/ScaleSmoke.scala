@@ -558,6 +558,22 @@ object ScaleSmoke {
                 "ls", "le", "rs", "re", bucket, maxSpan = 16)
               .groupBy(col("lid")).agg(count(lit(1)).as("n"))
           }
+          // Round-12 (VERDICT r11 #5): the same forced-shuffle hot bucket
+          // with saltHot = 8 — the replicate/route mitigation as a
+          // parameter. The hot cell's |L|·|R| pair mass spreads over 8
+          // reducers for 8× left fan-out; the row prices the net effect
+          // next to the unsalted m² row above.
+          runOnce("interval_overlap_hot_salted") {
+            val ls = spark.range(2000L * m).select(col("id").as("lid"),
+              pmod(xxhash64(col("id"), lit(25)), lit(500L)).as("ls"))
+              .select(col("lid"), col("ls"), (col("ls") + lit(100L)).as("le"))
+            val rs = spark.range(2000L * m).select(col("id").as("rid"),
+              pmod(xxhash64(col("id"), lit(26)), lit(500L)).as("rs"))
+              .select(col("rid"), col("rs"), (col("rs") + lit(100L)).as("re"))
+            graft.operators.IntervalJoin.overlapJoin(ls, rs,
+                "ls", "le", "rs", "re", bucket, maxSpan = 16, saltHot = 8)
+              .groupBy(col("lid")).agg(count(lit(1)).as("n"))
+          }
           } finally {
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
           }
@@ -792,8 +808,8 @@ object ScaleSmoke {
       // cell-count-sized rollup so the materialized output is
       // comparable. The dense row's per-vector work grows with m ON TOP
       // of the corpus growth (n·nLists ∝ m²); the beam row's is ∝ m.
-      if ((wanted("assign") || wanted("beam_skew") || wanted("beam_nav"))
-          && m <= 10) {
+      if ((wanted("assign") || wanted("beam_skew") || wanted("beam_nav")
+          || wanted("sq8_bytes")) && m <= 10) {
         val emb = df.select(col("doc_id").as("vec_id"),
           expr("""transform(sequence(1, 64), i ->
             CAST(CAST(pmod(conv(substring(md5(concat(
@@ -877,7 +893,134 @@ object ScaleSmoke {
           println(s"$m,$n,beam_nav_agree,plain_permille=$a0," +
             s"ladder_permille=$a4,vectors=$tot")
         }
+        // Round-12 (VERDICT r11 #4): SQ8 candidate-artifact bytes. The
+        // quantized corpus is what IVF probes ship at serving time;
+        // parquet bytes on disk are the honest proxy for that candidate
+        // I/O. float64 vs int8 codes (q−128 as TINYINT, the FAISS SQ8
+        // storage shape — the +128 unshift is two broadcast sums at
+        // query time, see ivfTopKQuantized).
+        if (wanted("sq8_bytes")) {
+          val tmp = java.nio.file.Files
+            .createTempDirectory("graft-sq8").toString
+          val stats = emb
+            .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+            .select(col("dim"), col("v").cast("double").as("v"))
+            .groupBy(col("dim"))
+            .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+            .agg(array_sort(collect_list(
+              struct(col("dim"), col("mn"), col("mx")))).as("s"))
+            .select(transform(col("s"), x => x.getField("mn")).as("mn_arr"),
+              transform(col("s"), x => x.getField("mx")).as("mx_arr"))
+          // Uncompressed + no dictionary: the md5-derived synthetic
+          // floats have ~1000 distinct values per dim, so default
+          // snappy+dictionary flattens every representation to its
+          // entropy (~10 bits/value) and hides the WIDTH difference a
+          // real (high-entropy) embedding corpus pays; plain encoding
+          // measures the actual bytes a candidate row ships.
+          def plainWrite(df2: DataFrame, p: String): Unit =
+            df2.write.mode("overwrite")
+              .option("compression", "uncompressed")
+              .option("parquet.enable.dictionary", "false")
+              .parquet(p)
+          plainWrite(emb.select(col("vec_id"),
+            transform(col("embedding"), v => v.cast("double"))
+              .as("embedding")), s"$tmp/f64")
+          val codes = emb.crossJoin(broadcast(stats))
+            .select(col("vec_id"),
+              transform(col("embedding"), (v, i) => {
+                val mn = element_at(col("mn_arr"), i + 1)
+                val mx = element_at(col("mx_arr"), i + 1)
+                when(mx > mn, least(lit(255L),
+                    floor((v.cast("double") - mn) * 255.0 / (mx - mn))
+                      .cast("long")))
+                  .otherwise(0L)
+              }).as("q"))
+            .localCheckpoint(true)
+          plainWrite(codes.select(col("vec_id"),
+            transform(col("q"), x => (x - 128L).cast("byte")).as("code")),
+            s"$tmp/i8")
+          // Parquet has no 1-byte physical type (tinyint rides INT32 +
+          // dictionary), so the honest 1-byte/dim artifact shape packs 8
+          // codes per BIGINT — top byte seeded SIGNED (first − 128, a
+          // bijection that keeps the full 64-bit pack inside signed long
+          // under ANSI arithmetic); serving unpacks with shifts.
+          plainWrite(codes.select(col("vec_id"),
+            transform(sequence(lit(0), lit(7)), g =>
+              aggregate(slice(col("q"), g * 8 + 2, lit(7)),
+                element_at(col("q"), g * 8 + 1) - 128L,
+                (acc, x) => acc * 256L + x)).as("packed")),
+            s"$tmp/i8packed")
+          graft.operators.CacheScope.unpinCheckpoint(codes)
+          def dirBytes(p: String): Long = {
+            val d = new java.io.File(p)
+            d.listFiles().filter(_.isFile).map(_.length()).sum
+          }
+          println(s"$m,$n,sq8_bytes,f64=${dirBytes(s"$tmp/f64")}," +
+            s"i8=${dirBytes(s"$tmp/i8")}," +
+            s"i8packed=${dirBytes(s"$tmp/i8packed")}")
+        }
         graft.operators.CacheScope.unpinCheckpoint(emb)
+      }
+      // Round-12 (VERDICT r11 #3): COARSE-tier navigability at production
+      // cell counts — the one claim that rested on a 32-cell spec fixture.
+      // Cells = 2500·m (run with "1 2 4" → 2.5k/5k/10k), corpus-free: the
+      // measurement is about the centroid GRAPH, so a fixed 2k-vector
+      // query set suffices. Build = coarse IVF-over-centroids tier
+      // (coarseCells ≈ √n, probe 8) + rank-stride ladder; agreement = the
+      // share of vectors whose beamAssignWithGraph cell == the dense
+      // argmin cell (computed table-form: crossJoin + min(struct) — the
+      // literal-array dense path would blow the plan up at 10⁴ cells).
+      if (wanted("beam_nav_coarse") && m <= 4) {
+        val cellsN = 2500 * m
+        val cents = graft.operators.Similarity.portableCentroids(cellsN, 64)
+        val centDf = spark.createDataFrame(
+            cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) })
+          .toDF("cell", "centroid").localCheckpoint(true)
+        val emb2k = base.limit(2000).select(col("doc_id").as("vec_id"),
+          expr("""transform(sequence(1, 64), i ->
+            CAST(CAST(pmod(conv(substring(md5(concat(
+              CAST(doc_id AS STRING), '|', CAST(i AS STRING))), 1, 6),
+              16, 10), 1000) AS DOUBLE) / 1000.0 - 0.5 AS FLOAT))""")
+            .as("embedding")).localCheckpoint(true)
+        val coarseK = math.max(16, math.sqrt(cellsN.toDouble).toInt)
+        runOnce("beam_nav_coarse_build") {
+          graft.operators.Similarity.buildNavGraph(centDf, degree = 4,
+            longLinks = 4, coarseCells = coarseK, coarseProbe = 8)
+        }
+        if (wanted("beam_nav_coarse_agree")) {
+          val ((aPlain, aLadder, tot), caches) =
+            graft.operators.CacheScope.tracking {
+              val d2 = aggregate(zip_with(col("embedding"), col("centroid"),
+                (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+                lit(0.0d), (acc, x) => acc + x)
+              val dense = emb2k.crossJoin(centDf)
+                .select(col("vec_id"), struct(d2.as("d2"), col("cell")).as("s"))
+                .groupBy(col("vec_id"))
+                .agg(min(col("s")).getField("cell").as("dense_cell"))
+                .localCheckpoint(true)
+              def agreePermille(longLinks: Int): Long = {
+                val nav = graft.operators.Similarity.buildNavGraph(centDf,
+                  degree = 4, longLinks = longLinks, coarseCells = coarseK,
+                  coarseProbe = 8)
+                graft.operators.Similarity.beamAssignWithGraph(emb2k,
+                    "vec_id", "embedding", centDf, nav,
+                    beamWidth = 8, depth = 8, entryCells = 4)
+                  .join(dense, col("id") === col("vec_id"))
+                  .agg(expr(
+                    "sum(CASE WHEN cell = dense_cell THEN 1000 ELSE 0 END)" +
+                      " div count(1)").as("p"))
+                  .collect()(0).getLong(0)
+              }
+              val r = (agreePermille(0), agreePermille(4), dense.count())
+              graft.operators.CacheScope.unpinCheckpoint(dense)
+              r
+            }
+          caches.release()
+          println(s"$m,$n,beam_nav_coarse_agree,cells=$cellsN," +
+            s"plain_permille=$aPlain,ladder_permille=$aLadder,vectors=$tot")
+        }
+        graft.operators.CacheScope.unpinCheckpoint(centDf)
+        graft.operators.CacheScope.unpinCheckpoint(emb2k)
       }
       // Round-10 (VERDICT r9 #3): tiered vs full exact span dedup on a
       // LIGHTLY-duplicated corpus — the regime the composition exists

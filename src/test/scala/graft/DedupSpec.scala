@@ -692,6 +692,51 @@ class AnnSpec extends SparkSpec {
     assert(recall > 0.2, s"beam recall $recall")
   }
 
+  test("quantized IVF at full probe == sequential SQ8 reference (incl. degenerate dim)") {
+    // VERDICT r11 #4: SQ8 in the serving path. Small double-typed fixture
+    // with one CONSTANT dimension (mx == mn → code 0, the degenerate
+    // branch); full probe makes the candidate set all non-self vectors,
+    // so the whole output frame — quantized ranks, integer dots, AND the
+    // per-query n_in_float_topk overlap — must equal a sequential
+    // reference that recomputes quantization/dots/ranks from scratch.
+    val dims = 6
+    val vecs: Map[Long, Array[Double]] = (0L until 24L).map { i =>
+      i -> Array.tabulate(dims) { d =>
+        if (d == 3) 0.25 // constant dim
+        else math.sin(i * 2.7 + d * 1.3) * 0.4
+      }
+    }.toMap
+    val df = vecs.toSeq.sortBy(_._1).map { case (i, v) => (i, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    val k = 5
+    val got = Similarity.ivfTopKQuantized(df, df.filter(col("vec_id") < 4),
+        "vec_id", "embedding", k, nLists = 4, nProbe = 4,
+        fixedCentroids = Some(Similarity.portableCentroids(4, dims)))
+      .as[(Long, Int, Long, Long, Long)].collect().toSet
+    val mn = Array.tabulate(dims)(d => vecs.values.map(_(d)).min)
+    val mx = Array.tabulate(dims)(d => vecs.values.map(_(d)).max)
+    def code(v: Array[Double]): Array[Long] = Array.tabulate(dims) { d =>
+      if (mx(d) > mn(d))
+        math.min(255L, math.floor((v(d) - mn(d)) * 255.0 / (mx(d) - mn(d))).toLong)
+      else 0L
+    }
+    def fix(v: Array[Double]): Array[Long] =
+      v.map(x => math.floor(x * 1000000.0).toLong)
+    val want = (0L until 4L).flatMap { q =>
+      val cand = vecs.keys.filter(_ != q).toSeq
+      def dots(enc: Array[Double] => Array[Long]): Map[Long, Long] =
+        cand.map(n => n ->
+          enc(vecs(q)).zip(enc(vecs(n))).map { case (a, b) => a * b }.sum).toMap
+      val qd = dots(code); val fd = dots(fix)
+      val qRank = cand.sortBy(n => (-qd(n), n)).zipWithIndex
+        .map { case (n, r) => n -> (r + 1) }.toMap
+      val fTop = cand.sortBy(n => (-fd(n), n)).take(k).toSet
+      val overlap = qRank.count { case (n, r) => r <= k && fTop(n) }.toLong
+      qRank.collect { case (n, r) if r <= k => (q, r, n, qd(n), overlap) }
+    }.toSet
+    assert(got === want)
+  }
+
   test("PQ ANN: planted exact duplicate is always rank 1; codes are the compressed artifact") {
     // ADC distance of q to its identical twin = Σ_s min_c d2(q_s, c) —
     // the minimum any vector can score — so the twin MUST rank first

@@ -214,6 +214,62 @@ class IngesterSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [") && plan.contains("bucket"))
   }
 
+  test("total-movement sloppy phrase == alignment enumeration; transpositions at slop 2") {
+    import graft.sinks.SearchIndex
+    val docs = Seq(
+      (1L, "big data rocks"),          // exact phrase
+      (2L, "data big"),                // transposed — movement 2
+      (3L, "big stuff data"),          // one gap — movement 1
+      (4L, "big big data data"),       // repeats: distinct-position rule
+      (5L, "data only here"))          // never matches (no 'big')
+      .toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-sloppy").toString + "/ix"
+    SearchIndex.write(SearchIndex.buildPositional(docs, "doc_id", "text"), dir)
+
+    // Sequential reference: enumerate every alignment (one position per
+    // slot, distinct positions for equal-term slots), keep those whose
+    // adjusted positions span <= slop.
+    def ref(terms: Seq[String], slop: Int): Map[Long, Long] = {
+      val toks = Map(1L -> "big data rocks", 2L -> "data big",
+        3L -> "big stuff data", 4L -> "big big data data",
+        5L -> "data only here").view.mapValues(_.split(" ").toSeq).toMap
+      toks.flatMap { case (id, ts) =>
+        val occ = terms.map(t => ts.indices.filter(ts(_) == t))
+        def go(i: Int, picked: List[Int]): Long =
+          if (i == terms.size) {
+            val pps = picked.reverse.zipWithIndex.map { case (p, s) => p - s }
+            if (pps.max - pps.min <= slop) 1L else 0L
+          } else occ(i).map { p =>
+            val dup = picked.reverse.zipWithIndex.exists { case (q, j) =>
+              terms(j) == terms(i) && q == p }
+            if (dup) 0L else go(i + 1, p :: picked)
+          }.sum
+        val n = go(0, Nil)
+        if (n > 0) Some(id -> n) else None
+      }
+    }
+    def got(terms: Seq[String], slop: Int): Map[Long, Long] =
+      SearchIndex.searchPhraseSloppy(spark, dir, terms, slop)
+        .as[(Long, Long)].collect().toMap
+    for ((terms, slop) <- Seq(
+        (Seq("big", "data"), 0), (Seq("big", "data"), 1),
+        (Seq("big", "data"), 2), (Seq("data", "big"), 2),
+        (Seq("big", "data", "rocks"), 0),
+        (Seq("big", "big", "data"), 2),   // repeated term in the query
+        (Seq("big", "data", "rocks"), 3)))
+      assert(got(terms, slop) === ref(terms, slop), s"$terms ~$slop")
+    // The Lucene acceptance the per-gap form can't see: doc 2's
+    // transposed "data big" matches ["big","data"]~2…
+    assert(got(Seq("big", "data"), 2).contains(2L))
+    // …and is invisible to the per-gap chain at the same slop.
+    assert(!SearchIndex.searchPhrase(spark, dir, Seq("big", "data"), slop = 2)
+      .as[(Long, Long)].collect().toMap.contains(2L))
+    // slop 0 == the exact-phrase chain.
+    assert(got(Seq("big", "data"), 0) ===
+      SearchIndex.searchPhrase(spark, dir, Seq("big", "data"), slop = 0)
+        .as[(Long, Long)].collect().toMap)
+  }
+
   test("doc-sharded index == unsharded: search parity, bounded rows, shard df sums") {
     import graft.sinks.SearchIndex
     // 40 docs all containing the stop word "the" plus varied content —

@@ -263,6 +263,22 @@ class MutualNnSpec extends SparkSpec {
     assert(recall >= 0.6, s"coarse nav recall $recall")
   }
 
+  test("coarse tier at 1024 cells: near-link recall floor vs the exact tier") {
+    // VERDICT r11 #3: the coarse tier's production claim (10⁵–10⁶ cells)
+    // rested on a 32-cell fixture; this pins a recall floor at a cell
+    // count where the coarse machinery (√n super-cells, pruned probe)
+    // is structurally exercised — the wall-clock-scale sweep is
+    // ScaleSmoke's beam_nav_coarse rows.
+    val cents = Similarity.portableCentroids(1024, dim)
+    val exact = Similarity.buildNavGraph(centFrame(cents), degree = 4)
+      .as[(Int, Int)].collect().toSet
+    val coarse = Similarity.buildNavGraph(centFrame(cents), degree = 4,
+      coarseCells = 32, coarseProbe = 8).as[(Int, Int)].collect().toSet
+    assert(coarse.map(_._1).size === 1024, "no stranded node")
+    val recall = (coarse & exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"coarse near-link recall $recall at 1024 cells")
+  }
+
   test("non-contiguous cell ids: strides land on real cells; entry set adapts") {
     // ADVICE r11: the coarse tier's far links used raw id arithmetic and
     // beamAssignWithGraph entered at literal ids 0..entryCells-1 — both
