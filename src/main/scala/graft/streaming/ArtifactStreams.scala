@@ -208,4 +208,65 @@ object ArtifactStreams {
       (s, b) => graft.operators.Intervals.mergeIslands(s,
         graft.operators.Intervals.activeIslands(b, keyCol, bucketCol,
           window), window))(sink)
+
+  /**
+   * Streaming interval-overlap SELF-join (q228's operator over a
+   * continuously-arriving interval stream — incident/session windows
+   * landing trigger by trigger): each trigger emits exactly the
+   * overlapping pairs INVOLVING its batch — batch × carried-set plus
+   * batch × batch under an id tie-break — then folds the batch's
+   * intervals into the carried set. Every unordered pair therefore
+   * fires exactly once, in the trigger its LATER member arrives, and
+   * the cumulative emission equals the one-shot
+   * [[graft.operators.IntervalJoin.overlapJoin]] self-join over
+   * everything delivered (IntervalStreamSpec pins it across trigger
+   * splits). Carried state is the INTERVAL TABLE itself (id, start,
+   * end — the growing session artifact), never the pair set: state is
+   * O(intervals) and the per-trigger work is one grid equi-join of the
+   * batch against it — the q75 probe-then-fold discipline on the
+   * interval family. Contract: ids unique across the stream (re-key
+   * upstream); `sink` must materialize synchronously; at-least-once
+   * re-delivery re-emits the batch's pairs but never re-folds (the
+   * [[foldStream]] batch-id guard, inlined because emission here needs
+   * the BATCH, not the artifact).
+   */
+  def overlapPairsStream(intervals: DataFrame, idCol: String,
+      startCol: String, endCol: String, bucket: Long, maxSpan: Int = 1024)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    var state: Option[DataFrame] = None
+    var lastFolded = -1L
+    intervals.writeStream
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        val batch = batch0
+          .select(col(idCol), col(startCol), col(endCol))
+        val l = batch.select(col(idCol).as("l_id"),
+          col(startCol).as("l_start"), col(endCol).as("l_end"))
+        def rSide(df: DataFrame): DataFrame = df.select(col(idCol).as("r_id"),
+          col(startCol).as("r_start"), col(endCol).as("r_end"))
+        // within-batch pairs once (id tie-break), plus batch × carried —
+        // the carried side holds only strictly-earlier intervals, so no
+        // pair can fire twice across triggers.
+        val within = graft.operators.IntervalJoin.overlapJoin(
+            l, rSide(batch), "l_start", "l_end", "r_start", "r_end",
+            bucket, maxSpan)
+          .filter(col("l_id") < col("r_id"))
+        val pairs = state match {
+          case Some(s) => within.unionByName(
+            graft.operators.IntervalJoin.overlapJoin(
+              l, rSide(s), "l_start", "l_end", "r_start", "r_end",
+              bucket, maxSpan))
+          case None => within
+        }
+        sink(pairs, batchId)
+        if (batchId > lastFolded) {
+          val p = batch.sparkSession.sessionState.conf.numShufflePartitions
+          val next = state.map(_.unionByName(batch)).getOrElse(batch)
+            .coalesce(p).localCheckpoint(true)
+          state.foreach(CacheScope.unpinCheckpoint)
+          state = Some(next)
+          lastFolded = batchId
+        }
+      }
+      .start()
+  }
 }
