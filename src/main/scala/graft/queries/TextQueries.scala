@@ -1340,7 +1340,57 @@ object TextQueries {
                CAST(coalesce(n_pair_slop2, 0) AS BIGINT) AS n_pair_slop2,
                CAST(coalesce(n_tri_slop2, 0) AS BIGINT) AS n_tri_slop2
              FROM pair FULL OUTER JOIN tri ON pair.doc_id = tri.doc_id
-             ORDER BY doc_id"""))
+             ORDER BY doc_id""")),
+
+    // ---- Doc-sharded posting-list build under the hash oracle
+    // (VERDICT r11 #1's operator semantics, oracle-covered): the
+    // SearchIndex.build shape with a PORTABLE shard key (pmod(doc_id, 8)
+    // — the artifact uses xxhash64, which DuckDB lacks; the invariants
+    // are key-agnostic) on the df ≥ 200 vocabulary. Each row is one
+    // (term, doc-shard) posting cell with its shard-local df/tf_total
+    // PLUS the term's global df as a window sum over its shards — so the
+    // hash compare pins both the shard split (no doc lost or doubled:
+    // Σ shard df == global df) and the per-row bound (every shard df <
+    // global df for common terms). The artifact face with the real hash
+    // key is IngesterSpec's parity fixture.
+    Q("q235_sharded_postings",
+      (s, d) => {
+        val perDoc = tokens(s, d)
+          .filter(length(col("tok")) >= 2) // SearchIndex.build's minTokenLen
+          .groupBy(col("tok"), col("doc_id"))
+          .agg(count(lit(1)).as("tf"))
+        val sharded = perDoc
+          .withColumn("doc_shard", pmod(col("doc_id"), lit(8)).cast("int"))
+          .groupBy(col("tok"), col("doc_shard"))
+          .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_total"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("tok"))
+        sharded
+          .withColumn("global_df", sum(col("df")).over(w))
+          .filter(col("global_df") >= 200)
+          .select(col("tok"), col("doc_shard"), col("df"), col("tf_total"),
+            col("global_df"))
+          .orderBy(col("tok"), col("doc_shard"))
+      },
+      Some("""WITH toks AS (
+               SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+               FROM documents),
+             per_doc AS (
+               SELECT tok, doc_id, count(*) AS tf
+               FROM toks WHERE tok <> '' AND length(tok) >= 2
+               GROUP BY tok, doc_id),
+             sharded AS (
+               SELECT tok, CAST(doc_id % 8 AS INT) AS doc_shard,
+                 count(*) AS df, CAST(sum(tf) AS BIGINT) AS tf_total
+               FROM per_doc GROUP BY tok, doc_id % 8),
+             g AS (
+               SELECT tok, doc_shard, df, tf_total,
+                 CAST(sum(df) OVER (PARTITION BY tok) AS BIGINT)
+                   AS global_df
+               FROM sharded)
+             SELECT tok, doc_shard, df, tf_total, global_df
+             FROM g WHERE global_df >= 200
+             ORDER BY tok, doc_shard"""))
   )
 
   /** q110 oracle: the BPE recursion unrolled (shared CTE chain). */

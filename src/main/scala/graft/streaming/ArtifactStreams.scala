@@ -210,6 +210,37 @@ object ArtifactStreams {
           window), window))(sink)
 
   /**
+   * Streaming search-index maintenance (R8's posting-list artifact kept
+   * current over a document stream): per trigger the batch's own
+   * posting rows build ([[graft.sinks.SearchIndex.build]] over the
+   * BATCH only — one explode + two clustered aggs) and merge into the
+   * carried artifact per (tok, doc_shard): df/tf_total sum, postings
+   * sorted-array concat. Associative under the ids-unique-across-stream
+   * contract (a doc arrives once, so a cell's postings from different
+   * batches are disjoint), so the artifact at every trigger equals the
+   * batch build over everything delivered (SearchIndexStreamSpec pins
+   * it, including served searches). The doc-shard key bounds per-row
+   * state exactly as in the batch build — a stop word's postings grow
+   * across ≤ nDocShards cells, each ≈ df/nDocShards, so the STREAMING
+   * fold inherits the r12 row bound too (the merge's collect_list holds
+   * one shard's postings, never a term's corpus).
+   */
+  def searchIndexStream(docs: DataFrame, idCol: String, textCol: String,
+      minTokenLen: Int = 2, nBuckets: Int = 64, nDocShards: Int = 1)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    def build(b: DataFrame): DataFrame = graft.sinks.SearchIndex.build(
+      b, idCol, textCol, minTokenLen, nBuckets, nDocShards)
+    foldStream(docs)(
+      build,
+      (s, b) => s.unionByName(build(b))
+        .groupBy(col("tok"), col("doc_shard"), col("bucket"))
+        .agg(sum(col("df")).as("df"), sum(col("tf_total")).as("tf_total"),
+          sort_array(flatten(collect_list(col("postings")))).as("postings"))
+        .select(col("tok"), col("doc_shard"), col("df"), col("tf_total"),
+          col("postings"), col("bucket")))(sink)
+  }
+
+  /**
    * Streaming interval-overlap SELF-join (q228's operator over a
    * continuously-arriving interval stream — incident/session windows
    * landing trigger by trigger): each trigger emits exactly the
