@@ -358,6 +358,46 @@ object Similarity {
   }
 
   /**
+   * Pack an SQ8 code array (BIGINT values 0..255, length a multiple of
+   * 8) into length/8 BIGINT words — the true 1-byte/dim artifact shape
+   * (parquet has no 1-byte physical type: a tinyint column rides INT32
+   * and only halves bytes; the packed artifact measures 7.2× smaller
+   * than float64 in SCALE.md's sq8_bytes row). Each word's TOP byte is
+   * stored SIGNED (code − 128, a bijection onto [−128, 127]) so the
+   * full 64-bit pack stays inside signed long under ANSI arithmetic.
+   * [[unpackCodes]] inverts exactly (Sq8PackSpec round-trips random and
+   * boundary codes and pins dot-from-unpacked == dot-from-codes).
+   */
+  def packCodes(codes: Column, dim: Int): Column = {
+    require(dim > 0 && dim % 8 == 0,
+      s"dim must be a positive multiple of 8: $dim")
+    transform(sequence(lit(0), lit(dim / 8 - 1)), g =>
+      aggregate(slice(codes, g * 8 + 2, lit(7)),
+        element_at(codes, g * 8 + 1) - 128L,
+        (acc, x) => acc * 256L + x))
+  }
+
+  /**
+   * Invert [[packCodes]]: length/8 BIGINT words → dim codes 0..255.
+   * Pure shift/mask arithmetic (the signed top byte un-biases with one
+   * XOR — the two's-complement bit pattern of (b₀ − 128)·256⁷ has top
+   * byte b₀ ⊕ 128), so serving can score straight off the packed
+   * artifact: unpack + integer dot is one codegen'd expression tree,
+   * no intermediate materialization.
+   */
+  def unpackCodes(packed: Column, dim: Int): Column = {
+    require(dim > 0 && dim % 8 == 0,
+      s"dim must be a positive multiple of 8: $dim")
+    array((0 until dim).map { d =>
+      val g = d / 8
+      val j = d % 8
+      val w = element_at(packed, g + 1)
+      val b = shiftright(w, 8 * (7 - j)).bitwiseAND(lit(255L))
+      if (j == 0) b.bitwiseXOR(lit(128L)) else b
+    }: _*)
+  }
+
+  /**
    * HNSW-style BEAM search over the IVF cells — the same exact-cosine
    * probe tail as [[ivfTopK]], but the probed cells come from graph
    * NAVIGATION instead of an argmin over every centroid: queries enter

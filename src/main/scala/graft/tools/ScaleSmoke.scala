@@ -941,14 +941,11 @@ object ScaleSmoke {
             s"$tmp/i8")
           // Parquet has no 1-byte physical type (tinyint rides INT32 +
           // dictionary), so the honest 1-byte/dim artifact shape packs 8
-          // codes per BIGINT — top byte seeded SIGNED (first − 128, a
-          // bijection that keeps the full 64-bit pack inside signed long
-          // under ANSI arithmetic); serving unpacks with shifts.
+          // codes per BIGINT (Similarity.packCodes — Sq8PackSpec pins
+          // the unpack round-trip serving relies on).
           plainWrite(codes.select(col("vec_id"),
-            transform(sequence(lit(0), lit(7)), g =>
-              aggregate(slice(col("q"), g * 8 + 2, lit(7)),
-                element_at(col("q"), g * 8 + 1) - 128L,
-                (acc, x) => acc * 256L + x)).as("packed")),
+            graft.operators.Similarity.packCodes(col("q"), 64)
+              .as("packed")),
             s"$tmp/i8packed")
           graft.operators.CacheScope.unpinCheckpoint(codes)
           def dirBytes(p: String): Long = {

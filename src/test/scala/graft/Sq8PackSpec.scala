@@ -1,0 +1,67 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/**
+ * packCodes/unpackCodes — the SQ8 1-byte/dim artifact shape: exact
+ * round-trip over random and boundary code arrays (the signed-top-byte
+ * bijection), stability of the packed words (no ANSI overflow at the
+ * extremes), and dot-from-unpacked == dot-from-codes (the identity the
+ * packed serving path rests on).
+ */
+class Sq8PackSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def roundTrip(rows: Seq[(Long, Seq[Long])], dim: Int): Unit = {
+    val df = rows.toDF("id", "codes")
+    val back = df.select(col("id"),
+        Similarity.unpackCodes(
+          Similarity.packCodes(col("codes"), dim), dim).as("codes"))
+      .as[(Long, Seq[Long])].collect().toMap
+    rows.foreach { case (id, cs) =>
+      assert(back(id) === cs, s"row $id failed the pack round-trip")
+    }
+  }
+
+  test("pack/unpack round-trips random codes at dims 8, 16, 64") {
+    val rng = new Random(5)
+    for (dim <- Seq(8, 16, 64)) {
+      roundTrip((1L to 20L).map(i =>
+        (i, Seq.fill(dim)(rng.nextInt(256).toLong))), dim)
+    }
+  }
+
+  test("boundary codes survive (all-0, all-255, sign-bit top bytes)") {
+    val dim = 16
+    roundTrip(Seq(
+      (1L, Seq.fill(dim)(0L)),
+      (2L, Seq.fill(dim)(255L)),
+      (3L, (0 until dim).map(j => if (j % 8 == 0) 255L else 0L)),
+      (4L, (0 until dim).map(j => if (j % 8 == 0) 0L else 255L)),
+      (5L, (0 until dim).map(j => (j * 17 % 256).toLong))), dim)
+  }
+
+  test("packed word count and the integer dot identity") {
+    val rng = new Random(9)
+    val dim = 64
+    val rows = (1L to 10L).map(i =>
+      (i, Seq.fill(dim)(rng.nextInt(256).toLong)))
+    val df = rows.toDF("id", "codes")
+      .withColumn("packed", Similarity.packCodes(col("codes"), dim))
+    assert(df.select(size(col("packed"))).as[Int].collect().forall(_ == 8))
+    // dot(q, unpack(pack(c))) == dot(q, c) for a fixed query vector
+    val q = Seq.fill(dim)(rng.nextInt(256).toLong)
+    val qCol = array(q.map(lit): _*)
+    def dot(c: org.apache.spark.sql.Column) =
+      aggregate(zip_with(qCol, c, _ * _), lit(0L), _ + _)
+    val both = df.select(
+        dot(col("codes")).as("direct"),
+        dot(Similarity.unpackCodes(col("packed"), dim)).as("viaPack"))
+      .as[(Long, Long)].collect()
+    assert(both.forall { case (a, b) => a == b })
+  }
+}
