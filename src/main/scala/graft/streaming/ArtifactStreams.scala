@@ -260,12 +260,30 @@ object ArtifactStreams {
    * re-delivery re-emits the batch's pairs but never re-folds (the
    * [[foldStream]] batch-id guard, inlined because emission here needs
    * the BATCH, not the artifact).
+   *
+   * RETENTION (the watermark face — without it carried state grows for
+   * the stream's lifetime, which is right for a bounded session table
+   * and wrong for an unbounded feed): with `retention = Some(r)`,
+   * arrivals are contracted to start ≥ max(start seen) − r — a later
+   * batch violating it RAISES (the Structured-Streaming lateness
+   * semantics, refused loudly instead of silently dropping pairs) —
+   * and after each fold the carried table expires intervals with
+   * end < max(start seen) − r, which by the same contract can never
+   * overlap anything still to come. State is then O(intervals inside
+   * the retention horizon); the per-trigger min/max probe is one
+   * 1-row aggregate over the BATCH. `stateProbe` (optional) observes
+   * the carried table each trigger — the state-size monitoring hook a
+   * deployment alerts on, and what the spec uses to assert expiry.
    */
   def overlapPairsStream(intervals: DataFrame, idCol: String,
-      startCol: String, endCol: String, bucket: Long, maxSpan: Int = 1024)(
-      sink: (DataFrame, Long) => Unit): StreamingQuery = {
+      startCol: String, endCol: String, bucket: Long, maxSpan: Int = 1024,
+      retention: Option[Long] = None)(
+      sink: (DataFrame, Long) => Unit,
+      stateProbe: (DataFrame, Long) => Unit = (_, _) => ()): StreamingQuery = {
+    require(retention.forall(_ >= 0), s"retention >= 0: $retention")
     var state: Option[DataFrame] = None
     var lastFolded = -1L
+    var highWater: Option[Long] = None
     intervals.writeStream
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
         val batch = batch0
@@ -290,13 +308,36 @@ object ArtifactStreams {
         }
         sink(pairs, batchId)
         if (batchId > lastFolded) {
+          // Retention bookkeeping (fold-guarded: a re-delivered batch
+          // must not be re-judged against a high-water mark its own
+          // first delivery advanced).
+          val wmNew = retention.flatMap { r =>
+            val mm = batch.agg(min(col(startCol)), max(col(startCol)))
+              .collect()(0)
+            if (mm.isNullAt(0)) highWater.map(_ - r)
+            else {
+              val (bMin, bMax) = (mm.getLong(0), mm.getLong(1))
+              highWater.map(_ - r).foreach { wm =>
+                if (bMin < wm) throw new IllegalStateException(
+                  s"overlapPairsStream: batch $batchId contains start " +
+                    s"$bMin below the retention watermark $wm — late " +
+                    s"beyond retention $r; widen retention or bound " +
+                    "upstream disorder")
+              }
+              highWater = Some(highWater.fold(bMax)(math.max(_, bMax)))
+              highWater.map(_ - r)
+            }
+          }
           val p = batch.sparkSession.sessionState.conf.numShufflePartitions
-          val next = state.map(_.unionByName(batch)).getOrElse(batch)
+          val folded = state.map(_.unionByName(batch)).getOrElse(batch)
+          val next = wmNew.fold(folded)(wm =>
+              folded.filter(col(endCol) >= lit(wm)))
             .coalesce(p).localCheckpoint(true)
           state.foreach(CacheScope.unpinCheckpoint)
           state = Some(next)
           lastFolded = batchId
         }
+        stateProbe(state.get, batchId)
       }
       .start()
   }

@@ -77,6 +77,63 @@ class IntervalStreamSpec extends SparkSpec {
     }
   }
 
+  test("retention: state expires, pairs stay complete, late arrival refuses") {
+    // Three time-ordered waves 1000 apart with retention 100: waves can
+    // only overlap within themselves, so after each fold the carried
+    // table holds just the live horizon — state O(horizon), not
+    // O(stream) — while cumulative pairs still equal the one-shot join.
+    val waves = Seq(
+      (1L to 15L).map(i => (i, 10L * i, 10L * i + 25L)),
+      (21L to 35L).map(i => (i, 1000L + 10L * i, 1000L + 10L * i + 25L)),
+      (41L to 55L).map(i => (i, 2000L + 10L * i, 2000L + 10L * i + 25L)))
+    val tmp = java.nio.file.Files.createTempDirectory("ivl_ret").toString
+    waves.zipWithIndex.foreach { case (part, i) =>
+      if (i > 0) Thread.sleep(1100)
+      part.toDF("id", "s", "e").coalesce(1)
+        .write.mode("append").parquet(s"$tmp/in")
+    }
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).option("latestFirst", "false")
+      .parquet(s"$tmp/in")
+    var got = Set.empty[(Long, Long)]
+    val stateSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = ArtifactStreams.overlapPairsStream(stream, "id", "s", "e",
+        bucket = 10L, maxSpan = 64, retention = Some(100L))(
+      (pairs, _) => got ++= pairs.select("l_id", "r_id")
+        .as[(Long, Long)].collect().map(canon).toSet,
+      (state, _) => stateSizes += state.count())
+    q.processAllAvailable()
+    q.stop()
+    assert(got === batchPairs(waves.flatten))
+    // each wave's fold expired the previous wave entirely AND the
+    // current wave's own head below the watermark (maxStart 150 − 100 =
+    // 50 expires i=1,2 whose ends are 35/45 — they were paired within
+    // their batch BEFORE the fold, so nothing is lost), so carried
+    // state never exceeds one wave's live horizon.
+    assert(stateSizes.toSeq === Seq(13L, 13L, 13L),
+      s"state must hold only the live horizon, got $stateSizes")
+
+    // A batch starting below the watermark (maxStart − retention) is
+    // late beyond the contract — the stream must refuse loudly.
+    val tmp2 = java.nio.file.Files.createTempDirectory("ivl_late").toString
+    Seq((1L, 5000L, 5010L)).toDF("id", "s", "e").coalesce(1)
+      .write.mode("append").parquet(s"$tmp2/in")
+    Thread.sleep(1100)
+    Seq((2L, 100L, 110L)).toDF("id", "s", "e").coalesce(1)
+      .write.mode("append").parquet(s"$tmp2/in")
+    val late = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).option("latestFirst", "false")
+      .parquet(s"$tmp2/in")
+    val q2 = ArtifactStreams.overlapPairsStream(late, "id", "s", "e",
+        bucket = 10L, maxSpan = 64, retention = Some(50L))((_, _) => ())
+    val e = intercept[Exception] { q2.processAllAvailable() }
+    q2.stop()
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("below the retention watermark")),
+      s"unexpected failure: $e")
+  }
+
   test("single-batch stream == one-shot (the degenerate split)") {
     val rows = Seq((1L, 0L, 10L), (2L, 10L, 20L), (3L, 21L, 30L),
       (4L, 5L, 25L))
