@@ -37,7 +37,13 @@ object Ingester {
       // mention count before pairing (SocialNetwork.cooccurrenceEdges).
       // Far above any real doc (sf0.1 max is ~10²) but bounds a
       // pathological doc at 500k pairs instead of 5·10⁹.
-      maxEntitiesPerDoc: Int = SocialNetwork.DefaultMaxEntitiesPerDoc)
+      maxEntitiesPerDoc: Int = SocialNetwork.DefaultMaxEntitiesPerDoc,
+      // Posting-row bound for the step-9 index artifact: a stop-word
+      // term's postings span <= this many rows instead of one corpus-
+      // sized array cell (SearchIndex.build nDocShards — the r12 OOM
+      // fix). Search results are shard-agnostic; 32 keeps per-row state
+      // ~= df/32 at any corpus size this pipeline meets.
+      indexDocShards: Int = 32)
 
   final case class Result(
       documents: DataFrame,
@@ -100,8 +106,11 @@ object Ingester {
         mentions, assignment, entities, geo, docEntity),
       cfg.outputDir)
     GraphML.write(keptNodes, keptEdges, s"${cfg.outputDir}/social_network.graphml")
-    // 9: the search-index artifact (the reference's Lucene build step).
-    SearchIndex.write(SearchIndex.build(docs, "doc_id", "text"),
+    // 9: the search-index artifact (the reference's Lucene build step),
+    // doc-sharded so no term's postings collect into one row.
+    SearchIndex.write(
+      SearchIndex.build(docs, "doc_id", "text",
+        nDocShards = cfg.indexDocShards),
       s"${cfg.outputDir}/search_index")
 
     Result(docs, mentions, entities, assignment, edges, docEntity, geo)
@@ -135,11 +144,13 @@ object Ingester {
     assignment.write.mode("overwrite").parquet(s"$stageDir/assignment")
   }
 
-  /** Step 9 standalone: documents checkpoint → search_index artifact. */
-  def indexStage(spark: SparkSession, stageDir: String): Unit =
+  /** Step 9 standalone: documents checkpoint → search_index artifact
+    * (doc-sharded — the same posting-row bound as the full run). */
+  def indexStage(spark: SparkSession, stageDir: String,
+      nDocShards: Int = 32): Unit =
     SearchIndex.write(
       SearchIndex.build(spark.read.parquet(s"$stageDir/documents"),
-        "doc_id", "text"),
+        "doc_id", "text", nDocShards = nDocShards),
       s"$stageDir/search_index")
 
   /** Step 7: entity_raw checkpoint → geolocation_raw. */
