@@ -1908,6 +1908,80 @@ object LlmQueries {
              WHERE r.rank <= 5
              ORDER BY q_id, rank""")),
 
+    // ---- SQ8 code packing under the hash oracle: quantize (q232's
+    // recipe), pack 8 codes per BIGINT word (Similarity.packCodes — the
+    // signed-top-byte bijection that keeps the 64-bit pack inside
+    // signed long), and emit every word of the first 20 vectors WITH a
+    // roundtrip column asserting unpackCodes(packCodes(codes)) == codes
+    // row by row. The oracle recomputes each word as plain positional
+    // arithmetic ((q₁−128)·256⁷ + Σ qᵢ·256^(8−i)) and pins roundtrip_ok
+    // to 1 — if the engine's unpack ever diverged from its pack, the
+    // flag flips and the hash breaks. The words are exactly the packed
+    // artifact SCALE.md's sq8_bytes row prices at 7.2× under float64.
+    Q("q237_sq8_pack",
+      (s, d) => {
+        val ev = T.embeddings(s, d)
+          .filter(col("vec_id") < 20)
+          .select(col("vec_id"), posexplode(col("embedding"))
+            .as(Seq("dim", "v")))
+          .select(col("vec_id"), col("dim"), col("v").cast("double").as("v"))
+        val stats = T.embeddings(s, d)
+          .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+          .groupBy(col("dim"))
+          .agg(min(col("v").cast("double")).as("mn"),
+            max(col("v").cast("double")).as("mx"))
+        val codes = ev.join(broadcast(stats), Seq("dim"))
+          .withColumn("q", when(col("mx") > col("mn"),
+            least(lit(255L), floor((col("v") - col("mn")) * 255.0
+              / (col("mx") - col("mn"))).cast("long"))).otherwise(0L))
+          .groupBy(col("vec_id"))
+          .agg(transform(array_sort(collect_list(struct(col("dim"),
+              col("q")))), x => x.getField("q")).as("codes"))
+        codes
+          .withColumn("packed",
+            Similarity.packCodes(col("codes"), 64))
+          .withColumn("roundtrip_ok",
+            (Similarity.unpackCodes(col("packed"), 64) === col("codes"))
+              .cast("long"))
+          .select(col("vec_id"), posexplode(col("packed"))
+            .as(Seq("g", "word")), col("roundtrip_ok"))
+          .select(col("vec_id"), col("g"), col("word"), col("roundtrip_ok"))
+          .orderBy(col("vec_id"), col("g"))
+      },
+      Some("""WITH ev AS (
+               SELECT vec_id, i AS di,
+                 CAST(embedding[i] AS DOUBLE) AS val
+               FROM (SELECT vec_id, embedding FROM embeddings),
+                    LATERAL (SELECT unnest(generate_series(1, 64)) AS i)),
+             stats AS (
+               SELECT di, min(val) AS mn, max(val) AS mx
+               FROM ev GROUP BY di),
+             codes AS (
+               SELECT vec_id, ev.di,
+                 CASE WHEN mx > mn THEN least(CAST(255 AS BIGINT),
+                   CAST(floor((val - mn) * 255.0 / (mx - mn)) AS BIGINT))
+                 ELSE 0 END AS q
+               FROM ev JOIN stats ON ev.di = stats.di
+               WHERE vec_id < 20),
+             cl AS (
+               SELECT vec_id, list(q ORDER BY di) AS qs
+               FROM codes GROUP BY vec_id),
+             words AS (
+               SELECT vec_id, g,
+                 CAST((qs[g * 8 + 1] - 128) * 72057594037927936
+                   + qs[g * 8 + 2] * 281474976710656
+                   + qs[g * 8 + 3] * 1099511627776
+                   + qs[g * 8 + 4] * 4294967296
+                   + qs[g * 8 + 5] * 16777216
+                   + qs[g * 8 + 6] * 65536
+                   + qs[g * 8 + 7] * 256
+                   + qs[g * 8 + 8] AS BIGINT) AS word
+               FROM cl, LATERAL (SELECT unnest(generate_series(0, 7))
+                 AS g))
+             SELECT vec_id, CAST(g AS INT) AS g, word,
+               CAST(1 AS BIGINT) AS roundtrip_ok
+             FROM words ORDER BY vec_id, g""")),
+
     // ---- Training-data RELEASE pipeline (the round-8 composition
     // flagship, q73's discipline applied to the mix-and-ship stage):
     // language mixing quotas (q184's capped largest remainder at a 4/5

@@ -1342,6 +1342,53 @@ object TextQueries {
              FROM pair FULL OUTER JOIN tri ON pair.doc_id = tri.doc_id
              ORDER BY doc_id""")),
 
+    // ---- Sloppy phrase with a REPEATED query term — the repeats rule
+    // (Lucene: equal-term slots must bind DISTINCT positions) under the
+    // hash oracle; q234 pinned the movement window on distinct terms,
+    // this pins the p₀ ≠ p₂ constraint that keeps one "data" occurrence
+    // from satisfying both slots of ("data","table","data")~2. Same
+    // banded join shape; the oracle adds the inequality predicate.
+    Q("q236_sloppy_repeats",
+      (s, d) => {
+        val t = tokensPos(s, d)
+        def slot(term: String, i: Int) = t.filter(col("tok") === term)
+          .select(col("doc_id"), col("pos").as(s"p$i"),
+            (col("pos") - i).as(s"pp$i"))
+        slot("data", 0).join(slot("table", 1), Seq("doc_id"))
+          .filter(abs(col("pp1") - col("pp0")) <= 2)
+          .join(slot("data", 2), Seq("doc_id"))
+          .filter(abs(col("pp2") - col("pp0")) <= 2 &&
+            abs(col("pp2") - col("pp1")) <= 2 &&
+            col("p0") =!= col("p2"))
+          .filter(greatest(col("pp0"), col("pp1"), col("pp2")) -
+            least(col("pp0"), col("pp1"), col("pp2")) <= 2)
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_matches"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (
+               SELECT doc_id, i AS pos, toks[i] AS tok
+               FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                     FROM documents),
+                    LATERAL (SELECT unnest(generate_series(1, len(toks)))
+                      AS i)
+               WHERE toks[i] <> ''),
+             a AS (SELECT doc_id, pos AS p0, pos AS pp0 FROM t
+                   WHERE tok = 'data'),
+             b AS (SELECT doc_id, pos - 1 AS pp1 FROM t
+                   WHERE tok = 'table'),
+             c AS (SELECT doc_id, pos AS p2, pos - 2 AS pp2 FROM t
+                   WHERE tok = 'data'),
+             m AS (
+               SELECT a.doc_id FROM a JOIN b USING (doc_id)
+               JOIN c USING (doc_id)
+               WHERE abs(b.pp1 - a.pp0) <= 2
+                 AND abs(c.pp2 - a.pp0) <= 2 AND abs(c.pp2 - b.pp1) <= 2
+                 AND greatest(a.pp0, b.pp1, c.pp2)
+                   - least(a.pp0, b.pp1, c.pp2) <= 2
+                 AND a.p0 <> c.p2)
+             SELECT doc_id, count(*) AS n_matches
+             FROM m GROUP BY doc_id ORDER BY doc_id""")),
+
     // ---- Doc-sharded posting-list build under the hash oracle
     // (VERDICT r11 #1's operator semantics, oracle-covered): the
     // SearchIndex.build shape with a PORTABLE shard key (pmod(doc_id, 8)
