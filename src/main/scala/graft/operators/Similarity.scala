@@ -297,31 +297,10 @@ object Similarity {
       fixedCentroids: Option[Array[Array[Double]]] = None): DataFrame = {
     val (cells, centroids) =
       cellAssign(corpus, idCol, vecCol, nLists, seed, maxIter, fixedCentroids)
-    // Per-dim min/max over the CORPUS, folded to one broadcast row of
-    // dim-length arrays (map-side-combined agg + a 1-row rollup).
-    val stats = corpus
-      .select(posexplode(col(vecCol)).as(Seq("dim", "v")))
-      .select(col("dim"), col("v").cast("double").as("v"))
-      .groupBy(col("dim"))
-      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
-      .agg(array_sort(collect_list(struct(col("dim"), col("mn"), col("mx"))))
-        .as("s"))
-      .select(transform(col("s"), x => x.getField("mn")).as("mn_arr"),
-        transform(col("s"), x => x.getField("mx")).as("mx_arr"))
-    // q232's quantizer: floor((v − mn)·255/(mx − mn)) clamped to 255,
-    // degenerate dims (mx == mn) → 0. Identical IEEE-double arithmetic
-    // on any engine, so codes hash-match cross-engine.
-    def quant(vec: Column): Column = transform(vec, (v, i) => {
-      val mn = element_at(col("mn_arr"), i + 1)
-      val mx = element_at(col("mx_arr"), i + 1)
-      when(mx > mn, least(lit(255L),
-          floor((v.cast("double") - mn) * 255.0 / (mx - mn)).cast("long")))
-        .otherwise(0L)
-    })
-    def fixp(vec: Column): Column =
-      transform(vec, v => floor(v.cast("double") * 1000000.0).cast("long"))
-    def idot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, _ * _), lit(0L), _ + _)
+    val stats = sq8Stats(corpus, vecCol)
+    val quant = sq8QuantExpr _
+    val fixp = sq8FixExpr _
+    val idot = sq8DotExpr _
 
     val wq = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("cell"))
     val probed = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
@@ -355,6 +334,108 @@ object Similarity {
       .join(overlap, Seq("q_id"), "left")
       .select(col("q_id"), col("rank"), col("n_id"), col("q_dot"),
         coalesce(col("n_in_float_topk"), lit(0L)).as("n_in_float_topk"))
+  }
+
+  /** Per-dim min/max over the corpus, folded to ONE broadcast row of
+    * dim-length arrays (map-side-combined agg + a 1-row rollup) —
+    * the SQ8 quantization stats both the corpus artifact and every
+    * query batch share. */
+  private def sq8Stats(corpus: DataFrame, vecCol: String): DataFrame =
+    corpus
+      .select(posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .select(col("dim"), col("v").cast("double").as("v"))
+      .groupBy(col("dim"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("mn"), col("mx"))))
+        .as("s"))
+      .select(transform(col("s"), x => x.getField("mn")).as("mn_arr"),
+        transform(col("s"), x => x.getField("mx")).as("mx_arr"))
+
+  /** q232's quantizer — floor((v − mn)·255/(mx − mn)) clamped to 255,
+    * degenerate dims (mx == mn) → 0; identical IEEE-double arithmetic
+    * on any engine, so codes hash-match cross-engine. Evaluates against
+    * the mn_arr/mx_arr columns of a crossJoined [[sq8Stats]] row. */
+  private def sq8QuantExpr(vec: Column): Column = transform(vec, (v, i) => {
+    val mn = element_at(col("mn_arr"), i + 1)
+    val mx = element_at(col("mx_arr"), i + 1)
+    when(mx > mn, least(lit(255L),
+        floor((v.cast("double") - mn) * 255.0 / (mx - mn)).cast("long")))
+      .otherwise(0L)
+  })
+
+  /** Fixed-point float codes (floor(v·10⁶) BIGINT) — the exact-integer
+    * baseline the recall diagnostic ranks against. */
+  private def sq8FixExpr(vec: Column): Column =
+    transform(vec, v => floor(v.cast("double") * 1000000.0).cast("long"))
+
+  /** Exact BIGINT dot product of two integer code arrays. */
+  private def sq8DotExpr(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0L), _ + _)
+
+  /**
+   * Build the quantize-once SQ8 serving artifact — the production face
+   * of [[ivfTopKQuantized]], which quantizes inline per call (right for
+   * the oracle, wrong at 100 TB where the corpus is coded once and
+   * served many times). Returns
+   *  - `artifact`: one row per corpus vector (n_id, cell, packed —
+   *    dim/8 BIGINT words via [[packCodes]], the 7.2×-under-float64
+   *    shape SCALE.md's sq8_bytes row prices); write it partitioned by
+   *    cell and every probe is a partition-pruned read;
+   *  - `centroids`: the broadcast-sized (cell, centroid) probe table;
+   *  - `stats`: the 1-row per-dim min/max frame — queries MUST quantize
+   *    with the CORPUS stats (that is what makes artifact serving equal
+   *    the inline path bit-for-bit; Sq8ArtifactSpec pins it, including
+   *    through a parquet round-trip).
+   */
+  def sq8IvfArtifact(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, nLists: Int = 16, seed: Long = 42L, maxIter: Int = 5,
+      fixedCentroids: Option[Array[Array[Double]]] = None)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val (cells, centroids) =
+      cellAssign(corpus, idCol, vecCol, nLists, seed, maxIter, fixedCentroids)
+    val stats = sq8Stats(corpus, vecCol)
+    val artifact = cells.crossJoin(broadcast(stats))
+      .select(col("n_id"), col("cell"),
+        packCodes(sq8QuantExpr(col("n_vec")), dim).as("packed"))
+    (artifact, centroids, stats)
+  }
+
+  /**
+   * Serve quantized IVF top-k from a [[sq8IvfArtifact]]: probe the
+   * nProbe nearest cells per query (float centroids, as in
+   * [[ivfTopK]]), unpack the candidates' code words in-expression
+   * ([[unpackCodes]] — no intermediate materialization), score with
+   * the exact BIGINT dot, rank (q_dot desc, n_id). Output
+   * (q_id, rank, n_id, q_dot) — identical to [[ivfTopKQuantized]]'s
+   * first four columns at the same parameters (Sq8ArtifactSpec); the
+   * float-recall diagnostic column stays on the inline face, which is
+   * the one that re-reads raw vectors anyway.
+   */
+  def ivfTopKQuantizedServe(artifact: DataFrame, centroids: DataFrame,
+      stats: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      dim: Int, k: Int, nProbe: Int = 4): DataFrame = {
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("cell"))
+    val probed = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .crossJoin(broadcast(stats))
+      .select(col("q_id"), sq8QuantExpr(col("q_vec")).as("q_code"),
+        col("q_vec"))
+      .crossJoin(broadcast(
+        centroids.select(col("cell"), col("centroid"))))
+      .withColumn("d2", sqL2(col("q_vec"), col("centroid")))
+      .withColumn("cr", row_number().over(wq))
+      .filter(col("cr") <= nProbe)
+      .select(col("q_id"), col("q_code"), col("cell"))
+    val wS = Window.partitionBy(col("q_id"))
+      .orderBy(col("q_dot").desc, col("n_id"))
+    artifact
+      .select(col("n_id"), col("cell"),
+        unpackCodes(col("packed"), dim).as("n_code"))
+      .join(broadcast(probed), Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("q_dot", sq8DotExpr(col("q_code"), col("n_code")))
+      .withColumn("rank", row_number().over(wS))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("q_dot"))
   }
 
   /**

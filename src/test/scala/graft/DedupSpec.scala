@@ -737,6 +737,35 @@ class AnnSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("SQ8 artifact serving == inline quantized IVF, through a parquet round-trip") {
+    // The quantize-once face: build (artifact, centroids, stats) once,
+    // persist the artifact, serve query batches from the stored packed
+    // codes — output must equal ivfTopKQuantized's ranking columns at
+    // the same parameters (queries quantize with the CORPUS stats; the
+    // in-expression unpack inverts the pack exactly).
+    val dims = 8
+    val vecs = (0L until 40L).map { i =>
+      (i, Seq.tabulate(dims)(d => math.cos(i * 1.9 + d * 0.7) * 0.3))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 5)
+    val cents = Similarity.portableCentroids(4, dims)
+    val inline = Similarity.ivfTopKQuantized(df, queries,
+        "vec_id", "embedding", k = 5, nLists = 4, nProbe = 2,
+        fixedCentroids = Some(cents))
+      .select("q_id", "rank", "n_id", "q_dot")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    val (artifact, centroids, stats) = Similarity.sq8IvfArtifact(df,
+      "vec_id", "embedding", dims, nLists = 4, fixedCentroids = Some(cents))
+    val tmp = java.nio.file.Files.createTempDirectory("sq8art").toString
+    artifact.write.mode("overwrite").parquet(s"$tmp/artifact")
+    val served = Similarity.ivfTopKQuantizedServe(
+        spark.read.parquet(s"$tmp/artifact"), centroids, stats, queries,
+        "vec_id", "embedding", dims, k = 5, nProbe = 2)
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(served === inline && inline.nonEmpty)
+  }
+
   test("PQ ANN: planted exact duplicate is always rank 1; codes are the compressed artifact") {
     // ADC distance of q to its identical twin = Σ_s min_c d2(q_s, c) —
     // the minimum any vector can score — so the twin MUST rank first
