@@ -36,7 +36,15 @@ object ConnectedComponents {
    *         singleton components at the call site if needed.
    */
   def run(edges: DataFrame, maxIter: Int = 25,
-      strict: Boolean = false): DataFrame = {
+      strict: Boolean = false): DataFrame =
+    runWithRounds(edges, maxIter, strict)._1
+
+  /** [[run]] plus the number of propagation rounds executed — the
+    * convergence diagnostic ScaleSmoke's cc_rounds row measures against
+    * [[runAlternating]] (min-label needs O(diameter) rounds; the
+    * alternation needs O(log n)). */
+  private[graft] def runWithRounds(edges: DataFrame, maxIter: Int = 25,
+      strict: Boolean = false): (DataFrame, Int) = {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
@@ -82,6 +90,125 @@ object ConnectedComponents {
     // DataFrame unpersist can release — register them with the caller's
     // tracking scope so sweep harnesses (Bench/Verify) free one vertex-set
     // RDD per invocation instead of accumulating them.
-    CacheScope.pinCheckpointed(labels)
+    (CacheScope.pinCheckpointed(labels), iter)
+  }
+
+  /**
+   * Connected components by ALTERNATING STAR CONTRACTION — the
+   * O(log n)-round algorithm of Kiveris, Lattanzi, Mirrokni, Rastogi &
+   * Vassilvitskii, "Connected Components in MapReduce and Beyond"
+   * (SoCC 2014): repeat (large-star; small-star) until the edge set is
+   * a fixpoint, at which point every edge points a node at its
+   * component's minimum label.
+   *
+   * [[run]]'s min-label propagation needs O(component diameter) rounds
+   * — right for the coref name-chain graphs it was built for (diameter
+   * 2–4), wrong for a high-diameter graph at scale: a 10⁶-long chain
+   * (templated near-dup runs, sessionized event paths) would need 10⁶
+   * shuffle rounds. The alternation contracts path length roughly
+   * geometrically, so the SAME chain converges in tens of rounds
+   * (ScaleSmoke's cc_rounds row measures both on path graphs). Labels
+   * are identical to [[run]]'s — component id = min member key — so
+   * the two are interchangeable on output (spec-pinned equal).
+   *
+   * Per round: large-star is one symmetrize + one map-side-combined
+   * min-aggregate + one edge-sized equi-join; small-star the same on
+   * the to-smaller orientation; the fixpoint check is one full-outer
+   * join on the canonical pair set. All edge-sized shuffles, no
+   * per-node state beyond the edge frame itself; round checkpoints
+   * rotate exactly as in [[run]].
+   *
+   * Same contract as [[run]]: string `src`/`dst`, undirected; returns
+   * (`id`, `comp`) covering every vertex present in `edges` (self-loop
+   * vertices appear as singletons); `strict` refuses an unverified
+   * fixpoint. `maxIter` counts (large, small) rounds — 20 covers any
+   * graph whose log² is plausible.
+   */
+  def runAlternating(edges: DataFrame, maxIter: Int = 20,
+      strict: Boolean = false): DataFrame =
+    runAlternatingWithRounds(edges, maxIter, strict)._1
+
+  /** [[runAlternating]] plus the executed round count (cc_rounds). */
+  private[graft] def runAlternatingWithRounds(edges: DataFrame,
+      maxIter: Int = 20, strict: Boolean = false): (DataFrame, Int) = {
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // State: the canonical unordered pair set {(lo, hi) : lo < hi}.
+    // Self-loops carry no connectivity — they re-enter via `nodes`.
+    var pairs = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("lo"),
+        greatest(col("src"), col("dst")).as("hi"))
+      .distinct()
+      .localCheckpoint()
+
+    // Large-star: per node u over the SYMMETRIZED neighborhood,
+    // m = min(Γ(u) ∪ {u}); link every LARGER neighbor to m. Emitted
+    // pairs are canonical by construction (m ≤ u < v).
+    def largeStar(p: DataFrame): DataFrame = {
+      val sym = p.select(col("lo").as("u"), col("hi").as("v"))
+        .union(p.select(col("hi").as("u"), col("lo").as("v")))
+      val mins = sym.groupBy(col("u"))
+        .agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      sym.join(mins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("m").as("lo"), col("v").as("hi"))
+        .distinct()
+    }
+
+    // Small-star: orient every pair toward its SMALLER endpoint; per
+    // node u over the smaller-neighborhood N(u), m = min(N(u)); link m
+    // to every other member of N(u) ∪ {u}. m < v and m < u throughout,
+    // so pairs stay canonical.
+    def smallStar(p: DataFrame): DataFrame = {
+      val nbrs = p.select(col("hi").as("u"), col("lo").as("v"))
+      val mins = nbrs.groupBy(col("u")).agg(min(col("v")).as("m"))
+      nbrs.join(mins, Seq("u"))
+        .filter(col("v") =!= col("m"))
+        .select(col("m").as("lo"), col("v").as("hi"))
+        .union(mins.select(col("m").as("lo"), col("u").as("hi")))
+        .distinct()
+    }
+
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val next = smallStar(largeStar(pairs)).localCheckpoint()
+      // Fixpoint = SET equality with the previous round — one full-outer
+      // join on the canonical pair; either-side-null rows are the
+      // symmetric difference. (Counts alone can tie across distinct sets.)
+      changed = next.as("n")
+        .join(pairs.as("o"), col("n.lo") === col("o.lo") &&
+          col("n.hi") === col("o.hi"), "full_outer")
+        .filter(col("n.lo").isNull || col("o.lo").isNull)
+        .count()
+      CacheScope.unpinCheckpoint(pairs)
+      pairs = next
+      iter += 1
+    }
+    if (strict && changed > 0) {
+      CacheScope.unpinCheckpoint(pairs)
+      nodes.unpersist()
+      throw new IllegalStateException(
+        s"alternating components: fixpoint not verified after $iter " +
+          s"(large, small) rounds ($changed pairs still moving) — " +
+          "raise maxIter")
+    }
+    // At the fixpoint every pair is (component min, member): label each
+    // hi by its lo, everything unlabeled is its own component minimum
+    // (or an edge-free / self-loop-only vertex). min(lo) is a no-op on a
+    // true star set but keeps the extraction deterministic even when a
+    // non-strict run stopped early.
+    val labels = nodes
+      .join(pairs.groupBy(col("hi").as("id")).agg(min(col("lo")).as("c")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("c"), col("id")).as("comp"))
+      .localCheckpoint()
+    CacheScope.unpinCheckpoint(pairs)
+    nodes.unpersist()
+    (CacheScope.pinCheckpointed(labels), iter)
   }
 }

@@ -742,9 +742,11 @@ object Dedup {
    * pair graph — the form keep-one-per-cluster policies and cluster-size
    * statistics need (pairwise keep-smaller-id can retain several members
    * of one transitive group). Pair generation inherits every LSH scale
-   * guard; the closure is [[ConnectedComponents]] min-label propagation,
-   * O(component diameter) rounds — near-dup components are shallow, so a
-   * handful of bounded shuffle rounds at any corpus size. Returns
+   * guard; the closure is [[ConnectedComponents.runAlternating]] star
+   * contraction, O(log n) rounds REGARDLESS of component diameter —
+   * near-dup components are usually shallow, but templated corpora chain
+   * (A~B~C~…) and at web scale a chain can be arbitrarily long, so the
+   * diameter-bounded min-label form would be a latent failure. Returns
    * (id, cluster_id, cluster_size) with cluster_id = numeric min member
    * id, for every doc appearing in at least one pair; singletons are
    * absent (the standard sparse representation — union them at the call

@@ -1762,6 +1762,47 @@ object PipelineQueries {
           .orderBy(col("node_id"))
       },
       Some(LpaSql(3, weighted = true)))
+,
+    // ---- ALTERNATING STAR-CONTRACTION connected components (Kiveris
+    // et al., SoCC 2014) on a deliberately HIGH-DIAMETER graph — the
+    // regime where the battery's min-label CC (q76's closure) is the
+    // wrong tool: chains of consecutive orderkeys inside each
+    // (priority, order-month) group have diameter ≈ group size
+    // (hundreds at sf0.01, thousands at sf0.1), so min-label would
+    // need that many shuffle rounds while the alternation contracts
+    // the chain geometrically (strict = true — the fixpoint is
+    // VERIFIED, not assumed; rounds measured in ScaleSmoke cc_rounds).
+    // The oracle never runs a traversal: chaining consecutive members
+    // makes each group exactly one component, so component id = the
+    // group's min orderkey — an analytic window, which is what makes a
+    // 10³-diameter CC hash-checkable at all. Node ids are zero-padded
+    // so the operator's lexicographic min IS the numeric min.
+    Q("q238_star_components",
+      (s, d) => {
+        val o = T.orders(s, d).select(col("o_orderkey").cast("long").as("ok"),
+          col("o_orderpriority").as("pri"),
+          month(col("o_orderdate")).as("mo"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("pri"), col("mo")).orderBy(col("ok"))
+        val edges = o.withColumn("prev", lag(col("ok"), 1).over(w))
+          .filter(col("prev").isNotNull)
+          .select(lpad(col("prev").cast("string"), 12, "0").as("src"),
+            lpad(col("ok").cast("string"), 12, "0").as("dst"))
+        graft.operators.ConnectedComponents
+          .runAlternating(edges, strict = true)
+          .select(col("id").cast("long").as("id"),
+            col("comp").cast("long").as("comp"))
+          .orderBy(col("id"))
+      },
+      Some("""WITH g AS (
+               SELECT o_orderkey AS id,
+                 min(o_orderkey) OVER (PARTITION BY o_orderpriority,
+                   month(o_orderdate)) AS comp,
+                 count(*) OVER (PARTITION BY o_orderpriority,
+                   month(o_orderdate)) AS n
+               FROM orders)
+             SELECT CAST(id AS BIGINT) AS id, CAST(comp AS BIGINT) AS comp
+             FROM g WHERE n >= 2 ORDER BY id"""))
   )
 
   /** q199 oracle: the b-suitor rounds unrolled with explicit capacity

@@ -699,6 +699,47 @@ object ScaleSmoke {
         graft.operators.Matching.greedyRounds(pairs, "a", "b", "sc",
           rounds = 3)
       }
+      // Round-12: connected-components round counts on a PATH graph —
+      // the adversarial diameter case. Min-label needs diameter rounds
+      // (measured only at small paths; at 640+ it would be the whole
+      // smoke's budget), the Kiveris alternation contracts geometrically;
+      // the rounds column is the claim, the walls are corroboration.
+      // CSV: m,n,cc_rounds,path_len=L,star_rounds,star_sec,
+      //      minlabel_rounds,minlabel_sec (minlabel "-" when skipped).
+      if (wanted("cc_rounds")) {
+        val L = 64 * m
+        val pathEdges = spark.range(L - 1)
+          .select(lpad(col("id").cast("string"), 8, "0").as("src"),
+            lpad((col("id") + 1L).cast("string"), 8, "0").as("dst"))
+          .localCheckpoint(true)
+        val ((starRounds, starSec), caches1) =
+          graft.operators.CacheScope.tracking {
+            val (sec, (labels, rounds)) = time(
+              graft.operators.ConnectedComponents
+                .runAlternatingWithRounds(pathEdges, maxIter = 40,
+                  strict = true))
+            labels.write.format("noop").mode("overwrite").save()
+            (rounds, sec)
+          }
+        caches1.release()
+        val (mlRounds, mlSec) =
+          if (L > 128) ("-", "-")
+          else {
+            val ((r, sec), caches2) = graft.operators.CacheScope.tracking {
+              val (sec, (labels, rounds)) = time(
+                graft.operators.ConnectedComponents
+                  .runWithRounds(pathEdges, maxIter = L + 5, strict = true))
+              labels.write.format("noop").mode("overwrite").save()
+              (rounds, sec)
+            }
+            caches2.release()
+            (r.toString, "%.2f".format(sec))
+          }
+        graft.operators.CacheScope.unpinCheckpoint(pathEdges)
+        println(s"$m,$n,cc_rounds,path_len=$L,star_rounds=$starRounds," +
+          s"star_sec=${"%.2f".format(starSec)},minlabel_rounds=$mlRounds," +
+          s"minlabel_sec=$mlSec")
+      }
       // Round-8: incremental span probe — corpus digest artifact built
       // OUTSIDE the timed region (production stores it); the probe is
       // O(batch tokens) + one semi-join, so it should track the batch

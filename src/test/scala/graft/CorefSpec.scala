@@ -21,6 +21,42 @@ class ConnectedComponentsSpec extends SparkSpec {
     val comps = ConnectedComponents.run(edges).as[(String, String)].collect().toMap
     assert(comps.values.toSet == Set("x"))
   }
+
+  test("alternating == min-label on a mixed random graph (string keys)") {
+    val rnd = new scala.util.Random(7)
+    // 3 planted components over 60 nodes: a chain, a clique-ish blob,
+    // random extra edges inside each — plus a self-loop-only vertex.
+    val chain = (0 until 20).sliding(2).map(p => (f"a${p(0)}%02d", f"a${p(1)}%02d")).toSeq
+    val blob = for (_ <- 0 until 40) yield
+      (f"b${rnd.nextInt(20)}%02d", f"b${rnd.nextInt(20)}%02d")
+    val ring = (0 until 20).map(i => (f"c$i%02d", f"c${(i + 1) % 20}%02d"))
+    val edges = (chain ++ blob ++ ring ++ Seq(("lone", "lone")))
+      .toDF("src", "dst")
+    val exp = ConnectedComponents.run(edges, strict = true)
+      .as[(String, String)].collect().toMap
+    val got = ConnectedComponents.runAlternating(edges, strict = true)
+      .as[(String, String)].collect().toMap
+    assert(got == exp)
+    assert(got("lone") == "lone")
+  }
+
+  test("alternating converges on a 256-path in O(log n) rounds where min-label cannot") {
+    val edges = (0 until 255)
+      .map(i => (f"p$i%03d", f"p${i + 1}%03d"))
+      .toDF("src", "dst")
+    val (labels, rounds) =
+      ConnectedComponents.runAlternatingWithRounds(edges, strict = true)
+    val comps = labels.as[(String, String)].collect()
+    assert(comps.length == 256 && comps.forall(_._2 == "p000"))
+    // Geometric contraction: a 256-diameter chain lands well under the
+    // 20-round default (measured 5-8; the bound here is slack on purpose).
+    assert(rounds <= 12, s"expected O(log n) rounds, took $rounds")
+    // The same chain defeats min-label at its default budget: 25 rounds
+    // < diameter 255, so strict correctly refuses.
+    intercept[IllegalStateException] {
+      ConnectedComponents.run(edges, strict = true)
+    }
+  }
 }
 
 class SortedNeighborhoodSpec extends SparkSpec {
