@@ -148,8 +148,11 @@ object Modularity {
       .agg(coalesce(sum(col("degree_sum")), lit(0L)).as("deg2"),
         coalesce(sum(when(col("community").isNull, col("degree_sum"))),
           lit(0L)).as("unmapped"))
-      .select((col("deg2") / lit(2L)).cast("long").as("m_tot"),
-        col("unmapped"))
+      // Integral halving (deg2 is even by construction — every edge
+      // contributes its weight to exactly two endpoint slots): `expr`
+      // DIV stays exact past 2^53, where double division would round
+      // (the same class as IntervalJoin's grid fix, ADVICE r11).
+      .select(expr("deg2 DIV 2").as("m_tot"), col("unmapped"))
     val nodes = mem.groupBy(col("community"))
       .agg(count(lit(1)).as("n_nodes"))
     val internal0 = coalesce(col("internal_edges"), lit(0L))
@@ -172,5 +175,116 @@ object Modularity {
         (degree0 - lit(2L) * internal0).as("cut"),
         (lit(4L) * col("m_tot") * internal0 - degree0 * degree0)
           .as("q_num"))
+  }
+
+  /**
+   * ONE synchronous round of greedy modularity ascent — the move phase
+   * of Louvain community detection (Blondel et al. 2008) in its
+   * distributed-synchronous form: every node evaluates, against the
+   * CURRENT membership, the exact modularity gain of defecting to each
+   * neighboring community, and reports its best strictly-positive move
+   * (ties: gain desc, community asc; no gain → stay). All gains are
+   * EXACT INTEGERS over the scorecard's 4W² denominator: moving i from
+   * community a to b changes q_num by
+   *   Δ = 4·W·(w(i,b) − w(i,a)) − 2·d_i·(S_b − S_a + d_i)
+   * with w(i,c) = i's edge weight into c, d_i = i's weighted degree,
+   * S_c = community degree sums — so the whole round sits under a
+   * cross-engine hash oracle (q239), and each reported Δ is spec-pinned
+   * against a full [[communityStats]] recompute of the single-node
+   * move. The SYNCHRONOUS caveat is the standard one for distributed
+   * Louvain: each Δ is exact HOLDING OTHERS FIXED; applying all moves
+   * at once can overshoot when neighbors defect together (two nodes
+   * moving into each other's abandoned community). That is the
+   * documented trade of every parallel Louvain — callers alternate
+   * move rounds with re-scores, or damp by applying only the top
+   * fraction. This operator is the ROUND; policy stays at the call
+   * site.
+   *
+   * Cost shape: one canonical edge merge, two membership joins, three
+   * map-side-combined aggregates (node degree, node→community weight,
+   * community degree), one community-sized broadcast back, one
+   * row_number over the node's candidate communities (fan-in = the
+   * node's distinct neighbor communities, degree-bounded). No
+   * iteration; edge-sized shuffles only.
+   *
+   * @return one row per membership node:
+   *         (node_id, comm_old, comm_new, dq_num) — comm_new = comm_old
+   *         and dq_num = 0 for stayers (including edge-free nodes)
+   */
+  def greedyMoveRound(edges: DataFrame, membership: DataFrame,
+      weightCol: Option[String] = None): DataFrame = {
+    val canon = edges
+      .select(least(col("src"), col("dst")).cast("long").as("s"),
+        greatest(col("src"), col("dst")).cast("long").as("d"),
+        weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
+          .as("w0"))
+      .filter(col("s") < col("d"))
+      .groupBy(col("s"), col("d"))
+      .agg((if (weightCol.isDefined) sum(col("w0")) else min(col("w0")))
+        .as("w"))
+      .localCheckpoint(true)
+      .transform(CacheScope.pinCheckpointed)
+    val mem = membership.select(col("node_id").cast("long").as("node_id"),
+      col("community").cast("string").as("community"))
+    val sym = canon.select(col("s").as("i"), col("d").as("j"), col("w"))
+      .union(canon.select(col("d").as("i"), col("s").as("j"), col("w")))
+    // Neighbor-community tag. No per-row null gate here: downstream
+    // joins on cj are null-rejecting, so Catalyst INFERS isnotnull(cj)
+    // and would evaluate it below a row-level raise — the unmapped rows
+    // would silently vanish instead of refusing (the constraint-
+    // inference twin of the ADVICE-r11 column-pruning gate bug). The
+    // violation instead RIDES THE AGGREGATE as a NULL-community group
+    // in wic and gates the output via a 1-row broadcast Filter — the
+    // finalizeStats discipline, which no inference can remove.
+    val tagged = sym
+      .join(mem.select(col("node_id").as("j"), col("community").as("cj")),
+        Seq("j"), "left")
+    val deg = sym.groupBy(col("i")).agg(sum(col("w")).as("d_i"))
+    // Pinned: read three times (candidate targets, w(i,a), the gate).
+    val wicAll = tagged.groupBy(col("i"), col("cj"))
+      .agg(sum(col("w")).as("w_ic"))
+      .localCheckpoint(true)
+      .transform(CacheScope.pinCheckpointed)
+    val unmapped = wicAll
+      .agg(coalesce(sum(when(col("cj").isNull, col("w_ic"))), lit(0L))
+        .as("unmapped"))
+    val wic = wicAll.filter(col("cj").isNotNull)
+    val sc = deg.join(mem.select(col("node_id").as("i"), col("community")),
+        Seq("i"))
+      .groupBy(col("community")).agg(sum(col("d_i")).as("s_c"))
+    val wTot = canon.agg(sum(col("w")).as("w_tot"))
+    // Candidates: i's neighbor communities other than its own. w(i,a)
+    // left-joins (a node with no same-community neighbor has w_ia = 0).
+    val self = mem.select(col("node_id").as("i"), col("community").as("a"))
+    val cand = wic
+      .join(self, Seq("i"))
+      .filter(col("cj") =!= col("a"))
+      .join(wic.select(col("i"), col("cj").as("a"), col("w_ic").as("w_ia")),
+        Seq("i", "a"), "left")
+      .join(deg, Seq("i"))
+      .join(broadcast(sc.select(col("community").as("cj"),
+        col("s_c").as("s_b"))), Seq("cj"))
+      .join(broadcast(sc.select(col("community").as("a"),
+        col("s_c").as("s_a"))), Seq("a"))
+      .crossJoin(broadcast(wTot))
+      .select(col("i"), col("a"), col("cj"),
+        (lit(4L) * col("w_tot") * (col("w_ic") - coalesce(col("w_ia"), lit(0L)))
+          - lit(2L) * col("d_i") * (col("s_b") - col("s_a") + col("d_i")))
+          .as("dq"))
+    val wBest = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("i")).orderBy(col("dq").desc, col("cj"))
+    val moves = cand
+      .withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1 && col("dq") > 0)
+      .select(col("i").as("node_id"), col("cj").as("to_c"), col("dq"))
+    mem.join(moves, Seq("node_id"), "left")
+      .crossJoin(broadcast(unmapped))
+      .filter(when(col("unmapped") > 0, raise_error(concat(
+          lit("membership must cover every edge endpoint — unmapped "),
+          lit("endpoint weight "), col("unmapped").cast("string"))))
+        .otherwise(lit(true)))
+      .select(col("node_id"), col("community").as("comm_old"),
+        coalesce(col("to_c"), col("community")).as("comm_new"),
+        coalesce(col("dq"), lit(0L)).as("dq_num"))
   }
 }

@@ -1802,7 +1802,86 @@ object PipelineQueries {
                    month(o_orderdate)) AS n
                FROM orders)
              SELECT CAST(id AS BIGINT) AS id, CAST(comp AS BIGINT) AS comp
-             FROM g WHERE n >= 2 ORDER BY id"""))
+             FROM g WHERE n >= 2 ORDER BY id""")),
+
+    // ---- ONE synchronous GREEDY MODULARITY MOVE round (the Louvain
+    // phase-1 sweep, Blondel et al. 2008, distributed-synchronous
+    // form) on q227's weighted nation trade graph with regions as the
+    // starting membership: per nation, the exact integer modularity
+    // gain of defecting to its best neighboring region —
+    // Δ = 4W(w(i,b) − w(i,a)) − 2·d_i·(S_b − S_a + d_i) over the
+    // scorecard's 4W² denominator — so "which nations would leave
+    // their region, for whom, worth exactly how much" is hash-checked
+    // CTE-for-CTE. ModularitySpec pins each reported Δ against a full
+    // communityStats recompute of the single-node move; the
+    // synchronous caveat (gains exact holding others fixed) is the
+    // operator's stated contract.
+    Q("q239_modularity_move",
+      (s, d) => {
+        val e = T.lineitem(s, d)
+          .join(T.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(T.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(T.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+          .filter(col("l_quantity") >= 40 &&
+            col("c_nationkey") =!= col("s_nationkey"))
+          .groupBy(col("c_nationkey").as("src"),
+            col("s_nationkey").as("dst"))
+          .agg(count(lit(1)).as("w"))
+        val mem = T.nation(s, d).select(col("n_nationkey").as("node_id"),
+          col("n_regionkey").as("community"))
+        graft.operators.Modularity.greedyMoveRound(e, mem, Some("w"))
+          .orderBy(col("node_id"))
+      },
+      Some("""WITH raw AS (
+               SELECT c.c_nationkey AS x, su.s_nationkey AS y,
+                 count(*) AS w
+               FROM lineitem l
+               JOIN orders o ON l.l_orderkey = o.o_orderkey
+               JOIN customer c ON o.o_custkey = c.c_custkey
+               JOIN supplier su ON l.l_suppkey = su.s_suppkey
+               WHERE l.l_quantity >= 40
+                 AND c.c_nationkey <> su.s_nationkey
+               GROUP BY 1, 2),
+             e AS (SELECT least(x, y) AS s, greatest(x, y) AS d,
+                 CAST(sum(w) AS BIGINT) AS w
+               FROM raw GROUP BY 1, 2),
+             wtot AS (SELECT CAST(sum(w) AS BIGINT) AS wt FROM e),
+             mem AS (SELECT n_nationkey AS node_id,
+               CAST(n_regionkey AS VARCHAR) AS community FROM nation),
+             sym AS (SELECT s AS i, d AS j, w FROM e
+                     UNION ALL SELECT d, s, w FROM e),
+             deg AS (SELECT i, CAST(sum(w) AS BIGINT) AS d_i
+                     FROM sym GROUP BY i),
+             wic AS (
+               SELECT sym.i, m.community AS cj,
+                 CAST(sum(w) AS BIGINT) AS w_ic
+               FROM sym JOIN mem m ON sym.j = m.node_id GROUP BY 1, 2),
+             sc AS (
+               SELECT m.community, CAST(sum(deg.d_i) AS BIGINT) AS s_c
+               FROM deg JOIN mem m ON deg.i = m.node_id GROUP BY 1),
+             cand AS (
+               SELECT w1.i, m.community AS a, w1.cj,
+                 4 * wtot.wt * (w1.w_ic - coalesce(w2.w_ic, 0))
+                   - 2 * deg.d_i * (sb.s_c - sa.s_c + deg.d_i) AS dq
+               FROM wic w1
+               JOIN mem m ON w1.i = m.node_id
+               LEFT JOIN wic w2 ON w2.i = w1.i AND w2.cj = m.community
+               JOIN deg ON deg.i = w1.i
+               JOIN sc sb ON sb.community = w1.cj
+               JOIN sc sa ON sa.community = m.community
+               CROSS JOIN wtot
+               WHERE w1.cj <> m.community),
+             best AS (
+               SELECT i, cj, dq FROM (
+                 SELECT i, cj, dq, row_number() OVER (PARTITION BY i
+                   ORDER BY dq DESC, cj) AS rn
+                 FROM cand) WHERE rn = 1 AND dq > 0)
+             SELECT CAST(m.node_id AS BIGINT) AS node_id,
+               m.community AS comm_old,
+               coalesce(b.cj, m.community) AS comm_new,
+               CAST(coalesce(b.dq, 0) AS BIGINT) AS dq_num
+             FROM mem m LEFT JOIN best b ON m.node_id = b.i
+             ORDER BY m.node_id"""))
   )
 
   /** q199 oracle: the b-suitor rounds unrolled with explicit capacity

@@ -241,6 +241,55 @@ object ArtifactStreams {
   }
 
   /**
+   * Streaming connected-components maintenance: labels kept current
+   * over an unbounded EDGE stream. The carried artifact is the label
+   * table itself — (id, comp) with comp = the component's min member
+   * key over everything delivered — re-read as star edges
+   * (comp → id) and unioned with each batch before one
+   * [[graft.operators.ConnectedComponents.runAlternating]] pass. The
+   * fold is associative because a star partition carries exactly the
+   * connectivity of the edges it summarizes: components(batch ∪
+   * stars(delivered)) == components(batch ∪ delivered), so the
+   * artifact at every trigger equals the batch build over everything
+   * delivered (CcStreamSpec pins it, including cross-trigger merges of
+   * previously-separate components). State is O(nodes) — never the
+   * edge history — and each trigger's alternation starts from an
+   * almost-star graph, so it converges in a handful of rounds
+   * regardless of how long ago the component's edges arrived. strict:
+   * an unverified fixpoint raises and the carried state stays intact
+   * (foreachBatch is at-least-once; the batch-id guard re-emits
+   * without re-folding on redelivery). `sink` receives the label
+   * table each trigger and must materialize synchronously.
+   */
+  def connectedComponentsStream(edges: DataFrame, maxIter: Int = 20)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    var state: Option[DataFrame] = None
+    var lastFolded = -1L
+    edges.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (batchId > lastFolded) {
+          val in = batch.select(col("src"), col("dst"))
+          val all = state match {
+            case Some(s) => in.unionByName(
+              s.select(col("comp").as("src"), col("id").as("dst")))
+            case None => in
+          }
+          val labels = graft.operators.ConnectedComponents
+            .runAlternating(all, maxIter, strict = true)
+          // runAlternating already returns an eagerly-materialized
+          // localCheckpoint — adopt it as the carried state directly (a
+          // second checkpoint would only copy the blocks) and free the
+          // superseded trigger's blocks.
+          state.foreach(CacheScope.unpinCheckpoint)
+          state = Some(labels)
+          lastFolded = batchId
+        }
+        sink(state.get, batchId)
+      }
+      .start()
+  }
+
+  /**
    * Streaming interval-overlap SELF-join (q228's operator over a
    * continuously-arriving interval stream — incident/session windows
    * landing trigger by trigger): each trigger emits exactly the

@@ -173,4 +173,65 @@ class ModularitySpec extends SparkSpec {
     val viaRepeat = runW(base :+ ((1L, 2L, 1L)), mem)
     assert(doubled === viaRepeat)
   }
+
+  /** Total q_num of a membership (Σ over communityStats rows) — the
+    * exact quantity greedyMoveRound's per-node gains must move by. */
+  private def qTotal(edges: Seq[(Long, Long, Long)],
+      mem: Map[Long, String]): Long =
+    runW(edges, mem).values.map(_._5).sum
+
+  test("greedyMoveRound: every reported gain == the recomputed Q delta; best-positive-or-stay") {
+    for (seed <- 1 to 3) {
+      val rng = new Random(70 + seed)
+      val n = 9
+      val edges = (1 to 30)
+        .map(_ => (rng.nextInt(n).toLong, rng.nextInt(n).toLong,
+          (rng.nextInt(4) + 1).toLong))
+        .filter(e => e._1 != e._2)
+      val mem = (0L until n).map(v => v -> s"c${rng.nextInt(3)}").toMap
+      val got = Modularity.greedyMoveRound(edges.toDF("src", "dst", "w"),
+          mem.toSeq.toDF("node_id", "community"), Some("w"))
+        .as[(Long, String, String, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      val q0 = qTotal(edges, mem)
+      // neighbor communities per node, from the symmetrized edge list
+      val nbrComms: Map[Long, Set[String]] = edges
+        .flatMap(e => Seq(e._1 -> mem(e._2), e._2 -> mem(e._1)))
+        .groupBy(_._1).map { case (i, xs) => i -> xs.map(_._2).toSet }
+      for (i <- 0L until n) {
+        val a = mem(i)
+        // brute force: recompute Q for every single-node neighbor move
+        val alts = nbrComms.getOrElse(i, Set.empty).filter(_ != a).toSeq
+          .map(b => (b, qTotal(edges, mem.updated(i, b)) - q0))
+        val best = alts.filter(_._2 > 0)
+          .sortBy { case (b, dq) => (-dq, b) }.headOption
+        val (oldC, newC, dq) = got(i)
+        assert(oldC == a)
+        best match {
+          case Some((b, d)) =>
+            assert(newC == b && dq == d,
+              s"seed=$seed node=$i: got ($newC, $dq), want ($b, $d)")
+          case None =>
+            assert(newC == a && dq == 0L,
+              s"seed=$seed node=$i should stay, got ($newC, $dq)")
+        }
+      }
+    }
+  }
+
+  test("greedyMoveRound: unmapped endpoint refused; edge-free node stays at 0") {
+    val edges = Seq((0L, 1L, 1L), (1L, 2L, 1L)).toDF("src", "dst", "w")
+    val mem = Seq((0L, "x"), (1L, "x")).toDF("node_id", "community")
+    val ex = intercept[Exception] {
+      Modularity.greedyMoveRound(edges, mem, Some("w")).collect()
+    }
+    assert(ex.getMessage.contains("unmapped") ||
+      Option(ex.getCause).exists(_.getMessage.contains("unmapped")))
+    val full = Seq((0L, "x"), (1L, "x"), (2L, "y"), (9L, "z"))
+      .toDF("node_id", "community")
+    val out = Modularity.greedyMoveRound(edges, full, Some("w"))
+      .as[(Long, String, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(9L) == (("z", "z", 0L)))
+  }
 }
