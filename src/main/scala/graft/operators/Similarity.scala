@@ -439,6 +439,41 @@ object Similarity {
   }
 
   /**
+   * Code and pack ONE batch of vectors against FROZEN serving artifacts
+   * — the incremental unit of [[sq8IvfArtifact]], and what a streaming
+   * maintainer folds (see
+   * [[graft.streaming.ArtifactStreams.sq8ArtifactStream]]): cell =
+   * dense argmin against the FIXED centroid array (the coarse
+   * quantizer does not move between retrains), codes quantized with
+   * the FROZEN corpus `stats` row (same schema as [[sq8IvfArtifact]]'s
+   * third return — using the corpus stats is what keeps every epoch's
+   * codes comparable), packed by [[packCodes]]. Output (n_id, cell,
+   * packed) — the exact artifact row shape, so appended batches serve
+   * through [[ivfTopKQuantizedServe]] unchanged.
+   *
+   * Out-of-domain arrivals (a streamed value outside the frozen
+   * [mn, mx]) SATURATE to the code range like FAISS's scalar quantizer
+   * ([[sq8QuantExpr]] already caps at 255 above mx; the floor below mn
+   * clamps to 0 here). On the batch path stats come from the corpus
+   * itself, so the clamp is inert and batch == stream coding exactly
+   * (Sq8StreamSpec pins both, plus the saturation).
+   */
+  def sq8CodeBatch(batch: DataFrame, idCol: String, vecCol: String,
+      dim: Int, centroids: Array[Array[Double]],
+      stats: DataFrame): DataFrame = {
+    require(centroids.nonEmpty, "centroids must be non-empty")
+    val d2s = array(centroids.map(c =>
+      sqL2(col(vecCol), array(c.map(lit): _*))): _*)
+    batch
+      .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+        (array_position(d2s, array_min(d2s)) - 1).cast("int").as("cell"))
+      .crossJoin(broadcast(stats))
+      .select(col("n_id"), col("cell"),
+        packCodes(transform(sq8QuantExpr(col("n_vec")),
+          c => greatest(lit(0L), c)), dim).as("packed"))
+  }
+
+  /**
    * Pack an SQ8 code array (BIGINT values 0..255, length a multiple of
    * 8) into length/8 BIGINT words — the true 1-byte/dim artifact shape
    * (parquet has no 1-byte physical type: a tinyint column rides INT32

@@ -241,6 +241,35 @@ object ArtifactStreams {
   }
 
   /**
+   * Streaming SQ8/IVF serving-artifact maintenance — the quantize-once
+   * corpus artifact ([[graft.operators.Similarity.sq8IvfArtifact]])
+   * kept current over an unbounded vector stream. Centroids and the
+   * per-dim quantization stats are FROZEN inputs (the production
+   * contract: the coarse quantizer and the code scale move only at
+   * retrains, or every epoch's codes stop being comparable); each
+   * trigger codes and packs ONLY its own batch against them
+   * ([[graft.operators.Similarity.sq8CodeBatch]]) and appends — the
+   * fold is a pure union, associative and rescan-free, because a
+   * vector arrives in exactly one batch. The artifact at every trigger
+   * therefore equals the batch coding of everything delivered, and the
+   * final artifact serves through
+   * [[graft.operators.Similarity.ivfTopKQuantizedServe]] identically
+   * to a single-shot build (Sq8StreamSpec pins artifact equality per
+   * trigger, served-search equality, and the FAISS-style saturation of
+   * out-of-domain arrivals). State is the artifact itself — one packed
+   * row per delivered vector, the same O(corpus) a parquet artifact
+   * directory would hold.
+   */
+  def sq8ArtifactStream(vecs: DataFrame, idCol: String, vecCol: String,
+      dim: Int, centroids: Array[Array[Double]], stats: DataFrame)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
+    foldStream(vecs)(
+      b => graft.operators.Similarity.sq8CodeBatch(
+        b, idCol, vecCol, dim, centroids, stats),
+      (s, b) => s.unionByName(graft.operators.Similarity.sq8CodeBatch(
+        b, idCol, vecCol, dim, centroids, stats)))(sink)
+
+  /**
    * Streaming connected-components maintenance: labels kept current
    * over an unbounded EDGE stream. The carried artifact is the label
    * table itself — (id, comp) with comp = the component's min member
