@@ -146,7 +146,12 @@ object ConnectedComponents {
 
     // Large-star: per node u over the SYMMETRIZED neighborhood,
     // m = min(Γ(u) ∪ {u}); link every LARGER neighbor to m. Emitted
-    // pairs are canonical by construction (m ≤ u < v).
+    // pairs are canonical by construction (m ≤ u < v) but NOT deduped:
+    // two neighbors of v sharing a min emit (m, v) twice, and the
+    // consumer is always [[smallStar]], whose min-aggregate is
+    // duplicate-insensitive and whose terminal distinct restores the
+    // set — dropping the dedup here saves one edge-sized shuffle per
+    // round (~1/4 of the round's stages on the q238 chain graph).
     def largeStar(p: DataFrame): DataFrame = {
       val sym = p.select(col("lo").as("u"), col("hi").as("v"))
         .union(p.select(col("hi").as("u"), col("lo").as("v")))
@@ -156,7 +161,6 @@ object ConnectedComponents {
       sym.join(mins, Seq("u"))
         .filter(col("v") > col("u"))
         .select(col("m").as("lo"), col("v").as("hi"))
-        .distinct()
     }
 
     // Small-star: orient every pair toward its SMALLER endpoint; per

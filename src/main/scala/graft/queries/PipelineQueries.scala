@@ -1881,8 +1881,109 @@ object PipelineQueries {
                coalesce(b.cj, m.community) AS comm_new,
                CAST(coalesce(b.dq, 0) AS BIGINT) AS dq_num
              FROM mem m LEFT JOIN best b ON m.node_id = b.i
-             ORDER BY m.node_id"""))
+             ORDER BY m.node_id""")),
+
+    // ---- TWO synchronized Louvain move rounds (q239's operator
+    // COMPOSED: move → apply → move, the alternation an actual
+    // community-detection run performs): round 1 defects from the
+    // region partition, round 2 re-evaluates against the moved
+    // memberships — second-round gains are computed on round 1's
+    // landscape, so the ladder catches both the follow-the-leader
+    // moves (a node chasing its neighbors into their new community)
+    // and the re-stabilization (round-1 movers that now stay). The
+    // oracle unrolls the whole thing CTE-for-CTE (MoveRoundSql — the
+    // LpaSql discipline applied to the move recursion; sym/deg/wtot
+    // are membership-independent and shared across rounds).
+    Q("q240_louvain_two_rounds",
+      (s, d) => {
+        val e = T.lineitem(s, d)
+          .join(T.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(T.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(T.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+          .filter(col("l_quantity") >= 40 &&
+            col("c_nationkey") =!= col("s_nationkey"))
+          .groupBy(col("c_nationkey").as("src"),
+            col("s_nationkey").as("dst"))
+          .agg(count(lit(1)).as("w"))
+        val mem0 = T.nation(s, d).select(col("n_nationkey").as("node_id"),
+          col("n_regionkey").as("community"))
+        val r1 = graft.operators.Modularity.greedyMoveRound(e, mem0,
+          Some("w"))
+        val mem1 = r1.select(col("node_id"),
+          col("comm_new").as("community"))
+        val r2 = graft.operators.Modularity.greedyMoveRound(e, mem1,
+          Some("w"))
+        r1.select(col("node_id"), col("comm_old").as("c0"),
+            col("comm_new").as("c1"), col("dq_num").as("dq1"))
+          .join(r2.select(col("node_id"), col("comm_new").as("c2"),
+            col("dq_num").as("dq2")), Seq("node_id"))
+          .orderBy(col("node_id"))
+      },
+      Some(MoveLadderSql(2)))
   )
+
+  /** q240 oracle: the greedy-move recursion unrolled — per round a
+    * membership-tagged w(i,c) CTE, a community-degree CTE, the exact
+    * integer gain candidates, the (dq desc, community asc) best window,
+    * and the applied membership feeding the next round. sym/deg/wtot
+    * are membership-independent and appear once. */
+  private def MoveLadderSql(rounds: Int): String = {
+    val head = """WITH raw AS (
+        SELECT c.c_nationkey AS x, su.s_nationkey AS y, count(*) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier su ON l.l_suppkey = su.s_suppkey
+        WHERE l.l_quantity >= 40 AND c.c_nationkey <> su.s_nationkey
+        GROUP BY 1, 2),
+      e AS (SELECT least(x, y) AS s, greatest(x, y) AS d,
+          CAST(sum(w) AS BIGINT) AS w
+        FROM raw GROUP BY 1, 2),
+      wtot AS (SELECT CAST(sum(w) AS BIGINT) AS wt FROM e),
+      sym AS (SELECT s AS i, d AS j, w FROM e
+              UNION ALL SELECT d, s, w FROM e),
+      deg AS (SELECT i, CAST(sum(w) AS BIGINT) AS d_i FROM sym GROUP BY i),
+      mem0 AS (SELECT n_nationkey AS node_id,
+        CAST(n_regionkey AS VARCHAR) AS community FROM nation)"""
+    val iterCtes = (0 until rounds).map { r =>
+      s"""wic$r AS (
+           SELECT sym.i, m.community AS cj, CAST(sum(w) AS BIGINT) AS w_ic
+           FROM sym JOIN mem$r m ON sym.j = m.node_id GROUP BY 1, 2),
+         sc$r AS (
+           SELECT m.community, CAST(sum(deg.d_i) AS BIGINT) AS s_c
+           FROM deg JOIN mem$r m ON deg.i = m.node_id GROUP BY 1),
+         cand$r AS (
+           SELECT w1.i, m.community AS a, w1.cj,
+             4 * wtot.wt * (w1.w_ic - coalesce(w2.w_ic, 0))
+               - 2 * deg.d_i * (sb.s_c - sa.s_c + deg.d_i) AS dq
+           FROM wic$r w1
+           JOIN mem$r m ON w1.i = m.node_id
+           LEFT JOIN wic$r w2 ON w2.i = w1.i AND w2.cj = m.community
+           JOIN deg ON deg.i = w1.i
+           JOIN sc$r sb ON sb.community = w1.cj
+           JOIN sc$r sa ON sa.community = m.community
+           CROSS JOIN wtot
+           WHERE w1.cj <> m.community),
+         best$r AS (
+           SELECT i, cj, dq FROM (
+             SELECT i, cj, dq, row_number() OVER (PARTITION BY i
+               ORDER BY dq DESC, cj) AS rn FROM cand$r)
+           WHERE rn = 1 AND dq > 0),
+         move$r AS (
+           SELECT m.node_id, m.community AS c_old,
+             coalesce(b.cj, m.community) AS c_new,
+             CAST(coalesce(b.dq, 0) AS BIGINT) AS dq
+           FROM mem$r m LEFT JOIN best$r b ON m.node_id = b.i),
+         mem${r + 1} AS (SELECT node_id, c_new AS community FROM move$r)"""
+    }.mkString(",\n")
+    s"""$head,
+      $iterCtes
+      SELECT CAST(m0.node_id AS BIGINT) AS node_id, m0.c_old AS c0,
+        m0.c_new AS c1, m1.c_new AS c2,
+        m0.dq AS dq1, m1.dq AS dq2
+      FROM move0 m0 JOIN move${rounds - 1} m1 USING (node_id)
+      ORDER BY node_id"""
+  }
 
   /** q199 oracle: the b-suitor rounds unrolled with explicit capacity
     * CTEs — per round two rank windows over the live pool, the
