@@ -177,9 +177,13 @@ object ConnectedComponents {
         .distinct()
     }
 
+    // maxIter + 1, as in [[runWithRounds]] (ADVICE r2): convergence is
+    // only VERIFIED by a round that changes nothing, so a graph whose
+    // star fixpoint lands exactly on round maxIter gets one extra
+    // confirmation round instead of a spurious strict failure.
     var iter = 0
     var changed = 1L
-    while (changed > 0 && iter < maxIter) {
+    while (changed > 0 && iter < maxIter + 1) {
       val next = smallStar(largeStar(pairs)).localCheckpoint()
       // Fixpoint = SET equality with the previous round — one full-outer
       // join on the canonical pair; either-side-null rows are the
@@ -198,7 +202,8 @@ object ConnectedComponents {
       nodes.unpersist()
       throw new IllegalStateException(
         s"alternating components: fixpoint not verified after $iter " +
-          s"(large, small) rounds ($changed pairs still moving) — " +
+          s"(large, small) rounds (maxIter = $maxIter contraction rounds " +
+          s"+ 1 verification round; $changed pairs still moving) — " +
           "raise maxIter")
     }
     // At the fixpoint every pair is (component min, member): label each

@@ -783,9 +783,12 @@ object Dedup {
     }
     val edges = pairs.select(col("id_a").cast("string").as("src"),
       col("id_b").cast("string").as("dst"))
-    // strict: a component with diameter > maxIter must error, not split —
-    // the q76 oracle computes the exact closure.
-    val cc = ConnectedComponents.run(edges, maxIter, strict = true)
+    // strict: an unverified fixpoint must error, not split. The closure
+    // is the ALTERNATING star contraction — O(log n) rounds regardless
+    // of component diameter, so a templated corpus chaining near-dups
+    // arbitrarily long can't exhaust the round budget the way the
+    // min-label form's O(diameter) could.
+    val cc = ConnectedComponents.runAlternating(edges, maxIter, strict = true)
     val w = Window.partitionBy(col("comp"))
     cc.select(col("id").cast("long").as("id"), col("comp"))
       .withColumn("cluster_id", min(col("id")).over(w))

@@ -52,20 +52,9 @@ object Modularity {
    */
   def communityStats(edges: DataFrame, membership: DataFrame,
       weightCol: Option[String] = None): DataFrame = {
-    val canon = edges
-      .select(least(col("src"), col("dst")).cast("long").as("s"),
-        greatest(col("src"), col("dst")).cast("long").as("d"),
-        weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
-          .as("w0"))
-      .filter(col("s") < col("d"))
-      .groupBy(col("s"), col("d"))
-      // unweighted: repeats dedup to ONE edge; weighted: repeats and
-      // orientations sum (multigraph-correct)
-      .agg((if (weightCol.isDefined) sum(col("w0")) else min(col("w0")))
-        .as("w"))
     // Pinned: reused by the tagging joins and (through them) both
     // aggregates of partialStats.
-    val e = canon
+    val e = canonEdges(edges, weightCol)
       .localCheckpoint(true)
       .transform(CacheScope.pinCheckpointed) // backs the returned plan
     finalizeStats(
@@ -73,6 +62,22 @@ object Modularity {
         col("w")), membership, Some("w")),
       membership)
   }
+
+  /** The single home of the canonical undirected merge (shared by
+    * [[communityStats]] and [[greedyMoveRound]] so the multigraph rule
+    * cannot diverge between the scorecard and the move round):
+    * (s < d, w) with self-loops dropped; unweighted repeats dedup to
+    * ONE edge, weighted repeats and orientations SUM. */
+  private def canonEdges(edges: DataFrame,
+      weightCol: Option[String]): DataFrame = edges
+    .select(least(col("src"), col("dst")).cast("long").as("s"),
+      greatest(col("src"), col("dst")).cast("long").as("d"),
+      weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
+        .as("w0"))
+    .filter(col("s") < col("d"))
+    .groupBy(col("s"), col("d"))
+    .agg((if (weightCol.isDefined) sum(col("w0")) else min(col("w0")))
+      .as("w"))
 
   /**
    * Associative per-batch contribution — the streaming face's fold unit
@@ -213,15 +218,7 @@ object Modularity {
    */
   def greedyMoveRound(edges: DataFrame, membership: DataFrame,
       weightCol: Option[String] = None): DataFrame = {
-    val canon = edges
-      .select(least(col("src"), col("dst")).cast("long").as("s"),
-        greatest(col("src"), col("dst")).cast("long").as("d"),
-        weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
-          .as("w0"))
-      .filter(col("s") < col("d"))
-      .groupBy(col("s"), col("d"))
-      .agg((if (weightCol.isDefined) sum(col("w0")) else min(col("w0")))
-        .as("w"))
+    val canon = canonEdges(edges, weightCol)
       .localCheckpoint(true)
       .transform(CacheScope.pinCheckpointed)
     val mem = membership.select(col("node_id").cast("long").as("node_id"),
@@ -277,14 +274,25 @@ object Modularity {
       .withColumn("rn", row_number().over(wBest))
       .filter(col("rn") === 1 && col("dq") > 0)
       .select(col("i").as("node_id"), col("cj").as("to_c"), col("dq"))
-    mem.join(moves, Seq("node_id"), "left")
-      .crossJoin(broadcast(unmapped))
+    // The gate is a UNION BRANCH of the output, riding the 1-row
+    // aggregate: zero rows when coverage holds (the when folds to
+    // false), a raise when it doesn't. Neither a Filter on the output
+    // (never evaluated when the output is empty — empty membership
+    // against non-empty edges) nor a broadcast crossJoin (folded away
+    // whole by empty-relation propagation in the same case) survives
+    // every optimizer path; a union branch whose filter CAN emit rows
+    // does.
+    val gateRow = unmapped
       .filter(when(col("unmapped") > 0, raise_error(concat(
           lit("membership must cover every edge endpoint — unmapped "),
           lit("endpoint weight "), col("unmapped").cast("string"))))
-        .otherwise(lit(true)))
+        .otherwise(lit(false)))
+      .select(lit(0L).as("node_id"), lit("").as("comm_old"),
+        lit("").as("comm_new"), lit(0L).as("dq_num"))
+    mem.join(moves, Seq("node_id"), "left")
       .select(col("node_id"), col("community").as("comm_old"),
         coalesce(col("to_c"), col("community")).as("comm_new"),
         coalesce(col("dq"), lit(0L)).as("dq_num"))
+      .unionByName(gateRow)
   }
 }

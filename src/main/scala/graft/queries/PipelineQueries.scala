@@ -1907,8 +1907,11 @@ object PipelineQueries {
           .agg(count(lit(1)).as("w"))
         val mem0 = T.nation(s, d).select(col("n_nationkey").as("node_id"),
           col("n_regionkey").as("community"))
-        val r1 = graft.operators.Modularity.greedyMoveRound(e, mem0,
-          Some("w"))
+        // Pinned: round 2 reads mem1 in three branches (w(i,c), S_c,
+        // the self/cand joins) plus the final join reads r1 — unpinned,
+        // the whole round-1 plan would re-execute four-plus times.
+        val r1 = graft.operators.CacheScope.pin(
+          graft.operators.Modularity.greedyMoveRound(e, mem0, Some("w")))
         val mem1 = r1.select(col("node_id"),
           col("comm_new").as("community"))
         val r2 = graft.operators.Modularity.greedyMoveRound(e, mem1,

@@ -227,6 +227,16 @@ class ModularitySpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("unmapped") ||
       Option(ex.getCause).exists(_.getMessage.contains("unmapped")))
+    // The degenerate worst case: EMPTY membership against non-empty
+    // edges must still refuse, not return an empty frame — the gate
+    // rides the always-one-row aggregate, not the (empty) output.
+    val exEmpty = intercept[Exception] {
+      Modularity.greedyMoveRound(edges,
+        Seq.empty[(Long, String)].toDF("node_id", "community"),
+        Some("w")).collect()
+    }
+    assert(exEmpty.getMessage.contains("unmapped") ||
+      Option(exEmpty.getCause).exists(_.getMessage.contains("unmapped")))
     val full = Seq((0L, "x"), (1L, "x"), (2L, "y"), (9L, "z"))
       .toDF("node_id", "community")
     val out = Modularity.greedyMoveRound(edges, full, Some("w"))
