@@ -207,11 +207,18 @@ object Bench {
     val keptShort = {
       val buf = scala.collection.mutable.ListBuffer[String]()
       var used = 0
-      for ((k, v, _) <- results.sortBy(-_._2)) {
+      // STOP at the first entry that does not fit — continuing would let
+      // a short fast entry slip in after a long slow one was skipped,
+      // breaking the "everything elided is faster than everything kept"
+      // invariant the queries_elided count is read under.
+      val it = results.sortBy(-_._2).iterator
+      var fits = true
+      while (fits && it.hasNext) {
+        val (k, v, _) = it.next()
         val entry = "\"" + shortKey(k) + "\":" + v
         if (used + entry.length + 1 <= qBudget) {
           buf += entry; used += entry.length + 1
-        }
+        } else fits = false
       }
       buf.toList
     }

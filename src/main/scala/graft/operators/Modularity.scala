@@ -162,24 +162,34 @@ object Modularity {
       .agg(count(lit(1)).as("n_nodes"))
     val internal0 = coalesce(col("internal_edges"), lit(0L))
     val degree0 = coalesce(col("degree_sum"), lit(0L))
-    nodes
-      .join(partial, Seq("community"), "left")
-      .crossJoin(broadcast(mTot))
-      // The coverage gate rides a FILTER, not a projected column: Catalyst
-      // column pruning may drop an unused projection (a caller keeping only
-      // n_nodes would silently skip a when/raise_error folded into q_num —
-      // ADVICE r11) but never a Filter, so the violation raises on the
-      // first output row regardless of which columns the caller keeps.
+    // The coverage gate is a UNION BRANCH of the output riding the
+    // 1-row total aggregate: zero rows when coverage holds, a raise
+    // when it doesn't. Neither of the two earlier shapes survives every
+    // optimizer path — a projected gate is column-prunable (ADVICE
+    // r11), and a Filter over output rows never evaluates when the
+    // output is EMPTY (empty membership against non-empty edges: nodes
+    // is empty, the join emits nothing, and the violation would pass
+    // as an empty frame). A union branch whose filter can emit rows is
+    // neither prunable nor emptiness-foldable, and the aggregate
+    // beneath it emits its row even over empty input.
+    val gateRow = mTot
       .filter(when(col("unmapped") > 0, raise_error(concat(
           lit("membership must cover every edge endpoint — "),
           col("unmapped").cast("string"),
           lit(" unmapped endpoint slot(s) in the folded artifact"))))
-        .otherwise(lit(true)))
+        .otherwise(lit(false)))
+      .select(lit("").as("community"), lit(0L).as("n_nodes"),
+        lit(0L).as("internal_edges"), lit(0L).as("degree_sum"),
+        lit(0L).as("cut"), lit(0L).as("q_num"))
+    nodes
+      .join(partial, Seq("community"), "left")
+      .crossJoin(broadcast(mTot))
       .select(col("community"), col("n_nodes"),
         internal0.as("internal_edges"), degree0.as("degree_sum"),
         (degree0 - lit(2L) * internal0).as("cut"),
         (lit(4L) * col("m_tot") * internal0 - degree0 * degree0)
           .as("q_num"))
+      .unionByName(gateRow)
   }
 
   /**

@@ -340,7 +340,7 @@ object Similarity {
     * dim-length arrays (map-side-combined agg + a 1-row rollup) —
     * the SQ8 quantization stats both the corpus artifact and every
     * query batch share. */
-  private def sq8Stats(corpus: DataFrame, vecCol: String): DataFrame =
+  private[graft] def sq8Stats(corpus: DataFrame, vecCol: String): DataFrame =
     corpus
       .select(posexplode(col(vecCol)).as(Seq("dim", "v")))
       .select(col("dim"), col("v").cast("double").as("v"))
@@ -351,17 +351,23 @@ object Similarity {
       .select(transform(col("s"), x => x.getField("mn")).as("mn_arr"),
         transform(col("s"), x => x.getField("mx")).as("mx_arr"))
 
-  /** q232's quantizer — floor((v − mn)·255/(mx − mn)) clamped to 255,
-    * degenerate dims (mx == mn) → 0; identical IEEE-double arithmetic
-    * on any engine, so codes hash-match cross-engine. Evaluates against
-    * the mn_arr/mx_arr columns of a crossJoined [[sq8Stats]] row. */
-  private def sq8QuantExpr(vec: Column): Column = transform(vec, (v, i) => {
-    val mn = element_at(col("mn_arr"), i + 1)
-    val mx = element_at(col("mx_arr"), i + 1)
-    when(mx > mn, least(lit(255L),
-        floor((v.cast("double") - mn) * 255.0 / (mx - mn)).cast("long")))
-      .otherwise(0L)
-  })
+  /** q232's quantizer — floor((v − mn)·255/(mx − mn)) SATURATED to
+    * [0, 255] on both ends (FAISS scalar-quantizer semantics: on the
+    * corpus itself both clamps are inert since stats bound the data,
+    * but a QUERY or a streamed arrival outside the frozen [mn, mx]
+    * must land on the range boundary, not on a negative code that
+    * would corrupt a [[packCodes]] word); degenerate dims (mx == mn)
+    * → 0; identical IEEE-double arithmetic on any engine, so codes
+    * hash-match cross-engine. Evaluates against the mn_arr/mx_arr
+    * columns of a crossJoined [[sq8Stats]] row. */
+  private[graft] def sq8QuantExpr(vec: Column): Column =
+    transform(vec, (v, i) => {
+      val mn = element_at(col("mn_arr"), i + 1)
+      val mx = element_at(col("mx_arr"), i + 1)
+      when(mx > mn, greatest(lit(0L), least(lit(255L),
+          floor((v.cast("double") - mn) * 255.0 / (mx - mn)).cast("long"))))
+        .otherwise(0L)
+    })
 
   /** Fixed-point float codes (floor(v·10⁶) BIGINT) — the exact-integer
     * baseline the recall diagnostic ranks against. */
@@ -384,7 +390,7 @@ object Similarity {
    *  - `centroids`: the broadcast-sized (cell, centroid) probe table;
    *  - `stats`: the 1-row per-dim min/max frame — queries MUST quantize
    *    with the CORPUS stats (that is what makes artifact serving equal
-   *    the inline path bit-for-bit; Sq8ArtifactSpec pins it, including
+   *    the inline path bit-for-bit; DedupSpec's serving test pins it, incl.
    *    through a parquet round-trip).
    */
   def sq8IvfArtifact(corpus: DataFrame, idCol: String, vecCol: String,
@@ -407,7 +413,7 @@ object Similarity {
    * ([[unpackCodes]] — no intermediate materialization), score with
    * the exact BIGINT dot, rank (q_dot desc, n_id). Output
    * (q_id, rank, n_id, q_dot) — identical to [[ivfTopKQuantized]]'s
-   * first four columns at the same parameters (Sq8ArtifactSpec); the
+   * first four columns at the same parameters (DedupSpec); the
    * float-recall diagnostic column stays on the inline face, which is
    * the one that re-reads raw vectors anyway.
    */
@@ -453,10 +459,9 @@ object Similarity {
    *
    * Out-of-domain arrivals (a streamed value outside the frozen
    * [mn, mx]) SATURATE to the code range like FAISS's scalar quantizer
-   * ([[sq8QuantExpr]] already caps at 255 above mx; the floor below mn
-   * clamps to 0 here). On the batch path stats come from the corpus
-   * itself, so the clamp is inert and batch == stream coding exactly
-   * (Sq8StreamSpec pins both, plus the saturation).
+   * ([[sq8QuantExpr]] clamps both ends). On the batch path stats come
+   * from the corpus itself, so the clamp is inert and batch == stream
+   * coding exactly (Sq8StreamSpec pins both, plus the saturation).
    */
   def sq8CodeBatch(batch: DataFrame, idCol: String, vecCol: String,
       dim: Int, centroids: Array[Array[Double]],
@@ -469,8 +474,7 @@ object Similarity {
         (array_position(d2s, array_min(d2s)) - 1).cast("int").as("cell"))
       .crossJoin(broadcast(stats))
       .select(col("n_id"), col("cell"),
-        packCodes(transform(sq8QuantExpr(col("n_vec")),
-          c => greatest(lit(0L), c)), dim).as("packed"))
+        packCodes(sq8QuantExpr(col("n_vec")), dim).as("packed"))
   }
 
   /**

@@ -1857,8 +1857,10 @@ object LlmQueries {
                SELECT di, min(val) AS mn, max(val) AS mx FROM ev GROUP BY di),
              codes AS (
                SELECT vec_id, ev.di,
-                 CASE WHEN mx > mn THEN least(CAST(255 AS BIGINT),
-                   CAST(floor((val - mn) * 255.0 / (mx - mn)) AS BIGINT))
+                 CASE WHEN mx > mn THEN greatest(CAST(0 AS BIGINT),
+                   least(CAST(255 AS BIGINT),
+                     CAST(floor((val - mn) * 255.0 / (mx - mn))
+                       AS BIGINT)))
                  ELSE 0 END AS q,
                  CAST(floor(val * 1000000.0) AS BIGINT) AS f
                FROM ev JOIN stats ON ev.di = stats.di),

@@ -372,12 +372,23 @@ object ArtifactStreams {
           col(startCol).as("r_start"), col(endCol).as("r_end"))
         // within-batch pairs once (id tie-break), plus batch × carried —
         // the carried side holds only strictly-earlier intervals, so no
-        // pair can fire twice across triggers.
+        // pair can fire twice across triggers. On a RE-DELIVERED batch
+        // the carried table already contains the batch itself (the fold
+        // ran on first delivery): anti-joining the batch's ids back out
+        // reconstructs the pre-fold carried set exactly (ids unique
+        // across the stream), so re-emission repeats the original pairs
+        // instead of inventing self-pairs and double orientations.
+        // (Under retention, rows the first fold expired are gone — the
+        // re-emission is then a SUBSET of the original, which
+        // at-least-once delivery already covers; never wrong pairs.)
+        val carried = state.map(s =>
+          if (batchId > lastFolded) s
+          else s.join(batch.select(col(idCol)), Seq(idCol), "left_anti"))
         val within = graft.operators.IntervalJoin.overlapJoin(
             l, rSide(batch), "l_start", "l_end", "r_start", "r_end",
             bucket, maxSpan)
           .filter(col("l_id") < col("r_id"))
-        val pairs = state match {
+        val pairs = carried match {
           case Some(s) => within.unionByName(
             graft.operators.IntervalJoin.overlapJoin(
               l, rSide(s), "l_start", "l_end", "r_start", "r_end",
@@ -390,8 +401,12 @@ object ArtifactStreams {
           // must not be re-judged against a high-water mark its own
           // first delivery advanced).
           val wmNew = retention.flatMap { r =>
-            val mm = batch.agg(min(col(startCol)), max(col(startCol)))
-              .collect()(0)
+            // cast("long"): the probe must accept every integral column
+            // type the join path accepts (fd casts coordinates to long;
+            // a raw getLong on an INT column would ClassCastException
+            // exactly when the watermark feature is enabled).
+            val mm = batch.agg(min(col(startCol).cast("long")),
+              max(col(startCol).cast("long"))).collect()(0)
             if (mm.isNullAt(0)) highWater.map(_ - r)
             else {
               val (bMin, bMax) = (mm.getLong(0), mm.getLong(1))

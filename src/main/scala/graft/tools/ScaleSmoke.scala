@@ -943,15 +943,10 @@ object ScaleSmoke {
         if (wanted("sq8_bytes")) {
           val tmp = java.nio.file.Files
             .createTempDirectory("graft-sq8").toString
-          val stats = emb
-            .select(posexplode(col("embedding")).as(Seq("dim", "v")))
-            .select(col("dim"), col("v").cast("double").as("v"))
-            .groupBy(col("dim"))
-            .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
-            .agg(array_sort(collect_list(
-              struct(col("dim"), col("mn"), col("mx")))).as("s"))
-            .select(transform(col("s"), x => x.getField("mn")).as("mn_arr"),
-              transform(col("s"), x => x.getField("mx")).as("mx_arr"))
+          // The operator's own stats/quantizer (one home — a drifted
+          // copy here would price a different artifact than serving
+          // ships).
+          val stats = graft.operators.Similarity.sq8Stats(emb, "embedding")
           // Uncompressed + no dictionary: the md5-derived synthetic
           // floats have ~1000 distinct values per dim, so default
           // snappy+dictionary flattens every representation to its
@@ -968,14 +963,8 @@ object ScaleSmoke {
               .as("embedding")), s"$tmp/f64")
           val codes = emb.crossJoin(broadcast(stats))
             .select(col("vec_id"),
-              transform(col("embedding"), (v, i) => {
-                val mn = element_at(col("mn_arr"), i + 1)
-                val mx = element_at(col("mx_arr"), i + 1)
-                when(mx > mn, least(lit(255L),
-                    floor((v.cast("double") - mn) * 255.0 / (mx - mn))
-                      .cast("long")))
-                  .otherwise(0L)
-              }).as("q"))
+              graft.operators.Similarity.sq8QuantExpr(col("embedding"))
+                .as("q"))
             .localCheckpoint(true)
           plainWrite(codes.select(col("vec_id"),
             transform(col("q"), x => (x - 128L).cast("byte")).as("code")),

@@ -94,6 +94,15 @@ class ModularitySpec extends SparkSpec {
       if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(e).exists(_.contains("cover every edge endpoint")),
       s"unexpected failure: $e")
+    // Degenerate worst case: EMPTY membership against non-empty edges.
+    // A gate on output rows can never fire here (the node join emits
+    // nothing) and a broadcast crossJoin gate is folded away whole by
+    // empty-relation propagation — the union-branch gate still raises.
+    val eEmpty = intercept[Exception] {
+      run(Seq((0L, 1L)), Map.empty[Long, String])
+    }
+    assert(messages(eEmpty).exists(_.contains("cover every edge endpoint")),
+      s"unexpected failure: $eEmpty")
   }
 
   test("the coverage gate is prune-proof: projecting away q_num still refuses") {
