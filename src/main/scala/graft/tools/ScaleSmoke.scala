@@ -740,6 +740,51 @@ object ScaleSmoke {
           s"star_sec=${"%.2f".format(starSec)},minlabel_rounds=$mlRounds," +
           s"minlabel_sec=$mlSec")
       }
+      // Round-12: streaming CC maintenance under GROWTH — one chain
+      // extended segment by segment across triggers, so every trigger's
+      // batch bridges into the carried component and the alternation
+      // must re-root it. The claim under test: carried STARS keep the
+      // per-trigger alternation shallow (rounds ~ log(segment), not
+      // log(accumulated)), so trigger wall grows only with state SIZE
+      // (the label table), never with accumulated diameter. CSV:
+      // m,n,cc_stream,chain_len,per-trigger seconds.
+      if (wanted("cc_stream")) {
+        val L = 1000 * m
+        val segs = 5
+        val per = L / segs
+        val tmpd = java.nio.file.Files
+          .createTempDirectory("graft-cc-stream").toString
+        import spark.implicits._
+        def seg(i: Int): DataFrame =
+          spark.range(i.toLong * per, (i + 1).toLong * per)
+            .select(lpad(col("id").cast("string"), 8, "0").as("src"),
+              lpad((col("id") + 1L).cast("string"), 8, "0").as("dst"))
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("src",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("dst",
+            org.apache.spark.sql.types.StringType)))
+        seg(0).coalesce(1).write.mode("append").parquet(s"$tmpd/in")
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$tmpd/in")
+        var nodes = 0L
+        val q = graft.streaming.ArtifactStreams
+          .connectedComponentsStream(stream) { (lab, _) =>
+            nodes = lab.count()
+          }
+        val walls = scala.collection.mutable.ListBuffer[String]()
+        for (i <- 0 until segs) {
+          if (i > 0) {
+            Thread.sleep(1100)
+            seg(i).coalesce(1).write.mode("append").parquet(s"$tmpd/in")
+          }
+          val (sec, _) = time(q.processAllAvailable())
+          walls += "%.2f".format(sec)
+        }
+        q.stop()
+        println(s"$m,$n,cc_stream,chain=$L,nodes=$nodes," +
+          s"trigger_secs=${walls.mkString("/")}")
+      }
       // Round-8: incremental span probe — corpus digest artifact built
       // OUTSIDE the timed region (production stores it); the probe is
       // O(batch tokens) + one semi-join, so it should track the batch
