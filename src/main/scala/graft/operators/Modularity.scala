@@ -138,18 +138,23 @@ object Modularity {
    * the full scorecard. The total edge count is DERIVED from the
    * artifact itself — Σ degree_sum = 2m exactly — so the fold carries
    * no global row and the 1-row total joins back as a broadcast, never
-   * a driver-side count. The coverage gate rides the SAME 1-row
-   * aggregate as a FILTER on the output: a NULL-community row in the
-   * artifact (unmapped edge endpoints, see [[partialStats]]) raises when
-   * the consuming action runs — a partial partition silently skews Q
-   * toward its covered part, so refuse it — at zero extra jobs, and
-   * prune-proof (a projected gate can be column-pruned away by a caller
-   * that drops the gated column; a Filter cannot).
+   * a driver-side count. The coverage gate is the LEADING UNION BRANCH
+   * of the output, riding the same 1-row aggregate: a NULL-community
+   * row in the artifact (unmapped edge endpoints, see [[partialStats]])
+   * raises when the consuming action runs — a partial partition
+   * silently skews Q toward its covered part, so refuse it. See the
+   * in-body comment for why every other gate shape (projected column,
+   * output Filter, broadcast crossJoin, trailing branch) is removed or
+   * skipped by some optimizer/execution path.
    */
   def finalizeStats(partial: DataFrame, membership: DataFrame): DataFrame = {
     val mem = membership.select(col("node_id").cast("long").as("node_id"),
       col("community").cast("string").as("community"))
-    val mTot = partial
+    // Pinned: read twice (the broadcast total AND the gate branch) —
+    // unpinned, each would re-aggregate `partial`, which in
+    // [[communityStats]] re-runs the membership joins and in the
+    // streaming face costs an extra pass per trigger.
+    val mTot = CacheScope.pin(partial
       .agg(coalesce(sum(col("degree_sum")), lit(0L)).as("deg2"),
         coalesce(sum(when(col("community").isNull, col("degree_sum"))),
           lit(0L)).as("unmapped"))
@@ -157,21 +162,25 @@ object Modularity {
       // contributes its weight to exactly two endpoint slots): `expr`
       // DIV stays exact past 2^53, where double division would round
       // (the same class as IntervalJoin's grid fix, ADVICE r11).
-      .select(expr("deg2 DIV 2").as("m_tot"), col("unmapped"))
+      .select(expr("deg2 DIV 2").as("m_tot"), col("unmapped")))
     val nodes = mem.groupBy(col("community"))
       .agg(count(lit(1)).as("n_nodes"))
     val internal0 = coalesce(col("internal_edges"), lit(0L))
     val degree0 = coalesce(col("degree_sum"), lit(0L))
-    // The coverage gate is a UNION BRANCH of the output riding the
-    // 1-row total aggregate: zero rows when coverage holds, a raise
-    // when it doesn't. Neither of the two earlier shapes survives every
-    // optimizer path — a projected gate is column-prunable (ADVICE
-    // r11), and a Filter over output rows never evaluates when the
-    // output is EMPTY (empty membership against non-empty edges: nodes
-    // is empty, the join emits nothing, and the violation would pass
-    // as an empty frame). A union branch whose filter can emit rows is
-    // neither prunable nor emptiness-foldable, and the aggregate
-    // beneath it emits its row even over empty input.
+    // The coverage gate is the LEADING union branch of the output,
+    // riding the 1-row total aggregate: zero rows when coverage holds,
+    // a raise when it doesn't. Every other shape is removed or skipped
+    // by some path — a projected gate is column-prunable (ADVICE r11);
+    // a Filter over output rows never evaluates when the output is
+    // EMPTY (empty membership against non-empty edges: nodes is empty,
+    // the join emits nothing); a broadcast crossJoin gate is folded
+    // away whole by empty-relation propagation; and a TRAILING union
+    // branch is skipped by limit short-circuiting (CollectLimit
+    // consumes partitions in order and stops once satisfied — a
+    // .show(5)/.take over a valid-looking prefix would never reach a
+    // gate at the end). Leading, the gate's partition is consumed
+    // first under any limit, emits nothing when valid, and the
+    // aggregate beneath it produces its row even over empty input.
     val gateRow = mTot
       .filter(when(col("unmapped") > 0, raise_error(concat(
           lit("membership must cover every edge endpoint — "),
@@ -181,15 +190,14 @@ object Modularity {
       .select(lit("").as("community"), lit(0L).as("n_nodes"),
         lit(0L).as("internal_edges"), lit(0L).as("degree_sum"),
         lit(0L).as("cut"), lit(0L).as("q_num"))
-    nodes
+    gateRow.unionByName(nodes
       .join(partial, Seq("community"), "left")
       .crossJoin(broadcast(mTot))
       .select(col("community"), col("n_nodes"),
         internal0.as("internal_edges"), degree0.as("degree_sum"),
         (degree0 - lit(2L) * internal0).as("cut"),
         (lit(4L) * col("m_tot") * internal0 - degree0 * degree0)
-          .as("q_num"))
-      .unionByName(gateRow)
+          .as("q_num")))
   }
 
   /**
@@ -241,8 +249,9 @@ object Modularity {
     // would silently vanish instead of refusing (the constraint-
     // inference twin of the ADVICE-r11 column-pruning gate bug). The
     // violation instead RIDES THE AGGREGATE as a NULL-community group
-    // in wic and gates the output via a 1-row broadcast Filter — the
-    // finalizeStats discipline, which no inference can remove.
+    // in wic and gates the output as its LEADING union branch — the
+    // finalizeStats discipline, which no inference, pruning, emptiness
+    // folding, or limit short-circuit can remove.
     val tagged = sym
       .join(mem.select(col("node_id").as("j"), col("community").as("cj")),
         Seq("j"), "left")
@@ -284,14 +293,13 @@ object Modularity {
       .withColumn("rn", row_number().over(wBest))
       .filter(col("rn") === 1 && col("dq") > 0)
       .select(col("i").as("node_id"), col("cj").as("to_c"), col("dq"))
-    // The gate is a UNION BRANCH of the output, riding the 1-row
-    // aggregate: zero rows when coverage holds (the when folds to
-    // false), a raise when it doesn't. Neither a Filter on the output
-    // (never evaluated when the output is empty — empty membership
-    // against non-empty edges) nor a broadcast crossJoin (folded away
-    // whole by empty-relation propagation in the same case) survives
-    // every optimizer path; a union branch whose filter CAN emit rows
-    // does.
+    // The gate is the LEADING union branch of the output, riding the
+    // 1-row aggregate: zero rows when coverage holds (the when folds
+    // to false), a raise when it doesn't. See finalizeStats for the
+    // full catalogue of gate shapes some optimizer/execution path
+    // defeats (projected column, output Filter, broadcast crossJoin,
+    // trailing branch under limit short-circuiting) — leading-branch-
+    // on-an-aggregate survives them all.
     val gateRow = unmapped
       .filter(when(col("unmapped") > 0, raise_error(concat(
           lit("membership must cover every edge endpoint — unmapped "),
@@ -299,10 +307,9 @@ object Modularity {
         .otherwise(lit(false)))
       .select(lit(0L).as("node_id"), lit("").as("comm_old"),
         lit("").as("comm_new"), lit(0L).as("dq_num"))
-    mem.join(moves, Seq("node_id"), "left")
+    gateRow.unionByName(mem.join(moves, Seq("node_id"), "left")
       .select(col("node_id"), col("community").as("comm_old"),
         coalesce(col("to_c"), col("community")).as("comm_new"),
-        coalesce(col("dq"), lit(0L)).as("dq_num"))
-      .unionByName(gateRow)
+        coalesce(col("dq"), lit(0L)).as("dq_num")))
   }
 }

@@ -754,7 +754,6 @@ object ScaleSmoke {
         val per = L / segs
         val tmpd = java.nio.file.Files
           .createTempDirectory("graft-cc-stream").toString
-        import spark.implicits._
         def seg(i: Int): DataFrame =
           spark.range(i.toLong * per, (i + 1).toLong * per)
             .select(lpad(col("id").cast("string"), 8, "0").as("src"),
@@ -768,9 +767,11 @@ object ScaleSmoke {
         val stream = spark.readStream.schema(schema)
           .option("maxFilesPerTrigger", 1).parquet(s"$tmpd/in")
         var nodes = 0L
+        var lastLab: DataFrame = null
         val q = graft.streaming.ArtifactStreams
           .connectedComponentsStream(stream) { (lab, _) =>
             nodes = lab.count()
+            lastLab = lab
           }
         val walls = scala.collection.mutable.ListBuffer[String]()
         for (i <- 0 until segs) {
@@ -782,6 +783,11 @@ object ScaleSmoke {
           walls += "%.2f".format(sec)
         }
         q.stop()
+        // The final carried label table is a pinned checkpoint no
+        // tracking scope owns here — release it or each multiple leaks
+        // one label table's blocks into every later section.
+        if (lastLab != null)
+          graft.operators.CacheScope.unpinCheckpoint(lastLab)
         println(s"$m,$n,cc_stream,chain=$L,nodes=$nodes," +
           s"trigger_secs=${walls.mkString("/")}")
       }

@@ -103,6 +103,17 @@ class ModularitySpec extends SparkSpec {
     }
     assert(messages(eEmpty).exists(_.contains("cover every edge endpoint")),
       s"unexpected failure: $eEmpty")
+    // Limit short-circuiting must not skip the gate either: take(1) on
+    // a violating frame with valid-looking rows available. CollectLimit
+    // consumes union partitions in order and stops once satisfied, so a
+    // TRAILING gate branch would never run — the gate branch LEADS.
+    val eLimit = intercept[Exception] {
+      Modularity.communityStats(
+        Seq((0L, 1L), (1L, 2L)).toDF("src", "dst"),
+        Seq((0L, "a"), (1L, "a")).toDF("node_id", "community")).take(1)
+    }
+    assert(messages(eLimit).exists(_.contains("cover every edge endpoint")),
+      s"unexpected failure: $eLimit")
   }
 
   test("the coverage gate is prune-proof: projecting away q_num still refuses") {
