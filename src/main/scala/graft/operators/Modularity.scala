@@ -57,9 +57,16 @@ object Modularity {
     val e = canonEdges(edges, weightCol)
       .localCheckpoint(true)
       .transform(CacheScope.pinCheckpointed) // backs the returned plan
+    // Checkpoint the community-sized partial: finalizeStats reads it
+    // from THREE subtrees (node join, broadcast total, gate branch) —
+    // off a live plan each would re-run the membership joins; off this
+    // tiny checkpoint the re-reads are free. (The streaming face's
+    // artifact arrives already checkpointed by foldStream.)
     finalizeStats(
       partialStats(e.select(col("s").as("src"), col("d").as("dst"),
-        col("w")), membership, Some("w")),
+        col("w")), membership, Some("w"))
+        .localCheckpoint(true)
+        .transform(CacheScope.pinCheckpointed),
       membership)
   }
 
@@ -150,11 +157,15 @@ object Modularity {
   def finalizeStats(partial: DataFrame, membership: DataFrame): DataFrame = {
     val mem = membership.select(col("node_id").cast("long").as("node_id"),
       col("community").cast("string").as("community"))
-    // Pinned: read twice (the broadcast total AND the gate branch) —
-    // unpinned, each would re-aggregate `partial`, which in
-    // [[communityStats]] re-runs the membership joins and in the
-    // streaming face costs an extra pass per trigger.
-    val mTot = CacheScope.pin(partial
+    // mTot is aggregated twice (the broadcast total AND the gate
+    // branch) — deliberately NOT cached here: finalizeStats runs once
+    // per TRIGGER in the streaming face, where an unscoped persist
+    // would accumulate one CacheManager entry per trigger for the
+    // stream's lifetime (the leak class CacheScope exists to prevent).
+    // Both consumers re-aggregate `partial` instead, which every caller
+    // makes cheap: the stream's artifact is already a checkpoint
+    // (foldStream), and communityStats checkpoints its partial below.
+    val mTot = partial
       .agg(coalesce(sum(col("degree_sum")), lit(0L)).as("deg2"),
         coalesce(sum(when(col("community").isNull, col("degree_sum"))),
           lit(0L)).as("unmapped"))
@@ -162,7 +173,7 @@ object Modularity {
       // contributes its weight to exactly two endpoint slots): `expr`
       // DIV stays exact past 2^53, where double division would round
       // (the same class as IntervalJoin's grid fix, ADVICE r11).
-      .select(expr("deg2 DIV 2").as("m_tot"), col("unmapped")))
+      .select(expr("deg2 DIV 2").as("m_tot"), col("unmapped"))
     val nodes = mem.groupBy(col("community"))
       .agg(count(lit(1)).as("n_nodes"))
     val internal0 = coalesce(col("internal_edges"), lit(0L))
