@@ -43,7 +43,13 @@ object Ingester {
       // sized array cell (SearchIndex.build nDocShards — the r12 OOM
       // fix). Search results are shard-agnostic; 32 keeps per-row state
       // ~= df/32 at any corpus size this pipeline meets.
-      indexDocShards: Int = 32)
+      indexDocShards: Int = 32,
+      // Also write the POSITIONAL index artifact (step 9b) so phrase /
+      // sloppy-phrase search serves from pipeline output without a
+      // bespoke build (VERDICT r12 #5). Same doc-shard bound — the
+      // positional artifact is strictly bigger per term, so the
+      // stop-word row bound matters here first.
+      indexPositional: Boolean = true)
 
   final case class Result(
       documents: DataFrame,
@@ -107,11 +113,18 @@ object Ingester {
       cfg.outputDir)
     GraphML.write(keptNodes, keptEdges, s"${cfg.outputDir}/social_network.graphml")
     // 9: the search-index artifact (the reference's Lucene build step),
-    // doc-sharded so no term's postings collect into one row.
+    // doc-sharded so no term's postings collect into one row; 9b: the
+    // positional twin, serving phrase/sloppy search straight from the
+    // pipeline's output directory.
     SearchIndex.write(
       SearchIndex.build(docs, "doc_id", "text",
         nDocShards = cfg.indexDocShards),
       s"${cfg.outputDir}/search_index")
+    if (cfg.indexPositional)
+      SearchIndex.write(
+        SearchIndex.buildPositional(docs, "doc_id", "text",
+          nDocShards = cfg.indexDocShards),
+        s"${cfg.outputDir}/search_index_positional")
 
     Result(docs, mentions, entities, assignment, edges, docEntity, geo)
   }
@@ -145,13 +158,20 @@ object Ingester {
   }
 
   /** Step 9 standalone: documents checkpoint → search_index artifact
-    * (doc-sharded — the same posting-row bound as the full run). */
+    * (doc-sharded — the same posting-row bound as the full run), plus
+    * the positional twin unless disabled. */
   def indexStage(spark: SparkSession, stageDir: String,
-      nDocShards: Int = 32): Unit =
+      nDocShards: Int = 32, positional: Boolean = true): Unit = {
+    val docs = spark.read.parquet(s"$stageDir/documents")
     SearchIndex.write(
-      SearchIndex.build(spark.read.parquet(s"$stageDir/documents"),
-        "doc_id", "text", nDocShards = nDocShards),
+      SearchIndex.build(docs, "doc_id", "text", nDocShards = nDocShards),
       s"$stageDir/search_index")
+    if (positional)
+      SearchIndex.write(
+        SearchIndex.buildPositional(docs, "doc_id", "text",
+          nDocShards = nDocShards),
+        s"$stageDir/search_index_positional")
+  }
 
   /** Step 7: entity_raw checkpoint → geolocation_raw. */
   def geocodeStage(spark: SparkSession, stageDir: String,

@@ -51,10 +51,11 @@ object Modularity {
    * Σ degree_sum / 2 exactly like m does).
    */
   def communityStats(edges: DataFrame, membership: DataFrame,
-      weightCol: Option[String] = None): DataFrame = {
+      weightCol: Option[String] = None,
+      selfLoops: Boolean = false): DataFrame = {
     // Pinned: reused by the tagging joins and (through them) both
     // aggregates of partialStats.
-    val e = canonEdges(edges, weightCol)
+    val e = canonEdges(edges, weightCol, selfLoops)
       .localCheckpoint(true)
       .transform(CacheScope.pinCheckpointed) // backs the returned plan
     // Checkpoint the community-sized partial: finalizeStats reads it
@@ -64,24 +65,30 @@ object Modularity {
     // artifact arrives already checkpointed by foldStream.)
     finalizeStats(
       partialStats(e.select(col("s").as("src"), col("d").as("dst"),
-        col("w")), membership, Some("w"))
+        col("w")), membership, Some("w"), selfLoops)
         .localCheckpoint(true)
         .transform(CacheScope.pinCheckpointed),
       membership)
   }
 
   /** The single home of the canonical undirected merge (shared by
-    * [[communityStats]] and [[greedyMoveRound]] so the multigraph rule
-    * cannot diverge between the scorecard and the move round):
-    * (s < d, w) with self-loops dropped; unweighted repeats dedup to
-    * ONE edge, weighted repeats and orientations SUM. */
-  private def canonEdges(edges: DataFrame,
-      weightCol: Option[String]): DataFrame = edges
-    .select(least(col("src"), col("dst")).cast("long").as("s"),
-      greatest(col("src"), col("dst")).cast("long").as("d"),
+    * [[communityStats]], [[greedyMoveRound]] and [[coarsen]] so the
+    * multigraph rule cannot diverge between the scorecard, the move
+    * round and the coarsening): (s ≤ d, w); unweighted repeats dedup
+    * to ONE edge, weighted repeats and orientations SUM. Ids cast to
+    * long BEFORE least/greatest — string ids (a coarse graph's
+    * community labels) would otherwise canonicalize lexicographically
+    * ("10" < "2") and the numeric s ≤ d filter would silently DROP the
+    * mis-oriented pair. `selfLoops = false` (every pre-round-13
+    * caller) drops s = d rows; `true` keeps them — a coarse graph
+    * carries community-internal mass as self-loops ([[coarsen]]). */
+  private def canonEdges(edges: DataFrame, weightCol: Option[String],
+      selfLoops: Boolean = false): DataFrame = edges
+    .select(least(col("src").cast("long"), col("dst").cast("long")).as("s"),
+      greatest(col("src").cast("long"), col("dst").cast("long")).as("d"),
       weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
         .as("w0"))
-    .filter(col("s") < col("d"))
+    .filter(if (selfLoops) col("s") <= col("d") else col("s") < col("d"))
     .groupBy(col("s"), col("d"))
     .agg((if (weightCol.isDefined) sum(col("w0")) else min(col("w0")))
       .as("w"))
@@ -107,13 +114,22 @@ object Modularity {
    * action per call — per BATCH in the streaming face, ADVICE r10).
    */
   def partialStats(edges: DataFrame, membership: DataFrame,
-      weightCol: Option[String] = None): DataFrame = {
+      weightCol: Option[String] = None,
+      selfLoops: Boolean = false): DataFrame = {
+    // With selfLoops (a COARSE graph — [[coarsen]]'s output), an s = d
+    // row is community-internal mass: it contributes w to its
+    // community's internal weight (the cs = cd branch counts it once)
+    // and 2w to its degree (both endpoint slots land on the same
+    // community) — exactly the convention under which the coarse
+    // scorecard equals the fine one (ModularitySpec pins it).
     val e = edges
-      .select(least(col("src"), col("dst")).cast("long").as("s"),
-        greatest(col("src"), col("dst")).cast("long").as("d"),
+      .select(least(col("src").cast("long"), col("dst").cast("long"))
+          .as("s"),
+        greatest(col("src").cast("long"), col("dst").cast("long"))
+          .as("d"),
         weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
           .as("w"))
-      .filter(col("s") < col("d"))
+      .filter(if (selfLoops) col("s") <= col("d") else col("s") < col("d"))
     val mem = membership.select(col("node_id").cast("long").as("node_id"),
       col("community").cast("string").as("community"))
     val tagged = e
@@ -167,13 +183,20 @@ object Modularity {
     // (foldStream), and communityStats checkpoints its partial below.
     val mTot = partial
       .agg(coalesce(sum(col("degree_sum")), lit(0L)).as("deg2"),
+        // Gate on ROW EXISTENCE, not weight mass (ADVICE r12): an
+        // unmapped endpoint reachable only through zero-weight edges
+        // folds to degree_sum = 0, and negative weights could cancel a
+        // sum — a null-community ROW is the violation, whatever its
+        // mass. The mass still rides along for the error message.
+        count(when(col("community").isNull, lit(1))).as("unmapped_rows"),
         coalesce(sum(when(col("community").isNull, col("degree_sum"))),
           lit(0L)).as("unmapped"))
       // Integral halving (deg2 is even by construction — every edge
       // contributes its weight to exactly two endpoint slots): `expr`
       // DIV stays exact past 2^53, where double division would round
       // (the same class as IntervalJoin's grid fix, ADVICE r11).
-      .select(expr("deg2 DIV 2").as("m_tot"), col("unmapped"))
+      .select(expr("deg2 DIV 2").as("m_tot"), col("unmapped"),
+        col("unmapped_rows"))
     val nodes = mem.groupBy(col("community"))
       .agg(count(lit(1)).as("n_nodes"))
     val internal0 = coalesce(col("internal_edges"), lit(0L))
@@ -192,15 +215,30 @@ object Modularity {
     // gate at the end). Leading, the gate's partition is consumed
     // first under any limit, emits nothing when valid, and the
     // aggregate beneath it produces its row even over empty input.
+    // Sentinel columns are DERIVED from the aggregate, never literals
+    // (ADVICE r12): a caller predicate that excludes the sentinel row
+    // (e.g. .filter(n_nodes > 0)) pushes through the Union into this
+    // branch; over literal columns it CONSTANT-FOLDS to false and
+    // PruneFilters/PropagateEmptyRelation delete the branch, gate and
+    // all. Even `unmapped_rows * 0` folds (the count is non-nullable,
+    // so Spark 4's arithmetic simplification rewrites it to 0 —
+    // verified against the optimized plan). A CASE on the aggregate
+    // column is opaque to every simplification rule: the pushed
+    // predicate stays unfoldable, the branch survives, and the gate
+    // filter below it still raises. The branch emits zero rows either
+    // way, so the values are schema-only.
+    val zeroL = when(col("unmapped_rows") < 0, lit(1L)).otherwise(lit(0L))
+    val zeroS = substring(col("unmapped_rows").cast("string"), 1, 0)
     val gateRow = mTot
-      .filter(when(col("unmapped") > 0, raise_error(concat(
+      .filter(when(col("unmapped_rows") > 0, raise_error(concat(
           lit("membership must cover every edge endpoint — "),
-          col("unmapped").cast("string"),
-          lit(" unmapped endpoint slot(s) in the folded artifact"))))
+          col("unmapped_rows").cast("string"),
+          lit(" unmapped artifact row(s), endpoint weight "),
+          col("unmapped").cast("string"))))
         .otherwise(lit(false)))
-      .select(lit("").as("community"), lit(0L).as("n_nodes"),
-        lit(0L).as("internal_edges"), lit(0L).as("degree_sum"),
-        lit(0L).as("cut"), lit(0L).as("q_num"))
+      .select(zeroS.as("community"), zeroL.as("n_nodes"),
+        zeroL.as("internal_edges"), zeroL.as("degree_sum"),
+        zeroL.as("cut"), zeroL.as("q_num"))
     gateRow.unionByName(nodes
       .join(partial, Seq("community"), "left")
       .crossJoin(broadcast(mTot))
@@ -246,14 +284,24 @@ object Modularity {
    *         and dq_num = 0 for stayers (including edge-free nodes)
    */
   def greedyMoveRound(edges: DataFrame, membership: DataFrame,
-      weightCol: Option[String] = None): DataFrame = {
-    val canon = canonEdges(edges, weightCol)
+      weightCol: Option[String] = None,
+      selfLoops: Boolean = false): DataFrame = {
+    val canon = canonEdges(edges, weightCol, selfLoops)
       .localCheckpoint(true)
       .transform(CacheScope.pinCheckpointed)
     val mem = membership.select(col("node_id").cast("long").as("node_id"),
       col("community").cast("string").as("community"))
-    val sym = canon.select(col("s").as("i"), col("d").as("j"), col("w"))
-      .union(canon.select(col("d").as("i"), col("s").as("j"), col("w")))
+    // Self-loop algebra (the COARSE-graph face, selfLoops = true): a
+    // node's self-loop travels WITH it on any move, so it cancels out
+    // of the gain — the Δ formula below is unchanged — PROVIDED d_i
+    // includes the self-loop's 2w (both endpoint slots) while w(i,c)
+    // excludes it (a self-loop links i to no other node). Hence: `sym`
+    // (feeding the neighbor tag and w_ic) is built from the non-self
+    // pairs only; `deg` adds 2w per self-loop; W keeps the self mass.
+    val nonSelf =
+      if (selfLoops) canon.filter(col("s") < col("d")) else canon
+    val sym = nonSelf.select(col("s").as("i"), col("d").as("j"), col("w"))
+      .union(nonSelf.select(col("d").as("i"), col("s").as("j"), col("w")))
     // Neighbor-community tag. No per-row null gate here: downstream
     // joins on cj are null-rejecting, so Catalyst INFERS isnotnull(cj)
     // and would evaluate it below a row-level raise — the unmapped rows
@@ -266,15 +314,26 @@ object Modularity {
     val tagged = sym
       .join(mem.select(col("node_id").as("j"), col("community").as("cj")),
         Seq("j"), "left")
-    val deg = sym.groupBy(col("i")).agg(sum(col("w")).as("d_i"))
+    val deg = (if (selfLoops)
+        sym.select(col("i"), col("w")).unionByName(
+          canon.filter(col("s") === col("d"))
+            .select(col("s").as("i"), (col("w") * 2L).as("w")))
+      else sym)
+      .groupBy(col("i")).agg(sum(col("w")).as("d_i"))
     // Pinned: read three times (candidate targets, w(i,a), the gate).
     val wicAll = tagged.groupBy(col("i"), col("cj"))
       .agg(sum(col("w")).as("w_ic"))
       .localCheckpoint(true)
       .transform(CacheScope.pinCheckpointed)
+    // Row existence, not weight mass (ADVICE r12): an endpoint reached
+    // only by zero-weight edges has w_ic = 0 and a mass gate would pass
+    // it straight into the null-rejecting joins, silently dropping the
+    // node's candidates. A null-cj GROUP in the aggregate is the
+    // violation regardless of its weight.
     val unmapped = wicAll
-      .agg(coalesce(sum(when(col("cj").isNull, col("w_ic"))), lit(0L))
-        .as("unmapped"))
+      .agg(count(when(col("cj").isNull, lit(1))).as("unmapped_rows"),
+        coalesce(sum(when(col("cj").isNull, col("w_ic"))), lit(0L))
+          .as("unmapped"))
     val wic = wicAll.filter(col("cj").isNotNull)
     val sc = deg.join(mem.select(col("node_id").as("i"), col("community")),
         Seq("i"))
@@ -311,16 +370,94 @@ object Modularity {
     // defeats (projected column, output Filter, broadcast crossJoin,
     // trailing branch under limit short-circuiting) — leading-branch-
     // on-an-aggregate survives them all.
+    // Sentinels derived from the aggregate so a pushed caller predicate
+    // (e.g. the natural movers-only .filter(dq_num > 0)) cannot
+    // constant-fold this branch away — see finalizeStats' gate comment
+    // (a CASE on the aggregate column; even *0 folds in Spark 4).
+    val zeroL = when(col("unmapped_rows") < 0, lit(1L)).otherwise(lit(0L))
+    val zeroS = substring(col("unmapped_rows").cast("string"), 1, 0)
     val gateRow = unmapped
-      .filter(when(col("unmapped") > 0, raise_error(concat(
-          lit("membership must cover every edge endpoint — unmapped "),
-          lit("endpoint weight "), col("unmapped").cast("string"))))
+      .filter(when(col("unmapped_rows") > 0, raise_error(concat(
+          lit("membership must cover every edge endpoint — "),
+          col("unmapped_rows").cast("string"),
+          lit(" node(s) with unmapped neighbors, endpoint weight "),
+          col("unmapped").cast("string"))))
         .otherwise(lit(false)))
-      .select(lit(0L).as("node_id"), lit("").as("comm_old"),
-        lit("").as("comm_new"), lit(0L).as("dq_num"))
+      .select(zeroL.as("node_id"), zeroS.as("comm_old"),
+        zeroS.as("comm_new"), zeroL.as("dq_num"))
     gateRow.unionByName(mem.join(moves, Seq("node_id"), "left")
       .select(col("node_id"), col("community").as("comm_old"),
         coalesce(col("to_c"), col("community")).as("comm_new"),
         coalesce(col("dq"), lit(0L)).as("dq_num")))
+  }
+
+  /**
+   * Louvain PHASE 2 — graph coarsening (Blondel et al. 2008 §2): each
+   * community becomes a SUPER-NODE; intra-community weight becomes the
+   * super-node's SELF-LOOP mass; inter-community weight sums into one
+   * super-edge per community pair. The output is an edge list
+   * (src, dst, w) — src/dst are the community labels, self-loops
+   * included — built so the scorecard is CONSERVED exactly: total
+   * weight W(coarse) = W(fine) (every canonical fine edge lands in
+   * exactly one coarse group), and for any coarse membership M,
+   * communityStats(coarse, M, selfLoops = true) has the same total
+   * q_num as communityStats(fine, M ∘ membership) — a self-loop of
+   * weight w counts w toward internal mass and 2w toward degree, which
+   * is what makes S_c and w_in(c) match across levels (ModularitySpec
+   * pins both identities on random graphs).
+   *
+   * To continue the ladder (move rounds on the coarse graph —
+   * [[greedyMoveRound]] with selfLoops = true), community labels must
+   * be long-castable: the standard Louvain convention keys communities
+   * by node id (singleton init), which satisfies it by construction.
+   *
+   * Coverage gate: an edge endpoint missing from `membership` refuses
+   * at execution time (a silently dropped endpoint would delete its
+   * edge mass from the coarse graph) — the leading-union-branch shape
+   * with CASE-derived sentinels, as everywhere in this file.
+   *
+   * Cost shape: one canonical merge, two membership equi-joins
+   * (node-sized right sides — broadcast under AQE or co-partitioned at
+   * scale), one map-side-combined aggregate on the community-pair key.
+   * Output is community-pair-sized — the whole point of phase 2: the
+   * next move rounds run on a graph that shrank by the community
+   * count.
+   *
+   * @param selfLoops the INPUT may itself carry self-loops (true when
+   *                  coarsening an already-coarse graph — level ≥ 2 of
+   *                  a full Louvain run); their mass folds into the
+   *                  community's internal weight like any intra edge
+   */
+  def coarsen(edges: DataFrame, membership: DataFrame,
+      weightCol: Option[String] = None,
+      selfLoops: Boolean = false): DataFrame = {
+    val canon = canonEdges(edges, weightCol, selfLoops)
+    val mem = membership.select(col("node_id").cast("long").as("node_id"),
+      col("community").cast("string").as("community"))
+    val tagged = canon
+      .join(mem.select(col("node_id").as("s"), col("community").as("cs")),
+        Seq("s"), "left")
+      .join(mem.select(col("node_id").as("d"), col("community").as("cd")),
+        Seq("d"), "left")
+      .localCheckpoint(true)
+      .transform(CacheScope.pinCheckpointed) // read by the gate AND the output
+    val unmapped = tagged
+      .agg(count(when(col("cs").isNull || col("cd").isNull, lit(1)))
+        .as("unmapped_rows"))
+    val zeroL = when(col("unmapped_rows") < 0, lit(1L)).otherwise(lit(0L))
+    val zeroS = substring(col("unmapped_rows").cast("string"), 1, 0)
+    val gateRow = unmapped
+      .filter(when(col("unmapped_rows") > 0, raise_error(concat(
+          lit("membership must cover every edge endpoint — "),
+          col("unmapped_rows").cast("string"),
+          lit(" edge(s) with an unmapped endpoint would lose their "),
+          lit("mass in the coarse graph"))))
+        .otherwise(lit(false)))
+      .select(zeroS.as("src"), zeroS.as("dst"), zeroL.as("w"))
+    gateRow.unionByName(tagged
+      .select(least(col("cs"), col("cd")).as("src"),
+        greatest(col("cs"), col("cd")).as("dst"), col("w"))
+      .groupBy(col("src"), col("dst"))
+      .agg(sum(col("w")).as("w")))
   }
 }

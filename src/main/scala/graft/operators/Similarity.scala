@@ -294,7 +294,8 @@ object Similarity {
       idCol: String, vecCol: String, k: Int,
       nLists: Int = 16, nProbe: Int = 4,
       seed: Long = 42L, maxIter: Int = 5,
-      fixedCentroids: Option[Array[Array[Double]]] = None): DataFrame = {
+      fixedCentroids: Option[Array[Array[Double]]] = None,
+      broadcastQueries: Boolean = true): DataFrame = {
     val (cells, centroids) =
       cellAssign(corpus, idCol, vecCol, nLists, seed, maxIter, fixedCentroids)
     val stats = sq8Stats(corpus, vecCol)
@@ -319,7 +320,8 @@ object Similarity {
       .orderBy(col("q_dot").desc, col("n_id"))
     val wF = Window.partitionBy(col("q_id"))
       .orderBy(col("f_dot").desc, col("n_id"))
-    val ranked = coded.join(broadcast(probed), Seq("cell"))
+    val ranked = coded
+      .join(if (broadcastQueries) broadcast(probed) else probed, Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("q_dot", idot(col("q_code"), col("n_code")))
       .withColumn("f_dot", idot(col("q_fix"), col("n_fix")))
@@ -416,10 +418,23 @@ object Similarity {
    * first four columns at the same parameters (DedupSpec); the
    * float-recall diagnostic column stays on the inline face, which is
    * the one that re-reads raw vectors anyway.
+   *
+   * `broadcastQueries` (VERDICT r12 #4): the default broadcasts the
+   * probed query frame — right for the serving face's normal shape (a
+   * bounded query batch against a large artifact), an OOM at the
+   * driver when the query set is CORPUS-SIZED (building semantic-dedup
+   * pairs through the quantized path). Pass false to join by SHUFFLE
+   * on the cell key instead: both sides partition by cell, nothing
+   * collects anywhere, and the plan scales to queries ≈ corpus
+   * ([[semanticDedupQuantized]] routes through it; AnnSpec pins
+   * shuffle == broadcast results under a disabled auto-broadcast
+   * threshold; ScaleSmoke's sq8_serve_fanout row measures the
+   * corpus-sized-query regime).
    */
   def ivfTopKQuantizedServe(artifact: DataFrame, centroids: DataFrame,
       stats: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      dim: Int, k: Int, nProbe: Int = 4): DataFrame = {
+      dim: Int, k: Int, nProbe: Int = 4,
+      broadcastQueries: Boolean = true): DataFrame = {
     val wq = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("cell"))
     val probed = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
       .crossJoin(broadcast(stats))
@@ -436,12 +451,52 @@ object Similarity {
     artifact
       .select(col("n_id"), col("cell"),
         unpackCodes(col("packed"), dim).as("n_code"))
-      .join(broadcast(probed), Seq("cell"))
+      .join(if (broadcastQueries) broadcast(probed) else probed, Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("q_dot", sq8DotExpr(col("q_code"), col("n_code")))
       .withColumn("rank", row_number().over(wS))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("n_id"), col("q_dot"))
+  }
+
+  /**
+   * SemDeDup through the QUANTIZED serving path — the corpus-sized-
+   * query consumer of [[ivfTopKQuantizedServe]]'s shuffle join
+   * (VERDICT r12 #4): build the [[sq8IvfArtifact]] once, serve the
+   * CORPUS AS ITS OWN QUERY SET (broadcastQueries = false — a
+   * corpus-sized broadcast would OOM the driver; the shuffle join
+   * partitions both sides by cell), keep neighbor pairs whose exact
+   * BIGINT quantized dot clears `minDot`, canonicalized (id_a < id_b,
+   * deduped — a pair surfacing from both endpoints' top-k collapses).
+   * Candidate scope is IVF's: pairs sharing a probed cell, the same
+   * recall contract as [[semanticDedup]]'s cell partition but scored
+   * on 1-byte codes — at 100 TB the pair generation reads the packed
+   * artifact (≈7× smaller than float64, SCALE.md sq8_bytes), not the
+   * raw embeddings. `minDot` is a quantized-score threshold; calibrate
+   * it against a float cosine with [[ivfTopKQuantized]]'s
+   * n_in_float_topk recall column on a sample.
+   *
+   * @return (id_a, id_b, q_dot) — exact integers end to end, so the
+   *         readout sits under a cross-engine hash oracle
+   */
+  def semanticDedupQuantized(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, k: Int, minDot: Long, nLists: Int = 16, nProbe: Int = 4,
+      seed: Long = 42L, maxIter: Int = 5,
+      fixedCentroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    val (artifact0, centroids, stats) =
+      sq8IvfArtifact(df, idCol, vecCol, dim, nLists, seed, maxIter,
+        fixedCentroids)
+    // Pinned: the artifact backs BOTH join sides (packed candidates and
+    // the probing queries are the same corpus) — unpinned, the coding
+    // pipeline would run twice.
+    val artifact = CacheScope.pin(artifact0)
+    ivfTopKQuantizedServe(artifact, centroids, stats, df, idCol, vecCol,
+        dim, k, nProbe, broadcastQueries = false)
+      .filter(col("q_dot") >= minDot)
+      .select(least(col("q_id"), col("n_id")).as("id_a"),
+        greatest(col("q_id"), col("n_id")).as("id_b"), col("q_dot"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("q_dot")).as("q_dot"))
   }
 
   /**

@@ -1910,6 +1910,90 @@ object LlmQueries {
              WHERE r.rank <= 5
              ORDER BY q_id, rank""")),
 
+    // ---- SemDeDup through the QUANTIZED serving path (VERDICT r12
+    // #4's consumer): the corpus serves as its OWN query set through
+    // ivfTopKQuantizedServe's SHUFFLE join (broadcastQueries = false —
+    // a corpus-sized broadcast would OOM the driver at scale); pairs
+    // clearing the integer-dot threshold canonicalize and dedup. All
+    // scores exact BIGINT, so the pair set hash-matches the oracle,
+    // which composes q233's cell/code CTEs with an all-queries probe,
+    // the top-k window, and the least/greatest pair collapse.
+    Q("q242_semdedup_quantized",
+      (s, d) => {
+        val e = T.embeddings(s, d)
+        Similarity.semanticDedupQuantized(e, "vec_id", "embedding",
+            dim = 64, k = 5, minDot = 1200000L, nLists = 16, nProbe = 4,
+            fixedCentroids = Some(Similarity.portableCentroids(16, 64)))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH cents AS (
+               SELECT c.cell, d.dim,
+                 (CAST('0x' || substr(md5('c|' || CAST(c.cell AS VARCHAR) ||
+                    '|' || CAST(d.dim AS VARCHAR)), 1, 8) AS BIGINT)
+                  / 2147483648.0 - 1.0) * 0.25 AS w
+               FROM range(16) c(cell) CROSS JOIN range(64) d(dim)),
+             clists AS (
+               SELECT cell, list(w ORDER BY dim) AS cvec
+               FROM cents GROUP BY cell),
+             v AS (
+               SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+               FROM embeddings),
+             ev AS (
+               SELECT vec_id, i AS di, emb[i] AS val
+               FROM v, LATERAL (SELECT unnest(generate_series(1, 64)) AS i)),
+             stats AS (
+               SELECT di, min(val) AS mn, max(val) AS mx FROM ev GROUP BY di),
+             codes AS (
+               SELECT vec_id, ev.di,
+                 CASE WHEN mx > mn THEN greatest(CAST(0 AS BIGINT),
+                   least(CAST(255 AS BIGINT),
+                     CAST(floor((val - mn) * 255.0 / (mx - mn))
+                       AS BIGINT)))
+                 ELSE 0 END AS q
+               FROM ev JOIN stats ON ev.di = stats.di),
+             d2s AS (
+               SELECT v.vec_id, c.cell,
+                 list_inner_product(
+                   list_transform(range(1, 65), i -> emb[i] - cvec[i]),
+                   list_transform(range(1, 65), i -> emb[i] - cvec[i])) AS d2
+               FROM v CROSS JOIN clists c),
+             assign AS (
+               SELECT vec_id AS n_id, cell FROM (
+                 SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY d2, cell) AS rn
+                 FROM d2s) WHERE rn = 1),
+             probed AS (
+               SELECT vec_id AS q_id, cell FROM (
+                 SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY d2, cell) AS cr
+                 FROM d2s) WHERE cr <= 4),
+             cand AS (
+               SELECT p.q_id, a.n_id
+               FROM probed p JOIN assign a ON a.cell = p.cell
+               WHERE a.n_id <> p.q_id),
+             dots AS (
+               SELECT c.q_id, c.n_id,
+                 CAST(sum(qa.q * qb.q) AS BIGINT) AS q_dot
+               FROM cand c
+               JOIN codes qa ON qa.vec_id = c.q_id
+               JOIN codes qb ON qb.vec_id = c.n_id AND qb.di = qa.di
+               GROUP BY 1, 2),
+             ranked AS (
+               SELECT q_id, n_id, q_dot,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY q_dot DESC, n_id) AS rank
+               FROM dots),
+             pairs AS (
+               SELECT least(q_id, n_id) AS id_a,
+                 greatest(q_id, n_id) AS id_b, q_dot
+               FROM ranked WHERE rank <= 5 AND q_dot >= 1200000)
+             SELECT id_a, id_b, CAST(max(q_dot) AS BIGINT) AS q_dot
+             FROM pairs GROUP BY 1, 2
+             ORDER BY id_a, id_b""")),
+
     // ---- SQ8 code packing under the hash oracle: quantize (q232's
     // recipe), pack 8 codes per BIGINT word (Similarity.packCodes — the
     // signed-top-byte bijection that keeps the 64-bit pack inside

@@ -1922,7 +1922,56 @@ object PipelineQueries {
             col("dq_num").as("dq2")), Seq("node_id"))
           .orderBy(col("node_id"))
       },
-      Some(MoveLadderSql(2)))
+      Some(MoveLadderSql(2))),
+
+    // ---- FULL Louvain level step: move → COARSEN → move (Blondel et
+    // al. 2008's two phases composed). Round 1 defects nations from
+    // the region partition; phase 2 contracts the moved membership
+    // into super-nodes (intra-community mass as SELF-LOOPS — weight
+    // conserved exactly, ModularitySpec); the second move round runs
+    // ON THE COARSE GRAPH under the self-loop algebra (self mass
+    // travels with the node and cancels out of Δ; degree keeps its
+    // 2w). Readout: one row per super-node with its self-loop mass
+    // and its coarse-level move — the oracle unrolls move + coarsen +
+    // self-loop move CTE-for-CTE (CoarsenLadderSql).
+    Q("q241_louvain_coarsen",
+      (s, d) => {
+        val e = T.lineitem(s, d)
+          .join(T.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(T.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(T.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+          .filter(col("l_quantity") >= 40 &&
+            col("c_nationkey") =!= col("s_nationkey"))
+          .groupBy(col("c_nationkey").as("src"),
+            col("s_nationkey").as("dst"))
+          .agg(count(lit(1)).as("w"))
+        val mem0 = T.nation(s, d).select(col("n_nationkey").as("node_id"),
+          col("n_regionkey").as("community"))
+        val mem1 = graft.operators.Modularity
+          .greedyMoveRound(e, mem0, Some("w"))
+          .select(col("node_id"), col("comm_new").as("community"))
+        // Pinned: the coarse edge list is read by the self-loop readout
+        // AND the coarse move round (whose canon merge reads it once
+        // more) — unpinned, the whole fine round would re-execute.
+        val coarse = graft.operators.CacheScope.pin(
+          graft.operators.Modularity.coarsen(e, mem1, Some("w")))
+        val cmem = coarse
+          .select(col("src").as("c")).union(coarse.select(col("dst")))
+          .distinct()
+          .select(col("c").cast("long").as("node_id"),
+            col("c").as("community"))
+        val r2 = graft.operators.Modularity
+          .greedyMoveRound(coarse, cmem, Some("w"), selfLoops = true)
+        val selfw = coarse.filter(col("src") === col("dst"))
+          .select(col("src").cast("long").as("node_id"),
+            col("w").as("self_w"))
+        r2.join(selfw, Seq("node_id"), "left")
+          .select(col("node_id").as("cnode"),
+            coalesce(col("self_w"), lit(0L)).as("self_w"),
+            col("comm_new"), col("dq_num"))
+          .orderBy(col("cnode"))
+      },
+      Some(CoarsenLadderSql))
   )
 
   /** q240 oracle: the greedy-move recursion unrolled — per round a
@@ -1986,6 +2035,117 @@ object PipelineQueries {
         m0.dq AS dq1, m1.dq AS dq2
       FROM move0 m0 JOIN move${rounds - 1} m1 USING (node_id)
       ORDER BY node_id"""
+  }
+
+  /** q241 oracle: one fine move round (MoveLadderSql's round-0 CTEs),
+    * then the COARSENING (community-pair group-by; least/greatest over
+    * the VARCHAR labels exactly as the operator canonicalizes), then a
+    * move round ON the coarse graph under the self-loop algebra:
+    * degree adds 2w per self-loop, w(i,c) excludes self mass, W keeps
+    * it — the same exact-integer Δ formula. */
+  private def CoarsenLadderSql: String = {
+    val head = """WITH raw AS (
+        SELECT c.c_nationkey AS x, su.s_nationkey AS y, count(*) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier su ON l.l_suppkey = su.s_suppkey
+        WHERE l.l_quantity >= 40 AND c.c_nationkey <> su.s_nationkey
+        GROUP BY 1, 2),
+      e AS (SELECT least(x, y) AS s, greatest(x, y) AS d,
+          CAST(sum(w) AS BIGINT) AS w
+        FROM raw GROUP BY 1, 2),
+      wtot AS (SELECT CAST(sum(w) AS BIGINT) AS wt FROM e),
+      sym AS (SELECT s AS i, d AS j, w FROM e
+              UNION ALL SELECT d, s, w FROM e),
+      deg AS (SELECT i, CAST(sum(w) AS BIGINT) AS d_i FROM sym GROUP BY i),
+      mem0 AS (SELECT n_nationkey AS node_id,
+        CAST(n_regionkey AS VARCHAR) AS community FROM nation),
+      wic0 AS (
+        SELECT sym.i, m.community AS cj, CAST(sum(w) AS BIGINT) AS w_ic
+        FROM sym JOIN mem0 m ON sym.j = m.node_id GROUP BY 1, 2),
+      sc0 AS (
+        SELECT m.community, CAST(sum(deg.d_i) AS BIGINT) AS s_c
+        FROM deg JOIN mem0 m ON deg.i = m.node_id GROUP BY 1),
+      cand0 AS (
+        SELECT w1.i, m.community AS a, w1.cj,
+          4 * wtot.wt * (w1.w_ic - coalesce(w2.w_ic, 0))
+            - 2 * deg.d_i * (sb.s_c - sa.s_c + deg.d_i) AS dq
+        FROM wic0 w1
+        JOIN mem0 m ON w1.i = m.node_id
+        LEFT JOIN wic0 w2 ON w2.i = w1.i AND w2.cj = m.community
+        JOIN deg ON deg.i = w1.i
+        JOIN sc0 sb ON sb.community = w1.cj
+        JOIN sc0 sa ON sa.community = m.community
+        CROSS JOIN wtot
+        WHERE w1.cj <> m.community),
+      best0 AS (
+        SELECT i, cj, dq FROM (
+          SELECT i, cj, dq, row_number() OVER (PARTITION BY i
+            ORDER BY dq DESC, cj) AS rn FROM cand0)
+        WHERE rn = 1 AND dq > 0),
+      mem1 AS (
+        SELECT m.node_id, coalesce(b.cj, m.community) AS community
+        FROM mem0 m LEFT JOIN best0 b ON m.node_id = b.i)"""
+    val coarse = """ce AS (
+        SELECT least(ma.community, mb.community) AS s,
+          greatest(ma.community, mb.community) AS d,
+          CAST(sum(e.w) AS BIGINT) AS w
+        FROM e JOIN mem1 ma ON e.s = ma.node_id
+               JOIN mem1 mb ON e.d = mb.node_id
+        GROUP BY 1, 2),
+      cc AS (
+        SELECT least(CAST(s AS BIGINT), CAST(d AS BIGINT)) AS s,
+          greatest(CAST(s AS BIGINT), CAST(d AS BIGINT)) AS d,
+          CAST(sum(w) AS BIGINT) AS w
+        FROM ce GROUP BY 1, 2),
+      cmem AS (
+        SELECT DISTINCT CAST(c AS BIGINT) AS node_id, c AS community
+        FROM (SELECT s AS c FROM ce UNION SELECT d FROM ce)),
+      cwtot AS (SELECT CAST(sum(w) AS BIGINT) AS wt FROM cc),
+      cns AS (SELECT s, d, w FROM cc WHERE s <> d),
+      csym AS (SELECT s AS i, d AS j, w FROM cns
+               UNION ALL SELECT d, s, w FROM cns),
+      cdeg AS (
+        SELECT i, CAST(sum(w) AS BIGINT) AS d_i FROM (
+          SELECT i, w FROM csym
+          UNION ALL SELECT s AS i, 2 * w AS w FROM cc WHERE s = d)
+        GROUP BY i),
+      cwic AS (
+        SELECT csym.i, m.community AS cj, CAST(sum(w) AS BIGINT) AS w_ic
+        FROM csym JOIN cmem m ON csym.j = m.node_id GROUP BY 1, 2),
+      csc AS (
+        SELECT m.community, CAST(sum(cdeg.d_i) AS BIGINT) AS s_c
+        FROM cdeg JOIN cmem m ON cdeg.i = m.node_id GROUP BY 1),
+      ccand AS (
+        SELECT w1.i, m.community AS a, w1.cj,
+          4 * cwtot.wt * (w1.w_ic - coalesce(w2.w_ic, 0))
+            - 2 * cdeg.d_i * (sb.s_c - sa.s_c + cdeg.d_i) AS dq
+        FROM cwic w1
+        JOIN cmem m ON w1.i = m.node_id
+        LEFT JOIN cwic w2 ON w2.i = w1.i AND w2.cj = m.community
+        JOIN cdeg ON cdeg.i = w1.i
+        JOIN csc sb ON sb.community = w1.cj
+        JOIN csc sa ON sa.community = m.community
+        CROSS JOIN cwtot
+        WHERE w1.cj <> m.community),
+      cbest AS (
+        SELECT i, cj, dq FROM (
+          SELECT i, cj, dq, row_number() OVER (PARTITION BY i
+            ORDER BY dq DESC, cj) AS rn FROM ccand)
+        WHERE rn = 1 AND dq > 0),
+      cmove AS (
+        SELECT m.node_id, coalesce(b.cj, m.community) AS comm_new,
+          CAST(coalesce(b.dq, 0) AS BIGINT) AS dq_num
+        FROM cmem m LEFT JOIN cbest b ON m.node_id = b.i),
+      selfw AS (SELECT s AS cnode, w AS self_w FROM cc WHERE s = d)"""
+    s"""$head,
+      $coarse
+      SELECT m.node_id AS cnode,
+        CAST(coalesce(sw.self_w, 0) AS BIGINT) AS self_w,
+        m.comm_new, m.dq_num
+      FROM cmove m LEFT JOIN selfw sw ON m.node_id = sw.cnode
+      ORDER BY cnode"""
   }
 
   /** q199 oracle: the b-suitor rounds unrolled with explicit capacity

@@ -289,11 +289,37 @@ object ArtifactStreams {
    * (foreachBatch is at-least-once; the batch-id guard re-emits
    * without re-folding on redelivery). `sink` receives the label
    * table each trigger and must materialize synchronously.
+   *
+   * RETENTION (the watermark face — without it carried state is
+   * O(all nodes ever seen), which is right for a bounded graph and
+   * wrong for the unbounded edge feed this face exists for): with
+   * `tsCol` + `retention = Some(r)`, the fold tracks each COMPONENT's
+   * latest edge-arrival time (merges take the max, exactly as
+   * components themselves merge) and after each fold expires every
+   * component whose latest arrival is below max(ts seen) − r — the
+   * session-window convention: a component with no activity inside the
+   * horizon is closed and its label rows leave the carried state. A
+   * batch carrying a timestamp below the watermark RAISES (the
+   * [[overlapPairsStream]] lateness contract — loud refusal, never a
+   * silent drop), so a label can never silently diverge from the
+   * batch build over live components. An edge that re-touches an
+   * EXPIRED component's node after expiry starts a FRESH component
+   * containing only post-expiry connectivity — the stated semantics of
+   * closing a session, pinned by CcStreamSpec. `stateProbe` observes
+   * the full carried table each trigger ((id, comp) plus `last_ts`
+   * under retention) — the state-size hook a deployment alerts on and
+   * what the spec asserts expiry with.
    */
-  def connectedComponentsStream(edges: DataFrame, maxIter: Int = 20)(
-      sink: (DataFrame, Long) => Unit): StreamingQuery = {
+  def connectedComponentsStream(edges: DataFrame, maxIter: Int = 20,
+      tsCol: Option[String] = None, retention: Option[Long] = None)(
+      sink: (DataFrame, Long) => Unit,
+      stateProbe: (DataFrame, Long) => Unit = (_, _) => ()): StreamingQuery = {
+    require(retention.forall(_ >= 0), s"retention >= 0: $retention")
+    require(retention.isEmpty || tsCol.isDefined,
+      "retention needs tsCol: the horizon is measured in edge event time")
     var state: Option[DataFrame] = None
     var lastFolded = -1L
+    var highWater: Option[Long] = None
     edges.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (batchId > lastFolded) {
@@ -305,15 +331,66 @@ object ArtifactStreams {
           }
           val labels = graft.operators.ConnectedComponents
             .runAlternating(all, maxIter, strict = true)
-          // runAlternating already returns an eagerly-materialized
-          // localCheckpoint — adopt it as the carried state directly (a
-          // second checkpoint would only copy the blocks) and free the
-          // superseded trigger's blocks.
-          state.foreach(CacheScope.unpinCheckpoint)
-          state = Some(labels)
+          retention match {
+            case None =>
+              // runAlternating already returns an eagerly-materialized
+              // localCheckpoint — adopt it as the carried state directly
+              // (a second checkpoint would only copy the blocks) and free
+              // the superseded trigger's blocks.
+              state.foreach(CacheScope.unpinCheckpoint)
+              state = Some(labels)
+            case Some(r) =>
+              val ts = col(tsCol.get).cast("long")
+              val mm = batch.agg(min(ts).as("mn"), max(ts).as("mx"))
+                .collect()(0)
+              if (!mm.isNullAt(0)) {
+                val bMin = mm.getLong(0)
+                highWater.map(_ - r).foreach { wm =>
+                  if (bMin < wm) throw new IllegalStateException(
+                    s"connectedComponentsStream: batch $batchId contains " +
+                      s"edge time $bMin below the retention watermark $wm " +
+                      s"— late beyond retention $r; widen retention or " +
+                      "bound upstream disorder")
+                }
+                highWater = Some(
+                  highWater.fold(mm.getLong(1))(math.max(_, mm.getLong(1))))
+              }
+              // Per-component latest arrival, re-keyed through the NEW
+              // labels: the carried component key is itself a node id
+              // present in the star edges, so one equi-join maps it; the
+              // batch contributes each edge's time through its src
+              // endpoint (both endpoints share the new component). Max
+              // merges exactly as components merge.
+              val oldTs = state.map(_
+                  .select(col("comp").as("id"), col("last_ts")).distinct())
+                .getOrElse(in.select(col("src").as("id"),
+                  lit(null).cast("long").as("last_ts")).limit(0))
+              val batchTs = batch.select(col("src").cast("string").as("id"),
+                ts.as("last_ts"))
+              val compLast = oldTs.unionByName(batchTs)
+                .join(labels, Seq("id"))
+                .groupBy(col("comp")).agg(max(col("last_ts")).as("last_ts"))
+              val wm = highWater.map(_ - r)
+              val p = batch.sparkSession.sessionState
+                .conf.numShufflePartitions
+              val next = labels
+                .join(wm.fold(compLast)(w =>
+                  compLast.filter(col("last_ts") >= lit(w))), Seq("comp"))
+                .select(col("id"), col("comp"), col("last_ts"))
+                .coalesce(p).localCheckpoint(true)
+              CacheScope.unpinCheckpoint(labels)
+              state.foreach(CacheScope.unpinCheckpoint)
+              state = Some(next)
+          }
           lastFolded = batchId
         }
-        sink(state.get, batchId)
+        // Non-retention: hand the sink the checkpointed frame ITSELF —
+        // callers (ScaleSmoke) release it via unpinCheckpoint, which
+        // no-ops on anything but a bare LogicalRDD. Retention: project
+        // the label columns (the carried table also holds last_ts).
+        sink(if (retention.isEmpty) state.get
+             else state.get.select(col("id"), col("comp")), batchId)
+        stateProbe(state.get, batchId)
       }
       .start()
   }

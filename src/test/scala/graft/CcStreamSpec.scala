@@ -68,4 +68,82 @@ class CcStreamSpec extends SparkSpec {
     // The self-loop singleton survives every trigger.
     assert(after.contains(("z", "z")))
   }
+
+  private val tsSchema = StructType(Seq(
+    StructField("src", StringType), StructField("dst", StringType),
+    StructField("ts", org.apache.spark.sql.types.LongType)))
+
+  test("retention: idle components expire; live labels unchanged; re-touch starts fresh") {
+    // retention 10 on edge event time. Trigger 0 seeds chains A and B;
+    // trigger 1 touches only B at ts 20 → watermark 10 closes A (its
+    // latest arrival is 1); trigger 2 re-touches expired node a1 at
+    // ts 25 — a FRESH component containing only post-expiry
+    // connectivity, never a resurrection of old A.
+    val splits: Seq[Seq[(String, String, Long)]] = Seq(
+      Seq(("a1", "a2", 0L), ("a2", "a3", 1L), ("b1", "b2", 5L)),
+      Seq(("b2", "b3", 20L)),
+      Seq(("a1", "c9", 25L)))
+    val tmp = java.nio.file.Files.createTempDirectory("cc_ret").toString
+    splits.zipWithIndex.foreach { case (part, i) =>
+      if (i > 0) Thread.sleep(1100)
+      part.toDF("src", "dst", "ts").coalesce(1)
+        .write.mode("append").parquet(s"$tmp/in")
+    }
+    val stream = spark.readStream.schema(tsSchema)
+      .option("maxFilesPerTrigger", 1).option("latestFirst", "false")
+      .parquet(s"$tmp/in")
+    val labs = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Set[(String, String)])]
+    val states = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Map[(String, String), Long])]
+    var lastState: DataFrame = null
+    val q = ArtifactStreams.connectedComponentsStream(stream,
+        tsCol = Some("ts"), retention = Some(10L))(
+      (lab, id) => labs += (id -> labelSet(lab)),
+      (st, id) => {
+        states += (id -> st.select("id", "comp", "last_ts")
+          .as[(String, String, Long)].collect()
+          .map(r => (r._1, r._2) -> r._3).toMap)
+        lastState = st
+      })
+    q.processAllAvailable()
+    q.stop()
+    assert(labs.size == 3)
+    // Trigger 0: nothing expires (watermark = 5 − 10 < all times).
+    assert(labs(0)._2 === Set(("a1", "a1"), ("a2", "a1"), ("a3", "a1"),
+      ("b1", "b1"), ("b2", "b1")))
+    // Trigger 1: A expired (latest arrival 1 < watermark 10); B's labels
+    // are exactly the batch build over B's own edges — expiry of a
+    // DISJOINT component perturbs nothing.
+    assert(labs(1)._2 === Set(("b1", "b1"), ("b2", "b1"), ("b3", "b1")))
+    assert(states(1)._2.keySet.map(_._1) === Set("b1", "b2", "b3"))
+    assert(states(1)._2(("b2", "b1")) === 20L)
+    // Trigger 2: the re-touched a1 anchors a FRESH component {a1, c9} —
+    // old members a2/a3 stay gone.
+    assert(labs(2)._2 === Set(("b1", "b1"), ("b2", "b1"), ("b3", "b1"),
+      ("a1", "a1"), ("c9", "a1")))
+    assert(!labs(2)._2.exists(_._1 == "a2"))
+    if (lastState != null)
+      graft.operators.CacheScope.unpinCheckpoint(lastState)
+  }
+
+  test("retention: a batch below the watermark refuses loudly") {
+    val tmp = java.nio.file.Files.createTempDirectory("cc_late").toString
+    Seq(("x1", "x2", 100L)).toDF("src", "dst", "ts").coalesce(1)
+      .write.mode("append").parquet(s"$tmp/in")
+    Thread.sleep(1100)
+    Seq(("y1", "y2", 50L)).toDF("src", "dst", "ts").coalesce(1)
+      .write.mode("append").parquet(s"$tmp/in")
+    val late = spark.readStream.schema(tsSchema)
+      .option("maxFilesPerTrigger", 1).option("latestFirst", "false")
+      .parquet(s"$tmp/in")
+    val q = ArtifactStreams.connectedComponentsStream(late,
+      tsCol = Some("ts"), retention = Some(10L))((_, _) => ())
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    val e = intercept[Exception] { q.processAllAvailable() }
+    assert(chain(e).exists(_.contains("below the retention watermark")),
+      s"unexpected failure: ${chain(e)}")
+  }
 }

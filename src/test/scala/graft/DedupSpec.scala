@@ -766,6 +766,79 @@ class AnnSpec extends SparkSpec {
     assert(served === inline && inline.nonEmpty)
   }
 
+  test("SQ8 serving: the shuffle-join query path == the broadcast path (VERDICT r12 #4)") {
+    // broadcastQueries = false is the corpus-sized-query contract: the
+    // probed frame joins the artifact by SHUFFLE on the cell key. With
+    // auto-broadcast disabled the cell join must really run as a
+    // shuffle join (no driver-side collect of the query set anywhere),
+    // and the results must be identical to the broadcast face.
+    val dims = 8
+    val vecs = (0L until 40L).map { i =>
+      (i, Seq.tabulate(dims)(d => math.sin(i * 1.3 + d * 0.9) * 0.4))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val cents = Similarity.portableCentroids(4, dims)
+    val (artifact, centroids, stats) = Similarity.sq8IvfArtifact(df,
+      "vec_id", "embedding", dims, nLists = 4, fixedCentroids = Some(cents))
+    val viaBroadcast = Similarity.ivfTopKQuantizedServe(artifact, centroids,
+        stats, df, "vec_id", "embedding", dims, k = 3, nProbe = 2)
+      .as[(Long, Int, Long, Long)].collect().toSet
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val shuffled = Similarity.ivfTopKQuantizedServe(artifact, centroids,
+        stats, df, "vec_id", "embedding", dims, k = 3, nProbe = 2,
+        broadcastQueries = false)
+      val plan = shuffled.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") ||
+        plan.contains("ShuffledHashJoin"),
+        s"cell join did not run as a shuffle join:\n$plan")
+      assert(shuffled.as[(Long, Int, Long, Long)].collect().toSet ===
+        viaBroadcast)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
+  test("semanticDedupQuantized == brute-force quantized reference (single cell)") {
+    // nLists = 1 puts every vector in one cell, so the IVF candidate
+    // scope is total and the reference is computable exactly: SQ8-code
+    // each vector with the corpus min/max, integer dots, per-query
+    // top-k (dot desc, id), union of pairs clearing minDot,
+    // canonicalized.
+    val dims = 8
+    val vecs = (0L until 25L).map { i =>
+      i -> Array.tabulate(dims)(d => math.cos(i * 0.8 + d * 1.1) * 0.5)
+    }.toMap
+    val df = vecs.toSeq.map { case (i, v) => (i, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    val k = 4
+    val minDot = 100000L
+    val got = Similarity.semanticDedupQuantized(df, "vec_id", "embedding",
+        dims, k = k, minDot = minDot, nLists = 1,
+        fixedCentroids = Some(Similarity.portableCentroids(1, dims)))
+      .as[(Long, Long, Long)].collect().toSet
+    val mn = Array.tabulate(dims)(d => vecs.values.map(_(d)).min)
+    val mx = Array.tabulate(dims)(d => vecs.values.map(_(d)).max)
+    def code(v: Array[Double]): Array[Long] = Array.tabulate(dims) { d =>
+      if (mx(d) > mn(d))
+        math.max(0L, math.min(255L,
+          math.floor((v(d) - mn(d)) * 255.0 / (mx(d) - mn(d))).toLong))
+      else 0L
+    }
+    val codes = vecs.map { case (i, v) => i -> code(v) }
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val want = codes.keys.flatMap { q =>
+      codes.keys.filter(_ != q).toSeq
+        .map(n => (n, dot(codes(q), codes(n))))
+        .sortBy { case (n, s) => (-s, n) }.take(k)
+        .filter(_._2 >= minDot)
+        .map { case (n, s) => (math.min(q, n), math.max(q, n), s) }
+    }.toSet
+    assert(got === want && want.nonEmpty)
+  }
+
   test("PQ ANN: planted exact duplicate is always rank 1; codes are the compressed artifact") {
     // ADC distance of q to its identical twin = Σ_s min_c d2(q_s, c) —
     // the minimum any vector can score — so the twin MUST rank first

@@ -64,6 +64,35 @@ class IngesterSpec extends SparkSpec {
     assert(gml.contains("JOHN SMITH"))
   }
 
+  test("pipeline positional artifact serves phrase search == a direct build (VERDICT r12 #5)") {
+    val in = writeFixtureCorpus()
+    val out = Files.createTempDirectory("graft-out-pos").toString
+    val r = Ingester.run(spark, Ingester.Config(in, out))
+    assert(Files.exists(Paths.get(s"$out/search_index_positional")),
+      "step 9b must write the positional artifact by default")
+    val fromPipeline = graft.sinks.SearchIndex.searchPhraseSloppy(
+        spark, s"$out/search_index_positional", Seq("John", "Smith"),
+        slop = 0)
+      .as[(Long, Long)].collect().toMap
+    val direct = Files.createTempDirectory("graft-pos-direct").toString
+    graft.sinks.SearchIndex.write(
+      graft.sinks.SearchIndex.buildPositional(
+        r.documents, "doc_id", "text", nDocShards = 32),
+      direct)
+    val fromDirect = graft.sinks.SearchIndex.searchPhraseSloppy(
+        spark, direct, Seq("John", "Smith"), slop = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(fromPipeline === fromDirect && fromPipeline.nonEmpty)
+    // the fixture really phrase-matches: d1 twice, d2 once
+    assert(fromPipeline.values.sum == 3L)
+    // opting out suppresses only the positional twin
+    val out2 = Files.createTempDirectory("graft-out-nopos").toString
+    Ingester.run(spark,
+      Ingester.Config(in, out2, indexPositional = false))
+    assert(Files.exists(Paths.get(s"$out2/search_index")))
+    assert(!Files.exists(Paths.get(s"$out2/search_index_positional")))
+  }
+
   test("GraphML export guard trips before streaming an oversized network") {
     import graft.sinks.GraphML
     val nodes = spark.range(0, 100)

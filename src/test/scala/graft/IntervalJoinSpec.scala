@@ -121,6 +121,48 @@ class IntervalJoinSpec extends SparkSpec {
     }
   }
 
+  test("autoSalt: engages on the hot fixture with identical output; stays off on uniform input") {
+    val rnd = new Random(17)
+    // hot shape: everything lands in ONE grid cell — the probe's
+    // hottest-cell mass is the whole join, far above the engage factor.
+    val ls = (1 to 80).map(i => (100L + i, rnd.nextInt(50).toLong,
+      rnd.nextInt(50).toLong + 50L))
+    val rs = (1 to 80).map(i => (500L + i, rnd.nextInt(50).toLong,
+      rnd.nextInt(50).toLong + 50L))
+    // factor 2 < the suite's 4 shuffle partitions: with EVERYTHING in
+    // one cell the max/avg-per-partition ratio tops out at exactly P,
+    // so a factor >= P can never fire at test parallelism (production
+    // P is hundreds, where the default factor 4 engages easily).
+    val auto = IntervalJoin.overlapJoin(
+        ls.toDF("lid", "ls", "le"), rs.toDF("rid", "rs", "re"),
+        "ls", "le", "rs", "re", 1000L, autoSalt = true,
+        autoSaltFactor = 2.0)
+    // the probe must have rewritten the plan to the salted form —
+    // visible as the replicate-side explode over the salt sequence
+    assert(auto.queryExecution.analyzed.toString.contains("__salt"),
+      "autoSalt did not engage on an all-hot fixture")
+    val got = auto.select("lid", "rid").as[(Long, Long)].collect().toSeq
+    assert(got.size === got.distinct.size, "autoSalt duplicates")
+    assert(got.toSet === reference(ls, rs))
+    // uniform input: cells are even, the probe must keep the plain plan
+    val ul = (1 to 200).map(i => (i.toLong, i * 1000L, i * 1000L + 10L))
+    val ur = (1 to 200).map(i => (10000L + i, i * 1000L + 5L,
+      i * 1000L + 15L))
+    val plain = IntervalJoin.overlapJoin(
+        ul.toDF("lid", "ls", "le"), ur.toDF("rid", "rs", "re"),
+        "ls", "le", "rs", "re", 100L, autoSalt = true)
+    assert(!plain.queryExecution.analyzed.toString.contains("__salt"),
+      "autoSalt engaged on a uniform fixture")
+    assert(plain.select("lid", "rid").as[(Long, Long)].collect().toSet ===
+      reference(ul, ur))
+    // guard: autoSalt and a manual saltHot are mutually exclusive
+    intercept[IllegalArgumentException] {
+      IntervalJoin.overlapJoin(
+        ls.toDF("lid", "ls", "le"), rs.toDF("rid", "rs", "re"),
+        "ls", "le", "rs", "re", 1000L, saltHot = 4, autoSalt = true)
+    }
+  }
+
   test("refusals: start > end raises; over-span interval names the fix") {
     val e1 = intercept[Exception] {
       run(Seq((1L, 10L, 5L)), Seq((2L, 0L, 1L)), 10L)

@@ -264,4 +264,221 @@ class ModularitySpec extends SparkSpec {
       .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
     assert(out(9L) == (("z", "z", 0L)))
   }
+
+  private def messages(t: Throwable): Seq[String] =
+    if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+
+  test("the gate survives a pushed sentinel-excluding predicate (ADVICE r12)") {
+    // A caller filter false on the sentinel row (n_nodes > 0, or the
+    // natural movers-only dq_num > 0) pushes through the Union into the
+    // gate branch; over LITERAL sentinel columns it constant-folds to
+    // false and PruneFilters/PropagateEmptyRelation delete the branch,
+    // raise and all. The sentinels now derive from the gate aggregate,
+    // so the pushed predicate cannot fold and the raise still fires.
+    val badEdges = Seq((0L, 1L, 1L), (1L, 2L, 1L)).toDF("src", "dst", "w")
+    val badMem = Seq((0L, "a"), (1L, "a")).toDF("node_id", "community")
+    val eStats = intercept[Exception] {
+      Modularity.communityStats(badEdges, badMem, Some("w"))
+        .filter(col("n_nodes") > 0).collect()
+    }
+    assert(messages(eStats).exists(_.contains("cover every edge endpoint")),
+      s"unexpected failure: $eStats")
+    val eMove = intercept[Exception] {
+      Modularity.greedyMoveRound(badEdges, badMem, Some("w"))
+        .filter(col("dq_num") > 0).collect()
+    }
+    assert(messages(eMove).exists(_.contains("unmapped")),
+      s"unexpected failure: $eMove")
+    // And the same predicates over VALID input behave as plain filters
+    // (the gate branch emits zero rows, so nothing leaks through).
+    val okMem = Seq((0L, "a"), (1L, "a"), (2L, "b"))
+      .toDF("node_id", "community")
+    val rows = Modularity.communityStats(badEdges, okMem, Some("w"))
+      .filter(col("n_nodes") > 0).collect()
+    assert(rows.length === 2)
+    assert(Modularity.greedyMoveRound(badEdges, okMem, Some("w"))
+      .filter(col("dq_num") > 0).collect()
+      .forall(_.getLong(3) > 0))
+  }
+
+  // ---- Louvain phase 2: coarsening (round 13).
+
+  /** Total q_num under the self-loop convention (coarse graphs). */
+  private def qTotalSelf(edges: Seq[(Long, Long, Long)],
+      mem: Map[Long, String]): Long =
+    Modularity.communityStats(edges.toDF("src", "dst", "w"),
+        mem.toSeq.toDF("node_id", "community"), Some("w"),
+        selfLoops = true)
+      .collect().map(_.getLong(5)).sum
+
+  test("coarsen: weight conserved; coarse scorecard == fine scorecard (composed)") {
+    for (seed <- 1 to 3) {
+      val rng = new Random(90 + seed)
+      val n = 12
+      val edges = (1 to 60)
+        .map(_ => (rng.nextInt(n).toLong, rng.nextInt(n).toLong,
+          (rng.nextInt(5) + 1).toLong))
+        .filter(e => e._1 != e._2)
+      // numeric community labels (long-castable — the ladder contract)
+      val mem = (0L until n).map(v => v -> s"${rng.nextInt(4)}").toMap
+      val coarse = Modularity.coarsen(edges.toDF("src", "dst", "w"),
+          mem.toSeq.toDF("node_id", "community"), Some("w"))
+        .as[(String, String, Long)].collect()
+      // W conserved: every canonical fine edge lands in exactly one group
+      val canonFine = edges
+        .groupBy(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+        .toSeq.map { case ((a, b), g) => (a, b, g.map(_._3).sum) }
+      assert(coarse.map(_._3).sum === canonFine.map(_._3).sum,
+        s"seed=$seed W")
+      // self-loop mass per community == its internal fine weight
+      val selfw = coarse.filter(e => e._1 == e._2)
+        .map(e => e._1 -> e._3).toMap
+      val wantSelf = canonFine.filter(e => mem(e._1) == mem(e._2))
+        .groupBy(e => mem(e._1))
+        .map { case (c, xs) => c -> xs.map(_._3).sum }
+      assert(selfw === wantSelf, s"seed=$seed self-loop mass")
+      // scorecard conservation: coarse stats under ANY coarse grouping M
+      // == fine stats under the composed membership M ∘ mem
+      val grouping = mem.values.toSeq.distinct
+        .map(c => c -> s"${c.toLong % 2}").toMap
+      val coarseEdges = coarse.map(e => (e._1.toLong, e._2.toLong, e._3))
+      val coarseMem = grouping.map { case (c, g) => c.toLong -> g }
+      val composed = mem.map { case (v, c) => v -> grouping(c) }
+      assert(qTotalSelf(coarseEdges.toSeq, coarseMem) ===
+        qTotal(edges, composed), s"seed=$seed q conservation")
+    }
+  }
+
+  test("coarsen: coarsening an already-coarse graph (selfLoops input) conserves W again") {
+    val rng = new Random(101)
+    val n = 10
+    val edges = (1 to 40)
+      .map(_ => (rng.nextInt(n).toLong, rng.nextInt(n).toLong,
+        (rng.nextInt(4) + 1).toLong))
+      .filter(e => e._1 != e._2)
+    val mem1 = (0L until n).map(v => v -> s"${v % 5}").toMap
+    val c1 = Modularity.coarsen(edges.toDF("src", "dst", "w"),
+        mem1.toSeq.toDF("node_id", "community"), Some("w"))
+      .as[(String, String, Long)].collect()
+    val mem2 = (0L until 5L).map(c => c -> s"${c % 2}").toMap
+    val c2 = Modularity.coarsen(
+        c1.map(e => (e._1.toLong, e._2.toLong, e._3)).toSeq
+          .toDF("src", "dst", "w"),
+        mem2.map { case (k, v) => (k, v) }.toSeq.toDF("node_id", "community"),
+        Some("w"), selfLoops = true)
+      .as[(String, String, Long)].collect()
+    assert(c2.map(_._3).sum === c1.map(_._3).sum)
+    // two-level composition == direct coarsening by the composed map
+    val direct = Modularity.coarsen(edges.toDF("src", "dst", "w"),
+        mem1.map { case (v, c) => v -> mem2(c.toLong) }.toSeq
+          .toDF("node_id", "community"), Some("w"))
+      .as[(String, String, Long)].collect()
+    assert(c2.toSet === direct.toSet)
+  }
+
+  test("coarsen: unmapped endpoint refuses, incl. under a pushed predicate and empty membership") {
+    val edges = Seq((0L, 1L, 2L), (1L, 2L, 1L)).toDF("src", "dst", "w")
+    val mem = Seq((0L, "0"), (1L, "0")).toDF("node_id", "community")
+    val e1 = intercept[Exception] {
+      Modularity.coarsen(edges, mem, Some("w")).collect()
+    }
+    assert(messages(e1).exists(_.contains("cover every edge endpoint")))
+    val e2 = intercept[Exception] {
+      Modularity.coarsen(edges, mem, Some("w"))
+        .filter(col("w") > 0).collect()
+    }
+    assert(messages(e2).exists(_.contains("cover every edge endpoint")))
+    val e3 = intercept[Exception] {
+      Modularity.coarsen(edges,
+        Seq.empty[(Long, String)].toDF("node_id", "community"),
+        Some("w")).take(1)
+    }
+    assert(messages(e3).exists(_.contains("cover every edge endpoint")))
+  }
+
+  test("greedyMoveRound with self-loops: gains exact; self mass cancels out of Δ") {
+    for (seed <- 1 to 3) {
+      val rng = new Random(110 + seed)
+      val n = 8
+      // graph WITH self-loops — the coarse-level shape
+      val edges = (1 to 30).map(_ => (rng.nextInt(n).toLong,
+        rng.nextInt(n).toLong, (rng.nextInt(4) + 1).toLong))
+      val mem = (0L until n).map(v => v -> s"${rng.nextInt(3)}").toMap
+      val got = Modularity.greedyMoveRound(edges.toDF("src", "dst", "w"),
+          mem.toSeq.toDF("node_id", "community"), Some("w"),
+          selfLoops = true)
+        .as[(Long, String, String, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      val q0 = qTotalSelf(edges, mem)
+      val nbrComms: Map[Long, Set[String]] = edges
+        .filter(e => e._1 != e._2)
+        .flatMap(e => Seq(e._1 -> mem(e._2), e._2 -> mem(e._1)))
+        .groupBy(_._1).map { case (i, xs) => i -> xs.map(_._2).toSet }
+      for (i <- 0L until n) {
+        val a = mem(i)
+        val alts = nbrComms.getOrElse(i, Set.empty).filter(_ != a).toSeq
+          .map(b => (b, qTotalSelf(edges, mem.updated(i, b)) - q0))
+        val best = alts.filter(_._2 > 0)
+          .sortBy { case (b, dq) => (-dq, b) }.headOption
+        val (oldC, newC, dq) = got(i)
+        assert(oldC == a)
+        best match {
+          case Some((b, d)) =>
+            assert(newC == b && dq == d,
+              s"seed=$seed node=$i: got ($newC, $dq), want ($b, $d)")
+          case None =>
+            assert(newC == a && dq == 0L,
+              s"seed=$seed node=$i should stay, got ($newC, $dq)")
+        }
+      }
+    }
+  }
+
+  test("the full ladder: move -> coarsen -> move, scored at both levels identically") {
+    val rng = new Random(131)
+    val n = 12
+    val edges = (1 to 50)
+      .map(_ => (rng.nextInt(n).toLong, rng.nextInt(n).toLong,
+        (rng.nextInt(3) + 1).toLong))
+      .filter(e => e._1 != e._2)
+    // singleton init — the standard Louvain convention (labels = ids)
+    val mem0 = (0L until n).map(v => v -> v.toString).toMap
+    val r1 = Modularity.greedyMoveRound(edges.toDF("src", "dst", "w"),
+        mem0.toSeq.toDF("node_id", "community"), Some("w"))
+      .as[(Long, String, String, Long)].collect()
+    val mem1 = r1.map(r => r._1 -> r._3).toMap
+    val coarse = Modularity.coarsen(edges.toDF("src", "dst", "w"),
+        mem1.toSeq.toDF("node_id", "community"), Some("w"))
+      .as[(String, String, Long)].collect()
+    val cEdges = coarse.map(e => (e._1.toLong, e._2.toLong, e._3)).toSeq
+    val cMem0 = mem1.values.toSeq.distinct.map(c => c.toLong -> c).toMap
+    val r2 = Modularity.greedyMoveRound(cEdges.toDF("src", "dst", "w"),
+        cMem0.toSeq.toDF("node_id", "community"), Some("w"),
+        selfLoops = true)
+      .as[(Long, String, String, Long)].collect()
+    val cMem1 = r2.map(r => r._1 -> r._3).toMap
+    // the coarse-level score of the moved coarse membership equals the
+    // fine-level score of the COMPOSED membership — the invariant that
+    // makes multi-level Louvain's q comparable across levels
+    val composed = mem1.map { case (v, c) => v -> cMem1(c.toLong) }
+    assert(qTotalSelf(cEdges, cMem1) === qTotal(edges, composed))
+  }
+
+  test("unmapped endpoints reached only by ZERO-weight edges still refuse (ADVICE r12)") {
+    // A mass-based gate (sum of unmapped weight) sees 0 here and passes;
+    // the violation is the null-community ROW, whatever its weight —
+    // node 2 is unmapped but its only edge carries w = 0.
+    val edges = Seq((0L, 1L, 3L), (1L, 2L, 0L)).toDF("src", "dst", "w")
+    val mem = Seq((0L, "a"), (1L, "a")).toDF("node_id", "community")
+    val eMove = intercept[Exception] {
+      Modularity.greedyMoveRound(edges, mem, Some("w")).collect()
+    }
+    assert(messages(eMove).exists(_.contains("unmapped")),
+      s"unexpected failure: $eMove")
+    val eStats = intercept[Exception] {
+      Modularity.communityStats(edges, mem, Some("w")).collect()
+    }
+    assert(messages(eStats).exists(_.contains("cover every edge endpoint")),
+      s"unexpected failure: $eStats")
+  }
 }
