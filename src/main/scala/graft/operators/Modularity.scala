@@ -82,7 +82,7 @@ object Modularity {
     * mis-oriented pair. `selfLoops = false` (every pre-round-13
     * caller) drops s = d rows; `true` keeps them — a coarse graph
     * carries community-internal mass as self-loops ([[coarsen]]). */
-  private def canonEdges(edges: DataFrame, weightCol: Option[String],
+  private[graft] def canonEdges(edges: DataFrame, weightCol: Option[String],
       selfLoops: Boolean = false): DataFrame = edges
     .select(least(col("src").cast("long"), col("dst").cast("long")).as("s"),
       greatest(col("src").cast("long"), col("dst").cast("long")).as("d"),

@@ -396,6 +396,90 @@ object ArtifactStreams {
   }
 
   /**
+   * Streaming MEMBERSHIP maintenance under greedy modularity ascent —
+   * the Louvain move phase kept current over an unbounded edge stream
+   * (the [[modularityStream]] fold pattern, upgraded from scorecard to
+   * community assignment). Carried state is graph-sized, never
+   * stream-history-sized: the CANONICAL weighted edge table (each
+   * batch merges by the one multigraph rule —
+   * [[graft.operators.Modularity.canonEdges]]: orientations and
+   * repeats sum; for an unweighted stream feed unique edges, the
+   * [[modularityStream]] contract) plus the current membership. Per
+   * trigger: nodes never seen before enter as SINGLETONS (community =
+   * own id — the standard Louvain init), then ONE
+   * [[graft.operators.Modularity.greedyMoveRound]] runs over the
+   * carried graph against the current membership and its moves apply.
+   * The evolution is trigger-granular BY DESIGN (one synchronous round
+   * per trigger, the operator's documented unit); what IS
+   * trigger-invariant — and what MembershipStreamSpec pins — is (1)
+   * the carried edge artifact == the batch canonical merge over
+   * everything delivered, whatever the split points, and (2) the
+   * membership at trigger i == the OFFLINE loop applying one round per
+   * delivered prefix with the same singleton-entry rule. Self-loops in
+   * the stream are legal (selfLoops = true throughout — their mass
+   * rides internal weight / 2w degree, the coarse-graph algebra).
+   * Each trigger's operator checkpoints release via a tracking scope
+   * after the new membership materializes — a streaming caller must
+   * not accumulate one canon+wic checkpoint pair per trigger forever.
+   * `sink` receives (node_id, community) each trigger; `stateProbe`
+   * the carried canonical edge table.
+   */
+  def greedyMembershipStream(edges: DataFrame,
+      weightCol: Option[String] = None)(
+      sink: (DataFrame, Long) => Unit,
+      stateProbe: (DataFrame, Long) => Unit = (_, _) => ()): StreamingQuery = {
+    var edgeState: Option[DataFrame] = None
+    var memState: Option[DataFrame] = None
+    var lastFolded = -1L
+    edges.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (batchId > lastFolded) {
+          val p = batch.sparkSession.sessionState.conf.numShufflePartitions
+          val batchCanon = graft.operators.Modularity.canonEdges(
+            batch, weightCol, selfLoops = true)
+            .select(col("s").as("src"), col("d").as("dst"), col("w"))
+          val merged = edgeState match {
+            case Some(s) => graft.operators.Modularity.canonEdges(
+                s.unionByName(batchCanon), Some("w"), selfLoops = true)
+              .select(col("s").as("src"), col("d").as("dst"), col("w"))
+            case None => batchCanon
+          }
+          val mergedCp = merged.coalesce(p).localCheckpoint(true)
+          val nodes = mergedCp.select(col("src").as("node_id"))
+            .union(mergedCp.select(col("dst"))).distinct()
+          val mem = memState match {
+            case Some(ms) => ms.unionByName(
+              nodes.join(ms.select(col("node_id")), Seq("node_id"),
+                  "left_anti")
+                .select(col("node_id"),
+                  col("node_id").cast("string").as("community")))
+            case None => nodes.select(col("node_id"),
+              col("node_id").cast("string").as("community"))
+          }
+          // The round's internal canon/wic checkpoints release after the
+          // new membership is materialized — without the scope each
+          // trigger would strand two checkpoint RDDs for the stream's
+          // lifetime (the CacheScope leak class).
+          val (memNext, caches) = graft.operators.CacheScope.tracking {
+            graft.operators.Modularity.greedyMoveRound(
+                mergedCp, mem, Some("w"), selfLoops = true)
+              .select(col("node_id"), col("comm_new").as("community"))
+              .coalesce(p).localCheckpoint(true)
+          }
+          caches.release()
+          edgeState.foreach(CacheScope.unpinCheckpoint)
+          memState.foreach(CacheScope.unpinCheckpoint)
+          edgeState = Some(mergedCp)
+          memState = Some(memNext)
+          lastFolded = batchId
+        }
+        sink(memState.get, batchId)
+        stateProbe(edgeState.get, batchId)
+      }
+      .start()
+  }
+
+  /**
    * Streaming interval-overlap SELF-join (q228's operator over a
    * continuously-arriving interval stream — incident/session windows
    * landing trigger by trigger): each trigger emits exactly the

@@ -23,6 +23,15 @@ import org.apache.spark.sql.functions._
  */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
+    // Harness pinning mode, exactly as Bench and Verify set it: pins
+    // become eager localCheckpoints, truncating operator-internal
+    // lineage. Without it the deep beam walks explode — each round's
+    // plan references the previous beam twice, so under plain persist
+    // the plan TREE doubles per round (2^depth); at the provisioned
+    // depth-12 walk that is a 248 MB plan string and a driver OOM
+    // (observed round 13). Total task work is unchanged and the jobs
+    // run inside the timed body, so rows stay honestly charged.
+    System.setProperty("graft.pin.checkpoint", "true")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val multiples =

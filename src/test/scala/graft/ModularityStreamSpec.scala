@@ -68,6 +68,76 @@ class ModularityStreamSpec extends SparkSpec {
     }
   }
 
+  test("greedyMembershipStream: carried graph == batch canon; membership == offline round-per-prefix loop") {
+    // weighted stream with a cross-trigger REPEAT (weights must sum),
+    // a SELF-LOOP (legal, rides the coarse-graph algebra), and nodes
+    // arriving late (must enter as singletons).
+    val splits: Seq[Seq[(Long, Long, Long)]] = Seq(
+      Seq((0L, 1L, 4L), (1L, 2L, 1L), (5L, 5L, 3L)),
+      Seq((2L, 0L, 2L), (0L, 1L, 1L), (3L, 4L, 5L)),
+      Seq((4L, 5L, 2L), (6L, 3L, 1L)))
+    val tmp = java.nio.file.Files.createTempDirectory("mem_stream").toString
+    splits.zipWithIndex.foreach { case (part, i) =>
+      if (i > 0) Thread.sleep(1100)
+      part.toDF("src", "dst", "w").coalesce(1)
+        .write.mode("append").parquet(s"$tmp/in")
+    }
+    val wSchema = StructType(Seq(StructField("src", LongType),
+      StructField("dst", LongType), StructField("w", LongType)))
+    val stream = spark.readStream.schema(wSchema)
+      .option("maxFilesPerTrigger", 1).option("latestFirst", "false")
+      .parquet(s"$tmp/in")
+    val mems = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Map[Long, String])]
+    val graphs = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Map[(Long, Long), Long])]
+    var lastMem: org.apache.spark.sql.DataFrame = null
+    var lastGraph: org.apache.spark.sql.DataFrame = null
+    val q = ArtifactStreams.greedyMembershipStream(stream, Some("w"))(
+      (m, id) => {
+        mems += (id -> m.as[(Long, String)].collect().toMap)
+        lastMem = m
+      },
+      (g, id) => {
+        graphs += (id -> g.as[(Long, Long, Long)].collect()
+          .map(r => (r._1, r._2) -> r._3).toMap)
+        lastGraph = g
+      })
+    q.processAllAvailable()
+    q.stop()
+    assert(mems.size == 3)
+    // (1) carried edge artifact == the batch canonical merge over
+    // everything delivered — split points invisible
+    graphs.foreach { case (id, got) =>
+      val want = splits.take(id.toInt + 1).flatten
+        .map { case (a, b, w) => (math.min(a, b), math.max(a, b), w) }
+        .groupBy(e => (e._1, e._2))
+        .map { case (k, g) => k -> g.map(_._3).sum }
+      assert(got === want, s"trigger $id graph diverges from batch canon")
+    }
+    // (2) membership at trigger i == the offline loop: one
+    // greedyMoveRound per delivered prefix, singleton entry for new
+    // nodes, moves applied — computed here with the BATCH operator.
+    var mem = Map.empty[Long, String]
+    splits.indices.foreach { i =>
+      val delivered = splits.take(i + 1).flatten
+      val nodes = delivered.flatMap(e => Seq(e._1, e._2)).distinct
+      val entered = mem ++ nodes.filterNot(mem.contains)
+        .map(v => v -> v.toString)
+      mem = Modularity.greedyMoveRound(
+          delivered.toDF("src", "dst", "w"),
+          entered.toSeq.toDF("node_id", "community"), Some("w"),
+          selfLoops = true)
+        .select(col("node_id"), col("comm_new"))
+        .as[(Long, String)].collect().toMap
+      assert(mems(i)._2 === mem, s"trigger $i membership diverges")
+    }
+    // the self-loop-only node exists and stays its own singleton
+    assert(mems(0)._2(5L) == "5")
+    Seq(lastMem, lastGraph).filter(_ != null)
+      .foreach(graft.operators.CacheScope.unpinCheckpoint)
+  }
+
   test("batch identity: communityStats == finalize(partial) and shard-merge associativity") {
     val rng = new Random(23)
     val edges = (1 to 60)
