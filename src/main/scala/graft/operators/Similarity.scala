@@ -573,6 +573,139 @@ object Similarity {
   }
 
   /**
+   * Pack a PQ code array (values 0..2^bits−1, typically ksub = 16 →
+   * 4-bit nibbles) into ceil(m / (64/bits)) BIGINT words — the
+   * [[packCodes]] discipline generalized to PQ's sub-byte code ids
+   * (VERDICT r12 #8): q96/q97's ADC family stores m = 8 codes of 4
+   * bits, which packed is ONE BIGINT per vector instead of an m-element
+   * array — the 4 B/vector artifact FAISS IVFADC ships. Each word's
+   * FIRST slot is stored sign-biased (code − 2^(bits−1), a bijection)
+   * so the full 64-bit pack stays inside signed long under ANSI
+   * arithmetic — the same trick, same boundary behavior (code 0 in
+   * slot 0 of a full word reaches exactly Long.MinValue). Slots past m
+   * pad with zeros; [[pqUnpack]] reads back exactly m codes.
+   * `bits = 8, m % 8 == 0` reproduces [[packCodes]] word for word
+   * (Sq8PackSpec pins it).
+   */
+  def pqPack(codes: Column, m: Int, bits: Int = 4): Column = {
+    require(bits == 4 || bits == 8, s"bits must be 4 or 8: $bits")
+    require(m >= 1, s"m must be positive: $m")
+    val spw = 64 / bits
+    val words = (m + spw - 1) / spw
+    val bias = 1L << (bits - 1)
+    val base = 1L << bits
+    def slot(p: Column): Column =
+      when(p <= lit(m), element_at(codes, p)).otherwise(lit(0L))
+    transform(sequence(lit(0), lit(words - 1)), w =>
+      aggregate(sequence(lit(1), lit(spw - 1)),
+        slot(w * spw + 1) - lit(bias),
+        (acc, j) => acc * lit(base) + slot(w * lit(spw) + j + 1)))
+  }
+
+  /** Invert [[pqPack]]: words → exactly m codes (0..2^bits−1). Pure
+    * shift/mask arithmetic with the first slot un-biased by one XOR —
+    * serving scores straight off the packed artifact as one codegen'd
+    * expression tree. */
+  def pqUnpack(packed: Column, m: Int, bits: Int = 4): Column = {
+    require(bits == 4 || bits == 8, s"bits must be 4 or 8: $bits")
+    require(m >= 1, s"m must be positive: $m")
+    val spw = 64 / bits
+    array((0 until m).map { s =>
+      val w = s / spw
+      val j = s % spw
+      val word = element_at(packed, w + 1)
+      val b = shiftright(word, bits * (spw - 1 - j))
+        .bitwiseAND(lit((1L << bits) - 1L))
+      if (j == 0) b.bitwiseXOR(lit(1L << (bits - 1))) else b
+    }: _*)
+  }
+
+  /**
+   * The packed IVFADC corpus artifact (FAISS IVFADC storage shape —
+   * Jégou et al. 2011): one row per vector, (n_id, cell, packed) with
+   * `packed` = [[pqPack]]'d PQ codes — 4 B/vector at the q97 parameters
+   * (m = 8, ksub = 16) instead of an 8-element long array. Write it
+   * partitioned by cell; probes are partition-pruned reads and the
+   * float embeddings are only ever read at build time.
+   */
+  def pqIvfArtifact(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]], bits: Int = 4): DataFrame = {
+    val m = codebooks.length
+    val subDim = codebooks.head.head.length
+    require(codebooks.head.length <= (1 << bits),
+      s"ksub ${codebooks.head.length} does not fit $bits-bit codes")
+    val d2s = array(centroids.map(c =>
+      sqL2(col("n_vec"), array(c.map(lit): _*))): _*)
+    // The code array MATERIALIZES in its own projection before packing:
+    // pqPack reads its input once per slot (16× at 4 bits), and inlining
+    // the argmin-over-ksub construction into every read makes the build
+    // ~5× slower (measured: q244 19 s → 4 s). CollapseProject keeps the
+    // split because a non-cheap expression referenced many times is not
+    // re-inlined.
+    corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+      .withColumn("cell",
+        (array_position(d2s, array_min(d2s)) - 1).cast("int"))
+      .withColumn("codes", array((0 until m).map(s =>
+        pqCode(col("n_vec"), codebooks(s), s, subDim)): _*))
+      .select(col("n_id"), col("cell"),
+        pqPack(col("codes"), m, bits).as("packed"))
+  }
+
+  /**
+   * Serve IVFADC top-k from a [[pqIvfArtifact]]: probe nProbe cells per
+   * query (float centroid literals, as in [[ivfPqTopK]]), build the
+   * per-query ADC lookup table, unpack the candidates' code words
+   * in-expression and sum the LUT entries. Output
+   * (q_id, n_id, rank, adist) — identical to [[ivfPqTopK]] at the same
+   * parameters (AnnSpec, incl. through a parquet round-trip).
+   * `broadcastQueries = false` switches the candidate join to the
+   * shuffle path for corpus-sized query sets, exactly as in
+   * [[ivfTopKQuantizedServe]].
+   */
+  def ivfPqTopKServe(artifact: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      nProbe: Int = 4, bits: Int = 4,
+      broadcastQueries: Boolean = true): DataFrame = {
+    val m = codebooks.length
+    val ksub = codebooks.head.length
+    val subDim = codebooks.head.head.length
+    val lut = array((for (s <- 0 until m; c <- 0 until ksub) yield
+      sqL2(slice(col("q_vec"), s * subDim + 1, subDim),
+        array(codebooks(s)(c).map(lit): _*))): _*)
+    // Probe shape mirrors [[ivfPqTopK]] exactly (same window, same
+    // (d2, cell) tiebreak) so serving == inline down to ties.
+    val centDf = artifact.sparkSession.createDataFrame(
+      centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) })
+      .toDF("cell", "centroid")
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("cd2"), col("cell"))
+    val probed = queries
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("lut", lut)
+      .crossJoin(broadcast(centDf))
+      .withColumn("cd2", sqL2(col("q_vec"), col("centroid")))
+      .withColumn("cr", row_number().over(wq))
+      .filter(col("cr") <= nProbe)
+      .select(col("q_id"), col("cell"), col("lut"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("n_id"))
+    artifact
+      .select(col("n_id"), col("cell"),
+        // int codes: the ADC lookup's element_at index must be INT
+        pqUnpack(col("packed"), m, bits).cast("array<int>").as("codes"))
+      .join(if (broadcastQueries) broadcast(probed) else probed, Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("adist",
+        expr(s"aggregate(sequence(0, ${m - 1}), CAST(0.0 AS DOUBLE), " +
+          s"(acc, s) -> acc + element_at(lut, s * $ksub + " +
+          "element_at(codes, s + 1) + 1))"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"), col("adist"))
+  }
+
+  /**
    * HNSW-style BEAM search over the IVF cells — the same exact-cosine
    * probe tail as [[ivfTopK]], but the probed cells come from graph
    * NAVIGATION instead of an argmin over every centroid: queries enter

@@ -1994,6 +1994,164 @@ object LlmQueries {
              FROM pairs GROUP BY 1, 2
              ORDER BY id_a, id_b""")),
 
+    // ---- PQ code packing under the hash oracle (q237's discipline at
+    // PQ's 4-bit width): m = 8 codes of ksub = 16 pack into ONE BIGINT
+    // per vector (Similarity.pqPack — first nibble sign-biased so the
+    // word stays inside signed long), with a roundtrip column pinning
+    // pqUnpack(pqPack(codes)) == codes row by row. The oracle
+    // recomputes the word as shift arithmetic over the q96/q97 code
+    // CTEs: (c1 − 8)·2^60 + Σ c_j·2^(64 − 4j).
+    Q("q243_pq_pack",
+      (s, d) => {
+        val e = T.embeddings(s, d).filter(col("vec_id") < 20)
+        val books = Similarity.portableCodebooks(8, 16, 8)
+        val codes = Similarity.pqEncode(e, "vec_id", "embedding", books)
+        codes.select(col("n_id").as("vec_id"),
+            element_at(Similarity.pqPack(col("codes"), 8, 4), 1)
+              .as("word"),
+            (Similarity.pqUnpack(Similarity.pqPack(col("codes"), 8, 4),
+                8, 4).cast("array<int>") === col("codes"))
+              .cast("int").as("roundtrip_ok"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH v AS (
+               SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+               FROM embeddings WHERE vec_id < 20),
+             cb AS (
+               SELECT s.sub, c.code, d.dim,
+                 (CAST('0x' || substr(md5('pq|' || CAST(s.sub AS VARCHAR) ||
+                    '|' || CAST(c.code AS VARCHAR) ||
+                    '|' || CAST(d.dim AS VARCHAR)), 1, 8) AS BIGINT)
+                  / 2147483648.0 - 1.0) * 0.25 AS w
+               FROM range(8) s(sub) CROSS JOIN range(16) c(code)
+               CROSS JOIN range(8) d(dim)),
+             cbl AS (
+               SELECT sub, code, list(w ORDER BY dim) AS cvec
+               FROM cb GROUP BY sub, code),
+             subd AS (
+               SELECT v.vec_id, c.sub, c.code,
+                 list_inner_product(
+                   list_transform(range(1, 9),
+                     i -> emb[CAST(c.sub * 8 + i AS INT)] - cvec[i]),
+                   list_transform(range(1, 9),
+                     i -> emb[CAST(c.sub * 8 + i AS INT)] - cvec[i])) AS d2
+               FROM v CROSS JOIN cbl c),
+             codes AS (
+               SELECT vec_id, sub, code FROM (
+                 SELECT vec_id, sub, code,
+                   row_number() OVER (PARTITION BY vec_id, sub
+                     ORDER BY d2, code) AS rn
+                 FROM subd) WHERE rn = 1),
+             words AS (
+               SELECT vec_id, list(code ORDER BY sub) AS cl
+               FROM codes GROUP BY vec_id)
+             SELECT vec_id,
+               CAST((cl[1] - 8) * (1::BIGINT << 60)
+                 + cl[2] * (1::BIGINT << 56) + cl[3] * (1::BIGINT << 52)
+                 + cl[4] * (1::BIGINT << 48) + cl[5] * (1::BIGINT << 44)
+                 + cl[6] * (1::BIGINT << 40) + cl[7] * (1::BIGINT << 36)
+                 + cl[8] * (1::BIGINT << 32) AS BIGINT) AS word,
+               1 AS roundtrip_ok
+             FROM words ORDER BY vec_id""")),
+
+    // ---- IVFADC SERVED from the packed artifact, under the oracle:
+    // the q97 composition with the corpus stored as (cell, ONE packed
+    // BIGINT) and the candidates unpacked in-expression — the oracle is
+    // q97's CTE stack verbatim (pack∘unpack is the identity q243 pins,
+    // so the oracle scores the same codes the serving path reads).
+    Q("q244_ivfpq_served",
+      (s, d) => {
+        val e = T.embeddings(s, d)
+        val cents = Similarity.portableCentroids(16, 64)
+        val books = Similarity.portableCodebooks(8, 16, 8)
+        val art = Similarity.pqIvfArtifact(e, "vec_id", "embedding",
+          cents, books)
+        Similarity.ivfPqTopKServe(art, e.filter(col("vec_id") < 10),
+            "vec_id", "embedding", k = 5, centroids = cents,
+            codebooks = books, nProbe = 4)
+          .select(col("q_id"), col("n_id"), col("rank"))
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some("""WITH cents AS (
+               SELECT c.cell, d.dim,
+                 (CAST('0x' || substr(md5('c|' || CAST(c.cell AS VARCHAR) ||
+                    '|' || CAST(d.dim AS VARCHAR)), 1, 8) AS BIGINT)
+                  / 2147483648.0 - 1.0) * 0.25 AS w
+               FROM range(16) c(cell) CROSS JOIN range(64) d(dim)),
+             clists AS (
+               SELECT cell, list(w ORDER BY dim) AS cvec
+               FROM cents GROUP BY cell),
+             v AS (
+               SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+               FROM embeddings),
+             celld AS (
+               SELECT v.vec_id, c.cell,
+                 list_inner_product(
+                   list_transform(range(1, 65), i -> emb[i] - cvec[i]),
+                   list_transform(range(1, 65), i -> emb[i] - cvec[i])) AS d2
+               FROM v CROSS JOIN clists c),
+             assign AS (
+               SELECT vec_id AS n_id, cell FROM (
+                 SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY d2, cell) AS rn
+                 FROM celld) WHERE rn = 1),
+             probed AS (
+               SELECT vec_id AS q_id, cell FROM (
+                 SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY d2, cell) AS cr
+                 FROM celld WHERE vec_id < 10) WHERE cr <= 4),
+             cb AS (
+               SELECT s.sub, c.code, d.dim,
+                 (CAST('0x' || substr(md5('pq|' || CAST(s.sub AS VARCHAR) ||
+                    '|' || CAST(c.code AS VARCHAR) ||
+                    '|' || CAST(d.dim AS VARCHAR)), 1, 8) AS BIGINT)
+                  / 2147483648.0 - 1.0) * 0.25 AS w
+               FROM range(8) s(sub) CROSS JOIN range(16) c(code)
+               CROSS JOIN range(8) d(dim)),
+             cbl AS (
+               SELECT sub, code, list(w ORDER BY dim) AS cvec
+               FROM cb GROUP BY sub, code),
+             subd AS (
+               SELECT v.vec_id, c.sub, c.code,
+                 list_inner_product(
+                   list_transform(range(1, 9),
+                     i -> emb[CAST(c.sub * 8 + i AS INT)] - cvec[i]),
+                   list_transform(range(1, 9),
+                     i -> emb[CAST(c.sub * 8 + i AS INT)] - cvec[i])) AS d2
+               FROM v CROSS JOIN cbl c),
+             codes AS (
+               SELECT vec_id, sub, code FROM (
+                 SELECT vec_id, sub, code,
+                   row_number() OVER (PARTITION BY vec_id, sub
+                     ORDER BY d2, code) AS rn
+                 FROM subd) WHERE rn = 1),
+             lut AS (
+               SELECT vec_id AS q_id, sub, code, d2
+               FROM subd WHERE vec_id < 10),
+             cand AS (
+               SELECT p.q_id, a.n_id
+               FROM probed p JOIN assign a ON a.cell = p.cell
+               WHERE a.n_id <> p.q_id),
+             paird AS (
+               SELECT ca.q_id, ca.n_id,
+                 list_inner_product(list(l.d2 ORDER BY l.sub),
+                   list_transform(range(8), x -> 1.0)) AS adist
+               FROM cand ca
+               JOIN codes c ON c.vec_id = ca.n_id
+               JOIN lut l ON l.q_id = ca.q_id
+                 AND l.sub = c.sub AND l.code = c.code
+               GROUP BY ca.q_id, ca.n_id)
+             SELECT q_id, n_id, CAST(rank AS INT) AS rank FROM (
+               SELECT q_id, n_id,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY adist, n_id) AS rank
+               FROM paird) WHERE rank <= 5
+             ORDER BY q_id, rank""")),
+
     // ---- SQ8 code packing under the hash oracle: quantize (q232's
     // recipe), pack 8 codes per BIGINT word (Similarity.packCodes — the
     // signed-top-byte bijection that keeps the 64-bit pack inside

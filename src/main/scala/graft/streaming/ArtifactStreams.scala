@@ -270,6 +270,30 @@ object ArtifactStreams {
         b, idCol, vecCol, dim, centroids, stats)))(sink)
 
   /**
+   * Streaming PACKED-IVFADC artifact maintenance — the PQ twin of
+   * [[sq8ArtifactStream]]: centroids and codebooks are FROZEN inputs
+   * (the retrain contract — a moved codebook makes epochs'
+   * codes incomparable), each trigger encodes+packs ONLY its own batch
+   * ([[graft.operators.Similarity.pqIvfArtifact]] is per-row under
+   * frozen parameters, so it IS the batch unit) and appends — a pure
+   * rescan-free union fold, associative because a vector arrives in
+   * exactly one batch. The artifact at every trigger equals the
+   * one-shot build over everything delivered and serves identically
+   * through [[graft.operators.Similarity.ivfPqTopKServe]]
+   * (PqStreamSpec pins both). State is the artifact itself — one
+   * (cell, packed-word) row per delivered vector.
+   */
+  def pqArtifactStream(vecs: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]], bits: Int = 4)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
+    foldStream(vecs)(
+      b => graft.operators.Similarity.pqIvfArtifact(
+        b, idCol, vecCol, centroids, codebooks, bits),
+      (s, b) => s.unionByName(graft.operators.Similarity.pqIvfArtifact(
+        b, idCol, vecCol, centroids, codebooks, bits)))(sink)
+
+  /**
    * Streaming connected-components maintenance: labels kept current
    * over an unbounded EDGE stream. The carried artifact is the label
    * table itself — (id, comp) with comp = the component's min member

@@ -936,7 +936,7 @@ object ScaleSmoke {
       // comparable. The dense row's per-vector work grows with m ON TOP
       // of the corpus growth (n·nLists ∝ m²); the beam row's is ∝ m.
       if ((wanted("assign") || wanted("beam_skew") || wanted("beam_nav")
-          || wanted("sq8_bytes")) && m <= 10) {
+          || wanted("sq8_bytes") || wanted("pq_bytes")) && m <= 10) {
         val emb = df.select(col("doc_id").as("vec_id"),
           expr("""transform(sequence(1, 64), i ->
             CAST(CAST(pmod(conv(substring(md5(concat(
@@ -1071,6 +1071,38 @@ object ScaleSmoke {
           println(s"$m,$n,sq8_bytes,f64=${dirBytes(s"$tmp/f64")}," +
             s"i8=${dirBytes(s"$tmp/i8")}," +
             s"i8packed=${dirBytes(s"$tmp/i8packed")}")
+        }
+        // Round-13: PQ-packed IVFADC artifact bytes — the 4 B/vector
+        // FAISS shape (m = 8 codes × 4 bits = ONE BIGINT) vs the
+        // unpacked 8-long code array vs float64. Same plain-encoding
+        // rationale as sq8_bytes above.
+        if (wanted("pq_bytes")) {
+          val tmp = java.nio.file.Files
+            .createTempDirectory("graft-pq").toString
+          def plainWrite(df2: DataFrame, p: String): Unit =
+            df2.write.mode("overwrite")
+              .option("compression", "uncompressed")
+              .option("parquet.enable.dictionary", "false")
+              .parquet(p)
+          val books = graft.operators.Similarity
+            .portableCodebooks(8, 16, 8)
+          val cents16 = graft.operators.Similarity
+            .portableCentroids(16, 64)
+          plainWrite(emb.select(col("vec_id"),
+            transform(col("embedding"), v => v.cast("double"))
+              .as("embedding")), s"$tmp/f64")
+          plainWrite(graft.operators.Similarity
+            .pqEncode(emb, "vec_id", "embedding", books), s"$tmp/codes")
+          plainWrite(graft.operators.Similarity
+            .pqIvfArtifact(emb, "vec_id", "embedding", cents16, books),
+            s"$tmp/packed")
+          def dirBytes(p: String): Long = {
+            val d = new java.io.File(p)
+            d.listFiles().filter(_.isFile).map(_.length()).sum
+          }
+          println(s"$m,$n,pq_bytes,f64=${dirBytes(s"$tmp/f64")}," +
+            s"codes=${dirBytes(s"$tmp/codes")}," +
+            s"packed=${dirBytes(s"$tmp/packed")}")
         }
         graft.operators.CacheScope.unpinCheckpoint(emb)
       }

@@ -863,6 +863,45 @@ class AnnSpec extends SparkSpec {
     assert(stats._3 >= 0 && stats._4 < 16, "codes index the ksub codebook")
   }
 
+  test("packed IVFADC serving == inline ivfPqTopK, through a parquet round-trip") {
+    // The 4-bit packed artifact (one BIGINT for m = 8 codes) must serve
+    // identically to the inline path at the same parameters — incl. the
+    // degenerate nProbe = nLists full scan — and survive parquet.
+    val cents = Similarity.portableCentroids(8, 64)
+    val books = Similarity.portableCodebooks(8, 16, 8)
+    val corpus = emb.limit(60)
+    val queries = corpus.filter(col("vec_id") < 5)
+    val artifact = Similarity.pqIvfArtifact(corpus, "vec_id", "embedding",
+      cents, books)
+    // 8 codes of 4 bits pack into ONE word
+    assert(artifact.select(size(col("packed"))).as[Int].collect()
+      .forall(_ == 1))
+    val tmp = java.nio.file.Files.createTempDirectory("pqart").toString
+    artifact.write.mode("overwrite").parquet(tmp)
+    val stored = spark.read.parquet(tmp)
+    for (nProbe <- Seq(3, 8)) {
+      val inline = Similarity.ivfPqTopK(corpus, queries, "vec_id",
+          "embedding", k = 5, centroids = cents, codebooks = books,
+          nProbe = nProbe)
+        .as[(Long, Long, Int, Double)].collect().toSet
+      val served = Similarity.ivfPqTopKServe(stored, queries, "vec_id",
+          "embedding", k = 5, centroids = cents, codebooks = books,
+          nProbe = nProbe)
+        .as[(Long, Long, Int, Double)].collect().toSet
+      assert(served === inline && inline.nonEmpty, s"nProbe=$nProbe")
+    }
+    // the shuffle-join query path serves identically too
+    val viaShuffle = Similarity.ivfPqTopKServe(stored, queries, "vec_id",
+        "embedding", k = 5, centroids = cents, codebooks = books,
+        nProbe = 3, broadcastQueries = false)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val viaBroadcast = Similarity.ivfPqTopKServe(stored, queries, "vec_id",
+        "embedding", k = 5, centroids = cents, codebooks = books,
+        nProbe = 3)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(viaShuffle === viaBroadcast)
+  }
+
   test("PQ ANN: k-means-trained codebooks beat portable ones on recall@5") {
     val queries = emb.filter(col("vec_id") < 20)
     val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)

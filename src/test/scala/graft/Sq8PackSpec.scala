@@ -64,4 +64,49 @@ class Sq8PackSpec extends SparkSpec {
       .as[(Long, Long)].collect()
     assert(both.forall { case (a, b) => a == b })
   }
+
+  // ---- PQ pack (4-bit nibbles, round 13): the same bijection at PQ's
+  // sub-byte code width.
+
+  private def pqRoundTrip(rows: Seq[(Long, Seq[Long])], m: Int,
+      bits: Int): Unit = {
+    val df = rows.toDF("id", "codes")
+    val back = df.select(col("id"),
+        Similarity.pqUnpack(
+          Similarity.pqPack(col("codes"), m, bits), m, bits).as("codes"))
+      .as[(Long, Seq[Long])].collect().toMap
+    rows.foreach { case (id, cs) =>
+      assert(back(id) === cs, s"row $id failed the PQ pack round-trip")
+    }
+  }
+
+  test("pqPack/pqUnpack round-trips 4-bit codes, incl. padded words and boundaries") {
+    val rng = new Random(13)
+    // m = 8 pads half a word; m = 16 is exactly one word; m = 20 spans two
+    for (m <- Seq(8, 16, 20)) {
+      pqRoundTrip((1L to 20L).map(i =>
+        (i, Seq.fill(m)(rng.nextInt(16).toLong))), m, 4)
+    }
+    // boundaries: all-0 (slot 0 biased to -8 -> Long.MinValue region),
+    // all-15, sign-bit-heavy first slots
+    pqRoundTrip(Seq(
+      (1L, Seq.fill(16)(0L)),
+      (2L, Seq.fill(16)(15L)),
+      (3L, (0 until 16).map(j => if (j == 0) 15L else 0L)),
+      (4L, (0 until 16).map(j => if (j == 0) 0L else 15L))), 16, 4)
+  }
+
+  test("pqPack at bits = 8 reproduces packCodes word for word") {
+    val rng = new Random(21)
+    val dim = 16
+    val rows = (1L to 15L).map(i =>
+      (i, Seq.fill(dim)(rng.nextInt(256).toLong)))
+    val words = rows.toDF("id", "codes").select(col("id"),
+        Similarity.packCodes(col("codes"), dim).as("a"),
+        Similarity.pqPack(col("codes"), dim, bits = 8).as("b"))
+      .as[(Long, Seq[Long], Seq[Long])].collect()
+    words.foreach { case (id, a, b) =>
+      assert(a === b, s"row $id: packCodes and pqPack(bits=8) diverge")
+    }
+  }
 }
