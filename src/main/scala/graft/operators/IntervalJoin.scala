@@ -135,15 +135,20 @@ object IntervalJoin {
     val effSalt = if (!autoSalt) saltHot else {
       val lc = lb0.groupBy(cellKeys: _*).agg(count(lit(1)).as("cl"))
       val rc = rb0.groupBy(cellKeys: _*).agg(count(lit(1)).as("cr"))
+      // Mass in DOUBLE, not long (ADVICE r13): |L|·|R| of an extremely
+      // hot cell can exceed 2^63, and under ANSI a long multiply would
+      // RAISE — aborting exactly the skewed query the probe exists to
+      // save. The probe only needs a ratio; double precision is plenty.
       val probe = lc.join(rc, keys :+ "__bucket")
-        .select((col("cl") * col("cr")).as("mass"))
-        .agg(coalesce(max(col("mass")), lit(0L)).as("mx"),
-          coalesce(sum(col("mass")), lit(0L)).as("tot"))
+        .select((col("cl").cast("double") * col("cr").cast("double"))
+          .as("mass"))
+        .agg(coalesce(max(col("mass")), lit(0.0d)).as("mx"),
+          coalesce(sum(col("mass")), lit(0.0d)).as("tot"))
         .collect()(0)
-      val (mx, tot) = (probe.getLong(0), probe.getLong(1))
+      val (mx, tot) = (probe.getDouble(0), probe.getDouble(1))
       val p = left.sparkSession.sessionState.conf.numShufflePartitions
-      val avgPerPartition = tot.toDouble / math.max(1, p)
-      if (tot == 0L || mx <= autoSaltFactor * avgPerPartition) 1
+      val avgPerPartition = tot / math.max(1, p)
+      if (tot == 0.0d || mx <= autoSaltFactor * avgPerPartition) 1
       else math.min(32, math.ceil(mx / avgPerPartition).toInt)
     }
     // Salted variant: left replicates saltHot ways; right routes each row

@@ -329,11 +329,26 @@ object Modularity {
     // only by zero-weight edges has w_ic = 0 and a mass gate would pass
     // it straight into the null-rejecting joins, silently dropping the
     // node's candidates. A null-cj GROUP in the aggregate is the
-    // violation regardless of its weight.
-    val unmapped = wicAll
+    // violation regardless of its weight. Self-loop endpoints are gated
+    // SEPARATELY (ADVICE r13): a node whose only edge is its self-loop
+    // forms no sym pair — no null-cj group ever appears in wicAll — yet
+    // an unmapped one silently drops its 2w degree from s_c; count those
+    // endpoints with their own membership left-join and fold the two
+    // 1-row aggregates into one gate row.
+    val wicUnmapped = wicAll
       .agg(count(when(col("cj").isNull, lit(1))).as("unmapped_rows"),
         coalesce(sum(when(col("cj").isNull, col("w_ic"))), lit(0L))
           .as("unmapped"))
+    val unmapped = if (!selfLoops) wicUnmapped else wicUnmapped
+      .unionByName(canon.filter(col("s") === col("d"))
+        .select(col("s").as("node_id"), col("w"))
+        .join(mem.select(col("node_id"), col("community").as("cself")),
+          Seq("node_id"), "left")
+        .agg(count(when(col("cself").isNull, lit(1))).as("unmapped_rows"),
+          coalesce(sum(when(col("cself").isNull, col("w") * 2L)), lit(0L))
+            .as("unmapped")))
+      .agg(coalesce(sum(col("unmapped_rows")), lit(0L)).as("unmapped_rows"),
+        coalesce(sum(col("unmapped")), lit(0L)).as("unmapped"))
     val wic = wicAll.filter(col("cj").isNotNull)
     val sc = deg.join(mem.select(col("node_id").as("i"), col("community")),
         Seq("i"))

@@ -594,8 +594,19 @@ object Similarity {
     val words = (m + spw - 1) / spw
     val bias = 1L << (bits - 1)
     val base = 1L << bits
-    def slot(p: Column): Column =
-      when(p <= lit(m), element_at(codes, p)).otherwise(lit(0L))
+    // Each slot GATES its code into [0, 2^bits) (ADVICE r13): pqPack is
+    // public API, and an out-of-range code would silently carry into
+    // adjacent slots — the packed word round-trips to WRONG values with
+    // no error. [[pqIvfArtifact]] guards ksub at build time, so on the
+    // artifact path the gate is inert arithmetic; a caller-built codes
+    // array refuses loudly instead.
+    def slot(p: Column): Column = {
+      val c = when(p <= lit(m), element_at(codes, p)).otherwise(lit(0L))
+      when(c < lit(0L) || c >= lit(base), raise_error(concat(
+          lit(s"pqPack: code out of [0, $base) at $bits bits: "),
+          c.cast("string"))))
+        .otherwise(c)
+    }
     transform(sequence(lit(0), lit(words - 1)), w =>
       aggregate(sequence(lit(1), lit(spw - 1)),
         slot(w * spw + 1) - lit(bias),

@@ -348,6 +348,27 @@ object ArtifactStreams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (batchId > lastFolded) {
           val in = batch.select(col("src"), col("dst"))
+          // Lateness is judged BEFORE the fold runs (ADVICE r13): the
+          // check needs only the batch's min/max, and throwing after
+          // runAlternating had already materialized the labels
+          // checkpoint leaked its blocks on every refused batch.
+          retention.foreach { r =>
+            val ts = col(tsCol.get).cast("long")
+            val mm = batch.agg(min(ts).as("mn"), max(ts).as("mx"))
+              .collect()(0)
+            if (!mm.isNullAt(0)) {
+              val bMin = mm.getLong(0)
+              highWater.map(_ - r).foreach { wm =>
+                if (bMin < wm) throw new IllegalStateException(
+                  s"connectedComponentsStream: batch $batchId contains " +
+                    s"edge time $bMin below the retention watermark $wm " +
+                    s"— late beyond retention $r; widen retention or " +
+                    "bound upstream disorder")
+              }
+              highWater = Some(
+                highWater.fold(mm.getLong(1))(math.max(_, mm.getLong(1))))
+            }
+          }
           val all = state match {
             case Some(s) => in.unionByName(
               s.select(col("comp").as("src"), col("id").as("dst")))
@@ -365,20 +386,6 @@ object ArtifactStreams {
               state = Some(labels)
             case Some(r) =>
               val ts = col(tsCol.get).cast("long")
-              val mm = batch.agg(min(ts).as("mn"), max(ts).as("mx"))
-                .collect()(0)
-              if (!mm.isNullAt(0)) {
-                val bMin = mm.getLong(0)
-                highWater.map(_ - r).foreach { wm =>
-                  if (bMin < wm) throw new IllegalStateException(
-                    s"connectedComponentsStream: batch $batchId contains " +
-                      s"edge time $bMin below the retention watermark $wm " +
-                      s"— late beyond retention $r; widen retention or " +
-                      "bound upstream disorder")
-                }
-                highWater = Some(
-                  highWater.fold(mm.getLong(1))(math.max(_, mm.getLong(1))))
-              }
               // Per-component latest arrival, re-keyed through the NEW
               // labels: the carried component key is itself a node id
               // present in the star edges, so one equi-join maps it; the
@@ -435,7 +442,7 @@ object ArtifactStreams {
    * carried graph against the current membership and its moves apply.
    * The evolution is trigger-granular BY DESIGN (one synchronous round
    * per trigger, the operator's documented unit); what IS
-   * trigger-invariant — and what MembershipStreamSpec pins — is (1)
+   * trigger-invariant — and what ModularityStreamSpec pins — is (1)
    * the carried edge artifact == the batch canonical merge over
    * everything delivered, whatever the split points, and (2) the
    * membership at trigger i == the OFFLINE loop applying one round per

@@ -1275,16 +1275,26 @@ object ScaleSmoke {
               .localCheckpoint(true)
             val q2raw = qTot(coarse, cmem1, self = true)
             val q2 = math.max(q2raw, q1) // accept-if-improved
+            // Conservation identity (ADVICE r13 — the old monotonicity
+            // require was vacuous on the pre-clamped values): the coarse
+            // graph under its singleton membership must score EXACTLY the
+            // fine graph under the accepted membership. This is the
+            // checkable invariant of coarsening; a regressing move round
+            // shows in the logged raw values instead of a dead assert.
+            val qCons = qTot(coarse, cmem, self = true)
+            require(qCons == q1,
+              s"coarsening broke Q conservation: coarse-singleton $qCons" +
+                s" != fine-accepted $q1")
             val cN = cmem.count()
             Seq(mem0, mem1, coarse, cmem, cmem1)
               .foreach(graft.operators.CacheScope.unpinCheckpoint)
-            (q0, q1, q2, cN)
+            (q0, (q1raw, q1), (q2raw, q2), cN)
           } }
         caches.release()
-        require(q1 >= q0 && q2 >= q1,
-          s"louvain ladder Q not monotone: $q0, $q1, $q2")
-        println(s"$m,$n,louvain_ladder,nodes=${nNodes},q0=$q0,q1=$q1," +
-          s"q2=$q2,coarse_nodes=$cNodes,sec=${"%.2f".format(lSec)}")
+        val ((q1r, q1v), (q2r, q2v)) = (q1, q2)
+        println(s"$m,$n,louvain_ladder,nodes=${nNodes},q0=$q0," +
+          s"q1raw=$q1r,q1=$q1v,q2raw=$q2r,q2=$q2v," +
+          s"coarse_nodes=$cNodes,sec=${"%.2f".format(lSec)}")
         graft.operators.CacheScope.unpinCheckpoint(edges)
       }
       // Round-13 (VERDICT r12 #3): quantized serving with QUERIES ≈

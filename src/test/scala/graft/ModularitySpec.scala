@@ -481,4 +481,27 @@ class ModularitySpec extends SparkSpec {
     assert(messages(eStats).exists(_.contains("cover every edge endpoint")),
       s"unexpected failure: $eStats")
   }
+
+  test("self-loop-only unmapped node refuses under selfLoops (ADVICE r13)") {
+    // Node 5's only edge is its self-loop: sym excludes self pairs, so
+    // no null-cj group forms in wicAll — the pre-fix gate never saw it
+    // and its 2w degree silently dropped from s_c. The self-loop
+    // endpoints now gate through their own membership left-join.
+    val edges = Seq((0L, 1L, 2L), (5L, 5L, 3L)).toDF("src", "dst", "w")
+    val mem = Seq((0L, "a"), (1L, "a")).toDF("node_id", "community")
+    val eMove = intercept[Exception] {
+      Modularity.greedyMoveRound(edges, mem, Some("w"), selfLoops = true)
+        .collect()
+    }
+    assert(messages(eMove).exists(_.contains("unmapped")),
+      s"unexpected failure: $eMove")
+    // Mapped, the same graph passes and the self-loop node stays put.
+    val okMem = Seq((0L, "a"), (1L, "a"), (5L, "z"))
+      .toDF("node_id", "community")
+    val out = Modularity.greedyMoveRound(edges, okMem, Some("w"),
+        selfLoops = true)
+      .as[(Long, String, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(5L) === (("z", "z", 0L)))
+  }
 }

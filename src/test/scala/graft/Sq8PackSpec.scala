@@ -109,4 +109,28 @@ class Sq8PackSpec extends SparkSpec {
       assert(a === b, s"row $id: packCodes and pqPack(bits=8) diverge")
     }
   }
+
+  test("pqPack refuses out-of-range codes instead of corrupting the word (ADVICE r13)") {
+    // A code outside [0, 2^bits) would silently carry into adjacent
+    // slots — the packed word round-trips to WRONG values. The per-slot
+    // gate raises instead.
+    for (bad <- Seq(16L, -1L, 255L)) {
+      val rows = Seq((1L, Seq(3L, bad, 7L, 0L, 1L, 2L, 4L, 5L)))
+      val ex = intercept[Exception] {
+        rows.toDF("id", "codes")
+          .select(Similarity.pqPack(col("codes"), 8, bits = 4))
+          .collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(ex).exists(_.contains("pqPack: code out of")),
+        s"unexpected failure for code $bad: $ex")
+    }
+    // In-range codes at bits = 8 still pack (255 is legal there).
+    val ok = Seq((1L, Seq.fill(8)(255L))).toDF("id", "codes")
+      .select(Similarity.pqPack(col("codes"), 8, bits = 8))
+      .collect()
+    assert(ok.length === 1)
+  }
 }
