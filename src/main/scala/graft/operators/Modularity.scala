@@ -475,4 +475,155 @@ object Modularity {
       .groupBy(col("src"), col("dst"))
       .agg(sum(col("w")).as("w")))
   }
+
+  /**
+   * The FULL multi-level Louvain run (Blondel et al. 2008) — the
+   * composition of everything above: per level, singleton-init the
+   * current graph, run the move phase, score the moved membership
+   * ([[communityStats]] — exact integer q_num over the ORIGINAL graph's
+   * 4W², comparable across levels because coarsening conserves the
+   * scorecard exactly), and if the level gained more than `minGain`
+   * compose the moves into the fine membership and [[coarsen]] for the
+   * next level; otherwise stop and discard the non-improving round
+   * (the standard Louvain termination — a kept regression would poison
+   * every later level).
+   *
+   * The move phase is SEMI-SYNCHRONOUS: two [[greedyMoveRound]]
+   * sub-rounds per level, the first applying only EVEN node ids' moves,
+   * the second (re-evaluated against the updated membership) only ODD
+   * ids'. A single synchronous round deadlocks on pair swaps — two
+   * mutually-best nodes defect into each other's abandoned community,
+   * Q is unchanged by the relabel, and the level gate reads ΔQ = 0 and
+   * stops with the pair never merged (a 5-clique splits {4,1} forever).
+   * Parity classes are the standard distributed compromise (the
+   * semi-synchronous discipline of Cordasco & Gargano 2012's LPA,
+   * used by parallel Louvain implementations like Grappolo): within a
+   * class, gains are still "holding others fixed", but a swap needs
+   * both sides to move in the SAME sub-round, which parity forbids for
+   * the adjacent-id pairs contraction produces. Deterministic: the
+   * mask is id arithmetic, both sub-rounds inherit greedyMoveRound's
+   * exact-integer tie-breaks.
+   *
+   * `minGain = Long.MinValue` forces exactly `maxLevels` levels (no
+   * early stop — every finite ΔQ exceeds it), which is what puts the
+   * whole ladder under a DuckDB oracle (q246 unrolls 3 forced levels
+   * CTE-for-CTE; a converged level has zero movers, so forced extra
+   * levels are identity maps and both engines agree). Production
+   * callers use `minGain = 0`: stop as soon as a level stops strictly
+   * improving.
+   *
+   * Determinism: every level is [[greedyMoveRound]]'s deterministic
+   * tie-broken round; the level count under early stop is a pure
+   * function of the data. Driver state is one Long (the running Q) and
+   * the per-level scorecard rows — never node-sized.
+   *
+   * Scale shape: level ℓ runs entirely on the ℓ-times-coarsened graph
+   * — each level is one canonical merge + the move round's three
+   * map-side-combined aggregates + one community-pair contraction, and
+   * the graph SHRINKS by the community count per level (the multi-level
+   * point; SCALE.md's louvain_levels row measures nodes-per-level
+   * shrink at flat wall). Each level's frames are checkpointed so the
+   * plan tree stays level-local instead of doubling per level (the
+   * ScaleSmoke deep-walk lesson), and every intermediate checkpoint
+   * releases before return.
+   *
+   * @return (membership, scorecard): `membership` = (node_id,
+   *         community) over the ORIGINAL nodes — the fine membership
+   *         composed through all accepted levels (community labels are
+   *         coarse node ids, long-castable); `scorecard` = one row per
+   *         accepted level, (level, q_num, n_communities, n_nodes) with
+   *         q_num = the total over the fine graph's 4W² after that
+   *         level and n_nodes = the level's GRAPH size before
+   *         contraction. Level counting starts at 1; a run where no
+   *         level improves returns the singleton membership and an
+   *         empty scorecard.
+   */
+  def louvain(edges: DataFrame, weightCol: Option[String] = None,
+      maxLevels: Int = 10, minGain: Long = 0L)
+      : (DataFrame, DataFrame) = {
+    require(maxLevels >= 1, s"maxLevels must be >= 1: $maxLevels")
+    val spark = edges.sparkSession
+    def cp(df: DataFrame): DataFrame =
+      df.localCheckpoint(true).transform(CacheScope.pinCheckpointed)
+    // Q of a graph under its SINGLETON membership, in ONE aggregate:
+    // per node, internal mass = its self-loop weight and degree =
+    // 2·self + Σ incident non-self weight, so
+    // q_num = Σ_c (4·W·self_c − deg_c²). By the coarsening conservation
+    // identity (ModularitySpec's ladder test) this equals the PREVIOUS
+    // level's Q under the moved membership — which is why the loop
+    // scores each level off its coarse graph instead of paying a full
+    // communityStats pass (4 extra jobs per level) against the fine one.
+    def coarseQ(g: DataFrame): Long = {
+      val selfW = g.filter(col("src") === col("dst"))
+        .select(col("src").as("c"), col("w"))
+      val deg = g.filter(col("src") =!= col("dst"))
+        .select(col("src").as("c"), col("w"))
+        .unionByName(g.filter(col("src") =!= col("dst"))
+          .select(col("dst").as("c"), col("w")))
+        .unionByName(selfW.select(col("c"), (col("w") * 2L).as("w")))
+        .groupBy(col("c")).agg(sum(col("w")).as("d"))
+      val wTot = g.agg(coalesce(sum(col("w")), lit(0L)).as("wt"))
+      deg.join(selfW.groupBy(col("c")).agg(sum(col("w")).as("sw")),
+          Seq("c"), "left")
+        .crossJoin(broadcast(wTot))
+        .agg(coalesce(sum(lit(4L) * col("wt") * coalesce(col("sw"), lit(0L))
+          - col("d") * col("d")), lit(0L)))
+        .collect()(0).getLong(0)
+    }
+    def singletons(g: DataFrame): DataFrame =
+      g.select(col("src").as("node_id")).union(g.select(col("dst")))
+        .distinct()
+        .select(col("node_id").cast("long").as("node_id"),
+          col("node_id").cast("string").as("community"))
+    // Level-0 graph: ONE canonical merge (self-loops legal on input).
+    var g = cp(canonEdges(edges, weightCol, selfLoops = true)
+      .select(col("s").as("src"), col("d").as("dst"), col("w")))
+    var composed = cp(singletons(g))
+    var qPrev = coarseQ(g)
+    val scorecard = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Long, Long, Long)]
+    val pinned = scala.collection.mutable.ArrayBuffer[DataFrame](g, composed)
+    var level = 0
+    var stop = false
+    while (level < maxLevels && !stop) {
+      var memL = singletons(g)
+      for (phase <- 0 to 1) {
+        val memNext = cp(greedyMoveRound(g, memL, Some("w"),
+            selfLoops = true)
+          .select(col("node_id"),
+            when(pmod(col("node_id"), lit(2L)) === lit(phase.toLong),
+              col("comm_new")).otherwise(col("comm_old"))
+              .as("community")))
+        pinned += memNext
+        memL = memNext
+      }
+      val moved = memL
+      val gNext = cp(coarsen(g, moved, Some("w"), selfLoops = true))
+      pinned += gNext
+      val q = coarseQ(gNext) // == Q(g, moved) by conservation
+      if (q - qPrev <= minGain) { stop = true }
+      else {
+        level += 1
+        val counts = moved.agg(count(lit(1)).as("n"),
+          countDistinct(col("community")).as("c")).collect()(0)
+        scorecard += ((level, q, counts.getLong(1), counts.getLong(0)))
+        composed = cp(composed.join(
+            moved.select(col("node_id").cast("string").as("community"),
+              col("community").as("cnew")), Seq("community"))
+          .select(col("node_id"), col("cnew").as("community")))
+        pinned += composed
+        g = gNext
+        qPrev = q
+      }
+    }
+    val out = composed
+    val sc = spark.createDataFrame(scorecard.toSeq)
+      .toDF("level", "q_num", "n_communities", "n_nodes")
+    // Re-checkpoint the survivors OFF the tracked frames, then release
+    // every per-level intermediate (the loop pinned one graph + one
+    // membership + one move table per level).
+    val outCp = out.localCheckpoint(true)
+    pinned.foreach(CacheScope.unpinCheckpoint)
+    (outCp, sc)
+  }
 }

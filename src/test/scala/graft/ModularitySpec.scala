@@ -482,6 +482,90 @@ class ModularitySpec extends SparkSpec {
       s"unexpected failure: $eStats")
   }
 
+  // ---- Full multi-level Louvain driver (round 14).
+
+  test("louvain: Q monotone per accepted level; composed fine membership scores == final level Q") {
+    for (seed <- 1 to 2) {
+      val rng = new Random(140 + seed)
+      val n = 40
+      // planted 4-block structure so multiple levels actually fire
+      val edges = (1 to 250).map { _ =>
+        val a = rng.nextInt(n).toLong
+        val b = if (rng.nextInt(10) < 8)
+          (a / 10) * 10 + rng.nextInt(10) else rng.nextInt(n).toLong
+        (a, b, (rng.nextInt(3) + 1).toLong)
+      }.filter(e => e._1 != e._2)
+      val (mem, sc) = Modularity.louvain(edges.toDF("src", "dst", "w"),
+        Some("w"), maxLevels = 4, minGain = 0L)
+      val levels = sc.orderBy(col("level"))
+        .as[(Int, Long, Long, Long)].collect()
+      assert(levels.nonEmpty, "planted structure must accept >= 1 level")
+      // strictly monotone Q across accepted levels (minGain = 0)
+      levels.map(_._2).sliding(2).foreach {
+        case Array(a, b) => assert(b > a, s"Q not increasing: $a -> $b")
+        case _ =>
+      }
+      // graph shrinks per level; level 1 ran on the full node set
+      assert(levels.head._4 ===
+        edges.flatMap(e => Seq(e._1, e._2)).distinct.size.toLong)
+      levels.sliding(2).foreach {
+        case Array(a, b) => assert(b._4 === a._3,
+          "next level's graph size == previous level's community count")
+        case _ =>
+      }
+      // the composed FINE membership scores exactly the final level's Q
+      val composed = mem.as[(Long, String)].collect().toMap
+      assert(qTotalSelf(edges, composed) === levels.last._2)
+      // membership covers every node, labels long-castable
+      assert(composed.keySet ===
+        edges.flatMap(e => Seq(e._1, e._2)).toSet)
+      composed.values.foreach(_.toLong)
+    }
+  }
+
+  test("louvain: no improving level -> singleton membership, empty scorecard") {
+    val edges = Seq((0L, 1L, 1L), (2L, 3L, 1L)).toDF("src", "dst", "w")
+    // minGain = MaxValue: no finite gain clears it, so level 1's moves
+    // are discarded and the singleton init comes back untouched.
+    val (mem, sc) = Modularity.louvain(edges, Some("w"),
+      maxLevels = 4, minGain = Long.MaxValue)
+    assert(sc.count() === 0L)
+    val m = mem.as[(Long, String)].collect().toMap
+    assert(m === Map(0L -> "0", 1L -> "1", 2L -> "2", 3L -> "3"))
+  }
+
+  test("louvain: forced levels (q246 mode) run exactly maxLevels and keep the composition identity") {
+    // Forced mode (minGain = Long.MinValue — what q246 runs so the
+    // oracle can unroll a FIXED number of levels): every level is
+    // accepted, including non-improving ones (synchronous super-node
+    // pair swaps are legal there), so the invariants are (1) exactly
+    // maxLevels scorecard rows and (2) the composed fine membership
+    // scores the LAST level's Q — the composition identity that holds
+    // whatever the per-level moves did.
+    val clique = (base: Long) => (for {
+      i <- 0 until 5; j <- (i + 1) until 5
+    } yield (base + i, base + j, 2L))
+    val edges = clique(0L) ++ clique(10L) :+ ((4L, 10L, 1L))
+    val (memForced, scForced) = Modularity.louvain(
+      edges.toDF("src", "dst", "w"), Some("w"),
+      maxLevels = 3, minGain = Long.MinValue)
+    val fLevels = scForced.orderBy(col("level"))
+      .as[(Int, Long, Long, Long)].collect()
+    assert(fLevels.length === 3)
+    val fm = memForced.as[(Long, String)].collect().toMap
+    assert(qTotalSelf(edges, fm) === fLevels.last._2)
+    // The early-stop production run on the same graph: each clique one
+    // community, the bridge did not merge them, Q strictly monotone.
+    val (memStop, scStop) = Modularity.louvain(
+      edges.toDF("src", "dst", "w"), Some("w"),
+      maxLevels = 5, minGain = 0L)
+    val a = memStop.as[(Long, String)].collect().toMap
+    assert(a.filter(_._1 < 5).values.toSet.size === 1)
+    assert(a.filter(_._1 >= 10).values.toSet.size === 1)
+    assert(a(0L) !== a(10L))
+    assert(scStop.count() >= 1L)
+  }
+
   test("self-loop-only unmapped node refuses under selfLoops (ADVICE r13)") {
     // Node 5's only edge is its self-loop: sym excludes self pairs, so
     // no null-cj group forms in wicAll — the pre-fix gate never saw it
