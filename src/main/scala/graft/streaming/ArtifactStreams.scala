@@ -454,37 +454,118 @@ object ArtifactStreams {
    * after the new membership materializes — a streaming caller must
    * not accumulate one canon+wic checkpoint pair per trigger forever.
    * `sink` receives (node_id, community) each trigger; `stateProbe`
-   * the carried canonical edge table.
+   * the carried canonical edge table (plus `last_ts` under retention).
+   *
+   * RETENTION (the watermark face — VERDICT r13 #2: without it the
+   * carried canonical edge table is "graph-sized", but on the
+   * unbounded edge feed a streaming face exists for, graph-sized IS
+   * unbounded): with `tsCol` + `retention = Some(r)`, every canonical
+   * edge carries its latest arrival time (the within-batch merge takes
+   * max over orientations/repeats, the cross-batch merge takes max
+   * exactly as weights sum), and after each fold edges whose latest
+   * arrival is below max(ts seen) − r EXPIRE from the carried graph; a
+   * node with no live edge leaves the membership with them. A batch
+   * carrying a timestamp below the watermark RAISES before anything
+   * folds (the [[connectedComponentsStream]] lateness contract — loud
+   * refusal, never a silent drop). A node re-touched after expiry
+   * re-enters as a FRESH singleton — the session-close semantics; its
+   * community history is gone with its edges, so the move round
+   * re-derives structure from live mass only. ModularityStreamSpec
+   * pins state-pinned-to-the-horizon, the stream == offline-replay-
+   * with-the-same-retention-rule identity, and the late refusal.
    */
   def greedyMembershipStream(edges: DataFrame,
-      weightCol: Option[String] = None)(
+      weightCol: Option[String] = None,
+      tsCol: Option[String] = None,
+      retention: Option[Long] = None)(
       sink: (DataFrame, Long) => Unit,
       stateProbe: (DataFrame, Long) => Unit = (_, _) => ()): StreamingQuery = {
+    require(retention.forall(_ >= 0), s"retention >= 0: $retention")
+    require(retention.isEmpty || tsCol.isDefined,
+      "retention needs tsCol: the horizon is measured in edge event time")
     var edgeState: Option[DataFrame] = None
     var memState: Option[DataFrame] = None
     var lastFolded = -1L
+    var highWater: Option[Long] = None
     edges.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (batchId > lastFolded) {
           val p = batch.sparkSession.sessionState.conf.numShufflePartitions
-          val batchCanon = graft.operators.Modularity.canonEdges(
-            batch, weightCol, selfLoops = true)
-            .select(col("s").as("src"), col("d").as("dst"), col("w"))
+          // Lateness judged BEFORE any fold work (the CC-stream
+          // discipline, ADVICE r13 there): only the batch min/max is
+          // needed, and nothing is materialized yet on the throw path.
+          retention.foreach { r =>
+            val ts = col(tsCol.get).cast("long")
+            val mm = batch.agg(min(ts).as("mn"), max(ts).as("mx"))
+              .collect()(0)
+            if (!mm.isNullAt(0)) {
+              val bMin = mm.getLong(0)
+              highWater.map(_ - r).foreach { wm =>
+                if (bMin < wm) throw new IllegalStateException(
+                  s"greedyMembershipStream: batch $batchId contains edge " +
+                    s"time $bMin below the retention watermark $wm — late " +
+                    s"beyond retention $r; widen retention or bound " +
+                    "upstream disorder")
+              }
+              highWater = Some(
+                highWater.fold(mm.getLong(1))(math.max(_, mm.getLong(1))))
+            }
+          }
+          val hasTs = retention.isDefined
+          // Canonical batch merge — [[Modularity.canonEdges]]'s exact
+          // rule (orientations/repeats: weighted SUM, unweighted dedup
+          // via min of the 1-literal), inlined here when a timestamp
+          // rides along so last_ts folds in the same aggregate.
+          val batchCanon =
+            if (!hasTs) graft.operators.Modularity.canonEdges(
+                batch, weightCol, selfLoops = true)
+              .select(col("s").as("src"), col("d").as("dst"), col("w"))
+            else {
+              val w0 = weightCol.map(c => col(c).cast("long"))
+                .getOrElse(lit(1L))
+              batch.select(
+                  least(col("src").cast("long"), col("dst").cast("long"))
+                    .as("s"),
+                  greatest(col("src").cast("long"), col("dst").cast("long"))
+                    .as("d"),
+                  w0.as("w0"), col(tsCol.get).cast("long").as("ts"))
+                .groupBy(col("s"), col("d"))
+                .agg((if (weightCol.isDefined) sum(col("w0"))
+                      else min(col("w0"))).as("w"),
+                  max(col("ts")).as("last_ts"))
+                .select(col("s").as("src"), col("d").as("dst"), col("w"),
+                  col("last_ts"))
+            }
           val merged = edgeState match {
-            case Some(s) => graft.operators.Modularity.canonEdges(
+            case Some(s) if !hasTs => graft.operators.Modularity.canonEdges(
                 s.unionByName(batchCanon), Some("w"), selfLoops = true)
               .select(col("s").as("src"), col("d").as("dst"), col("w"))
+            case Some(s) => s.unionByName(batchCanon)
+              .groupBy(col("src"), col("dst"))
+              .agg(sum(col("w")).as("w"), max(col("last_ts")).as("last_ts"))
             case None => batchCanon
           }
-          val mergedCp = merged.coalesce(p).localCheckpoint(true)
+          // Expiry: drop edges idle beyond the horizon; membership rows
+          // for nodes with no live edge leave with them.
+          val live = (retention, highWater) match {
+            case (Some(r), Some(hw)) =>
+              merged.filter(col("last_ts") >= lit(hw - r))
+            case _ => merged
+          }
+          val mergedCp = live.coalesce(p).localCheckpoint(true)
           val nodes = mergedCp.select(col("src").as("node_id"))
             .union(mergedCp.select(col("dst"))).distinct()
           val mem = memState match {
-            case Some(ms) => ms.unionByName(
-              nodes.join(ms.select(col("node_id")), Seq("node_id"),
-                  "left_anti")
-                .select(col("node_id"),
-                  col("node_id").cast("string").as("community")))
+            case Some(ms0) =>
+              // Under retention the carried membership restricts to the
+              // LIVE node set (inner join) before new singletons enter;
+              // without it every carried row survives.
+              val ms = if (hasTs) ms0.join(nodes, Seq("node_id")) else ms0
+              ms.unionByName(
+                nodes.join(ms0.select(col("node_id")), Seq("node_id"),
+                    "left_anti")
+                  .select(col("node_id"),
+                    col("node_id").cast("string").as("community")))
             case None => nodes.select(col("node_id"),
               col("node_id").cast("string").as("community"))
           }
@@ -494,7 +575,8 @@ object ArtifactStreams {
           // lifetime (the CacheScope leak class).
           val (memNext, caches) = graft.operators.CacheScope.tracking {
             graft.operators.Modularity.greedyMoveRound(
-                mergedCp, mem, Some("w"), selfLoops = true)
+                mergedCp.select(col("src"), col("dst"), col("w")),
+                mem, Some("w"), selfLoops = true)
               .select(col("node_id"), col("comm_new").as("community"))
               .coalesce(p).localCheckpoint(true)
           }

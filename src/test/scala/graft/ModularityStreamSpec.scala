@@ -138,6 +138,109 @@ class ModularityStreamSpec extends SparkSpec {
       .foreach(graft.operators.CacheScope.unpinCheckpoint)
   }
 
+  test("greedyMembershipStream retention: state pinned to the horizon, stream == offline replay, fresh re-entry") {
+    // (src, dst, w, ts); retention 18. After trigger 1 the watermark is
+    // 30 − 18 = 12, so (0,1) @10 expires — nodes 0 and 1 leave the
+    // carried graph AND the membership; (2,3) re-touched @25 stays with
+    // its weight SUMMED. Trigger 2 re-touches node 0 @35: it re-enters
+    // as a FRESH singleton (its expired community history is gone).
+    val splits: Seq[Seq[(Long, Long, Long, Long)]] = Seq(
+      Seq((0L, 1L, 4L, 10L), (2L, 3L, 1L, 14L)),
+      Seq((2L, 3L, 2L, 25L), (4L, 5L, 5L, 30L)),
+      Seq((0L, 6L, 1L, 35L)))
+    val r = 18L
+    val tmp = java.nio.file.Files.createTempDirectory("mem_ret").toString
+    splits.zipWithIndex.foreach { case (part, i) =>
+      if (i > 0) Thread.sleep(1100)
+      part.toDF("src", "dst", "w", "ts").coalesce(1)
+        .write.mode("append").parquet(s"$tmp/in")
+    }
+    val tsSchema = StructType(Seq(StructField("src", LongType),
+      StructField("dst", LongType), StructField("w", LongType),
+      StructField("ts", LongType)))
+    val stream = spark.readStream.schema(tsSchema)
+      .option("maxFilesPerTrigger", 1).option("latestFirst", "false")
+      .parquet(s"$tmp/in")
+    val mems = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Map[Long, String])]
+    val graphs = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Map[(Long, Long), (Long, Long)])]
+    var lastMem: org.apache.spark.sql.DataFrame = null
+    var lastGraph: org.apache.spark.sql.DataFrame = null
+    val q = ArtifactStreams.greedyMembershipStream(stream, Some("w"),
+      tsCol = Some("ts"), retention = Some(r))(
+      (m, id) => {
+        mems += (id -> m.as[(Long, String)].collect().toMap)
+        lastMem = m
+      },
+      (g, id) => {
+        graphs += (id -> g.as[(Long, Long, Long, Long)].collect()
+          .map(x => (x._1, x._2) -> ((x._3, x._4))).toMap)
+        lastGraph = g
+      })
+    q.processAllAvailable()
+    q.stop()
+    assert(mems.size == 3)
+    // OFFLINE replay with the same retention rule — what the stream
+    // must equal at every trigger.
+    var canon = Map.empty[(Long, Long), (Long, Long)]
+    var mem = Map.empty[Long, String]
+    var hw = Long.MinValue
+    splits.indices.foreach { i =>
+      val batch = splits(i).map { case (a, b, w, ts) =>
+        (math.min(a, b), math.max(a, b), w, ts) }
+      hw = math.max(hw, batch.map(_._4).max)
+      val bc = batch.groupBy(e => (e._1, e._2))
+        .map { case (k, g) => k -> ((g.map(_._3).sum, g.map(_._4).max)) }
+      canon = (canon.keySet ++ bc.keySet).map { k =>
+        val (w1, t1) = canon.getOrElse(k, (0L, Long.MinValue))
+        val (w2, t2) = bc.getOrElse(k, (0L, Long.MinValue))
+        k -> ((w1 + w2, math.max(t1, t2)))
+      }.toMap
+      canon = canon.filter(_._2._2 >= hw - r) // expiry
+      val live = canon.toSeq.map { case ((s, d), (w, _)) => (s, d, w) }
+      val nodes = live.flatMap(e => Seq(e._1, e._2)).distinct
+      val carried = mem.filter(kv => nodes.contains(kv._1))
+      val entered = carried ++ nodes.filterNot(carried.contains)
+        .map(v => v -> v.toString)
+      mem = Modularity.greedyMoveRound(live.toDF("src", "dst", "w"),
+          entered.toSeq.toDF("node_id", "community"), Some("w"),
+          selfLoops = true)
+        .select(col("node_id"), col("comm_new"))
+        .as[(Long, String)].collect().toMap
+      assert(graphs(i)._2 === canon, s"trigger $i carried graph diverges")
+      assert(mems(i)._2 === mem, s"trigger $i membership diverges")
+    }
+    // expiry really removed nodes 0/1 at trigger 1; 0 re-entered at 2
+    assert(!mems(1)._2.contains(0L) && !mems(1)._2.contains(1L))
+    assert(mems(2)._2.contains(0L) && !mems(2)._2.contains(1L))
+    Seq(lastMem, lastGraph).filter(_ != null)
+      .foreach(graft.operators.CacheScope.unpinCheckpoint)
+  }
+
+  test("greedyMembershipStream retention: a batch below the watermark refuses loudly") {
+    val tmp = java.nio.file.Files.createTempDirectory("mem_late").toString
+    Seq((1L, 2L, 1L, 100L)).toDF("src", "dst", "w", "ts").coalesce(1)
+      .write.mode("append").parquet(s"$tmp/in")
+    Thread.sleep(1100)
+    Seq((3L, 4L, 1L, 50L)).toDF("src", "dst", "w", "ts").coalesce(1)
+      .write.mode("append").parquet(s"$tmp/in")
+    val tsSchema = StructType(Seq(StructField("src", LongType),
+      StructField("dst", LongType), StructField("w", LongType),
+      StructField("ts", LongType)))
+    val late = spark.readStream.schema(tsSchema)
+      .option("maxFilesPerTrigger", 1).option("latestFirst", "false")
+      .parquet(s"$tmp/in")
+    val q = ArtifactStreams.greedyMembershipStream(late, Some("w"),
+      tsCol = Some("ts"), retention = Some(10L))((_, _) => ())
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    val e = intercept[Exception] { q.processAllAvailable() }
+    assert(chain(e).exists(_.contains("below the retention watermark")),
+      s"unexpected failure: ${chain(e)}")
+  }
+
   test("batch identity: communityStats == finalize(partial) and shard-merge associativity") {
     val rng = new Random(23)
     val edges = (1 to 60)
