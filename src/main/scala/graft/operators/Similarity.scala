@@ -476,15 +476,38 @@ object Similarity {
    * it against a float cosine with [[ivfTopKQuantized]]'s
    * n_in_float_topk recall column on a sample.
    *
+   * `nLists` AUTO-SIZES by default (VERDICT r13 #4): at a FIXED list
+   * count the candidate volume is N²·nProbe/nLists — quadratic in the
+   * corpus BY CONSTRUCTION (q242's battery fixture runs that regime
+   * deliberately, 2k vectors / 16 cells), and a caller using defaults
+   * must not land there. `nLists <= 0` (the default) picks
+   * max(16, ceil(N / targetCellSize)) from one corpus count — the
+   * FAISS convention of growing the list count with the corpus, which
+   * keeps per-cell candidates (and therefore pairs per vector) FLAT as
+   * N grows (SCALE.md sq8_dedup_auto measures it). The same rule is
+   * the right default for any caller of the serving faces
+   * ([[ivfTopKQuantizedServe]] / [[ivfPqTopKServe]]) whose query set
+   * scales with the corpus. With `fixedCentroids` the list count is
+   * the centroid array's length, as everywhere.
+   *
    * @return (id_a, id_b, q_dot) — exact integers end to end, so the
    *         readout sits under a cross-engine hash oracle
    */
   def semanticDedupQuantized(df: DataFrame, idCol: String, vecCol: String,
-      dim: Int, k: Int, minDot: Long, nLists: Int = 16, nProbe: Int = 4,
+      dim: Int, k: Int, minDot: Long, nLists: Int = 0, nProbe: Int = 4,
       seed: Long = 42L, maxIter: Int = 5,
-      fixedCentroids: Option[Array[Array[Double]]] = None): DataFrame = {
+      fixedCentroids: Option[Array[Array[Double]]] = None,
+      targetCellSize: Int = 256): DataFrame = {
+    require(targetCellSize > 0, s"targetCellSize > 0: $targetCellSize")
+    val nEff =
+      if (nLists > 0) nLists
+      else fixedCentroids.map(_.length).getOrElse {
+        val n = df.count()
+        math.max(16L, (n + targetCellSize - 1) / targetCellSize)
+          .min(Int.MaxValue).toInt
+      }
     val (artifact0, centroids, stats) =
-      sq8IvfArtifact(df, idCol, vecCol, dim, nLists, seed, maxIter,
+      sq8IvfArtifact(df, idCol, vecCol, dim, nEff, seed, maxIter,
         fixedCentroids)
     // Pinned: the artifact backs BOTH join sides (packed candidates and
     // the probing queries are the same corpus) — unpinned, the coding

@@ -1297,6 +1297,99 @@ object ScaleSmoke {
           s"coarse_nodes=$cNodes,sec=${"%.2f".format(lSec)}")
         graft.operators.CacheScope.unpinCheckpoint(edges)
       }
+      // Round-14 (VERDICT r13 #3): the FULL multi-level Louvain driver —
+      // nodes must SHRINK per level (that is phase 2's whole point) at
+      // near-flat wall per level, with Q strictly monotone across the
+      // accepted levels. CSV: m,n,louvain_levels,nodes,levels,
+      // node_path (fine:level1:level2:…), q_path, sec.
+      if (wanted("louvain_levels")) {
+        val nNodes = 4000L * m
+        val h = (s: Int) => xxhash64(col("id"), lit(s))
+        val edges = spark.range(nNodes * 5)
+          .select(pmod(h(1), lit(nNodes)).as("src"),
+            when(pmod(h(3), lit(10)) < 8,
+              pmod(h(1), lit(nNodes)) - pmod(pmod(h(1), lit(nNodes)), lit(40L))
+                + pmod(h(2), lit(40L)))
+              .otherwise(pmod(h(2), lit(nNodes))).as("dst"),
+            (pmod(h(4), lit(3L)) + 1L).as("w"))
+          .filter(col("src") =!= col("dst"))
+          .localCheckpoint(true)
+        val ((lvSec, (rows, fineN)), caches) =
+          graft.operators.CacheScope.tracking { time {
+            val (mem, sc) = graft.operators.Modularity.louvain(
+              edges, Some("w"), maxLevels = 4, minGain = 0L)
+            val r = sc.orderBy(col("level"))
+              .collect().map(x => (x.getInt(0), x.getLong(1),
+                x.getLong(2), x.getLong(3)))
+            val nN = mem.count()
+            graft.operators.CacheScope.unpinCheckpoint(mem)
+            (r, nN)
+          } }
+        caches.release()
+        require(rows.map(_._2).sliding(2).forall {
+          case Array(a, b) => b > a
+          case _ => true
+        }, "louvain levels must be strictly Q-monotone")
+        val nodePath = (Seq(fineN) ++ rows.map(_._3)).mkString(":")
+        val qPath = rows.map(_._2).mkString(":")
+        println(s"$m,$n,louvain_levels,nodes=$nNodes,levels=${rows.size}," +
+          s"node_path=$nodePath,q_path=$qPath," +
+          s"sec=${"%.2f".format(lvSec)}")
+        graft.operators.CacheScope.unpinCheckpoint(edges)
+      }
+      // Round-14 (VERDICT r13 #1): recall at IDENTICAL bytes — raw vs
+      // RESIDUAL IVFADC encoding, trained coarse centroids, each
+      // encoding's codebooks trained on what it quantizes, same probe
+      // budget. Two byte rungs: (bits=4, ksub=16) = the q97 operating
+      // point, one BIGINT word/vector; (bits=8, ksub=64) = the next
+      // rung, two words. CSV: m,n,pq_recall_residual,bits,ksub,words,
+      // enc,recall,sec.
+      if (wanted("pq_recall_residual") && m == 1) {
+        val nVec = 4000L
+        val vecs = spark.range(nVec)
+          .select(col("id").as("vec_id"),
+            expr("""transform(sequence(1, 64), i ->
+              CAST(CAST(pmod(conv(substring(md5(concat(
+                CAST(id AS STRING), '|', CAST(i AS STRING))), 1, 6),
+                16, 10), 1000) AS DOUBLE) / 1000.0 - 0.5 AS FLOAT))""")
+              .as("embedding"))
+          .localCheckpoint(true)
+        val queries = vecs.filter(col("vec_id") < 200)
+        val brute = graft.operators.Similarity.bruteForceTopK(
+            vecs, queries, "vec_id", "embedding", 5)
+          .select(col("q_id"), col("n_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val cents = graft.operators.Similarity.trainCentroids(
+          vecs, "embedding", nLists = 64)
+        for ((bits, ksub) <- Seq((4, 16), (8, 64));
+             residual <- Seq(false, true)) {
+          val ((rSec, recall), caches) =
+            graft.operators.CacheScope.tracking { time {
+              val trainSrc =
+                if (residual) graft.operators.Similarity.pqResiduals(
+                  vecs, "vec_id", "embedding", cents)
+                else vecs.withColumnRenamed("embedding", "n_res")
+                  .withColumnRenamed("vec_id", "n_id")
+              val books = graft.operators.Similarity.pqTrainCodebooks(
+                trainSrc, "n_res", m = 8, ksub = ksub, dim = 64)
+              val art = graft.operators.Similarity.pqIvfArtifact(
+                vecs, "vec_id", "embedding", cents, books, bits, residual)
+              val served = graft.operators.Similarity.ivfPqTopKServe(
+                  art, queries, "vec_id", "embedding", k = 5,
+                  centroids = cents, codebooks = books, nProbe = 8,
+                  bits = bits, residual = residual)
+                .select(col("q_id"), col("n_id"))
+                .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+              (brute & served).size.toDouble / brute.size
+            } }
+          caches.release()
+          val words = (8 + (64 / bits) - 1) / (64 / bits)
+          println(s"$m,$n,pq_recall_residual,bits=$bits,ksub=$ksub," +
+            s"words=$words,enc=${if (residual) "residual" else "raw"}," +
+            s"recall=${"%.3f".format(recall)},sec=${"%.2f".format(rSec)}")
+        }
+        graft.operators.CacheScope.unpinCheckpoint(vecs)
+      }
       // Round-13 (VERDICT r12 #3): quantized serving with QUERIES ≈
       // CORPUS through the shuffle-join path (broadcastQueries = false)
       // — the regime where broadcasting the probed frame would collect
@@ -1326,6 +1419,34 @@ object ScaleSmoke {
         caches.release()
         println(s"$m,$n,sq8_serve_fanout,vectors=$nVec,cells=${64 * m}," +
           s"pairs=$nPairs,sec=${"%.2f".format(fSec)}")
+        graft.operators.CacheScope.unpinCheckpoint(vecs)
+      }
+      // Round-14 (VERDICT r13 #4): semanticDedupQuantized under pure
+      // DEFAULTS — nLists auto-sizes to max(16, N/targetCellSize) from
+      // one corpus count, so pairs/vector must stay FLAT as the corpus
+      // grows (the caller-used-defaults regime the auto-sizing exists
+      // to protect; contrast the fixed-nLists quadratic q242 prices
+      // deliberately). CSV: m,n,sq8_dedup_auto,vectors,pairs,
+      // pairs_per_vec,sec.
+      if (wanted("sq8_dedup_auto") && m <= 4) {
+        val nVec = 2000L * m
+        val vecs = spark.range(nVec)
+          .select(col("id").as("vec_id"),
+            expr("""transform(sequence(1, 64), i ->
+              CAST(CAST(pmod(conv(substring(md5(concat(
+                CAST(id AS STRING), '|', CAST(i AS STRING))), 1, 6),
+                16, 10), 1000) AS DOUBLE) / 1000.0 - 0.5 AS FLOAT))""")
+              .as("embedding"))
+          .localCheckpoint(true)
+        val ((aSec, nPairs), caches) = graft.operators.CacheScope.tracking {
+          time(graft.operators.Similarity.semanticDedupQuantized(
+              vecs, "vec_id", "embedding", dim = 64, k = 5, minDot = 0L)
+            .count())
+        }
+        caches.release()
+        println(s"$m,$n,sq8_dedup_auto,vectors=$nVec,pairs=$nPairs," +
+          s"pairs_per_vec=${"%.2f".format(nPairs.toDouble / nVec)}," +
+          s"sec=${"%.2f".format(aSec)}")
         graft.operators.CacheScope.unpinCheckpoint(vecs)
       }
       // Round-10 (VERDICT r9 #3): tiered vs full exact span dedup on a

@@ -839,6 +839,30 @@ class AnnSpec extends SparkSpec {
     assert(got === want && want.nonEmpty)
   }
 
+  test("semanticDedupQuantized auto-sizes nLists: parity with the explicit count (VERDICT r13 #4)") {
+    // The default must PICK nLists = max(16, ceil(N / targetCellSize))
+    // from one corpus count, so a caller using defaults can never land
+    // in the quadratic-at-fixed-nLists regime. Parity: the auto run
+    // equals the run that passes the same count explicitly (identical
+    // seed → identical k-means → identical pairs).
+    val corpus = emb.limit(200) // auto at targetCellSize 10 → 20 lists
+    val auto = Similarity.semanticDedupQuantized(corpus, "vec_id",
+        "embedding", dim = 64, k = 3, minDot = 0L, targetCellSize = 10)
+      .as[(Long, Long, Long)].collect().toSet
+    val explicitRun = Similarity.semanticDedupQuantized(corpus, "vec_id",
+        "embedding", dim = 64, k = 3, minDot = 0L, nLists = 20)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(auto === explicitRun && auto.nonEmpty)
+    // the floor engages: a tiny corpus still gets 16 lists, not 1
+    val tiny = Similarity.semanticDedupQuantized(emb.limit(30), "vec_id",
+        "embedding", dim = 64, k = 2, minDot = 0L)
+      .as[(Long, Long, Long)].collect().toSet
+    val tinyExplicit = Similarity.semanticDedupQuantized(emb.limit(30),
+        "vec_id", "embedding", dim = 64, k = 2, minDot = 0L, nLists = 16)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(tiny === tinyExplicit)
+  }
+
   test("PQ ANN: planted exact duplicate is always rank 1; codes are the compressed artifact") {
     // ADC distance of q to its identical twin = Σ_s min_c d2(q_s, c) —
     // the minimum any vector can score — so the twin MUST rank first
