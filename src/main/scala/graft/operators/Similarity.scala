@@ -810,6 +810,51 @@ object Similarity {
   }
 
   /**
+   * Two-stage IVFADC serving: ADC shortlist → EXACT re-rank — the
+   * standard production composition (FAISS's refine step; Jégou et al.
+   * 2011 §V re-rank IVFADC shortlists with a refinement quantizer,
+   * IndexRefineFlat re-ranks with the float vectors as here). The ADC
+   * stage ([[ivfPqTopKServe]]) narrows the corpus to `shortlist`
+   * candidates per query reading only the 4 B/vector packed artifact;
+   * the exact stage then touches float vectors for ONLY those
+   * |Q|·shortlist rows — at 100 TB that is the difference between
+   * scanning the float corpus (impossible) and a broadcast-joined read
+   * of a few hundred rows per query. Re-rank metric is exact squared
+   * L2 (the distance ADC approximates), in-order double folds, so the
+   * whole two-stage compose sits under the hash oracle (q248).
+   *
+   * `broadcastShortlist = false` switches the re-rank join to the
+   * shuffle path (equi-join on the id) for corpus-sized query sets,
+   * exactly as `broadcastQueries` does for the ADC stage.
+   */
+  def ivfPqTopKRerank(artifact: DataFrame, corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      shortlist: Int,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      nProbe: Int = 4, bits: Int = 4,
+      broadcastQueries: Boolean = true,
+      broadcastShortlist: Boolean = true,
+      residual: Boolean = false): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val short = ivfPqTopKServe(artifact, queries, idCol, vecCol,
+        k = shortlist, centroids = centroids, codebooks = codebooks,
+        nProbe = nProbe, bits = bits,
+        broadcastQueries = broadcastQueries, residual = residual)
+      .select(col("q_id"), col("n_id"))
+    val qv = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val sj = short.join(qv, Seq("q_id"))
+    val cv = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("n_id"))
+    cv.join(if (broadcastShortlist) broadcast(sj) else sj, Seq("n_id"))
+      .withColumn("d2", sqL2(col("q_vec"),
+        transform(col("n_vec"), x => x.cast("double"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"), col("d2"))
+  }
+
+  /**
    * HNSW-style BEAM search over the IVF cells — the same exact-cosine
    * probe tail as [[ivfTopK]], but the probed cells come from graph
    * NAVIGATION instead of an argmin over every centroid: queries enter
@@ -1709,6 +1754,68 @@ object Similarity {
         .take(4).map(b => f"${b & 0xff}%02x").mkString
       (java.lang.Long.parseLong(hex, 16) / 2147483648.0 - 1.0) * 0.25
     }
+
+  /**
+   * Portable ±1 sign diagonal for [[hdRotate]]: sign i is +1 when the
+   * md5("hd|i")-derived uniform in [-1, 1) is ≥ 0, else −1 — the same
+   * derivation family as [[portableHyperplanes]], so any md5-equipped
+   * engine replicates the diagonal exactly (DuckDB:
+   * `CASE WHEN CAST('0x' || substr(md5('hd|' || i), 1, 8) AS BIGINT)
+   * / 2^31 - 1 >= 0 THEN 1 ELSE -1 END`).
+   */
+  def portableSigns(dim: Int): Array[Int] =
+    Array.tabulate(dim) { i =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"hd|$i".getBytes("UTF-8"))
+        .take(4).map(b => f"${b & 0xff}%02x").mkString
+      if (java.lang.Long.parseLong(hex, 16) / 2147483648.0 - 1.0 >= 0) 1
+      else -1
+    }
+
+  /**
+   * Signed-Hadamard (HD) structured rotation — the cheap, deterministic
+   * rung of the OPQ ladder (Ge et al. 2013 learn a full rotation R to
+   * decorrelate PQ subspaces; HD = Hadamard × random-sign-diagonal is
+   * the classic structured stand-in — Ailon & Chazelle 2009's fast JL
+   * transform, also the rotation inside cross-polytope LSH, Andoni et
+   * al. 2015). H(i, j) = (−1)^popcount(i AND j) needs `dim` to be a
+   * power of two; the composed matrix R = H·D/√dim is exactly
+   * orthonormal, so every pairwise distance and dot product is
+   * PRESERVED (AnnSpec pins brute-force top-k equality through the
+   * rotation) while subspace energy gets spread — the property that
+   * lets a product quantizer split a correlated vector into
+   * independent-ish subspaces.
+   *
+   * Plan shape: one narrow codegen'd projection — the rotation matrix
+   * is dim² plan-literal doubles (32 KB at dim = 64), each output
+   * component an in-order [[dot]] against its literal row, so at 100 TB
+   * this is a zero-shuffle map over the scan. The double-cast input
+   * materializes in its own projection first (it is read `dim` times —
+   * the CollapseProject discipline q244 established). With
+   * `portableSigns` the whole rotation is md5-derivable arithmetic, so
+   * rotated pipelines stay under the cross-engine hash oracle (q247
+   * unrolls rotation → residual IVFADC CTE-for-CTE).
+   */
+  def hdRotate(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      signs: Option[Array[Int]] = None): DataFrame = {
+    require(dim > 0 && (dim & (dim - 1)) == 0,
+      s"hdRotate needs a power-of-two dim: $dim")
+    val sg = signs.getOrElse(portableSigns(dim))
+    require(sg.length == dim, s"signs length ${sg.length} != dim $dim")
+    require(sg.forall(s => s == 1 || s == -1), "signs must be ±1")
+    val scale = 1.0 / math.sqrt(dim.toDouble)
+    def coef(j: Int, i: Int): Double = {
+      val h = if (java.lang.Integer.bitCount(i & j) % 2 == 0) 1.0 else -1.0
+      sg(i) * h * scale
+    }
+    df.select(col(idCol).as("__hd_id"),
+        transform(col(vecCol), x => x.cast("double")).as("__hd_v"))
+      .select(col("__hd_id").as(idCol),
+        array((0 until dim).map { j =>
+          dot(col("__hd_v"), array((0 until dim).map(i =>
+            lit(coef(j, i))): _*))
+        }: _*).as(vecCol))
+  }
 
   /**
    * Train the COARSE quantizer's centroids: one k-means over the corpus,

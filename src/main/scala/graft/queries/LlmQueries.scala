@@ -2274,6 +2274,284 @@ object LlmQueries {
                FROM paird) WHERE rank <= 5
              ORDER BY q_id, rank""")),
 
+    // ---- HD-ROTATED residual IVFADC under the hash oracle: q245's
+    // composition with a signed-Hadamard structured rotation in front —
+    // the cheap OPQ rung (Ge et al. 2013; H·D/√dim is exactly
+    // orthonormal, so true distances are preserved while subspace
+    // energy spreads). Everything stays md5-derivable: the sign
+    // diagonal comes from md5("hd|i"), the Hadamard entry from
+    // bit_count(i & j) parity, the scale 1/√64 = 0.125 is exact in
+    // binary — the oracle re-derives the full 64×64 matrix and rotates
+    // every vector with in-order list_inner_product before running the
+    // identical residual CTE stack.
+    Q("q247_ivfpq_rotated",
+      (s, d) => {
+        val e = T.embeddings(s, d)
+        val rot = Similarity.hdRotate(e, "vec_id", "embedding", 64)
+        val cents = Similarity.portableCentroids(16, 64)
+        val books = Similarity.portableCodebooks(8, 16, 8)
+        val art = Similarity.pqIvfArtifact(rot, "vec_id", "embedding",
+          cents, books, residual = true)
+        Similarity.ivfPqTopKServe(art, rot.filter(col("vec_id") < 10),
+            "vec_id", "embedding", k = 5, centroids = cents,
+            codebooks = books, nProbe = 4, residual = true)
+          .select(col("q_id"), col("n_id"), col("rank"))
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some("""WITH v0 AS (
+               SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+               FROM embeddings),
+             signs AS (
+               SELECT i, CASE WHEN
+                 (CAST('0x' || substr(md5('hd|' || CAST(i AS VARCHAR)),
+                    1, 8) AS BIGINT) / 2147483648.0 - 1.0) >= 0
+                 THEN 1 ELSE -1 END AS s
+               FROM range(64) t(i)),
+             hd AS (
+               SELECT j.j, list(CAST(s.s *
+                   (CASE WHEN bit_count(CAST(i.i AS BIGINT) &
+                      CAST(j.j AS BIGINT)) % 2 = 0
+                    THEN 0.125 ELSE -0.125 END) AS DOUBLE)
+                 ORDER BY i.i) AS hrow
+               FROM range(64) j(j) CROSS JOIN range(64) i(i)
+               JOIN signs s ON s.i = i.i
+               GROUP BY j.j),
+             v AS (
+               SELECT v0.vec_id,
+                 list(list_inner_product(v0.emb, h.hrow)
+                   ORDER BY h.j) AS emb
+               FROM v0 CROSS JOIN hd h GROUP BY v0.vec_id),
+             cents AS (
+               SELECT c.cell, d.dim,
+                 (CAST('0x' || substr(md5('c|' || CAST(c.cell AS VARCHAR) ||
+                    '|' || CAST(d.dim AS VARCHAR)), 1, 8) AS BIGINT)
+                  / 2147483648.0 - 1.0) * 0.25 AS w
+               FROM range(16) c(cell) CROSS JOIN range(64) d(dim)),
+             clists AS (
+               SELECT cell, list(w ORDER BY dim) AS cvec
+               FROM cents GROUP BY cell),
+             celld AS (
+               SELECT v.vec_id, c.cell,
+                 list_inner_product(
+                   list_transform(range(1, 65), i -> emb[i] - cvec[i]),
+                   list_transform(range(1, 65), i -> emb[i] - cvec[i])) AS d2
+               FROM v CROSS JOIN clists c),
+             assign AS (
+               SELECT vec_id AS n_id, cell FROM (
+                 SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY d2, cell) AS rn
+                 FROM celld) WHERE rn = 1),
+             resid AS (
+               SELECT a.n_id, a.cell,
+                 list_transform(range(1, 65),
+                   i -> v.emb[i] - cl.cvec[i]) AS res
+               FROM assign a JOIN v ON v.vec_id = a.n_id
+               JOIN clists cl ON cl.cell = a.cell),
+             probed AS (
+               SELECT vec_id AS q_id, cell FROM (
+                 SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY d2, cell) AS cr
+                 FROM celld WHERE vec_id < 10) WHERE cr <= 4),
+             qres AS (
+               SELECT p.q_id, p.cell,
+                 list_transform(range(1, 65),
+                   i -> v.emb[i] - cl.cvec[i]) AS res
+               FROM probed p JOIN v ON v.vec_id = p.q_id
+               JOIN clists cl ON cl.cell = p.cell),
+             cb AS (
+               SELECT s.sub, c.code, d.dim,
+                 (CAST('0x' || substr(md5('pq|' || CAST(s.sub AS VARCHAR) ||
+                    '|' || CAST(c.code AS VARCHAR) ||
+                    '|' || CAST(d.dim AS VARCHAR)), 1, 8) AS BIGINT)
+                  / 2147483648.0 - 1.0) * 0.25 AS w
+               FROM range(8) s(sub) CROSS JOIN range(16) c(code)
+               CROSS JOIN range(8) d(dim)),
+             cbl AS (
+               SELECT sub, code, list(w ORDER BY dim) AS cvec
+               FROM cb GROUP BY sub, code),
+             subd AS (
+               SELECT r.n_id AS vec_id, c.sub, c.code,
+                 list_inner_product(
+                   list_transform(range(1, 9),
+                     i -> r.res[CAST(c.sub * 8 + i AS INT)] - c.cvec[i]),
+                   list_transform(range(1, 9),
+                     i -> r.res[CAST(c.sub * 8 + i AS INT)] - c.cvec[i]))
+                   AS d2
+               FROM resid r CROSS JOIN cbl c),
+             codes AS (
+               SELECT vec_id, sub, code FROM (
+                 SELECT vec_id, sub, code,
+                   row_number() OVER (PARTITION BY vec_id, sub
+                     ORDER BY d2, code) AS rn
+                 FROM subd) WHERE rn = 1),
+             lut AS (
+               SELECT q.q_id, q.cell, c.sub, c.code,
+                 list_inner_product(
+                   list_transform(range(1, 9),
+                     i -> q.res[CAST(c.sub * 8 + i AS INT)] - c.cvec[i]),
+                   list_transform(range(1, 9),
+                     i -> q.res[CAST(c.sub * 8 + i AS INT)] - c.cvec[i]))
+                   AS d2
+               FROM qres q CROSS JOIN cbl c),
+             cand AS (
+               SELECT p.q_id, a.n_id, a.cell
+               FROM probed p JOIN assign a ON a.cell = p.cell
+               WHERE a.n_id <> p.q_id),
+             paird AS (
+               SELECT ca.q_id, ca.n_id,
+                 list_inner_product(list(l.d2 ORDER BY l.sub),
+                   list_transform(range(8), x -> 1.0)) AS adist
+               FROM cand ca
+               JOIN codes c ON c.vec_id = ca.n_id
+               JOIN lut l ON l.q_id = ca.q_id AND l.cell = ca.cell
+                 AND l.sub = c.sub AND l.code = c.code
+               GROUP BY ca.q_id, ca.n_id)
+             SELECT q_id, n_id, CAST(rank AS INT) AS rank FROM (
+               SELECT q_id, n_id,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY adist, n_id) AS rank
+               FROM paird) WHERE rank <= 5
+             ORDER BY q_id, rank""")),
+
+    // ---- Two-stage IVFADC serving under the hash oracle: the ADC
+    // shortlist (q245's residual composition, top-20 per query) is
+    // RE-RANKED with exact squared L2 over the float vectors — the
+    // FAISS refine step (Jégou et al. 2011 §V / IndexRefineFlat). At
+    // scale the exact stage reads floats for only |Q|·shortlist rows;
+    // here the oracle carries q245's CTE stack one step further: widen
+    // the rank cut to the shortlist, join both float vectors back, and
+    // re-rank on the in-order exact distance.
+    Q("q248_ivfpq_rerank",
+      (s, d) => {
+        val e = T.embeddings(s, d)
+        val cents = Similarity.portableCentroids(16, 64)
+        val books = Similarity.portableCodebooks(8, 16, 8)
+        val art = Similarity.pqIvfArtifact(e, "vec_id", "embedding",
+          cents, books, residual = true)
+        Similarity.ivfPqTopKRerank(art, e, e.filter(col("vec_id") < 10),
+            "vec_id", "embedding", k = 5, shortlist = 20,
+            centroids = cents, codebooks = books, nProbe = 4,
+            residual = true)
+          .select(col("q_id"), col("n_id"), col("rank"))
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some("""WITH cents AS (
+               SELECT c.cell, d.dim,
+                 (CAST('0x' || substr(md5('c|' || CAST(c.cell AS VARCHAR) ||
+                    '|' || CAST(d.dim AS VARCHAR)), 1, 8) AS BIGINT)
+                  / 2147483648.0 - 1.0) * 0.25 AS w
+               FROM range(16) c(cell) CROSS JOIN range(64) d(dim)),
+             clists AS (
+               SELECT cell, list(w ORDER BY dim) AS cvec
+               FROM cents GROUP BY cell),
+             v AS (
+               SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+               FROM embeddings),
+             celld AS (
+               SELECT v.vec_id, c.cell,
+                 list_inner_product(
+                   list_transform(range(1, 65), i -> emb[i] - cvec[i]),
+                   list_transform(range(1, 65), i -> emb[i] - cvec[i])) AS d2
+               FROM v CROSS JOIN clists c),
+             assign AS (
+               SELECT vec_id AS n_id, cell FROM (
+                 SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY d2, cell) AS rn
+                 FROM celld) WHERE rn = 1),
+             resid AS (
+               SELECT a.n_id, a.cell,
+                 list_transform(range(1, 65),
+                   i -> v.emb[i] - cl.cvec[i]) AS res
+               FROM assign a JOIN v ON v.vec_id = a.n_id
+               JOIN clists cl ON cl.cell = a.cell),
+             probed AS (
+               SELECT vec_id AS q_id, cell FROM (
+                 SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY d2, cell) AS cr
+                 FROM celld WHERE vec_id < 10) WHERE cr <= 4),
+             qres AS (
+               SELECT p.q_id, p.cell,
+                 list_transform(range(1, 65),
+                   i -> v.emb[i] - cl.cvec[i]) AS res
+               FROM probed p JOIN v ON v.vec_id = p.q_id
+               JOIN clists cl ON cl.cell = p.cell),
+             cb AS (
+               SELECT s.sub, c.code, d.dim,
+                 (CAST('0x' || substr(md5('pq|' || CAST(s.sub AS VARCHAR) ||
+                    '|' || CAST(c.code AS VARCHAR) ||
+                    '|' || CAST(d.dim AS VARCHAR)), 1, 8) AS BIGINT)
+                  / 2147483648.0 - 1.0) * 0.25 AS w
+               FROM range(8) s(sub) CROSS JOIN range(16) c(code)
+               CROSS JOIN range(8) d(dim)),
+             cbl AS (
+               SELECT sub, code, list(w ORDER BY dim) AS cvec
+               FROM cb GROUP BY sub, code),
+             subd AS (
+               SELECT r.n_id AS vec_id, c.sub, c.code,
+                 list_inner_product(
+                   list_transform(range(1, 9),
+                     i -> r.res[CAST(c.sub * 8 + i AS INT)] - c.cvec[i]),
+                   list_transform(range(1, 9),
+                     i -> r.res[CAST(c.sub * 8 + i AS INT)] - c.cvec[i]))
+                   AS d2
+               FROM resid r CROSS JOIN cbl c),
+             codes AS (
+               SELECT vec_id, sub, code FROM (
+                 SELECT vec_id, sub, code,
+                   row_number() OVER (PARTITION BY vec_id, sub
+                     ORDER BY d2, code) AS rn
+                 FROM subd) WHERE rn = 1),
+             lut AS (
+               SELECT q.q_id, q.cell, c.sub, c.code,
+                 list_inner_product(
+                   list_transform(range(1, 9),
+                     i -> q.res[CAST(c.sub * 8 + i AS INT)] - c.cvec[i]),
+                   list_transform(range(1, 9),
+                     i -> q.res[CAST(c.sub * 8 + i AS INT)] - c.cvec[i]))
+                   AS d2
+               FROM qres q CROSS JOIN cbl c),
+             cand AS (
+               SELECT p.q_id, a.n_id, a.cell
+               FROM probed p JOIN assign a ON a.cell = p.cell
+               WHERE a.n_id <> p.q_id),
+             paird AS (
+               SELECT ca.q_id, ca.n_id,
+                 list_inner_product(list(l.d2 ORDER BY l.sub),
+                   list_transform(range(8), x -> 1.0)) AS adist
+               FROM cand ca
+               JOIN codes c ON c.vec_id = ca.n_id
+               JOIN lut l ON l.q_id = ca.q_id AND l.cell = ca.cell
+                 AND l.sub = c.sub AND l.code = c.code
+               GROUP BY ca.q_id, ca.n_id),
+             short AS (
+               SELECT q_id, n_id FROM (
+                 SELECT q_id, n_id,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY adist, n_id) AS srank
+                 FROM paird) WHERE srank <= 20),
+             rer AS (
+               SELECT sh.q_id, sh.n_id,
+                 list_inner_product(
+                   list_transform(range(1, 65),
+                     i -> qv.emb[i] - nv.emb[i]),
+                   list_transform(range(1, 65),
+                     i -> qv.emb[i] - nv.emb[i])) AS d2
+               FROM short sh
+               JOIN v qv ON qv.vec_id = sh.q_id
+               JOIN v nv ON nv.vec_id = sh.n_id)
+             SELECT q_id, n_id, CAST(rank AS INT) AS rank FROM (
+               SELECT q_id, n_id,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY d2, n_id) AS rank
+               FROM rer) WHERE rank <= 5
+             ORDER BY q_id, rank""")),
+
     // ---- SQ8 code packing under the hash oracle: quantize (q232's
     // recipe), pack 8 codes per BIGINT word (Similarity.packCodes — the
     // signed-top-byte bijection that keeps the 64-bit pack inside
