@@ -594,6 +594,63 @@ object ArtifactStreams {
   }
 
   /**
+   * Streaming COARSE-GRAPH maintenance — Louvain phase 2's contraction
+   * ([[graft.operators.Modularity.coarsen]]) kept current over an
+   * unbounded fine-edge stream under a FIXED membership: once a
+   * partition is decided (a batch [[graft.operators.Modularity.louvain]]
+   * run, a domain taxonomy), the super-graph it induces stays current
+   * without ever re-reading fine history. Carried state is the coarse
+   * edge table — COMMUNITY-PAIR-sized, bounded by the membership
+   * itself rather than by the stream: the one fold here whose state
+   * cannot grow with history at all (contrast
+   * [[greedyMembershipStream]]'s graph-sized state and its retention
+   * face).
+   *
+   * Per trigger: the batch contracts through the membership (coarsen's
+   * row-existence coverage gate rides along — a batch touching an
+   * UNMAPPED node refuses loudly at the fold, never silently dropping
+   * its edge mass into the void), and the coarse batch merges into the
+   * carried table by the canonical rule (coarsen's output is already
+   * least/greatest-canonical on the community labels; orientations and
+   * repeats sum — self-loops carry intra-community mass, weight
+   * conserved exactly). ModularityStreamSpec pins the fold identity:
+   * the carried coarse table at every trigger == one-shot coarsen over
+   * everything delivered, whatever the split points, plus exact weight
+   * conservation and the unmapped refusal. Each trigger's internal
+   * checkpoints release via the tracking scope; the carried state swaps
+   * pin-for-pin.
+   */
+  def coarseGraphStream(edges: DataFrame, membership: DataFrame,
+      weightCol: Option[String] = None)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    var state: Option[DataFrame] = None
+    var lastFolded = -1L
+    edges.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (batchId > lastFolded) {
+          val p = batch.sparkSession.sessionState.conf.numShufflePartitions
+          val (cp, caches) = graft.operators.CacheScope.tracking {
+            val batchCoarse = graft.operators.Modularity.coarsen(
+              batch, membership, weightCol)
+            val merged = state match {
+              case Some(s) => s.unionByName(batchCoarse)
+                .groupBy(col("src"), col("dst"))
+                .agg(sum(col("w")).as("w"))
+              case None => batchCoarse
+            }
+            merged.coalesce(p).localCheckpoint(true)
+          }
+          caches.release()
+          state.foreach(CacheScope.unpinCheckpoint)
+          state = Some(cp)
+          lastFolded = batchId
+        }
+        sink(state.get, batchId)
+      }
+      .start()
+  }
+
+  /**
    * Streaming interval-overlap SELF-join (q228's operator over a
    * continuously-arriving interval stream — incident/session windows
    * landing trigger by trigger): each trigger emits exactly the

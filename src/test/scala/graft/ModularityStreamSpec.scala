@@ -241,6 +241,80 @@ class ModularityStreamSpec extends SparkSpec {
       s"unexpected failure: ${chain(e)}")
   }
 
+  test("coarseGraphStream: carried coarse table == one-shot coarsen over everything delivered; weight conserved") {
+    // Fixed membership over 7 nodes → 3 communities. The stream carries
+    // cross-trigger repeats (weights must SUM through the contraction),
+    // intra-community edges (mass must land on the community's
+    // SELF-LOOP), and a node arriving only in the last trigger.
+    val mem = Map(0L -> "a", 1L -> "a", 2L -> "b", 3L -> "b",
+      4L -> "c", 5L -> "c", 6L -> "a")
+    val memDf = mem.toSeq.toDF("node_id", "community")
+    val splits: Seq[Seq[(Long, Long, Long)]] = Seq(
+      Seq((0L, 1L, 4L), (1L, 2L, 1L)),
+      Seq((2L, 0L, 2L), (0L, 1L, 1L), (3L, 4L, 5L)),
+      Seq((4L, 5L, 2L), (6L, 3L, 1L)))
+    val tmp = java.nio.file.Files.createTempDirectory("coarse_stream")
+      .toString
+    splits.zipWithIndex.foreach { case (part, i) =>
+      if (i > 0) Thread.sleep(1100)
+      part.toDF("src", "dst", "w").coalesce(1)
+        .write.mode("append").parquet(s"$tmp/in")
+    }
+    val wSchema = StructType(Seq(StructField("src", LongType),
+      StructField("dst", LongType), StructField("w", LongType)))
+    val stream = spark.readStream.schema(wSchema)
+      .option("maxFilesPerTrigger", 1).option("latestFirst", "false")
+      .parquet(s"$tmp/in")
+    val states = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Map[(String, String), Long])]
+    var lastState: org.apache.spark.sql.DataFrame = null
+    val q = ArtifactStreams.coarseGraphStream(stream, memDf, Some("w")) {
+      (g, id) =>
+        states += (id -> g.as[(String, String, Long)].collect()
+          .map(r => (r._1, r._2) -> r._3).toMap)
+        lastState = g
+    }
+    q.processAllAvailable()
+    q.stop()
+    assert(states.size == 3)
+    states.foreach { case (id, got) =>
+      val delivered = splits.take(id.toInt + 1).flatten
+      val want = Modularity.coarsen(delivered.toDF("src", "dst", "w"),
+          memDf, Some("w"))
+        .as[(String, String, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      assert(got === want, s"trigger $id diverges from one-shot coarsen")
+      // contraction conserves total weight exactly
+      assert(got.values.sum == delivered.map(_._3).sum,
+        s"trigger $id lost mass through the contraction")
+    }
+    // intra-community mass really is the self-loop: trigger 0's (0,1,4)
+    // is community a's self-loop
+    assert(states(0)._2(("a", "a")) == 4L)
+    Option(lastState).foreach(graft.operators.CacheScope.unpinCheckpoint)
+  }
+
+  test("coarseGraphStream: a batch touching an unmapped node refuses loudly") {
+    val memDf = Seq((0L, "a"), (1L, "a")).toDF("node_id", "community")
+    val tmp = java.nio.file.Files.createTempDirectory("coarse_unmapped")
+      .toString
+    Seq((0L, 9L, 1L)).toDF("src", "dst", "w").coalesce(1)
+      .write.mode("append").parquet(s"$tmp/in")
+    val wSchema = StructType(Seq(StructField("src", LongType),
+      StructField("dst", LongType), StructField("w", LongType)))
+    val stream = spark.readStream.schema(wSchema)
+      .option("maxFilesPerTrigger", 1).option("latestFirst", "false")
+      .parquet(s"$tmp/in")
+    val q = ArtifactStreams.coarseGraphStream(stream, memDf,
+      Some("w"))((_, _) => ())
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    val e = intercept[Exception] { q.processAllAvailable() }
+    assert(chain(e).exists(_.contains("membership must cover")),
+      s"unexpected failure: ${chain(e)}")
+  }
+
   test("batch identity: communityStats == finalize(partial) and shard-merge associativity") {
     val rng = new Random(23)
     val edges = (1 to 60)
