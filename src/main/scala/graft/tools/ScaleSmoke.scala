@@ -1449,6 +1449,112 @@ object ScaleSmoke {
           s"sec=${"%.2f".format(aSec)}")
         graft.operators.CacheScope.unpinCheckpoint(vecs)
       }
+      // Round-14 widening: two-stage ADC serving — recall climbs with
+      // the shortlist width while the exact stage's extra wall stays
+      // modest (it touches |Q|·shortlist float rows, not the corpus).
+      // Reference = exact squared-L2 top-5 (rerank with the full
+      // corpus as shortlist — quantization error cancels completely).
+      // CSV: m,n,pq_rerank,shortlist,recall,sec.
+      if (wanted("pq_rerank") && m == 1) {
+        val nVec = 4000L
+        val vecs = spark.range(nVec)
+          .select(col("id").as("vec_id"),
+            expr("""transform(sequence(1, 64), i ->
+              CAST(CAST(pmod(conv(substring(md5(concat(
+                CAST(id AS STRING), '|', CAST(i AS STRING))), 1, 6),
+                16, 10), 1000) AS DOUBLE) / 1000.0 - 0.5 AS FLOAT))""")
+              .as("embedding"))
+          .localCheckpoint(true)
+        val queries = vecs.filter(col("vec_id") < 200)
+        val cents = graft.operators.Similarity.trainCentroids(
+          vecs, "embedding", nLists = 64)
+        val books = graft.operators.Similarity.pqTrainCodebooks(
+          vecs, "embedding")
+        val art = graft.operators.Similarity.pqIvfArtifact(
+          vecs, "vec_id", "embedding", cents, books)
+          .localCheckpoint(true)
+        def servedPairs(shortlist: Int): (Double, Set[(Long, Long)]) = {
+          val ((sec, pairs), caches) =
+            graft.operators.CacheScope.tracking { time {
+              (if (shortlist == 0)
+                 graft.operators.Similarity.ivfPqTopKServe(art, queries,
+                   "vec_id", "embedding", k = 5, centroids = cents,
+                   codebooks = books, nProbe = 8)
+               else
+                 graft.operators.Similarity.ivfPqTopKRerank(art, vecs,
+                   queries, "vec_id", "embedding", k = 5,
+                   shortlist = shortlist, centroids = cents,
+                   codebooks = books, nProbe = 8))
+                .select(col("q_id"), col("n_id"))
+                .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+            } }
+          caches.release()
+          (sec, pairs)
+        }
+        val exact = servedPairs(nVec.toInt)._2
+        for (shortlist <- Seq(0, 20, 50, 200)) {
+          val (sec, pairs) = servedPairs(shortlist)
+          val recall = (exact & pairs).size.toDouble / exact.size
+          println(s"$m,$n,pq_rerank," +
+            s"shortlist=${if (shortlist == 0) "adc_only" else shortlist}," +
+            s"recall=${"%.3f".format(recall)},sec=${"%.2f".format(sec)}")
+        }
+        Seq(vecs, art)
+          .foreach(graft.operators.CacheScope.unpinCheckpoint)
+      }
+      // Round-14 widening: residual IVFADC at IDENTICAL bytes, raw
+      // coordinates vs HD-rotated (the structured-OPQ rung) — each
+      // coordinate system gets its own trained centroids + residual
+      // codebooks, same probe budget; the brute-force reference is
+      // computed once on raw coordinates (the rotation is orthonormal,
+      // so true neighbors are IDENTICAL — AnnSpec pins it). CSV:
+      // m,n,pq_recall_rotated,coords,recall,sec.
+      if (wanted("pq_recall_rotated") && m == 1) {
+        val nVec = 4000L
+        val raw = spark.range(nVec)
+          .select(col("id").as("vec_id"),
+            expr("""transform(sequence(1, 64), i ->
+              CAST(CAST(pmod(conv(substring(md5(concat(
+                CAST(id AS STRING), '|', CAST(i AS STRING))), 1, 6),
+                16, 10), 1000) AS DOUBLE) / 1000.0 - 0.5 AS FLOAT))""")
+              .as("embedding"))
+          .localCheckpoint(true)
+        val brute = graft.operators.Similarity.bruteForceTopK(
+            raw, raw.filter(col("vec_id") < 200), "vec_id", "embedding", 5)
+          .select(col("q_id"), col("n_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        for (rotated <- Seq(false, true)) {
+          val ((sec, recall), caches) =
+            graft.operators.CacheScope.tracking { time {
+              val corpus = if (rotated)
+                graft.operators.Similarity.hdRotate(
+                  raw, "vec_id", "embedding", 64).localCheckpoint(true)
+              else raw
+              val cents = graft.operators.Similarity.trainCentroids(
+                corpus, "embedding", nLists = 64)
+              val books = graft.operators.Similarity.pqTrainCodebooks(
+                graft.operators.Similarity.pqResiduals(
+                  corpus, "vec_id", "embedding", cents), "n_res")
+              val art = graft.operators.Similarity.pqIvfArtifact(
+                corpus, "vec_id", "embedding", cents, books,
+                residual = true)
+              val served = graft.operators.Similarity.ivfPqTopKServe(
+                  art, corpus.filter(col("vec_id") < 200), "vec_id",
+                  "embedding", k = 5, centroids = cents,
+                  codebooks = books, nProbe = 8, residual = true)
+                .select(col("q_id"), col("n_id"))
+                .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+              if (rotated)
+                graft.operators.CacheScope.unpinCheckpoint(corpus)
+              (brute & served).size.toDouble / brute.size
+            } }
+          caches.release()
+          println(s"$m,$n,pq_recall_rotated," +
+            s"coords=${if (rotated) "hd_rotated" else "raw"}," +
+            s"recall=${"%.3f".format(recall)},sec=${"%.2f".format(sec)}")
+        }
+        graft.operators.CacheScope.unpinCheckpoint(raw)
+      }
       // Round-10 (VERDICT r9 #3): tiered vs full exact span dedup on a
       // LIGHTLY-duplicated corpus — the regime the composition exists
       // for. Every copy's tokens are uniquified (no cross-copy window
