@@ -760,7 +760,8 @@ object Similarity {
       codebooks: Array[Array[Array[Double]]],
       nProbe: Int = 4, bits: Int = 4,
       broadcastQueries: Boolean = true,
-      residual: Boolean = false): DataFrame = {
+      residual: Boolean = false,
+      emitCell: Boolean = false): DataFrame = {
     val m = codebooks.length
     val ksub = codebooks.head.length
     val subDim = codebooks.head.head.length
@@ -806,7 +807,8 @@ object Similarity {
           "element_at(codes, s + 1) + 1))"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("q_id"), col("n_id"), col("rank"), col("adist"))
+      .select(col("q_id") +: col("n_id") +: col("rank") +:
+        col("adist") +: (if (emitCell) Seq(col("cell")) else Nil): _*)
   }
 
   /**
@@ -826,6 +828,16 @@ object Similarity {
    * `broadcastShortlist = false` switches the re-rank join to the
    * shuffle path (equi-join on the id) for corpus-sized query sets,
    * exactly as `broadcastQueries` does for the ADC stage.
+   *
+   * `cellCol`: at 100 TB the float corpus should be WRITTEN
+   * partitioned by its IVF cell (the same layout [[pqIvfArtifact]]
+   * recommends for the codes) — pass that column's name and the
+   * re-rank joins on (cell, id) instead of id alone, so Spark's
+   * dynamic partition pruning turns the broadcast shortlist into a
+   * runtime partition filter on the float scan: only the probed
+   * cells' float files are READ at all, instead of scanning the whole
+   * float corpus to filter it (AnnSpec asserts the pruning subtree is
+   * really in the plan, and that results are identical either way).
    */
   def ivfPqTopKRerank(artifact: DataFrame, corpus: DataFrame,
       queries: DataFrame, idCol: String, vecCol: String, k: Int,
@@ -835,18 +847,28 @@ object Similarity {
       nProbe: Int = 4, bits: Int = 4,
       broadcastQueries: Boolean = true,
       broadcastShortlist: Boolean = true,
-      residual: Boolean = false): DataFrame = {
+      residual: Boolean = false,
+      cellCol: Option[String] = None): DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
     val short = ivfPqTopKServe(artifact, queries, idCol, vecCol,
         k = shortlist, centroids = centroids, codebooks = codebooks,
         nProbe = nProbe, bits = bits,
-        broadcastQueries = broadcastQueries, residual = residual)
-      .select(col("q_id"), col("n_id"))
+        broadcastQueries = broadcastQueries, residual = residual,
+        emitCell = cellCol.isDefined)
+      .select(col("q_id") +: col("n_id") +:
+        (if (cellCol.isDefined) Seq(col("cell")) else Nil): _*)
     val qv = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
     val sj = short.join(qv, Seq("q_id"))
-    val cv = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val cv = cellCol match {
+      case Some(cc) => corpus.select(col(idCol).as("n_id"),
+        col(vecCol).as("n_vec"), col(cc).cast("int").as("cell"))
+      case None => corpus.select(col(idCol).as("n_id"),
+        col(vecCol).as("n_vec"))
+    }
+    val joinKeys = if (cellCol.isDefined) Seq("cell", "n_id")
+      else Seq("n_id")
     val w = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("n_id"))
-    cv.join(if (broadcastShortlist) broadcast(sj) else sj, Seq("n_id"))
+    cv.join(if (broadcastShortlist) broadcast(sj) else sj, joinKeys)
       .withColumn("d2", sqL2(col("q_vec"),
         transform(col("n_vec"), x => x.cast("double"))))
       .withColumn("rank", row_number().over(w))

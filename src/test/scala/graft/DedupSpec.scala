@@ -1133,6 +1133,39 @@ class AnnSpec extends SparkSpec {
     assert(viaShuffle == viaBroadcast && viaBroadcast.nonEmpty)
   }
 
+  test("ivfPqTopKRerank cell pruning: partitioned float layout == plain path, and the dynamic pruning is really in the plan") {
+    // The 100 TB layout: float vectors written PARTITIONED BY their IVF
+    // cell. Joining the shortlist on (cell, id) instead of id alone
+    // lets dynamic partition pruning turn the broadcast shortlist into
+    // a runtime partition filter — only probed cells' float files are
+    // read at all.
+    val cents = Similarity.portableCentroids(8, 64)
+    val books = Similarity.portableCodebooks(8, 16, 8)
+    val queries = emb.filter(col("vec_id") < 10)
+    val art = Similarity.pqIvfArtifact(emb, "vec_id", "embedding",
+      cents, books)
+    val withCell = emb.join(
+      Similarity.pqResiduals(emb, "vec_id", "embedding", cents)
+        .select(col("n_id").as("vec_id"), col("cell")), Seq("vec_id"))
+    val tmp = java.nio.file.Files.createTempDirectory("pqcell").toString
+    withCell.write.partitionBy("cell").mode("overwrite").parquet(tmp)
+    val stored = spark.read.parquet(tmp)
+    val plain = Similarity.ivfPqTopKRerank(art, emb, queries, "vec_id",
+        "embedding", k = 5, shortlist = 20, centroids = cents,
+        codebooks = books, nProbe = 3)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val prunedDf = Similarity.ivfPqTopKRerank(art, stored, queries,
+      "vec_id", "embedding", k = 5, shortlist = 20, centroids = cents,
+      codebooks = books, nProbe = 3, cellCol = Some("cell"))
+    val pruned = prunedDf.as[(Long, Long, Int, Double)].collect().toSet
+    assert(pruned == plain && plain.nonEmpty)
+    val plan = prunedDf.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected a dynamic partition pruning subtree on the float scan:\n" +
+        plan.linesIterator.filter(_.contains("PartitionFilters"))
+          .mkString("\n"))
+  }
+
   test("PQ ANN: k-means-trained codebooks beat portable ones on recall@5") {
     val queries = emb.filter(col("vec_id") < 20)
     val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
