@@ -1555,6 +1555,27 @@ object ScaleSmoke {
         }
         graft.operators.CacheScope.unpinCheckpoint(raw)
       }
+      // Round-14: pure HD-rotation wall — one zero-shuffle projection,
+      // must be LINEAR in the corpus. CSV: m,n,hd_rotate,vectors,sec.
+      if (wanted("hd_rotate") && m <= 4) {
+        val nVec = 5000L * m
+        val vecs = spark.range(nVec)
+          .select(col("id").as("vec_id"),
+            expr("""transform(sequence(1, 64), i ->
+              CAST(CAST(pmod(conv(substring(md5(concat(
+                CAST(id AS STRING), '|', CAST(i AS STRING))), 1, 6),
+                16, 10), 1000) AS DOUBLE) / 1000.0 - 0.5 AS FLOAT))""")
+              .as("embedding"))
+          .localCheckpoint(true)
+        // hash() consumes every rotated component — element_at would let
+        // SimplifyExtractValueOps collapse the rotation to one dot
+        val (rSec, _) = time(graft.operators.Similarity.hdRotate(
+            vecs, "vec_id", "embedding", 64)
+          .agg(sum(hash(col("embedding")))).collect())
+        println(s"$m,$n,hd_rotate,vectors=$nVec," +
+          s"sec=${"%.2f".format(rSec)}")
+        graft.operators.CacheScope.unpinCheckpoint(vecs)
+      }
       // Round-10 (VERDICT r9 #3): tiered vs full exact span dedup on a
       // LIGHTLY-duplicated corpus — the regime the composition exists
       // for. Every copy's tokens are uniquified (no cross-copy window
