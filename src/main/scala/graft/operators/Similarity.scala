@@ -877,6 +877,89 @@ object Similarity {
   }
 
   /**
+   * BEAM-navigated packed-ADC serving — the full production IVFADC
+   * stack at the PRODUCTION cell count. [[ivfPqTopKServe]]'s probe
+   * stage computes d2 to ALL nLists centroids per query (fine at 16
+   * cells, the bottleneck when a 100 TB corpus wants 10⁵–10⁶ cells);
+   * this face derives the probe set from the centroid-graph beam walk
+   * instead ([[beamAssignWithGraph]]'s machinery over pre-built
+   * [[buildNavGraph]] metadata — O(entryCells + beamWidth·degree·depth)
+   * centroid touches per query, independent of nLists) and then serves
+   * asymmetric distance from the 4 B/vector packed artifact for only
+   * the beam's top-nProbe cells. Fully TABLE-driven: centroids and the
+   * nav graph are parquet artifacts; nothing driver-side scales with
+   * nLists (only the entryCells entry vectors are collected).
+   *
+   * `residual` matches the artifact's encoding exactly as in
+   * [[ivfPqTopKServe]] — the per-(query, probed cell) LUT here comes
+   * from a broadcast join against the centroid TABLE (q − centroid as
+   * a column pair, not a plan literal). Approximation contract is the
+   * walk's: with degree ≥ nLists−1 and depth ≥ 1 the beam equals the
+   * dense probe set and the whole face coincides with
+   * [[ivfPqTopKServe]] (AnnSpec pins it); everything is deterministic
+   * (in-order double folds, (d2, cell) tie-breaks), so the full
+   * navigate → residual-ADC compose sits under the hash oracle (q249).
+   */
+  def ivfPqBeamServe(artifact: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      centroids: DataFrame, nav: DataFrame,
+      codebooks: Array[Array[Array[Double]]],
+      beamWidth: Int = 8, depth: Int = 3, entryCells: Int = 2,
+      nProbe: Int = 4, bits: Int = 4,
+      broadcastQueries: Boolean = true,
+      residual: Boolean = false): DataFrame = {
+    require(nProbe >= 1 && nProbe <= beamWidth,
+      s"1 <= nProbe ($nProbe) <= beamWidth ($beamWidth)")
+    val m = codebooks.length
+    val ksub = codebooks.head.length
+    val subDim = codebooks.head.head.length
+    def lutFor(vc: Column): Column =
+      array((for (s <- 0 until m; c <- 0 until ksub) yield
+        sqL2(slice(vc, s * subDim + 1, subDim),
+          array(codebooks(s)(c).map(lit): _*))): _*)
+    val centDf = centroids.select(col("cell").cast("int").as("cell"),
+      col("centroid"))
+    val entries = centDf.orderBy(col("cell")).limit(entryCells).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    require(entries.length == entryCells,
+      s"centroid table has ${entries.length} cells < entryCells $entryCells")
+    val beamProbes = beamWalk(
+        queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")),
+        "q_id", "q_vec", entries, centDf,
+        nav.select(col("src"), col("dst")), beamWidth, depth)
+      .filter(col("rn") <= nProbe)
+      .select(col("q_id"), col("q_vec"), col("cell"))
+    val probed = (if (residual)
+        // q_res materializes before the m×ksub LUT reads it (the
+        // CollapseProject discipline); one LUT per (query, probed cell)
+        // — the residual ADC price, as in [[ivfPqTopKServe]].
+        beamProbes.join(broadcast(centDf), Seq("cell"))
+          .withColumn("q_res", zip_with(col("q_vec"), col("centroid"),
+            (a, b) => a.cast("double") - b))
+          .withColumn("lut", lutFor(col("q_res")))
+          .select(col("q_id"), col("cell"), col("lut"))
+      else
+        // raw: ONE LUT per query, joined to its probed cells
+        beamProbes.select(col("q_id"), col("cell"))
+          .join(queries.select(col(idCol).as("q_id"),
+            lutFor(col(vecCol)).as("lut")), Seq("q_id")))
+      .select(col("q_id"), col("cell"), col("lut"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("n_id"))
+    artifact
+      .select(col("n_id"), col("cell"),
+        pqUnpack(col("packed"), m, bits).cast("array<int>").as("codes"))
+      .join(if (broadcastQueries) broadcast(probed) else probed, Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("adist",
+        expr(s"aggregate(sequence(0, ${m - 1}), CAST(0.0 AS DOUBLE), " +
+          s"(acc, s) -> acc + element_at(lut, s * $ksub + " +
+          "element_at(codes, s + 1) + 1))"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"), col("adist"))
+  }
+
+  /**
    * HNSW-style BEAM search over the IVF cells — the same exact-cosine
    * probe tail as [[ivfTopK]], but the probed cells come from graph
    * NAVIGATION instead of an argmin over every centroid: queries enter

@@ -1166,6 +1166,50 @@ class AnnSpec extends SparkSpec {
           .mkString("\n"))
   }
 
+  test("ivfPqBeamServe: full-degree one-hop walk == dense-probe serving (raw AND residual); sparse walk serves sanely") {
+    // With degree >= nLists-1 and depth >= 1 every cell enters the beam
+    // ranking, so the walk's top-nProbe cells equal the dense path's
+    // EXACTLY and the whole navigate -> ADC compose must coincide with
+    // ivfPqTopKServe at the same parameters.
+    val nLists = 8
+    val cents = Similarity.portableCentroids(nLists, 64)
+    val books = Similarity.portableCodebooks(8, 16, 8)
+    val queries = emb.filter(col("vec_id") < 10)
+    val centDf = spark.createDataFrame(
+      cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) })
+      .toDF("cell", "centroid")
+    val navFull = graft.operators.CacheScope.pin(
+      Similarity.buildNavGraph(centDf, degree = nLists - 1))
+    for (residual <- Seq(false, true)) {
+      val art = Similarity.pqIvfArtifact(emb, "vec_id", "embedding",
+        cents, books, residual = residual)
+      val dense = Similarity.ivfPqTopKServe(art, queries, "vec_id",
+          "embedding", k = 5, centroids = cents, codebooks = books,
+          nProbe = 3, residual = residual)
+        .as[(Long, Long, Int, Double)].collect().toSet
+      val beamed = Similarity.ivfPqBeamServe(art, queries, "vec_id",
+          "embedding", k = 5, centroids = centDf, nav = navFull,
+          codebooks = books, beamWidth = nLists, depth = 1,
+          entryCells = 2, nProbe = 3, residual = residual)
+        .as[(Long, Long, Int, Double)].collect().toSet
+      assert(beamed == dense && dense.nonEmpty, s"residual=$residual")
+    }
+    // Sparse navigation (degree 3, depth 2, beam 4): a genuine subset
+    // walk must still produce k-deep rankings for every query.
+    val navSparse = graft.operators.CacheScope.pin(
+      Similarity.buildNavGraph(centDf, degree = 3))
+    val art = Similarity.pqIvfArtifact(emb, "vec_id", "embedding",
+      cents, books, residual = true)
+    val sparse = Similarity.ivfPqBeamServe(art, queries, "vec_id",
+        "embedding", k = 5, centroids = centDf, nav = navSparse,
+        codebooks = books, beamWidth = 4, depth = 2, entryCells = 2,
+        nProbe = 3, residual = true)
+      .groupBy("q_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(sparse.size == 10 && sparse.values.forall(_ == 5))
+    Seq(navFull, navSparse).foreach(_.unpersist())
+  }
+
   test("PQ ANN: k-means-trained codebooks beat portable ones on recall@5") {
     val queries = emb.filter(col("vec_id") < 20)
     val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
