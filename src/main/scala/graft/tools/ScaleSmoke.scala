@@ -1555,6 +1555,81 @@ object ScaleSmoke {
         }
         graft.operators.CacheScope.unpinCheckpoint(raw)
       }
+      // Round-14: beam-navigated vs dense-probe packed-ADC serving as
+      // the CELL COUNT grows (corpus and query set fixed) — the dense
+      // probe computes d2 to every centroid per query (wall grows with
+      // nLists), the beam walk touches O(entry + beam·degree·depth)
+      // cells (wall flat). m scales nLists: 64·m cells. CSV:
+      // m,n,pq_beam_serve,cells,path,agree,sec.
+      if (wanted("pq_beam_serve") && m <= 8) {
+        val nVec = 4000L
+        val nLists = 64 * m
+        // Two fixtures: hash-UNIFORM (64-dim distance concentration —
+        // graph navigation's worst case, everything near-equidistant)
+        // and CLUSTERED (64 hash-derived centers + 10% noise — the
+        // real-embedding shape navigation exists for), each with
+        // centroids trained on ITS corpus.
+        for (fixture <- Seq("uniform", "clustered")) {
+          val vecExpr = if (fixture == "uniform")
+            """transform(sequence(1, 64), i ->
+              CAST(CAST(pmod(conv(substring(md5(concat(
+                CAST(id AS STRING), '|', CAST(i AS STRING))), 1, 6),
+                16, 10), 1000) AS DOUBLE) / 1000.0 - 0.5 AS FLOAT))"""
+          else
+            """transform(sequence(1, 64), i ->
+              CAST((CAST(pmod(conv(substring(md5(concat('ctr|',
+                CAST(pmod(id, 64) AS STRING), '|', CAST(i AS STRING))),
+                1, 6), 16, 10), 1000) AS DOUBLE) / 1000.0 - 0.5)
+                + 0.1 * (CAST(pmod(conv(substring(md5(concat(
+                CAST(id AS STRING), '|', CAST(i AS STRING))), 1, 6),
+                16, 10), 1000) AS DOUBLE) / 1000.0 - 0.5) AS FLOAT))"""
+          val vecs = spark.range(nVec)
+            .select(col("id").as("vec_id"), expr(vecExpr).as("embedding"))
+            .localCheckpoint(true)
+          val queries = vecs.filter(col("vec_id") < 200)
+          val cents = graft.operators.Similarity.trainCentroids(
+            vecs, "embedding", nLists = nLists)
+          val books = graft.operators.Similarity.pqTrainCodebooks(
+            vecs, "embedding")
+          val art = graft.operators.Similarity.pqIvfArtifact(
+              vecs, "vec_id", "embedding", cents, books)
+            .localCheckpoint(true)
+          val centDf = spark.createDataFrame(
+            cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) })
+            .toDF("cell", "centroid").localCheckpoint(true)
+          val ((dSec, dense), dCaches) =
+            graft.operators.CacheScope.tracking { time {
+              graft.operators.Similarity.ivfPqTopKServe(art, queries,
+                  "vec_id", "embedding", k = 5, centroids = cents,
+                  codebooks = books, nProbe = 4)
+                .select(col("q_id"), col("n_id"))
+                .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+            } }
+          dCaches.release()
+          println(s"$m,$n,pq_beam_serve,cells=$nLists,fix=$fixture," +
+            s"path=dense,agree=1.000,sec=${"%.2f".format(dSec)}")
+          val ((bSec, beamed), bCaches) =
+            graft.operators.CacheScope.tracking { time {
+              val nav = graft.operators.CacheScope.pin(
+                graft.operators.Similarity.buildNavGraph(
+                  centDf, degree = 4, longLinks = 3))
+              graft.operators.Similarity.ivfPqBeamServe(art, queries,
+                  "vec_id", "embedding", k = 5, centroids = centDf,
+                  nav = nav, codebooks = books, beamWidth = 8,
+                  depth = 4, entryCells = 2, nProbe = 4)
+                .select(col("q_id"), col("n_id"))
+                .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+            } }
+          bCaches.release()
+          val agree =
+            (dense & beamed).size.toDouble / math.max(1, dense.size)
+          println(s"$m,$n,pq_beam_serve,cells=$nLists,fix=$fixture," +
+            s"path=beam,agree=${"%.3f".format(agree)}," +
+            s"sec=${"%.2f".format(bSec)}")
+          Seq(vecs, art, centDf)
+            .foreach(graft.operators.CacheScope.unpinCheckpoint)
+        }
+      }
       // Round-14: pure HD-rotation wall — one zero-shuffle projection,
       // must be LINEAR in the corpus. CSV: m,n,hd_rotate,vectors,sec.
       if (wanted("hd_rotate") && m <= 4) {
