@@ -613,7 +613,13 @@ object ArtifactStreams {
    * carried table by the canonical rule (coarsen's output is already
    * least/greatest-canonical on the community labels; orientations and
    * repeats sum — self-loops carry intra-community mass, weight
-   * conserved exactly). ModularityStreamSpec pins the fold identity:
+   * conserved exactly). For an UNWEIGHTED feed (`weightCol = None`)
+   * deliver each fine edge once across the stream's lifetime — the
+   * [[modularityStream]] / [[greedyMembershipStream]] unique-edge
+   * contract: within a batch repeats dedup exactly as the one-shot
+   * build does, but a fine edge re-delivered in a LATER trigger has
+   * already been folded into its coarse pair's weight and would
+   * double-count. ModularityStreamSpec pins the fold identity:
    * the carried coarse table at every trigger == one-shot coarsen over
    * everything delivered, whatever the split points, plus exact weight
    * conservation and the unmapped refusal. Each trigger's internal

@@ -292,6 +292,41 @@ class ModularityStreamSpec extends SparkSpec {
     // is community a's self-loop
     assert(states(0)._2(("a", "a")) == 4L)
     Option(lastState).foreach(graft.operators.CacheScope.unpinCheckpoint)
+
+    // UNWEIGHTED unique-edge stream (the modularityStream contract):
+    // within-batch repeats dedup exactly as the one-shot build does.
+    val uSplits: Seq[Seq[(Long, Long)]] = Seq(
+      Seq((0L, 1L), (1L, 0L), (1L, 2L)), // orientation repeat, in-batch
+      Seq((3L, 4L), (4L, 5L)))
+    val uTmp = java.nio.file.Files.createTempDirectory("coarse_uw").toString
+    uSplits.zipWithIndex.foreach { case (part, i) =>
+      if (i > 0) Thread.sleep(1100)
+      part.toDF("src", "dst").coalesce(1)
+        .write.mode("append").parquet(s"$uTmp/in")
+    }
+    val uSchema = StructType(Seq(StructField("src", LongType),
+      StructField("dst", LongType)))
+    val uStream = spark.readStream.schema(uSchema)
+      .option("maxFilesPerTrigger", 1).option("latestFirst", "false")
+      .parquet(s"$uTmp/in")
+    val uStates = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Map[(String, String), Long])]
+    var uLast: org.apache.spark.sql.DataFrame = null
+    val uq = ArtifactStreams.coarseGraphStream(uStream, memDf) { (g, id) =>
+      uStates += (id -> g.as[(String, String, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap)
+      uLast = g
+    }
+    uq.processAllAvailable()
+    uq.stop()
+    uStates.foreach { case (id, got) =>
+      val want = Modularity.coarsen(
+          uSplits.take(id.toInt + 1).flatten.toDF("src", "dst"), memDf)
+        .as[(String, String, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      assert(got === want, s"unweighted trigger $id diverges")
+    }
+    Option(uLast).foreach(graft.operators.CacheScope.unpinCheckpoint)
   }
 
   test("coarseGraphStream: a batch touching an unmapped node refuses loudly") {
