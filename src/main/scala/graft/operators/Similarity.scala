@@ -1923,6 +1923,35 @@ object Similarity {
   }
 
   /**
+   * Inverse of [[hdRotate]]: R is orthonormal, so R⁻¹ = Rᵀ — and with H
+   * symmetric, Rᵀ = D·Hᵀ/√dim = D·H/√dim (the sign diagonal applies on
+   * the OUTPUT side instead of the input). Lets a pipeline that stores
+   * its vectors ROTATED (the PQ-friendly layout) decode back to
+   * original coordinates — same zero-shuffle plan-literal matvec shape;
+   * AnnSpec pins inverse(rotate(x)) == x to float precision.
+   */
+  def hdRotateInverse(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, signs: Option[Array[Int]] = None): DataFrame = {
+    require(dim > 0 && (dim & (dim - 1)) == 0,
+      s"hdRotateInverse needs a power-of-two dim: $dim")
+    val sg = signs.getOrElse(portableSigns(dim))
+    require(sg.length == dim, s"signs length ${sg.length} != dim $dim")
+    require(sg.forall(s => s == 1 || s == -1), "signs must be ±1")
+    val scale = 1.0 / math.sqrt(dim.toDouble)
+    def coef(j: Int, i: Int): Double = {
+      val h = if (java.lang.Integer.bitCount(i & j) % 2 == 0) 1.0 else -1.0
+      sg(j) * h * scale
+    }
+    df.select(col(idCol).as("__hd_id"),
+        transform(col(vecCol), x => x.cast("double")).as("__hd_v"))
+      .select(col("__hd_id").as(idCol),
+        array((0 until dim).map { j =>
+          dot(col("__hd_v"), array((0 until dim).map(i =>
+            lit(coef(j, i))): _*))
+        }: _*).as(vecCol))
+  }
+
+  /**
    * Train the COARSE quantizer's centroids: one k-means over the corpus,
    * returned as a driver-held nLists × dim double array — the
    * plan-literal shape every IVF face here takes as `fixedCentroids` /

@@ -1076,6 +1076,19 @@ class AnnSpec extends SparkSpec {
       .select("q_id", "n_id", "rank").as[(Long, Long, Int)].collect().toSet
     assert(rawTop == rotTop && rawTop.nonEmpty,
       "brute-force ranking must be invariant under the rotation")
+    // and the inverse really decodes: R⁻¹(R(x)) == x to float precision
+    val back = Similarity.hdRotateInverse(rot, "vec_id", "embedding", 64)
+      .as[(Long, Seq[Double])].collect().toMap
+    val orig = sub.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")))
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(back.keySet == orig.keySet)
+    orig.foreach { case (id, v) =>
+      v.zip(back(id)).foreach { case (a, b) =>
+        assert(math.abs(a - b) <= 1e-9,
+          s"round-trip drift at $id: $a vs $b")
+      }
+    }
   }
 
   test("ivfPqTopKRerank: beats-or-matches pure ADC recall; full shortlist == exact L2; shuffle == broadcast") {
