@@ -525,7 +525,10 @@ object Modularity {
    * shrink at flat wall). Each level's frames are checkpointed so the
    * plan tree stays level-local instead of doubling per level (the
    * ScaleSmoke deep-walk lesson), and every intermediate checkpoint
-   * releases before return.
+   * releases before return — including [[greedyMoveRound]]'s and
+   * [[coarsen]]'s internal ones, which release via a per-call
+   * tracking scope, so no ambient [[CacheScope.tracking]] is required
+   * around louvain itself (ADVICE r14).
    *
    * @return (membership, scorecard): `membership` = (node_id,
    *         community) over the ORIGINAL nodes — the fine membership
@@ -588,17 +591,33 @@ object Modularity {
     while (level < maxLevels && !stop) {
       var memL = singletons(g)
       for (phase <- 0 to 1) {
-        val memNext = cp(greedyMoveRound(g, memL, Some("w"),
-            selfLoops = true)
+        // greedyMoveRound pins its internal canon/wic checkpoints with
+        // the AMBIENT CacheScope only — outside a tracking scope they
+        // would strand for the session (ADVICE r14). Own scope per
+        // sub-round: cp() materializes the masked membership eagerly
+        // (localCheckpoint(true)), after which the round's internals
+        // are dead and release immediately. cp() itself stays OUTSIDE
+        // the scope so the level-local checkpoint it registers is not
+        // released here (louvain's `pinned` buffer owns those).
+        val (moveRaw, moveCaches) = CacheScope.tracking {
+          greedyMoveRound(g, memL, Some("w"), selfLoops = true)
+        }
+        val memNext = cp(moveRaw
           .select(col("node_id"),
             when(pmod(col("node_id"), lit(2L)) === lit(phase.toLong),
               col("comm_new")).otherwise(col("comm_old"))
               .as("community")))
+        moveCaches.release()
         pinned += memNext
         memL = memNext
       }
       val moved = memL
-      val gNext = cp(coarsen(g, moved, Some("w"), selfLoops = true))
+      // Same discipline for coarsen's internal tagged-edges checkpoint.
+      val (coarseRaw, coarseCaches) = CacheScope.tracking {
+        coarsen(g, moved, Some("w"), selfLoops = true)
+      }
+      val gNext = cp(coarseRaw)
+      coarseCaches.release()
       pinned += gNext
       val q = coarseQ(gNext) // == Q(g, moved) by conservation
       if (q - qPrev <= minGain) { stop = true }

@@ -674,7 +674,12 @@ object Similarity {
     // it (the element_at lookup), and the residual in its own before the
     // m×ksub code reads — the CollapseProject discipline q244's 5× fix
     // established (multi-referenced non-cheap expressions stay split).
-    corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    // n_vec is length-gated against the centroid dim (ADVICE r14): a
+    // short vector would otherwise null its residual silently and
+    // propagate null distances downstream.
+    corpus.select(col(idCol).as("n_id"),
+        sizeGated(vecCol, centroids.head.length, "pqResiduals")
+          .as("n_vec"))
       .withColumn("cell",
         (array_position(d2s, array_min(d2s)) - 1).cast("int"))
       .withColumn("n_res",
@@ -857,8 +862,26 @@ object Similarity {
         emitCell = cellCol.isDefined)
       .select(col("q_id") +: col("n_id") +:
         (if (cellCol.isDefined) Seq(col("cell")) else Nil): _*)
+    rerankShortlist(short, corpus, queries, idCol, vecCol, k,
+      broadcastShortlist, cellCol)
+  }
+
+  /**
+   * The exact re-rank STAGE on its own — the refine step factored out
+   * of [[ivfPqTopKRerank]] so any shortlist producer composes with it:
+   * [[ivfPqTopKServe]] (the dense-probe path above), [[ivfPqBeamServe]]
+   * with `emitCell = true` (the beam-navigated production stack — q250
+   * runs that full compose under one oracle), or a caller-supplied
+   * candidate table. `shortlist` is (q_id, n_id) plus `cell` when
+   * `cellCol` is set; semantics, join shape, and the dynamic-partition-
+   * pruning contract are exactly [[ivfPqTopKRerank]]'s scaladoc.
+   */
+  def rerankShortlist(shortlist: DataFrame, corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      broadcastShortlist: Boolean = true,
+      cellCol: Option[String] = None): DataFrame = {
     val qv = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
-    val sj = short.join(qv, Seq("q_id"))
+    val sj = shortlist.join(qv, Seq("q_id"))
     val cv = cellCol match {
       case Some(cc) => corpus.select(col(idCol).as("n_id"),
         col(vecCol).as("n_vec"), col(cc).cast("int").as("cell"))
@@ -899,17 +922,24 @@ object Similarity {
    * [[ivfPqTopKServe]] (AnnSpec pins it); everything is deterministic
    * (in-order double folds, (d2, cell) tie-breaks), so the full
    * navigate → residual-ADC compose sits under the hash oracle (q249).
+   *
+   * `beamWidth`/`depth` ≤ 0 (the DEFAULT) auto-size from the artifact
+   * itself — [[autoBeamDepth]]/[[autoBeamWidth]] over the centroid
+   * count and the nav graph's mean out-degree (two metadata-sized
+   * jobs) — so a caller on defaults cannot hit the fixed-budget decay
+   * SCALE.md's pq_beam_serve row measures (0.875 → 0.615 agreement as
+   * cells outgrow a constant walk — VERDICT r14 #3, the nLists
+   * auto-sizing discipline applied to the walk budget).
    */
   def ivfPqBeamServe(artifact: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       centroids: DataFrame, nav: DataFrame,
       codebooks: Array[Array[Array[Double]]],
-      beamWidth: Int = 8, depth: Int = 3, entryCells: Int = 2,
+      beamWidth: Int = -1, depth: Int = -1, entryCells: Int = 2,
       nProbe: Int = 4, bits: Int = 4,
       broadcastQueries: Boolean = true,
-      residual: Boolean = false): DataFrame = {
-    require(nProbe >= 1 && nProbe <= beamWidth,
-      s"1 <= nProbe ($nProbe) <= beamWidth ($beamWidth)")
+      residual: Boolean = false,
+      emitCell: Boolean = false): DataFrame = {
     val m = codebooks.length
     val ksub = codebooks.head.length
     val subDim = codebooks.head.head.length
@@ -919,6 +949,9 @@ object Similarity {
           array(codebooks(s)(c).map(lit): _*))): _*)
     val centDf = centroids.select(col("cell").cast("int").as("cell"),
       col("centroid"))
+    val (bw, dp) = tableBeamBudget(beamWidth, depth, nProbe, centDf, nav)
+    require(nProbe >= 1 && nProbe <= bw,
+      s"1 <= nProbe ($nProbe) <= beamWidth ($bw)")
     val entries = centDf.orderBy(col("cell")).limit(entryCells).collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
     require(entries.length == entryCells,
@@ -926,7 +959,7 @@ object Similarity {
     val beamProbes = beamWalk(
         queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")),
         "q_id", "q_vec", entries, centDf,
-        nav.select(col("src"), col("dst")), beamWidth, depth)
+        nav.select(col("src"), col("dst")), bw, dp)
       .filter(col("rn") <= nProbe)
       .select(col("q_id"), col("q_vec"), col("cell"))
     val probed = (if (residual)
@@ -956,7 +989,58 @@ object Similarity {
           "element_at(codes, s + 1) + 1))"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("q_id"), col("n_id"), col("rank"), col("adist"))
+      .select(col("q_id") +: col("n_id") +: col("rank") +:
+        col("adist") +: (if (emitCell) Seq(col("cell")) else Nil): _*)
+  }
+
+  /**
+   * Auto-size the beam-walk DEPTH from the cell count and the nav
+   * graph's out-degree — the nLists auto-sizing discipline (round 14)
+   * applied to the walk budget (VERDICT r14 #3): a degree-regular
+   * navigation graph reaches any of nLists cells from a fixed entry
+   * set in ~log_degree(nLists) hops (the Kleinberg/HNSW diameter
+   * argument buildNavGraph's long links exist to guarantee), so depth
+   * = ceil(log_degree(nLists)) + 1 — the crossing plus one refinement
+   * round. Grows with the artifact: a fixed depth that was ample at
+   * 10³ cells silently decays at 10⁵ (SCALE.md pq_beam_serve measured
+   * exactly that), while this default cannot be outgrown.
+   */
+  def autoBeamDepth(nLists: Long, degree: Long): Int = {
+    val d = math.max(2L, degree).toDouble
+    val n = math.max(2L, nLists).toDouble
+    math.ceil(math.log(n) / math.log(d)).toInt + 1
+  }
+
+  /**
+   * Auto-size the beam WIDTH: wide enough that the probe cut never
+   * consumes the whole frontier (≥ 2·nProbe) and scaling with the
+   * space's diameter like HNSW's ef parameter (≥ 2·log₂(nLists) —
+   * Malkov & Yashunin 2018 keep ef ∝ ln N for flat recall), floored
+   * at 8. At the 16-cell oracle fixtures this reproduces the old
+   * fixed default (8); at 10⁶ cells it widens to ~40.
+   */
+  def autoBeamWidth(nProbe: Int, nLists: Long): Int = {
+    val diam = 2.0 * math.log(math.max(2L, nLists).toDouble) / math.log(2.0)
+    math.max(math.max(2 * nProbe, math.ceil(diam).toInt), 8)
+  }
+
+  /** Resolve a (beamWidth, depth) pair against table metadata: values
+    * ≤ 0 auto-size from the centroid count and the nav graph's mean
+    * out-degree — two metadata-sized jobs (nLists rows each), paid
+    * once per plan build and only when auto-sizing is actually
+    * requested. */
+  private def tableBeamBudget(beamWidth: Int, depth: Int, nProbe: Int,
+      centDf: DataFrame, nav: DataFrame): (Int, Int) = {
+    if (beamWidth > 0 && depth > 0) (beamWidth, depth)
+    else {
+      val nLists = centDf.count()
+      val st = nav.agg(count(lit(1)).as("links"),
+        countDistinct(col("src")).as("srcs")).collect()(0)
+      val degree = if (st.getLong(1) == 0) 1L
+        else math.max(1L, st.getLong(0) / st.getLong(1))
+      (if (beamWidth > 0) beamWidth else autoBeamWidth(nProbe, nLists),
+        if (depth > 0) depth else autoBeamDepth(nLists, degree))
+    }
   }
 
   /**
@@ -984,12 +1068,19 @@ object Similarity {
    */
   def ivfBeamTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      nLists: Int = 16, beamWidth: Int = 4, depth: Int = 2,
+      nLists: Int = 16, beamWidth: Int = -1, depth: Int = -1,
       degree: Int = 3, entryCells: Int = 2,
       seed: Long = 42L, maxIter: Int = 5,
       fixedCentroids: Option[Array[Array[Double]]] = None): DataFrame = {
-    require(beamWidth >= 1 && depth >= 0 && degree >= 1 && entryCells >= 1,
-      s"bad beam params ($beamWidth, $depth, $degree, $entryCells)")
+    // ≤ 0 auto-sizes from (nLists, degree) — both already parameters
+    // here, so no metadata job is needed (VERDICT r14 #3: defaults must
+    // not decay as the cell count grows). The final beam IS the probe
+    // set on this face, so the width formula's nProbe term drops out.
+    val bw = if (beamWidth > 0) beamWidth else autoBeamWidth(1, nLists.toLong)
+    val dp = if (depth > 0) depth
+      else autoBeamDepth(nLists.toLong, degree.toLong)
+    require(bw >= 1 && dp >= 0 && degree >= 1 && entryCells >= 1,
+      s"bad beam params ($bw, $dp, $degree, $entryCells)")
     val (cells, centroids0) =
       cellAssign(corpus, idCol, vecCol, nLists, seed, maxIter, fixedCentroids)
     val centroids = CacheScope.pin(centroids0)
@@ -1011,7 +1102,7 @@ object Similarity {
     val wq = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("cell"))
     def keepBeam(b: DataFrame): DataFrame = b
       .withColumn("rn", row_number().over(wq))
-      .filter(col("rn") <= beamWidth)
+      .filter(col("rn") <= bw)
       .select(col("q_id"), col("cell"), col("d2"))
 
     // Entry: d2 to the fixed entry cells only (cell < entryCells).
@@ -1019,7 +1110,7 @@ object Similarity {
       .crossJoin(broadcast(centroids.filter(col("cell") < entryCells)))
       .withColumn("d2", sqL2(col("q_vec"), col("centroid")))
       .select(col("q_id"), col("cell"), col("d2")))
-    for (_ <- 1 to depth) {
+    for (_ <- 1 to dp) {
       val expanded = beam.join(broadcast(nbr), col("cell") === col("src"))
         .select(col("q_id"), col("dst").as("cell"))
         .union(beam.select(col("q_id"), col("cell")))
@@ -1139,7 +1230,7 @@ object Similarity {
   def ivfMutualTop1Beam(left: DataFrame, right: DataFrame,
       idCol: String, vecCol: String,
       nLists: Int = 16, nProbe: Int = 4,
-      beamWidth: Int = 4, depth: Int = 2, degree: Int = 3,
+      beamWidth: Int = -1, depth: Int = -1, degree: Int = 3,
       entryCells: Int = 2, longLinks: Int = 0,
       seed: Long = 42L, maxIter: Int = 5,
       fixedCentroids: Option[Array[Array[Double]]] = None): DataFrame =
@@ -1359,11 +1450,14 @@ object Similarity {
    */
   def beamAssignWithGraph(df: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, nav: DataFrame,
-      beamWidth: Int = 8, depth: Int = 3, entryCells: Int = 2): DataFrame = {
-    require(beamWidth >= 1 && depth >= 0 && entryCells >= 1,
-      s"bad beam params ($beamWidth, $depth, $entryCells)")
+      beamWidth: Int = -1, depth: Int = -1, entryCells: Int = 2): DataFrame = {
     val centDf = centroids.select(col("cell").cast("int").as("cell"),
       col("centroid"))
+    // ≤ 0 (default) auto-sizes from the artifact's own metadata —
+    // VERDICT r14 #3; assignment keeps rn = 1 only, so nProbe = 1.
+    val (bw, dp) = tableBeamBudget(beamWidth, depth, 1, centDf, nav)
+    require(bw >= 1 && dp >= 0 && entryCells >= 1,
+      s"bad beam params ($bw, $dp, $entryCells)")
     // Entry set = the entryCells SMALLEST cell ids PRESENT, not the
     // literal ids 0..entryCells-1: an artifact with non-contiguous ids
     // (filtered table, external build) enters at its own lowest cells
@@ -1375,7 +1469,7 @@ object Similarity {
       s"centroid table has ${entries.length} cells < entryCells $entryCells")
     beamWalk(df.select(col(idCol).as("id"), col(vecCol).as("vec")),
       "id", "vec", entries, centDf, nav.select(col("src"), col("dst")),
-      beamWidth, depth)
+      bw, dp)
       .filter(col("rn") === 1)
       .select(col("id"), col("cell"))
   }
@@ -1440,18 +1534,24 @@ object Similarity {
    * dense argmin exactly (AnnSpec-style pin in MutualNnSpec).
    */
   def beamAssign(df: DataFrame, idCol: String, vecCol: String,
-      centroids: Array[Array[Double]], beamWidth: Int = 8, depth: Int = 3,
+      centroids: Array[Array[Double]], beamWidth: Int = -1, depth: Int = -1,
       degree: Int = 4, entryCells: Int = 2, longLinks: Int = 0): DataFrame = {
     require(centroids.nonEmpty, "centroids must be non-empty")
-    require(beamWidth >= 1 && depth >= 0 && degree >= 1 && entryCells >= 1,
-      s"bad beam params ($beamWidth, $depth, $degree, $entryCells)")
+    // ≤ 0 (default) auto-sizes from the centroid count — both inputs
+    // are already in hand, no job needed (VERDICT r14 #3).
+    val bw = if (beamWidth > 0) beamWidth
+      else autoBeamWidth(1, centroids.length.toLong)
+    val dp = if (depth > 0) depth
+      else autoBeamDepth(centroids.length.toLong, degree.toLong)
+    require(bw >= 1 && dp >= 0 && degree >= 1 && entryCells >= 1,
+      s"bad beam params ($bw, $dp, $degree, $entryCells)")
     require(entryCells <= centroids.length,
       s"entryCells ($entryCells) > cells (${centroids.length})")
     val (centDf, nbrDf) =
       navFrames(df.sparkSession, centroids, degree, longLinks)
     beamWalk(df.select(col(idCol).as("id"), col(vecCol).as("vec")),
       "id", "vec", centroids.take(entryCells).zipWithIndex.map(_.swap),
-      centDf, nbrDf, beamWidth, depth)
+      centDf, nbrDf, bw, dp)
       .filter(col("rn") === 1)
       .select(col("id"), col("cell"))
   }
@@ -1462,9 +1562,15 @@ object Similarity {
     * for the full scale story). */
   private def mutualCandidateSimsBeam(left: DataFrame, right: DataFrame,
       idCol: String, vecCol: String, nLists: Int, nProbe: Int,
-      beamWidth: Int, depth: Int, degree: Int, entryCells: Int,
+      beamWidth0: Int, depth0: Int, degree: Int, entryCells: Int,
       longLinks: Int, seed: Long, maxIter: Int,
       fixedCentroids: Option[Array[Array[Double]]]): DataFrame = {
+    // ≤ 0 auto-sizes from (nLists, nProbe, degree) — single resolution
+    // point for both beam mutual-top-1 faces (VERDICT r14 #3).
+    val beamWidth = if (beamWidth0 > 0) beamWidth0
+      else autoBeamWidth(nProbe, nLists.toLong)
+    val depth = if (depth0 > 0) depth0
+      else autoBeamDepth(nLists.toLong, degree.toLong)
     require(beamWidth >= 1 && depth >= 0 && degree >= 1 && entryCells >= 1,
       s"bad beam params ($beamWidth, $depth, $degree, $entryCells)")
     require(nProbe >= 1 && nProbe <= beamWidth,
@@ -1542,7 +1648,7 @@ object Similarity {
   def marginMutualTop1Beam(left: DataFrame, right: DataFrame,
       idCol: String, vecCol: String, k: Int = 4,
       nLists: Int = 16, nProbe: Int = 4,
-      beamWidth: Int = 4, depth: Int = 2, degree: Int = 3,
+      beamWidth: Int = -1, depth: Int = -1, degree: Int = 3,
       entryCells: Int = 2, longLinks: Int = 0,
       seed: Long = 42L, maxIter: Int = 5,
       fixedCentroids: Option[Array[Array[Double]]] = None): DataFrame =
@@ -1891,35 +1997,145 @@ object Similarity {
    * lets a product quantizer split a correlated vector into
    * independent-ish subspaces.
    *
-   * Plan shape: one narrow codegen'd projection — the rotation matrix
-   * is dim² plan-literal doubles (32 KB at dim = 64), each output
-   * component an in-order [[dot]] against its literal row, so at 100 TB
-   * this is a zero-shuffle map over the scan. The double-cast input
-   * materializes in its own projection first (it is read `dim` times —
-   * the CollapseProject discipline q244 established). With
-   * `portableSigns` the whole rotation is md5-derivable arithmetic, so
+   * Plan shape — TWO physical strategies behind one rotation
+   * (`butterfly = None` auto-picks; AnnSpec pins them equal to 1e-9
+   * and rank-identical at dim 64):
+   *
+   *  - DENSE (`Some(false)`; auto at dim ≤ 128): one narrow codegen'd
+   *    projection — the rotation matrix is dim² plan-literal doubles
+   *    (32 KB at dim = 64), each output component an in-order [[dot]]
+   *    against its literal row. This is the CROSS-ENGINE-ORACLE
+   *    arithmetic (q247's DuckDB mirror computes the same in-order
+   *    dots), so oracle-checked pipelines use it. Its scale bound is
+   *    real: O(dim²) multiplies per row, ~dim² plan literals (~8 MB of
+   *    plan at dim 1024), and a one-time janino compile wall measured
+   *    at ~6 s already at dim 64 (BENCH_NOTES q247) — past the method-
+   *    size cliff codegen falls back to interpretation. Hence the cap.
+   *  - BUTTERFLY (`Some(true)`; auto at dim > 128): the fast
+   *    Walsh–Hadamard transform — sign diagonal and 1/√dim fold into
+   *    the input cast, then log₂(dim) chained pairwise add/sub
+   *    projections ((a, b) → (a + b, a − b) at stride h = 1, 2, …,
+   *    dim/2). O(dim·log dim) adds per row, ZERO matrix literals, each
+   *    stage a plain 2-reads-per-element projection far below any
+   *    codegen cliff — the production path at embedding dims. Each
+   *    stage's array materializes in its own projection (it is read
+   *    2·dim times by the next stage — the CollapseProject discipline
+   *    q244 established; inlining would make the tree exponential).
+   *    Same rotation, different floating-point summation ORDER, so
+   *    results agree to rounding (≤ 1e-9 componentwise on unit-scale
+   *    data), not bit-for-bit — keep one strategy per artifact.
+   *
+   * Both are zero-shuffle maps over the scan at 100 TB. With
+   * `portableSigns` the rotation is md5-derivable arithmetic, so
    * rotated pipelines stay under the cross-engine hash oracle (q247
-   * unrolls rotation → residual IVFADC CTE-for-CTE).
+   * unrolls rotation → residual IVFADC CTE-for-CTE; q250 carries it
+   * through the full serving compose). Non-power-of-two dims (768 is
+   * the common real shape) enter via [[padToPow2]] — zero-padding
+   * preserves every dot product and L2 distance exactly. Each row's
+   * vector is length-gated against `dim` (raise_error, ADVICE r14): a
+   * short vector would otherwise read out-of-range elements as NULL
+   * and silently null the whole rotated vector downstream.
    */
   def hdRotate(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-      signs: Option[Array[Int]] = None): DataFrame = {
+      signs: Option[Array[Int]] = None,
+      butterfly: Option[Boolean] = None): DataFrame = {
     require(dim > 0 && (dim & (dim - 1)) == 0,
-      s"hdRotate needs a power-of-two dim: $dim")
+      s"hdRotate needs a power-of-two dim: $dim (pad via padToPow2)")
     val sg = signs.getOrElse(portableSigns(dim))
     require(sg.length == dim, s"signs length ${sg.length} != dim $dim")
     require(sg.forall(s => s == 1 || s == -1), "signs must be ±1")
     val scale = 1.0 / math.sqrt(dim.toDouble)
-    def coef(j: Int, i: Int): Double = {
-      val h = if (java.lang.Integer.bitCount(i & j) % 2 == 0) 1.0 else -1.0
-      sg(i) * h * scale
+    if (butterfly.getOrElse(dim > denseRotationMaxDim)) {
+      // signs + scale fold into the input cast; then the FWHT ladder.
+      val in = df.select(col(idCol).as("__hd_id"),
+        array((0 until dim).map(i =>
+          element_at(sizeGated(vecCol, dim, "hdRotate"), i + 1)
+            .cast("double") * lit(sg(i) * scale)): _*).as("__hd_v"))
+      fwht(in, "__hd_id", "__hd_v", dim)
+        .select(col("__hd_id").as(idCol), col("__hd_v").as(vecCol))
+    } else {
+      def coef(j: Int, i: Int): Double = {
+        val h = if (java.lang.Integer.bitCount(i & j) % 2 == 0) 1.0 else -1.0
+        sg(i) * h * scale
+      }
+      df.select(col(idCol).as("__hd_id"),
+          transform(sizeGated(vecCol, dim, "hdRotate"),
+            x => x.cast("double")).as("__hd_v"))
+        .select(col("__hd_id").as(idCol),
+          array((0 until dim).map { j =>
+            dot(col("__hd_v"), array((0 until dim).map(i =>
+              lit(coef(j, i))): _*))
+          }: _*).as(vecCol))
     }
-    df.select(col(idCol).as("__hd_id"),
-        transform(col(vecCol), x => x.cast("double")).as("__hd_v"))
-      .select(col("__hd_id").as(idCol),
+  }
+
+  /** Auto-switch point between [[hdRotate]]'s dense plan-literal matvec
+    * and the FWHT butterfly: past this the dim² literals and the janino
+    * compile wall dominate (What's-wrong r14 #1). */
+  val denseRotationMaxDim: Int = 128
+
+  /** Length-gate a vector column: the raw column when its size matches
+    * `dim`, a loud raise_error otherwise — the in-expression guard the
+    * rotation/residual faces use (ADVICE r14; same class as pqPack's
+    * per-slot code gate). Rides the data path, so it cannot fire on
+    * rows the caller never consumes. */
+  private def sizeGated(vecCol: String, dim: Int, op: String): Column =
+    when(size(col(vecCol)) === dim, col(vecCol))
+      .otherwise(raise_error(concat(
+        lit(s"$op: vector length != dim $dim: "),
+        size(col(vecCol)).cast("string"))))
+
+  /** The fast Walsh–Hadamard ladder over an array column: log₂(dim)
+    * chained projections, stage h mapping (v[j], v[j|h]) → (v[j] +
+    * v[j|h], v[j] − v[j|h]) for every j with bit h clear. Each stage's
+    * array is its own projection (read 2·dim times by the next — the
+    * CollapseProject multi-reference discipline). */
+  private def fwht(dfIn: DataFrame, idCol: String, vCol: String,
+      dim: Int): DataFrame = {
+    var cur = dfIn
+    var h = 1
+    while (h < dim) {
+      cur = cur.select(col(idCol),
         array((0 until dim).map { j =>
-          dot(col("__hd_v"), array((0 until dim).map(i =>
-            lit(coef(j, i))): _*))
-        }: _*).as(vecCol))
+          if ((j & h) == 0)
+            element_at(col(vCol), j + 1) + element_at(col(vCol), (j | h) + 1)
+          else
+            element_at(col(vCol), (j ^ h) + 1) - element_at(col(vCol), j + 1)
+        }: _*).as(vCol))
+      h <<= 1
+    }
+    cur
+  }
+
+  /**
+   * Zero-pad a vector column to the next power of two (as doubles) so
+   * non-power-of-two embedding dims — 768 is the most common real
+   * shape — can enter [[hdRotate]] / the PQ faces. Zero padding
+   * preserves every dot product and squared-L2 distance EXACTLY (the
+   * extra coordinates contribute 0 to both), and the rotation of a
+   * padded vector preserves the original distances because R is
+   * orthonormal on the padded space. Round trip: rotate → [[
+   * hdRotateInverse]] → `slice(vec, 1, dim)` recovers the original (to
+   * float precision). Length-gated like the rotation itself. No-op
+   * (beyond the double cast) when `dim` is already a power of two.
+   */
+  def padToPow2(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int): DataFrame = {
+    require(dim > 0, s"dim must be positive: $dim")
+    val target = nextPow2(dim)
+    val casted = transform(sizeGated(vecCol, dim, "padToPow2"),
+      x => x.cast("double"))
+    val padded = if (target == dim) casted
+      else concat(casted, array_repeat(lit(0.0), target - dim))
+    df.select(col(idCol), padded.as(vecCol))
+  }
+
+  /** Smallest power of two ≥ n. */
+  def nextPow2(n: Int): Int = {
+    require(n >= 1, s"n must be >= 1: $n")
+    var p = 1
+    while (p < n) p <<= 1
+    p
   }
 
   /**
@@ -1927,28 +2143,44 @@ object Similarity {
    * symmetric, Rᵀ = D·Hᵀ/√dim = D·H/√dim (the sign diagonal applies on
    * the OUTPUT side instead of the input). Lets a pipeline that stores
    * its vectors ROTATED (the PQ-friendly layout) decode back to
-   * original coordinates — same zero-shuffle plan-literal matvec shape;
-   * AnnSpec pins inverse(rotate(x)) == x to float precision.
+   * original coordinates — same two physical strategies as the forward
+   * face (`butterfly` auto-picks identically): the dense zero-shuffle
+   * plan-literal matvec at oracle dims, the FWHT ladder with the sign
+   * diagonal and scale applied AFTER the stages at production dims.
+   * AnnSpec pins inverse(rotate(x)) == x to float precision on both.
    */
   def hdRotateInverse(df: DataFrame, idCol: String, vecCol: String,
-      dim: Int, signs: Option[Array[Int]] = None): DataFrame = {
+      dim: Int, signs: Option[Array[Int]] = None,
+      butterfly: Option[Boolean] = None): DataFrame = {
     require(dim > 0 && (dim & (dim - 1)) == 0,
-      s"hdRotateInverse needs a power-of-two dim: $dim")
+      s"hdRotateInverse needs a power-of-two dim: $dim (pad via padToPow2)")
     val sg = signs.getOrElse(portableSigns(dim))
     require(sg.length == dim, s"signs length ${sg.length} != dim $dim")
     require(sg.forall(s => s == 1 || s == -1), "signs must be ±1")
     val scale = 1.0 / math.sqrt(dim.toDouble)
-    def coef(j: Int, i: Int): Double = {
-      val h = if (java.lang.Integer.bitCount(i & j) % 2 == 0) 1.0 else -1.0
-      sg(j) * h * scale
+    if (butterfly.getOrElse(dim > denseRotationMaxDim)) {
+      val in = df.select(col(idCol).as("__hd_id"),
+        transform(sizeGated(vecCol, dim, "hdRotateInverse"),
+          x => x.cast("double")).as("__hd_v"))
+      fwht(in, "__hd_id", "__hd_v", dim)
+        .select(col("__hd_id").as(idCol),
+          array((0 until dim).map(j =>
+            element_at(col("__hd_v"), j + 1) * lit(sg(j) * scale)): _*)
+            .as(vecCol))
+    } else {
+      def coef(j: Int, i: Int): Double = {
+        val h = if (java.lang.Integer.bitCount(i & j) % 2 == 0) 1.0 else -1.0
+        sg(j) * h * scale
+      }
+      df.select(col(idCol).as("__hd_id"),
+          transform(sizeGated(vecCol, dim, "hdRotateInverse"),
+            x => x.cast("double")).as("__hd_v"))
+        .select(col("__hd_id").as(idCol),
+          array((0 until dim).map { j =>
+            dot(col("__hd_v"), array((0 until dim).map(i =>
+              lit(coef(j, i))): _*))
+          }: _*).as(vecCol))
     }
-    df.select(col(idCol).as("__hd_id"),
-        transform(col(vecCol), x => x.cast("double")).as("__hd_v"))
-      .select(col("__hd_id").as(idCol),
-        array((0 until dim).map { j =>
-          dot(col("__hd_v"), array((0 until dim).map(i =>
-            lit(coef(j, i))): _*))
-        }: _*).as(vecCol))
   }
 
   /**

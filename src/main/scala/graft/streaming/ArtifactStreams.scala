@@ -355,8 +355,20 @@ object ArtifactStreams {
           // checkpoint leaked its blocks on every refused batch.
           retention.foreach { r =>
             val ts = col(tsCol.get).cast("long")
-            val mm = batch.agg(min(ts).as("mn"), max(ts).as("mx"))
-              .collect()(0)
+            // NULL event times gate in the SAME 1-row aggregate as the
+            // lateness probe (ADVICE r14, found on the sibling face):
+            // min/max skip nulls, so a null-ts edge would pass lateness,
+            // fold its component's last_ts toward NULL, and the expiry
+            // filter (NULL >= wm is NULL) would drop the component
+            // SILENTLY — the exact class the loud-refusal contract
+            // forbids.
+            val mm = batch.agg(min(ts).as("mn"), max(ts).as("mx"),
+              count(when(ts.isNull, lit(1))).as("nulls")).collect()(0)
+            if (mm.getLong(2) > 0) throw new IllegalStateException(
+              s"connectedComponentsStream: batch $batchId contains " +
+                s"${mm.getLong(2)} edge(s) with a NULL ${tsCol.get} — " +
+                "under retention every edge needs an event time (a null " +
+                "would expire silently); filter or default upstream")
             if (!mm.isNullAt(0)) {
               val bMin = mm.getLong(0)
               highWater.map(_ - r).foreach { wm =>
@@ -496,8 +508,19 @@ object ArtifactStreams {
           // needed, and nothing is materialized yet on the throw path.
           retention.foreach { r =>
             val ts = col(tsCol.get).cast("long")
-            val mm = batch.agg(min(ts).as("mn"), max(ts).as("mx"))
-              .collect()(0)
+            // NULL event times gate in the SAME 1-row aggregate as the
+            // lateness probe (ADVICE r14): min/max skip nulls, so a
+            // null-ts edge would pass lateness, fold with
+            // last_ts = NULL, and the expiry filter (NULL >= hw − r is
+            // NULL) would drop it SILENTLY — the exact class this
+            // face's loud-refusal contract forbids.
+            val mm = batch.agg(min(ts).as("mn"), max(ts).as("mx"),
+              count(when(ts.isNull, lit(1))).as("nulls")).collect()(0)
+            if (mm.getLong(2) > 0) throw new IllegalStateException(
+              s"greedyMembershipStream: batch $batchId contains " +
+                s"${mm.getLong(2)} edge(s) with a NULL ${tsCol.get} — " +
+                "under retention every edge needs an event time (a null " +
+                "would expire silently); filter or default upstream")
             if (!mm.isNullAt(0)) {
               val bMin = mm.getLong(0)
               highWater.map(_ - r).foreach { wm =>
