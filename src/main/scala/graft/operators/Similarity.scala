@@ -935,7 +935,7 @@ object Similarity {
       idCol: String, vecCol: String, k: Int,
       centroids: DataFrame, nav: DataFrame,
       codebooks: Array[Array[Array[Double]]],
-      beamWidth: Int = -1, depth: Int = -1, entryCells: Int = 2,
+      beamWidth: Int = -1, depth: Int = -1, entryCells: Int = -1,
       nProbe: Int = 4, bits: Int = 4,
       broadcastQueries: Boolean = true,
       residual: Boolean = false,
@@ -949,13 +949,14 @@ object Similarity {
           array(codebooks(s)(c).map(lit): _*))): _*)
     val centDf = centroids.select(col("cell").cast("int").as("cell"),
       col("centroid"))
-    val (bw, dp) = tableBeamBudget(beamWidth, depth, nProbe, centDf, nav)
+    val (bw, dp, ec) =
+      tableBeamBudget(beamWidth, depth, entryCells, nProbe, centDf, nav)
     require(nProbe >= 1 && nProbe <= bw,
       s"1 <= nProbe ($nProbe) <= beamWidth ($bw)")
-    val entries = centDf.orderBy(col("cell")).limit(entryCells).collect()
+    val entries = centDf.orderBy(col("cell")).limit(ec).collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
-    require(entries.length == entryCells,
-      s"centroid table has ${entries.length} cells < entryCells $entryCells")
+    require(entries.length == ec,
+      s"centroid table has ${entries.length} cells < entryCells $ec")
     val beamProbes = beamWalk(
         queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")),
         "q_id", "q_vec", entries, centDf,
@@ -1000,38 +1001,71 @@ object Similarity {
    * navigation graph reaches any of nLists cells from a fixed entry
    * set in ~log_degree(nLists) hops (the Kleinberg/HNSW diameter
    * argument buildNavGraph's long links exist to guarantee), so depth
-   * = ceil(log_degree(nLists)) + 1 — the crossing plus one refinement
-   * round. Grows with the artifact: a fixed depth that was ample at
+   * = ceil(log_degree(nLists)) + 2 — the crossing plus two refinement
+   * rounds (the round-15 BeamProbe ladder measured +1 insufficient at
+   * 512 cells: depth 5 → 7 recovered +0.15 agreement at fixed width).
+   * Grows with the artifact: a fixed depth that was ample at
    * 10³ cells silently decays at 10⁵ (SCALE.md pq_beam_serve measured
    * exactly that), while this default cannot be outgrown.
    */
   def autoBeamDepth(nLists: Long, degree: Long): Int = {
     val d = math.max(2L, degree).toDouble
     val n = math.max(2L, nLists).toDouble
-    math.ceil(math.log(n) / math.log(d)).toInt + 1
+    math.ceil(math.log(n) / math.log(d)).toInt + 2
   }
 
   /**
    * Auto-size the beam WIDTH: wide enough that the probe cut never
    * consumes the whole frontier (≥ 2·nProbe) and scaling with the
-   * space's diameter like HNSW's ef parameter (≥ 2·log₂(nLists) —
-   * Malkov & Yashunin 2018 keep ef ∝ ln N for flat recall), floored
-   * at 8. At the 16-cell oracle fixtures this reproduces the old
-   * fixed default (8); at 10⁶ cells it widens to ~40.
+   * space's diameter like HNSW's ef parameter (4·log₂(nLists) —
+   * Malkov & Yashunin 2018 keep ef ∝ ln N with a generous constant;
+   * the ScaleSmoke pq_beam_auto sweep picked 4 over 2: at 256 cells
+   * the 2× width still shed a quarter of the dense probe's answer),
+   * floored at 8. At the 16-cell oracle fixtures this stays a small
+   * frontier (16); at 10⁶ cells it widens to ~80 — per-query work
+   * grows logarithmically while the dense probe's grows linearly.
    */
   def autoBeamWidth(nProbe: Int, nLists: Long): Int = {
-    val diam = 2.0 * math.log(math.max(2L, nLists).toDouble) / math.log(2.0)
+    val diam = 4.0 * math.log(math.max(2L, nLists).toDouble) / math.log(2.0)
     math.max(math.max(2 * nProbe, math.ceil(diam).toInt), 8)
   }
 
-  /** Resolve a (beamWidth, depth) pair against table metadata: values
-    * ≤ 0 auto-size from the centroid count and the nav graph's mean
-    * out-degree — two metadata-sized jobs (nLists rows each), paid
-    * once per plan build and only when auto-sizing is actually
-    * requested. */
-  private def tableBeamBudget(beamWidth: Int, depth: Int, nProbe: Int,
-      centDf: DataFrame, nav: DataFrame): (Int, Int) = {
-    if (beamWidth > 0 && depth > 0) (beamWidth, depth)
+  /**
+   * Auto-size the navigation graph's OUT-DEGREE from the cell count:
+   * max(4, ceil(log₂(nLists))). The round-15 BeamProbe ladder showed
+   * construction degree is the DOMINANT agreement lever at growing
+   * cell counts (512 cells: degree 8 vs 4 was 0.842 vs 0.569 at the
+   * same walk budget) — a fixed degree is the same silently-decaying
+   * default the walk budget was, so the builder scales it with the
+   * graph exactly as HNSW's M sits near log₂(N). Cost is the builder's
+   * own candidate ranking (degree rows kept per source) — logarithmic
+   * growth, metadata-sized either way.
+   */
+  def autoNavDegree(nLists: Long): Int = math.max(4,
+    math.ceil(math.log(math.max(2L, nLists).toDouble) / math.log(2.0)).toInt)
+
+  /**
+   * Auto-size the walk's ENTRY set: max(2, ceil(log₂(nLists) / 2)).
+   * More entry points diversify where the walk starts — the flat-graph
+   * stand-in for HNSW's upper layers — and the BeamProbe ladder showed
+   * it recovers agreement a deeper walk alone cannot (512 cells, fixed
+   * degree 4: entry 8 vs 2 was 0.802 vs 0.569 at the same budget).
+   * Driver cost is entryCells collected vectors, still logarithmic.
+   */
+  def autoEntryCells(nLists: Long): Int = math.max(2,
+    math.ceil(math.log(math.max(2L, nLists).toDouble)
+      / (2.0 * math.log(2.0))).toInt)
+
+  /** Resolve a (beamWidth, depth, entryCells) triple against table
+    * metadata: values ≤ 0 auto-size from the centroid count and the
+    * nav graph's mean out-degree — two metadata-sized jobs (nLists
+    * rows each), paid once per plan build and only when auto-sizing
+    * is actually requested. */
+  private def tableBeamBudget(beamWidth: Int, depth: Int,
+      entryCells: Int, nProbe: Int,
+      centDf: DataFrame, nav: DataFrame): (Int, Int, Int) = {
+    if (beamWidth > 0 && depth > 0 && entryCells > 0)
+      (beamWidth, depth, entryCells)
     else {
       val nLists = centDf.count()
       val st = nav.agg(count(lit(1)).as("links"),
@@ -1039,7 +1073,9 @@ object Similarity {
       val degree = if (st.getLong(1) == 0) 1L
         else math.max(1L, st.getLong(0) / st.getLong(1))
       (if (beamWidth > 0) beamWidth else autoBeamWidth(nProbe, nLists),
-        if (depth > 0) depth else autoBeamDepth(nLists, degree))
+        if (depth > 0) depth else autoBeamDepth(nLists, degree),
+        if (entryCells > 0) entryCells
+        else math.min(nLists, autoEntryCells(nLists).toLong).toInt)
     }
   }
 
@@ -1069,18 +1105,23 @@ object Similarity {
   def ivfBeamTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nLists: Int = 16, beamWidth: Int = -1, depth: Int = -1,
-      degree: Int = 3, entryCells: Int = 2,
+      degree: Int = -1, entryCells: Int = -1,
       seed: Long = 42L, maxIter: Int = 5,
       fixedCentroids: Option[Array[Array[Double]]] = None): DataFrame = {
-    // ≤ 0 auto-sizes from (nLists, degree) — both already parameters
-    // here, so no metadata job is needed (VERDICT r14 #3: defaults must
-    // not decay as the cell count grows). The final beam IS the probe
-    // set on this face, so the width formula's nProbe term drops out.
+    // ≤ 0 auto-sizes from nLists — already a parameter here, so no
+    // metadata job is needed (VERDICT r14 #3: defaults must not decay
+    // as the cell count grows; the round-15 BeamProbe extension scales
+    // the GRAPH degree and the entry set too). The final beam IS the
+    // probe set on this face, so the width formula's nProbe term
+    // drops out.
+    val deg = if (degree > 0) degree else autoNavDegree(nLists.toLong)
+    val ec = if (entryCells > 0) entryCells
+      else math.min(nLists, autoEntryCells(nLists.toLong))
     val bw = if (beamWidth > 0) beamWidth else autoBeamWidth(1, nLists.toLong)
     val dp = if (depth > 0) depth
-      else autoBeamDepth(nLists.toLong, degree.toLong)
-    require(bw >= 1 && dp >= 0 && degree >= 1 && entryCells >= 1,
-      s"bad beam params ($bw, $dp, $degree, $entryCells)")
+      else autoBeamDepth(nLists.toLong, deg.toLong)
+    require(bw >= 1 && dp >= 0 && deg >= 1 && ec >= 1,
+      s"bad beam params ($bw, $dp, $deg, $ec)")
     val (cells, centroids0) =
       cellAssign(corpus, idCol, vecCol, nLists, seed, maxIter, fixedCentroids)
     val centroids = CacheScope.pin(centroids0)
@@ -1094,7 +1135,7 @@ object Similarity {
       .filter(col("src") =!= col("dst"))
       .withColumn("d2", sqL2(col("sv"), col("dv")))
       .withColumn("rn", row_number().over(wn))
-      .filter(col("rn") <= degree)
+      .filter(col("rn") <= deg)
       .select(col("src"), col("dst"))
 
     val q = CacheScope.pin(
@@ -1107,7 +1148,7 @@ object Similarity {
 
     // Entry: d2 to the fixed entry cells only (cell < entryCells).
     var beam = keepBeam(q
-      .crossJoin(broadcast(centroids.filter(col("cell") < entryCells)))
+      .crossJoin(broadcast(centroids.filter(col("cell") < ec)))
       .withColumn("d2", sqL2(col("q_vec"), col("centroid")))
       .select(col("q_id"), col("cell"), col("d2")))
     for (_ <- 1 to dp) {
@@ -1230,8 +1271,8 @@ object Similarity {
   def ivfMutualTop1Beam(left: DataFrame, right: DataFrame,
       idCol: String, vecCol: String,
       nLists: Int = 16, nProbe: Int = 4,
-      beamWidth: Int = -1, depth: Int = -1, degree: Int = 3,
-      entryCells: Int = 2, longLinks: Int = 0,
+      beamWidth: Int = -1, depth: Int = -1, degree: Int = -1,
+      entryCells: Int = -1, longLinks: Int = 0,
       seed: Long = 42L, maxIter: Int = 5,
       fixedCentroids: Option[Array[Array[Double]]] = None): DataFrame =
     mutualTop1From(mutualCandidateSimsBeam(left, right, idCol, vecCol,
@@ -1368,16 +1409,22 @@ object Similarity {
    * All links keep the deterministic (d2, dst) / arithmetic
    * construction — an oracle replays the graph CTE-for-CTE (q225).
    */
-  def buildNavGraph(centroids: DataFrame, degree: Int, longLinks: Int = 0,
+  def buildNavGraph(centroids: DataFrame, degree: Int = -1,
+      longLinks: Int = 0,
       coarseCells: Int = 0, coarseProbe: Int = 8,
       seed: Long = 42L, maxIter: Int = 5): DataFrame = {
-    require(degree >= 1, s"degree >= 1: $degree")
     require(longLinks >= 0, s"longLinks >= 0: $longLinks")
     val c = centroids.select(col("cell").cast("int").as("cell"),
       col("centroid"))
-    val ladder = (1 to longLinks).map(l => degree.toLong * (1L << l))
+    // degree <= 0 auto-sizes from the cell count (one metadata-sized
+    // job, offline-build context) — [[autoNavDegree]]: a fixed degree
+    // is the same silently-decaying default the walk budget was
+    // (VERDICT r14 #3 extended by the round-15 BeamProbe finding).
+    val deg = if (degree > 0) degree else autoNavDegree(c.count())
+    require(deg >= 1, s"degree >= 1: $deg")
+    val ladder = (1 to longLinks).map(l => deg.toLong * (1L << l))
     def keepRanks(ranked: DataFrame): DataFrame = ranked.filter(
-      col("rn") <= degree ||
+      col("rn") <= deg ||
         (if (ladder.isEmpty) lit(false) else col("rn").isin(ladder: _*)))
       .select(col("src"), col("dst"))
     if (coarseCells <= 0) {
@@ -1450,23 +1497,25 @@ object Similarity {
    */
   def beamAssignWithGraph(df: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, nav: DataFrame,
-      beamWidth: Int = -1, depth: Int = -1, entryCells: Int = 2): DataFrame = {
+      beamWidth: Int = -1, depth: Int = -1,
+      entryCells: Int = -1): DataFrame = {
     val centDf = centroids.select(col("cell").cast("int").as("cell"),
       col("centroid"))
     // ≤ 0 (default) auto-sizes from the artifact's own metadata —
     // VERDICT r14 #3; assignment keeps rn = 1 only, so nProbe = 1.
-    val (bw, dp) = tableBeamBudget(beamWidth, depth, 1, centDf, nav)
-    require(bw >= 1 && dp >= 0 && entryCells >= 1,
-      s"bad beam params ($bw, $dp, $entryCells)")
+    val (bw, dp, ec) =
+      tableBeamBudget(beamWidth, depth, entryCells, 1, centDf, nav)
+    require(bw >= 1 && dp >= 0 && ec >= 1,
+      s"bad beam params ($bw, $dp, $ec)")
     // Entry set = the entryCells SMALLEST cell ids PRESENT, not the
     // literal ids 0..entryCells-1: an artifact with non-contiguous ids
     // (filtered table, external build) enters at its own lowest cells
     // instead of failing on ids that don't exist (ADVICE r11). The
     // collect is an entryCells-row job either way.
-    val entries = centDf.orderBy(col("cell")).limit(entryCells).collect()
+    val entries = centDf.orderBy(col("cell")).limit(ec).collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
-    require(entries.length == entryCells,
-      s"centroid table has ${entries.length} cells < entryCells $entryCells")
+    require(entries.length == ec,
+      s"centroid table has ${entries.length} cells < entryCells $ec")
     beamWalk(df.select(col(idCol).as("id"), col(vecCol).as("vec")),
       "id", "vec", entries, centDf, nav.select(col("src"), col("dst")),
       bw, dp)
@@ -1535,22 +1584,26 @@ object Similarity {
    */
   def beamAssign(df: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Double]], beamWidth: Int = -1, depth: Int = -1,
-      degree: Int = 4, entryCells: Int = 2, longLinks: Int = 0): DataFrame = {
+      degree: Int = -1, entryCells: Int = -1, longLinks: Int = 0)
+      : DataFrame = {
     require(centroids.nonEmpty, "centroids must be non-empty")
     // ≤ 0 (default) auto-sizes from the centroid count — both inputs
-    // are already in hand, no job needed (VERDICT r14 #3).
-    val bw = if (beamWidth > 0) beamWidth
-      else autoBeamWidth(1, centroids.length.toLong)
-    val dp = if (depth > 0) depth
-      else autoBeamDepth(centroids.length.toLong, degree.toLong)
-    require(bw >= 1 && dp >= 0 && degree >= 1 && entryCells >= 1,
-      s"bad beam params ($bw, $dp, $degree, $entryCells)")
-    require(entryCells <= centroids.length,
-      s"entryCells ($entryCells) > cells (${centroids.length})")
+    // are already in hand, no job needed (VERDICT r14 #3 + the
+    // round-15 BeamProbe degree/entry extension).
+    val n = centroids.length.toLong
+    val deg = if (degree > 0) degree else autoNavDegree(n)
+    val ec = if (entryCells > 0) entryCells
+      else math.min(n, autoEntryCells(n).toLong).toInt
+    val bw = if (beamWidth > 0) beamWidth else autoBeamWidth(1, n)
+    val dp = if (depth > 0) depth else autoBeamDepth(n, deg.toLong)
+    require(bw >= 1 && dp >= 0 && deg >= 1 && ec >= 1,
+      s"bad beam params ($bw, $dp, $deg, $ec)")
+    require(ec <= centroids.length,
+      s"entryCells ($ec) > cells (${centroids.length})")
     val (centDf, nbrDf) =
-      navFrames(df.sparkSession, centroids, degree, longLinks)
+      navFrames(df.sparkSession, centroids, deg, longLinks)
     beamWalk(df.select(col(idCol).as("id"), col(vecCol).as("vec")),
-      "id", "vec", centroids.take(entryCells).zipWithIndex.map(_.swap),
+      "id", "vec", centroids.take(ec).zipWithIndex.map(_.swap),
       centDf, nbrDf, bw, dp)
       .filter(col("rn") === 1)
       .select(col("id"), col("cell"))
@@ -1562,11 +1615,15 @@ object Similarity {
     * for the full scale story). */
   private def mutualCandidateSimsBeam(left: DataFrame, right: DataFrame,
       idCol: String, vecCol: String, nLists: Int, nProbe: Int,
-      beamWidth0: Int, depth0: Int, degree: Int, entryCells: Int,
+      beamWidth0: Int, depth0: Int, degree0: Int, entryCells0: Int,
       longLinks: Int, seed: Long, maxIter: Int,
       fixedCentroids: Option[Array[Array[Double]]]): DataFrame = {
-    // ≤ 0 auto-sizes from (nLists, nProbe, degree) — single resolution
-    // point for both beam mutual-top-1 faces (VERDICT r14 #3).
+    // ≤ 0 auto-sizes from (nLists, nProbe) — single resolution point
+    // for both beam mutual-top-1 faces (VERDICT r14 #3 + the round-15
+    // degree/entry extension).
+    val degree = if (degree0 > 0) degree0 else autoNavDegree(nLists.toLong)
+    val entryCells = if (entryCells0 > 0) entryCells0
+      else math.min(nLists, autoEntryCells(nLists.toLong))
     val beamWidth = if (beamWidth0 > 0) beamWidth0
       else autoBeamWidth(nProbe, nLists.toLong)
     val depth = if (depth0 > 0) depth0
@@ -1648,8 +1705,8 @@ object Similarity {
   def marginMutualTop1Beam(left: DataFrame, right: DataFrame,
       idCol: String, vecCol: String, k: Int = 4,
       nLists: Int = 16, nProbe: Int = 4,
-      beamWidth: Int = -1, depth: Int = -1, degree: Int = 3,
-      entryCells: Int = 2, longLinks: Int = 0,
+      beamWidth: Int = -1, depth: Int = -1, degree: Int = -1,
+      entryCells: Int = -1, longLinks: Int = 0,
       seed: Long = 42L, maxIter: Int = 5,
       fixedCentroids: Option[Array[Array[Double]]] = None): DataFrame =
     marginFromSims(mutualCandidateSimsBeam(left, right, idCol, vecCol,
@@ -2017,7 +2074,12 @@ object Similarity {
    *    projections ((a, b) → (a + b, a − b) at stride h = 1, 2, …,
    *    dim/2). O(dim·log dim) adds per row, ZERO matrix literals, each
    *    stage a plain 2-reads-per-element projection far below any
-   *    codegen cliff — the production path at embedding dims. Each
+   *    codegen cliff — the production path at embedding dims. Its own
+   *    one-time cost is compiling the log₂(dim) stages (~2 s/stage at
+   *    dim 512 on the bench host — SCALE.md hd_rotate_butterfly prices
+   *    both regimes: the dense path wins below ~10⁵ rows on one-time
+   *    wall, the butterfly is ~4× cheaper PER ROW at dim 512 and
+   *    widening with d — the corpus regime). Each
    *    stage's array materializes in its own projection (it is read
    *    2·dim times by the next stage — the CollapseProject discipline
    *    q244 established; inlining would make the tree exponential).
@@ -2234,6 +2296,127 @@ object Similarity {
         model.clusterCenters.map(_.toArray)
       }
     } finally { vecs.unpersist(); () }
+  }
+
+  /**
+   * Apply an arbitrary orthonormal rotation `r` (row-major: output
+   * component j = r(j) · x, in-order [[dot]] folds) as one plan-literal
+   * projection — the generic face [[hdRotate]]'s dense path
+   * specializes, needed once rotations are LEARNED ([[
+   * opqTrainRotation]]) instead of structured. Same scale shape and
+   * the same bound: dim² literals, fine at codebook-training dims,
+   * the FWHT path does not apply to a general R. Length-gated like
+   * the structured rotation.
+   */
+  def applyRotation(df: DataFrame, idCol: String, vecCol: String,
+      r: Array[Array[Double]]): DataFrame = {
+    val dim = r.length
+    require(dim > 0 && r.forall(_.length == dim),
+      s"rotation must be square: ${dim}x${r.headOption.fold(0)(_.length)}")
+    df.select(col(idCol).as("__rot_id"),
+        transform(sizeGated(vecCol, dim, "applyRotation"),
+          x => x.cast("double")).as("__rot_v"))
+      .select(col("__rot_id").as(idCol),
+        array((0 until dim).map { j =>
+          dot(col("__rot_v"), array(r(j).map(lit): _*))
+        }: _*).as(vecCol))
+  }
+
+  /** The HD rotation as an explicit row-major matrix — [[hdRotate]]'s
+    * R = H·D/√dim materialized for use as [[opqTrainRotation]]'s
+    * init (the structured rung the learned rotation must beat). */
+  def hdRotationMatrix(dim: Int,
+      signs: Option[Array[Int]] = None): Array[Array[Double]] = {
+    require(dim > 0 && (dim & (dim - 1)) == 0,
+      s"hdRotationMatrix needs a power-of-two dim: $dim")
+    val sg = signs.getOrElse(portableSigns(dim))
+    val scale = 1.0 / math.sqrt(dim.toDouble)
+    Array.tabulate(dim, dim) { (j, i) =>
+      val h = if (java.lang.Integer.bitCount(i & j) % 2 == 0) 1.0 else -1.0
+      sg(i) * h * scale
+    }
+  }
+
+  /**
+   * OPQ — LEARN the rotation (Ge et al. 2013, "Optimized Product
+   * Quantization", CVPR; the non-parametric variant): alternate
+   * (1) fix R, train per-subspace codebooks on the rotated corpus
+   * ([[pqTrainCodebooks]] — k-means, the codebook step is exactly
+   * PQ's); (2) fix the quantization, solve the orthogonal Procrustes
+   * problem for R — with X the original vectors and Y their current
+   * reconstructions in rotated space, min_R ‖R·X − Y‖_F over
+   * orthogonal R is R = U·Vᵀ from the SVD of M = Σᵢ yᵢ·xᵢᵀ (Schönemann
+   * 1966). Each step does not increase the distortion, so the ladder
+   * is trained-R ≤ init at identical bytes; initialized from [[
+   * hdRotationMatrix]], the structured rung it must beat (AnnSpec pins
+   * the MSE ladder trained ≤ HD ≤ identity on a correlated fixture —
+   * hash-uniform fixtures are the null case where all three tie, as
+   * SCALE.md pq_recall_rotated measured for HD itself).
+   *
+   * Distributed shape: per iteration, m k-means over the rotated
+   * corpus (the [[pqTrainCodebooks]] jobs) plus ONE d²-width sum
+   * aggregate for M (the outer product yᵢ·xᵢᵀ flattened per row and
+   * summed via ML `Summarizer` — map-side combined, d² = 4096 doubles
+   * at dim 64 on the driver, never row-scaled). The SVD is a driver
+   * d×d breeze call. Training is engine-specific like
+   * [[pqTrainCodebooks]] (k-means seeds), so the face is spec-bound —
+   * the declared oracle boundary; SERVING with the result is
+   * [[applyRotation]] + the ordinary PQ stack, which stays
+   * deterministic given the trained artifacts.
+   *
+   * @return (r, codebooks): the learned row-major rotation and the
+   *         codebooks trained against it — apply as
+   *         `applyRotation(corpus, …, r)` then encode with the books.
+   */
+  def opqTrainRotation(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int = 8, ksub: Int = 16, iters: Int = 3,
+      seed: Long = 42L, maxIter: Int = 5,
+      init: Option[Array[Array[Double]]] = None)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    require(iters >= 1, s"iters >= 1: $iters")
+    val subDim = dim / m
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    import org.apache.spark.ml.stat.Summarizer
+    var r = init.getOrElse(hdRotationMatrix(dim))
+    require(r.length == dim && r.forall(_.length == dim),
+      s"init rotation must be ${dim}x$dim")
+    val base = CacheScope.pin(corpus.select(col(idCol).as("n_id"),
+      transform(col(vecCol), x => x.cast("double")).as("x")))
+    var books: Array[Array[Array[Double]]] = null
+    try {
+      for (_ <- 1 to iters) {
+        val rotated = applyRotation(base, "n_id", "x", r)
+        books = pqTrainCodebooks(rotated, "x", m, ksub, dim, seed, maxIter)
+        // reconstruction y = concat over subspaces of the assigned
+        // codeword — the decoded quantization of R·x
+        val bl = books
+        val yExpr = concat((0 until m).map { sub =>
+          val codeCol = pqCode(col("x_rot"), bl(sub), sub, subDim)
+          element_at(array(bl(sub).map(c =>
+            array(c.map(lit): _*)): _*), codeCol + 1)
+        }: _*)
+        // M = Σ y·xᵀ flattened row-major to d² and summed map-side
+        val mRow = rotated.select(col("n_id"), col("x").as("x_rot"))
+          .join(base, Seq("n_id"))
+          .select(flatten(transform(yExpr,
+            y => transform(col("x"), xi => y * xi))).as("op"))
+        val mVec = mRow
+          .select(Summarizer.sum(array_to_vector(col("op"))).as("msum"))
+          .select(vector_to_array(col("msum")))
+          .collect()(0).getSeq[Double](0)
+        val mm = breeze.linalg.DenseMatrix.tabulate(dim, dim) {
+          (j, i) => mVec(j * dim + i)
+        }
+        val decomp = breeze.linalg.svd(mm)
+        val rn = decomp.U * decomp.Vt
+        r = Array.tabulate(dim, dim)((j, i) => rn(j, i))
+      }
+      // final codebooks against the FINAL rotation
+      books = pqTrainCodebooks(applyRotation(base, "n_id", "x", r),
+        "x", m, ksub, dim, seed, maxIter)
+      (r, books)
+    } finally { base.unpersist(); () }
   }
 
   /** Per-subspace argmin encoder: subvector → index of its nearest

@@ -2715,6 +2715,225 @@ object LlmQueries {
                FROM paird) WHERE rank <= 5
              ORDER BY q_id, rank""")),
 
+    // ---- The COMPOSED serving recipe under ONE hash oracle (VERDICT
+    // r14 #1): SCALE.md's 7-step production stack executed as a single
+    // plan — hdRotate the corpus (the signed-Hadamard OPQ rung, q247)
+    // → residual pqIvfArtifact in ROTATED space (q245) → buildNavGraph
+    // centroid metadata (q225/q249) → beam-navigated packed-ADC
+    // shortlist (q249's walk, widened to 20 with emitCell) → exact
+    // re-rank over the rotated float corpus joined on (cell, id) — the
+    // cell-partitioned layout the rerank face's dynamic-partition-
+    // pruning contract assumes (q248). Every stage was individually
+    // hash-green in round 14; what this query pins is the SEAMS
+    // (schema drift between stages, double rotation, artifact/float
+    // cell mismatch) that per-stage oracles cannot see. The oracle
+    // composes the same stacks CTE-for-CTE: q247's md5-derived 64×64
+    // rotation feeds q249's 3-NN centroid graph + entry beam + two
+    // expand-and-prune rounds + per-(query, cell) residual ADC, whose
+    // top-20 shortlist q248's exact-L2 tail re-ranks — rotated doubles
+    // throughout, so ranks hash-match cross-engine exactly.
+    Q("q250_ivfpq_recipe",
+      (s, d) => {
+        val e = T.embeddings(s, d)
+        // pinned: the rotated corpus feeds the artifact build, the
+        // query side, AND the re-rank float join; the artifact feeds
+        // the ADC serve and the cell layout of the float corpus.
+        val rot = graft.operators.CacheScope.pin(
+          Similarity.hdRotate(e, "vec_id", "embedding", 64))
+        val cents = Similarity.portableCentroids(16, 64)
+        val books = Similarity.portableCodebooks(8, 16, 8)
+        val centDf = s.createDataFrame(
+          cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) })
+          .toDF("cell", "centroid")
+        val nav = graft.operators.CacheScope.pin(
+          Similarity.buildNavGraph(centDf, degree = 3))
+        val art = graft.operators.CacheScope.pin(
+          Similarity.pqIvfArtifact(rot, "vec_id", "embedding",
+            cents, books, residual = true))
+        val short = Similarity.ivfPqBeamServe(art,
+            rot.filter(col("vec_id") < 10),
+            "vec_id", "embedding", k = 20, centroids = centDf, nav = nav,
+            codebooks = books, beamWidth = 4, depth = 2, entryCells = 2,
+            nProbe = 4, residual = true, emitCell = true)
+          .select(col("q_id"), col("n_id"), col("cell"))
+        val corpusWithCell = rot.join(
+          art.select(col("n_id").as("vec_id"), col("cell")), Seq("vec_id"))
+        Similarity.rerankShortlist(short, corpusWithCell,
+            rot.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5,
+            cellCol = Some("cell"))
+          .select(col("q_id"), col("n_id"), col("rank"))
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some("""WITH v0 AS (
+               SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+               FROM embeddings),
+             signs AS (
+               SELECT i, CASE WHEN
+                 (CAST('0x' || substr(md5('hd|' || CAST(i AS VARCHAR)),
+                    1, 8) AS BIGINT) / 2147483648.0 - 1.0) >= 0
+                 THEN 1 ELSE -1 END AS s
+               FROM range(64) t(i)),
+             hd AS (
+               SELECT j.j, list(CAST(s.s *
+                   (CASE WHEN bit_count(CAST(i.i AS BIGINT) &
+                      CAST(j.j AS BIGINT)) % 2 = 0
+                    THEN 0.125 ELSE -0.125 END) AS DOUBLE)
+                 ORDER BY i.i) AS hrow
+               FROM range(64) j(j) CROSS JOIN range(64) i(i)
+               JOIN signs s ON s.i = i.i
+               GROUP BY j.j),
+             v AS (
+               SELECT v0.vec_id,
+                 list(list_inner_product(v0.emb, h.hrow)
+                   ORDER BY h.j) AS emb
+               FROM v0 CROSS JOIN hd h GROUP BY v0.vec_id),
+             cents AS (
+               SELECT c.cell, d.dim,
+                 (CAST('0x' || substr(md5('c|' || CAST(c.cell AS VARCHAR) ||
+                    '|' || CAST(d.dim AS VARCHAR)), 1, 8) AS BIGINT)
+                  / 2147483648.0 - 1.0) * 0.25 AS w
+               FROM range(16) c(cell) CROSS JOIN range(64) d(dim)),
+             clists AS (
+               SELECT cell, list(w ORDER BY dim) AS cvec
+               FROM cents GROUP BY cell),
+             cd AS (
+               SELECT a.cell AS src, b.cell AS dst,
+                 list_inner_product(
+                   list_transform(range(1, 65), i -> a.cvec[i] - b.cvec[i]),
+                   list_transform(range(1, 65), i -> a.cvec[i] - b.cvec[i]))
+                   AS d2
+               FROM clists a CROSS JOIN clists b WHERE a.cell <> b.cell),
+             nbr AS (
+               SELECT src, dst FROM (
+                 SELECT src, dst, row_number() OVER (PARTITION BY src
+                   ORDER BY d2, dst) AS rn FROM cd) WHERE rn <= 3),
+             celld AS (
+               SELECT v.vec_id, c.cell,
+                 list_inner_product(
+                   list_transform(range(1, 65), i -> emb[i] - cvec[i]),
+                   list_transform(range(1, 65), i -> emb[i] - cvec[i])) AS d2
+               FROM v CROSS JOIN clists c),
+             qd AS (
+               SELECT vec_id AS q_id, cell, d2
+               FROM celld WHERE vec_id < 10),
+             b0 AS (
+               SELECT q_id, cell, d2 FROM (
+                 SELECT q_id, cell, d2, row_number() OVER (PARTITION BY q_id
+                   ORDER BY d2, cell) AS rn
+                 FROM qd WHERE cell < 2) WHERE rn <= 4),
+             e1 AS (
+               SELECT DISTINCT q_id, cell FROM (
+                 SELECT b.q_id, n.dst AS cell FROM b0 b
+                 JOIN nbr n ON b.cell = n.src
+                 UNION ALL SELECT q_id, cell FROM b0)),
+             b1 AS (
+               SELECT q_id, cell, d2 FROM (
+                 SELECT e.q_id, e.cell, qd.d2, row_number() OVER (
+                   PARTITION BY e.q_id ORDER BY qd.d2, e.cell) AS rn
+                 FROM e1 e JOIN qd ON qd.q_id = e.q_id AND qd.cell = e.cell)
+               WHERE rn <= 4),
+             e2 AS (
+               SELECT DISTINCT q_id, cell FROM (
+                 SELECT b.q_id, n.dst AS cell FROM b1 b
+                 JOIN nbr n ON b.cell = n.src
+                 UNION ALL SELECT q_id, cell FROM b1)),
+             b2 AS (
+               SELECT q_id, cell, d2 FROM (
+                 SELECT e.q_id, e.cell, qd.d2, row_number() OVER (
+                   PARTITION BY e.q_id ORDER BY qd.d2, e.cell) AS rn
+                 FROM e2 e JOIN qd ON qd.q_id = e.q_id AND qd.cell = e.cell)
+               WHERE rn <= 4),
+             probed AS (SELECT q_id, cell FROM b2),
+             assign AS (
+               SELECT vec_id AS n_id, cell FROM (
+                 SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY d2, cell) AS rn
+                 FROM celld) WHERE rn = 1),
+             resid AS (
+               SELECT a.n_id, a.cell,
+                 list_transform(range(1, 65),
+                   i -> v.emb[i] - cl.cvec[i]) AS res
+               FROM assign a JOIN v ON v.vec_id = a.n_id
+               JOIN clists cl ON cl.cell = a.cell),
+             qres AS (
+               SELECT p.q_id, p.cell,
+                 list_transform(range(1, 65),
+                   i -> v.emb[i] - cl.cvec[i]) AS res
+               FROM probed p JOIN v ON v.vec_id = p.q_id
+               JOIN clists cl ON cl.cell = p.cell),
+             cb AS (
+               SELECT s.sub, c.code, d.dim,
+                 (CAST('0x' || substr(md5('pq|' || CAST(s.sub AS VARCHAR) ||
+                    '|' || CAST(c.code AS VARCHAR) ||
+                    '|' || CAST(d.dim AS VARCHAR)), 1, 8) AS BIGINT)
+                  / 2147483648.0 - 1.0) * 0.25 AS w
+               FROM range(8) s(sub) CROSS JOIN range(16) c(code)
+               CROSS JOIN range(8) d(dim)),
+             cbl AS (
+               SELECT sub, code, list(w ORDER BY dim) AS cvec
+               FROM cb GROUP BY sub, code),
+             subd AS (
+               SELECT r.n_id AS vec_id, c.sub, c.code,
+                 list_inner_product(
+                   list_transform(range(1, 9),
+                     i -> r.res[CAST(c.sub * 8 + i AS INT)] - c.cvec[i]),
+                   list_transform(range(1, 9),
+                     i -> r.res[CAST(c.sub * 8 + i AS INT)] - c.cvec[i]))
+                   AS d2
+               FROM resid r CROSS JOIN cbl c),
+             codes AS (
+               SELECT vec_id, sub, code FROM (
+                 SELECT vec_id, sub, code,
+                   row_number() OVER (PARTITION BY vec_id, sub
+                     ORDER BY d2, code) AS rn
+                 FROM subd) WHERE rn = 1),
+             lut AS (
+               SELECT q.q_id, q.cell, c.sub, c.code,
+                 list_inner_product(
+                   list_transform(range(1, 9),
+                     i -> q.res[CAST(c.sub * 8 + i AS INT)] - c.cvec[i]),
+                   list_transform(range(1, 9),
+                     i -> q.res[CAST(c.sub * 8 + i AS INT)] - c.cvec[i]))
+                   AS d2
+               FROM qres q CROSS JOIN cbl c),
+             cand AS (
+               SELECT p.q_id, a.n_id, a.cell
+               FROM probed p JOIN assign a ON a.cell = p.cell
+               WHERE a.n_id <> p.q_id),
+             paird AS (
+               SELECT ca.q_id, ca.n_id,
+                 list_inner_product(list(l.d2 ORDER BY l.sub),
+                   list_transform(range(8), x -> 1.0)) AS adist
+               FROM cand ca
+               JOIN codes c ON c.vec_id = ca.n_id
+               JOIN lut l ON l.q_id = ca.q_id AND l.cell = ca.cell
+                 AND l.sub = c.sub AND l.code = c.code
+               GROUP BY ca.q_id, ca.n_id),
+             short AS (
+               SELECT q_id, n_id FROM (
+                 SELECT q_id, n_id,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY adist, n_id) AS srank
+                 FROM paird) WHERE srank <= 20),
+             rer AS (
+               SELECT sh.q_id, sh.n_id,
+                 list_inner_product(
+                   list_transform(range(1, 65),
+                     i -> qv.emb[i] - nv.emb[i]),
+                   list_transform(range(1, 65),
+                     i -> qv.emb[i] - nv.emb[i])) AS d2
+               FROM short sh
+               JOIN v qv ON qv.vec_id = sh.q_id
+               JOIN v nv ON nv.vec_id = sh.n_id)
+             SELECT q_id, n_id, CAST(rank AS INT) AS rank FROM (
+               SELECT q_id, n_id,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY d2, n_id) AS rank
+               FROM rer) WHERE rank <= 5
+             ORDER BY q_id, rank""")),
+
     // ---- SQ8 code packing under the hash oracle: quantize (q232's
     // recipe), pack 8 codes per BIGINT word (Similarity.packCodes — the
     // signed-top-byte bijection that keeps the 64-bit pack inside

@@ -485,16 +485,39 @@ object ArtifactStreams {
    * re-derives structure from live mass only. ModularityStreamSpec
    * pins state-pinned-to-the-horizon, the stream == offline-replay-
    * with-the-same-retention-rule identity, and the late refusal.
+   *
+   * `dedupeDelivery = true` (unweighted face only) makes at-least-once
+   * feeds safe: the cross-batch merge takes MIN instead of SUM over
+   * the 1-weights, so a fine edge redelivered in a later trigger folds
+   * to itself instead of double-counting — zero extra state, because
+   * the carried canonical edge table IS the seen set (and under
+   * retention an edge redelivered after expiry re-enters fresh, the
+   * horizon semantics). ModularityStreamSpec pins redelivered == once
+   * with the flag on and documents the double-count with it off.
    */
   def greedyMembershipStream(edges: DataFrame,
       weightCol: Option[String] = None,
       tsCol: Option[String] = None,
-      retention: Option[Long] = None)(
+      retention: Option[Long] = None,
+      dedupeDelivery: Boolean = false)(
       sink: (DataFrame, Long) => Unit,
       stateProbe: (DataFrame, Long) => Unit = (_, _) => ()): StreamingQuery = {
     require(retention.forall(_ >= 0), s"retention >= 0: $retention")
     require(retention.isEmpty || tsCol.isDefined,
       "retention needs tsCol: the horizon is measured in edge event time")
+    // dedupeDelivery (VERDICT r14 #4): the UNWEIGHTED face's unique-edge
+    // contract made cross-trigger redelivery a silent double-count —
+    // at-least-once delivery is the streaming norm, so opt in here and
+    // the cross-batch merge takes MIN instead of SUM on the 1-weights:
+    // a canonical edge already in the carried graph folds to itself,
+    // exactly as a within-batch repeat always has. Zero extra state —
+    // the carried canonical edge table IS the seen set (under retention
+    // an edge redelivered after expiry re-enters fresh, the horizon
+    // semantics). A WEIGHTED feed's repeats are intentional mass, so
+    // the flag refuses there rather than silently changing algebra.
+    require(!dedupeDelivery || weightCol.isEmpty,
+      "dedupeDelivery applies to the unweighted face only: a weighted " +
+        "feed's repeated edges are intentional mass (sum semantics)")
     var edgeState: Option[DataFrame] = None
     var memState: Option[DataFrame] = None
     var lastFolded = -1L
@@ -560,12 +583,18 @@ object ArtifactStreams {
                   col("last_ts"))
             }
           val merged = edgeState match {
+            case Some(s) if !hasTs && dedupeDelivery =>
+              // set-union semantics: a redelivered canonical edge folds
+              // to itself (min over the 1-weights) instead of summing
+              s.unionByName(batchCanon).groupBy(col("src"), col("dst"))
+                .agg(min(col("w")).as("w"))
             case Some(s) if !hasTs => graft.operators.Modularity.canonEdges(
                 s.unionByName(batchCanon), Some("w"), selfLoops = true)
               .select(col("s").as("src"), col("d").as("dst"), col("w"))
             case Some(s) => s.unionByName(batchCanon)
               .groupBy(col("src"), col("dst"))
-              .agg(sum(col("w")).as("w"), max(col("last_ts")).as("last_ts"))
+              .agg((if (dedupeDelivery) min(col("w")) else sum(col("w")))
+                .as("w"), max(col("last_ts")).as("last_ts"))
             case None => batchCanon
           }
           // Expiry: drop edges idle beyond the horizon; membership rows
@@ -642,7 +671,9 @@ object ArtifactStreams {
    * contract: within a batch repeats dedup exactly as the one-shot
    * build does, but a fine edge re-delivered in a LATER trigger has
    * already been folded into its coarse pair's weight and would
-   * double-count. ModularityStreamSpec pins the fold identity:
+   * double-count. An at-least-once feed that cannot honor the
+   * contract opts into `dedupeDelivery = true` — see the body comment
+   * for the explicit state trade. ModularityStreamSpec pins the fold identity:
    * the carried coarse table at every trigger == one-shot coarsen over
    * everything delivered, whatever the split points, plus exact weight
    * conservation and the unmapped refusal. Each trigger's internal
@@ -650,31 +681,66 @@ object ArtifactStreams {
    * pin-for-pin.
    */
   def coarseGraphStream(edges: DataFrame, membership: DataFrame,
-      weightCol: Option[String] = None)(
-      sink: (DataFrame, Long) => Unit): StreamingQuery = {
+      weightCol: Option[String] = None,
+      dedupeDelivery: Boolean = false)(
+      sink: (DataFrame, Long) => Unit,
+      seenProbe: (DataFrame, Long) => Unit = (_, _) => ()): StreamingQuery = {
+    // dedupeDelivery (VERDICT r14 #4): the unweighted unique-edge
+    // contract below makes a cross-trigger redelivery a silent
+    // double-count, and at-least-once delivery is the streaming norm.
+    // Opting in carries a SECOND state — the canonical fine-edge SEEN
+    // set — and each batch anti-joins against it before contracting, so
+    // a redelivered fine edge folds to nothing. THE TRADE IS EXPLICIT:
+    // the seen set is fine-edge-sized, giving up this fold's signature
+    // community-pair-sized state bound in exchange for at-least-once
+    // safety (`seenProbe` observes it per trigger — the state-size
+    // monitoring hook; a deployment that can guarantee exactly-once
+    // keeps the flag off and the bounded state). A WEIGHTED feed's
+    // repeats are intentional mass, so the flag refuses there.
+    require(!dedupeDelivery || weightCol.isEmpty,
+      "dedupeDelivery applies to the unweighted face only: a weighted " +
+        "feed's repeated edges are intentional mass (sum semantics)")
     var state: Option[DataFrame] = None
+    var seenState: Option[DataFrame] = None
     var lastFolded = -1L
     edges.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (batchId > lastFolded) {
           val p = batch.sparkSession.sessionState.conf.numShufflePartitions
-          val (cp, caches) = graft.operators.CacheScope.tracking {
+          val ((cp, seenCp), caches) = graft.operators.CacheScope.tracking {
+            val fine = if (!dedupeDelivery) None
+              else Some(graft.operators.CacheScope.pin(
+                graft.operators.Modularity.canonEdges(batch, None)
+                  .select(col("s").as("src"), col("d").as("dst"))))
+            val toFold = (fine, seenState) match {
+              case (Some(f), Some(seen)) =>
+                f.join(seen, Seq("src", "dst"), "left_anti")
+              case (Some(f), None) => f
+              case _ => batch
+            }
             val batchCoarse = graft.operators.Modularity.coarsen(
-              batch, membership, weightCol)
+              toFold, membership, weightCol)
             val merged = state match {
               case Some(s) => s.unionByName(batchCoarse)
                 .groupBy(col("src"), col("dst"))
                 .agg(sum(col("w")).as("w"))
               case None => batchCoarse
             }
-            merged.coalesce(p).localCheckpoint(true)
+            val seenNext = fine.map { f =>
+              seenState.fold(f)(_.unionByName(f).distinct())
+                .coalesce(p).localCheckpoint(true)
+            }
+            (merged.coalesce(p).localCheckpoint(true), seenNext)
           }
           caches.release()
           state.foreach(CacheScope.unpinCheckpoint)
+          seenState.foreach(CacheScope.unpinCheckpoint)
           state = Some(cp)
+          seenState = seenCp
           lastFolded = batchId
         }
         sink(state.get, batchId)
+        seenState.foreach(seenProbe(_, batchId))
       }
       .start()
   }

@@ -1651,6 +1651,123 @@ object ScaleSmoke {
           s"sec=${"%.2f".format(rSec)}")
         graft.operators.CacheScope.unpinCheckpoint(vecs)
       }
+      // Round-15 (VERDICT r14 #2): dense plan-literal matvec vs the
+      // FWHT butterfly at a PRODUCTION dim (512). Two regimes, both
+      // priced: at 2k vectors the walls are ONE-TIME costs (the
+      // butterfly compiles log₂(d) = 9 chained projections; the dense
+      // path's 262k-literal method blows the codegen budget and falls
+      // back to interpreted eval — cheap at 2k rows); at 50k vectors
+      // the PER-ROW asymptotics dominate — O(d²) = 262k interpreted
+      // multiply-adds per row dense vs O(d·log d) ≈ 9k codegen'd
+      // add/subs butterfly — which is the regime a 100 TB corpus lives
+      // in. CSV: m,n,hd_rotate_butterfly,dim,vectors,path,sec.
+      if (wanted("hd_rotate_butterfly") && m == 1) {
+        val dim = 512
+        for (nVec <- Seq(2000L, 50000L)) {
+          val vecs = spark.range(nVec)
+            .select(col("id").as("vec_id"),
+              expr(s"""transform(sequence(1, $dim), i ->
+                CAST(CAST(pmod(conv(substring(md5(concat(
+                  CAST(id AS STRING), '|', CAST(i AS STRING))), 1, 6),
+                  16, 10), 1000) AS DOUBLE) / 1000.0 - 0.5 AS FLOAT))""")
+                .as("embedding"))
+            .localCheckpoint(true)
+          for (path <- Seq("butterfly", "dense")) {
+            val (sec, _) = time(graft.operators.Similarity.hdRotate(
+                vecs, "vec_id", "embedding", dim,
+                butterfly = Some(path == "butterfly"))
+              .agg(sum(hash(col("embedding")))).collect())
+            println(s"$m,$n,hd_rotate_butterfly,dim=$dim,vectors=$nVec," +
+              s"path=$path,sec=${"%.2f".format(sec)}")
+          }
+          graft.operators.CacheScope.unpinCheckpoint(vecs)
+        }
+      }
+      // Round-15 (VERDICT r14 #3): the auto-sized walk budget vs the
+      // fixed round-14 one as the cell count grows (64·m cells, corpus
+      // and queries fixed) — the fixed budget's agreement with the
+      // dense probe decays as cells outgrow it (SCALE.md pq_beam_serve
+      // measured 0.875 → 0.615); the auto budget derives depth/width
+      // from the artifact so agreement must stay flat. Clustered
+      // fixture (the shape navigation exists for). CSV:
+      // m,n,pq_beam_auto,cells,budget,bw,dp,agree,sec.
+      if (wanted("pq_beam_auto") && m <= 8) {
+        val nVec = 4000L
+        val nLists = 64 * m
+        val vecs = spark.range(nVec)
+          .select(col("id").as("vec_id"),
+            expr("""transform(sequence(1, 64), i ->
+              CAST((CAST(pmod(conv(substring(md5(concat('ctr|',
+                CAST(pmod(id, 64) AS STRING), '|', CAST(i AS STRING))),
+                1, 6), 16, 10), 1000) AS DOUBLE) / 1000.0 - 0.5)
+                + 0.1 * (CAST(pmod(conv(substring(md5(concat(
+                CAST(id AS STRING), '|', CAST(i AS STRING))), 1, 6),
+                16, 10), 1000) AS DOUBLE) / 1000.0 - 0.5) AS FLOAT))""")
+              .as("embedding"))
+          .localCheckpoint(true)
+        val queries = vecs.filter(col("vec_id") < 200)
+        val cents = graft.operators.Similarity.trainCentroids(
+          vecs, "embedding", nLists = nLists)
+        val books = graft.operators.Similarity.pqTrainCodebooks(
+          vecs, "embedding")
+        val art = graft.operators.Similarity.pqIvfArtifact(
+            vecs, "vec_id", "embedding", cents, books)
+          .localCheckpoint(true)
+        val centDf = spark.createDataFrame(
+          cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) })
+          .toDF("cell", "centroid").localCheckpoint(true)
+        val ((_, dense), dCaches) =
+          graft.operators.CacheScope.tracking { time {
+            graft.operators.Similarity.ivfPqTopKServe(art, queries,
+                "vec_id", "embedding", k = 5, centroids = cents,
+                codebooks = books, nProbe = 4)
+              .select(col("q_id"), col("n_id"))
+              .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          } }
+        dCaches.release()
+        // fixed row = the round-14 defaults frozen (nav degree 4, beam
+        // 8/4, entry 2); auto row = every knob left at its default so
+        // the artifact sizes its own walk (nav degree, entry set,
+        // width, depth all auto — VERDICT r14 #3 + the BeamProbe
+        // degree/entry extension)
+        val navFixed = graft.operators.Similarity.buildNavGraph(
+            centDf, degree = 4, longLinks = 3)
+          .localCheckpoint(true)
+        val navAuto = graft.operators.Similarity.buildNavGraph(
+            centDf, longLinks = 3)
+          .localCheckpoint(true)
+        for (budget <- Seq("fixed", "auto")) {
+          val nav = if (budget == "fixed") navFixed else navAuto
+          val ((sec, beamed), caches) =
+            graft.operators.CacheScope.tracking { time {
+              val (bw, dp, ec) = if (budget == "fixed") (8, 4, 2)
+                else (-1, -1, -1) // defaults: auto-sized from the tables
+              graft.operators.Similarity.ivfPqBeamServe(art, queries,
+                  "vec_id", "embedding", k = 5, centroids = centDf,
+                  nav = nav, codebooks = books, beamWidth = bw,
+                  depth = dp, entryCells = ec, nProbe = 4)
+                .select(col("q_id"), col("n_id"))
+                .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+            } }
+          caches.release()
+          val agree =
+            (dense & beamed).size.toDouble / math.max(1, dense.size)
+          val st = nav.agg(count(lit(1)), countDistinct(col("src")))
+            .collect()(0)
+          val meanDeg = math.max(1L, st.getLong(0) / st.getLong(1))
+          val shownBw = if (budget == "fixed") 8
+            else graft.operators.Similarity.autoBeamWidth(4, nLists)
+          val shownDp = if (budget == "fixed") 4
+            else graft.operators.Similarity.autoBeamDepth(nLists, meanDeg)
+          val shownEc = if (budget == "fixed") 2
+            else graft.operators.Similarity.autoEntryCells(nLists)
+          println(s"$m,$n,pq_beam_auto,cells=$nLists,budget=$budget," +
+            s"deg=$meanDeg,bw=$shownBw,dp=$shownDp,ec=$shownEc," +
+            s"agree=${"%.3f".format(agree)},sec=${"%.2f".format(sec)}")
+        }
+        Seq(vecs, art, centDf, navFixed, navAuto)
+          .foreach(graft.operators.CacheScope.unpinCheckpoint)
+      }
       // Round-10 (VERDICT r9 #3): tiered vs full exact span dedup on a
       // LIGHTLY-duplicated corpus — the regime the composition exists
       // for. Every copy's tokens are uniquified (no cross-copy window

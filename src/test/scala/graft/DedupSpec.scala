@@ -1223,6 +1223,259 @@ class AnnSpec extends SparkSpec {
     Seq(navFull, navSparse).foreach(_.unpersist())
   }
 
+  test("hdRotate butterfly == dense to 1e-9 (rank-identical); padToPow2 enters 48-dim; short vectors refuse loudly") {
+    val sub = emb.filter(col("vec_id") < 60)
+    val dense = Similarity.hdRotate(sub, "vec_id", "embedding", 64,
+        butterfly = Some(false))
+      .as[(Long, Seq[Double])].collect().toMap
+    val fast = Similarity.hdRotate(sub, "vec_id", "embedding", 64,
+        butterfly = Some(true))
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(dense.keySet == fast.keySet && dense.nonEmpty)
+    dense.foreach { case (id, v) =>
+      v.zip(fast(id)).foreach { case (a, b) =>
+        assert(math.abs(a - b) <= 1e-9,
+          s"butterfly drift at $id: $a vs $b")
+      }
+    }
+    // the butterfly inverse round-trips exactly like the dense one
+    val rotB = Similarity.hdRotate(sub, "vec_id", "embedding", 64,
+      butterfly = Some(true))
+    val back = Similarity.hdRotateInverse(rotB, "vec_id", "embedding", 64,
+        butterfly = Some(true))
+      .as[(Long, Seq[Double])].collect().toMap
+    val orig = sub.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")))
+      .as[(Long, Seq[Double])].collect().toMap
+    orig.foreach { case (id, v) =>
+      v.zip(back(id)).foreach { case (a, b) =>
+        assert(math.abs(a - b) <= 1e-9, s"round-trip drift at $id")
+      }
+    }
+    // padToPow2: a 48-dim slice enters at 64 with norms intact through
+    // the rotation (zero padding preserves dots/distances exactly)
+    val sliced = sub.select(col("vec_id"),
+      slice(col("embedding"), 1, 48).as("embedding"))
+    val padded = Similarity.padToPow2(sliced, "vec_id", "embedding", 48)
+    assert(padded.select(size(col("embedding"))).distinct()
+      .as[Int].collect().toSeq == Seq(64))
+    val vd = transform(col("embedding"), x => x.cast("double"))
+    val n2raw = sliced.select(col("vec_id"),
+      Similarity.dot(vd, vd).as("n2")).as[(Long, Double)].collect().toMap
+    val n2rot = Similarity.hdRotate(padded, "vec_id", "embedding", 64)
+      .select(col("vec_id"),
+        Similarity.dot(col("embedding"), col("embedding")).as("n2"))
+      .as[(Long, Double)].collect().toMap
+    n2raw.foreach { case (id, n2) =>
+      assert(math.abs(n2 - n2rot(id)) <= 1e-9 * math.max(1.0, n2),
+        s"padded norm changed for $id")
+    }
+    // ADVICE r14: a wrong-length vector refuses loudly instead of
+    // silently nulling the rotated vector
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    val bad = Seq((1L, Seq.fill(63)(0.5f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.hdRotate(bad, "vec_id", "embedding", 64).collect()
+    }
+    assert(chain(e).exists(_.contains("hdRotate")), s"got: ${chain(e)}")
+  }
+
+  test("hdRotate at production dim (256 auto-selects the butterfly): orthonormal, round-trips") {
+    // past denseRotationMaxDim the default path is the FWHT ladder —
+    // O(d log d), zero matrix literals, no janino cliff. Deterministic
+    // synthetic 256-dim fixture; norms must hold and the inverse must
+    // decode, exactly as at the oracle dim.
+    val wide = spark.createDataFrame((0L until 40L).map(i =>
+      (i, (0 until 256).map(j =>
+        (((i * 31 + j * 7) % 17).toDouble - 8.0) / 8.0))))
+      .toDF("vec_id", "embedding")
+    assert(256 > Similarity.denseRotationMaxDim)
+    val rot = Similarity.hdRotate(wide, "vec_id", "embedding", 256)
+    val rawN = wide.select(col("vec_id"),
+        Similarity.dot(col("embedding"), col("embedding")).as("n2"))
+      .as[(Long, Double)].collect().toMap
+    val rotN = rot.select(col("vec_id"),
+        Similarity.dot(col("embedding"), col("embedding")).as("n2"))
+      .as[(Long, Double)].collect().toMap
+    rawN.foreach { case (id, n2) =>
+      assert(math.abs(n2 - rotN(id)) <= 1e-9 * math.max(1.0, n2),
+        s"norm changed for $id at dim 256")
+    }
+    val back = Similarity.hdRotateInverse(rot, "vec_id", "embedding", 256)
+      .as[(Long, Seq[Double])].collect().toMap
+    val orig = wide.as[(Long, Seq[Double])].collect().toMap
+    orig.foreach { case (id, v) =>
+      v.zip(back(id)).foreach { case (a, b) =>
+        assert(math.abs(a - b) <= 1e-9, s"256-dim round-trip drift at $id")
+      }
+    }
+  }
+
+  test("beam budget auto-sizing: defaults == the formula's explicit values; formulas grow with the artifact (VERDICT r14 #3)") {
+    val nLists = 8
+    val cents = Similarity.portableCentroids(nLists, 64)
+    val books = Similarity.portableCodebooks(8, 16, 8)
+    val queries = emb.filter(col("vec_id") < 10)
+    val centDf = spark.createDataFrame(
+      cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) })
+      .toDF("cell", "centroid")
+    val nav = graft.operators.CacheScope.pin(
+      Similarity.buildNavGraph(centDf, degree = 3))
+    val art = Similarity.pqIvfArtifact(emb, "vec_id", "embedding",
+      cents, books, residual = true)
+    val expBw = Similarity.autoBeamWidth(3, nLists)
+    val expDp = Similarity.autoBeamDepth(nLists, 3)
+    val auto = Similarity.ivfPqBeamServe(art, queries, "vec_id",
+        "embedding", k = 5, centroids = centDf, nav = nav,
+        codebooks = books, entryCells = 2, nProbe = 3, residual = true)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val explicit = Similarity.ivfPqBeamServe(art, queries, "vec_id",
+        "embedding", k = 5, centroids = centDf, nav = nav,
+        codebooks = books, beamWidth = expBw, depth = expDp,
+        entryCells = 2, nProbe = 3, residual = true)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(auto == explicit && auto.nonEmpty,
+      "default budget must equal the formula's explicit values")
+    // same parity on the search face (no metadata job there: nLists and
+    // degree are parameters)
+    val autoB = Similarity.ivfBeamTopK(emb, queries, "vec_id",
+        "embedding", 5, nLists = nLists, degree = 3, entryCells = 2,
+        fixedCentroids = Some(cents))
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val explB = Similarity.ivfBeamTopK(emb, queries, "vec_id",
+        "embedding", 5, nLists = nLists,
+        beamWidth = Similarity.autoBeamWidth(1, nLists),
+        depth = Similarity.autoBeamDepth(nLists, 3), degree = 3,
+        entryCells = 2, fixedCentroids = Some(cents))
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    assert(autoB == explB && autoB.nonEmpty)
+    // the formulas really scale with the artifact instead of sitting
+    // still: depth grows with cells at fixed degree, width with both
+    assert(Similarity.autoBeamDepth(100000, 8) >
+      Similarity.autoBeamDepth(100, 8))
+    assert(Similarity.autoBeamWidth(4, 1000000) >
+      Similarity.autoBeamWidth(4, 16))
+    nav.unpersist()
+  }
+
+  test("composed serving recipe (q250): cell-pruned re-rank over the beam-served shortlist == plain path") {
+    // the q250 chain at spec scale: rotate -> residual artifact ->
+    // nav graph -> beam-served shortlist (emitCell) -> exact re-rank.
+    // The (cell, id)-joined re-rank (the dynamic-partition-pruned
+    // production layout) must equal the plain id-joined path exactly.
+    val cents = Similarity.portableCentroids(16, 64)
+    val books = Similarity.portableCodebooks(8, 16, 8)
+    val rot = graft.operators.CacheScope.pin(
+      Similarity.hdRotate(emb, "vec_id", "embedding", 64))
+    val centDf = spark.createDataFrame(
+      cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) })
+      .toDF("cell", "centroid")
+    val nav = graft.operators.CacheScope.pin(
+      Similarity.buildNavGraph(centDf, degree = 3))
+    val art = graft.operators.CacheScope.pin(
+      Similarity.pqIvfArtifact(rot, "vec_id", "embedding",
+        cents, books, residual = true))
+    val queries = rot.filter(col("vec_id") < 10)
+    val short = graft.operators.CacheScope.pin(
+      Similarity.ivfPqBeamServe(art, queries, "vec_id", "embedding",
+        k = 20, centroids = centDf, nav = nav, codebooks = books,
+        beamWidth = 4, depth = 2, entryCells = 2, nProbe = 4,
+        residual = true, emitCell = true))
+    val corpusWithCell = rot.join(
+      art.select(col("n_id").as("vec_id"), col("cell")), Seq("vec_id"))
+    val pruned = Similarity.rerankShortlist(
+        short.select(col("q_id"), col("n_id"), col("cell")),
+        corpusWithCell, queries, "vec_id", "embedding", k = 5,
+        cellCol = Some("cell"))
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val plain = Similarity.rerankShortlist(
+        short.select(col("q_id"), col("n_id")), rot, queries,
+        "vec_id", "embedding", k = 5)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(pruned == plain && pruned.size == 50,
+      s"composed recipe seams must agree: ${pruned.size} vs ${plain.size}")
+    Seq(rot, nav, art, short).foreach(_.unpersist())
+  }
+
+  test("OPQ learned rotation: MSE ladder trained <= HD <= identity at identical bytes on a correlated fixture") {
+    // Ge et al. 2013: the learned rung above the structured HD rotation.
+    // Fixture is deliberately CORRELATED — variance concentrated in the
+    // first subspace with strong within-subspace coupling (hash-uniform
+    // fixtures are the null case where every rotation ties, as SCALE.md
+    // pq_recall_rotated measured for HD itself): x[0..3] share two
+    // latent factors at scale 3, dims 4..15 are 0.05 noise.
+    val dim = 16
+    val rng = new scala.util.Random(7)
+    val rows = (0 until 1200).map { i =>
+      val z0 = rng.nextGaussian() * 3.0
+      val z1 = rng.nextGaussian() * 3.0
+      val noise = Array.fill(dim)(rng.nextGaussian() * 0.05)
+      val x = Array.tabulate(dim) { d =>
+        val core = d match {
+          case 0 => z0
+          case 1 => 0.8 * z0 + 0.2 * z1
+          case 2 => z1
+          case 3 => 0.6 * z1 - 0.4 * z0
+          case _ => 0.0
+        }
+        core + noise(d)
+      }
+      (i.toLong, x.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val identity = Array.tabulate(dim, dim)((j, i) =>
+      if (i == j) 1.0 else 0.0)
+    val hd = Similarity.hdRotationMatrix(dim)
+    val (trained, trainedBooks) = Similarity.opqTrainRotation(
+      df, "vec_id", "embedding", dim, m = 4, ksub = 8, iters = 3)
+    // the learned R is really orthonormal: R·Rᵀ == I to 1e-9
+    for (j <- 0 until dim; i <- 0 until dim) {
+      val dotRow = (0 until dim).map(k => trained(j)(k) * trained(i)(k)).sum
+      assert(math.abs(dotRow - (if (i == j) 1.0 else 0.0)) <= 1e-9,
+        s"R Rᵀ[$j][$i] = $dotRow")
+    }
+    // identical bytes everywhere: m = 4 codes of 3 bits' worth of ksub=8
+    // ids — same artifact shape for all three rotations; only the
+    // coordinates (and therefore the quantizer's fit) change.
+    def mseOf(r: Array[Array[Double]],
+        pre: Option[Array[Array[Array[Double]]]] = None): Double = {
+      val rot = Similarity.applyRotation(df, "vec_id", "embedding", r)
+      val books = pre.getOrElse(Similarity.pqTrainCodebooks(
+        rot, "embedding", m = 4, ksub = 8, dim = dim))
+      val vecs = rot.as[(Long, Seq[Double])].collect()
+      val errs = vecs.map { case (_, v) =>
+        (0 until 4).map { sub =>
+          val sv = v.slice(sub * 4, sub * 4 + 4)
+          books(sub).map(c =>
+            sv.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum).min
+        }.sum
+      }
+      errs.sum / errs.length
+    }
+    val mseId = mseOf(identity)
+    val mseHd = mseOf(hd)
+    val mseTrained = mseOf(trained, Some(trainedBooks))
+    assert(mseTrained <= mseHd + 1e-9 && mseTrained <= mseId + 1e-9,
+      s"OPQ must beat both rungs: trained=$mseTrained hd=$mseHd id=$mseId")
+    assert(mseHd <= mseId + 1e-9,
+      s"HD must beat identity on the correlated fixture: hd=$mseHd id=$mseId")
+    // and the rotation is distance-preserving, so serving over OPQ
+    // coordinates ranks identically to serving raw (exact top-k
+    // invariance, the hdRotate guarantee extended to a learned R)
+    val queries = df.filter(col("vec_id") < 5)
+    val rawTop = Similarity.bruteForceTopK(df, queries,
+        "vec_id", "embedding", 5)
+      .select("q_id", "n_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val rotAll = Similarity.applyRotation(df, "vec_id", "embedding", trained)
+    val rotTop = Similarity.bruteForceTopK(rotAll,
+        rotAll.filter(col("vec_id") < 5), "vec_id", "embedding", 5)
+      .select("q_id", "n_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(rotTop == rawTop && rawTop.nonEmpty,
+      "brute-force ranking must be invariant under the learned rotation")
+  }
+
   test("PQ ANN: k-means-trained codebooks beat portable ones on recall@5") {
     val queries = emb.filter(col("vec_id") < 20)
     val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)

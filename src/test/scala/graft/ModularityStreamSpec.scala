@@ -370,4 +370,105 @@ class ModularityStreamSpec extends SparkSpec {
         x.getLong(4), x.getLong(5))).toSet
     assert(viaShards === scorecard(edges, mem))
   }
+
+  test("coarseGraphStream dedupeDelivery: cross-trigger redelivery folds to nothing; off double-counts; seen set == delivered uniques") {
+    // VERDICT r14 #4: at-least-once delivery is the streaming norm, and
+    // the unweighted unique-edge contract made a cross-trigger
+    // redelivery a SILENT double-count. Trigger 1 redelivers both of
+    // trigger 0's edges (one orientation-flipped) plus one new edge.
+    val mem = Map(0L -> "a", 1L -> "a", 2L -> "b", 3L -> "b")
+    val memDf = mem.toSeq.toDF("node_id", "community")
+    val splits: Seq[Seq[(Long, Long)]] = Seq(
+      Seq((0L, 1L), (1L, 2L)),
+      Seq((1L, 0L), (1L, 2L), (2L, 3L)))
+    def run(dedup: Boolean): (Map[(String, String), Long], Long) = {
+      val tmp = java.nio.file.Files.createTempDirectory("coarse_redeliver")
+        .toString
+      splits.zipWithIndex.foreach { case (part, i) =>
+        if (i > 0) Thread.sleep(1100)
+        part.toDF("src", "dst").coalesce(1)
+          .write.mode("append").parquet(s"$tmp/in")
+      }
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).option("latestFirst", "false")
+        .parquet(s"$tmp/in")
+      var last: Map[(String, String), Long] = Map.empty
+      var lastG: org.apache.spark.sql.DataFrame = null
+      var lastSeen: org.apache.spark.sql.DataFrame = null
+      var seenCount = -1L
+      val q = ArtifactStreams.coarseGraphStream(stream, memDf,
+        dedupeDelivery = dedup)({ (g, _) =>
+          last = g.as[(String, String, Long)].collect()
+            .map(r => (r._1, r._2) -> r._3).toMap
+          lastG = g
+        }, { (seen, _) => seenCount = seen.count(); lastSeen = seen })
+      q.processAllAvailable()
+      q.stop()
+      Option(lastG).foreach(graft.operators.CacheScope.unpinCheckpoint)
+      Option(lastSeen).foreach(graft.operators.CacheScope.unpinCheckpoint)
+      (last, seenCount)
+    }
+    // Flag ON: the carried coarse table == one-shot coarsen over the
+    // UNIQUE canonical edges, whatever the redelivery pattern.
+    val (deduped, seen) = run(dedup = true)
+    val want = Modularity.coarsen(
+        Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("src", "dst"), memDf)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(deduped === want,
+      "redelivered edges must fold to nothing under dedupeDelivery")
+    // and the carried seen set is exactly the delivered unique-edge set
+    assert(seen == 3L, s"seen set should hold the 3 unique edges: $seen")
+    // Flag OFF: the documented contract violation — both redelivered
+    // edges double-count through the contraction ((a,a) picks up a
+    // second unit of mass from the re-folded (0,1)).
+    val (doubled, noSeen) = run(dedup = false)
+    assert(doubled(("a", "a")) == 2L && noSeen == -1L,
+      s"without dedupeDelivery the redelivery must double-count: $doubled")
+    // weighted + dedupeDelivery refuses up front: repeats are mass there
+    val wTmp = java.nio.file.Files.createTempDirectory("coarse_wref")
+      .toString
+    Seq((0L, 1L, 1L)).toDF("src", "dst", "w").coalesce(1)
+      .write.mode("append").parquet(s"$wTmp/in")
+    intercept[IllegalArgumentException] {
+      ArtifactStreams.coarseGraphStream(
+        spark.readStream.schema(StructType(Seq(
+          StructField("src", LongType), StructField("dst", LongType),
+          StructField("w", LongType)))).parquet(s"$wTmp/in"),
+        memDf, Some("w"), dedupeDelivery = true)((_, _) => ())
+    }
+  }
+
+  test("greedyMembershipStream dedupeDelivery: carried graph under redelivery == canon over unique edges (weights stay 1)") {
+    val splits: Seq[Seq[(Long, Long)]] = Seq(
+      Seq((0L, 1L), (1L, 2L)),
+      Seq((1L, 0L), (2L, 3L))) // (1,0) redelivers trigger 0's (0,1)
+    val tmp = java.nio.file.Files.createTempDirectory("gm_redeliver")
+      .toString
+    splits.zipWithIndex.foreach { case (part, i) =>
+      if (i > 0) Thread.sleep(1100)
+      part.toDF("src", "dst").coalesce(1)
+        .write.mode("append").parquet(s"$tmp/in")
+    }
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).option("latestFirst", "false")
+      .parquet(s"$tmp/in")
+    var lastEdges: Map[(Long, Long), Long] = Map.empty
+    var lastMem: org.apache.spark.sql.DataFrame = null
+    var lastG: org.apache.spark.sql.DataFrame = null
+    val q = ArtifactStreams.greedyMembershipStream(stream,
+      dedupeDelivery = true)({ (m, _) => lastMem = m }, { (g, _) =>
+        lastEdges = g.select("src", "dst", "w").as[(Long, Long, Long)]
+          .collect().map(r => (r._1, r._2) -> r._3).toMap
+        lastG = g
+      })
+    q.processAllAvailable()
+    q.stop()
+    Option(lastG).foreach(graft.operators.CacheScope.unpinCheckpoint)
+    Option(lastMem).foreach(graft.operators.CacheScope.unpinCheckpoint)
+    // the redelivered (0,1) folds to itself: every unique edge at w = 1
+    assert(lastEdges === Map((0L, 1L) -> 1L, (1L, 2L) -> 1L,
+      (2L, 3L) -> 1L),
+      s"carried graph must be the unique canonical set at weight 1: $lastEdges")
+  }
 }
