@@ -2934,6 +2934,140 @@ object LlmQueries {
                FROM rer) WHERE rank <= 5
              ORDER BY q_id, rank""")),
 
+    // ---- The FWHT BUTTERFLY under the hash oracle: q247/q250 pin the
+    // DENSE rotation arithmetic (in-order dots against the literal
+    // matrix); this pins the PRODUCTION path — the fast Walsh–Hadamard
+    // ladder (log₂64 = 6 chained pairwise add/sub stages) — plus its
+    // inverse, cross-engine. Both engines execute the IDENTICAL
+    // floating-point operation order (per stage: u'[j] = u[j] + u[j|h]
+    // on the clear bit, u[j^h] − u[j] on the set bit, over doubles), so
+    // the rotated components match bit-for-bit, not merely to the
+    // driver's 1e-6 rounding; roundtrip_ok pins inverse∘rotate == id to
+    // 1e-9 inside EACH engine (the q237 roundtrip-flag pattern).
+    Q("q251_fwht_rotation",
+      (s, d) => {
+        val e = T.embeddings(s, d).filter(col("vec_id") < 30)
+        // pinned: the rotated frame feeds BOTH the output join and the
+        // inverse ladder — unpinned, the 6-stage forward subtree
+        // duplicates under the 6-stage inverse and the join, and the
+        // composed 12+-projection tree blows the driver heap at plan
+        // instantiation (observed: OOM at sf0.01)
+        val rot = graft.operators.CacheScope.pin(
+          Similarity.hdRotate(e, "vec_id", "embedding", 64,
+            butterfly = Some(true)))
+        val back = Similarity.hdRotateInverse(rot, "vec_id", "embedding",
+            64, butterfly = Some(true))
+          .select(col("vec_id"), col("embedding").as("decoded"))
+        rot
+          .join(e.select(col("vec_id"),
+            transform(col("embedding"), x => x.cast("double")).as("orig")),
+            Seq("vec_id"))
+          .join(back, Seq("vec_id"))
+          .withColumn("roundtrip_ok",
+            when(aggregate(zip_with(col("decoded"), col("orig"),
+                (a, b) => abs(a - b)), lit(0.0),
+                (acc, x) => greatest(acc, x)) <= lit(1e-9), lit(1L))
+              .otherwise(lit(0L)))
+          .select(col("vec_id"), posexplode(col("embedding"))
+            .as(Seq("dim", "val")), col("roundtrip_ok"))
+          .select(col("vec_id"), col("dim"), col("val"),
+            col("roundtrip_ok"))
+          .orderBy(col("vec_id"), col("dim"))
+      },
+      Some("""WITH v0 AS (
+               SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+               FROM embeddings WHERE vec_id < 30),
+             signs AS (
+               SELECT i, CASE WHEN
+                 (CAST('0x' || substr(md5('hd|' || CAST(i AS VARCHAR)),
+                    1, 8) AS BIGINT) / 2147483648.0 - 1.0) >= 0
+                 THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END AS s
+               FROM range(64) t(i)),
+             sgl AS (SELECT list(s ORDER BY i) AS sg FROM signs),
+             u0 AS (
+               SELECT vec_id, list_transform(range(1, 65),
+                 j -> emb[CAST(j AS INT)] * sg[CAST(j AS INT)] * 0.125)
+                 AS u
+               FROM v0 CROSS JOIN sgl),
+             u1 AS (SELECT vec_id, list_transform(range(1, 65), j ->
+               CASE WHEN ((j - 1) & 1) = 0
+                 THEN u[CAST(j AS INT)] + u[CAST(((j - 1) | 1) + 1 AS INT)]
+                 ELSE u[CAST(xor(j - 1, 1) + 1 AS INT)] - u[CAST(j AS INT)]
+               END) AS u FROM u0),
+             u2 AS (SELECT vec_id, list_transform(range(1, 65), j ->
+               CASE WHEN ((j - 1) & 2) = 0
+                 THEN u[CAST(j AS INT)] + u[CAST(((j - 1) | 2) + 1 AS INT)]
+                 ELSE u[CAST(xor(j - 1, 2) + 1 AS INT)] - u[CAST(j AS INT)]
+               END) AS u FROM u1),
+             u3 AS (SELECT vec_id, list_transform(range(1, 65), j ->
+               CASE WHEN ((j - 1) & 4) = 0
+                 THEN u[CAST(j AS INT)] + u[CAST(((j - 1) | 4) + 1 AS INT)]
+                 ELSE u[CAST(xor(j - 1, 4) + 1 AS INT)] - u[CAST(j AS INT)]
+               END) AS u FROM u2),
+             u4 AS (SELECT vec_id, list_transform(range(1, 65), j ->
+               CASE WHEN ((j - 1) & 8) = 0
+                 THEN u[CAST(j AS INT)] + u[CAST(((j - 1) | 8) + 1 AS INT)]
+                 ELSE u[CAST(xor(j - 1, 8) + 1 AS INT)] - u[CAST(j AS INT)]
+               END) AS u FROM u3),
+             u5 AS (SELECT vec_id, list_transform(range(1, 65), j ->
+               CASE WHEN ((j - 1) & 16) = 0
+                 THEN u[CAST(j AS INT)] + u[CAST(((j - 1) | 16) + 1 AS INT)]
+                 ELSE u[CAST(xor(j - 1, 16) + 1 AS INT)] - u[CAST(j AS INT)]
+               END) AS u FROM u4),
+             rotf AS (SELECT vec_id, list_transform(range(1, 65), j ->
+               CASE WHEN ((j - 1) & 32) = 0
+                 THEN u[CAST(j AS INT)] + u[CAST(((j - 1) | 32) + 1 AS INT)]
+                 ELSE u[CAST(xor(j - 1, 32) + 1 AS INT)] - u[CAST(j AS INT)]
+               END) AS u FROM u5),
+             w1 AS (SELECT vec_id, list_transform(range(1, 65), j ->
+               CASE WHEN ((j - 1) & 1) = 0
+                 THEN u[CAST(j AS INT)] + u[CAST(((j - 1) | 1) + 1 AS INT)]
+                 ELSE u[CAST(xor(j - 1, 1) + 1 AS INT)] - u[CAST(j AS INT)]
+               END) AS u FROM rotf),
+             w2 AS (SELECT vec_id, list_transform(range(1, 65), j ->
+               CASE WHEN ((j - 1) & 2) = 0
+                 THEN u[CAST(j AS INT)] + u[CAST(((j - 1) | 2) + 1 AS INT)]
+                 ELSE u[CAST(xor(j - 1, 2) + 1 AS INT)] - u[CAST(j AS INT)]
+               END) AS u FROM w1),
+             w3 AS (SELECT vec_id, list_transform(range(1, 65), j ->
+               CASE WHEN ((j - 1) & 4) = 0
+                 THEN u[CAST(j AS INT)] + u[CAST(((j - 1) | 4) + 1 AS INT)]
+                 ELSE u[CAST(xor(j - 1, 4) + 1 AS INT)] - u[CAST(j AS INT)]
+               END) AS u FROM w2),
+             w4 AS (SELECT vec_id, list_transform(range(1, 65), j ->
+               CASE WHEN ((j - 1) & 8) = 0
+                 THEN u[CAST(j AS INT)] + u[CAST(((j - 1) | 8) + 1 AS INT)]
+                 ELSE u[CAST(xor(j - 1, 8) + 1 AS INT)] - u[CAST(j AS INT)]
+               END) AS u FROM w3),
+             w5 AS (SELECT vec_id, list_transform(range(1, 65), j ->
+               CASE WHEN ((j - 1) & 16) = 0
+                 THEN u[CAST(j AS INT)] + u[CAST(((j - 1) | 16) + 1 AS INT)]
+                 ELSE u[CAST(xor(j - 1, 16) + 1 AS INT)] - u[CAST(j AS INT)]
+               END) AS u FROM w4),
+             w6 AS (SELECT vec_id, list_transform(range(1, 65), j ->
+               CASE WHEN ((j - 1) & 32) = 0
+                 THEN u[CAST(j AS INT)] + u[CAST(((j - 1) | 32) + 1 AS INT)]
+                 ELSE u[CAST(xor(j - 1, 32) + 1 AS INT)] - u[CAST(j AS INT)]
+               END) AS u FROM w5),
+             dec AS (
+               SELECT w6.vec_id, list_transform(range(1, 65),
+                 j -> w6.u[CAST(j AS INT)] * sg[CAST(j AS INT)] * 0.125)
+                 AS decoded
+               FROM w6 CROSS JOIN sgl),
+             rt AS (
+               SELECT d.vec_id,
+                 CASE WHEN list_max(list_transform(range(1, 65),
+                   j -> abs(d.decoded[CAST(j AS INT)]
+                     - v0.emb[CAST(j AS INT)]))) <= 1e-9
+                 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS ok
+               FROM dec d JOIN v0 ON v0.vec_id = d.vec_id)
+             SELECT r.vec_id, CAST(j.j - 1 AS INT) AS dim,
+               r.u[CAST(j.j AS INT)] AS val, rt.ok AS roundtrip_ok
+             FROM rotf r CROSS JOIN range(1, 65) j(j)
+             JOIN rt ON rt.vec_id = r.vec_id
+             ORDER BY r.vec_id, dim""")),
+
     // ---- SQ8 code packing under the hash oracle: quantize (q232's
     // recipe), pack 8 codes per BIGINT word (Similarity.packCodes — the
     // signed-top-byte bijection that keeps the 64-bit pack inside

@@ -832,8 +832,21 @@ object ArtifactStreams {
             // type the join path accepts (fd casts coordinates to long;
             // a raw getLong on an INT column would ClassCastException
             // exactly when the watermark feature is enabled).
+            // NULL coordinates gate in the SAME 1-row aggregate as the
+            // lateness probe (the ADVICE-r14 class, fixed on all three
+            // retention faces): min/max skip nulls, so a null-start or
+            // null-end interval would pass lateness and then be dropped
+            // SILENTLY by the expiry filter (NULL >= wm is NULL).
             val mm = batch.agg(min(col(startCol).cast("long")),
-              max(col(startCol).cast("long"))).collect()(0)
+              max(col(startCol).cast("long")),
+              count(when(col(startCol).isNull || col(endCol).isNull,
+                lit(1)))).collect()(0)
+            if (mm.getLong(2) > 0) throw new IllegalStateException(
+              s"overlapPairsStream: batch $batchId contains " +
+                s"${mm.getLong(2)} interval(s) with a NULL $startCol/" +
+                s"$endCol — under retention every interval needs both " +
+                "coordinates (a null would expire silently); filter or " +
+                "default upstream")
             if (mm.isNullAt(0)) highWater.map(_ - r)
             else {
               val (bMin, bMax) = (mm.getLong(0), mm.getLong(1))

@@ -146,4 +146,24 @@ class CcStreamSpec extends SparkSpec {
     assert(chain(e).exists(_.contains("below the retention watermark")),
       s"unexpected failure: ${chain(e)}")
   }
+
+  test("retention: a NULL event time refuses loudly instead of expiring silently") {
+    // ADVICE r14 class: min/max skip nulls, so a null-ts edge used to
+    // pass the lateness probe and its component's last_ts could fold
+    // toward NULL — silently expired by the filter (NULL >= wm is NULL).
+    val tmp = java.nio.file.Files.createTempDirectory("cc_nullts").toString
+    Seq(("x1", "x2", Some(100L)), ("y1", "y2", None))
+      .toDF("src", "dst", "ts").coalesce(1)
+      .write.mode("append").parquet(s"$tmp/in")
+    val stream = spark.readStream.schema(tsSchema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+    val q = ArtifactStreams.connectedComponentsStream(stream,
+      tsCol = Some("ts"), retention = Some(10L))((_, _) => ())
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    val e = intercept[Exception] { q.processAllAvailable() }
+    assert(chain(e).exists(_.contains("NULL ts")),
+      s"unexpected failure: ${chain(e)}")
+  }
 }

@@ -153,4 +153,25 @@ class IntervalStreamSpec extends SparkSpec {
     assert(got === batchPairs(rows))
     assert(got === Set((1L, 2L), (1L, 4L), (2L, 4L), (3L, 4L)))
   }
+
+  test("retention: a NULL interval coordinate refuses loudly instead of expiring silently") {
+    // same ADVICE-r14 class as the graph faces: a null start/end would
+    // pass the lateness probe (min/max skip nulls) and then vanish in
+    // the expiry filter.
+    val tmp = java.nio.file.Files.createTempDirectory("ivl_null").toString
+    Seq((1L, Some(100L), Some(110L)), (2L, Some(120L), None))
+      .toDF("id", "s", "e").coalesce(1)
+      .write.mode("append").parquet(s"$tmp/in")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+    val q = ArtifactStreams.overlapPairsStream(stream, "id", "s", "e",
+        bucket = 10L, maxSpan = 64, retention = Some(50L))((_, _) => ())
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    val e = intercept[Exception] { q.processAllAvailable() }
+    q.stop()
+    assert(chain(e).exists(_.contains("NULL s/e")),
+      s"unexpected failure: ${chain(e)}")
+  }
 }

@@ -241,6 +241,30 @@ class ModularityStreamSpec extends SparkSpec {
       s"unexpected failure: ${chain(e)}")
   }
 
+  test("greedyMembershipStream retention: a NULL event time refuses loudly instead of expiring silently") {
+    // ADVICE r14: min/max skip nulls, so a null-ts edge used to pass
+    // the lateness probe, fold with last_ts = NULL, and vanish in the
+    // expiry filter (NULL >= hw − r is NULL) — a silent drop on a face
+    // whose contract is loud refusal.
+    val tmp = java.nio.file.Files.createTempDirectory("mem_nullts").toString
+    Seq((1L, 2L, 1L, Some(100L)), (3L, 4L, 1L, None))
+      .toDF("src", "dst", "w", "ts").coalesce(1)
+      .write.mode("append").parquet(s"$tmp/in")
+    val tsSchema = StructType(Seq(StructField("src", LongType),
+      StructField("dst", LongType), StructField("w", LongType),
+      StructField("ts", LongType)))
+    val stream = spark.readStream.schema(tsSchema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+    val q = ArtifactStreams.greedyMembershipStream(stream, Some("w"),
+      tsCol = Some("ts"), retention = Some(10L))((_, _) => ())
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    val e = intercept[Exception] { q.processAllAvailable() }
+    assert(chain(e).exists(_.contains("NULL ts")),
+      s"unexpected failure: ${chain(e)}")
+  }
+
   test("coarseGraphStream: carried coarse table == one-shot coarsen over everything delivered; weight conserved") {
     // Fixed membership over 7 nodes → 3 communities. The stream carries
     // cross-trigger repeats (weights must SUM through the contraction),
