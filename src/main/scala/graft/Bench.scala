@@ -142,11 +142,17 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       val sb = flushedShuffleBytes() - sb0
       caches.release()
-      // The q40-q42 family shares memoized checkpointed intermediates;
-      // after the last of them, release the block-manager memory so later
-      // queries don't run under cache/GC pressure.
-      if (q.name == "q42_document_entity") {
-        graft.queries.PipelineQueries.resetCache(spark)
+      // The coref-pipeline family shares memoized checkpointed
+      // intermediates; release after its LAST battery user so later
+      // queries don't run under cache/GC pressure. That user is
+      // q219_entity_walks (declaration order q40 < q41 < q42 < q214 <
+      // q219) — the hook sat on q42 since round 9, which predates
+      // q214/q219 and made each of them rebuild the whole coref pipeline
+      // from parquet (round-15 baseline: q214 23.5 s, q219 10.8 s; with
+      // the release point on the actual last user they reuse the same
+      // memo q41/q42 already reuse).
+      if (q.name == "q219_entity_walks") {
+        graft.queries.PipelineQueries.resetCorefCache(spark)
         spark.catalog.clearCache()
       }
       // Same discipline for the q43/q83 shared signature build: q83 is the

@@ -59,8 +59,31 @@ object ConnectedComponents {
     // zero changes proves the fixpoint (ADVICE r2: exiting with changed>0
     // after round maxIter conflates "converged ON the last round" with
     // "did not converge").
+    //
+    // Change detection is SCREEN-then-VERIFY (round 15): both rounds'
+    // label sets live in cached checkpoint blocks, so a (count,
+    // Σ xxhash64(id, comp)) signature is one tiny aggregate per round
+    // with no join/shuffle of the node frame; only when the signatures
+    // MATCH does the exact per-id comparison join run, exactly once, to
+    // prove the fixpoint (a hash collision can therefore never terminate
+    // the loop early — it only costs one extra exact check). The id set
+    // is identical across rounds (the groupBy re-keys every id), so set
+    // equality ⟺ zero per-id label changes.
+    // Hash sum in DECIMAL: xxhash64 spans the full long range, so a
+    // BIGINT sum overflows ANSI arithmetic on real data (decimal(30,0)
+    // holds ~10¹¹ full-range longs exactly). A null sum (empty frame, or
+    // decimal overflow at absurd scale) makes the screen INCONCLUSIVE —
+    // mapped to None, which never proves a difference, so the exact
+    // check still gates termination.
+    def labelSig(df: DataFrame): (Long, Option[String]) = {
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(col("id"), col("comp")).cast("decimal(20,0)"))).head()
+      (r.getLong(0),
+        Option(r.getDecimal(1)).map(_.toBigInteger.toString))
+    }
     var iter = 0
     var changed = 1L
+    var prevSig = labelSig(labels)
     while (changed > 0 && iter < maxIter + 1) {
       // Each vertex proposes its current component to every neighbour;
       // a vertex keeps the min of its own and all proposals.
@@ -69,15 +92,25 @@ object ConnectedComponents {
       val next = labels.union(msgs)
         .groupBy(col("id")).agg(min(col("comp")).as("comp"))
         .localCheckpoint()
-      changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.comp") =!= col("o.comp"))
-        .count()
+      val nextSig = labelSig(next)
+      // Screen proves a DIFFERENCE only when both hash sums are present
+      // and unequal; anything else (equal, or inconclusive null) falls
+      // through to the exact per-id comparison.
+      val provenDifferent = nextSig._1 != prevSig._1 ||
+        (nextSig._2.isDefined && prevSig._2.isDefined &&
+          nextSig._2 != prevSig._2)
+      changed =
+        if (provenDifferent) 1L
+        else next.as("n")
+          .join(labels.as("o"), col("n.id") === col("o.id"))
+          .filter(col("n.comp") =!= col("o.comp"))
+          .count()
       // The superseded round's checkpoint blocks are dead once `next` is
       // materialized and compared — free them instead of leaking one
       // cached RDD per round per invocation.
       CacheScope.unpinCheckpoint(labels)
       labels = next
+      prevSig = nextSig
       iter += 1
     }
     sym.unpersist()
@@ -85,7 +118,7 @@ object ConnectedComponents {
       throw new IllegalStateException(
         s"connected components: fixpoint not verified after $iter rounds " +
           s"(maxIter = $maxIter merge rounds + 1 verification round; " +
-          s"$changed labels still changing in the last round) — raise maxIter")
+          "labels still changing in the last round) — raise maxIter")
     // The RETURNED frame's checkpoint blocks are RDD-level caches no
     // DataFrame unpersist can release — register them with the caller's
     // tracking scope so sweep harnesses (Bench/Verify) free one vertex-set
@@ -181,20 +214,46 @@ object ConnectedComponents {
     // only VERIFIED by a round that changes nothing, so a graph whose
     // star fixpoint lands exactly on round maxIter gets one extra
     // confirmation round instead of a spurious strict failure.
+    //
+    // Fixpoint detection is SCREEN-then-VERIFY (round 15): a (count,
+    // Σ xxhash64(lo, hi)) signature over the round's fresh checkpoint
+    // blocks is one tiny aggregate — no join, no edge-sized shuffle —
+    // and distinct signatures PROVE the sets differ (equal sets have
+    // equal signatures), so the expensive exact check runs only when
+    // the signatures match: the full-outer set-equality join executes
+    // exactly once, at the fixpoint, instead of every round (q238: the
+    // per-round check was ~2 of the round's ~5 edge-sized exchanges). A
+    // hash collision can never terminate the loop early — it only
+    // triggers one extra exact check that then reports the true
+    // symmetric difference. (Counts alone can tie across distinct sets;
+    // the either-side-null filter below is the exact proof.)
+    // Decimal hash sum + inconclusive-as-None, as in [[runWithRounds]]'s
+    // labelSig (a BIGINT sum of full-range xxhash64 overflows ANSI).
+    def pairSig(df: DataFrame): (Long, Option[String]) = {
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(col("lo"), col("hi")).cast("decimal(20,0)"))).head()
+      (r.getLong(0),
+        Option(r.getDecimal(1)).map(_.toBigInteger.toString))
+    }
     var iter = 0
     var changed = 1L
+    var prevSig = pairSig(pairs)
     while (changed > 0 && iter < maxIter + 1) {
       val next = smallStar(largeStar(pairs)).localCheckpoint()
-      // Fixpoint = SET equality with the previous round — one full-outer
-      // join on the canonical pair; either-side-null rows are the
-      // symmetric difference. (Counts alone can tie across distinct sets.)
-      changed = next.as("n")
-        .join(pairs.as("o"), col("n.lo") === col("o.lo") &&
-          col("n.hi") === col("o.hi"), "full_outer")
-        .filter(col("n.lo").isNull || col("o.lo").isNull)
-        .count()
+      val nextSig = pairSig(next)
+      val provenDifferent = nextSig._1 != prevSig._1 ||
+        (nextSig._2.isDefined && prevSig._2.isDefined &&
+          nextSig._2 != prevSig._2)
+      changed =
+        if (provenDifferent) 1L
+        else next.as("n")
+          .join(pairs.as("o"), col("n.lo") === col("o.lo") &&
+            col("n.hi") === col("o.hi"), "full_outer")
+          .filter(col("n.lo").isNull || col("o.lo").isNull)
+          .count()
       CacheScope.unpinCheckpoint(pairs)
       pairs = next
+      prevSig = nextSig
       iter += 1
     }
     if (strict && changed > 0) {
@@ -203,8 +262,7 @@ object ConnectedComponents {
       throw new IllegalStateException(
         s"alternating components: fixpoint not verified after $iter " +
           s"(large, small) rounds (maxIter = $maxIter contraction rounds " +
-          s"+ 1 verification round; $changed pairs still moving) — " +
-          "raise maxIter")
+          "+ 1 verification round; pairs still moving) — raise maxIter")
     }
     // At the fixpoint every pair is (component min, member): label each
     // hi by its lo, everything unlabeled is its own component minimum

@@ -23,6 +23,16 @@ import org.apache.spark.sql.functions._
  */
 object Dedup {
 
+  /** Signature-agreement count (codegen'd kernel, round 15): replaces the
+    * interpreted `aggregate(zip_with(when(x === y, 1), 0, _ + _))` fold
+    * evaluated once per candidate pair — identical integer count over
+    * long (xxhash) or string (portable md5) signature components. */
+  private def sigEqCount(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    graft.functions.exprCol(graft.functions.VectorEqCount(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
   /**
    * Hash family used by the MinHash pipeline. `XxHash64Family` (default) is
    * the fast path: 64-bit codegen'd longs. `PortableMd5Family` produces
@@ -314,8 +324,7 @@ object Dedup {
     a.join(b, joinKeys)
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        (aggregate(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => when(x === y, 1).otherwise(0)), lit(0), _ + _)
+        (sigEqCount(col("sig_a"), col("sig_b"))
           .cast("double") / size(col("sig_a"))).as("est_jaccard"))
       .dropDuplicates("id_a", "id_b")
   }
@@ -705,8 +714,7 @@ object Dedup {
       .join(cBands.select(col("band"), col("bh"), col("id").as("corpus_id"),
         col("sig").as("sig_b")), Seq("band", "bh"))
       .select(col("batch_id"), col("corpus_id"),
-        (aggregate(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => when(x === y, 1).otherwise(0)), lit(0), _ + _)
+        (sigEqCount(col("sig_a"), col("sig_b"))
           .cast("double") / size(col("sig_a"))).as("est_jaccard"))
       .dropDuplicates("batch_id", "corpus_id")
     val candP = CacheScope.pin(cand)

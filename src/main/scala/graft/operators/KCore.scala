@@ -36,6 +36,11 @@ object KCore {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var survivors = e.select(col("src").as("node_id")).distinct()
       .localCheckpoint()
+    // Carry the survivor count across rounds: each round's count() is the
+    // next round's previous count, so one count job per round suffices
+    // (the old per-round survivors.count() re-counted the same cached
+    // frame the previous round had already counted).
+    var nSurv = survivors.count()
     var converged = false
     var round = 0
     while (round < rounds && !converged) {
@@ -48,9 +53,11 @@ object KCore {
         .agg(count(lit(1)).as("deg"))
       val next = deg.filter(col("deg") >= k)
         .select(col("node_id"), col("deg")).localCheckpoint()
-      val removed = survivors.count() - next.count()
+      val nNext = next.count()
+      val removed = nSurv - nNext
       CacheScope.unpinCheckpoint(survivors)
       survivors = next
+      nSurv = nNext
       converged = removed == 0L
       round += 1
     }

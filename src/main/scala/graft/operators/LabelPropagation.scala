@@ -62,12 +62,18 @@ object LabelPropagation {
     require(iters >= 0, s"iters must be >= 0: $iters")
     val w0 = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
     val dir = edges.select(col("src"), col("dst"), w0.as("w"))
-    val sym = dir
+    // Pinned: every round's vote join probes the symmetrized aggregate —
+    // unpinned, each round re-runs the whole edge-derivation lineage
+    // (parquet scan + union + groupBy shuffle) because round checkpoints
+    // are separate actions (no cross-job exchange reuse). Same discipline
+    // as PageRank's persisted edge table; at 100 TB this is the
+    // "materialize/bucket the edge table once" layout every round reuses.
+    val sym = CacheScope.pin(dir
       .union(dir.select(col("dst").as("src"), col("src").as("dst"),
         col("w")))
       .groupBy(col("src"), col("dst"))
       .agg((if (weightCol.isDefined) sum(col("w")) else min(col("w")))
-        .as("w"))
+        .as("w")))
     val nodes = sym.select(col("src").as("node_id")).distinct()
     var labels = nodes.select(col("node_id"), col("node_id").as("label"))
       .localCheckpoint(true)

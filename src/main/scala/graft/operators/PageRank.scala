@@ -125,7 +125,6 @@ object PageRank {
         .withColumn("t", coalesce(col("is_seed"), lit(0)))
       case None => nodes.withColumn("t", lit(1))
     }).select(col("node_id"), col("t"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val nRow = seedFlag match {
       case Some(sf) => sf.agg(count(lit(1)).as("n_t"))
       case None => nodes.agg(count(lit(1)).as("n_t"))
@@ -144,26 +143,37 @@ object PageRank {
     val bcast = nodes.count() <= broadcastNodeLimit
     def nodeSized(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
 
-    var ranks = tnodes
-      .select(col("node_id"), (col("t").cast("long") * scale).as("rank"))
+    // STATIC per-node frame (node_id, t, outdeg-nullable), built once —
+    // the teleport flag and the out-degree don't change across
+    // iterations, so carrying them INSIDE the checkpointed rank state
+    // removes the two ranks⋈deg joins (and their per-iteration broadcast
+    // builds) the old loop paid every round: dangling mass filters the
+    // rank frame itself, contribs project straight off it, and `next` is
+    // ONE node-sized join (statics ⋈ inflow) instead of three. Rank
+    // arithmetic is unchanged — same rows, same integer recursion.
+    val statics = tnodes.join(nodeSized(deg),
+        col("node_id") === col("dnode"), "left")
+      .select(col("node_id"), col("t"), col("outdeg"))
+      .localCheckpoint()
+    var ranks = statics
+      .select(col("node_id"), col("t"), col("outdeg"),
+        (col("t").cast("long") * scale).as("rank"))
       .localCheckpoint()
     var iter = 0
     while (iter < iterations) {
-      val withDeg = ranks.join(nodeSized(deg),
-        col("node_id") === col("dnode"), "left")
-      // Σ rank over nodes with no out-edges (outdeg null after left join).
-      val dangling = withDeg.filter(col("outdeg").isNull)
+      // Σ rank over nodes with no out-edges (outdeg null in the statics).
+      val dangling = ranks.filter(col("outdeg").isNull)
         .agg(coalesce(sum(col("rank")), lit(0L)).as("dmass"))
-      val rd = ranks.join(nodeSized(deg), col("node_id") === col("dnode"))
-      val inflow = e.join(nodeSized(rd), e("src") === rd("node_id"))
-        .select(e("dst").as("node_id"),
-          expr("rank div outdeg").as("contrib"))
+      val contribs = ranks.filter(col("outdeg").isNotNull)
+        .select(col("node_id"), expr("rank div outdeg").as("contrib"))
+      val inflow = e.join(nodeSized(contribs), e("src") === col("node_id"))
+        .select(e("dst").as("node_id"), col("contrib"))
         .groupBy(col("node_id")).agg(sum(col("contrib")).as("inflow"))
-      val next = tnodes
+      val next = statics
         .join(nodeSized(inflow), Seq("node_id"), "left")
         .crossJoin(broadcast(dangling))
         .crossJoin(broadcast(nRow))
-        .select(col("node_id"),
+        .select(col("node_id"), col("t"), col("outdeg"),
           expr(s"t * (${base * scale} div 100) + " +
             s"($damp * (coalesce(inflow, CAST(0 AS BIGINT)) + t * (dmass div n_t))) div 100")
             .as("rank"))
@@ -172,8 +182,13 @@ object PageRank {
       ranks = next
       iter += 1
     }
-    e.unpersist(); deg.unpersist(); nodes.unpersist(); tnodes.unpersist()
+    e.unpersist(); deg.unpersist(); nodes.unpersist()
     seedFlag.foreach(_.unpersist())
+    CacheScope.unpinCheckpoint(statics)
+    // Register the checkpoint leaf, THEN project down to the public
+    // (node_id, rank) schema (Project outside the registration so release
+    // still matches the LogicalRDD leaf — the LPA/KCore discipline).
     CacheScope.pinCheckpointed(ranks)
+      .select(col("node_id"), col("rank"))
   }
 }

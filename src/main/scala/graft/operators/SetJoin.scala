@@ -54,6 +54,12 @@ object SetJoin {
     val ranked = tk.join(dfreq, Seq("s"))
       .withColumn("pos", row_number().over(byRarity))
       .join(sz, Seq("id"))
+    // NOT pinned (round-15 measured): the candidate self-join's x/y
+    // branches are structurally IDENTICAL, so ReusedExchange already
+    // computes the df-join + rank-window chain once — a pin here ADDED
+    // shuffle bytes (13.1 → 17.3 MB) by splitting the two sides' reads
+    // of the checkpoint into distinct exchanges. Pins pay only when the
+    // branches' projections differ (q43's candidatesFromBanded case).
     val prefix = ranked.filter(
       col("pos") <= col("sz") -
         expr(s"(CAST($num AS BIGINT) * sz + ${den - 1}) div $den") + 1)

@@ -165,10 +165,17 @@ object Similarity {
     * sequential accumulation (replicable bit-for-bit by any engine that
     * sums a list left-to-right, e.g. DuckDB `list_inner_product` of the
     * difference list with itself). */
-  private def sqL2(vec: Column, centroid: Column): Column =
-    aggregate(zip_with(vec, centroid,
-      (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
-      lit(0.0d), _ + _)
+  // Codegen'd kernel (round 15, guide §4): the previous
+  // aggregate(zip_with(...)) formulation is interpreted per element with
+  // lambda-variable boxing — this fold is THE inner loop of every coarse
+  // assignment, ADC LUT build, PQ encode and exact re-rank, evaluated
+  // nLists/ksub times per row. Accumulation order is bit-identical
+  // (VectorFoldOps.sqL2 scaladoc), so every hash oracle is unaffected.
+  private def sqL2(vec: Column, centroid: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    graft.functions.exprCol(graft.functions.VectorSqL2(
+      ColumnBridge.expression(vec), ColumnBridge.expression(centroid)))
+  }
 
   /**
    * IVF (inverted-file) ANN top-k — the other classic scale path next to
@@ -376,9 +383,13 @@ object Similarity {
   private def sq8FixExpr(vec: Column): Column =
     transform(vec, v => floor(v.cast("double") * 1000000.0).cast("long"))
 
-  /** Exact BIGINT dot product of two integer code arrays. */
-  private def sq8DotExpr(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, _ * _), lit(0L), _ + _)
+  /** Exact BIGINT dot product of two integer code arrays (codegen'd
+    * kernel — integer adds, wrap-identical to the HOF fold it replaces). */
+  private def sq8DotExpr(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    graft.functions.exprCol(graft.functions.VectorDotLong(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
 
   /**
    * Build the quantize-once SQ8 serving artifact — the production face

@@ -2287,7 +2287,12 @@ object LlmQueries {
     Q("q247_ivfpq_rotated",
       (s, d) => {
         val e = T.embeddings(s, d)
-        val rot = Similarity.hdRotate(e, "vec_id", "embedding", 64)
+        // Pinned like q250's recipe: the rotated corpus feeds the artifact
+        // build AND the query side — unpinned, the 64-dot rotation re-runs
+        // per consumer subtree (measured 40.7 s vs 4.4 s for the identical
+        // unrotated stack, round-15 baseline; pinned it is ~5 s).
+        val rot = graft.operators.CacheScope.pin(
+          Similarity.hdRotate(e, "vec_id", "embedding", 64))
         val cents = Similarity.portableCentroids(16, 64)
         val books = Similarity.portableCodebooks(8, 16, 8)
         val art = Similarity.pqIvfArtifact(rot, "vec_id", "embedding",

@@ -65,15 +65,21 @@ object PipelineQueries {
   /** Drop memoized pipelines for `s` (bench passes re-run from cold) and
     * free their checkpoint blocks. */
   def resetCache(s: SparkSession): Unit = {
+    resetCorefCache(s)
+    lpaCache.keys.filter(_._1 eq s).foreach { k =>
+      lpaCache.remove(k).foreach(graft.operators.CacheScope.unpinCheckpoint)
+    }
+  }
+
+  /** Drop ONLY the coref-pipeline memo — Bench's q219 hook (the memo's
+    * last battery user) calls this; the LPA memo must survive it because
+    * q222 (declared after q219) still reads those labels. */
+  def resetCorefCache(s: SparkSession): Unit =
     cache.keys.filter(_._1 eq s).foreach { k =>
       cache.remove(k).foreach { case (a, b, c) =>
         Seq(a, b, c).foreach(graft.operators.CacheScope.unpinCheckpoint)
       }
     }
-    lpaCache.keys.filter(_._1 eq s).foreach { k =>
-      lpaCache.remove(k).foreach(graft.operators.CacheScope.unpinCheckpoint)
-    }
-  }
 
   private val lpaCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
@@ -551,6 +557,11 @@ object PipelineQueries {
         val li = T.lineitem(s, d)
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
           .distinct()
+        // NOT pinned (round-15 measured): the deg branch and
+        // TriangleCount.perNode both consume this, but their exchanges
+        // canonicalize equal, so ReusedExchange already computes the
+        // self-join once — a pin added an eager checkpoint for zero
+        // shuffle-byte change (61.2 MB identical either way).
         val edges = li.as("x").join(li.as("y"),
             col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
           .select(col("x.pk").as("src"), col("y.pk").as("dst"))
