@@ -114,13 +114,18 @@ object Bfs {
       .distinct().withColumn("dist", lit(0L)).localCheckpoint()
     var r = 0
     while (r < rounds) {
-      val cand = e.join(nodeSized(dist), e("src") === col("node_id"))
-        .select(e("dst").as("node_id"), (col("dist") + col("w")).as("nd"))
-        .groupBy(col("node_id")).agg(min(col("nd")).as("nd"))
-      val next = dist.join(nodeSized(cand), Seq("node_id"), "full_outer")
-        .select(col("node_id"),
-          least(coalesce(col("dist"), col("nd")),
-            coalesce(col("nd"), col("dist"))).as("dist"))
+      // Reconcile as ONE union + map-side-combined min (round 15): the
+      // old shape was a separate relaxation aggregate followed by a
+      // node-sized FULL-OUTER join — full outer cannot broadcast, so
+      // every round paid three exchanges (relaxation groupBy + both join
+      // sides) plus two sorts. min over {current dist} ∪ {relaxations}
+      // per node is the identical value (least(coalesce…) over the two
+      // aggregates == min of the union group), for one exchange.
+      val relax = e.join(nodeSized(dist), e("src") === col("node_id"))
+        .select(e("dst").as("node_id"), (col("dist") + col("w")).as("dist"))
+      val next = dist.select(col("node_id"), col("dist"))
+        .unionByName(relax)
+        .groupBy(col("node_id")).agg(min(col("dist")).as("dist"))
         .localCheckpoint()
       CacheScope.unpinCheckpoint(dist)
       dist = next

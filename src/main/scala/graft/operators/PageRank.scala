@@ -111,24 +111,24 @@ object PageRank {
     val seedFlag = seedsOpt.map { s =>
       // Semi-join to the node set FIRST: an out-of-graph seed has no row
       // anywhere in the recursion, so it must not count into n_t either.
-      val sf = s.select(col(s.columns.head).cast("long").as("node_id"))
+      s.select(col(s.columns.head).cast("long").as("node_id"))
         .distinct()
         .join(nodes, Seq("node_id"), "left_semi")
         .withColumn("is_seed", lit(1))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      require(sf.limit(1).count() > 0,
-        "personalized: seeds must be non-empty and intersect the graph")
-      sf
     }
     val tnodes = (seedFlag match {
       case Some(sf) => nodes.join(broadcast(sf), Seq("node_id"), "left")
         .withColumn("t", coalesce(col("is_seed"), lit(0)))
       case None => nodes.withColumn("t", lit(1))
     }).select(col("node_id"), col("t"))
-    val nRow = seedFlag match {
-      case Some(sf) => sf.agg(count(lit(1)).as("n_t"))
-      case None => nodes.agg(count(lit(1)).as("n_t"))
-    }
+    // Teleport-target count as a DRIVER literal (round 15): n_t is
+    // constant across iterations, but as a 1-row crossJoin frame every
+    // iteration rebuilt its broadcast — one stage per iteration for a
+    // number that never changes. The global case reuses the node count
+    // the broadcast decision below needs anyway; personalized pays one
+    // count over the already-persisted seed flag. Same integer, now a
+    // plan literal in the rank expression.
 
     // Rank/degree/inflow frames are NODE-sized (two longs per row); below
     // `broadcastNodeLimit` nodes (~320 MB) every per-iteration join
@@ -140,7 +140,14 @@ object PageRank {
     // shuffle 67 MB → 29 MB, wall 10.9 s → 9.4 s single-node (the
     // residue is per-iteration job overhead — checkpoint + broadcast
     // collects; on a real cluster the shuffle cut is the win).
-    val bcast = nodes.count() <= broadcastNodeLimit
+    val nNodes = nodes.count()
+    val nT: Long = seedFlag match {
+      case Some(sf) => sf.count()
+      case None => nNodes
+    }
+    require(seedsOpt.isEmpty || nT > 0,
+      "personalized: seeds must be non-empty and intersect the graph")
+    val bcast = nNodes <= broadcastNodeLimit
     def nodeSized(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
 
     // STATIC per-node frame (node_id, t, outdeg-nullable), built once —
@@ -172,10 +179,9 @@ object PageRank {
       val next = statics
         .join(nodeSized(inflow), Seq("node_id"), "left")
         .crossJoin(broadcast(dangling))
-        .crossJoin(broadcast(nRow))
         .select(col("node_id"), col("t"), col("outdeg"),
           expr(s"t * (${base * scale} div 100) + " +
-            s"($damp * (coalesce(inflow, CAST(0 AS BIGINT)) + t * (dmass div n_t))) div 100")
+            s"($damp * (coalesce(inflow, CAST(0 AS BIGINT)) + t * (dmass div $nT))) div 100")
             .as("rank"))
         .localCheckpoint()
       CacheScope.unpinCheckpoint(ranks)

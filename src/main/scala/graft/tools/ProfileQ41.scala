@@ -44,8 +44,12 @@ object ProfileQ41 {
     val mentions = time("mentions")(
       PipelineQueries.syntheticMentions(spark, sfDir).localCheckpoint(true))
     val within = Coref.withinDoc(mentions, Coref.WithinDocParams.person)
-    val (across, entities) = time("coref(wd+ad) entities") {
-      val a = Coref.acrossDoc(within.entities, Coref.AcrossDocParams.person)
+    // Round-15 split: materialize within-doc output first so the
+    // across-doc stage times separately.
+    val wdEntities = time("withinDoc entities")(
+      within.entities.localCheckpoint(true))
+    val (across, entities) = time("acrossDoc entities") {
+      val a = Coref.acrossDoc(wdEntities, Coref.AcrossDocParams.person)
       (a, a.entities.localCheckpoint(true))
     }
     val assign = time("final assignment")(within.assignment
