@@ -159,6 +159,15 @@ object Bench {
       // family's last user, release its checkpoint blocks there.
       if (q.name == "q83_salted_neardup")
         graft.queries.LlmQueries.resetCache(spark)
+      // …and for the q103/q174 shared part-triangle build: q174 is its
+      // last battery user (declaration order q103 < q174).
+      if (q.name == "q174_clustering_coeff")
+        graft.queries.PipelineQueries.resetTriangleCache(spark)
+      // …and for the shared co-purchase pair set: q222 is the last of its
+      // seven battery users (q94 < q123 < q138 < q145 < q156 < q183 <
+      // q188 < q222).
+      if (q.name == "q222_lpa_modularity")
+        graft.queries.PipelineQueries.resetPairsCache(spark)
       // …and for the shared token table: q60_tfidf is its last battery
       // user (q29-q35, q40-q42 via syntheticMentions, q54/q55, q60).
       if (q.name == "q60_tfidf")

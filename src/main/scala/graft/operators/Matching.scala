@@ -115,8 +115,9 @@ object Matching {
    * Per-round shape: two row_number windows PARTITIONED BY NODE over the
    * remaining pool (narrow — fan-in is a node's candidate-list length,
    * bounded by whatever blocking produced the pairs; cap hub lists
-   * upstream if blocking can't), two node-sized capacity joins, one
-   * anti-join shrink, lineage truncated per round.
+   * upstream if blocking can't), then ONE pool-state update (anti-join
+   * shrink + two used-count joins) — capacities ride the pool rows, so
+   * a round truncates exactly two frames (matched, pool), not four.
    *
    * @param capA (node, cap) for the left side — first column is the
    *             node key, `cap` the capacity; missing nodes default 1
@@ -134,27 +135,29 @@ object Matching {
     // (here the rank windows would sort them LAST, not first — but a
     // pair with no score is not a candidate under either formulation,
     // and the two operators must agree on the pool).
+    // Capacity state RIDES THE POOL ROWS (round 15): every row of node a
+    // carries a's remaining cap_a (same for b), so a round is two window
+    // ranks + one anti-join + two used-count joins folded into ONE
+    // checkpointed state update — the old remA/remB side frames cost two
+    // extra eager checkpoints and two extra joins per round for the same
+    // numbers (all rows of a node update identically, so the replicated
+    // capacity is exactly the side frame's value at every round;
+    // MatchingSpec's sequential-equivalence rows pin the output).
+    // Missing cap entries default 1, resolved ONCE here — the per-round
+    // decrements then reach every row, no coalesce-at-join refill.
     var pool = pairs.select(col(aCol).as("a"), col(bCol).as("b"),
       col(scoreCol).cast("long").as("s"))
       .filter(col("s").isNotNull && col("s") =!= Long.MinValue)
-      .localCheckpoint(true)
-    // Complete per-node capacity state up front (pool nodes absent from
-    // the cap frames default to 1) — the per-round decrements must reach
-    // EVERY node, a coalesce-at-join default would silently refill.
-    var remA = pool.select(col("a")).distinct()
       .join(capFrame(capA, "a"), Seq("a"), "left")
-      .na.fill(1L, Seq("cap_a")).localCheckpoint(true)
-    var remB = pool.select(col("b")).distinct()
       .join(capFrame(capB, "b"), Seq("b"), "left")
-      .na.fill(1L, Seq("cap_b")).localCheckpoint(true)
+      .na.fill(1L, Seq("cap_a", "cap_b"))
+      .localCheckpoint(true)
     var acc: Option[DataFrame] = None
     var r = 1
     while (r <= rounds) {
       val wa = Window.partitionBy(col("a")).orderBy(col("s").desc, col("b"))
       val wb = Window.partitionBy(col("b")).orderBy(col("s").desc, col("a"))
       val ranked = pool
-        .join(remA, Seq("a"))
-        .join(remB, Seq("b"))
         .filter(col("cap_a") > 0 && col("cap_b") > 0)
         .withColumn("rna", row_number().over(wa))
         .withColumn("rnb", row_number().over(wb))
@@ -164,28 +167,21 @@ object Matching {
         .withColumn("round", lit(r))
         .localCheckpoint(true)
       acc = Some(acc.fold(matched)(_ unionByName matched))
-      val usedA = matched.groupBy(col("a")).agg(count(lit(1)).as("used"))
-      val nextA = remA.join(usedA, Seq("a"), "left")
-        .select(col("a"),
-          (col("cap_a") - coalesce(col("used"), lit(0L))).as("cap_a"))
-        .localCheckpoint(true)
-      val usedB = matched.groupBy(col("b")).agg(count(lit(1)).as("used"))
-      val nextB = remB.join(usedB, Seq("b"), "left")
-        .select(col("b"),
-          (col("cap_b") - coalesce(col("used"), lit(0L))).as("cap_b"))
-        .localCheckpoint(true)
+      val usedA = matched.groupBy(col("a")).agg(count(lit(1)).as("used_a"))
+      val usedB = matched.groupBy(col("b")).agg(count(lit(1)).as("used_b"))
       val nextPool = pool
         .join(matched.select(col("a"), col("b")), Seq("a", "b"), "left_anti")
+        .join(usedA, Seq("a"), "left")
+        .join(usedB, Seq("b"), "left")
+        .select(col("a"), col("b"), col("s"),
+          (col("cap_a") - coalesce(col("used_a"), lit(0L))).as("cap_a"),
+          (col("cap_b") - coalesce(col("used_b"), lit(0L))).as("cap_b"))
         .localCheckpoint(true)
       CacheScope.unpinCheckpoint(pool)
-      CacheScope.unpinCheckpoint(remA)
-      CacheScope.unpinCheckpoint(remB)
-      pool = nextPool; remA = nextA; remB = nextB
+      pool = nextPool
       r += 1
     }
     CacheScope.unpinCheckpoint(pool)
-    CacheScope.unpinCheckpoint(remA)
-    CacheScope.unpinCheckpoint(remB)
     acc.get.select(col("a"), col("b"), col("s").as("score"), col("round"))
   }
 }

@@ -285,10 +285,25 @@ object Modularity {
    */
   def greedyMoveRound(edges: DataFrame, membership: DataFrame,
       weightCol: Option[String] = None,
-      selfLoops: Boolean = false): DataFrame = {
-    val canon = canonEdges(edges, weightCol, selfLoops)
-      .localCheckpoint(true)
-      .transform(CacheScope.pinCheckpointed)
+      selfLoops: Boolean = false,
+      assumeCanonical: Boolean = false): DataFrame = {
+    // assumeCanonical (round 15, [[louvain]]'s fast path): the caller
+    // vouches that `edges` is ALREADY the canonical merge — long-castable
+    // s ≤ d per `weightCol` semantics, ONE row per unordered pair, and
+    // materialized (checkpointed) so repeated reads are leaf scans. Then
+    // canonEdges' groupBy is the identity and its exchange + checkpoint
+    // are pure overhead — three of them per Louvain level (two move
+    // sub-rounds + coarsen). The arithmetic below is a pure function of
+    // the canonical (s, d, w) multiset, so the fast path is
+    // bit-equivalent (q246 stays hash-green; ModularitySpec pins the
+    // ladder identities).
+    val canon =
+      if (assumeCanonical) edges.select(col("src").cast("long").as("s"),
+        col("dst").cast("long").as("d"),
+        weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L)).as("w"))
+      else canonEdges(edges, weightCol, selfLoops)
+        .localCheckpoint(true)
+        .transform(CacheScope.pinCheckpointed)
     val mem = membership.select(col("node_id").cast("long").as("node_id"),
       col("community").cast("string").as("community"))
     // Self-loop algebra (the COARSE-graph face, selfLoops = true): a
@@ -445,8 +460,15 @@ object Modularity {
    */
   def coarsen(edges: DataFrame, membership: DataFrame,
       weightCol: Option[String] = None,
-      selfLoops: Boolean = false): DataFrame = {
-    val canon = canonEdges(edges, weightCol, selfLoops)
+      selfLoops: Boolean = false,
+      assumeCanonical: Boolean = false): DataFrame = {
+    // Same fast-path contract as [[greedyMoveRound]]: input already the
+    // canonical merge, so skip the identity groupBy.
+    val canon =
+      if (assumeCanonical) edges.select(col("src").cast("long").as("s"),
+        col("dst").cast("long").as("d"),
+        weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L)).as("w"))
+      else canonEdges(edges, weightCol, selfLoops)
     val mem = membership.select(col("node_id").cast("long").as("node_id"),
       col("community").cast("string").as("community"))
     val tagged = canon
@@ -600,7 +622,12 @@ object Modularity {
         // the scope so the level-local checkpoint it registers is not
         // released here (louvain's `pinned` buffer owns those).
         val (moveRaw, moveCaches) = CacheScope.tracking {
-          greedyMoveRound(g, memL, Some("w"), selfLoops = true)
+          // g is maintained long-canonical (level 0 via canonEdges; every
+          // coarse level re-oriented below before its checkpoint), so the
+          // identity re-merge is skipped — 3 exchanges + 2 checkpoint
+          // jobs saved per level.
+          greedyMoveRound(g, memL, Some("w"), selfLoops = true,
+            assumeCanonical = true)
         }
         val memNext = cp(moveRaw
           .select(col("node_id"),
@@ -614,9 +641,18 @@ object Modularity {
       val moved = memL
       // Same discipline for coarsen's internal tagged-edges checkpoint.
       val (coarseRaw, coarseCaches) = CacheScope.tracking {
-        coarsen(g, moved, Some("w"), selfLoops = true)
+        coarsen(g, moved, Some("w"), selfLoops = true,
+          assumeCanonical = true)
       }
-      val gNext = cp(coarseRaw)
+      // coarsen's public output canonicalizes community LABELS as strings
+      // (lexicographic least/greatest — "10" < "2"), one row per
+      // unordered pair. Re-orient each row under LONG order here (a pure
+      // projection — uniqueness per pair means no re-aggregation) so the
+      // next level's fast path sees exactly what canonEdges would emit.
+      val gNext = cp(coarseRaw.select(
+        least(col("src").cast("long"), col("dst").cast("long")).as("src"),
+        greatest(col("src").cast("long"), col("dst").cast("long")).as("dst"),
+        col("w")))
       coarseCaches.release()
       pinned += gNext
       val q = coarseQ(gNext) // == Q(g, moved) by conservation

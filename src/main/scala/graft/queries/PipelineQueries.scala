@@ -66,32 +66,141 @@ object PipelineQueries {
     * free their checkpoint blocks. */
   def resetCache(s: SparkSession): Unit = {
     resetCorefCache(s)
+    resetTriangleCache(s)
+    resetPairsCache(s)
     lpaCache.keys.filter(_._1 eq s).foreach { k =>
       lpaCache.remove(k).foreach(graft.operators.CacheScope.unpinCheckpoint)
     }
   }
 
-  /** Drop ONLY the coref-pipeline memo — Bench's q219 hook (the memo's
-    * last battery user) calls this; the LPA memo must survive it because
-    * q222 (declared after q219) still reads those labels. */
-  def resetCorefCache(s: SparkSession): Unit =
+  /** Drop ONLY the coref-pipeline memo (and the entity-network memo
+    * derived from it) — Bench's q219 hook (the memos' last battery user)
+    * calls this; the LPA memo must survive it because q222 (declared
+    * after q219) still reads those labels. */
+  def resetCorefCache(s: SparkSession): Unit = {
     cache.keys.filter(_._1 eq s).foreach { k =>
       cache.remove(k).foreach { case (a, b, c) =>
         Seq(a, b, c).foreach(graft.operators.CacheScope.unpinCheckpoint)
       }
     }
+    netCache.keys.filter(_._1 eq s).foreach { k =>
+      netCache.remove(k).foreach(graft.operators.CacheScope.unpinCheckpoint)
+    }
+  }
+
+  /** Drop the part-triangle memo — Bench's q174 hook (its last battery
+    * user; q103 is the first) calls this. */
+  def resetTriangleCache(s: SparkSession): Unit =
+    triCache.keys.filter(_._1 eq s).foreach { k =>
+      triCache.remove(k).foreach { case (e, t) =>
+        Seq(e, t).foreach(graft.operators.CacheScope.unpinCheckpoint)
+      }
+    }
+
+  private val netCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** The thresholded, name-resolved co-occurrence network q41/q214/q219
+    * all rebuild from the (already memoized) coref frames: co-occurrence
+    * pair aggregate → num_docs ≥ 2 threshold → entity-name resolution,
+    * emitted as (src_text ≤ dst_text, num_docs). Memoized per
+    * (session, dir) with an eager checkpoint like [[corefPipeline]], so
+    * the battery pays the pair join + name joins once (q41, the first
+    * user in declaration order) instead of three times — the same
+    * "materialize the shared layout once" shape the memo family already
+    * follows (guide §2.4). The plan inside is IDENTICAL to what q41
+    * inlined before; q214/q219 take their distinct name-pair edge list
+    * from it. */
+  private def entityNetwork(s: SparkSession, d: String): DataFrame =
+    netCache.getOrElseUpdate((s, d), {
+      val (mentions, entities, assign) = corefPipeline(s, d)
+      // The pair join is the expensive stage; persist its (much smaller)
+      // aggregate so the two endpoint semi-joins and the materializing
+      // checkpoint don't re-run it. Released once the checkpoint holds.
+      val edges = SocialNetwork.cooccurrenceEdges(
+        assign, mentions.select("mention_id", "doc_id"), entities,
+        maxEntitiesPerDoc = SocialNetwork.DefaultMaxEntitiesPerDoc)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (_, kept) = SocialNetwork.thresholded(entities, edges)
+      val names = entities.select(col("entity_id"), col("entity_text"))
+      val net = kept
+        .join(names.withColumnRenamed("entity_id", "src_entity_id")
+          .withColumnRenamed("entity_text", "src_name"), Seq("src_entity_id"))
+        .join(names.withColumnRenamed("entity_id", "dst_entity_id")
+          .withColumnRenamed("entity_text", "dst_name"), Seq("dst_entity_id"))
+        .select(least(col("src_name"), col("dst_name")).as("src_text"),
+          greatest(col("src_name"), col("dst_name")).as("dst_text"),
+          col("num_docs"))
+        .localCheckpoint(true)
+      edges.unpersist()
+      net
+    })
+
+  private val triCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String),
+      (DataFrame, DataFrame)]
+
+  /** The part co-purchase projection q103/q174 share — the distinct
+    * src < dst part-pair edge set (a lineitem self-join, the family's
+    * dominant shuffle) and its per-node triangle counts — memoized per
+    * (session, dir) like [[copurchaseLpa]] so the battery enumerates the
+    * wedges once. Returns (edges, perNode triangle counts). */
+  private def partTriangles(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    triCache.getOrElseUpdate((s, d), {
+      val li = T.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      // LAZY checkpoint on the edge set (measured: an eager one here adds
+      // a second full materialization action and cost q103 +3.5 s): the
+      // tri checkpoint below is the single action — computing it runs the
+      // self-join once and caches the edge blocks as a side effect, so
+      // q174's deg aggregate reads the cached leaf without ever paying
+      // the join again.
+      val edges = li.as("x").join(li.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+        .distinct()
+        .localCheckpoint(false)
+      val tri = graft.operators.TriangleCount.perNode(edges)
+        .localCheckpoint(true)
+      (edges, tri)
+    })
 
   private val lpaCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  private val pairsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** The distinct customer↔supplier co-purchase pair set that SEVEN
+    * battery queries project their graphs from (q94, q123/q222 via
+    * [[copurchaseEdges]], q138, q145, q156, q183, q188 — each symmetrizes
+    * or orients these same rows). Memoized per (session, dir) with an
+    * eager checkpoint like [[corefPipeline]]: the orders⋈lineitem join +
+    * distinct is identical in every one of them, so the battery pays it
+    * once and each query's own plan starts from the cached pair leaf
+    * (guide §2.4 — materialize a shared layout once). Released by
+    * Bench's q222 hook (the last battery user in declaration order). */
+  private def copurchasePairs(s: SparkSession, d: String): DataFrame =
+    pairsCache.getOrElseUpdate((s, d), {
+      T.orders(s, d)
+        .join(T.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"),
+          (col("l_suppkey") + lit(1000000000L)).as("supp"))
+        .distinct()
+        .localCheckpoint(true)
+    })
+
+  /** Drop the co-purchase pair memo — Bench's q222 hook calls this. */
+  def resetPairsCache(s: SparkSession): Unit =
+    pairsCache.keys.filter(_._1 eq s).foreach { k =>
+      pairsCache.remove(k).foreach(graft.operators.CacheScope.unpinCheckpoint)
+    }
+
   /** The directed co-purchase edge list q123/q222 share (q94/q138/q188
-    * build its symmetrized variant inline). */
+    * build its symmetrized variant from the same memoized pairs). */
   private def copurchaseEdges(s: SparkSession, d: String): DataFrame =
-    T.orders(s, d)
-      .join(T.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("cust"),
-        (col("l_suppkey") + lit(1000000000L)).as("supp"))
-      .distinct()
+    copurchasePairs(s, d)
       .select(col("cust").as("src"), col("supp").as("dst"))
 
   /** q123's 3-round LPA membership, memoized per (session, dir) like
@@ -261,26 +370,11 @@ object PipelineQueries {
     // on both engines). The oracle skips the maxEntitiesPerDoc cap: no
     // sf0.01 doc comes within two orders of magnitude of 1000 entities.
     Q("q41_social_network",
-      (s, d) => {
-        val (mentions, entities, assign) = corefPipeline(s, d)
-        // The pair join is the expensive stage; persist its (much smaller)
-        // aggregate so the two endpoint semi-joins and the final action
-        // don't re-run it.
-        val edges = SocialNetwork.cooccurrenceEdges(
-          assign, mentions.select("mention_id", "doc_id"), entities,
-          maxEntitiesPerDoc = SocialNetwork.DefaultMaxEntitiesPerDoc)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val (_, kept) = SocialNetwork.thresholded(entities, edges)
-        val names = entities.select(col("entity_id"), col("entity_text"))
-        kept
-          .join(names.withColumnRenamed("entity_id", "src_entity_id")
-            .withColumnRenamed("entity_text", "src_name"), Seq("src_entity_id"))
-          .join(names.withColumnRenamed("entity_id", "dst_entity_id")
-            .withColumnRenamed("entity_text", "dst_name"), Seq("dst_entity_id"))
-          .select(least(col("src_name"), col("dst_name")).as("src_text"),
-            greatest(col("src_name"), col("dst_name")).as("dst_text"),
-            col("num_docs"))
-      },
+      // The network build (pair join → threshold → name joins) moved into
+      // the entityNetwork memo shared with q214/q219 — the plan is the one
+      // this query always ran; the memo just stops the two later queries
+      // from re-running it.
+      (s, d) => entityNetwork(s, d),
       Some(CorefSql + """,
         net AS (
           SELECT DISTINCT doc_id, entity_text
@@ -320,11 +414,7 @@ object PipelineQueries {
     // the oracle unrolls the recursion as five generated CTE pairs.
     Q("q94_pagerank",
       (s, d) => {
-        val pairs = T.orders(s, d)
-          .join(T.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
-          .select(col("o_custkey").as("cust"),
-            (col("l_suppkey") + lit(1000000000L)).as("supp"))
-          .distinct()
+        val pairs = copurchasePairs(s, d)
         val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
           .union(pairs.select(col("supp").as("src"), col("cust").as("dst")))
         graft.operators.PageRank.run(edges, iterations = 5)
@@ -345,14 +435,8 @@ object PipelineQueries {
     // hash-compare.
     Q("q103_triangle_count",
       (s, d) => {
-        val li = T.lineitem(s, d)
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-        val edges = li.as("x").join(li.as("y"),
-            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-          .select(col("x.pk").as("src"), col("y.pk").as("dst"))
-          .distinct()
-        graft.operators.TriangleCount.perNode(edges)
+        val (_, tri) = partTriangles(s, d)
+        tri
           .select(col("node_id").as("part_key"), col("n_triangles"))
           .orderBy(col("n_triangles").desc, col("part_key"))
           .limit(20)
@@ -409,11 +493,7 @@ object PipelineQueries {
     // CTE pair per hop (the q94 discipline).
     Q("q138_bfs_hops",
       (s, d) => {
-        val pairs = T.orders(s, d)
-          .join(T.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
-          .select(col("o_custkey").as("cust"),
-            (col("l_suppkey") + lit(1000000000L)).as("supp"))
-          .distinct()
+        val pairs = copurchasePairs(s, d)
         val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
           .union(pairs.select(col("supp").as("src"), col("cust").as("dst")))
         val seeds = T.orders(s, d)
@@ -434,11 +514,7 @@ object PipelineQueries {
     // graph scale — headroom note in q141's scaladoc).
     Q("q145_assortativity",
       (s, d) => {
-        val pairs = T.orders(s, d)
-          .join(T.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
-          .select(col("o_custkey").as("cust"),
-            (col("l_suppkey") + lit(1000000000L)).as("supp"))
-          .distinct()
+        val pairs = copurchasePairs(s, d)
         val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
           .union(pairs.select(col("supp").as("src"), col("cust").as("dst")))
         val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
@@ -500,11 +576,7 @@ object PipelineQueries {
     // budget reached quiescence, mirrored as a survivor-count compare.
     Q("q156_kcore",
       (s, d) => {
-        val pairs = T.orders(s, d)
-          .join(T.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
-          .select(col("o_custkey").as("cust"),
-            (col("l_suppkey") + lit(1000000000L)).as("supp"))
-          .distinct()
+        val pairs = copurchasePairs(s, d)
         val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
           .union(pairs.select(col("supp").as("src"), col("cust").as("dst")))
         graft.operators.KCore.peel(edges, k = 25, rounds = 4)
@@ -554,22 +626,15 @@ object PipelineQueries {
     // self-join, same triangle set.
     Q("q174_clustering_coeff",
       (s, d) => {
-        val li = T.lineitem(s, d)
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-        // NOT pinned (round-15 measured): the deg branch and
-        // TriangleCount.perNode both consume this, but their exchanges
-        // canonicalize equal, so ReusedExchange already computes the
-        // self-join once — a pin added an eager checkpoint for zero
-        // shuffle-byte change (61.2 MB identical either way).
-        val edges = li.as("x").join(li.as("y"),
-            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-          .select(col("x.pk").as("src"), col("y.pk").as("dst"))
-          .distinct()
+        // Shared with q103 via the partTriangles memo (the round-15
+        // intra-query pin was correctly rejected — ReusedExchange already
+        // deduped the two consumers INSIDE one query; the memo dedups the
+        // self-join + triangle enumeration ACROSS the two queries).
+        val (edges, triRaw) = partTriangles(s, d)
         val deg = edges.select(col("src").as("n"))
           .union(edges.select(col("dst").as("n")))
           .groupBy(col("n")).agg(count(lit(1)).as("deg"))
-        val tri = graft.operators.TriangleCount.perNode(edges)
+        val tri = triRaw
           .select(col("node_id").as("n"), col("n_triangles"))
         deg.filter(col("deg") >= 2)
           .join(tri, Seq("n"), "left")
@@ -651,11 +716,7 @@ object PipelineQueries {
     // the seeds' neighborhoods, not on graph size.
     Q("q183_personalized_pagerank",
       (s, d) => {
-        val pairs = T.orders(s, d)
-          .join(T.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
-          .select(col("o_custkey").as("cust"),
-            (col("l_suppkey") + lit(1000000000L)).as("supp"))
-          .distinct()
+        val pairs = copurchasePairs(s, d)
         val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
           .union(pairs.select(col("supp").as("src"), col("cust").as("dst")))
         val seeds = pairs.filter(col("cust") <= 30)
@@ -676,11 +737,7 @@ object PipelineQueries {
     // O(maxHops) frame.
     Q("q188_reachability_profile",
       (s, d) => {
-        val pairs = T.orders(s, d)
-          .join(T.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
-          .select(col("o_custkey").as("cust"),
-            (col("l_suppkey") + lit(1000000000L)).as("supp"))
-          .distinct()
+        val pairs = copurchasePairs(s, d)
         val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
           .union(pairs.select(col("supp").as("src"), col("cust").as("dst")))
         val seeds = T.orders(s, d)
@@ -869,19 +926,8 @@ object PipelineQueries {
     // the oracle mirrors the degree CTE + induced edges.
     Q("q214_motif_brokers",
       (s, d) => {
-        val (mentions, entities, assign) = corefPipeline(s, d)
-        val edges = SocialNetwork.cooccurrenceEdges(
-          assign, mentions.select("mention_id", "doc_id"), entities,
-          maxEntitiesPerDoc = SocialNetwork.DefaultMaxEntitiesPerDoc)
-        val (_, kept) = SocialNetwork.thresholded(entities, edges)
-        val names = entities.select(col("entity_id"), col("entity_text"))
-        val und = kept
-          .join(names.withColumnRenamed("entity_id", "src_entity_id")
-            .withColumnRenamed("entity_text", "src_name"), Seq("src_entity_id"))
-          .join(names.withColumnRenamed("entity_id", "dst_entity_id")
-            .withColumnRenamed("entity_text", "dst_name"), Seq("dst_entity_id"))
-          .select(least(col("src_name"), col("dst_name")).as("s"),
-            greatest(col("src_name"), col("dst_name")).as("d"))
+        val und = entityNetwork(s, d)
+          .select(col("src_text").as("s"), col("dst_text").as("d"))
           .distinct()
         val capped = graft.operators.GraphOps.degreeCapped(und, 32, "s", "d")
         val induced = capped.union(
@@ -1250,19 +1296,8 @@ object PipelineQueries {
     // Oracle: q214's coref + network CTEs, then the q216 unrolling.
     Q("q219_entity_walks",
       (s, d) => {
-        val (mentions, entities, assign) = corefPipeline(s, d)
-        val edges = SocialNetwork.cooccurrenceEdges(
-          assign, mentions.select("mention_id", "doc_id"), entities,
-          maxEntitiesPerDoc = SocialNetwork.DefaultMaxEntitiesPerDoc)
-        val (_, kept) = SocialNetwork.thresholded(entities, edges)
-        val names = entities.select(col("entity_id"), col("entity_text"))
-        val und = kept
-          .join(names.withColumnRenamed("entity_id", "src_entity_id")
-            .withColumnRenamed("entity_text", "src_name"), Seq("src_entity_id"))
-          .join(names.withColumnRenamed("entity_id", "dst_entity_id")
-            .withColumnRenamed("entity_text", "dst_name"), Seq("dst_entity_id"))
-          .select(least(col("src_name"), col("dst_name")).as("s"),
-            greatest(col("src_name"), col("dst_name")).as("d"))
+        val und = entityNetwork(s, d)
+          .select(col("src_text").as("s"), col("dst_text").as("d"))
           .distinct()
         val sym = und.union(und.select(col("d").as("s"), col("s").as("d")))
         val walks = graft.operators.Walks.deterministicWalks(
