@@ -182,8 +182,14 @@ object Bench {
     spark.catalog.clearCache()
     val p2 = onePass().map(t => t._1 -> (t._2, t._3, t._4)).toMap
     Q75Bench.release()
+    // Full reset AFTER p2 as well (ADVICE r15): under a nameFilter that
+    // includes early family users but excludes the designated last user,
+    // the per-query release hooks above never fire, so the coref/pairs/
+    // triangle memos would outlive the battery.
+    graft.queries.PipelineQueries.resetCache(spark)
     graft.queries.LlmQueries.resetCache(spark)
     graft.queries.TextQueries.resetCache(spark)
+    spark.catalog.clearCache()
     def r3(v: Double): Double = math.round(v * 1000).toDouble / 1000
     // Per query: min-of-2 seconds plus the shuffle bytes of the pass that
     // provided them (bytes are plan-determined and stable across passes).

@@ -45,9 +45,14 @@ object ConnectedComponents {
     * alternation needs O(log n)). */
   private[graft] def runWithRounds(edges: DataFrame, maxIter: Int = 25,
       strict: Boolean = false): (DataFrame, Int) = {
+    // src layout fixed once (round 16): the distinct's (src, dst)
+    // partitioning does not satisfy the per-round propagation join on
+    // `src`; repartition + sort by src so rounds reuse the cached layout
+    // instead of re-exchanging the edge set (the LPA/Walks discipline).
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+      .repartition(col("src")).sortWithinPartitions(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     var labels = sym.select(col("src").as("id")).distinct()
@@ -191,6 +196,15 @@ object ConnectedComponents {
       val mins = sym.groupBy(col("u"))
         .agg(min(col("v")).as("mv"))
         .select(col("u"), least(col("u"), col("mv")).as("m"))
+      // NOTE (round 16, tried and REVERTED): joining the half-sized p on
+      // lo == u (the sym rows surviving `v > u` are exactly p) and letting
+      // the min-aggregate partial-combine looked like a 2|p| → |p| + ε
+      // byte cut, but the ReusedExchange sharing below is BETTER on
+      // low-degree graphs: with avg degree ~2 (q238's chain graph) the
+      // map-side combine removes almost nothing, so the split shape
+      // shuffles ~3|p| raw rows vs the shared exchange's 2|p| — measured
+      // q238 163 → 210 MB. Sharing one raw exchange wins whenever
+      // degree is small; partial aggregation only pays past ~3 edges/node.
       sym.join(mins, Seq("u"))
         .filter(col("v") > col("u"))
         .select(col("m").as("lo"), col("v").as("hi"))

@@ -68,12 +68,20 @@ object LabelPropagation {
     // are separate actions (no cross-job exchange reuse). Same discipline
     // as PageRank's persisted edge table; at 100 TB this is the
     // "materialize/bucket the edge table once" layout every round reuses.
+    // Partitioned AND sorted by `src` before the pin (round 16): the
+    // symmetrize groupBy leaves (src, dst) partitioning, which does NOT
+    // satisfy the per-round vote join on `src` — every round re-exchanged
+    // and re-sorted the full edge aggregate (q123: 3 edge-sized exchanges,
+    // ~60 MB of its shuffle; q230 likewise). hash(src) + src order
+    // survive the pinned leaf, so a round shuffles only the node-sized
+    // label/vote frames — the "bucket the edge table by src once" layout.
     val sym = CacheScope.pin(dir
       .union(dir.select(col("dst").as("src"), col("src").as("dst"),
         col("w")))
       .groupBy(col("src"), col("dst"))
       .agg((if (weightCol.isDefined) sum(col("w")) else min(col("w")))
-        .as("w")))
+        .as("w"))
+      .repartition(col("src")).sortWithinPartitions(col("src")))
     val nodes = sym.select(col("src").as("node_id")).distinct()
     var labels = nodes.select(col("node_id"), col("node_id").as("label"))
       .localCheckpoint(true)

@@ -285,8 +285,20 @@ object Modularity {
    */
   def greedyMoveRound(edges: DataFrame, membership: DataFrame,
       weightCol: Option[String] = None,
-      selfLoops: Boolean = false,
-      assumeCanonical: Boolean = false): DataFrame = {
+      selfLoops: Boolean = false): DataFrame =
+    greedyMoveRound(edges, membership, weightCol, selfLoops,
+      assumeCanonical = false)
+
+  /** [[greedyMoveRound]] with the canonical-input fast path exposed.
+    * private[graft] (ADVICE r15): the flag TRUSTS the caller — a
+    * non-canonical or unmaterialized frame silently double-counts into
+    * w_ic/deg/W — so only provably-canonical internal callers
+    * ([[louvain]], which re-orients coarsen output under long order
+    * before each level's checkpoint) may reach it. */
+  private[graft] def greedyMoveRound(edges: DataFrame, membership: DataFrame,
+      weightCol: Option[String],
+      selfLoops: Boolean,
+      assumeCanonical: Boolean): DataFrame = {
     // assumeCanonical (round 15, [[louvain]]'s fast path): the caller
     // vouches that `edges` is ALREADY the canonical merge — long-castable
     // s ≤ d per `weightCol` semantics, ONE row per unordered pair, and
@@ -329,6 +341,17 @@ object Modularity {
     val tagged = sym
       .join(mem.select(col("node_id").as("j"), col("community").as("cj")),
         Seq("j"), "left")
+    // NOTE (round 16, pins tried and REVERTED): deg feeds the s_c
+    // aggregate AND the candidate join, and s_c broadcasts under two
+    // different projections — the committed q239 plan shows deg built
+    // twice and s_c twice. Pinning both (eager checkpoints) cut the
+    // duplication but COST far more than it saved wherever the round
+    // runs repeatedly on small graphs: louvain invokes this operator
+    // 2×/level, and the two extra eager materialization jobs per
+    // sub-round took q246 from 8.0 s to 26.4 s (deg+sc pinned) / 16.4 s
+    // (sc only) at sf0.1 — the duplicated subtrees are leaf scans +
+    // node-sized aggregates, cheaper than the pin jobs that replace
+    // them. Recompute-per-consumer is the right trade here.
     val deg = (if (selfLoops)
         sym.select(col("i"), col("w")).unionByName(
           canon.filter(col("s") === col("d"))
@@ -460,8 +483,16 @@ object Modularity {
    */
   def coarsen(edges: DataFrame, membership: DataFrame,
       weightCol: Option[String] = None,
-      selfLoops: Boolean = false,
-      assumeCanonical: Boolean = false): DataFrame = {
+      selfLoops: Boolean = false): DataFrame =
+    coarsen(edges, membership, weightCol, selfLoops,
+      assumeCanonical = false)
+
+  /** [[coarsen]] with the canonical-input fast path — private[graft]
+    * for the same trust reason as [[greedyMoveRound]]'s (ADVICE r15). */
+  private[graft] def coarsen(edges: DataFrame, membership: DataFrame,
+      weightCol: Option[String],
+      selfLoops: Boolean,
+      assumeCanonical: Boolean): DataFrame = {
     // Same fast-path contract as [[greedyMoveRound]]: input already the
     // canonical merge, so skip the identity groupBy.
     val canon =

@@ -65,10 +65,16 @@ object Walks {
     // scan) probes it, and when the caller hands us a derived graph
     // (q219: the whole coref -> co-occurrence -> threshold lineage)
     // re-evaluating that per step multiplies the dominant cost by
-    // walkLength. The 100 TB shape is the same: materialize/bucket the
-    // edge table once, every step reuses the layout.
+    // walkLength. Partitioned AND sorted by `src` before the pin
+    // (round 16): the distinct's (src, dst) partitioning does NOT
+    // satisfy the per-step join on `src`, so every step re-exchanged
+    // and re-sorted the full edge table (q219: 8 edge-sized exchanges,
+    // ~90 MB of the query's shuffle); hash(src) + src order survive the
+    // checkpoint leaf, so each step shuffles only the walker frontier.
+    // This IS the "bucket the edge table by src once" 100 TB layout.
     val e = edges.select(col("src").cast("string").as("src"),
       col("dst").cast("string").as("dst")).distinct()
+      .repartition(col("src")).sortWithinPartitions(col("src"))
       .pinned
     val reps = (0 until walksPerNode).map(lit(_))
     var frontier = e.select(col("src").as("start")).distinct()
@@ -130,8 +136,13 @@ object Walks {
       "wCommon and wOut cannot both be 0 — every non-return move would be excluded")
     // Pinned once for the same reason as in deterministicWalks — here
     // the edge set is probed TWICE per step (candidates + adjacency).
+    // src-partitioned/sorted for the candidate join (round 16, as in
+    // deterministicWalks); the adjacency probe keys on (prev, dst) and
+    // still pays its own exchange — a second pinned copy laid out by
+    // (prev, dst) would trade memory for it, not taken at this fan-in.
     val e = edges.select(col("src").cast("string").as("src"),
       col("dst").cast("string").as("dst")).distinct()
+      .repartition(col("src")).sortWithinPartitions(col("src"))
       .pinned
     val adj = e.select(col("src").as("prev"), col("dst").as("dst"),
       lit(true).as("adj"))
@@ -207,6 +218,8 @@ object Walks {
       least(col("w").cast("int"), lit(cap)).as("w"))
       .filter(col("w") >= 1)
       .distinct()
+      // src layout pinned once — see deterministicWalks (round 16).
+      .repartition(col("src")).sortWithinPartitions(col("src"))
       .pinned
     val reps = (0 until walksPerNode).map(lit(_))
     var frontier = e.select(col("src").as("start")).distinct()

@@ -155,7 +155,12 @@ object PipelineQueries {
       // tri checkpoint below is the single action — computing it runs the
       // self-join once and caches the edge blocks as a side effect, so
       // q174's deg aggregate reads the cached leaf without ever paying
-      // the join again.
+      // the join again. CLUSTER CAVEAT (ADVICE r15): a lazy localCheckpoint
+      // truncates lineage at plan time, so losing a cached block between
+      // q103 and q174 (executor loss — disk eviction is fine) makes q174
+      // unrecoverable instead of recomputed. Safe in this single-JVM
+      // harness; a multi-executor deployment of this memo should use
+      // persist or a reliable checkpoint() instead.
       val edges = li.as("x").join(li.as("y"),
           col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
         .select(col("x.pk").as("src"), col("y.pk").as("dst"))
@@ -799,6 +804,11 @@ object PipelineQueries {
           .join(T.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
           .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
           .distinct()
+          // Pinned (round 16): the motif pattern references the edge
+          // frame three times (two hops + the anti leg) — unpinned, each
+          // leg re-ran the whole 4-table join (12 scans in the committed
+          // plan). The edge set itself is nation²-sized.
+          .transform(graft.operators.CacheScope.pin(_))
         graft.operators.Motifs
           .find(e, "(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)")
           .filter(col("a") =!= col("b") && col("b") =!= col("c") &&
@@ -983,6 +993,8 @@ object PipelineQueries {
           .join(T.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
           .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
           .agg(count(lit(1)).as("w"))
+          // Pinned (round 16) — three motif legs, same rationale as q212.
+          .transform(graft.operators.CacheScope.pin(_))
         graft.operators.Motifs
           .find(e, "(a)-[e1]->(b); (b)-[e2]->(c); !(a)-[]->(c)")
           .filter(col("a") =!= col("b") && col("b") =!= col("c") &&
@@ -1681,6 +1693,12 @@ object PipelineQueries {
             date_trunc("month", col("o_orderdate")).cast("date").as("month"))
           .agg(count(lit(1)).as("w"))
           .filter(col("w") >= 2)
+          // Pinned (round 16): hop1/hop2 are two projections of this
+          // frame and their differing shapes defeat exchange reuse — the
+          // committed plan showed the 4-table join + aggregate built
+          // TWICE. The output is dimension-sized (nations²·months); the
+          // build is the lineitem-sized part.
+          .transform(graft.operators.CacheScope.pin(_))
         val hop1 = e.select(col("src").as("a"), col("dst").as("b"),
           (mo + 1).as("lo1"), (mo + 2).as("hi1"), col("w").as("w1"))
         val hop2 = e.select(col("src").as("b"), col("dst").as("c"),

@@ -774,8 +774,14 @@ object TextQueries {
     Q("q124_join_size_estimate",
       (s, d) => {
         val k = T.lineitem(s, d).select(col("l_partkey").as("k"))
-        val sk = graft.operators.Sketches.cmsBuild(k, "k",
-          depth = 4, width = 1024)
+        // Pinned (round 16): cmsJoinSize(sk, sk) references the sketch
+        // plan twice and the two sides' projections defeat exchange
+        // reuse (the committed q124 plan showed TWO full scan+md5+agg
+        // sketch builds — 8·|lineitem| portable-md5 evaluations for a
+        // 4×1024-row artifact). One pin halves the query's md5 work;
+        // the sketch arithmetic (the oracle-mirrored part) is unchanged.
+        val sk = graft.operators.CacheScope.pin(
+          graft.operators.Sketches.cmsBuild(k, "k", depth = 4, width = 1024))
         val est = graft.operators.Sketches.cmsJoinSize(sk, sk)
         val exact = k.groupBy(col("k")).agg(count(lit(1)).as("c"))
           .agg(sum(col("c") * col("c")).as("exact_size"))
